@@ -1,13 +1,334 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Validate, ValidationResult}
+import graft.{filters => F}
+import graft.filters.{Emptiness, FilterMapper, FilterRepeater, FilterSwitch}
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2.7), each hash-checked against the DuckDB `oracleSql`. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Table loader. `events.ts` is NANOSECOND parquet, which Spark 4 refuses
+    * to read as a timestamp; sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` and this helper converts
+    * ns→µs with exact integer math (`div`, not double division — ns epochs
+    * overflow double mantissa). DuckDB oracles use `CAST(ts AS TIMESTAMP)`,
+    * which truncates identically. */
+  private def T(s: SparkSession, dir: String, n: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$n.parquet")
+    if (n == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Flagship (SURVEY.md §7 step 3): validate lineitem with the canonical
+    * chains, split valid/invalid, report per-bucket counts. */
+  def entry(spark: SparkSession): DataFrame = {
+    val li = T(spark, "/root/testdata/sf0.001", "lineitem")
+    val res = Validate(li,
+      "l_quantity" -> (F.Required(Emptiness.never) | F.Int() | F.Min(1) | F.Max(50)),
+      "l_returnflag" -> (F.Required() | F.Choice(Seq("A", "N", "R"))))
+    res.flagged("is_valid")
+      .groupBy(col("is_valid")).agg(count(lit(1)).as("n"))
+      .orderBy(col("is_valid"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- simple filters -------------------------------------------------
+    "q_required" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Validate(docs, "text" -> F.Required()).valid
+        .select(col("doc_id"), col("text")).orderBy("doc_id")
+    }),
+    "q_optional" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Validate(docs, "lang" -> F.Optional("und")).valid
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")
+    }),
+    "q_minmax_length" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Validate(docs, "text" -> (F.MinLength(100) | F.MaxLength(400))).valid
+        .select(col("doc_id"), col("text")).orderBy("doc_id")
+    }),
+    "q_choice" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      Validate(ev, "event_type" -> F.Choice(Seq("signup", "purchase", "error"))).valid
+        .select(col("event_id"), col("event_type")).orderBy("event_id")
+    }),
+    "q_empty" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Validate(docs, "lang" -> F.Length(2)).flagged("ok")
+        .select(col("doc_id"), col("lang"), col("ok")).orderBy("doc_id")
+    }),
+    "q_omit" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+      val rec = cust.select(struct(cust.columns.map(col): _*).as("rec"))
+      Validate(rec, "rec" -> F.Omit(Seq("c_acctbal", "c_mktsegment"))).valid
+        .select(col("rec.*")).orderBy("c_custkey")
+    }),
+    "q_type_int" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      Validate(ev, "value" -> F.Int()).valid
+        .select(col("event_id"), col("value").as("value_int")).orderBy("event_id")
+    }),
+    // ---- number filters -------------------------------------------------
+    "q_min" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      Validate(li, "l_quantity" -> F.Min(5.0)).valid
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q_max" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      Validate(li, "l_quantity" -> F.Max(45.0)).valid
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q_decimal" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      Validate(li, "l_extendedprice" -> F.Decimal(12, 2)).valid
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice").as("price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q_round" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").withColumn("disc_pct", col("l_discount") * 100)
+      Validate(li, "disc_pct" -> F.Round()).valid
+        .groupBy(col("disc_pct").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n")).orderBy("bucket")
+    }),
+    // ---- date/time ------------------------------------------------------
+    "q_date" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      Validate(ev, "ts" -> F.Date()).valid
+        .groupBy(col("ts").as("day")).agg(count(lit(1)).as("n")).orderBy("day")
+    }),
+    // ---- string filters -------------------------------------------------
+    "q_strip" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .withColumn("padded", concat(lit("  "), col("text"), lit(" \t")))
+      Validate(docs, "padded" -> F.Strip()).valid
+        .select(col("doc_id"), col("padded").as("stripped")).orderBy("doc_id")
+    }),
+    "q_casefold" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Validate(docs, "lang" -> F.CaseFold()).valid
+        .select(col("doc_id"), col("lang").as("folded")).orderBy("doc_id")
+    }),
+    "q_json" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      Validate(ev, "props" -> F.JsonDecode("k BIGINT")).valid
+        .select(col("event_id"), col("props").getField("k").as("k")).orderBy("event_id")
+    }),
+    "q_regex" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Validate(docs, "text" -> F.Regex("[aeiou]{2}")).valid
+        .select(col("doc_id"), size(col("text")).cast("long").as("n_matches"))
+        .orderBy("doc_id")
+    }),
+    "q_split" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Validate(docs, "text" -> F.Split(" ")).valid
+        .select(col("doc_id"), element_at(col("text"), 1).as("first_tok"),
+          element_at(col("text"), -1).as("last_tok"))
+        .orderBy("doc_id")
+    }),
+    "q_maxbytes" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Validate(docs, "text" -> F.MaxBytes(256, truncate = false)).valid
+        .select(col("doc_id"), octet_length(col("text")).cast("long").as("n_bytes"))
+        .orderBy("doc_id")
+    }),
+    "q_base64" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .withColumn("b64", base64(col("text").cast("binary")))
+      Validate(docs, "b64" -> F.Base64Decode()).valid
+        .select(col("doc_id"), col("b64").cast("string").as("decoded")).orderBy("doc_id")
+    }),
+    "q_uuid" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .withColumn("u", format_string("%08X-0000-4000-8000-%012X", col("doc_id"), col("doc_id")))
+      Validate(docs, "u" -> F.Uuid(4)).valid
+        .select(col("doc_id"), col("u").as("uuid")).orderBy("doc_id")
+    }),
+    "q_ip" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .withColumn("ip", concat(lit("10."), (col("doc_id") % 300).cast("string"), lit(".0.1")))
+      Validate(docs, "ip" -> F.IpAddress()).valid
+        .select(col("doc_id"), col("ip")).orderBy("doc_id")
+    }),
+    // ---- structural combinators ----------------------------------------
+    "q_mapper" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .select(struct(col("event_type"), col("value")).as("rec"))
+      val mapper = FilterMapper(Seq(
+        "event_type" -> F.Choice(Seq("signup", "purchase", "error")),
+        "value" -> F.Min(50.0)))
+      Validate(ev, "rec" -> mapper).errorCodes.orderBy("key", "code")
+    }),
+    "q_repeater" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Validate(emb, "embedding" -> FilterRepeater(F.Min(-0.25) | F.Max(0.25)))
+        .flagged("ok").select(col("vec_id"), col("ok")).orderBy("vec_id")
+    }),
+    "q_switch" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .select(col("event_id"), struct(col("event_type"), col("value")).as("rec"))
+      val switch = FilterSwitch(_.getField("event_type"), Seq(
+        "purchase" -> FilterMapper(Seq("value" -> F.Min(10.0))),
+        "error" -> FilterMapper(Seq("value" -> F.Max(500.0)))),
+        default = Some(F.NoOp()))
+      Validate(ev, "rec" -> switch).flagged("ok")
+        .select(col("event_id"), col("ok")).orderBy("event_id")
+    }),
+    // ---- LLM-pipeline ops ----------------------------------------------
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.distinctKeys(T(s, dir, "documents"), Seq("lang", "source"))
+        .orderBy("lang", "source")
+    }),
+    "q_approx_distinct" -> ((s, dir) => {
+      T(s, dir, "events").agg(count_distinct(col("user_id")).as("n"))
+    }),
+    "q_window_events" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("h"), col("n")).orderBy("h")
+    }),
+    "q_text_stats" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+        .orderBy("lang")
+    }),
+    "q_quality" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      docs.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+    "q_fingerprint" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      docs.select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+    "q_topk_similar" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val iv = emb.select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000, 0)).as("v"))
+      val q = iv.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val pairs = iv.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("q_id"))
+      val dotCol = aggregate(zip_with(col("qv"), col("v"), (a, b) => a * b),
+        lit(0.0d), (acc, x) => acc + x)
+      val w = Window.partitionBy("q_id").orderBy(col("dot").desc, col("cand_id"))
+      pairs.select(col("q_id"), col("vec_id").as("cand_id"), dotCol.cast("long").as("dot"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("cand_id"), col("dot"), col("rk"))
+        .orderBy("q_id", "rk")
+    }),
+    // ---- non-oracle ops (rows-only driver check; ScalaTest covers) ------
+    "q_dedup_minhash" -> ((s, dir) => {
+      // testdata docs share a 31-word vocabulary (avg pairwise Jaccard 0.65)
+      // — selective banding (16 rows/band) keeps candidates ~sub-1% of pairs
+      Dedup.minhashNearDups(T(s, dir, "documents"), "doc_id", "text",
+        numHashes = 64, bands = 4, threshold = 0.9)
+        .orderBy("id_a", "id_b")
+    }),
+    "q_simhash" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprintSimhash(col("text")).as("sh"),
+          TextAnalysis.fingerprintRolling(col("text")).as("rh"))
+        .orderBy("doc_id")
+    }),
+    "q_lang_id" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("guess"))
+        .orderBy("doc_id")
+    }),
+    "q_ann_cosine" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3)
+        .orderBy("q_id", "rk")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_required" ->
+      "SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND length(text) > 0 ORDER BY doc_id",
+    "q_optional" ->
+      "SELECT doc_id, CASE WHEN lang IS NULL OR length(lang) = 0 THEN 'und' ELSE lang END AS lang FROM documents ORDER BY doc_id",
+    "q_minmax_length" ->
+      "SELECT doc_id, text FROM documents WHERE length(text) >= 100 AND length(text) <= 400 ORDER BY doc_id",
+    "q_choice" ->
+      "SELECT event_id, event_type FROM events WHERE event_type IN ('signup','purchase','error') ORDER BY event_id",
+    "q_empty" ->
+      "SELECT doc_id, lang, (lang IS NULL OR length(lang) = 2) AS ok FROM documents ORDER BY doc_id",
+    "q_omit" ->
+      "SELECT c_custkey, c_name, c_nationkey FROM customer ORDER BY c_custkey",
+    "q_type_int" ->
+      "SELECT event_id, CAST(value AS BIGINT) AS value_int FROM events WHERE value IS NULL OR value = floor(value) ORDER BY event_id",
+    "q_min" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity IS NULL OR l_quantity >= 5.0 ORDER BY l_orderkey, l_linenumber",
+    "q_max" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity IS NULL OR l_quantity <= 45.0 ORDER BY l_orderkey, l_linenumber",
+    "q_decimal" ->
+      "SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(12,2)) AS price FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q_round" ->
+      "SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS bucket, COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY bucket",
+    "q_date" ->
+      "SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY day",
+    "q_strip" ->
+      "SELECT doc_id, regexp_replace(regexp_replace('  ' || text || ' \t', '^[\\p{C}\\s]+', ''), '[\\p{C}\\s]+$', '') AS stripped FROM documents ORDER BY doc_id",
+    "q_casefold" ->
+      "SELECT doc_id, lower(lang) AS folded FROM documents ORDER BY doc_id",
+    "q_json" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events WHERE props IS NOT NULL ORDER BY event_id",
+    "q_regex" ->
+      "SELECT doc_id, CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS BIGINT) AS n_matches FROM documents WHERE len(regexp_extract_all(text, '[aeiou]{2}')) > 0 ORDER BY doc_id",
+    "q_split" ->
+      "SELECT doc_id, string_split(text, ' ')[1] AS first_tok, string_split(text, ' ')[-1] AS last_tok FROM documents ORDER BY doc_id",
+    "q_maxbytes" ->
+      "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents WHERE octet_length(encode(text)) <= 256 ORDER BY doc_id",
+    "q_base64" ->
+      "SELECT doc_id, decode(from_base64(to_base64(encode(text)))) AS decoded FROM documents ORDER BY doc_id",
+    "q_uuid" ->
+      "SELECT doc_id, lower(printf('%08x-0000-4000-8000-%012x', doc_id, doc_id)) AS uuid FROM documents ORDER BY doc_id",
+    "q_ip" ->
+      "SELECT doc_id, '10.' || CAST(doc_id % 300 AS VARCHAR) || '.0.1' AS ip FROM documents WHERE doc_id % 300 <= 255 ORDER BY doc_id",
+    "q_mapper" ->
+      "SELECT * FROM (SELECT 'rec.event_type' AS key, 'not_valid_choice' AS code, COUNT(*) AS n FROM events WHERE event_type IS NOT NULL AND event_type NOT IN ('signup','purchase','error') UNION ALL SELECT 'rec.value' AS key, 'too_small' AS code, COUNT(*) AS n FROM events WHERE value IS NOT NULL AND value < 50.0) t WHERE n > 0 ORDER BY key, code",
+    "q_repeater" ->
+      "SELECT vec_id, len(list_filter(embedding, x -> x < -0.25 OR x > 0.25)) = 0 AS ok FROM embeddings ORDER BY vec_id",
+    "q_switch" ->
+      "SELECT event_id, CASE WHEN event_type = 'purchase' THEN (value IS NULL OR value >= 10.0) WHEN event_type = 'error' THEN (value IS NULL OR value <= 500.0) ELSE TRUE END AS ok FROM events ORDER BY event_id",
+    "q_dedup_exact" ->
+      "SELECT DISTINCT lang, source FROM documents ORDER BY lang, source",
+    "q_approx_distinct" ->
+      "SELECT COUNT(DISTINCT user_id) AS n FROM events",
+    "q_window_events" ->
+      "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY h",
+    "q_text_stats" ->
+      "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS n_tokens FROM documents GROUP BY lang ORDER BY lang",
+    "q_quality" ->
+      ("SELECT doc_id, round(0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) " +
+        "+ 0.4 * (CASE WHEN len(regexp_split_to_array(lower(text), '\\s+')) = 0 THEN 0.0 ELSE " +
+        "CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t IN ('the','of','and','a','to','in','is','it','that','for'))) AS DOUBLE) " +
+        "/ CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS DOUBLE) END) " +
+        "+ 0.2 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
+        "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END), 6) AS quality " +
+        "FROM documents ORDER BY doc_id"),
+    "q_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+    "q_topk_similar" ->
+      ("WITH iv AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000, 0)) AS v FROM embeddings), " +
+        "q AS (SELECT vec_id AS q_id, v AS qv FROM iv WHERE vec_id < 10), " +
+        "pairs AS (SELECT q.q_id, iv.vec_id AS cand_id, CAST(list_dot_product(q.qv, iv.v) AS BIGINT) AS dot FROM iv, q WHERE iv.vec_id <> q.q_id) " +
+        "SELECT q_id, cand_id, dot, CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, cand_id) AS INTEGER) AS rk " +
+        "FROM pairs QUALIFY rk <= 5 ORDER BY q_id, rk")
+  )
 }

@@ -1,0 +1,64 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DataFrame-level validation session — the Spark re-expression of the
+  * reference's `FilterRunner` (`filters/base.py::FilterRunner`, SURVEY.md
+  * §2.5). Instead of a per-record session object, validation appends a
+  * single `_errors` column; `valid` / `invalid` are DataFrame splits and
+  * error statistics are ordinary aggregations.
+  */
+object Validate {
+  val ErrorsCol = "_errors"
+
+  /** Validate one column in place: replaces it with the cleaned value and
+    * merges this column's errors into `_errors` (created if absent).
+    * `key` defaults to the column name — the dotted context key on errors.
+    */
+  def column(df: DataFrame, colName: String, v: Validator, key: String = null): DataFrame = {
+    val k = if (key == null) colName else key
+    val tmp = s"__v_$colName"
+    val step1 = df.withColumn(tmp, v.result(df(colName), k))
+    val step2 = step1.withColumn(colName, col(tmp)("value"))
+    val step3 =
+      if (df.columns.contains(ErrorsCol))
+        step2.withColumn(ErrorsCol, concat(col(ErrorsCol), col(tmp)("errors")))
+      else
+        step2.withColumn(ErrorsCol, col(tmp)("errors"))
+    step3.drop(tmp)
+  }
+
+  /** Validate several columns, accumulating all their errors — the
+    * DataFrame-level equivalent of the reference's `FilterMapper` over a
+    * whole record (each field's chain short-circuits individually; errors
+    * from different fields all accumulate). */
+  def columns(df: DataFrame, specs: (String, Validator)*): ValidationResult =
+    ValidationResult(specs.foldLeft(df) { case (d, (c, v)) => column(d, c, v) })
+
+  def apply(df: DataFrame, specs: (String, Validator)*): ValidationResult =
+    columns(df, specs: _*)
+}
+
+/** Result of a validation run: the annotated DataFrame plus the
+  * `is_valid` / `cleaned_data` / `errors` views the reference exposes. */
+final case class ValidationResult(df: DataFrame) {
+  import Validate.ErrorsCol
+
+  /** Rows with no errors, `_errors` dropped (reference `cleaned_data`). */
+  def valid: DataFrame = df.filter(size(col(ErrorsCol)) === 0).drop(ErrorsCol)
+
+  /** Rows with at least one error, `_errors` kept (quarantine split). */
+  def invalid: DataFrame = df.filter(size(col(ErrorsCol)) > 0)
+
+  /** Flag column instead of a split. */
+  def flagged(flag: String = "_valid"): DataFrame =
+    df.withColumn(flag, size(col(ErrorsCol)) === 0)
+
+  /** One row per (key, code) with a count — reference `error_codes`
+    * aggregated over the whole dataset. */
+  def errorCodes: DataFrame =
+    df.select(explode(col(ErrorsCol)).as("e"))
+      .groupBy(col("e.key").as("key"), col("e.code").as("code"))
+      .agg(count(lit(1)).as("n"))
+}

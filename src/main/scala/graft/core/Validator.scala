@@ -1,0 +1,91 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** A validator: a pure transform over a `(value, errors)` pair of Columns.
+  *
+  * Spark-first re-expression of the reference's `BaseFilter` protocol
+  * (`filters/base.py::BaseFilter._apply/_apply_none/_invalid_value`,
+  * SURVEY.md §2.5): instead of per-record Python calls, a validator builds a
+  * Catalyst expression tree. Chaining (`|`) preserves the reference's
+  * per-record short-circuit — once a record has an error, later filters in
+  * the chain are skipped (encoded as lazy `CASE WHEN`, which whole-stage
+  * codegen evaluates lazily).
+  *
+  * Value/error state is threaded as two separate Columns (not one struct) to
+  * keep expression trees small; `result` packs the final pair into
+  * `struct(value, errors)`.
+  */
+trait Validator { self =>
+  def name: String
+
+  /** Transform the `(value, errors)` state under the dotted context `key`.
+    * Implementations must preserve short-circuit: if `errors` is non-empty
+    * the value must pass through untouched (as null) and no new error added.
+    */
+  def step(value: Column, errors: Column, key: Column): (Column, Column)
+
+  /** Chain composition — the reference's `FilterChain` `|` operator. */
+  def |(next: Validator): Validator = Chain(self, next)
+
+  /** Alias for `|` for readers who prefer words. */
+  def and(next: Validator): Validator = self | next
+
+  /** Apply to an input column: returns `struct(value, errors)`. */
+  def result(in: Column, key: String): Column = {
+    val (v, e) = step(in, Errs.none, lit(key))
+    struct(v.as("value"), e.as("errors"))
+  }
+}
+
+/** Left-to-right composition with per-record short-circuit
+  * (reference: `filters/base.py::FilterChain`). */
+final case class Chain(first: Validator, second: Validator) extends Validator {
+  val name = s"${first.name}|${second.name}"
+  def step(v: Column, e: Column, key: Column): (Column, Column) = {
+    val (v1, e1) = first.step(v, e, key)
+    second.step(v1, e1, key)
+  }
+}
+
+/** Base class for scalar filters: implement `clean` (the coercion) and/or
+  * `invalid` (the rejection predicate) for an in-scope input.
+  *
+  * None-passthrough (reference `BaseFilter._apply_none`, SURVEY.md §1): by
+  * default a null value bypasses the filter and stays null; only filters
+  * with `handlesNull = true` (Required, Optional) see nulls.
+  *
+  * On rejection the cleaned value becomes null — matching the reference's
+  * default invalid-value handler, which replaces invalid values with `None`.
+  */
+abstract class ScalarFilter extends Validator {
+  /** Error code recorded when `invalid` holds. */
+  def code: String
+  def message: Column = lit(defaultMessage)
+  protected def defaultMessage: String = "This value is invalid."
+
+  /** Whether this filter runs on null inputs (default: null passes through). */
+  protected def handlesNull: Boolean = false
+
+  /** Cleaned value for an in-scope input. Default: identity (pure check). */
+  protected def clean(v: Column): Column = v
+
+  /** Rejection predicate for an in-scope input. Default: never. */
+  protected def invalid(v: Column): Column = lit(false)
+
+  final def step(value: Column, errors: Column, key: Column): (Column, Column) = {
+    val noPrior = size(errors) === 0
+    val inScope =
+      if (handlesNull) noPrior
+      else noPrior && value.isNotNull
+    // Null-safe: a null predicate must not both suppress the error AND null
+    // out the value, so collapse 3-valued logic to false explicitly.
+    val bad = coalesce(invalid(value), lit(false))
+    val newValue = when(inScope && !bad, clean(value)) // else null
+    val newErrors = when(!noPrior, errors)
+      .when(inScope && bad, array(Errs.one(key, code, message)))
+      .otherwise(Errs.none)
+    (newValue, newErrors)
+  }
+}

@@ -1,0 +1,157 @@
+package graft.expressions
+
+import java.net.{Inet4Address, Inet6Address}
+import java.text.Normalizer
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Scalar kernels for the string filters Spark has no builtin for
+  * (SURVEY.md §7 step 4). Exposed to Catalyst via `StaticInvoke` (see
+  * [[native]]) so they run inside whole-stage codegen as direct static
+  * calls — no UDF serialization, full null propagation.
+  *
+  * All methods are total: invalid input returns null (the wrapping filter
+  * turns null into a coded error). JDK + ICU (ships with Spark 4) only.
+  */
+object Kernels {
+
+  /** NFC normalization (reference `filters/string.py::Unicode` normalize step). */
+  def nfc(s: UTF8String): UTF8String =
+    UTF8String.fromString(Normalizer.normalize(s.toString, Normalizer.Form.NFC))
+
+  /** Full `Unicode` filter cleanup: NFC normalize, normalize line endings to
+    * \n, drop non-printable control characters (keeping \n and \t).
+    * Reference: `filters/string.py::Unicode` (normalize=True path). */
+  def unicodeClean(s: UTF8String): UTF8String = {
+    val n = Normalizer.normalize(s.toString, Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(n.length)
+    var i = 0
+    while (i < n.length) {
+      val c = n.charAt(i)
+      if (c == '\r') {
+        // \r\n and bare \r both become \n
+        if (i + 1 >= n.length || n.charAt(i + 1) != '\n') sb.append('\n')
+      } else if (c == '\n' || c == '\t') sb.append(c)
+      else if (!Character.isISOControl(c) && Character.getType(c) != Character.FORMAT) sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Unicode case folding (reference `filters/string.py::CaseFold`,
+    * `str.casefold` semantics: ß→ss, İ handled) via ICU — `lower()` is not
+    * equivalent. ICU ships with Spark 4 (collation support). */
+  def caseFold(s: UTF8String): UTF8String =
+    UTF8String.fromString(
+      com.ibm.icu.lang.UCharacter.foldCase(s.toString, com.ibm.icu.lang.UCharacter.FOLD_CASE_DEFAULT))
+
+  /** Strict base64 decode (reference `filters/string.py::Base64Decode`):
+    * strips whitespace, accepts url-safe alphabet (-_ → +/), fixes missing
+    * padding, but REJECTS (null) any non-alphabet character or bad length —
+    * unlike Spark's lenient `unbase64`. */
+  def base64Strict(s: UTF8String): Array[Byte] = {
+    val raw = s.toString.filterNot(_.isWhitespace).replace('-', '+').replace('_', '/')
+    val unpadded = raw.reverse.dropWhile(_ == '=').reverse
+    if (unpadded.exists(c => !(c.isLetterOrDigit && c < 128) && c != '+' && c != '/')) return null
+    if (unpadded.length % 4 == 1) return null // impossible base64 length
+    val padded = unpadded + "=" * ((4 - unpadded.length % 4) % 4)
+    try java.util.Base64.getDecoder.decode(padded)
+    catch { case _: IllegalArgumentException => null }
+  }
+
+  /** UTF-8-boundary-safe truncation to `maxBytes` (reference
+    * `filters/string.py::MaxBytes` truncate mode): never splits a codepoint;
+    * `prefix` (already counted against the budget) is prepended when the
+    * value was actually truncated. */
+  def utf8Truncate(s: UTF8String, maxBytes: Int, prefix: UTF8String): UTF8String = {
+    if (s.numBytes <= maxBytes) return s
+    val p = prefix.getBytes
+    val budget = maxBytes - p.length
+    if (budget <= 0) return UTF8String.fromBytes(p.take(math.max(maxBytes, 0)))
+    val bytes = s.getBytes
+    var end = budget
+    // back off to a UTF-8 sequence start (byte not of form 10xxxxxx)
+    while (end > 0 && (bytes(end) & 0xC0) == 0x80) end -= 1
+    val out = new Array[Byte](p.length + end)
+    System.arraycopy(p, 0, out, 0, p.length)
+    System.arraycopy(bytes, 0, out, p.length, end)
+    UTF8String.fromBytes(out)
+  }
+
+  /** Validate + normalize an IP literal (reference
+    * `filters/string.py::IpAddress`): IPv4 dotted-quad, IPv6 compressed
+    * lowercase output. Pure parse — never touches DNS (guava
+    * `InetAddresses.forString` only accepts literals; guava ships with
+    * Spark). Returns null if not a valid literal of an allowed family. */
+  def ipNormalize(s: UTF8String, ipv4: Boolean, ipv6: Boolean): UTF8String = {
+    val str = s.toString
+    if (!com.google.common.net.InetAddresses.isInetAddress(str)) return null
+    com.google.common.net.InetAddresses.forString(str) match {
+      case a: Inet4Address if ipv4 => UTF8String.fromString(a.getHostAddress)
+      case a: Inet6Address if ipv6 =>
+        UTF8String.fromString(com.google.common.net.InetAddresses.toAddrString(a))
+      case _ => null
+    }
+  }
+
+  /** Strict UUID parse → canonical lowercase-hyphen form (reference
+    * `filters/string.py::Uuid`). Accepts canonical, braced, urn-prefixed,
+    * and 32-hex forms; rejects anything else (null). */
+  def uuidNormalize(s: UTF8String): UTF8String = {
+    var str = s.toString.trim
+    if (str.startsWith("urn:uuid:")) str = str.substring(9)
+    if (str.length >= 2 && str.charAt(0) == '{' && str.endsWith("}"))
+      str = str.substring(1, str.length - 1)
+    if (str.length == 32 && str.forall(c => Character.digit(c, 16) >= 0))
+      str = str.substring(0, 8) + "-" + str.substring(8, 12) + "-" + str.substring(12, 16) +
+        "-" + str.substring(16, 20) + "-" + str.substring(20)
+    // java.util.UUID.fromString is lenient about component lengths; pin the
+    // canonical 8-4-4-4-12 shape first.
+    if (!str.matches("[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"))
+      return null
+    UTF8String.fromString(java.util.UUID.fromString(str).toString)
+  }
+
+  /** UUID version digit (1-5) of an already-canonical UUID string, -1 if malformed. */
+  def uuidVersion(s: UTF8String): Int = {
+    val str = s.toString
+    if (str.length != 36) -1 else Character.digit(str.charAt(14), 16)
+  }
+
+  /** Polynomial rolling hash (Rabin–Karp style) over the whole string —
+    * document fingerprinting primitive for the LLM-pipeline ops. Stable,
+    * seed-free, platform-independent. */
+  def rollingHash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 1125899906842597L // prime
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    h
+  }
+
+  /** 64-bit SimHash over whitespace tokens (near-dup fingerprint): each
+    * token hashed (FNV-1a 64), its bits vote ±1, sign of each vote → bit. */
+  def simHash(s: UTF8String): Long = {
+    val votes = new Array[Int](64)
+    val str = s.toString
+    var start = 0
+    var i = 0
+    val n = str.length
+    while (i <= n) {
+      if (i == n || str.charAt(i) == ' ') {
+        if (i > start) {
+          var h = 0xcbf29ce484222325L // FNV-1a 64 over the token's chars
+          var j = start
+          while (j < i) { h ^= str.charAt(j); h *= 0x100000001b3L; j += 1 }
+          var b = 0
+          while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}

@@ -1,0 +1,61 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, GraftSqlShim}
+import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.types._
+
+/** Column-level wrappers over [[Kernels]] as native Catalyst expressions.
+  *
+  * `StaticInvoke` generates a direct static call inside whole-stage codegen
+  * (`propagateNull = true` gives builtin-style null semantics) — the
+  * preferred shape for custom scalar kernels per SURVEY.md §4/§7: not a UDF,
+  * so column pruning / filter pushdown / codegen all survive.
+  */
+object native {
+  private def invoke(dt: DataType, fn: String, args: Seq[Expression],
+                     inputTypes: Seq[DataType]): Column =
+    GraftSqlShim.column(StaticInvoke(
+      Kernels.getClass, dt, fn, args,
+      propagateNull = true, returnNullable = true))
+
+  private def e(c: Column): Expression = GraftSqlShim.expression(c)
+
+  def nfc(c: Column): Column =
+    invoke(StringType, "nfc", Seq(e(c)), Seq(StringType))
+
+  def unicodeClean(c: Column): Column =
+    invoke(StringType, "unicodeClean", Seq(e(c)), Seq(StringType))
+
+  def caseFold(c: Column): Column =
+    invoke(StringType, "caseFold", Seq(e(c)), Seq(StringType))
+
+  def base64Strict(c: Column): Column =
+    invoke(BinaryType, "base64Strict", Seq(e(c)), Seq(StringType))
+
+  def utf8Truncate(c: Column, maxBytes: Int, prefix: String): Column =
+    invoke(StringType, "utf8Truncate",
+      Seq(e(c), Literal(maxBytes), Literal(prefix)),
+      Seq(StringType, IntegerType, StringType))
+
+  def ipNormalize(c: Column, ipv4: Boolean, ipv6: Boolean): Column =
+    invoke(StringType, "ipNormalize",
+      Seq(e(c), Literal(ipv4), Literal(ipv6)),
+      Seq(StringType, BooleanType, BooleanType))
+
+  def uuidNormalize(c: Column): Column =
+    invoke(StringType, "uuidNormalize", Seq(e(c)), Seq(StringType))
+
+  def uuidVersion(c: Column): Column =
+    invoke(IntegerType, "uuidVersion", Seq(e(c)), Seq(StringType))
+
+  def rollingHash(c: Column): Column =
+    invoke(LongType, "rollingHash", Seq(e(c)), Seq(StringType))
+
+  def simHash(c: Column): Column =
+    invoke(LongType, "simHash", Seq(e(c)), Seq(StringType))
+
+  /** try_cast — null instead of error on failed cast (ANSI-safe coercion). */
+  def tryCast(c: Column, dt: DataType): Column =
+    GraftSqlShim.column(Cast(e(c), dt, Some("UTC"), EvalMode.TRY))
+}

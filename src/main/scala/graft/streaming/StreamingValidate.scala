@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.{Validate, ValidationResult, Validator}
+
+/** Streaming validation (SURVEY.md §2.6): because every validator is a pure
+  * Column expression tree, the SAME validators run unchanged under
+  * Structured Streaming — this module only adds the streaming-specific
+  * wiring (watermarks, windows, within-watermark dedup, quarantine).
+  *
+  * Scale posture: validation stays map-only (no state); only windows/dedup
+  * introduce state, bounded by the watermark.
+  */
+object StreamingValidate {
+
+  /** Validate streaming rows — identical code path to batch. */
+  def apply(stream: DataFrame, specs: (String, Validator)*): ValidationResult =
+    Validate.columns(stream, specs: _*)
+
+  /** Tumbling (or sliding, if `slide` differs) window counts with a
+    * watermark for state cleanup + late-data drop. */
+  def windowedCounts(df: DataFrame, tsCol: String, windowDur: String,
+                     slide: String = null, watermarkDelay: String = "10 minutes"): DataFrame = {
+    val win =
+      if (slide == null || slide == windowDur) window(col(tsCol), windowDur)
+      else window(col(tsCol), windowDur, slide)
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(win)
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+  }
+
+  /** Session windows (gap-based) per key. */
+  def sessionCounts(df: DataFrame, tsCol: String, keyCol: String, gap: String,
+                    watermarkDelay: String = "10 minutes"): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"), col(keyCol), col("n"))
+
+  /** Exactly-once-ish dedup bounded by the watermark. */
+  def dedupWithinWatermark(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                           delay: String): DataFrame =
+    df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols)
+
+  /** Split a validated micro-batch into (valid, invalid) and hand each to a
+    * sink callback — the streaming form of the invalid-value handler policy
+    * (reference `filters/handlers.py`): accumulate = quarantine sink. */
+  def quarantine(result: ValidationResult)(
+      validSink: DataFrame => Unit, invalidSink: DataFrame => Unit): DataFrame => Unit =
+    _ => { validSink(result.valid); invalidSink(result.invalid) }
+}

@@ -1,0 +1,85 @@
+package graft.filters
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.SparkSuite
+import graft.core.Validate
+import graft.{filters => F}
+
+/** Mirrors reference `test/complex_test.py` (SURVEY.md §5): dotted error
+  * keys for mapper, indexed keys for repeater, switch routing. */
+class ComplexFiltersSpec extends SparkSuite {
+
+  private def errPairs(df: org.apache.spark.sql.DataFrame): Seq[(String, String)] =
+    df.select(explode(col("_errors")).as("e"))
+      .select("e.key", "e.code").collect().toSeq
+      .map(r => (r.getString(0), r.getString(1)))
+
+  test("FilterMapper validates per-field with dotted keys; collects all field errors") {
+    val schema = StructType.fromDDL("rec STRUCT<event_type: STRING, value: DOUBLE>")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Row("bogus", -5.0d))), 1), schema)
+    val mapper = FilterMapper(Seq(
+      "event_type" -> F.Choice(Seq("signup", "purchase")),
+      "value" -> F.Min(0.0)))
+    val out = Validate.column(df, "rec", mapper)
+    assert(errPairs(out).sorted == Seq(
+      ("rec.event_type", "not_valid_choice"), ("rec.value", "too_small")))
+  }
+
+  test("FilterMapper passes valid records and rebuilds cleaned struct") {
+    val schema = StructType.fromDDL("rec STRUCT<a: STRING, b: STRING>")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Row("x", "  y  "))), 1), schema)
+    val mapper = FilterMapper(Seq("b" -> F.Strip()))
+    val out = Validate.column(df, "rec", mapper).collect()(0)
+    assert(out.getStruct(0).getString(1) == "y")
+  }
+
+  test("FilterRepeater validates each element with indexed keys") {
+    val schema = StructType.fromDDL("arr ARRAY<DOUBLE>")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Seq(0.5d, 9.0d, -3.0d))), 1), schema)
+    val rep = FilterRepeater(F.Min(0.0) | F.Max(1.0))
+    val out = Validate.column(df, "arr", rep)
+    assert(errPairs(out).sorted == Seq(("arr.1", "too_big"), ("arr.2", "too_small")))
+    // cleaned array keeps valid elements, nulls invalid ones
+    val cleaned = out.collect()(0).getSeq[Any](0)
+    assert(cleaned == Seq(0.5d, null, null))
+  }
+
+  test("FilterSwitch routes by getter; default and no-case behavior") {
+    val schema = StructType.fromDDL("rec STRUCT<t: STRING, v: DOUBLE>")
+    val rows = Seq(
+      Row(Row("big", 5.0d)),   // routed: Min(10) fails
+      Row(Row("big", 50.0d)),  // routed: passes
+      Row(Row("other", 1.0d))) // no case, no default → no_valid_case
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val switch = FilterSwitch(_.getField("t"),
+      Seq("big" -> FilterMapper(Seq("v" -> F.Min(10.0)))))
+    val out = Validate.column(df, "rec", switch)
+    assert(errPairs(out).sorted == Seq(("rec", "no_valid_case"), ("rec.v", "too_small")))
+  }
+
+  test("FilterSwitch with default routes unmatched to default") {
+    val schema = StructType.fromDDL("rec STRUCT<t: STRING, v: DOUBLE>")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Row("other", 1.0d))), 1), schema)
+    val switch = FilterSwitch(_.getField("t"),
+      Seq("big" -> FilterMapper(Seq("v" -> F.Min(10.0)))),
+      default = Some(F.NoOp()))
+    val out = Validate.column(df, "rec", switch)
+    assert(errPairs(out).isEmpty)
+  }
+
+  test("null struct passes through mapper/repeater (None-passthrough)") {
+    val schema = StructType.fromDDL("rec STRUCT<a: STRING>, arr ARRAY<DOUBLE>")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(null, null)), 1), schema)
+    val out1 = Validate.column(df, "rec", FilterMapper(Seq("a" -> F.Required())))
+    assert(errPairs(out1).isEmpty)
+    val out2 = Validate.column(df, "arr", FilterRepeater(F.Min(0.0)))
+    assert(errPairs(out2).isEmpty)
+  }
+}
