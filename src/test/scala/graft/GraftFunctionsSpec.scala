@@ -1,0 +1,33 @@
+package graft
+
+import graft.SparkSuite
+
+/** SQL surface: kernels registered in the FunctionRegistry are callable
+  * from spark.sql and stay native (StaticInvoke, not UDF). */
+class GraftFunctionsSpec extends SparkSuite {
+
+  test("registered SQL functions evaluate") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT casefold('Straße') AS cf, uuid_normalize('{123E4567-E89B-42D3-A456-426614174000}') AS uu, " +
+        "ip_normalize('2001:0db8::1', false, true) AS ip, rolling_hash('abc') AS rh, " +
+        "cast(base64_strict('aGVsbG8=') AS STRING) AS b64").collect()(0)
+    assert(r.getString(0) == "strasse")
+    assert(r.getString(1) == "123e4567-e89b-42d3-a456-426614174000")
+    assert(r.getString(2) == "2001:db8::1")
+    assert(r.getString(4) == "hello")
+  }
+
+  test("null propagates through registered functions") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT casefold(CAST(NULL AS STRING)) AS x").collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("plan stays codegen-native (no BatchEvalPython/ScalaUDF nodes)") {
+    GraftFunctions.register(spark)
+    val plan = spark.sql("SELECT casefold(c) FROM VALUES ('A') t(c)")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck properties for the native kernels (SURVEY.md §5 plan item 3):
+  * codec roundtrips, normalize idempotence, truncation codepoint safety.
+  * Pure JVM — no Spark session needed, so these run fast. */
+class KernelPropsSpec extends AnyFunSuite {
+  private def u(s: String) = UTF8String.fromString(s)
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val unicodeStr: Gen[String] =
+    Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString),
+      Gen.oneOf(" ", "\t", "\n", "é", "ß", "中", "𝄞" /* 𝄞 */,
+        "́" /* combining acute */)))
+      .map(_.mkString)
+
+  test("base64: strict decode inverts encode for arbitrary bytes") {
+    check(Prop.forAll(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))) { bs =>
+      val enc = java.util.Base64.getEncoder.encodeToString(bs.toArray)
+      val dec = Kernels.base64Strict(u(enc))
+      dec != null && java.util.Arrays.equals(dec, bs.toArray)
+    })
+  }
+
+  test("base64: url-safe variant decodes to the same bytes") {
+    check(Prop.forAll(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))) { bs =>
+      val urlSafe = java.util.Base64.getUrlEncoder.encodeToString(bs.toArray)
+      val dec = Kernels.base64Strict(u(urlSafe))
+      dec != null && java.util.Arrays.equals(dec, bs.toArray)
+    })
+  }
+
+  test("nfc is idempotent") {
+    check(Prop.forAll(unicodeStr) { s =>
+      val once = Kernels.nfc(u(s)).toString
+      Kernels.nfc(u(once)).toString == once
+    })
+  }
+
+  test("unicodeClean is idempotent and strips all ISO controls except tab/newline") {
+    check(Prop.forAll(unicodeStr) { s =>
+      val once = Kernels.unicodeClean(u(s)).toString
+      val twice = Kernels.unicodeClean(u(once)).toString
+      twice == once && once.forall(c => !Character.isISOControl(c) || c == '\n' || c == '\t')
+    })
+  }
+
+  test("caseFold is idempotent and case-insensitive-equal for upper/lower") {
+    check(Prop.forAll(unicodeStr) { s =>
+      val f = Kernels.caseFold(u(s)).toString
+      Kernels.caseFold(u(f)).toString == f &&
+        Kernels.caseFold(u(s.toUpperCase)).toString ==
+          Kernels.caseFold(u(s.toLowerCase)).toString
+    })
+  }
+
+  test("utf8Truncate never splits a codepoint and never exceeds the budget") {
+    check(Prop.forAll(unicodeStr, Gen.chooseNum(0, 32)) { (s, n) =>
+      val out = Kernels.utf8Truncate(u(s), n, u("")).toString
+      val bytes = out.getBytes("UTF-8")
+      // valid UTF-8 roundtrip (no split codepoint) and within budget
+      new String(bytes, "UTF-8") == out &&
+        (u(s).numBytes <= n || bytes.length <= n)
+    })
+  }
+
+  test("rollingHash/simHash are pure functions") {
+    check(Prop.forAll(unicodeStr) { s =>
+      Kernels.rollingHash(u(s)) == Kernels.rollingHash(u(s)) &&
+        Kernels.simHash(u(s)) == Kernels.simHash(u(s))
+    })
+  }
+
+  test("ipNormalize compresses IPv6 and roundtrips IPv4") {
+    assert(Kernels.ipNormalize(u("192.168.001.1"), true, true) == null) // leading zeros invalid
+    assert(Kernels.ipNormalize(u("192.168.1.1"), true, true).toString == "192.168.1.1")
+    assert(Kernels.ipNormalize(u("2001:0DB8::0001"), true, true).toString == "2001:db8::1")
+    assert(Kernels.ipNormalize(u("::ffff:1.2.3.4"), true, true) != null)
+  }
+
+  test("uuidNormalize rejects wrong-shaped strings") {
+    assert(Kernels.uuidNormalize(u("1-2-3-4-5")) == null)
+    assert(Kernels.uuidNormalize(u("")) == null)
+    assert(Kernels.uuidNormalize(u("g23e4567-e89b-42d3-a456-426614174000")) == null)
+  }
+}

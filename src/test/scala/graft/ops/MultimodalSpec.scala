@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Multimodal binary-column plumbing (decode step is a marked STUB; the
+  * distribution shape — schema, per-partition batches, flatMap fan-out —
+  * is the thing under test). */
+class MultimodalSpec extends SparkSuite {
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("binary payload column + metadata struct schema") {
+    val withBin = Multimodal.asBinaryPayload(docs.limit(10), "text")
+    assert(withBin.schema("payload").dataType.typeName == "binary")
+    val withMeta = Multimodal.withImageMeta(withBin, "payload")
+    val metaType = withMeta.schema("image_meta").dataType
+    assert(metaType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    val rows = withMeta.select("image_meta.width", "image_meta.height").collect()
+    assert(rows.length == 10)
+    rows.foreach { r => assert(r.getInt(0) >= 64 && r.getInt(1) >= 64) }
+  }
+
+  test("stub decode is deterministic (same bytes → same metadata)") {
+    val withBin = Multimodal.asBinaryPayload(docs.limit(5), "text")
+    val a = Multimodal.withImageMeta(withBin, "payload")
+      .select("doc_id", "image_meta.width").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val b = Multimodal.withImageMeta(withBin, "payload")
+      .select("doc_id", "image_meta.width").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(a == b)
+  }
+
+  test("resize emits bounded payloads; frame sampling fans out with stride") {
+    val withBin = Multimodal.asBinaryPayload(docs.limit(3), "text")
+    val resized = Multimodal.resizeImages(withBin, "payload", 32, 32).collect()
+    resized.foreach { r =>
+      val out = r.getAs[Array[Byte]]("resized")
+      assert(out.length <= 32 * 32 * 3 / 64 && r.getAs[Int]("target_w") == 32)
+    }
+    val frames = Multimodal.sampleFrames(withBin, "payload", frameSize = 16, stride = 2)
+    val perDoc = frames.groupBy("doc_id").count().collect()
+    assert(perDoc.nonEmpty)
+    perDoc.foreach { r => assert(r.getLong(1) >= 1) }
+  }
+}

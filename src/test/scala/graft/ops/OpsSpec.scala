@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** LLM-pipeline operator coverage (SURVEY.md §2.6): dedup, similarity,
+  * text analysis — semantic checks on the driver testdata. */
+class OpsSpec extends SparkSuite {
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  import spark.implicits._
+
+  test("exact dedup: distinct keys ≤ total rows; fingerprint dedup finds true dups") {
+    val n = docs.count()
+    val d = Dedup.distinctKeys(docs, Seq("lang", "source")).count()
+    assert(d <= n && d > 0)
+    // identical text → identical fingerprint
+    val fps = docs.select(Dedup.fingerprint(col("text")).as("fp")).distinct().count()
+    val texts = docs.select("text").distinct().count()
+    assert(fps == texts)
+  }
+
+  test("minhash near-dups: an exact duplicate pair is always found") {
+    val base = docs.limit(20).select(col("doc_id"), col("text"))
+    // append a copy of doc 0 with a new id — must surface as a candidate pair
+    val dup = base.filter(col("doc_id") === 0).select(lit(9999L).as("doc_id"), col("text"))
+    val out = Dedup.minhashNearDups(base.union(dup), "doc_id", "text",
+      numHashes = 32, bands = 4, threshold = 0.99)
+    val pairs = out.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 9999L)), s"expected (0,9999) in $pairs")
+  }
+
+  test("jaccard: identical arrays → 1.0, disjoint → 0.0") {
+    val df = Seq((Seq("a", "b"), Seq("a", "b")), (Seq("a"), Seq("b")))
+      .toDF("x", "y")
+    val out = df.select(Dedup.jaccard(col("x"), col("y"))).as[Double].collect()
+    assert(out(0) == 1.0 && out(1) == 0.0)
+  }
+
+  test("simhash: identical texts get identical hashes; different texts differ") {
+    val hs = docs.limit(50)
+      .select(TextAnalysis.fingerprintSimhash(col("text")).as("h"))
+      .as[Long].collect()
+    assert(hs.distinct.length > 1)
+    val h2 = Seq("x y z", "x y z").toDF("t")
+      .select(TextAnalysis.fingerprintSimhash(col("t"))).as[Long].collect()
+    assert(h2(0) == h2(1))
+  }
+
+  test("brute-force topk: self excluded, k respected, sim descending per query") {
+    val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", 4).collect()
+    assert(out.length == 12)
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      assert(!rows.exists(_.getLong(1) == q)) // no self-match
+      val sims = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH topk returns a subset consistent with brute force ranking head") {
+    val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 1).collect()
+    val lsh = Similarity.lshTopK(emb, emb.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 1, bits = 4).collect()
+    // LSH prunes, so it may miss the true top-1, but whatever it returns
+    // must be a real (non-self) candidate with a valid sim
+    lsh.foreach { r => assert(r.getLong(1) != 0L && !r.getDouble(2).isNaN) }
+    assert(brute.length == 1)
+  }
+
+  test("language id picks the language whose stopwords dominate") {
+    val df = Seq(
+      "the cat of the house and the dog", // en
+      "el perro de la casa y el gato",    // es
+      "qqq www eee")                      // none
+      .toDF("t")
+    val out = df.select(TextAnalysis.languageId(col("t"))).as[String].collect()
+    assert(out(0) == "en" && out(1) == "es" && out(2) == "und")
+  }
+
+  test("quality score in [0,1]; token counts positive") {
+    val out = docs.select(TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.subwordCount(col("text")).as("sw")).collect()
+    out.foreach { r =>
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+      assert(r.getLong(1) > 0 && r.getLong(2) >= r.getLong(1) - 1)
+    }
+  }
+
+  test("approx distinct within rsd of exact") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val exact = ev.select("user_id").distinct().count().toDouble
+    val approx = Dedup.approxDistinct(ev, "user_id").collect()(0).getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.15)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+import graft.core.Validate
+import graft.{filters => F}
+
+/** Structured Streaming reuse of the batch validators (SURVEY.md §2.6):
+  * the same Column-expression validators run unchanged on a stream;
+  * windows + watermark aggregate it. Memory source/sink keeps it
+  * synchronous for the test. */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("validators run unchanged on a stream; invalid rows quarantine") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("id", "v")
+    val validated = Validate.column(stream, "v", F.Required() | F.MinLength(3))
+      .withColumn("ok", size(col("_errors")) === 0)
+    val q = validated.writeStream.format("memory").queryName("val_out")
+      .outputMode("append").start()
+    mem.addData((1L, "hello"), (2L, ""), (3L, "ab"), (4L, null))
+    q.processAllAvailable()
+    val rows = spark.table("val_out").collect()
+      .map(r => (r.getLong(0), r.getBoolean(r.fieldIndex("ok")))).toMap
+    q.stop()
+    assert(rows == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+  }
+
+  test("tumbling window counts with watermark over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val stream = mem.toDF().toDF("ts", "etype")
+    val counts = StreamingValidate.windowedCounts(stream, "ts", "1 hour")
+    val q = counts.writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData(
+      (t("2024-01-01 00:10:00"), "a"), (t("2024-01-01 00:50:00"), "b"),
+      (t("2024-01-01 01:10:00"), "c"))
+    q.processAllAvailable()
+    val rows = spark.table("win_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+    q.stop()
+    assert(rows == Map("2024-01-01 00:00:00.0" -> 2L, "2024-01-01 01:00:00.0" -> 1L))
+  }
+
+  test("dropDuplicatesWithinWatermark dedups stream keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val stream = mem.toDF().toDF("ts", "k")
+    val deduped = StreamingValidate.dedupWithinWatermark(stream, Seq("k"), "ts", "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dd_out")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData((t("2024-01-01 00:00:01"), 7L), (t("2024-01-01 00:00:02"), 7L),
+      (t("2024-01-01 00:00:03"), 8L))
+    q.processAllAvailable()
+    val n = spark.table("dd_out").count()
+    q.stop()
+    assert(n == 2)
+  }
+
+  test("session windows group by gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val stream = mem.toDF().toDF("ts", "user")
+    val sessions = StreamingValidate.sessionCounts(stream, "ts", "user", "5 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData(
+      (t("2024-01-01 00:00:00"), "u1"), (t("2024-01-01 00:02:00"), "u1"),
+      (t("2024-01-01 00:30:00"), "u1"))
+    q.processAllAvailable()
+    val n = spark.table("sess_out").count()
+    q.stop()
+    assert(n == 2) // two sessions for u1 separated by >5min gap
+  }
+}
