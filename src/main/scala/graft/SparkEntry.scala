@@ -222,8 +222,8 @@ object SparkEntry {
       val q = iv.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       val pairs = iv.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("q_id"))
-      val dotCol = aggregate(zip_with(col("qv"), col("v"), (a, b) => a * b),
-        lit(0.0d), (acc, x) => acc + x)
+      // exact-integer dot in double, sequential kernel — DuckDB-comparable
+      val dotCol = graft.expressions.native.dotD(col("qv"), col("v"))
       val w = Window.partitionBy("q_id").orderBy(col("dot").desc, col("cand_id"))
       pairs.select(col("q_id"), col("vec_id").as("cand_id"), dotCol.cast("long").as("dot"))
         .withColumn("rk", row_number().over(w))

@@ -128,6 +128,111 @@ object Kernels {
     h
   }
 
+  /** MinHash signature over whitespace tokens in ONE tight pass — the
+    * Column-HOF formulation (`transform`+`array_min` per hash) evaluates
+    * interpreted lambdas per element; this kernel runs JIT'd inside codegen.
+    * Hash family: universal hashing h_k(t) = A_k·fnv1a(t) + B_k with A/B
+    * derived from the seed via splitmix64. */
+  def minhashSig(s: UTF8String, numHashes: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val as = new Array[Long](numHashes)
+    val bs = new Array[Long](numHashes)
+    var k = 0
+    while (k < numHashes) { as(k) = splitmix64(2L * k + 1) | 1L; bs(k) = splitmix64(2L * k + 2); k += 1 }
+    val str = s.toString
+    val n = str.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || str.charAt(i) == ' ') {
+        if (i > start) {
+          var h = 0xcbf29ce484222325L
+          var j = start
+          while (j < i) { h ^= str.charAt(j); h *= 0x100000001b3L; j += 1 }
+          k = 0
+          while (k < numHashes) {
+            val v = as(k) * h + bs(k)
+            if (v < mins(k)) mins(k) = v
+            k += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Sequential dot product of two double arrays (deterministic
+    * left-to-right summation — oracle-comparable). */
+  def dotD(a: org.apache.spark.sql.catalyst.util.ArrayData,
+           b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var s = 0.0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  /** Cosine similarity of two double arrays in one pass; 0.0 on zero norm. */
+  def cosineD(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
+  }
+
+  /** Random-hyperplane LSH bucket (sign bits of `bits` pseudo-random ±1
+    * projections, hyperplanes derived via splitmix64) in one pass. */
+  def lshBucketD(v: org.apache.spark.sql.catalyst.util.ArrayData, bits: Int): Long = {
+    val n = v.numElements()
+    val proj = new Array[Double](bits)
+    var i = 0
+    while (i < n) {
+      val x = v.getDouble(i)
+      var b = 0
+      while (b < bits) {
+        // ±1 component for (plane b, dim i)
+        val sign = if ((splitmix64(b.toLong * 0x51_7c_c1_b7L + i) & 1L) == 0L) 1.0 else -1.0
+        proj(b) += x * sign
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) { if (proj(b) >= 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Fraction of positions where two equal-length long signatures agree —
+    * the MinHash Jaccard estimate, as a single codegen'd loop. */
+  def sigAgreement(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                   b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = a.numElements()
+    if (n == 0 || b.numElements() != n) return 0.0
+    var i = 0
+    var m = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) m += 1; i += 1 }
+    m.toDouble / n
+  }
+
   /** 64-bit SimHash over whitespace tokens (near-dup fingerprint): each
     * token hashed (FNV-1a 64), its bits vote ±1, sign of each vote → bit. */
   def simHash(s: UTF8String): Long = {

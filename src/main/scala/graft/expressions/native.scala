@@ -55,6 +55,22 @@ object native {
   def simHash(c: Column): Column =
     invoke(LongType, "simHash", Seq(e(c)), Seq(StringType))
 
+  def minhashSig(c: Column, numHashes: Int): Column =
+    invoke(ArrayType(LongType, containsNull = false), "minhashSig",
+      Seq(e(c), Literal(numHashes)), Seq(StringType, IntegerType))
+
+  def sigAgreement(a: Column, b: Column): Column =
+    invoke(DoubleType, "sigAgreement", Seq(e(a), e(b)), Nil)
+
+  def dotD(a: Column, b: Column): Column =
+    invoke(DoubleType, "dotD", Seq(e(a), e(b)), Nil)
+
+  def cosineD(a: Column, b: Column): Column =
+    invoke(DoubleType, "cosineD", Seq(e(a), e(b)), Nil)
+
+  def lshBucketD(v: Column, bits: Int): Column =
+    invoke(LongType, "lshBucketD", Seq(e(v), Literal(bits)), Nil)
+
   /** try_cast — null instead of error on failed cast (ANSI-safe coercion). */
   def tryCast(c: Column, dt: DataType): Column =
     GraftSqlShim.column(Cast(e(c), dt, Some("UTC"), EvalMode.TRY))

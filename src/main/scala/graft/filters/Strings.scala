@@ -151,9 +151,13 @@ class Datetime(val timezone: String = "UTC", val formats: Seq[String] = Nil) ext
     val attempts = try_to_timestamp(v) +: formats.map(f => try_to_timestamp(v, lit(f)))
     val base = coalesce(attempts: _*)
     // Inputs carrying an explicit offset are already absolute; naive inputs
-    // are interpreted in `timezone` then normalized to UTC.
-    val hasOffset = v.cast(StringType).rlike("([Zz]|[+-][0-9]{2}:?[0-9]{2})$")
-    when(hasOffset, base).otherwise(to_utc_timestamp(base, timezone))
+    // are interpreted in `timezone` then normalized to UTC. With an assumed
+    // zone of UTC both paths are identity — skip the per-row offset regex.
+    if (timezone == "UTC") base
+    else {
+      val hasOffset = v.cast(StringType).rlike("([Zz]|[+-][0-9]{2}:?[0-9]{2})$")
+      when(hasOffset, base).otherwise(to_utc_timestamp(base, timezone))
+    }
   }
   override protected def invalid(v: Column) = parsed(v).isNull
   override protected def clean(v: Column) = parsed(v)

@@ -37,13 +37,11 @@ object Dedup {
       i => norm.substr(i + 1, lit(k))))
   }
 
-  /** MinHash signature (n hashes) over whitespace tokens. Each hash family
-    * member is xxhash64 with a different seed — cheap, codegen'd, and
-    * deterministic across the cluster. */
+  /** MinHash signature (n hashes) over whitespace tokens — a single native
+    * kernel pass (see `Kernels.minhashSig`); deterministic across the
+    * cluster, no per-element interpreted lambdas. */
   def minhashSignature(text: Column, numHashes: Int = 16): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(split(text, " "), t => xxhash64(lit(seed), t)))
-    }: _*)
+    native.minhashSig(text, numHashes)
 
   /** LSH band keys for a MinHash signature: split the signature into bands
     * and hash each band. Documents sharing ANY band key are candidates.
@@ -67,14 +65,17 @@ object Dedup {
       explode(minhashBands(col("sig"), bands, rowsPerBand)).as("bk"))
     val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("bk").as("bk_a"))
     val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"), col("bk").as("bk_b"))
-    val cand = a.join(b, col("bk_a") === col("bk_b") && col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").dropDuplicates("id_a", "id_b")
-    cand
-      .withColumn("jaccard_est",
-        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1.0).otherwise(0.0)),
-          lit(0.0), (acc, v) => acc + v) / numHashes)
+    // Estimate Jaccard map-side IMMEDIATELY after the band equi-join
+    // (native kernel, one tight loop per pair) and filter before any
+    // further shuffle: the pair-dedup then only moves (id_a, id_b, est) —
+    // not 2×numHashes signature arrays. A pair matching k bands is
+    // estimated k (≤ bands) times; that recompute is far cheaper than
+    // shuffling signatures for every candidate.
+    a.join(b, col("bk_a") === col("bk_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        native.sigAgreement(col("sig_a"), col("sig_b")).as("jaccard_est"))
       .filter(col("jaccard_est") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard_est"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** 64-bit SimHash of the document (near-dup fingerprint; hamming distance

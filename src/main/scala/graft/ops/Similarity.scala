@@ -15,17 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<numeric> columns as a single expression. */
+  /** Dot product of two array<numeric> columns — native single-pass kernel
+    * (HOF `aggregate`/`zip_with` lambdas evaluate interpreted per element;
+    * the kernel runs as one JIT'd loop inside codegen). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    graft.expressions.native.dotD(a.cast("array<double>"), b.cast("array<double>"))
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val n = l2Norm(a) * l2Norm(b)
-    when(n === 0, 0.0).otherwise(d / n)
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.native.cosineD(a.cast("array<double>"), b.cast("array<double>"))
 
   /** Brute-force cosine top-k: broadcast the (small) query set, rank with a
     * per-query window. Deterministic tiebreak on candidate id. */
@@ -35,8 +34,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("cand_id") =!= col("q_id"))
-      .withColumn("sim", cosine(transform(col("q_vec"), _.cast("double")),
-        transform(col("c_vec"), _.cast("double"))))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -44,21 +42,10 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH signature: sign bits of `bits` fixed pseudo-random
-    * hyperplanes. Hyperplane components are derived from xxhash64(seed, dim)
-    * → deterministic, no stored model, identical on every executor. */
-  def lshBucket(vec: Column, bits: Int = 8): Column = {
-    val dims = size(vec)
-    val bitCols = (0 until bits).map { b =>
-      // pseudo-random ±1 hyperplane: sign of hash(b, dim_index)
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), dims - 1),
-          (x, i) => x.cast("double") *
-            when(pmod(xxhash64(lit(b), i), lit(2)) === 0, 1.0).otherwise(-1.0)),
-        lit(0.0d), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+    * hyperplanes (derived via splitmix64 — deterministic, no stored model,
+    * identical on every executor). Native one-pass kernel. */
+  def lshBucket(vec: Column, bits: Int = 8): Column =
+    graft.expressions.native.lshBucketD(vec.cast("array<double>"), bits)
 
   /** LSH-bucketed approximate top-k: candidates joined to queries on equal
     * bucket (equi-join → hash join, broadcastable), then ranked. Recall is
@@ -71,8 +58,7 @@ object Similarity {
       lshBucket(col(vecCol), bits).as("bucket"))
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("cand_id") =!= col("q_id"))
-      .withColumn("sim", cosine(transform(col("q_vec"), _.cast("double")),
-        transform(col("c_vec"), _.cast("double"))))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -87,8 +73,7 @@ object Similarity {
                 vecCol: String): DataFrame = {
     val c = centroids.select(col("centroid_id"), col("centroid_vec"))
     df.crossJoin(broadcast(c))
-      .withColumn("sim", cosine(transform(col(vecCol), _.cast("double")),
-        transform(col("centroid_vec"), _.cast("double"))))
+      .withColumn("sim", cosine(col(vecCol), col("centroid_vec")))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("centroid_id"))))
       .filter(col("rk") === 1)
