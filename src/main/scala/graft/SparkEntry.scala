@@ -113,6 +113,13 @@ object SparkEntry {
       Validate(docs, "padded" -> F.Strip()).valid
         .select(col("doc_id"), col("padded").as("stripped")).orderBy("doc_id")
     }),
+    "q_unicode" -> ((s, dir) => {
+      // append an NFD-accented suffix; Unicode() must NFC-normalize it
+      val docs = T(s, dir, "documents")
+        .withColumn("messy", concat(col("text"), lit(" café")))
+      Validate(docs, "messy" -> F.Unicode()).valid
+        .select(col("doc_id"), col("messy").as("cleaned")).orderBy("doc_id")
+    }),
     "q_casefold" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       Validate(docs, "lang" -> F.CaseFold()).valid
@@ -286,6 +293,8 @@ object SparkEntry {
       "SELECT doc_id, regexp_replace(regexp_replace('  ' || text || ' \t', '^[\\p{C}\\s]+', ''), '[\\p{C}\\s]+$', '') AS stripped FROM documents ORDER BY doc_id",
     "q_casefold" ->
       "SELECT doc_id, lower(lang) AS folded FROM documents ORDER BY doc_id",
+    "q_unicode" ->
+      "SELECT doc_id, nfc_normalize(text || ' café') AS cleaned FROM documents ORDER BY doc_id",
     "q_json" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events WHERE props IS NOT NULL ORDER BY event_id",
     "q_regex" ->

@@ -61,4 +61,38 @@ final case class ValidationResult(df: DataFrame) {
     df.select(explode(col(ErrorsCol)).as("e"))
       .groupBy(col("e.key").as("key"), col("e.code").as("code"))
       .agg(count(lit(1)).as("n"))
+
+  /** Invalid-value handler policies (reference `filters/handlers.py`):
+    * the default is Collect/Memory (the `_errors` column itself). */
+
+  /** ExceptionHandler: fail the JOB on the first invalid record —
+    * `raise_error` inside the plan, so the check is distributed and
+    * short-circuits the action. */
+  def failFast: DataFrame = {
+    val e = element_at(col(ErrorsCol), 1)
+    df.withColumn("_assert",
+        when(size(col(ErrorsCol)) > 0,
+          raise_error(concat(lit("Invalid value ["), e.getField("key"), lit("/"),
+            e.getField("code"), lit("]: "), e.getField("message"))))
+          .otherwise(lit(null)))
+      .filter(col("_assert").isNull)
+      .drop("_assert", ErrorsCol)
+  }
+
+  /** LogHandler: valid rows pass through; invalid rows are summarized to
+    * the supplied logger (per key/code counts — bounded driver traffic,
+    * never the rows themselves). */
+  def logInvalid(log: String => Unit): DataFrame = {
+    errorCodes.collect().foreach { r =>
+      log(s"[graft] ${r.getAs[String]("key")}/${r.getAs[String]("code")}: ${r.getAs[Long]("n")} invalid")
+    }
+    valid
+  }
+
+  /** Per-run metric counters via `Dataset.observe` (no extra job): rows
+    * observed + invalid rows, published to QueryExecutionListeners. */
+  def observed(name: String = "graft_validation"): DataFrame =
+    df.observe(name,
+      count(lit(1)).as("n_rows"),
+      sum(when(size(col(ErrorsCol)) > 0, 1L).otherwise(0L)).as("n_invalid"))
 }

@@ -1,0 +1,29 @@
+package graft.filters
+
+import graft.core.Validator
+
+/** Named reusable chains — the reference's `filter_macro`
+  * (`filters/macros.py::filter_macro`, SURVEY.md §2.5). In Scala a macro is
+  * just a `def`/`val` returning a `Validator`; these are the canonical ones
+  * from the reference docs plus pipeline-flavored combinations. */
+object Macros {
+
+  /** The canonical text-cleaning chain (`Required | Unicode | Strip`). */
+  def cleanText: Validator = Required() | Unicode() | Strip()
+
+  /** Optional text: default empty, then normalize. */
+  def optionalText(default: String = ""): Validator =
+    Optional(default) | Unicode() | Strip()
+
+  /** Whole-number in range. */
+  def intInRange(min: Long, max: Long): Validator =
+    Required(Emptiness.never) | Int() | Min(min) | Max(max)
+
+  /** Normalized categorical code: fold case then check membership. */
+  def choiceFolded(choices: String*): Validator =
+    Required() | CaseFold() | Choice(choices)
+
+  /** Bounded UTF-8 payload: normalize then cap bytes (reject mode). */
+  def boundedText(maxBytes: scala.Int): Validator =
+    Required() | Unicode() | Strip() | MaxBytes(maxBytes, truncate = false)
+}

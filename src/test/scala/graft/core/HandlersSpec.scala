@@ -1,0 +1,64 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+import graft.{filters => F}
+import graft.filters.Macros
+
+/** Invalid-value handler policies (reference `filters/handlers.py`,
+  * SURVEY.md §2.5) + filter_macro equivalents. */
+class HandlersSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def df = Seq((1L, "ok"), (2L, ""), (3L, "fine")).toDF("id", "v")
+
+  test("Collect (default): errors accumulate in _errors, valid/invalid split") {
+    val res = Validate(df, "v" -> F.Required())
+    assert(res.valid.count() == 2 && res.invalid.count() == 1)
+    val codes = res.errorCodes.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(codes.toSeq == Seq(("v", "empty", 1L)))
+  }
+
+  test("ExceptionHandler: failFast raises on first invalid record") {
+    val res = Validate(df, "v" -> F.Required())
+    val ex = intercept[Exception] { res.failFast.count() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(m => m.contains("Invalid value") && m.contains("v/empty")), ex.getMessage)
+  }
+
+  test("failFast passes through a fully-valid frame") {
+    val clean = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(Validate(clean, "v" -> F.Required()).failFast.count() == 2)
+  }
+
+  test("LogHandler: summarizes counts, returns valid rows") {
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    val out = Validate(df, "v" -> F.Required()).logInvalid(lines += _)
+    assert(out.count() == 2)
+    assert(lines.exists(_.contains("v/empty: 1 invalid")))
+  }
+
+  test("observe publishes row/invalid counters without an extra job") {
+    val res = Validate(df, "v" -> F.Required())
+    // observe() wires metrics; the action must still return the full frame
+    assert(res.observed().count() == 3)
+  }
+
+  test("macros behave like their expanded chains") {
+    val out = runFilter(Macros.cleanText, "STRING", Seq("  hi  ", null, "x"))
+    assert(out(0) == (("hi", Seq())))
+    assert(out(1)._2 == Seq("empty"))
+    val r = runFilter(Macros.intInRange(1, 50), "STRING", Seq("25", "99"))
+    assert(r(0) == ((25L, Seq())) && r(1)._2 == Seq("too_big"))
+    val c = runFilter(Macros.choiceFolded("a", "b"), "STRING", Seq("A", "c"))
+    assert(c(0) == (("a", Seq())) && c(1)._2 == Seq("not_valid_choice"))
+  }
+
+  test("flagship entry returns valid/invalid bucket counts > 0 rows") {
+    val out = graft.SparkEntry.entry(spark).collect()
+    assert(out.nonEmpty)
+    val m = out.map(r => (r.getBoolean(0), r.getLong(1))).toMap
+    assert(m.getOrElse(true, 0L) > 0L) // lineitem l_quantity 1..50, flags A/N/R → mostly valid
+  }
+}
