@@ -1,0 +1,101 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, IntegerType}
+
+/** Optimizer rule: rewrite validation-split filters into plain predicates.
+  *
+  * `ValidationResult.valid` filters on `size(_errors) == 0` where `_errors`
+  * is the nested CASE tree a validator chain builds. As an opaque
+  * array-valued CASE, nothing reaches the parquet scan. This rule pushes
+  * the `size(..) == 0` comparison algebraically through CASE / concat /
+  * literal-array nodes, yielding a boolean AND/OR tree over the raw row —
+  * which Catalyst then simplifies (BooleanSimplification) and pushes into
+  * the scan (e.g. `IsNotNull(text)` from a Required chain reaches
+  * PushedFilters).
+  *
+  * Soundness: CASE evaluates branches top-down treating a null predicate
+  * as false — mirrored here by wrapping each branch condition in
+  * `coalesce(cond, false)`. Rewrites only apply when the CASE has an else
+  * branch (our error trees always do); anything unrecognized falls back to
+  * the original `size(..) == 0` comparison.
+  */
+object SimplifyValidationFilters extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val rewritten = cond.transform {
+        case EqualTo(Size(arr, _), IntegerLiteral(0)) => sizeIsZero(arr)
+        case EqualTo(IntegerLiteral(0), Size(arr, _)) => sizeIsZero(arr)
+        case GreaterThan(Size(arr, _), IntegerLiteral(0)) => Not(sizeIsZero(arr))
+        case LessThan(IntegerLiteral(0), Size(arr, _)) => Not(sizeIsZero(arr))
+      }
+      val withNN = withImpliedNotNulls(rewritten)
+      if (withNN fastEquals cond) f else Filter(withNN, child)
+  }
+
+  /** `NOT coalesce(<…OR isnull(a)…>, false)` as a top-level conjunct implies
+    * `a IS NOT NULL`. The `coalesce` wrapper itself can't be translated to a
+    * parquet filter, but the implied IsNotNull can — conjoin it (redundant,
+    * so semantics unchanged) to enable scan-level row-group skipping. */
+  private def withImpliedNotNulls(cond: Expression): Expression = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def isNullTargets(e: Expression): Seq[Attribute] = e match {
+      case Or(l, r) => isNullTargets(l) ++ isNullTargets(r)
+      case IsNull(a: Attribute) => Seq(a)
+      case _ => Nil
+    }
+    val existing = conjuncts(cond)
+    val implied = existing.flatMap {
+      case Not(Coalesce(Seq(c, Literal(false, _)))) => isNullTargets(c)
+      case _ => Nil
+    }.distinct.map(a => IsNotNull(a).asInstanceOf[Expression])
+      .filterNot(n => existing.exists(_ semanticEquals n))
+    if (implied.isEmpty) cond else (cond +: implied).reduce(And)
+  }
+
+  /** Boolean expression equivalent to `size(arr) == 0`, pushed through the
+    * shapes our validators produce. */
+  private def and(a: Expression, b: Expression): Expression =
+    if (a == Literal.TrueLiteral) b
+    else if (b == Literal.TrueLiteral) a
+    else if (a == Literal.FalseLiteral || b == Literal.FalseLiteral) Literal.FalseLiteral
+    else And(a, b)
+
+  private def or(a: Expression, b: Expression): Expression =
+    if (a == Literal.FalseLiteral) b
+    else if (b == Literal.FalseLiteral) a
+    else if (a == Literal.TrueLiteral || b == Literal.TrueLiteral) Literal.TrueLiteral
+    else Or(a, b)
+
+  private def sizeIsZero(arr: Expression): Expression = arr match {
+    case CaseWhen(branches, Some(elseValue)) =>
+      branches.foldRight(sizeIsZero(elseValue)) { case ((c, v), rest) =>
+        val cond = Coalesce(Seq(c, Literal.FalseLiteral))
+        or(and(cond, sizeIsZero(v)), and(Not(cond), rest))
+      }
+    case Concat(children) if children.nonEmpty =>
+      children.map(sizeIsZero).reduce(and)
+    case Cast(child, _: ArrayType, _, _) => sizeIsZero(child)
+    case CreateArray(items, _) =>
+      if (items.isEmpty) Literal.TrueLiteral else Literal.FalseLiteral
+    case l @ Literal(value, _: ArrayType) if value != null =>
+      if (value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].numElements() == 0)
+        Literal.TrueLiteral
+      else Literal.FalseLiteral
+    case other =>
+      EqualTo(Size(other, legacySizeOfNull = false), Literal(0))
+  }
+
+  private object IntegerLiteral {
+    def unapply(e: Expression): Option[Int] = e match {
+      case Literal(v: Int, IntegerType) => Some(v)
+      case _ => None
+    }
+  }
+}

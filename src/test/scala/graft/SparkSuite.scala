@@ -41,6 +41,7 @@ trait SparkSuite extends AnyFunSuite {
 
 object SparkSuite {
   lazy val session: SparkSession = SparkSession.builder()
+    .withExtensions(new graft.plans.GraftExtensions)
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")

@@ -1,0 +1,55 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+import graft.core.Validate
+import graft.{filters => F}
+
+/** The validation-filter rewrite rule must (a) preserve split semantics
+  * exactly — including 3-valued-logic corners — and (b) surface pushable
+  * predicates to the scan. */
+class SimplifyValidationFiltersSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, Some("hello")), (2L, Some("")), (3L, None), (4L, Some("ab")),
+    (5L, Some("  ")), (6L, Some("abcdef")))
+    .toDF("id", "v")
+
+  test("valid/invalid split counts survive the rewrite on a Required chain") {
+    val res = Validate(df, "v" -> (F.Required() | F.MinLength(3)))
+    // valid: "hello"(5), "abcdef"(6); "  " has length 2 -> too_short
+    assert(res.valid.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 6L))
+    assert(res.invalid.count() == 4)
+    assert(res.valid.count() + res.invalid.count() == df.count())
+  }
+
+  test("nulls stay valid through non-Required chains after rewrite") {
+    val res = Validate(df, "v" -> F.MinLength(3))
+    // null passes (None-passthrough); "", "ab", "  " fail; hello/abcdef pass
+    assert(res.valid.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 6L))
+  }
+
+  test("multi-column concat of error arrays rewrites to conjunction") {
+    val two = Seq((1L, "a", 5.0), (2L, null.asInstanceOf[String], 3.0), (3L, "b", -1.0))
+      .toDF("id", "s", "x")
+    val res = Validate(two, "s" -> F.Required(), "x" -> F.Min(0.0))
+    assert(res.valid.select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(res.invalid.count() == 2)
+  }
+
+  test("Required chain pushes IsNotNull into the parquet scan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Validate(docs, "text" -> F.Required()).valid
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(text)"), plan.take(2000))
+    assert(!plan.contains("size("), "error-array CASE should be rewritten out of the filter")
+  }
+
+  test("invalid split (size > 0) also rewrites and stays correct") {
+    val res = Validate(df, "v" -> F.Required())
+    val plan = res.invalid.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("size("), plan.take(2000))
+    assert(res.invalid.count() == 2) // "" and null; whitespace is not empty
+  }
+}
