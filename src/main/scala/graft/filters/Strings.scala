@@ -78,6 +78,8 @@ case class JsonDecode(schemaDdl: String) extends ScalarFilter {
   val name = "JsonDecode"
   val code = "not_json"
   override protected def defaultMessage = "This value is not valid JSON."
+  // from_json is lenient (truncated input yields a struct of nulls, not a
+  // null struct) — strict malformed-JSON detection needs the variant parser.
   override protected def invalid(v: Column) = try_parse_json(v).isNull
   override protected def clean(v: Column) = from_json(v, lit(schemaDdl))
 }
