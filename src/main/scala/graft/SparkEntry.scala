@@ -246,6 +246,18 @@ object SparkEntry {
         numHashes = 64, bands = 4, threshold = 0.9)
         .orderBy("id_a", "id_b")
     }),
+    "q_dedup_ngram" -> ((s, dir) => {
+      Dedup.ngramNearDups(T(s, dir, "documents"), "doc_id", "text",
+        ngram = 5, numHashes = 64, bands = 4, threshold = 0.95)
+        .orderBy("id_a", "id_b")
+    }),
+    "q_dedup_embedding" -> ((s, dir) => {
+      // testdata embeddings are near-orthogonal (max pairwise cosine 0.48)
+      // — 0.3/4-bit picks up the closest-pair tail while staying bucketed
+      Similarity.embeddingNearDups(T(s, dir, "embeddings"), "vec_id", "embedding",
+        simThreshold = 0.3, bits = 4)
+        .orderBy("id_a", "id_b")
+    }),
     "q_simhash" -> ((s, dir) => {
       T(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprintSimhash(col("text")).as("sh"),

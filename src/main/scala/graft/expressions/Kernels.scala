@@ -163,6 +163,33 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
+  /** MinHash signature over character k-shingles (n-gram flavor — more
+    * discriminative than token sets on short/templated text). Same hash
+    * family as [[minhashSig]]. */
+  def minhashSigShingles(s: UTF8String, k: Int, numHashes: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val as = new Array[Long](numHashes)
+    val bs = new Array[Long](numHashes)
+    var j = 0
+    while (j < numHashes) { as(j) = splitmix64(2L * j + 1) | 1L; bs(j) = splitmix64(2L * j + 2); j += 1 }
+    val str = s.toString
+    val n = str.length
+    var i = 0
+    while (i + k <= n) {
+      var h = 0xcbf29ce484222325L
+      var p = i
+      while (p < i + k) { h ^= str.charAt(p); h *= 0x100000001b3L; p += 1 }
+      var m = 0
+      while (m < numHashes) {
+        val v = as(m) * h + bs(m)
+        if (v < mins(m)) mins(m) = v
+        m += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
   private def splitmix64(seed: Long): Long = {
     var z = seed + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L

@@ -59,6 +59,10 @@ object native {
     invoke(ArrayType(LongType, containsNull = false), "minhashSig",
       Seq(e(c), Literal(numHashes)), Seq(StringType, IntegerType))
 
+  def minhashSigShingles(c: Column, k: Int, numHashes: Int): Column =
+    invoke(ArrayType(LongType, containsNull = false), "minhashSigShingles",
+      Seq(e(c), Literal(k), Literal(numHashes)), Seq(StringType, IntegerType, IntegerType))
+
   def sigAgreement(a: Column, b: Column): Column =
     invoke(DoubleType, "sigAgreement", Seq(e(a), e(b)), Nil)
 

@@ -58,9 +58,24 @@ object Dedup {
     * Never materializes an all-pairs product. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 16, bands: Int = 4,
-                      threshold: Double = 0.7): DataFrame = {
+                      threshold: Double = 0.7): DataFrame =
+    nearDupsBySignature(df, idCol, minhashSignature(col(textCol), numHashes),
+      numHashes, bands, threshold)
+
+  /** n-gram (character shingle) Jaccard near-dups — same LSH pipeline over
+    * shingle MinHash signatures; estimates shingle-set Jaccard. */
+  def ngramNearDups(df: DataFrame, idCol: String, textCol: String,
+                    ngram: Int = 5, numHashes: Int = 16, bands: Int = 4,
+                    threshold: Double = 0.7): DataFrame =
+    nearDupsBySignature(df, idCol,
+      native.minhashSigShingles(lower(col(textCol)), ngram, numHashes),
+      numHashes, bands, threshold)
+
+  private def nearDupsBySignature(df: DataFrame, idCol: String, sigCol: Column,
+                                  numHashes: Int, bands: Int,
+                                  threshold: Double): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = df.select(col(idCol).as("id"), minhashSignature(col(textCol), numHashes).as("sig"))
+    val sigs = df.select(col(idCol).as("id"), sigCol.as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       explode(minhashBands(col("sig"), bands, rowsPerBand)).as("bk"))
     val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("bk").as("bk_a"))

@@ -30,8 +30,10 @@ object Similarity {
     * per-query window. Deterministic tiebreak on candidate id. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
+    // cast to double ONCE per row before the join — inside the join the
+    // cast would re-run per pair
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("q_vec"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).cast("array<double>").as("c_vec"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("cand_id") =!= col("q_id"))
       .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
@@ -52,9 +54,11 @@ object Similarity {
     * traded for pruning; multi-probe = union over `probes` bit-flips. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, bits: Int = 8): DataFrame = {
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"),
+    val c = corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("c_vec"),
       lshBucket(col(vecCol), bits).as("bucket"))
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+    val q = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("q_vec"),
       lshBucket(col(vecCol), bits).as("bucket"))
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("cand_id") =!= col("q_id"))
@@ -65,13 +69,31 @@ object Similarity {
       .select(col("q_id"), col("cand_id"), col("sim"), col("rk"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: LSH-bucket equi-join (never
+    * all-pairs), exact cosine on bucket-collided candidates, threshold.
+    * The near-dup flavor of `lshTopK`, for dedup rather than search. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        simThreshold: Double, bits: Int = 8): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"),
+      lshBucket(col(vecCol), bits).as("bucket"))
+    val a = v.select(col("id").as("id_a"), col("vec").as("vec_a"), col("bucket"))
+    val b = v.select(col("id").as("id_b"), col("vec").as("vec_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.expressions.native.cosineD(col("vec_a"), col("vec_b")).as("sim"))
+      .filter(col("sim") >= simThreshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** IVF-style coarse quantization: assign each vector to the nearest of
     * `centroids` (a small broadcast table of (centroid_id, vec)); probing a
     * query = equi-join on centroid_id. Centroid fitting is out of scope
     * (any clustering works); this is the serving-path operator. */
   def ivfAssign(df: DataFrame, centroids: DataFrame, idCol: String,
                 vecCol: String): DataFrame = {
-    val c = centroids.select(col("centroid_id"), col("centroid_vec"))
+    val c = centroids.select(col("centroid_id"),
+      col("centroid_vec").cast("array<double>").as("centroid_vec"))
     df.crossJoin(broadcast(c))
       .withColumn("sim", cosine(col(vecCol), col("centroid_vec")))
       .withColumn("rk", row_number().over(

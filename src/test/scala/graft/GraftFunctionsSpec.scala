@@ -24,6 +24,13 @@ class GraftFunctionsSpec extends SparkSuite {
     assert(r.isNullAt(0))
   }
 
+  test("extensions-injected functions work without explicit register()") {
+    // SparkSuite session is built withExtensions(GraftExtensions)
+    val r = spark.sql("SELECT simhash('a b c') AS s, cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
+      .collect()(0)
+    assert(!r.isNullAt(0) && math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
   test("plan stays codegen-native (no BatchEvalPython/ScalaUDF nodes)") {
     GraftFunctions.register(spark)
     val plan = spark.sql("SELECT casefold(c) FROM VALUES ('A') t(c)")

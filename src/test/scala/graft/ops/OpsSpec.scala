@@ -30,6 +30,24 @@ class OpsSpec extends SparkSuite {
     assert(pairs.contains((0L, 9999L)), s"expected (0,9999) in $pairs")
   }
 
+  test("ngram near-dups: exact duplicate pair surfaces with est 1.0") {
+    val base = docs.limit(20).select(col("doc_id"), col("text"))
+    val dup = base.filter(col("doc_id") === 1).select(lit(8888L).as("doc_id"), col("text"))
+    val out = Dedup.ngramNearDups(base.union(dup), "doc_id", "text",
+      ngram = 5, numHashes = 32, bands = 4, threshold = 0.99)
+    val pairs = out.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 8888L)), s"expected (1,8888) in $pairs")
+  }
+
+  test("embedding near-dups: identical vectors pair up at sim 1.0; none below threshold") {
+    val base = emb.limit(50).select(col("vec_id"), col("embedding"))
+    val dup = base.filter(col("vec_id") === 2)
+      .select(lit(7777L).as("vec_id"), col("embedding"))
+    val out = Similarity.embeddingNearDups(base.union(dup), "vec_id", "embedding",
+      simThreshold = 0.999, bits = 6).collect()
+    assert(out.exists(r => r.getLong(0) == 2L && r.getLong(1) == 7777L && r.getDouble(2) > 0.999))
+  }
+
   test("jaccard: identical arrays → 1.0, disjoint → 0.0") {
     val df = Seq((Seq("a", "b"), Seq("a", "b")), (Seq("a"), Seq("b")))
       .toDF("x", "y")
