@@ -49,6 +49,34 @@ object Multimodal {
     }(enc)
   }
 
+  /** Feature-extraction stub: binary payload → fixed-width float embedding
+    * (deterministic hash-derived features; a real extractor plugs in a
+    * model here). Output shape matches the `embeddings` table so the
+    * similarity operators compose directly. */
+  def extractFeatures(df: DataFrame, binCol: String, dims: Int = 64,
+                      outCol: String = "features"): DataFrame = {
+    val outSchema = df.schema.add(outCol, ArrayType(FloatType, containsNull = false))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        val feats = if (bytes == null) null else {
+          val arr = new Array[Float](dims)
+          var h = 1125899906842597L
+          var i = 0
+          while (i < bytes.length) {
+            h = 31 * h + bytes(i)
+            arr(i % dims) += (h % 1000) / 1000.0f
+            i += 1
+          }
+          arr.toSeq
+        }
+        Row.fromSeq(r.toSeq :+ feats)
+      }
+    }(enc)
+  }
+
   /** "Resize" stub: emits a downsampled payload (here: truncated bytes) +
     * target dims — models the shape of a distributed media transform:
     * map-only, bounded output size per row. */

@@ -13,6 +13,16 @@ class LayoutSpec extends SparkSuite {
   test("bucketed tables equi-join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
+    // a killed prior run can leave the warehouse dirs without catalog entries
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete()
+    }
+    for (t <- Seq("li_b", "ord_b")) {
+      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      if (loc.exists()) rmrf(loc)
+    }
     Layout.writeBucketed(lineitem.select("l_orderkey", "l_quantity"), "li_b", 4,
       Seq("l_orderkey"))
     Layout.writeBucketed(orders.select("o_orderkey", "o_totalprice"), "ord_b", 4,

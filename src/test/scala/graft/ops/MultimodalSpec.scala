@@ -29,6 +29,16 @@ class MultimodalSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("feature extraction emits fixed-width float vectors composable with similarity ops") {
+    val withBin = Multimodal.asBinaryPayload(docs.limit(8), "text")
+    val feats = Multimodal.extractFeatures(withBin, "payload", dims = 16)
+    val rows = feats.select("doc_id", "features").collect()
+    assert(rows.forall(_.getSeq[Float](1).length == 16))
+    // composes with cosine search over the extracted features
+    val topk = Similarity.bruteForceTopK(feats, feats.limit(2), "doc_id", "features", 2)
+    assert(topk.count() == 4)
+  }
+
   test("resize emits bounded payloads; frame sampling fans out with stride") {
     val withBin = Multimodal.asBinaryPayload(docs.limit(3), "text")
     val resized = Multimodal.resizeImages(withBin, "payload", 32, 32).collect()
