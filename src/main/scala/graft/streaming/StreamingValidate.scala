@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.core.{Validate, ValidationResult, Validator}
 
 /** Streaming validation (SURVEY.md §2.6): because every validator is a pure
@@ -50,4 +51,46 @@ object StreamingValidate {
   def quarantine(result: ValidationResult)(
       validSink: DataFrame => Unit, invalidSink: DataFrame => Unit): DataFrame => Unit =
     _ => { validSink(result.valid); invalidSink(result.invalid) }
+
+  /** Running per-key validation-error stats. */
+  case class KeyErrorStats(key: String, seen: Long, invalid: Long, alert: Boolean)
+
+  /** Custom streaming state via `flatMapGroupsWithState`: track a running
+    * invalid-rate per key and emit an updated stat row whenever the key
+    * sees data; `alert` fires once the rate crosses `alertRate` with at
+    * least `minSeen` observations. State is per-key and O(1) — the scale
+    * path for millions of keys (state store shards by key). A processing-
+    * time timeout evicts idle keys so state cannot grow unbounded. */
+  def keyErrorStats(validated: DataFrame, keyCol: String,
+                    alertRate: Double = 0.5, minSeen: Long = 10,
+                    idleTimeout: Option[String] = None): Dataset[KeyErrorStats] = {
+    val spark = validated.sparkSession
+    import spark.implicits._
+    val pairs = validated.select(
+      col(keyCol).cast("string").as("k"),
+      (size(col(Validate.ErrorsCol)) > 0).as("bad")).as[(String, Boolean)]
+    // With a timeout the stream keeps triggering empty batches to check
+    // timers (state eviction); without one, state lives for the query
+    // lifetime — pick per deployment.
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    pairs.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (key: String, rows: Iterator[(String, Boolean)], state: GroupState[(Long, Long)]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (seen0, bad0) = state.getOption.getOrElse((0L, 0L))
+            var seen = seen0
+            var bad = bad0
+            rows.foreach { r => seen += 1; if (r._2) bad += 1 }
+            state.update((seen, bad))
+            idleTimeout.foreach(state.setTimeoutDuration)
+            val alert = seen >= minSeen && bad.toDouble / seen >= alertRate
+            Iterator.single(KeyErrorStats(key, seen, bad, alert))
+          }
+        })
+  }
 }

@@ -63,6 +63,24 @@ class StreamingSpec extends SparkSuite {
     assert(n == 2)
   }
 
+  test("stateful per-key error rates via flatMapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val stream = mem.toDF().toDF("user", "v")
+    val validated = Validate.column(stream, "v", F.Required() | F.MinLength(3))
+    val stats = StreamingValidate.keyErrorStats(validated, "user",
+      alertRate = 0.5, minSeen = 2)
+    val q = stats.toDF().writeStream.format("memory").queryName("stats_out")
+      .outputMode("append").start()
+    mem.addData(("u1", "hello"), ("u1", "x"), ("u1", ""), ("u2", "world"))
+    q.processAllAvailable()
+    val rows = spark.table("stats_out").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    q.stop()
+    assert(rows("u1") == ((3L, 2L, true)))  // 2/3 invalid ≥ 50% with ≥2 seen → alert
+    assert(rows("u2") == ((1L, 0L, false)))
+  }
+
   test("session windows group by gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
