@@ -22,7 +22,7 @@ object native {
   private def e(c: Column): Expression = GraftSqlShim.expression(c)
 
   def nfc(c: Column): Column =
-    invoke(StringType, "nfc", Seq(e(c)), Seq(StringType))
+    GraftSqlShim.column(NfcNormalize(e(c)))
 
   def unicodeClean(c: Column): Column =
     invoke(StringType, "unicodeClean", Seq(e(c)), Seq(StringType))
