@@ -84,6 +84,19 @@ case class JsonDecode(schemaDdl: String) extends ScalarFilter {
   override protected def clean(v: Column) = from_json(v, lit(schemaDdl))
 }
 
+/** Schema-free JSON parse into a Spark 4 `variant` value — the dynamic
+  * counterpart of [[JsonDecode]] for payloads with no declared schema
+  * (reference `JsonDecode` returns untyped dict/list/scalar; `variant` is
+  * the Spark-native equivalent). Extract fields later with
+  * `variant_get(col, "$.path", "type")`. */
+case class JsonDecodeVariant() extends ScalarFilter {
+  val name = "JsonDecodeVariant"
+  val code = "not_json"
+  override protected def defaultMessage = "This value is not valid JSON."
+  override protected def invalid(v: Column) = try_parse_json(v).isNull
+  override protected def clean(v: Column) = try_parse_json(v)
+}
+
 /** Byte-length cap. Reject mode (truncate=false): error when over.
   * Truncate mode: UTF-8-boundary-safe cut with optional prefix.
   * Reference: `filters/string.py::MaxBytes`. */

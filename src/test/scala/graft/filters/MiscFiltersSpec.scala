@@ -56,6 +56,34 @@ class MiscFiltersSpec extends SparkSuite {
       Seq("not_valid_choice"))
   }
 
+  test("JsonDecodeVariant parses schema-free JSON; fields via variant_get") {
+    val df = Seq((1L, """{"a": {"b": 7}}"""), (2L, "{bad")).toDF("id", "v")
+    val out = Validate.column(df, "v", F.JsonDecodeVariant())
+    val ok = out.filter(size(col("_errors")) === 0)
+      .selectExpr("id", "variant_get(v, '$.a.b', 'bigint') AS b").collect()
+    assert(ok.length == 1 && ok(0).getLong(1) == 7L)
+    assert(out.filter(size(col("_errors")) > 0).count() == 1)
+  }
+
+  test("FilterRepeaterMap validates map values with key-context errors") {
+    val schema = StructType.fromDDL("m MAP<STRING, DOUBLE>")
+    val rows = Seq(Row(Map("a" -> 1.0, "b" -> -5.0)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val out = Validate.column(df, "m", F.FilterRepeaterMap(F.Min(0.0)))
+    val errs = out.select(explode(col("_errors")).as("e")).select("e.key", "e.code")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(errs.toSeq == Seq(("m.b", "too_small")))
+    // cleaned map keeps the valid entry, nulls the invalid one
+    val cleaned = out.select("m").collect()(0).getMap[String, Any](0)
+    assert(cleaned("a") == 1.0 && cleaned("b") == null)
+  }
+
+  test("Optional with a numeric default and Choice over ints") {
+    assertPasses(F.Optional(lit(0.0), Emptiness.never), "DOUBLE", null, 0.0)
+    assertPasses(F.Choice(Seq(1, 2, 3)), "INT", 2, 2)
+    assertErrors(F.Choice(Seq(1, 2, 3)), "INT", 9, Seq("not_valid_choice"))
+  }
+
   test("Type passes dynamic strings castable to the target type") {
     assertPasses(F.Type(org.apache.spark.sql.types.DoubleType), "STRING", "3.14", "3.14")
     assertErrors(F.Type(org.apache.spark.sql.types.DateType), "STRING", "nope", Seq("wrong_type"))
