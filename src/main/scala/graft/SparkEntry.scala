@@ -269,6 +269,11 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("guess"))
         .orderBy("doc_id")
     }),
+    "q_pipeline_e2e" -> ((s, dir) => {
+      graft.examples.TrainingDataPipeline.curate(T(s, dir, "documents"))
+        .select(col("doc_id"), col("lang_guess"), col("quality"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
     "q_ann_cosine" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3)

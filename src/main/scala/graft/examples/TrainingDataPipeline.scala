@@ -1,0 +1,69 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Validate
+import graft.{filters => F}
+import graft.filters.Macros
+import graft.ops.{Dedup, TextAnalysis}
+
+/** End-to-end LLM training-data curation pipeline — the composition a user
+  * of the reference library + a data platform would run, expressed entirely
+  * in this engine's operators:
+  *
+  *   1. validate + clean text (`Required | Unicode | Strip`)
+  *   2. language ID + quality score (map-only text analysis)
+  *   3. gate on quality and length
+  *   4. exact dedup by content fingerprint (one key-width shuffle)
+  *   5. near-dup candidate removal via MinHash LSH (band equi-join)
+  *
+  * Every stage before (4) is shuffle-free; the whole pipeline is 2 shuffles
+  * + the LSH band join regardless of input size.
+  */
+object TrainingDataPipeline {
+
+  def curate(docs: DataFrame, minQuality: Double = 0.3,
+             nearDupThreshold: Double = 0.9): DataFrame = {
+    // 1. validate/clean: reference-style chains, dropping irreparable rows
+    val validated = Validate(docs,
+      "text" -> (Macros.cleanText | F.MinLength(20)),
+      "lang" -> (F.Optional("und") | F.CaseFold() | F.MaxLength(8))).valid
+
+    // 2.+3. annotate and gate (map-only)
+    val scored = validated
+      .withColumn("lang_guess", TextAnalysis.languageId(col("text")))
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      .filter(col("quality") >= minQuality)
+
+    // 4. exact dedup on the 128-bit fingerprint, keep lowest doc_id
+    val fingerprinted = scored.withColumn("fp", TextAnalysis.fingerprintMd5(col("text")))
+    val keeper = fingerprinted.groupBy("fp").agg(min("doc_id").as("doc_id"))
+    val exactDeduped = fingerprinted.join(keeper, Seq("fp", "doc_id"))
+
+    // 5. near-dup removal: drop the higher-id member of each candidate pair
+    val nearDups = Dedup.minhashNearDups(exactDeduped, "doc_id", "text",
+      numHashes = 64, bands = 4, threshold = nearDupThreshold)
+    exactDeduped.join(
+      nearDups.select(col("id_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** Runnable demo over the harness testdata. */
+  def main(args: Array[String]): Unit = {
+    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = curate(docs)
+    println(s"[pipeline] input=${docs.count()} curated=${out.count()}")
+    out.select("doc_id", "lang_guess", "quality", "n_tokens").show(5, truncate = false)
+    spark.stop()
+  }
+}
