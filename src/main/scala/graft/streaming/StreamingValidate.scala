@@ -45,12 +45,18 @@ object StreamingValidate {
                            delay: String): DataFrame =
     df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols)
 
-  /** Split a validated micro-batch into (valid, invalid) and hand each to a
-    * sink callback — the streaming form of the invalid-value handler policy
-    * (reference `filters/handlers.py`): accumulate = quarantine sink. */
-  def quarantine(result: ValidationResult)(
-      validSink: DataFrame => Unit, invalidSink: DataFrame => Unit): DataFrame => Unit =
-    _ => { validSink(result.valid); invalidSink(result.invalid) }
+  /** `foreachBatch` handler that validates each micro-batch and routes the
+    * valid/invalid splits to separate sinks — the streaming form of the
+    * invalid-value handler policy (reference `filters/handlers.py`):
+    * accumulate = quarantine sink. Usage:
+    * `stream.writeStream.foreachBatch(quarantine("v" -> Required())(ok => …, bad => …))`. */
+  def quarantine(specs: (String, Validator)*)(
+      validSink: DataFrame => Unit, invalidSink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch, _) => {
+      val res = Validate.columns(batch, specs: _*)
+      validSink(res.valid)
+      invalidSink(res.invalid)
+    }
 
   /** Running per-key validation-error stats. */
   case class KeyErrorStats(key: String, seen: Long, invalid: Long, alert: Boolean)

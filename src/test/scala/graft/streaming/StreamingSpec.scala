@@ -63,6 +63,22 @@ class StreamingSpec extends SparkSuite {
     assert(n == 2)
   }
 
+  test("foreachBatch quarantine routes valid/invalid splits to separate sinks") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("id", "v")
+    val good = scala.collection.mutable.ArrayBuffer[Long]()
+    val bad = scala.collection.mutable.ArrayBuffer[Long]()
+    val handler = StreamingValidate.quarantine("v" -> F.Required())(
+      ok => good ++= ok.select("id").collect().map(_.getLong(0)),
+      ko => bad ++= ko.select("id").collect().map(_.getLong(0)))
+    val q = stream.writeStream.foreachBatch(handler).start()
+    mem.addData((1L, "x"), (2L, ""), (3L, null))
+    q.processAllAvailable()
+    q.stop()
+    assert(good.sorted == Seq(1L) && bad.sorted == Seq(2L, 3L))
+  }
+
   test("stateful per-key error rates via flatMapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String)]
