@@ -23,7 +23,8 @@ import graft.ops.{Dedup, TextAnalysis}
 object TrainingDataPipeline {
 
   def curate(docs: DataFrame, minQuality: Double = 0.3,
-             nearDupThreshold: Double = 0.9): DataFrame = {
+             nearDupThreshold: Double = 0.9,
+             materializeIntermediate: Boolean = true): DataFrame = {
     // 1. validate/clean: reference-style chains, dropping irreparable rows
     val validated = Validate(docs,
       "text" -> (Macros.cleanText | F.MinLength(20)),
@@ -39,7 +40,15 @@ object TrainingDataPipeline {
     // 4. exact dedup on the 128-bit fingerprint, keep lowest doc_id
     val fingerprinted = scored.withColumn("fp", TextAnalysis.fingerprintMd5(col("text")))
     val keeper = fingerprinted.groupBy("fp").agg(min("doc_id").as("doc_id"))
-    val exactDeduped = fingerprinted.join(keeper, Seq("fp", "doc_id"))
+    val exactDeduped0 = fingerprinted.join(keeper, Seq("fp", "doc_id"))
+    // The curated set feeds BOTH sides of the near-dup band join and the
+    // final anti-join — without materialization the whole validate/score/
+    // dedup subtree recomputes ~4×. At cluster scale this is where a real
+    // pipeline checkpoints to storage.
+    val exactDeduped =
+      if (materializeIntermediate)
+        exactDeduped0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else exactDeduped0
 
     // 5. near-dup removal: drop the higher-id member of each candidate pair
     val nearDups = Dedup.minhashNearDups(exactDeduped, "doc_id", "text",
