@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import graft.core.{Validate, ValidationResult, Validator}
+
+/** Validated ingestion and quarantine egress — the source/sink surface of
+  * the engine. Readers apply a validator map at the ingest boundary (the
+  * reference's `FilterRunner`-at-the-edge pattern); sinks split
+  * valid/invalid to separate locations so bad records never pollute the
+  * curated dataset.
+  *
+  * All readers return a [[ValidationResult]]; schemas are explicit for the
+  * text formats (schema inference is a full extra scan at 100 TB — never
+  * pay it silently).
+  */
+object ValidatedIO {
+
+  def parquet(spark: SparkSession, path: String,
+              specs: (String, Validator)*): ValidationResult =
+    Validate.columns(spark.read.parquet(path), specs: _*)
+
+  /** CSV with an explicit schema (malformed lines land in
+    * `_corrupt_record` under PERMISSIVE mode and can be routed by a
+    * Required validator on that column). */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          options: Map[String, String] = Map("header" -> "true"))(
+          specs: (String, Validator)*): ValidationResult =
+    Validate.columns(
+      spark.read.options(options).schema(schema).csv(path), specs: _*)
+
+  /** JSON-lines with an explicit schema. */
+  def json(spark: SparkSession, path: String, schema: StructType,
+           options: Map[String, String] = Map.empty)(
+           specs: (String, Validator)*): ValidationResult =
+    Validate.columns(
+      spark.read.options(options).schema(schema).json(path), specs: _*)
+
+  /** Opaque media files as binary rows (path, modificationTime, length,
+    * content) — the multimodal ingest source (SURVEY.md §2.6). Pair with
+    * `graft.ops.Multimodal`. */
+  def binaryFiles(spark: SparkSession, path: String,
+                  pathGlobFilter: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", pathGlobFilter).load(path)
+
+  /** Streaming parquet source with the same validator map — validators are
+    * pure Column expressions, so this is the identical code path. */
+  def streamParquet(spark: SparkSession, path: String, schema: StructType,
+                    specs: (String, Validator)*): ValidationResult =
+    Validate.columns(
+      spark.readStream.schema(schema).parquet(path), specs: _*)
+
+  /** Quarantine sink: valid rows to `validPath`, invalid rows (with their
+    * `_errors` column) to `invalidPath`. Partition both by any key columns
+    * that downstream reads filter on. */
+  def writeQuarantined(result: ValidationResult, validPath: String,
+                       invalidPath: String, format: String = "parquet",
+                       partitionBy: Seq[String] = Nil): Unit = {
+    def writer(df: DataFrame) = {
+      val w = df.write.mode("overwrite").format(format)
+      if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
+    }
+    writer(result.valid).save(validPath)
+    writer(result.invalid.withColumn("_errors",
+      org.apache.spark.sql.functions.to_json(
+        org.apache.spark.sql.functions.col("_errors")))).save(invalidPath)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.SparkSuite
+import graft.{filters => F}
+
+/** Source/sink surface: validated CSV/JSON ingest and quarantine egress. */
+class ValidatedIOSpec extends SparkSuite {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft_io").toFile.getAbsolutePath
+
+  test("csv ingest validates at the boundary") {
+    val dir = tmpDir()
+    Files.writeString(java.nio.file.Paths.get(dir, "in.csv"),
+      "id,name\n1,alice\n2,\n3,bob\n")
+    val schema = StructType.fromDDL("id INT, name STRING")
+    val res = ValidatedIO.csv(spark, s"$dir/in.csv", schema)("name" -> F.Required())
+    assert(res.valid.count() == 2 && res.invalid.count() == 1)
+  }
+
+  test("json ingest with typed schema and chained validation") {
+    val dir = tmpDir()
+    Files.writeString(java.nio.file.Paths.get(dir, "in.json"),
+      """{"id": 1, "v": "  ok  "}
+        |{"id": 2, "v": null}
+        |""".stripMargin)
+    val schema = StructType.fromDDL("id INT, v STRING")
+    val res = ValidatedIO.json(spark, s"$dir/in.json", schema)(
+      "v" -> (F.Required() | F.Strip()))
+    val rows = res.valid.select("v").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("ok"))
+    assert(res.invalid.count() == 1)
+  }
+
+  test("quarantine sink splits valid/invalid with serialized errors") {
+    val dir = tmpDir()
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, "")).toDF("id", "v")
+    val res = graft.core.Validate(df, "v" -> F.Required())
+    ValidatedIO.writeQuarantined(res, s"$dir/ok", s"$dir/bad")
+    assert(spark.read.parquet(s"$dir/ok").count() == 1)
+    val bad = spark.read.parquet(s"$dir/bad")
+    assert(bad.count() == 1)
+    val err = bad.select("_errors").collect()(0).getString(0)
+    assert(err.contains("\"code\":\"empty\""))
+  }
+
+  test("parquet ingest over testdata") {
+    val res = ValidatedIO.parquet(spark, "/root/testdata/sf0.001/documents.parquet",
+      "text" -> F.Required())
+    assert(res.valid.count() == 500)
+  }
+
+  test("streaming parquet source validates with the same specs") {
+    // file-stream sources need a directory; stage the single parquet file
+    val dir = tmpDir()
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      java.nio.file.Paths.get(dir, "part-0.parquet"))
+    val schema = spark.read.parquet(s"$dir").schema
+    val res = ValidatedIO.streamParquet(spark, dir,
+      schema, "text" -> F.Required())
+    assert(res.df.isStreaming)
+    val q = res.valid.writeStream.format("memory").queryName("vio_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val n = spark.table("vio_out").count()
+    q.stop()
+    assert(n == 500)
+  }
+}
