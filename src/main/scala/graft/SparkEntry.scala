@@ -212,6 +212,13 @@ object SparkEntry {
           sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
         .orderBy("lang")
     }),
+    "q_token_count" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws"),
+        TextAnalysis.subwordCount(col("text")).as("n_subword"))
+        .orderBy("doc_id")
+    }),
     "q_quality" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       docs.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
@@ -340,6 +347,10 @@ object SparkEntry {
       "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY h",
     "q_text_stats" ->
       "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS n_tokens FROM documents GROUP BY lang ORDER BY lang",
+    "q_token_count" ->
+      ("SELECT doc_id, CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_ws, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subword " +
+        "FROM documents ORDER BY doc_id"),
     "q_quality" ->
       ("SELECT doc_id, round(0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) " +
         "+ 0.4 * (CASE WHEN len(regexp_split_to_array(lower(text), '\\s+')) = 0 THEN 0.0 ELSE " +
