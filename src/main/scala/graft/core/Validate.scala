@@ -18,15 +18,27 @@ object Validate {
     */
   def column(df: DataFrame, colName: String, v: Validator, key: String = null): DataFrame = {
     val k = if (key == null) colName else key
-    val tmp = s"__v_$colName"
-    val step1 = df.withColumn(tmp, v.result(df(colName), k))
-    val step2 = step1.withColumn(colName, col(tmp)("value"))
+    val vTmp = s"__vv_$colName"
+    val eTmp = s"__ve_$colName"
+    // Apply each chain step behind its own projection so step N+1
+    // references step N's RESULT ATTRIBUTE, not its expression tree —
+    // otherwise a value-coercing chain duplicates each step's CASE into
+    // every reference the next step makes (exponential growth; large
+    // chains then overflow codegen into interpreted evaluation).
+    // CollapseProject keeps the barriers: the produced expressions are
+    // non-cheap and multiply-referenced.
+    var cur = df.withColumn(vTmp, df(colName)).withColumn(eTmp, Errs.none)
+    for (leaf <- v.flattened) {
+      val (nv, ne) = leaf.step(col(vTmp), col(eTmp), lit(k))
+      cur = cur.withColumns(Map(vTmp -> nv, eTmp -> ne))
+    }
+    val step2 = cur.withColumn(colName, col(vTmp))
     val step3 =
       if (df.columns.contains(ErrorsCol))
-        step2.withColumn(ErrorsCol, concat(col(ErrorsCol), col(tmp)("errors")))
+        step2.withColumn(ErrorsCol, concat(col(ErrorsCol), col(eTmp)))
       else
-        step2.withColumn(ErrorsCol, col(tmp)("errors"))
-    step3.drop(tmp)
+        step2.withColumn(ErrorsCol, col(eTmp))
+    step3.drop(vTmp, eTmp)
   }
 
   /** Validate several columns, accumulating all their errors — the
@@ -34,22 +46,43 @@ object Validate {
     * whole record (each field's chain short-circuits individually; errors
     * from different fields all accumulate). */
   def columns(df: DataFrame, specs: (String, Validator)*): ValidationResult =
-    ValidationResult(specs.foldLeft(df) { case (d, (c, v)) => column(d, c, v) })
+    ValidationResult(
+      specs.foldLeft(df) { case (d, (c, v)) => column(d, c, v) },
+      useBarrier = specs.exists(_._2.needsBarrier))
 
   def apply(df: DataFrame, specs: (String, Validator)*): ValidationResult =
     columns(df, specs: _*)
 }
 
 /** Result of a validation run: the annotated DataFrame plus the
-  * `is_valid` / `cleaned_data` / `errors` views the reference exposes. */
-final case class ValidationResult(df: DataFrame) {
+  * `is_valid` / `cleaned_data` / `errors` views the reference exposes.
+  *
+  * `useBarrier`: a chain's state expressions reference the previous step
+  * ~3×, so when predicate pushdown substitutes the split filter through the
+  * step projections the predicate grows ~3^steps (and filter codegen has no
+  * common-subexpression elimination). Spark pushes even non-deterministic
+  * CONDITIONS through deterministic projects (cardinality is unchanged), so
+  * the only reliable barrier is a non-deterministic PROJECT FIELD that the
+  * filter references: a `spark_partition_id()` tag column with an
+  * always-true predicate on it. Long/heavy chains get the tag; short cheap
+  * chains skip it so their predicates still push into the scan
+  * (e.g. IsNotNull from Required reaches parquet PushedFilters). */
+final case class ValidationResult(df: DataFrame, useBarrier: Boolean = false) {
   import Validate.ErrorsCol
+  private val Tag = "__graft_barrier"
+
+  private def split(cond: Column => Column): DataFrame =
+    if (useBarrier)
+      df.withColumn(Tag, spark_partition_id())
+        .filter(cond(col(ErrorsCol)) && col(Tag) >= 0)
+        .drop(Tag)
+    else df.filter(cond(col(ErrorsCol)))
 
   /** Rows with no errors, `_errors` dropped (reference `cleaned_data`). */
-  def valid: DataFrame = df.filter(size(col(ErrorsCol)) === 0).drop(ErrorsCol)
+  def valid: DataFrame = split(e => size(e) === 0).drop(ErrorsCol)
 
   /** Rows with at least one error, `_errors` kept (quarantine split). */
-  def invalid: DataFrame = df.filter(size(col(ErrorsCol)) > 0)
+  def invalid: DataFrame = split(e => size(e) > 0)
 
   /** Flag column instead of a split. */
   def flagged(flag: String = "_valid"): DataFrame =
@@ -70,13 +103,17 @@ final case class ValidationResult(df: DataFrame) {
     * short-circuits the action. */
   def failFast: DataFrame = {
     val e = element_at(col(ErrorsCol), 1)
-    df.withColumn("_assert",
-        when(size(col(ErrorsCol)) > 0,
-          raise_error(concat(lit("Invalid value ["), e.getField("key"), lit("/"),
-            e.getField("code"), lit("]: "), e.getField("message"))))
-          .otherwise(lit(null)))
-      .filter(col("_assert").isNull)
-      .drop("_assert", ErrorsCol)
+    val withAssert = df.withColumn("_assert",
+      when(size(col(ErrorsCol)) > 0,
+        raise_error(concat(lit("Invalid value ["), e.getField("key"), lit("/"),
+          e.getField("code"), lit("]: "), e.getField("message"))))
+        .otherwise(lit(null)))
+    val guarded =
+      if (useBarrier)
+        withAssert.withColumn(Tag, spark_partition_id())
+          .filter(col("_assert").isNull && col(Tag) >= 0).drop(Tag)
+      else withAssert.filter(col("_assert").isNull)
+    guarded.drop("_assert", ErrorsCol)
   }
 
   /** LogHandler: valid rows pass through; invalid rows are summarized to

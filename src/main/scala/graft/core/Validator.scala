@@ -29,6 +29,28 @@ trait Validator { self =>
   /** Chain composition — the reference's `FilterChain` `|` operator. */
   def |(next: Validator): Validator = Chain(self, next)
 
+  /** The chain's leaf filters in application order. Validate.column applies
+    * them with a projection barrier between steps: composing everything
+    * into one expression duplicates the (value-transforming) CASE of each
+    * step into every reference the next step makes — exponential tree
+    * growth with chain length. */
+  def flattened: Seq[Validator] = self match {
+    case Chain(a, b) => a.flattened ++ b.flattened
+    case other => Seq(other)
+  }
+
+  /** Whether split filters over this validator's output need an optimizer
+    * barrier: inlining a chain via predicate pushdown costs ~3^steps, so
+    * anything beyond a short cheap chain is cheaper evaluated behind its
+    * projections. */
+  def needsBarrier: Boolean = {
+    val leaves = flattened
+    leaves.size >= 3 || (leaves.size >= 2 && leaves.exists {
+      case f: ScalarFilter => f.heavy
+      case _ => true // structural combinators count as heavy
+    })
+  }
+
   /** Alias for `|` for readers who prefer words. */
   def and(next: Validator): Validator = self | next
 
@@ -62,6 +84,12 @@ final case class Chain(first: Validator, second: Validator) extends Validator {
 abstract class ScalarFilter extends Validator {
   /** Error code recorded when `invalid` holds. */
   def code: String
+
+  /** Whether this filter's per-value work is expensive (parsing, regex,
+    * decimal math, kernel calls). Chains containing heavy steps get an
+    * optimizer barrier on their split filters — see
+    * [[graft.expressions.OptimizerBarrier]]. */
+  def heavy: Boolean = false
   def message: Column = lit(defaultMessage)
   protected def defaultMessage: String = "This value is invalid."
 

@@ -12,6 +12,7 @@ import graft.expressions.native
 case class Strip(leading: String = "[\\p{C}\\s]+", trailing: String = "[\\p{C}\\s]+")
     extends ScalarFilter {
   val name = "Strip"
+  override def heavy = true
   val code = "unused"
   override protected def clean(v: Column) =
     regexp_replace(regexp_replace(v, s"^$leading", ""), s"$trailing$$", "")
@@ -21,6 +22,7 @@ case class Strip(leading: String = "[\\p{C}\\s]+", trailing: String = "[\\p{C}\\
   * Reference: `filters/string.py::CaseFold`. */
 case class CaseFold() extends ScalarFilter {
   val name = "CaseFold"
+  override def heavy = true
   val code = "unused"
   override protected def clean(v: Column) = native.caseFold(v)
 }
@@ -30,6 +32,7 @@ case class CaseFold() extends ScalarFilter {
   * Reference: `filters/string.py::Unicode`. */
 case class Unicode(normalize: Boolean = true) extends ScalarFilter {
   val name = "Unicode"
+  override def heavy = true
   val code = "bad_encoding"
   override protected def clean(v: Column) =
     if (normalize) native.unicodeClean(v.cast(StringType)) else v.cast(StringType)
@@ -39,6 +42,7 @@ case class Unicode(normalize: Boolean = true) extends ScalarFilter {
   * builtin `unbase64`). Reference: `filters/string.py::Base64Decode`. */
 case class Base64Decode() extends ScalarFilter {
   val name = "Base64Decode"
+  override def heavy = true
   val code = "not_base64"
   override protected def defaultMessage = "This value is not valid base64."
   override protected def invalid(v: Column) = native.base64Strict(v).isNull
@@ -65,6 +69,7 @@ case class ByteArray() extends ScalarFilter {
   * Reference: `filters/string.py::IpAddress`. */
 case class IpAddress(ipv4: Boolean = true, ipv6: Boolean = false) extends ScalarFilter {
   val name = "IpAddress"
+  override def heavy = true
   val code = "not_ip_address"
   override protected def defaultMessage = "This value is not a valid IP address."
   override protected def invalid(v: Column) = native.ipNormalize(v, ipv4, ipv6).isNull
@@ -76,6 +81,7 @@ case class IpAddress(ipv4: Boolean = true, ipv6: Boolean = false) extends Scalar
   * Reference: `filters/string.py::JsonDecode`. */
 case class JsonDecode(schemaDdl: String) extends ScalarFilter {
   val name = "JsonDecode"
+  override def heavy = true
   val code = "not_json"
   override protected def defaultMessage = "This value is not valid JSON."
   // from_json is lenient (truncated input yields a struct of nulls, not a
@@ -91,6 +97,7 @@ case class JsonDecode(schemaDdl: String) extends ScalarFilter {
   * `variant_get(col, "$.path", "type")`. */
 case class JsonDecodeVariant() extends ScalarFilter {
   val name = "JsonDecodeVariant"
+  override def heavy = true
   val code = "not_json"
   override protected def defaultMessage = "This value is not valid JSON."
   override protected def invalid(v: Column) = try_parse_json(v).isNull
@@ -103,6 +110,7 @@ case class JsonDecodeVariant() extends ScalarFilter {
 case class MaxBytes(maxBytes: scala.Int, truncate: Boolean = true, prefix: String = "")
     extends ScalarFilter {
   val name = "MaxBytes"
+  override def heavy = true
   val code = "too_long"
   override protected def defaultMessage = s"This value is longer than $maxBytes bytes."
   override protected def invalid(v: Column) =
@@ -115,6 +123,7 @@ case class MaxBytes(maxBytes: scala.Int, truncate: Boolean = true, prefix: Strin
   * array of matched substrings. Reference: `filters/string.py::Regex`. */
 case class Regex(pattern: String) extends ScalarFilter {
   val name = "Regex"
+  override def heavy = true
   val code = "malformed"
   override protected def defaultMessage = s"This value does not match $pattern."
   override protected def invalid(v: Column) =
@@ -126,6 +135,7 @@ case class Regex(pattern: String) extends ScalarFilter {
   * Reference: `filters/string.py::Split`. */
 case class Split(pattern: String, keys: Seq[String] = Nil) extends ScalarFilter {
   val name = "Split"
+  override def heavy = true
   val code = "unused"
   override protected def clean(v: Column) = {
     val parts = split(v, pattern)
@@ -138,6 +148,7 @@ case class Split(pattern: String, keys: Seq[String] = Nil) extends ScalarFilter 
   * Reference: `filters/string.py::Uuid`. */
 case class Uuid(version: Option[scala.Int] = None) extends ScalarFilter {
   val name = "Uuid"
+  override def heavy = true
   val code = "not_uuid"
   override protected def defaultMessage = "This value is not a valid UUID."
   override protected def invalid(v: Column) = {
@@ -160,6 +171,7 @@ object Uuid {
   * reference's simple module ⚠) — `filters/simple.py::Datetime`. */
 class Datetime(val timezone: String = "UTC", val formats: Seq[String] = Nil) extends ScalarFilter {
   val name = "Datetime"
+  override def heavy = true
   val code = "not_datetime"
   override protected def defaultMessage = "This value is not a valid date/time."
   protected def parsed(v: Column): Column = {

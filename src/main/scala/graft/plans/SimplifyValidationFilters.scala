@@ -27,13 +27,23 @@ object SimplifyValidationFilters extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
       val rewritten = cond.transform {
-        case EqualTo(Size(arr, _), IntegerLiteral(0)) => sizeIsZero(arr)
-        case EqualTo(IntegerLiteral(0), Size(arr, _)) => sizeIsZero(arr)
-        case GreaterThan(Size(arr, _), IntegerLiteral(0)) => Not(sizeIsZero(arr))
-        case LessThan(IntegerLiteral(0), Size(arr, _)) => Not(sizeIsZero(arr))
+        case e @ EqualTo(Size(arr, _), IntegerLiteral(0)) => guarded(e, sizeIsZero(arr))
+        case e @ EqualTo(IntegerLiteral(0), Size(arr, _)) => guarded(e, sizeIsZero(arr))
+        case e @ GreaterThan(Size(arr, _), IntegerLiteral(0)) => guarded(e, Not(sizeIsZero(arr)))
+        case e @ LessThan(IntegerLiteral(0), Size(arr, _)) => guarded(e, Not(sizeIsZero(arr)))
       }
       val withNN = withImpliedNotNulls(rewritten)
       if (withNN fastEquals cond) f else Filter(withNN, child)
+  }
+
+  /** Chains whose filters TRANSFORM the value nest the transformed-value
+    * CASE inside every downstream condition — naive push-through then
+    * duplicates that subtree per branch, exponentially. Only take the
+    * rewrite when it doesn't blow the predicate up (the size(..)=0 form
+    * evaluates the error CASE once and is already cheap). */
+  private def guarded(original: Expression, rewritten: Expression): Expression = {
+    def sz(e: Expression): Int = 1 + e.children.map(sz).sum
+    if (sz(rewritten) <= 3 * sz(original) + 64) rewritten else original
   }
 
   /** `NOT coalesce(<…OR isnull(a)…>, false)` as a top-level conjunct implies
