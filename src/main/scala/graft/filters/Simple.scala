@@ -118,20 +118,36 @@ case class Type(dt: DataType) extends ScalarFilter {
   override protected def invalid(v: Column) = native.tryCast(v, dt).isNull
 }
 
-/** Array-ness check (reference `filters/simple.py::Array`): under static
-  * schemas an array column is an array by construction; provided for parity
-  * as a size-computability probe. */
+/** Array-ness check (reference `filters/simple.py::Array`): under Spark's
+  * static schemas "value is a sequence" is a compile-time fact — applying
+  * this filter to a non-array column fails at ANALYSIS time (via `size`),
+  * which is the static-typing analog of the reference's runtime check.
+  * At runtime it passes everything through. */
 case class ArrayCheck() extends ScalarFilter {
   val name = "Array"
   val code = "wrong_type"
-  override protected def invalid(v: Column) = size(v) < 0 // size(null-safe) = -1 never happens for arrays in-scope
+  // referencing size(v) forces the analyzer to require an array/map type;
+  // the predicate itself never fires for a well-typed column
+  override protected def invalid(v: Column) = size(v) < -1
 }
 
 /** Escape hatch: arbitrary Column function as a filter (reference
   * `filters/simple.py::Call`). The reference discourages it; here it stays a
-  * Column transform (NOT a Scala closure/UDF) so the plan remains native. */
+  * Column transform (NOT a Scala closure/UDF) so the plan remains native.
+  * For genuinely arbitrary JVM logic use [[Call.jvm]] — a real Scala UDF,
+  * with the reference's caveat turned up to eleven: it blocks codegen,
+  * pushdown and vectorization, so keep it off hot paths. */
 case class Call(fn: Column => Column, label: String = "Call") extends ScalarFilter {
   val name = label
   val code = "exception"
   override protected def clean(v: Column) = fn(v)
+}
+object Call {
+  import org.apache.spark.sql.functions.udf
+  import scala.reflect.runtime.universe.TypeTag
+
+  /** Wrap an arbitrary Scala function as a filter (the true `Call`
+    * semantics). Nulls pass through (None-passthrough) before the UDF. */
+  def jvm[A: TypeTag, B: TypeTag](f: A => B, label: String = "Call"): Call =
+    Call(c => udf(f).apply(c), label)
 }

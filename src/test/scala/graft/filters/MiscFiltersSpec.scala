@@ -17,6 +17,12 @@ class MiscFiltersSpec extends SparkSuite {
     assertPasses(F.Call(c => upper(c)), "STRING", null, null)
   }
 
+  test("Call.jvm wraps an arbitrary Scala function (UDF escape hatch)") {
+    val rev = F.Call.jvm((s: String) => s.reverse, "Reverse")
+    assertPasses(rev, "STRING", "abc", "cba")
+    assertPasses(rev, "STRING", null, null) // None-passthrough before the UDF
+  }
+
   test("ByteString/ByteArray coerce to UTF-8 bytes") {
     val Seq((v, codes)) = runFilter(F.ByteString(), "STRING", Seq("hé"))
     assert(codes.isEmpty)
