@@ -22,7 +22,10 @@ object Kernels {
     * \n, drop non-printable control characters (keeping \n and \t).
     * Reference: `filters/string.py::Unicode` (normalize=True path). */
   def unicodeClean(s: UTF8String): UTF8String = {
-    val n = Normalizer.normalize(s.toString, Normalizer.Form.NFC)
+    // Strip FIRST, normalize LAST: a stripped control char can separate a
+    // base char from its combining mark, and normalizing before stripping
+    // would leave an uncomposed pair behind (breaking idempotence).
+    val n = s.toString
     val sb = new java.lang.StringBuilder(n.length)
     var i = 0
     while (i < n.length) {
@@ -34,7 +37,7 @@ object Kernels {
       else if (!Character.isISOControl(c) && Character.getType(c) != Character.FORMAT) sb.append(c)
       i += 1
     }
-    UTF8String.fromString(sb.toString)
+    UTF8String.fromString(Normalizer.normalize(sb.toString, Normalizer.Form.NFC))
   }
 
   /** Unicode case folding (reference `filters/string.py::CaseFold`,

@@ -11,7 +11,10 @@ class KernelPropsSpec extends AnyFunSuite {
   private def u(s: String) = UTF8String.fromString(s)
 
   private def check(p: Prop): Unit = {
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    // pinned seed: property runs must be reproducible across driver runs
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(200)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L))
+    val res = SCTest.check(params, p)
     assert(res.passed, res.status.toString)
   }
 
