@@ -1,0 +1,26 @@
+// Regenerates PLANS.md - run via:
+//   /opt/spark/bin/spark-shell --master 'local[4]' \
+//     --conf spark.sql.legacy.parquet.nanosAsLong=true \
+//     --conf spark.sql.extensions=graft.plans.GraftExtensions \
+//     --driver-class-path target/scala-2.13/classes -i tools/gen_plans.scala
+import java.io.PrintWriter
+val out = new PrintWriter("/root/repo/PLANS.md", "UTF-8")
+out.println("# PLANS - physical-plan audits (sf0.01)")
+out.println()
+out.println("`executedPlan` for the scale-sensitive queries; see SCALE.md for the")
+out.println("design rationale each plan demonstrates. Regenerate with tools/gen_plans.scala.")
+val dir = "/root/testdata/sf0.01"
+for (name <- Seq("q_required", "q_min", "q_topk_similar", "q_dedup_minhash",
+    "q_window_events", "q_pipeline_e2e")) {
+  val df = graft.SparkEntry.queries(name)(spark, dir)
+  out.println()
+  out.println(s"## $name")
+  out.println()
+  out.println("```")
+  val plan = df.queryExecution.executedPlan.toString
+  plan.split("\n").take(40).foreach(l => out.println(if (l.length > 240) l.take(240) + " ..." else l))
+  out.println("```")
+}
+out.close()
+println("[done] PLANS.md written")
+System.exit(0)
