@@ -205,6 +205,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").as("h"), col("n")).orderBy("h")
     }),
+    "q_quantiles" -> ((s, dir) => {
+      T(s, dir, "lineitem").agg(
+        percentile(col("l_quantity"), lit(0.25)).as("p25"),
+        percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90"))
+    }),
     "q_text_stats" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       docs.groupBy(col("lang"))
@@ -345,6 +351,8 @@ object SparkEntry {
       "SELECT COUNT(DISTINCT user_id) AS n FROM events",
     "q_window_events" ->
       "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY h",
+    "q_quantiles" ->
+      "SELECT quantile_cont(l_quantity, 0.25) AS p25, quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.9) AS p90 FROM lineitem",
     "q_text_stats" ->
       "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS n_tokens FROM documents GROUP BY lang ORDER BY lang",
     "q_token_count" ->
