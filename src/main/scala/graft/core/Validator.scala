@@ -54,7 +54,12 @@ trait Validator { self =>
   /** Alias for `|` for readers who prefer words. */
   def and(next: Validator): Validator = self | next
 
-  /** Apply to an input column: returns `struct(value, errors)`. */
+  /** Apply to an input column as ONE composed expression: returns
+    * `struct(value, errors)`. Prefer `Validate.column` for DataFrames — it
+    * applies chain steps behind per-step projections, which keeps
+    * expression size linear in chain length (see `Validate.column` docs);
+    * this single-expression form grows ~3^steps and is meant for short
+    * chains embedded inside other expressions. */
   def result(in: Column, key: String): Column = {
     val (v, e) = step(in, Errs.none, lit(key))
     struct(v.as("value"), e.as("errors"))

@@ -12,6 +12,11 @@ import graft.core.{Errs, Validator}
   * compile-time fact under a static StructType (SURVEY.md §2.4 mapping);
   * fields not listed pass through untouched. A null struct passes through
   * (None-passthrough).
+  *
+  * Expression-size note: each field's chain composes into ONE expression
+  * here (~3^steps growth per field) — keep per-field chains short (≤3
+  * steps). For heavy chains over top-level DataFrame columns, use
+  * `Validate.columns`, which applies steps behind linear projections.
   */
 case class FilterMapper(fieldMap: Seq[(String, Validator)]) extends Validator {
   val name = "FilterMapper"
