@@ -90,6 +90,32 @@ class MiscFiltersSpec extends SparkSuite {
     assertErrors(F.Choice(Seq(1, 2, 3)), "INT", 9, Seq("not_valid_choice"))
   }
 
+  test("Regex with Unicode property classes; Strip with custom classes") {
+    val Seq((v, c)) = runFilter(F.Regex("\\p{L}+"), "STRING", Seq("ab1cd2é"))
+    assert(c.isEmpty && v == Seq("ab", "cd", "é"))
+    assertPasses(F.Strip(leading = "[x]+", trailing = "[y]+"), "STRING", "xxhelloyy", "hello")
+  }
+
+  test("Min/MaxLength with array size strategy") {
+    val rep = F.MinLength(2, len = c => size(c))
+    val schema = StructType.fromDDL("arr ARRAY<INT>")
+    val rows = Seq(Row(Seq(1)), Row(Seq(1, 2, 3)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val out = Validate.column(df, "arr", rep)
+    val errs = out.select(size(col("_errors"))).collect().map(_.getInt(0)).toSeq
+    assert(errs == Seq(1, 0))
+  }
+
+  test("MaxBytes truncate preserves short values untouched") {
+    assertPasses(F.MaxBytes(100), "STRING", "short", "short")
+    assertPasses(F.MaxBytes(100), "STRING", null, null)
+  }
+
+  test("Required on numeric column via Emptiness.never") {
+    assertErrors(F.Required(Emptiness.never), "DOUBLE", null, Seq("empty"))
+    assertPasses(F.Required(Emptiness.never), "DOUBLE", 0.0d, 0.0d) // zero is not empty
+  }
+
   test("Type passes dynamic strings castable to the target type") {
     assertPasses(F.Type(org.apache.spark.sql.types.DoubleType), "STRING", "3.14", "3.14")
     assertErrors(F.Type(org.apache.spark.sql.types.DateType), "STRING", "nope", Seq("wrong_type"))
