@@ -45,6 +45,20 @@ class HandlersSpec extends SparkSuite {
     assert(res.observed().count() == 3)
   }
 
+  test("Metrics listener receives observed validation counters") {
+    val (buf, listener) = Metrics.collector(spark)
+    try {
+      Validate(df, "v" -> F.Required()).observed("hs_metrics").count()
+      // listener callbacks land asynchronously; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (buf.synchronized(buf.isEmpty) && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val m = buf.synchronized(buf.find(_._1 == "hs_metrics")).map(_._2)
+      assert(m.isDefined, s"no hs_metrics in $buf")
+      assert(m.get("n_rows") == 3L && m.get("n_invalid") == 1L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("macros behave like their expanded chains") {
     val out = runFilter(Macros.cleanText, "STRING", Seq("  hi  ", null, "x"))
     assert(out(0) == (("hi", Seq())))
