@@ -300,9 +300,9 @@ object SparkEntry {
     "q_optional" ->
       "SELECT doc_id, CASE WHEN lang IS NULL OR length(lang) = 0 THEN 'und' ELSE lang END AS lang FROM documents ORDER BY doc_id",
     "q_minmax_length" ->
-      "SELECT doc_id, text FROM documents WHERE length(text) >= 100 AND length(text) <= 400 ORDER BY doc_id",
+      "SELECT doc_id, text FROM documents WHERE text IS NULL OR (length(text) >= 100 AND length(text) <= 400) ORDER BY doc_id",
     "q_choice" ->
-      "SELECT event_id, event_type FROM events WHERE event_type IN ('signup','purchase','error') ORDER BY event_id",
+      "SELECT event_id, event_type FROM events WHERE event_type IS NULL OR event_type IN ('signup','purchase','error') ORDER BY event_id",
     "q_empty" ->
       "SELECT doc_id, lang, (lang IS NULL OR length(lang) = 2) AS ok FROM documents ORDER BY doc_id",
     "q_omit" ->
@@ -326,13 +326,13 @@ object SparkEntry {
     "q_unicode" ->
       "SELECT doc_id, nfc_normalize(text || ' café') AS cleaned FROM documents ORDER BY doc_id",
     "q_json" ->
-      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events WHERE props IS NOT NULL ORDER BY event_id",
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id",
     "q_regex" ->
-      "SELECT doc_id, CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS BIGINT) AS n_matches FROM documents WHERE len(regexp_extract_all(text, '[aeiou]{2}')) > 0 ORDER BY doc_id",
+      "SELECT doc_id, CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS BIGINT) AS n_matches FROM documents WHERE text IS NULL OR len(regexp_extract_all(text, '[aeiou]{2}')) > 0 ORDER BY doc_id",
     "q_split" ->
       "SELECT doc_id, string_split(text, ' ')[1] AS first_tok, string_split(text, ' ')[-1] AS last_tok FROM documents ORDER BY doc_id",
     "q_maxbytes" ->
-      "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents WHERE octet_length(encode(text)) <= 256 ORDER BY doc_id",
+      "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents WHERE text IS NULL OR octet_length(encode(text)) <= 256 ORDER BY doc_id",
     "q_base64" ->
       "SELECT doc_id, decode(from_base64(to_base64(encode(text)))) AS decoded FROM documents ORDER BY doc_id",
     "q_uuid" ->

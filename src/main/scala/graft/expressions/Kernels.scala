@@ -147,7 +147,7 @@ object Kernels {
     var start = 0
     var i = 0
     while (i <= n) {
-      if (i == n || str.charAt(i) == ' ') {
+      if (i == n || Character.isWhitespace(str.charAt(i))) {
         if (i > start) {
           var h = 0xcbf29ce484222325L
           var j = start
@@ -272,7 +272,7 @@ object Kernels {
     var i = 0
     val n = str.length
     while (i <= n) {
-      if (i == n || str.charAt(i) == ' ') {
+      if (i == n || Character.isWhitespace(str.charAt(i))) {
         if (i > start) {
           var h = 0xcbf29ce484222325L // FNV-1a 64 over the token's chars
           var j = start

@@ -16,7 +16,7 @@ object native {
   private def invoke(dt: DataType, fn: String, args: Seq[Expression],
                      inputTypes: Seq[DataType]): Column =
     GraftSqlShim.column(StaticInvoke(
-      Kernels.getClass, dt, fn, args,
+      Kernels.getClass, dt, fn, args, inputTypes,
       propagateNull = true, returnNullable = true))
 
   private def e(c: Column): Expression = GraftSqlShim.expression(c)

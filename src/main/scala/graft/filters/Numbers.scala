@@ -17,7 +17,10 @@ case class Int() extends ScalarFilter {
   private def dec(v: Column) = native.tryCast(v, DecimalType(38, 18))
   override protected def invalid(v: Column) = {
     val d = dec(v)
-    d.isNull || d =!= floor(d)
+    // range guard: whole numbers beyond Long range would otherwise
+    // null-out silently in the final cast instead of erroring
+    d.isNull || d =!= floor(d) ||
+      d > lit(Long.MaxValue) || d < lit(Long.MinValue)
   }
   override protected def clean(v: Column) = dec(v).cast(LongType)
 }

@@ -14,8 +14,10 @@ case class Strip(leading: String = "[\\p{C}\\s]+", trailing: String = "[\\p{C}\\
   val name = "Strip"
   override def heavy = true
   val code = "unused"
+  // non-capturing group: without it an alternation pattern would unbind
+  // the ^/$ anchors and strip interior matches
   override protected def clean(v: Column) =
-    regexp_replace(regexp_replace(v, s"^$leading", ""), s"$trailing$$", "")
+    regexp_replace(regexp_replace(v, s"^(?:$leading)", ""), s"(?:$trailing)$$", "")
 }
 
 /** Unicode case folding (ICU full fold: ß→ss) — NOT `lower`.
@@ -168,7 +170,12 @@ object Uuid {
   * offset) plus caller-supplied extra formats; naive inputs interpreted in
   * `timezone`. Full dateutil heuristics are out of v1 scope (SURVEY §7 risk
   * register). Reference: `filters/string.py` (`Date`/`Datetime` live in the
-  * reference's simple module ⚠) — `filters/simple.py::Datetime`. */
+  * reference's simple module ⚠) — `filters/simple.py::Datetime`.
+  *
+  * REQUIRES `spark.sql.session.timeZone=UTC` (the engine-wide contract;
+  * Verify/Bench/tests pin it): `try_to_timestamp` parses offset-less
+  * strings in the session zone, and the naive-input correction below
+  * assumes that zone is UTC. */
 class Datetime(val timezone: String = "UTC", val formats: Seq[String] = Nil) extends ScalarFilter {
   val name = "Datetime"
   override def heavy = true

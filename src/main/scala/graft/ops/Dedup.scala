@@ -74,6 +74,9 @@ object Dedup {
   private def nearDupsBySignature(df: DataFrame, idCol: String, sigCol: Column,
                                   numHashes: Int, bands: Int,
                                   threshold: Double): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
+        "trailing signature positions would silently never participate in banding")
     val rowsPerBand = numHashes / bands
     val sigs = df.select(col(idCol).as("id"), sigCol.as("sig"))
     val banded = sigs.select(col("id"), col("sig"),

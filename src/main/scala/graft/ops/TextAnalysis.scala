@@ -34,8 +34,10 @@ object TextAnalysis {
   private def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(x => x: Any): _*))).cast("long")
 
-  /** n-gram/stopword heuristic language ID: the language whose stopword set
-    * hits the most tokens; ties or zero hits → "und". */
+  /** Stopword-hit heuristic language ID: the language whose stopword set
+    * hits the most tokens; zero hits → "und"; ties resolve to the
+    * lexicographically greatest language code (struct-max tiebreak —
+    * deterministic, mirrored exactly by the DuckDB oracle). */
   def languageId(text: Column): Column = {
     val toks = tokens(lower(text))
     val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>

@@ -61,9 +61,15 @@ object ValidatedIO {
       val w = df.write.mode("overwrite").format(format)
       if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
     }
-    writer(result.valid).save(validPath)
-    writer(result.invalid.withColumn("_errors",
-      org.apache.spark.sql.functions.to_json(
-        org.apache.spark.sql.functions.col("_errors")))).save(invalidPath)
+    // two actions consume the same annotated frame — persist it so the
+    // source scan + validator chain runs once, not once per split
+    val cached = result.copy(df = result.df
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try {
+      writer(cached.valid).save(validPath)
+      writer(cached.invalid.withColumn("_errors",
+        org.apache.spark.sql.functions.to_json(
+          org.apache.spark.sql.functions.col("_errors")))).save(invalidPath)
+    } finally cached.df.unpersist()
   }
 }

@@ -90,6 +90,37 @@ class MiscFiltersSpec extends SparkSuite {
     assertErrors(F.Choice(Seq(1, 2, 3)), "INT", 9, Seq("not_valid_choice"))
   }
 
+  test("Strip with alternation pattern keeps anchors (no interior stripping)") {
+    assertPasses(F.Strip(leading = "foo|bar", trailing = "foo|bar"),
+      "STRING", "bazbarqux", "bazbarqux")
+    assertPasses(F.Strip(leading = "foo|bar", trailing = "foo|bar"),
+      "STRING", "barbazfoo", "baz") // "bar" head + "foo" tail stripped
+  }
+
+  test("Int rejects whole numbers beyond Long range instead of nulling out") {
+    assertErrors(F.Int(), "STRING", "10000000000000000000", Seq("not_int")) // > Long.MaxValue
+    assertErrors(F.Int(), "STRING", "-10000000000000000000", Seq("not_int"))
+    assertPasses(F.Int(), "STRING", Long.MaxValue.toString, Long.MaxValue)
+  }
+
+  test("minhash/simhash tokenize on any whitespace, matching TextAnalysis.tokens") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.expressions.Kernels
+    val a = Kernels.minhashSig(UTF8String.fromString("hello world"), 16)
+    val b = Kernels.minhashSig(UTF8String.fromString("hello\nworld"), 16)
+    assert((0 until 16).forall(i => a.getLong(i) == b.getLong(i)))
+    assert(Kernels.simHash(UTF8String.fromString("a\tb")) ==
+      Kernels.simHash(UTF8String.fromString("a b")))
+  }
+
+  test("near-dup banding rejects non-divisible hash/band configs") {
+    intercept[IllegalArgumentException] {
+      graft.ops.Dedup.minhashNearDups(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        "doc_id", "text", numHashes = 16, bands = 5)
+    }
+  }
+
   test("Regex with Unicode property classes; Strip with custom classes") {
     val Seq((v, c)) = runFilter(F.Regex("\\p{L}+"), "STRING", Seq("ab1cd2é"))
     assert(c.isEmpty && v == Seq("ab", "cd", "é"))
