@@ -9,27 +9,33 @@ import graft.expressions.Kernels
 /** SQL-surface registration of graft's native kernels (SURVEY.md §7 step 4:
   * "register via FunctionRegistry for SQL usability") — after
   * `GraftFunctions.register(spark)`, `spark.sql("SELECT casefold(name) …")`
-  * works and stays codegen'd (StaticInvoke, not UDF). */
+  * works and stays codegen'd (StaticInvoke, not UDF).
+  *
+  * This table is the single source of truth; `plans.GraftExtensions`
+  * consumes it too, so the two registration paths cannot drift. */
 object GraftFunctions {
 
-  private def inv(dt: DataType, fn: String)(args: Seq[Expression]): Expression =
-    StaticInvoke(Kernels.getClass, dt, fn, args,
+  /** (sqlName, returnType, kernelMethod) for every exposed kernel. */
+  val kernelFunctions: Seq[(String, DataType, String)] = Seq(
+    ("nfc", StringType, "nfc"),
+    ("unicode_clean", StringType, "unicodeClean"),
+    ("casefold", StringType, "caseFold"),
+    ("base64_strict", BinaryType, "base64Strict"),
+    ("utf8_truncate", StringType, "utf8Truncate"),
+    ("ip_normalize", StringType, "ipNormalize"),
+    ("uuid_normalize", StringType, "uuidNormalize"),
+    ("rolling_hash", LongType, "rollingHash"),
+    ("simhash", LongType, "simHash"),
+    ("minhash_sig", ArrayType(LongType, containsNull = false), "minhashSig"),
+    ("cosine_sim", DoubleType, "cosineD"))
+
+  def builder(dt: DataType, kernel: String): Seq[Expression] => Expression =
+    (args: Seq[Expression]) => StaticInvoke(Kernels.getClass, dt, kernel, args,
       propagateNull = true, returnNullable = true)
 
-  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "nfc" -> inv(StringType, "nfc") _,
-    "unicode_clean" -> inv(StringType, "unicodeClean") _,
-    "casefold" -> inv(StringType, "caseFold") _,
-    "base64_strict" -> inv(BinaryType, "base64Strict") _,
-    "utf8_truncate" -> inv(StringType, "utf8Truncate") _,
-    "ip_normalize" -> inv(StringType, "ipNormalize") _,
-    "uuid_normalize" -> inv(StringType, "uuidNormalize") _,
-    "rolling_hash" -> inv(LongType, "rollingHash") _,
-    "simhash" -> inv(LongType, "simHash") _)
-
   def register(spark: SparkSession): Unit =
-    fns.foreach { case (name, builder) =>
+    kernelFunctions.foreach { case (name, dt, kernel) =>
       spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "scala_udf")
+        .createOrReplaceTempFunction(name, builder(dt, kernel), "scala_udf")
     }
 }

@@ -370,14 +370,14 @@ object SparkEntry {
     "q_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
     "q_lang_id" ->
-      ("WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents), " +
-        "h AS (SELECT doc_id, " +
+      ("WITH t AS (SELECT doc_id, text IS NULL AS tnull, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents), " +
+        "h AS (SELECT doc_id, tnull, " +
         "len(list_filter(toks, x -> x IN ('der','die','und','in','den','von','zu','das','mit','sich'))) AS h_de, " +
         "len(list_filter(toks, x -> x IN ('the','of','and','a','to','in','is','it','that','for'))) AS h_en, " +
         "len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','los','se','no'))) AS h_es, " +
         "len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','en','un','du','une'))) AS h_fr, " +
         "len(list_filter(toks, x -> x IN ('的','了','在','是','我','有','和','就','不','人'))) AS h_zh FROM t) " +
-        "SELECT doc_id, CASE WHEN greatest(h_de,h_en,h_es,h_fr,h_zh) = 0 THEN 'und' " +
+        "SELECT doc_id, CASE WHEN tnull THEN NULL WHEN greatest(h_de,h_en,h_es,h_fr,h_zh) = 0 THEN 'und' " +
         "ELSE list_sort([{'h': h_de, 'l': 'de'}, {'h': h_en, 'l': 'en'}, {'h': h_es, 'l': 'es'}, " +
         "{'h': h_fr, 'l': 'fr'}, {'h': h_zh, 'l': 'zh'}])[-1].l END AS guess " +
         "FROM h ORDER BY doc_id"),

@@ -118,8 +118,12 @@ final case class ValidationResult(df: DataFrame, useBarrier: Boolean = false) {
 
   /** LogHandler: valid rows pass through; invalid rows are summarized to
     * the supplied logger (per key/code counts — bounded driver traffic,
-    * never the rows themselves). */
+    * never the rows themselves). The annotated frame is persisted so the
+    * summary job and the caller's subsequent action on the returned frame
+    * share one source scan + validation; call `.unpersist()` on `df` when
+    * done, or use `observed()` + [[Metrics]] for a zero-extra-job variant. */
   def logInvalid(log: String => Unit): DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     errorCodes.collect().foreach { r =>
       log(s"[graft] ${r.getAs[String]("key")}/${r.getAs[String]("code")}: ${r.getAs[Long]("n")} invalid")
     }

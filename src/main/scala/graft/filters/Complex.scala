@@ -69,16 +69,21 @@ case class FilterRepeater(element: Validator) extends Validator {
 }
 
 /** Apply one chain to every value of a map column (reference
-  * `FilterRepeater` over mappings), errors keyed by map key. */
+  * `FilterRepeater` over mappings), errors keyed by map key. Like
+  * FilterRepeater, one transform computes `struct(value, errors)` per
+  * entry so the element chain evaluates once, not once per output. */
 case class FilterRepeaterMap(element: Validator) extends Validator {
   val name = "FilterRepeaterMap"
 
   def step(value: Column, errors: Column, key: Column): (Column, Column) = {
     val noPrior = size(errors) === 0
+    val stepped = transform_values(value, (k, x) => {
+      val (cv, ce) = element.step(x, Errs.none, concat(key, lit("."), k))
+      struct(cv.as("value"), ce.as("errors"))
+    })
     val newValue = when(noPrior && value.isNotNull,
-      transform_values(value, (k, x) => element.step(x, Errs.none, concat(key, lit("."), k))._1))
-    val elemErrs = flatten(map_values(
-      transform_values(value, (k, x) => element.step(x, Errs.none, concat(key, lit("."), k))._2)))
+      transform_values(stepped, (_, s) => s.getField("value")))
+    val elemErrs = flatten(transform(map_values(stepped), s => s.getField("errors")))
     val newErrors = when(!noPrior, errors)
       .when(value.isNotNull, elemErrs)
       .otherwise(Errs.none)

@@ -19,9 +19,12 @@ object Macros {
   def intInRange(min: Long, max: Long): Validator =
     Required(Emptiness.never) | Int() | Min(min) | Max(max)
 
-  /** Normalized categorical code: fold case then check membership. */
+  /** Normalized categorical code: fold case then check membership. The
+    * choices are folded with the same ICU fold as the value — otherwise an
+    * uppercase choice could never match its folded input. */
   def choiceFolded(choices: String*): Validator =
-    Required() | CaseFold() | Choice(choices)
+    Required() | CaseFold() | Choice(choices.map(c =>
+      com.ibm.icu.lang.UCharacter.foldCase(c, com.ibm.icu.lang.UCharacter.FOLD_CASE_DEFAULT)))
 
   /** Bounded UTF-8 payload: normalize then cap bytes (reject mode). */
   def boundedText(maxBytes: scala.Int): Validator =

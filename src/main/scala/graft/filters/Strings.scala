@@ -189,7 +189,8 @@ class Datetime(val timezone: String = "UTC", val formats: Seq[String] = Nil) ext
     // zone of UTC both paths are identity — skip the per-row offset regex.
     if (timezone == "UTC") base
     else {
-      val hasOffset = v.cast(StringType).rlike("([Zz]|[+-][0-9]{2}:?[0-9]{2})$")
+      // offset forms: Z, +HH, +HHMM, +HH:MM
+      val hasOffset = v.cast(StringType).rlike("([Zz]|[+-][0-9]{2}(:?[0-9]{2})?)$")
       when(hasOffset, base).otherwise(to_utc_timestamp(base, timezone))
     }
   }

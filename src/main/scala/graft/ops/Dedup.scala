@@ -25,8 +25,9 @@ object Dedup {
     df.select(keyCols.map(col): _*).dropDuplicates()
 
   /** Content fingerprint for exact-text dedup at scale: dedup on a 128-bit
-    * digest instead of shuffling full document text. */
-  def fingerprint(text: Column): Column = md5(text.cast("binary"))
+    * digest instead of shuffling full document text. (Single definition —
+    * delegates to TextAnalysis so the two surfaces cannot diverge.) */
+  def fingerprint(text: Column): Column = TextAnalysis.fingerprintMd5(text)
 
   /** Character k-shingles of a normalized document — a map-only expression
     * (sequence + transform), no explode/shuffle. */
@@ -78,7 +79,11 @@ object Dedup {
       s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
         "trailing signature positions would silently never participate in banding")
     val rowsPerBand = numHashes / bands
+    // null text -> null signature; without this filter every null row would
+    // share the constant band keys (hash of a null slice) and form an
+    // all-pairs clique in the band join
     val sigs = df.select(col(idCol).as("id"), sigCol.as("sig"))
+      .filter(col("sig").isNotNull)
     val banded = sigs.select(col("id"), col("sig"),
       explode(minhashBands(col("sig"), bands, rowsPerBand)).as("bk"))
     val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("bk").as("bk_a"))

@@ -44,7 +44,11 @@ object TextAnalysis {
       struct(hits(toks, words).as("hits"), lit(lang).as("lang"))
     }
     val best = array_max(array(scored: _*)) // max by (hits, lang)
-    when(best.getField("hits") === 0, "und").otherwise(best.getField("lang"))
+    // null guard: null text would otherwise tie all NULL hit counts and
+    // fall through to the lexicographic tiebreak ("zh")
+    when(text.isNull, lit(null).cast("string"))
+      .when(best.getField("hits") === 0, "und")
+      .otherwise(best.getField("lang"))
   }
 
   /** Quality score in [0,1]: blend of length saturation, alpha ratio and

@@ -13,27 +13,12 @@ import graft.expressions.Kernels
   * the full surface (`SELECT casefold(c) …`) with zero driver code. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def fn(name: String, dt: DataType, kernel: String)
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
-    (FunctionIdentifier(name),
-      new ExpressionInfo(Kernels.getClass.getName, name),
-      (args: Seq[Expression]) => StaticInvoke(Kernels.getClass, dt, kernel, args,
-        propagateNull = true, returnNullable = true))
-
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => SimplifyValidationFilters)
-    Seq(
-      fn("nfc", StringType, "nfc"),
-      fn("unicode_clean", StringType, "unicodeClean"),
-      fn("casefold", StringType, "caseFold"),
-      fn("base64_strict", BinaryType, "base64Strict"),
-      fn("utf8_truncate", StringType, "utf8Truncate"),
-      fn("ip_normalize", StringType, "ipNormalize"),
-      fn("uuid_normalize", StringType, "uuidNormalize"),
-      fn("rolling_hash", LongType, "rollingHash"),
-      fn("simhash", LongType, "simHash"),
-      fn("minhash_sig", ArrayType(LongType, containsNull = false), "minhashSig"),
-      fn("cosine_sim", DoubleType, "cosineD")
-    ).foreach(ext.injectFunction)
+    graft.GraftFunctions.kernelFunctions.foreach { case (name, dt, kernel) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(Kernels.getClass.getName, name),
+        graft.GraftFunctions.builder(dt, kernel)))
+    }
   }
 }

@@ -27,13 +27,29 @@ object SimplifyValidationFilters extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
       val rewritten = cond.transform {
-        case e @ EqualTo(Size(arr, _), IntegerLiteral(0)) => guarded(e, sizeIsZero(arr))
-        case e @ EqualTo(IntegerLiteral(0), Size(arr, _)) => guarded(e, sizeIsZero(arr))
-        case e @ GreaterThan(Size(arr, _), IntegerLiteral(0)) => guarded(e, Not(sizeIsZero(arr)))
-        case e @ LessThan(IntegerLiteral(0), Size(arr, _)) => guarded(e, Not(sizeIsZero(arr)))
+        case e @ EqualTo(Size(arr, _), IntegerLiteral(0)) => guarded(e, zeroCond(arr))
+        case e @ EqualTo(IntegerLiteral(0), Size(arr, _)) => guarded(e, zeroCond(arr))
+        case e @ GreaterThan(Size(arr, _), IntegerLiteral(0)) => guarded(e, nonZeroCond(arr))
+        case e @ LessThan(IntegerLiteral(0), Size(arr, _)) => guarded(e, nonZeroCond(arr))
       }
       val withNN = withImpliedNotNulls(rewritten)
       if (withNN fastEquals cond) f else Filter(withNN, child)
+  }
+
+  /** `size(arr) == 0` as a boolean. Null-safe under Filter semantics: a
+    * null fallback leaf makes a conjunct null/false, never true — matching
+    * the original (size(null-ish) = null, row dropped). */
+  private def zeroCond(arr: Expression): Expression = sizeIsZero(arr)._1
+
+  /** `size(arr) > 0` as a boolean. `Not(zero)` alone would INVERT 3VL for
+    * nullable fallback leaves (null AND false = false; Not(false) = true
+    * keeps a row the original dropped) — so conjoin IsNotNull for every
+    * fallback leaf. graft's own error trees have no nullable leaves, so
+    * this adds nothing to their plans. */
+  private def nonZeroCond(arr: Expression): Expression = {
+    val (zero, leaves) = sizeIsZero(arr)
+    val guards = leaves.map(l => IsNotNull(l).asInstanceOf[Expression])
+    (guards :+ Not(zero)).reduce(And)
   }
 
   /** Chains whose filters TRANSFORM the value nest the transformed-value
@@ -83,23 +99,28 @@ object SimplifyValidationFilters extends Rule[LogicalPlan] {
     else if (a == Literal.TrueLiteral || b == Literal.TrueLiteral) Literal.TrueLiteral
     else Or(a, b)
 
-  private def sizeIsZero(arr: Expression): Expression = arr match {
+  /** Boolean equivalent of `size(arr) == 0`, plus the "fallback leaves" —
+    * subexpressions whose size we could not push through (kept as
+    * `size(leaf) == 0`), which are the only possible null sources. */
+  private def sizeIsZero(arr: Expression): (Expression, Seq[Expression]) = arr match {
     case CaseWhen(branches, Some(elseValue)) =>
-      branches.foldRight(sizeIsZero(elseValue)) { case ((c, v), rest) =>
+      branches.foldRight(sizeIsZero(elseValue)) { case ((c, v), (rest, restLeaves)) =>
         val cond = Coalesce(Seq(c, Literal.FalseLiteral))
-        or(and(cond, sizeIsZero(v)), and(Not(cond), rest))
+        val (vz, vLeaves) = sizeIsZero(v)
+        (or(and(cond, vz), and(Not(cond), rest)), vLeaves ++ restLeaves)
       }
     case Concat(children) if children.nonEmpty =>
-      children.map(sizeIsZero).reduce(and)
+      val parts = children.map(sizeIsZero)
+      (parts.map(_._1).reduce(and), parts.flatMap(_._2))
     case Cast(child, _: ArrayType, _, _) => sizeIsZero(child)
     case CreateArray(items, _) =>
-      if (items.isEmpty) Literal.TrueLiteral else Literal.FalseLiteral
+      (if (items.isEmpty) Literal.TrueLiteral else Literal.FalseLiteral, Nil)
     case l @ Literal(value, _: ArrayType) if value != null =>
-      if (value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].numElements() == 0)
+      (if (value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].numElements() == 0)
         Literal.TrueLiteral
-      else Literal.FalseLiteral
+      else Literal.FalseLiteral, Nil)
     case other =>
-      EqualTo(Size(other, legacySizeOfNull = false), Literal(0))
+      (EqualTo(Size(other, legacySizeOfNull = false), Literal(0)), Seq(other))
   }
 
   private object IntegerLiteral {

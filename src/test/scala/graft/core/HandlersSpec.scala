@@ -67,6 +67,9 @@ class HandlersSpec extends SparkSuite {
     assert(r(0) == ((25L, Seq())) && r(1)._2 == Seq("too_big"))
     val c = runFilter(Macros.choiceFolded("a", "b"), "STRING", Seq("A", "c"))
     assert(c(0) == (("a", Seq())) && c(1)._2 == Seq("not_valid_choice"))
+    // uppercase CHOICES must also match (both sides are folded)
+    val cu = runFilter(Macros.choiceFolded("Red", "Blue"), "STRING", Seq("RED", "red", "green"))
+    assert(cu(0)._2.isEmpty && cu(1)._2.isEmpty && cu(2)._2 == Seq("not_valid_choice"))
   }
 
   test("flagship entry returns valid/invalid bucket counts > 0 rows") {

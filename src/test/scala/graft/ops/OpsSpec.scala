@@ -88,6 +88,21 @@ class OpsSpec extends SparkSuite {
     assert(brute.length == 1)
   }
 
+  test("language id: null text yields null, not a tiebreak language") {
+    val df = Seq(Some("the of and"), None).toDF("t")
+    val out = df.select(TextAnalysis.languageId(col("t"))).collect()
+    assert(out(0).getString(0) == "en" && out(1).isNullAt(0))
+  }
+
+  test("near-dup banding drops null-text rows instead of cliquing them") {
+    val withNulls = Seq((1L, Some("a b c d e")), (2L, None), (3L, None), (4L, None))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashNearDups(withNulls, "doc_id", "text",
+      numHashes = 16, bands = 4, threshold = 0.0)
+    // null rows must not pair with each other (would be (2,3),(2,4),(3,4))
+    assert(out.filter(col("id_a").isin(2L, 3L, 4L) || col("id_b").isin(2L, 3L, 4L)).count() == 0)
+  }
+
   test("language id picks the language whose stopwords dominate") {
     val df = Seq(
       "the cat of the house and the dog", // en

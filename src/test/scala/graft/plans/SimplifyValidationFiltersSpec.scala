@@ -46,6 +46,15 @@ class SimplifyValidationFiltersSpec extends SparkSuite {
     assert(!plan.contains("size("), "error-array CASE should be rewritten out of the filter")
   }
 
+  test("size(concat)>0 over a NULLABLE array keeps 3VL: null operand rows stay dropped") {
+    // a=null: size(concat(a, [1])) is NULL -> filter drops the row; the
+    // rewrite must not invert this via Not(null-collapsed-to-false)
+    val df = Seq((1, Seq(9)), (2, null.asInstanceOf[Seq[Int]])).toDF("id", "a")
+    val cond = size(concat(col("a"), array(lit(1)))) > 0
+    val kept = df.filter(cond).select("id").as[Int].collect().toSeq
+    assert(kept == Seq(1), s"null-array row must stay dropped, got $kept")
+  }
+
   test("invalid split (size > 0) also rewrites and stays correct") {
     val res = Validate(df, "v" -> F.Required())
     val plan = res.invalid.queryExecution.executedPlan.toString
