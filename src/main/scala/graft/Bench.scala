@@ -17,20 +17,26 @@ object Bench {
     // timed query doesn't absorb ~5s of one-time JVM/session cost
     spark.read.parquet(s"$sfDir/region.parquet").count()
     spark.range(1000).selectExpr("sum(id)").collect()
+    // a crashed query records NEGATIVE elapsed time so failures are
+    // distinguishable from fast passes in the JSON (round-2 ADVICE)
     def pass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); false
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        name -> (if (ok) secs else -secs)
       }
     val results = pass() // cold: includes per-query codegen/JIT
     val warm = pass()    // steady-state: generated classes already compiled
     def json(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val totalWarm = if (warm.nonEmpty) warm.map(_._2).sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2.abs).sum else 0.0
+    val totalWarm = if (warm.nonEmpty) warm.map(_._2.abs).sum else 0.0
+    val nFailed = results.count(_._2 < 0)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},""" +
-      s""""total_warm":$totalWarm,"queries_warm":${json(warm)},"sf":"$sfDir"}""")
+      s""""total_warm":$totalWarm,"queries_warm":${json(warm)},"n_failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -15,27 +15,34 @@ import graft.expressions.Kernels
   * consumes it too, so the two registration paths cannot drift. */
 object GraftFunctions {
 
-  /** (sqlName, returnType, kernelMethod) for every exposed kernel. */
-  val kernelFunctions: Seq[(String, DataType, String)] = Seq(
-    ("nfc", StringType, "nfc"),
-    ("unicode_clean", StringType, "unicodeClean"),
-    ("casefold", StringType, "caseFold"),
-    ("base64_strict", BinaryType, "base64Strict"),
-    ("utf8_truncate", StringType, "utf8Truncate"),
-    ("ip_normalize", StringType, "ipNormalize"),
-    ("uuid_normalize", StringType, "uuidNormalize"),
-    ("rolling_hash", LongType, "rollingHash"),
-    ("simhash", LongType, "simHash"),
-    ("minhash_sig", ArrayType(LongType, containsNull = false), "minhashSig"),
-    ("cosine_sim", DoubleType, "cosineD"))
+  /** (sqlName, returnType, kernelMethod, paramTypes) for every exposed
+    * kernel. Param types flow into `StaticInvoke.inputTypes` so SQL calls
+    * get analysis-time type checking + implicit casts (a mistyped
+    * `casefold(42)` fails as a clean AnalysisException, and
+    * `cosine_sim(array<float>, …)` gets an automatic cast to double). */
+  val kernelFunctions: Seq[(String, DataType, String, Seq[DataType])] = Seq(
+    ("nfc", StringType, "nfc", Seq(StringType)),
+    ("unicode_clean", StringType, "unicodeClean", Seq(StringType)),
+    ("casefold", StringType, "caseFold", Seq(StringType)),
+    ("base64_strict", BinaryType, "base64Strict", Seq(StringType)),
+    ("utf8_truncate", StringType, "utf8Truncate", Seq(StringType, IntegerType, StringType)),
+    ("ip_normalize", StringType, "ipNormalize", Seq(StringType, BooleanType, BooleanType)),
+    ("uuid_normalize", StringType, "uuidNormalize", Seq(StringType)),
+    ("rolling_hash", LongType, "rollingHash", Seq(StringType)),
+    ("simhash", LongType, "simHash", Seq(StringType)),
+    ("minhash_sig", ArrayType(LongType, containsNull = false), "minhashSig",
+      Seq(StringType, IntegerType)),
+    ("cosine_sim", DoubleType, "cosineD",
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType))))
 
-  def builder(dt: DataType, kernel: String): Seq[Expression] => Expression =
+  def builder(dt: DataType, kernel: String,
+              paramTypes: Seq[DataType]): Seq[Expression] => Expression =
     (args: Seq[Expression]) => StaticInvoke(Kernels.getClass, dt, kernel, args,
-      propagateNull = true, returnNullable = true)
+      paramTypes, propagateNull = true, returnNullable = true)
 
   def register(spark: SparkSession): Unit =
-    kernelFunctions.foreach { case (name, dt, kernel) =>
+    kernelFunctions.foreach { case (name, dt, kernel, pts) =>
       spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder(dt, kernel), "scala_udf")
+        .createOrReplaceTempFunction(name, builder(dt, kernel, pts), "scala_udf")
     }
 }

@@ -90,8 +90,13 @@ object SparkEntry {
     }),
     "q_decimal" -> ((s, dir) => {
       val li = T(s, dir, "lineitem")
+      // final cast to double: parquet DECIMAL vs DuckDB's decimal result
+      // materialize differently in the driver's hasher even when the
+      // quantized values agree (r02 hash_match=false); double is exact on
+      // both sides since decimal→double is the same nearest-double map
       Validate(li, "l_extendedprice" -> F.Decimal(12, 2)).valid
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice").as("price"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").cast("double").as("price"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
     "q_round" -> ((s, dir) => {
@@ -314,7 +319,7 @@ object SparkEntry {
     "q_max" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity IS NULL OR l_quantity <= 45.0 ORDER BY l_orderkey, l_linenumber",
     "q_decimal" ->
-      "SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(12,2)) AS price FROM lineitem ORDER BY l_orderkey, l_linenumber",
+      "SELECT l_orderkey, l_linenumber, CAST(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(12,2)) AS DOUBLE) AS price FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q_round" ->
       "SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS bucket, COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY bucket",
     "q_date" ->

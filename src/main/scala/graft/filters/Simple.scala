@@ -62,14 +62,19 @@ case class NoOp() extends ScalarFilter {
   val code = "unused"
 }
 
-/** Membership check (reference `filters/simple.py::Choice`). */
+/** Membership check (reference `filters/simple.py::Choice`). The
+  * case-insensitive path uses ICU full case folding — the same notion of
+  * case-equality as [[CaseFold]] and `Macros.choiceFolded` ("ß" matches
+  * choice "SS"), so the library has ONE case-insensitivity semantics. */
 case class Choice(choices: Seq[Any], caseSensitive: Boolean = true) extends ScalarFilter {
   val name = "Choice"
   val code = "not_valid_choice"
   override protected def defaultMessage = "Valid options: " + choices.mkString(", ")
   override protected def invalid(v: Column) =
     if (caseSensitive) !v.isin(choices: _*)
-    else !lower(v).isin(choices.map(c => String.valueOf(c).toLowerCase): _*)
+    else !native.caseFold(v).isin(choices.map(c =>
+      com.ibm.icu.lang.UCharacter.foldCase(String.valueOf(c),
+        com.ibm.icu.lang.UCharacter.FOLD_CASE_DEFAULT)): _*)
 }
 object Choice {
   def of(choices: Any*): Choice = Choice(choices)

@@ -2,9 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.expressions.Kernels
 
 /** Session extensions: inject graft's optimizer rule and register the
@@ -15,10 +13,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => SimplifyValidationFilters)
-    graft.GraftFunctions.kernelFunctions.foreach { case (name, dt, kernel) =>
+    graft.GraftFunctions.kernelFunctions.foreach { case (name, dt, kernel, pts) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(Kernels.getClass.getName, name),
-        graft.GraftFunctions.builder(dt, kernel)))
+        graft.GraftFunctions.builder(dt, kernel, pts)))
     }
   }
 }

@@ -36,21 +36,19 @@ object SimplifyValidationFilters extends Rule[LogicalPlan] {
       if (withNN fastEquals cond) f else Filter(withNN, child)
   }
 
-  /** `size(arr) == 0` as a boolean. Null-safe under Filter semantics: a
-    * null fallback leaf makes a conjunct null/false, never true — matching
-    * the original (size(null-ish) = null, row dropped). */
-  private def zeroCond(arr: Expression): Expression = sizeIsZero(arr)._1
+  /** `size(arr) == 0` as a boolean, built by [[zeroTree]]. Null-safe under
+    * Filter semantics without explicit guards: a null leaf can only turn
+    * the tree null (row dropped, matching size(null) = null) or collapse
+    * null→false via AND — never true. */
+  private def zeroCond(arr: Expression): Expression = zeroTree(arr)
 
-  /** `size(arr) > 0` as a boolean. `Not(zero)` alone would INVERT 3VL for
-    * nullable fallback leaves (null AND false = false; Not(false) = true
-    * keeps a row the original dropped) — so conjoin IsNotNull for every
-    * fallback leaf. graft's own error trees have no nullable leaves, so
-    * this adds nothing to their plans. */
-  private def nonZeroCond(arr: Expression): Expression = {
-    val (zero, leaves) = sizeIsZero(arr)
-    val guards = leaves.map(l => IsNotNull(l).asInstanceOf[Expression])
-    (guards :+ Not(zero)).reduce(And)
-  }
+  /** `size(arr) > 0` as a boolean, built by [[nonZeroTree]]. NOT implemented
+    * as `Not(zeroTree)`: zeroTree's AND nodes may collapse a null operand to
+    * false (fine for the zero direction — both drop the row) and Not would
+    * flip that to a wrong TRUE. Nor with global IsNotNull guards over all
+    * fallback leaves (the round-2 bug): that drops rows whose null leaf sits
+    * on an UNTAKEN CASE branch. nonZeroTree keeps nullability branch-local. */
+  private def nonZeroCond(arr: Expression): Expression = nonZeroTree(arr)
 
   /** Chains whose filters TRANSFORM the value nest the transformed-value
     * CASE inside every downstream condition — naive push-through then
@@ -99,28 +97,80 @@ object SimplifyValidationFilters extends Rule[LogicalPlan] {
     else if (a == Literal.TrueLiteral || b == Literal.TrueLiteral) Literal.TrueLiteral
     else Or(a, b)
 
-  /** Boolean equivalent of `size(arr) == 0`, plus the "fallback leaves" —
-    * subexpressions whose size we could not push through (kept as
-    * `size(leaf) == 0`), which are the only possible null sources. */
-  private def sizeIsZero(arr: Expression): (Expression, Seq[Expression]) = arr match {
+  private def not(a: Expression): Expression = a match {
+    case Literal.TrueLiteral  => Literal.FalseLiteral
+    case Literal.FalseLiteral => Literal.TrueLiteral
+    case Not(x)               => x
+    case _                    => Not(a)
+  }
+
+  /** The three tree builders below are mutually consistent recursive
+    * translations over the shapes our validators produce (CASE / concat /
+    * cast / literal arrays), each BRANCH-LOCAL: a CASE contributes only the
+    * property of whichever branch its condition selects, never of untaken
+    * branches. Fallback-leaf outputs (`size(x)=0`, `size(x)>0`,
+    * `isnotnull(x)`) are fixpoints of this rule's rewrite patterns — the
+    * rule must not re-match and grow its own output (transformDown
+    * re-descends into rewritten nodes). */
+
+  /** Boolean `size(arr) == 0`; null leaf ⇒ null-or-false (row dropped). */
+  private def zeroTree(arr: Expression): Expression = arr match {
     case CaseWhen(branches, Some(elseValue)) =>
-      branches.foldRight(sizeIsZero(elseValue)) { case ((c, v), (rest, restLeaves)) =>
+      branches.foldRight(zeroTree(elseValue)) { case ((c, v), rest) =>
         val cond = Coalesce(Seq(c, Literal.FalseLiteral))
-        val (vz, vLeaves) = sizeIsZero(v)
-        (or(and(cond, vz), and(Not(cond), rest)), vLeaves ++ restLeaves)
+        or(and(cond, zeroTree(v)), and(not(cond), rest))
       }
     case Concat(children) if children.nonEmpty =>
-      val parts = children.map(sizeIsZero)
-      (parts.map(_._1).reduce(and), parts.flatMap(_._2))
-    case Cast(child, _: ArrayType, _, _) => sizeIsZero(child)
+      // empty iff ALL parts empty; a null part nulls/falses the AND — same
+      // row fate as size(concat(..null..)) = null
+      children.map(zeroTree).reduce(and)
+    case Cast(child, _: ArrayType, _, _) => zeroTree(child)
     case CreateArray(items, _) =>
-      (if (items.isEmpty) Literal.TrueLiteral else Literal.FalseLiteral, Nil)
-    case l @ Literal(value, _: ArrayType) if value != null =>
-      (if (value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].numElements() == 0)
+      if (items.isEmpty) Literal.TrueLiteral else Literal.FalseLiteral
+    case Literal(value, _: ArrayType) if value != null =>
+      if (value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].numElements() == 0)
         Literal.TrueLiteral
-      else Literal.FalseLiteral, Nil)
-    case other =>
-      (EqualTo(Size(other, legacySizeOfNull = false), Literal(0)), Seq(other))
+      else Literal.FalseLiteral
+    case other => EqualTo(Size(other, legacySizeOfNull = false), Literal(0))
+  }
+
+  /** Boolean `size(arr) > 0`; null leaf on the TAKEN path ⇒ null (dropped),
+    * null leaf on an untaken path is ignored. */
+  private def nonZeroTree(arr: Expression): Expression = arr match {
+    case CaseWhen(branches, Some(elseValue)) =>
+      branches.foldRight(nonZeroTree(elseValue)) { case ((c, v), rest) =>
+        val cond = Coalesce(Seq(c, Literal.FalseLiteral))
+        or(and(cond, nonZeroTree(v)), and(not(cond), rest))
+      }
+    case Concat(children) if children.nonEmpty =>
+      // "some part non-empty" alone would let it outvote a NULL sibling
+      // (null OR true = true; the original null concat drops the row), so
+      // conjoin branch-local notNull for every part
+      val defined = children.map(notNullTree).reduce(and)
+      val anyNonZero = children.map(nonZeroTree).reduce(or)
+      and(defined, anyNonZero)
+    case Cast(child, _: ArrayType, _, _) => nonZeroTree(child)
+    case CreateArray(items, _) =>
+      if (items.isEmpty) Literal.FalseLiteral else Literal.TrueLiteral
+    case Literal(value, _: ArrayType) if value != null =>
+      if (value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].numElements() == 0)
+        Literal.FalseLiteral
+      else Literal.TrueLiteral
+    case other => GreaterThan(Size(other, legacySizeOfNull = false), Literal(0))
+  }
+
+  /** Boolean "arr is not null", branch-local through CASE. */
+  private def notNullTree(arr: Expression): Expression = arr match {
+    case CaseWhen(branches, Some(elseValue)) =>
+      branches.foldRight(notNullTree(elseValue)) { case ((c, v), rest) =>
+        val cond = Coalesce(Seq(c, Literal.FalseLiteral))
+        or(and(cond, notNullTree(v)), and(not(cond), rest))
+      }
+    case Concat(children) if children.nonEmpty => children.map(notNullTree).reduce(and)
+    case Cast(child, _: ArrayType, _, _) => notNullTree(child)
+    case CreateArray(_, _) => Literal.TrueLiteral
+    case Literal(value, _) => if (value == null) Literal.FalseLiteral else Literal.TrueLiteral
+    case other => IsNotNull(other)
   }
 
   private object IntegerLiteral {

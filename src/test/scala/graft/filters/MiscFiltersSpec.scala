@@ -60,6 +60,9 @@ class MiscFiltersSpec extends SparkSuite {
     assertPasses(F.Choice(Seq("Red", "Blue"), caseSensitive = false), "STRING", "RED", "RED")
     assertErrors(F.Choice(Seq("Red", "Blue"), caseSensitive = false), "STRING", "green",
       Seq("not_valid_choice"))
+    // ICU full fold, matching CaseFold/choiceFolded: ß case-equals SS
+    assertPasses(F.Choice(Seq("SS"), caseSensitive = false), "STRING", "ß", "ß")
+    assertPasses(F.Choice(Seq("straße"), caseSensitive = false), "STRING", "STRASSE", "STRASSE")
   }
 
   test("JsonDecodeVariant parses schema-free JSON; fields via variant_get") {

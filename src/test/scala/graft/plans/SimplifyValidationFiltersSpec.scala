@@ -55,6 +55,35 @@ class SimplifyValidationFiltersSpec extends SparkSuite {
     assert(kept == Seq(1), s"null-array row must stay dropped, got $kept")
   }
 
+  test("size(CASE)>0: nullable leaf on an UNTAKEN branch must not drop the row") {
+    // row 1: c=false, a=null -> CASE takes else -> array(1) non-empty -> KEEP.
+    // A global IsNotNull(a) guard would wrongly drop it (round-2 ADVICE bug).
+    val df = Seq((1, false, null.asInstanceOf[Seq[Int]]), (2, true, Seq(7)),
+      (3, true, null.asInstanceOf[Seq[Int]]), (4, false, Seq(8)))
+      .toDF("id", "c", "a")
+    val cond = size(when(col("c"), col("a")).otherwise(array(lit(1)))) > 0
+    val kept = df.filter(cond).select("id").as[Int].collect().sorted.toSeq
+    // row 3: c=true, a=null -> size(null)=null -> dropped (3VL)
+    assert(kept == Seq(1, 2, 4), s"expected rows 1,2,4 kept, got $kept")
+  }
+
+  test("size(CASE)=0 with nullable leaf on untaken branch keeps 3VL too") {
+    val df = Seq((1, false, null.asInstanceOf[Seq[Int]]), (2, true, Seq.empty[Int]),
+      (3, true, null.asInstanceOf[Seq[Int]])).toDF("id", "c", "a")
+    val cond = size(when(col("c"), col("a")).otherwise(array())) === 0
+    val kept = df.filter(cond).select("id").as[Int].collect().sorted.toSeq
+    assert(kept == Seq(1, 2), s"expected rows 1,2 kept, got $kept")
+  }
+
+  test("size(concat with CASE part)>0: untaken-branch null inside concat stays kept") {
+    val df = Seq((1, false, null.asInstanceOf[Seq[Int]]), (2, true, null.asInstanceOf[Seq[Int]]))
+      .toDF("id", "c", "a")
+    val cond = size(concat(when(col("c"), col("a")).otherwise(array(lit(1))), array(lit(2)))) > 0
+    val kept = df.filter(cond).select("id").as[Int].collect().sorted.toSeq
+    // row 1: concat([1],[2]) -> keep; row 2: concat(null,[2]) -> null -> drop
+    assert(kept == Seq(1), s"expected row 1 kept, got $kept")
+  }
+
   test("invalid split (size > 0) also rewrites and stays correct") {
     val res = Validate(df, "v" -> F.Required())
     val plan = res.invalid.queryExecution.executedPlan.toString
