@@ -210,6 +210,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").as("h"), col("n")).orderBy("h")
     }),
+    "q_session_window" -> ((s, dir) => {
+      // batch parity of the streaming session-window operator (same code
+      // path minus watermark): 30-min-gap sessions per user
+      graft.streaming.StreamingValidate.sessionCounts(
+        T(s, dir, "events"), "ts", "user_id", "30 minutes")
+        .orderBy("user_id", "session_start")
+    }),
     "q_quantiles" -> ((s, dir) => {
       T(s, dir, "lineitem").agg(
         percentile(col("l_quantity"), lit(0.25)).as("p25"),
@@ -296,6 +303,15 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3)
         .orderBy("q_id", "rk")
+    }),
+    "q_ivf_topk" -> ((s, dir) => {
+      // full IVF path: seed centroids -> assign corpus -> probe queries
+      val emb = T(s, dir, "embeddings")
+      val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 16)
+      val assigned = Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
+      Similarity.ivfTopK(assigned, emb.filter(col("vec_id") < 5), cents,
+        "vec_id", "embedding", k = 3, nprobe = 4)
+        .orderBy("q_id", "rk")
     })
   )
 
@@ -356,6 +372,16 @@ object SparkEntry {
       "SELECT COUNT(DISTINCT user_id) AS n FROM events",
     "q_window_events" ->
       "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY h",
+    "q_session_window" ->
+      // gaps-and-islands: new session only when STRICTLY more than the gap
+      // since the previous event (Spark merges an event landing exactly on
+      // prev+gap — verified in StreamingSpec)
+      ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events), " +
+        "m AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > INTERVAL 30 MINUTE " +
+        "OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL THEN 1 ELSE 0 END AS new_s FROM e), " +
+        "s AS (SELECT user_id, t, SUM(new_s) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
+        "SELECT MIN(t) AS session_start, user_id, COUNT(*) AS n FROM s GROUP BY user_id, sid " +
+        "ORDER BY user_id, session_start"),
     "q_quantiles" ->
       "SELECT quantile_cont(l_quantity, 0.25) AS p25, quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.9) AS p90 FROM lineitem",
     "q_text_stats" ->

@@ -94,11 +94,61 @@ object Similarity {
                 vecCol: String): DataFrame = {
     val c = centroids.select(col("centroid_id"),
       col("centroid_vec").cast("array<double>").as("centroid_vec"))
-    df.crossJoin(broadcast(c))
+    val scored = df.crossJoin(broadcast(c))
       .withColumn("sim", cosine(col(vecCol), col("centroid_vec")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("centroid_id"))))
-      .filter(col("rk") === 1)
-      .drop("rk", "centroid_vec")
+    // argmax via max_by, not a windowed rank: partial aggregation collapses
+    // the k candidate rows per vector MAP-SIDE, so the exchange carries N
+    // rows instead of N×k. Tie-break: highest sim, then lowest centroid_id.
+    val payload = struct(df.columns.map(col) :+ col("centroid_id") :+ col("sim"): _*)
+    val ord = struct(col("sim"), (-col("centroid_id")).as("tb"))
+    scored.groupBy(col(idCol).as("_gid"))
+      .agg(max_by(payload, ord).as("best"))
+      .select("best.*")
+  }
+
+  /** Deterministic centroid seeding for IVF without an ML fit: the k
+    * vectors with the lowest id-hash — a pseudo-random but reproducible
+    * k-sample. Executes as TakeOrderedAndProject (partial top-k per
+    * partition, only k rows reach the driver-side merge — no global sort
+    * shuffle), so it scales to any corpus size. Real deployments would
+    * k-means-refine these seeds; IVF only needs a roughly even partition
+    * of the space. */
+  def seedCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("centroid_id"),
+        col(vecCol).cast("array<double>").as("centroid_vec"))
+      .orderBy(xxhash64(col("centroid_id")))
+      .limit(k)
+
+  /** End-to-end IVF approximate top-k: corpus pre-assigned to its nearest
+    * centroid (one-time, amortized across queries); each query probes its
+    * `nprobe` nearest centroids and ranks ONLY the vectors in those cells —
+    * an equi-join on centroid_id, never a full corpus scan per query.
+    *
+    * 100 TB shape: the assigned corpus is written bucketed by centroid_id,
+    * so a probe is a partition-pruned read of nprobe/k of the data; the
+    * centroid table (k × dim doubles) broadcasts everywhere. Recall is
+    * tunable via nprobe (nprobe = k degenerates to exact brute force). */
+  def ivfTopK(assignedCorpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              idCol: String, vecCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+    val c = centroids.select(col("centroid_id"),
+      col("centroid_vec").cast("array<double>").as("centroid_vec"))
+    // each query → its nprobe nearest centroid ids (small × small cross)
+    val probes = queries
+      .select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("q_vec"))
+      .crossJoin(broadcast(c))
+      .withColumn("c_sim", cosine(col("q_vec"), col("centroid_vec")))
+      .withColumn("c_rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("c_sim").desc, col("centroid_id"))))
+      .filter(col("c_rk") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("centroid_id"))
+    val cand = assignedCorpus.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("c_vec"), col("centroid_id"))
+    val scored = cand.join(broadcast(probes), "centroid_id")
+      .filter(col("cand_id") =!= col("q_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("cand_id"), col("sim"), col("rk"))
   }
 }

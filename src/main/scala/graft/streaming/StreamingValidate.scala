@@ -19,6 +19,12 @@ object StreamingValidate {
   def apply(stream: DataFrame, specs: (String, Validator)*): ValidationResult =
     Validate.columns(stream, specs: _*)
 
+  /** Watermark only applies to streams; on a batch frame the same query
+    * runs watermark-free — one code path for both (batch parity is how the
+    * window oracles are checked). */
+  private def watermarked(df: DataFrame, tsCol: String, delay: String): DataFrame =
+    if (df.isStreaming) df.withWatermark(tsCol, delay) else df
+
   /** Tumbling (or sliding, if `slide` differs) window counts with a
     * watermark for state cleanup + late-data drop. */
   def windowedCounts(df: DataFrame, tsCol: String, windowDur: String,
@@ -26,16 +32,20 @@ object StreamingValidate {
     val win =
       if (slide == null || slide == windowDur) window(col(tsCol), windowDur)
       else window(col(tsCol), windowDur, slide)
-    df.withWatermark(tsCol, watermarkDelay)
+    watermarked(df, tsCol, watermarkDelay)
       .groupBy(win)
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("n"))
   }
 
-  /** Session windows (gap-based) per key. */
+  /** Session windows (gap-based) per key. A new session starts when an
+    * event arrives STRICTLY more than `gap` after the previous one (an
+    * event at exactly prev+gap merges); the window extends to last-event +
+    * gap. Works on streams (watermark-bounded state) and batch frames
+    * (plain aggregation) identically. */
   def sessionCounts(df: DataFrame, tsCol: String, keyCol: String, gap: String,
                     watermarkDelay: String = "10 minutes"): DataFrame =
-    df.withWatermark(tsCol, watermarkDelay)
+    watermarked(df, tsCol, watermarkDelay)
       .groupBy(session_window(col(tsCol), gap), col(keyCol))
       .agg(count(lit(1)).as("n"))
       .select(col("session_window.start").as("session_start"), col(keyCol), col("n"))

@@ -88,6 +88,30 @@ class OpsSpec extends SparkSuite {
     assert(brute.length == 1)
   }
 
+  test("IVF topk: nprobe=k centroids degenerates to exact brute force") {
+    // with every cell probed, IVF must reproduce the exact ranking
+    val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 4)
+    assert(cents.count() == 4)
+    val assigned = Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
+    assert(assigned.count() == emb.count(), "assignment must keep every vector exactly once")
+    val ivf = Similarity.ivfTopK(assigned, emb.filter(col("vec_id") < 2), cents,
+      "vec_id", "embedding", k = 3, nprobe = 4)
+      .select("q_id", "cand_id", "rk").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 2),
+      "vec_id", "embedding", 3)
+      .select("q_id", "cand_id", "rk").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(ivf.sorted.toSeq == brute.sorted.toSeq)
+  }
+
+  test("IVF topk with partial probing returns valid non-self candidates") {
+    val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 8)
+    val assigned = Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
+    val out = Similarity.ivfTopK(assigned, emb.filter(col("vec_id") === 0), cents,
+      "vec_id", "embedding", k = 3, nprobe = 2).collect()
+    assert(out.nonEmpty && out.length <= 3)
+    out.foreach { r => assert(r.getLong(1) != 0L && !r.getDouble(2).isNaN) }
+  }
+
   test("language id: null text yields null, not a tiebreak language") {
     val df = Seq(Some("the of and"), None).toDF("t")
     val out = df.select(TextAnalysis.languageId(col("t"))).collect()

@@ -113,4 +113,31 @@ class StreamingSpec extends SparkSuite {
     q.stop()
     assert(n == 2) // two sessions for u1 separated by >5min gap
   }
+
+  test("session windows run the SAME code path on a batch frame (no watermark)") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val batch = Seq(
+      (t("2024-01-01 00:00:00"), "u1"), (t("2024-01-01 00:02:00"), "u1"),
+      (t("2024-01-01 00:30:00"), "u1"), (t("2024-01-01 00:01:00"), "u2"))
+      .toDF("ts", "user")
+    val out = StreamingValidate.sessionCounts(batch, "ts", "user", "5 minutes")
+      .orderBy("user", "session_start")
+      .collect().map(r => (r.getString(1), r.getTimestamp(0).toString, r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("u1", "2024-01-01 00:00:00.0", 2L),
+      ("u1", "2024-01-01 00:30:00.0", 1L),
+      ("u2", "2024-01-01 00:01:00.0", 1L)))
+  }
+
+  test("session window boundary: event at exactly prev+gap MERGES (gap is inclusive)") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val batch = Seq((t("2024-01-01 00:00:00"), "u1"), (t("2024-01-01 00:05:00"), "u1"))
+      .toDF("ts", "user")
+    val n = StreamingValidate.sessionCounts(batch, "ts", "user", "5 minutes").count()
+    assert(n == 1, "Spark merges an event landing exactly on prev+gap into the session")
+    // one tick past the gap -> two sessions
+    val batch2 = Seq((t("2024-01-01 00:00:00"), "u1"), (t("2024-01-01 00:05:00.001"), "u1"))
+      .toDF("ts", "user")
+    assert(StreamingValidate.sessionCounts(batch2, "ts", "user", "5 minutes").count() == 2)
+  }
 }
