@@ -242,6 +242,20 @@ object SparkEntry {
       docs.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")
     }),
+    "q_redact" -> ((s, dir) => {
+      // synthesize one email + phone + IPv4 + URL per doc so the scrub
+      // pass exercises every pattern on every row
+      val docs = T(s, dir, "documents").withColumn("t",
+        concat(col("text"), lit(" contact u"), col("doc_id"),
+          lit("@mail.example.org or +1 555 01"), col("doc_id"),
+          lit(" at 10.0."), col("doc_id") % 256,
+          lit(".7 see https://ex"), col("doc_id"), lit(".org/a/b?x=1")))
+      docs.select(col("doc_id"),
+        TextAnalysis.redactPii(col("t")).as("redacted"),
+        size(TextAnalysis.extractUrls(col("t"))).cast("long").as("n_urls"),
+        element_at(TextAnalysis.extractDomains(col("t")), 1).as("domain"))
+        .orderBy("doc_id")
+    }),
     "q_fingerprint" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       docs.select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
@@ -400,6 +414,18 @@ object SparkEntry {
         "FROM documents ORDER BY doc_id"),
     "q_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+    "q_redact" ->
+      ("WITH t AS (SELECT doc_id, text || ' contact u' || doc_id || '@mail.example.org or +1 555 01' || doc_id " +
+        "|| ' at 10.0.' || (doc_id % 256) || '.7 see https://ex' || doc_id || '.org/a/b?x=1' AS t FROM documents) " +
+        "SELECT doc_id, " +
+        "regexp_replace(regexp_replace(regexp_replace(t, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\+[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}', '<PHONE>', 'g'), " +
+        "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS redacted, " +
+        "CAST(len(regexp_extract_all(t, 'https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._~:/?#@!$&()*+,;=%-]*)?')) AS BIGINT) AS n_urls, " +
+        "lower(regexp_extract(regexp_extract_all(t, 'https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._~:/?#@!$&()*+,;=%-]*)?')[1], " +
+        "'https?://([A-Za-z0-9.-]+)', 1)) AS domain " +
+        "FROM t ORDER BY doc_id"),
     "q_lang_id" ->
       ("WITH t AS (SELECT doc_id, text IS NULL AS tnull, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents), " +
         "h AS (SELECT doc_id, tnull, " +

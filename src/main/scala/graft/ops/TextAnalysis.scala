@@ -66,6 +66,35 @@ object TextAnalysis {
     round(lit(0.4) * lenScore + lit(0.4) * stopRatio + lit(0.2) * (lit(1.0) - punctRatio), 6)
   }
 
+  /** PII patterns — deliberately RE2-compatible (no lookaround, no
+    * backreferences) so the same pattern strings run identically under
+    * Java regex (Spark) and RE2 (DuckDB oracle / many scrubbing stacks). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}"
+  val ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val urlPattern = "https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._~:/?#@!$&()*+,;=%-]*)?"
+
+  /** Redact common PII spans (emails, intl-format phones, IPv4 literals)
+    * with typed placeholders — the standard pre-training scrub pass.
+    * Map-only chained regexp_replace; order matters (emails first so the
+    * phone pattern cannot eat an address's digits). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        phonePattern, "<PHONE>"),
+      ipv4Pattern, "<IP>")
+
+  /** All URLs in the document (http/https), for domain filtering and
+    * provenance tracking. */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(urlPattern), lit(0))
+
+  /** Registrable-ish domain of each URL (host, lowercased). */
+  def extractDomains(text: Column): Column =
+    transform(extractUrls(text),
+      u => lower(regexp_extract(u, "https?://([A-Za-z0-9.-]+)", 1)))
+
   /** Stable 128-bit content fingerprint (hex) for exact dedup at scale. */
   def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))
 

@@ -112,6 +112,24 @@ class OpsSpec extends SparkSuite {
     out.foreach { r => assert(r.getLong(1) != 0L && !r.getDouble(2).isNaN) }
   }
 
+  test("PII redaction replaces emails/phones/IPs; URLs extracted with domains") {
+    val df = Seq(
+      "mail bob.smith+x@corp.example.co.uk or call +44 207 946 0958 from 192.168.1.1 via https://sub.ex.org/p?q=1",
+      "no pii here").toDF("t")
+    val out = df.select(
+      TextAnalysis.redactPii(col("t")).as("r"),
+      TextAnalysis.extractUrls(col("t")).as("u"),
+      TextAnalysis.extractDomains(col("t")).as("d")).collect()
+    val r0 = out(0).getString(0)
+    assert(r0.contains("<EMAIL>") && r0.contains("<PHONE>") && r0.contains("<IP>"),
+      s"unexpected redaction: $r0")
+    assert(!r0.contains("bob.smith") && !r0.contains("192.168.1.1"))
+    // URL survives redaction-target extraction from the ORIGINAL text
+    assert(out(0).getSeq[String](1) == Seq("https://sub.ex.org/p?q=1"))
+    assert(out(0).getSeq[String](2) == Seq("sub.ex.org"))
+    assert(out(1).getString(0) == "no pii here" && out(1).getSeq[String](1).isEmpty)
+  }
+
   test("language id: null text yields null, not a tiebreak language") {
     val df = Seq(Some("the of and"), None).toDF("t")
     val out = df.select(TextAnalysis.languageId(col("t"))).collect()
