@@ -54,6 +54,14 @@ trait Validator { self =>
   /** Alias for `|` for readers who prefer words. */
   def and(next: Validator): Validator = self | next
 
+  /** Override error MESSAGES by code — the reference's per-class
+    * `templates` dict (`filters/base.py::BaseFilter.templates`, merged up
+    * the MRO; here: merged across wrappers, innermost wins are replaced by
+    * outermost like a subclass override). Codes are stable; only the
+    * human-readable text changes. */
+  def templates(overrides: (String, String)*): Validator =
+    Templated(self, overrides.toMap)
+
   /** Apply to an input column as ONE composed expression: returns
     * `struct(value, errors)`. Prefer `Validate.column` for DataFrames — it
     * applies chain steps behind per-step projections, which keeps
@@ -73,6 +81,27 @@ final case class Chain(first: Validator, second: Validator) extends Validator {
   def step(v: Column, e: Column, key: Column): (Column, Column) = {
     val (v1, e1) = first.step(v, e, key)
     second.step(v1, e1, key)
+  }
+}
+
+/** Message-template override wrapper (reference `templates` semantics):
+  * rewrites the `message` field of errors whose `code` matches, leaving
+  * keys/codes untouched. Applies to every error the wrapped validator
+  * (or chain) emits. */
+final case class Templated(inner: Validator, overrides: Map[String, String]) extends Validator {
+  val name = inner.name
+  override def flattened: Seq[Validator] =
+    if (inner.flattened.sizeIs > 1) inner.flattened.map(Templated(_, overrides)) else Seq(this)
+  override def needsBarrier: Boolean = inner.needsBarrier
+  def step(v: Column, e: Column, key: Column): (Column, Column) = {
+    val (nv, ne) = inner.step(v, e, key)
+    val mapped = transform(ne, er => {
+      val msg = overrides.foldLeft(er.getField("message")) { case (acc, (c, m)) =>
+        when(er.getField("code") === c, lit(m)).otherwise(acc)
+      }
+      struct(er.getField("key").as("key"), er.getField("code").as("code"), msg.as("message"))
+    })
+    (nv, mapped)
   }
 }
 

@@ -119,6 +119,48 @@ object Similarity {
       .orderBy(xxhash64(col("centroid_id")))
       .limit(k)
 
+  /** Lloyd-iteration refinement of IVF centroids, expressed as DataFrame
+    * aggregations (2 shuffles per iteration — assignment exchange +
+    * per-(centroid, dim) mean): posexplode the assigned vectors, average
+    * each dimension, re-assemble with an order-preserving
+    * `array_sort(collect_list(struct(pos, m)))`. Empty cells keep their
+    * previous centroid (standard Lloyd fallback). Distributed-sum ordering
+    * makes means bitwise nondeterministic across runs — callers needing
+    * reproducible centroids persist them (as any real IVF index build
+    * does). */
+  def kmeansRefine(df: DataFrame, centroids0: DataFrame, idCol: String,
+                   vecCol: String, iters: Int = 3): DataFrame = {
+    var cents = centroids0.select(col("centroid_id"),
+      col("centroid_vec").cast("array<double>").as("centroid_vec"))
+    // SPHERICAL k-means: assignment is by cosine (scale-invariant), so the
+    // update must average UNIT vectors — the mean direction is the
+    // cosine-objective maximizer; a raw mean would weight by magnitude and
+    // lose Lloyd's monotone-improvement guarantee. Zero vectors drop out
+    // of the update (null after division) rather than poisoning it as NaN.
+    val unit = df
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__uv"))
+      .withColumn("__nrm",
+        sqrt(graft.expressions.native.dotD(col("__uv"), col("__uv"))))
+      .withColumn("__uv",
+        when(col("__nrm") > 0, transform(col("__uv"), x => x / col("__nrm"))))
+      .drop("__nrm")
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(unit, cents, idCol, "__uv")
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col("__uv")).as(Seq("pos", "x")))
+        .groupBy("centroid_id", "pos").agg(avg("x").as("m"))
+        .groupBy("centroid_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid_vec"))
+      // empty cells vanish from `means`; keep their old centroid
+      cents = cents.select(col("centroid_id"), col("centroid_vec").as("old_vec"))
+        .join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("centroid_vec"), col("old_vec")).as("centroid_vec"))
+    }
+    cents
+  }
+
   /** End-to-end IVF approximate top-k: corpus pre-assigned to its nearest
     * centroid (one-time, amortized across queries); each query probes its
     * `nprobe` nearest centroids and ranks ONLY the vectors in those cells —

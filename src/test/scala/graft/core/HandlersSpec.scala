@@ -32,6 +32,25 @@ class HandlersSpec extends SparkSuite {
     assert(Validate(clean, "v" -> F.Required()).failFast.count() == 2)
   }
 
+  test("templates: overrides message text by code, keeps keys/codes stable") {
+    val v = (F.Required() | F.MinLength(3)).templates(
+      "empty" -> "Custom: give me something",
+      "too_short" -> "Custom: at least 3 chars")
+    val res = Validate(Seq((1L, ""), (2L, "ab"), (3L, "fine")).toDF("id", "v"), "v" -> v)
+    val errs = res.df.select(explode(col("_errors")).as("e"))
+      .select("e.key", "e.code", "e.message").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._2)
+    assert(errs.toSeq == Seq(
+      ("v", "empty", "Custom: give me something"),
+      ("v", "too_short", "Custom: at least 3 chars")))
+    // non-overridden codes keep their default message
+    val v2 = F.Required().templates("other_code" -> "x")
+    val res2 = Validate(Seq((1L, "")).toDF("id", "v"), "v" -> v2)
+    val m = res2.df.select(explode(col("_errors")).as("e")).select("e.message")
+      .first().getString(0)
+    assert(m == "This value is required.")
+  }
+
   test("LogHandler: summarizes counts, returns valid rows") {
     val lines = scala.collection.mutable.ArrayBuffer[String]()
     val out = Validate(df, "v" -> F.Required()).logInvalid(lines += _)

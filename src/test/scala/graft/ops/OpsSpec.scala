@@ -103,6 +103,21 @@ class OpsSpec extends SparkSuite {
     assert(ivf.sorted.toSeq == brute.sorted.toSeq)
   }
 
+  test("kmeansRefine keeps k centroids, preserves dims, and reduces inertia") {
+    val seeds = Similarity.seedCentroids(emb, "vec_id", "embedding", 4)
+    val refined = Similarity.kmeansRefine(emb, seeds, "vec_id", "embedding", iters = 2)
+    assert(refined.count() == 4)
+    val dims = refined.select(size(col("centroid_vec"))).distinct().collect()
+    assert(dims.length == 1 && dims(0).getInt(0) ==
+      emb.select(size(col("embedding"))).first().getInt(0))
+    // mean cosine-to-assigned-centroid must not get worse after refinement
+    def meanSim(cents: org.apache.spark.sql.DataFrame): Double =
+      Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
+        .agg(avg("sim")).first().getDouble(0)
+    assert(meanSim(refined) >= meanSim(seeds) - 1e-9,
+      "Lloyd iteration must not reduce mean assignment similarity")
+  }
+
   test("IVF topk with partial probing returns valid non-self candidates") {
     val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 8)
     val assigned = Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
