@@ -66,7 +66,7 @@ object SparkEntry {
     }),
     "q_omit" -> ((s, dir) => {
       val cust = T(s, dir, "customer")
-      val rec = cust.select(struct(cust.columns.map(col): _*).as("rec"))
+      val rec = cust.select(struct(cust.columns.toIndexedSeq.map(col): _*).as("rec"))
       Validate(rec, "rec" -> F.Omit(Seq("c_acctbal", "c_mktsegment"))).valid
         .select(col("rec.*")).orderBy("c_custkey")
     }),

@@ -44,6 +44,20 @@ object Dedup {
   def minhashSignature(text: Column, numHashes: Int = 16): Column =
     native.minhashSig(text, numHashes)
 
+  /** Pick the band count whose LSH S-curve threshold `(1/b)^(1/r)` sits
+    * closest to (at or below) the requested Jaccard threshold: pairs AT the
+    * threshold collide in ≥1 band with probability ≥ 1-1/e ≈ 63%, and
+    * recall climbs steeply above it. More bands = higher recall + more
+    * candidates; this helper picks the cheapest banding that doesn't
+    * undercut recall at the caller's threshold. */
+  def bandsForThreshold(numHashes: Int, threshold: Double): Int = {
+    val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+    val ok = divisors.filter { b =>
+      math.pow(1.0 / b, b.toDouble / numHashes) <= threshold
+    }
+    if (ok.nonEmpty) ok.min else numHashes
+  }
+
   /** LSH band keys for a MinHash signature: split the signature into bands
     * and hash each band. Documents sharing ANY band key are candidates.
     * Join on (band_idx, band_hash) — equi-join, no cross product. */
@@ -56,7 +70,11 @@ object Dedup {
 
   /** Near-duplicate candidate pairs via MinHash LSH: band-bucket equi-join,
     * then exact Jaccard on the signatures to filter false positives.
-    * Never materializes an all-pairs product. */
+    * Never materializes an all-pairs product. `bands` trades recall for
+    * candidate volume — [[bandsForThreshold]] picks the cheapest setting
+    * whose S-curve clears `threshold` (pass fewer bands only to sacrifice
+    * recall deliberately on pathologically self-similar corpora, as the
+    * harness queries do on the synthetic testdata). */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 16, bands: Int = 4,
                       threshold: Double = 0.7): DataFrame =

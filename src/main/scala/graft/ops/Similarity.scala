@@ -99,7 +99,8 @@ object Similarity {
     // argmax via max_by, not a windowed rank: partial aggregation collapses
     // the k candidate rows per vector MAP-SIDE, so the exchange carries N
     // rows instead of N×k. Tie-break: highest sim, then lowest centroid_id.
-    val payload = struct(df.columns.map(col) :+ col("centroid_id") :+ col("sim"): _*)
+    val payload = struct(
+      df.columns.toIndexedSeq.map(col) :+ col("centroid_id") :+ col("sim"): _*)
     val ord = struct(col("sim"), (-col("centroid_id")).as("tb"))
     scored.groupBy(col(idCol).as("_gid"))
       .agg(max_by(payload, ord).as("best"))

@@ -127,6 +127,17 @@ class OpsSpec extends SparkSuite {
     out.foreach { r => assert(r.getLong(1) != 0L && !r.getDouble(2).isNaN) }
   }
 
+  test("bandsForThreshold: cheapest banding whose S-curve threshold clears the target") {
+    // 64 hashes, target 0.9: b=8 (r=8) has (1/8)^(1/8)=0.771 <= 0.9; b=4 is 0.917 > 0.9
+    assert(Dedup.bandsForThreshold(64, 0.9) == 8)
+    // lower thresholds need more bands for recall
+    assert(Dedup.bandsForThreshold(64, 0.5) == 16)
+    val b = Dedup.bandsForThreshold(64, 0.7)
+    assert(math.pow(1.0 / b, b / 64.0) <= 0.7)
+    // more bands monotonically = lower curve threshold
+    assert(Dedup.bandsForThreshold(64, 0.95) <= Dedup.bandsForThreshold(64, 0.5))
+  }
+
   test("PII redaction replaces emails/phones/IPs; URLs extracted with domains") {
     val df = Seq(
       "mail bob.smith+x@corp.example.co.uk or call +44 207 946 0958 from 192.168.1.1 via https://sub.ex.org/p?q=1",
