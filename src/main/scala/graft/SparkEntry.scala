@@ -197,6 +197,19 @@ object SparkEntry {
         .select(col("event_id"), col("ok")).orderBy("event_id")
     }),
     // ---- LLM-pipeline ops ----------------------------------------------
+    "q_jaccard" -> ((s, dir) => {
+      // exact shingle-set Jaccard on a small id range — the precise
+      // counterpart the MinHash estimate approximates (oracle-able)
+      val docs = T(s, dir, "documents")
+        .filter(col("doc_id") < 30 && length(col("text")) >= 5)
+      val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 5).as("sh"))
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Dedup.jaccard(col("sh_a"), col("sh_b")).as("j"))
+        .orderBy("id_a", "id_b")
+    }),
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.distinctKeys(T(s, dir, "documents"), Seq("lang", "source"))
         .orderBy("lang", "source")
@@ -382,6 +395,13 @@ object SparkEntry {
       "SELECT event_id, CASE WHEN event_type = 'purchase' THEN (value IS NULL OR value >= 10.0) WHEN event_type = 'error' THEN (value IS NULL OR value <= 500.0) ELSE TRUE END AS ok FROM events ORDER BY event_id",
     "q_dedup_exact" ->
       "SELECT DISTINCT lang, source FROM documents ORDER BY lang, source",
+    "q_jaccard" ->
+      ("WITH s AS (SELECT doc_id, list_distinct(list_transform(range(1, length(text) - 3), " +
+        "i -> substr(lower(text), CAST(i AS INTEGER), 5))) AS sh " +
+        "FROM documents WHERE doc_id < 30 AND length(text) >= 5) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) AS j " +
+        "FROM s a, s b WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b"),
     "q_approx_distinct" ->
       "SELECT COUNT(DISTINCT user_id) AS n FROM events",
     "q_window_events" ->
