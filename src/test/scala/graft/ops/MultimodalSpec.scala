@@ -39,6 +39,28 @@ class MultimodalSpec extends SparkSuite {
     assert(topk.count() == 4)
   }
 
+  test("binaryFile source end-to-end: files on disk → decode → features") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mm").toFile
+    try {
+      for (i <- 1 to 3)
+        java.nio.file.Files.write(new java.io.File(dir, s"img_$i.bin").toPath,
+          Array.fill[Byte](100 + i)(i.toByte))
+      java.nio.file.Files.write(new java.io.File(dir, "skip.txt").toPath, "x".getBytes)
+      val files = graft.sources.ValidatedIO.binaryFiles(spark, dir.getAbsolutePath, "*.bin")
+      assert(files.count() == 3, "glob filter must exclude non-matching files")
+      assert(Seq("path", "modificationTime", "length", "content")
+        .forall(files.columns.contains))
+      val meta = Multimodal.withImageMeta(files, "content")
+        .select("path", "image_meta.width").collect()
+      assert(meta.length == 3 && meta.forall(_.getInt(1) >= 64))
+      val feats = Multimodal.extractFeatures(files.withColumn("id",
+        regexp_extract(col("path"), "img_([0-9])", 1).cast("long")), "content", dims = 8)
+      assert(feats.select("features").collect().forall(_.getSeq[Float](0).length == 8))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("resize emits bounded payloads; frame sampling fans out with stride") {
     val withBin = Multimodal.asBinaryPayload(docs.limit(3), "text")
     val resized = Multimodal.resizeImages(withBin, "payload", 32, 32).collect()
