@@ -113,6 +113,15 @@ object Omit {
   def of(keys: String*): Omit = Omit(keys)
 }
 
+/** Omit for MAP-typed values (the reference's `Omit` accepts any mapping;
+  * dynamic string-keyed dicts map to `MapType` — SURVEY.md §1). */
+case class OmitMap(keys: Seq[String]) extends ScalarFilter {
+  val name = "OmitMap"
+  val code = "unused"
+  override protected def clean(v: Column) =
+    map_filter(v, (k, _) => !k.isin(keys.map(x => x: Any): _*))
+}
+
 /** Runtime type check without coercion (reference `filters/simple.py::Type`).
   * Under a static schema this is usually a compile-time fact; the dynamic
   * (string-typed) case checks castability. */

@@ -40,6 +40,35 @@ class MiscFiltersSpec extends SparkSuite {
     assert(out.collect()(0) == Row(1, 2.5))
   }
 
+  test("OmitMap drops map keys; null map passes through") {
+    val schema = StructType.fromDDL("m MAP<STRING, INT>")
+    val rows = Seq(Row(Map("a" -> 1, "b" -> 2, "c" -> 3)), Row(null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val out = Validate.column(df, "m", F.OmitMap(Seq("b"))).select("m").collect()
+    assert(out(0).getMap[String, Int](0).toMap == Map("a" -> 1, "c" -> 3))
+    assert(out(1).isNullAt(0))
+  }
+
+  test("JSON record validation end-to-end: JsonDecode | FilterMapper with dotted keys") {
+    // the dynamic-dict pattern: parse JSON, then per-field chains with
+    // errors keyed under the parsed record's path
+    val df = Seq(
+      (1L, """{"kind": "purchase", "amount": 90}"""),
+      (2L, """{"kind": "refund", "amount": 5}"""),
+      (3L, "not json")).toDF("id", "props")
+    val v = F.JsonDecode("kind STRING, amount BIGINT") |
+      FilterMapper(Seq(
+        "kind" -> F.Choice(Seq("purchase", "refund")),
+        "amount" -> F.Min(10L)))
+    val res = Validate(df, "props" -> v)
+    val byId = res.df.select(col("id"), col("_errors")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Row](1).map(e => (e.getString(0), e.getString(1))))
+      .toMap
+    assert(byId(1L).isEmpty)
+    assert(byId(2L) == Seq(("props.amount", "too_small")))
+    assert(byId(3L) == Seq(("props", "not_json")))
+  }
+
   test("Empty/NotEmpty with array emptiness strategy") {
     val schema = StructType.fromDDL("arr ARRAY<INT>")
     val rows = Seq(Row(Seq.empty[Int]), Row(Seq(1)), Row(null))
