@@ -102,21 +102,34 @@ object Dedup {
     // all-pairs clique in the band join
     val sigs = df.select(col(idCol).as("id"), sigCol.as("sig"))
       .filter(col("sig").isNotNull)
-    val banded = sigs.select(col("id"), col("sig"),
-      explode(minhashBands(col("sig"), bands, rowsPerBand)).as("bk"))
-    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("bk").as("bk_a"))
-    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"), col("bk").as("bk_b"))
+      .withColumn("bhs", array((0 until bands).map(bb =>
+        xxhash64(slice(col("sig"), bb * rowsPerBand + 1, rowsPerBand))): _*))
+    val banded = sigs.select(col("id"), col("sig"), col("bhs"),
+      posexplode(col("bhs")).as(Seq("band", "h")))
+    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
+      col("bhs").as("bhs_a"), col("band"), col("h"))
+    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      col("bhs").as("bhs_b"), col("band"), col("h"))
+    // A pair sharing k bands would surface k times; emit it ONLY at its
+    // first matching band (no earlier band-hash pair equal) — a literal
+    // when-chain over band index, fully codegen'd. This replaces a
+    // dropDuplicates EXCHANGE over every estimate-passing candidate with a
+    // few map-side comparisons per candidate.
+    val dupEarlier =
+      if (bands == 1) lit(false)
+      else (1 until bands).foldLeft(when(col("band") === 0, lit(false))) {
+        case (acc, bIdx) => acc.when(col("band") === bIdx,
+          (0 until bIdx).map(j =>
+            col("bhs_a").getItem(j) === col("bhs_b").getItem(j)).reduce(_ || _))
+      }
     // Estimate Jaccard map-side IMMEDIATELY after the band equi-join
-    // (native kernel, one tight loop per pair) and filter before any
-    // further shuffle: the pair-dedup then only moves (id_a, id_b, est) —
-    // not 2×numHashes signature arrays. A pair matching k bands is
-    // estimated k (≤ bands) times; that recompute is far cheaper than
-    // shuffling signatures for every candidate.
-    a.join(b, col("bk_a") === col("bk_b") && col("id_a") < col("id_b"))
+    // (native kernel, one tight loop per pair): nothing downstream
+    // shuffles — the output is exchange-free past the join itself.
+    a.join(b, Seq("band", "h"))
+      .filter(col("id_a") < col("id_b") && !dupEarlier)
       .select(col("id_a"), col("id_b"),
         native.sigAgreement(col("sig_a"), col("sig_b")).as("jaccard_est"))
       .filter(col("jaccard_est") >= threshold)
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** 64-bit SimHash of the document (near-dup fingerprint; hamming distance

@@ -78,12 +78,13 @@ object Similarity {
       lshBucket(col(vecCol), bits).as("bucket"))
     val a = v.select(col("id").as("id_a"), col("vec").as("vec_a"), col("bucket"))
     val b = v.select(col("id").as("id_b"), col("vec").as("vec_b"), col("bucket"))
+    // single-bucket equi-join: each surviving pair appears exactly once, so
+    // no pair-dedup exchange is needed
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.expressions.native.cosineD(col("vec_a"), col("vec_b")).as("sim"))
       .filter(col("sim") >= simThreshold)
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** IVF-style coarse quantization: assign each vector to the nearest of
