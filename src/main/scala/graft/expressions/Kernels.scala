@@ -14,6 +14,17 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Kernels {
 
+  /** Kernels that NEVER return null for non-null inputs (total functions).
+    * For these, `IsNotNull(kernel(args)) ≡ AND(IsNotNull(arg)...)` — the
+    * `SimplifyKernelNullChecks` optimizer rule uses this to keep inferred
+    * null guards from re-evaluating a kernel inside scan filters.
+    * base64Strict / ipNormalize / uuidNormalize are EXCLUDED: they return
+    * null to signal rejection of non-null input. */
+  val totalKernels: Set[String] = Set(
+    "nfc", "unicodeClean", "caseFold", "utf8Truncate", "rollingHash",
+    "minhashSig", "minhashSigShingles", "sigAgreement", "dotD", "cosineD",
+    "lshBucketD", "simHash", "uuidVersion")
+
   /** NFC normalization (reference `filters/string.py::Unicode` normalize step). */
   def nfc(s: UTF8String): UTF8String =
     UTF8String.fromString(Normalizer.normalize(s.toString, Normalizer.Form.NFC))

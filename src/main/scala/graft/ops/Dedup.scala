@@ -78,7 +78,8 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 16, bands: Int = 4,
                       threshold: Double = 0.7): DataFrame =
-    nearDupsBySignature(df, idCol, minhashSignature(col(textCol), numHashes),
+    nearDupsBySignature(df.filter(col(textCol).isNotNull), idCol,
+      minhashSignature(col(textCol), numHashes),
       numHashes, bands, threshold)
 
   /** n-gram (character shingle) Jaccard near-dups — same LSH pipeline over
@@ -86,7 +87,7 @@ object Dedup {
   def ngramNearDups(df: DataFrame, idCol: String, textCol: String,
                     ngram: Int = 5, numHashes: Int = 16, bands: Int = 4,
                     threshold: Double = 0.7): DataFrame =
-    nearDupsBySignature(df, idCol,
+    nearDupsBySignature(df.filter(col(textCol).isNotNull), idCol,
       native.minhashSigShingles(lower(col(textCol)), ngram, numHashes),
       numHashes, bands, threshold)
 
@@ -97,11 +98,13 @@ object Dedup {
       s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
         "trailing signature positions would silently never participate in banding")
     val rowsPerBand = numHashes / bands
-    // null text -> null signature; without this filter every null row would
-    // share the constant band keys (hash of a null slice) and form an
-    // all-pairs clique in the band join
+    // CONTRACT: callers pre-filter rows whose source column is null (both
+    // kernels are null-propagating and never null otherwise). A null
+    // signature here would share constant band keys and form an all-pairs
+    // clique; filtering on sig.isNotNull INSTEAD would push the null check
+    // into the scan and re-evaluate the signature kernel there, doubling
+    // the kernel work per row — so the guard lives on the source column.
     val sigs = df.select(col(idCol).as("id"), sigCol.as("sig"))
-      .filter(col("sig").isNotNull)
       .withColumn("bhs", array((0 until bands).map(bb =>
         xxhash64(slice(col("sig"), bb * rowsPerBand + 1, rowsPerBand))): _*))
     val banded = sigs.select(col("id"), col("sig"), col("bhs"),

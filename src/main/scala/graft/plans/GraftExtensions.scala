@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => SimplifyValidationFilters)
+    ext.injectOptimizerRule(_ => SimplifyKernelNullChecks)
     graft.GraftFunctions.kernelFunctions.foreach { case (name, dt, kernel, pts) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(Kernels.getClass.getName, name),
