@@ -34,7 +34,9 @@ object Bench {
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2.abs).sum else 0.0
     val totalWarm = if (warm.nonEmpty) warm.map(_._2.abs).sum else 0.0
-    val nFailed = results.count(_._2 < 0)
+    // count failures across BOTH passes — a warm-only crash must not
+    // report as a clean run
+    val nFailed = (results ++ warm).filter(_._2 < 0).map(_._1).distinct.size
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},""" +
       s""""total_warm":$totalWarm,"queries_warm":${json(warm)},"n_failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()

@@ -101,7 +101,10 @@ final case class Templated(inner: Validator, overrides: Map[String, String]) ext
       }
       struct(er.getField("key").as("key"), er.getField("code").as("code"), msg.as("message"))
     })
-    (nv, mapped)
+    // Only rewrite errors THIS validator emitted: under short-circuit, new
+    // errors appear only when the incoming array was empty — errors passed
+    // through from earlier chain members must keep their own messages.
+    (nv, when(size(e) === 0, mapped).otherwise(ne))
   }
 }
 

@@ -58,15 +58,13 @@ object Dedup {
     if (ok.nonEmpty) ok.min else numHashes
   }
 
-  /** LSH band keys for a MinHash signature: split the signature into bands
-    * and hash each band. Documents sharing ANY band key are candidates.
-    * Join on (band_idx, band_hash) — equi-join, no cross product. */
+  /** LSH band hashes for a MinHash signature: split the signature into
+    * bands and hash each (element i = hash of band i). Documents sharing
+    * any band hash are candidates; join on (band_idx, band_hash) — an
+    * equi-join, no cross product. */
   def minhashBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      struct(
-        lit(b).as("band"),
-        xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("h"))
-    }: _*)
+    array((0 until bands).map(b =>
+      xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand))): _*)
 
   /** Near-duplicate candidate pairs via MinHash LSH: band-bucket equi-join,
     * then exact Jaccard on the signatures to filter false positives.
@@ -105,8 +103,7 @@ object Dedup {
     // into the scan and re-evaluate the signature kernel there, doubling
     // the kernel work per row — so the guard lives on the source column.
     val sigs = df.select(col(idCol).as("id"), sigCol.as("sig"))
-      .withColumn("bhs", array((0 until bands).map(bb =>
-        xxhash64(slice(col("sig"), bb * rowsPerBand + 1, rowsPerBand))): _*))
+      .withColumn("bhs", minhashBands(col("sig"), bands, rowsPerBand))
     val banded = sigs.select(col("id"), col("sig"), col("bhs"),
       posexplode(col("bhs")).as(Seq("band", "h")))
     val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),

@@ -155,10 +155,18 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("centroid_vec"))
       // empty cells vanish from `means`; keep their old centroid
-      cents = cents.select(col("centroid_id"), col("centroid_vec").as("old_vec"))
+      val next = cents.select(col("centroid_id"), col("centroid_vec").as("old_vec"))
         .join(means, Seq("centroid_id"), "left")
         .select(col("centroid_id"),
           coalesce(col("centroid_vec"), col("old_vec")).as("centroid_vec"))
+      // Materialize the k×dim centroid table on the driver each iteration
+      // (the standard model-state pattern — Spark ML's KMeans does the
+      // same): `cents` is referenced twice per iteration, so leaving it
+      // lazy embeds two copies of the previous iteration's plan — ~2^iters
+      // plan growth and full corpus re-assignment per reference. k rows of
+      // doubles is exactly the table we broadcast anyway.
+      cents = next.sparkSession.createDataFrame(
+        next.collectAsList(), next.schema)
     }
     cents
   }

@@ -51,6 +51,19 @@ class HandlersSpec extends SparkSuite {
     assert(m == "This value is required.")
   }
 
+  test("templates: does NOT rewrite errors emitted by earlier chain members") {
+    // both filters share the code "too_short"; only the SECOND is templated.
+    // "x" fails the first (untemplated) MinLength -> default message stays.
+    val v = F.MinLength(2) | F.MinLength(5).templates("too_short" -> "Custom: 5+")
+    val res = Validate(Seq((1L, "x"), (2L, "abc")).toDF("id", "v"), "v" -> v)
+    val msgs = res.df.select(col("id"), explode(col("_errors")).as("e"))
+      .select(col("id"), col("e.message")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(msgs(1L) == "This value is too short (min 2).",
+      "first filter's error must keep its own message")
+    assert(msgs(2L) == "Custom: 5+")
+  }
+
   test("LogHandler: summarizes counts, returns valid rows") {
     val lines = scala.collection.mutable.ArrayBuffer[String]()
     val out = Validate(df, "v" -> F.Required()).logInvalid(lines += _)
