@@ -189,11 +189,16 @@ class Datetime(val timezone: String = "UTC", val formats: Seq[String] = Nil) ext
     // zone of UTC both paths are identity — skip the per-row offset regex.
     if (timezone == "UTC") base
     else {
-      // offset forms: Z, +HH, +HHMM, +HH:MM — but only AFTER a time-of-day
-      // (1- or 2-digit hour: Spark's parser accepts "9:05"), else the day
-      // of a date-only string ("2024-01-01") reads as an offset
+      // offset forms: Z, +HH, +HHMM, +HH:MM, +H:MM — but only AFTER a
+      // time-of-day (1- or 2-digit hour — custom formats can parse "9:05"),
+      // else the day of a date-only string ("2024-01-01") reads as an
+      // offset. A single-digit offset hour REQUIRES the colon so a
+      // dash-separated trailing field like "-123" (e.g. dash-millis
+      // formats) cannot backtrack-match as "-1"+"23". Trailing whitespace
+      // tolerated — Spark's parser trims before parsing.
       val hasOffset = v.cast(StringType).rlike(
-        "[0-9]{1,2}:[0-9]{2}(:[0-9]{2}(\\.[0-9]+)?)?\\s*([Zz]|[+-][0-9]{1,2}(:?[0-9]{2})?)$")
+        "[0-9]{1,2}:[0-9]{2}(:[0-9]{2}(\\.[0-9]+)?)?\\s*" +
+          "([Zz]|[+-]([0-9]{2}(:?[0-9]{2})?|[0-9](:[0-9]{2})?))\\s*$")
       when(hasOffset, base).otherwise(to_utc_timestamp(base, timezone))
     }
   }

@@ -146,7 +146,10 @@ object Similarity {
       .withColumn("__uv",
         when(col("__nrm") > 0, transform(col("__uv"), x => x / col("__nrm"))))
       .drop("__nrm")
-    for (_ <- 1 to iters) {
+      // each iteration is its own job — persist so the corpus scan +
+      // normalization runs once, not once per iteration
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try for (_ <- 1 to iters) {
       val assigned = ivfAssign(unit, cents, idCol, "__uv")
       val means = assigned
         .select(col("centroid_id"), posexplode(col("__uv")).as(Seq("pos", "x")))
@@ -167,7 +170,7 @@ object Similarity {
       // doubles is exactly the table we broadcast anyway.
       cents = next.sparkSession.createDataFrame(
         next.collectAsList(), next.schema)
-    }
+    } finally unit.unpersist()
     cents
   }
 
