@@ -59,13 +59,16 @@ case class Max(max: Any, exclusive: Boolean = false) extends ScalarFilter {
 }
 
 /** Round to `scale` decimal places (half-up, like the reference default
-  * ROUND_HALF_UP), or to the nearest multiple of `toNearest`.
-  * Reference: `filters/number.py::Round`. */
-case class Round(scale: scala.Int = 0, toNearest: Option[Double] = None) extends ScalarFilter {
+  * ROUND_HALF_UP; `halfEven = true` for banker's rounding — the
+  * reference's `rounding=ROUND_HALF_EVEN` option), or to the nearest
+  * multiple of `toNearest`. Reference: `filters/number.py::Round`. */
+case class Round(scale: scala.Int = 0, toNearest: Option[Double] = None,
+                 halfEven: Boolean = false) extends ScalarFilter {
   val name = "Round"
   val code = "unused"
+  private def r(c: Column, s: scala.Int) = if (halfEven) bround(c, s) else round(c, s)
   override protected def clean(v: Column) = toNearest match {
-    case Some(k) => round(v / k, 0) * k
-    case None    => round(v, scale)
+    case Some(k) => r(v / k, 0) * k
+    case None    => r(v, scale)
   }
 }

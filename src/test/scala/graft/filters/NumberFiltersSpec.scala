@@ -41,6 +41,12 @@ class NumberFiltersSpec extends SparkSuite {
     assertPasses(F.Round(toNearest = Some(0.25)), "DOUBLE", 0.30d, 0.25d)
   }
 
+  test("Round halfEven (banker's) rounds .5 to the even neighbor") {
+    assertPasses(F.Round(halfEven = true), "DOUBLE", 2.5d, 2.0d)
+    assertPasses(F.Round(halfEven = true), "DOUBLE", 3.5d, 4.0d)
+    assertPasses(F.Round(1, halfEven = true), "DOUBLE", 2.25d, 2.2d)
+  }
+
   test("canonical chain: Required | Int | Min | Max") {
     val chain = F.Required(Emptiness.never) | F.Int() | F.Min(1) | F.Max(50)
     assertPasses(chain, "STRING", "25", 25L)
