@@ -173,6 +173,14 @@ object SparkEntry {
         .select(col("doc_id"), col("ip")).orderBy("doc_id")
     }),
     // ---- structural combinators ----------------------------------------
+    "q_iso" -> ((s, dir) => {
+      // synthesize a mix of valid/invalid/miscased country codes
+      val cands = Seq("US", "de", "XX", "GB", "ZZ", "fr")
+      val docs = T(s, dir, "documents")
+        .withColumn("cc", element_at(typedLit(cands), (col("doc_id") % 6).cast("int") + 1))
+      Validate(docs, "cc" -> F.Country()).flagged("ok")
+        .select(col("doc_id"), col("cc"), col("ok")).orderBy("doc_id")
+    }),
     "q_mapper" -> ((s, dir) => {
       val ev = T(s, dir, "events")
         .select(struct(col("event_type"), col("value")).as("rec"))
@@ -389,6 +397,14 @@ object SparkEntry {
       "SELECT doc_id, '10.' || CAST(doc_id % 300 AS VARCHAR) || '.0.1' AS ip FROM documents WHERE doc_id % 300 <= 255 ORDER BY doc_id",
     "q_mapper" ->
       "SELECT * FROM (SELECT 'rec.event_type' AS key, 'not_valid_choice' AS code, COUNT(*) AS n FROM events WHERE event_type IS NOT NULL AND event_type NOT IN ('signup','purchase','error') UNION ALL SELECT 'rec.value' AS key, 'too_small' AS code, COUNT(*) AS n FROM events WHERE value IS NOT NULL AND value < 50.0) t WHERE n > 0 ORDER BY key, code",
+    "q_iso" -> {
+      // the SAME JDK table feeds both engines, so the membership sets
+      // cannot drift
+      val codes = graft.filters.Iso.countryCodes.map(c => s"'$c'").mkString(",")
+      ("WITH t AS (SELECT doc_id, ['US','de','XX','GB','ZZ','fr'][CAST(doc_id % 6 AS INTEGER) + 1] AS cc0 FROM documents) " +
+        s"SELECT doc_id, CASE WHEN upper(cc0) IN ($codes) THEN upper(cc0) END AS cc, " +
+        s"upper(cc0) IN ($codes) AS ok FROM t ORDER BY doc_id")
+    },
     "q_repeater" ->
       "SELECT vec_id, len(list_filter(embedding, x -> x < -0.25 OR x > 0.25)) = 0 AS ok FROM embeddings ORDER BY vec_id",
     "q_switch" ->
