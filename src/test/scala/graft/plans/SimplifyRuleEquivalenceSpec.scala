@@ -43,7 +43,18 @@ class SimplifyRuleEquivalenceSpec extends SparkSuite {
       "concat_with_case" -> concat(when(c, a).otherwise(array(lit(1))), b),
       "concat_empty_lit" -> concat(a, array().cast("array<int>")),
       "cast_through" -> when(c, a).otherwise(array(lit(1))).cast("array<long>"),
-      "case_both_branches_cols" -> when(c, a).otherwise(b))
+      "case_both_branches_cols" -> when(c, a).otherwise(b),
+      // deep nesting: CASE inside CASE inside concat and vice versa
+      "deep_case_in_case" ->
+        when(c, when(c.isNull, a).otherwise(concat(b, array(lit(1)))))
+          .otherwise(when(!c, a).otherwise(b)),
+      "deep_concat_of_cases" ->
+        concat(when(c, a).otherwise(b), when(!c, b).otherwise(array().cast("array<int>"))),
+      "deep_case_of_concats" ->
+        when(c, concat(a, concat(b, array(lit(2))))).otherwise(concat(a, b)),
+      "deep_mixed_cast" ->
+        when(c, concat(a, b).cast("array<long>"))
+          .otherwise(when(c.isNull, array(lit(9L))).otherwise(b.cast("array<long>"))))
   }
 
   private def checkShape(name: String, e: Column): Unit = {
