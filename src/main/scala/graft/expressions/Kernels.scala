@@ -131,6 +131,23 @@ object Kernels {
     if (str.length != 36) -1 else Character.digit(str.charAt(14), 16)
   }
 
+  /** array<int> → bytes, each element validated to 0–255 (reference
+    * `ByteArray` accepts an iterable of ints in that range); any
+    * out-of-range element rejects the whole value (null). */
+  def bytesFromInts(a: org.apache.spark.sql.catalyst.util.ArrayData): Array[Byte] = {
+    val n = a.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val v = a.getInt(i)
+      if (v < 0 || v > 255) return null
+      out(i) = v.toByte
+      i += 1
+    }
+    out
+  }
+
   /** Polynomial rolling hash (Rabin–Karp style) over the whole string —
     * document fingerprinting primitive for the LLM-pipeline ops. Stable,
     * seed-free, platform-independent. */

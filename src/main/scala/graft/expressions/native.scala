@@ -49,6 +49,10 @@ object native {
   def uuidVersion(c: Column): Column =
     invoke(IntegerType, "uuidVersion", Seq(e(c)), Seq(StringType))
 
+  def bytesFromInts(c: Column): Column =
+    invoke(BinaryType, "bytesFromInts", Seq(e(c)),
+      Seq(ArrayType(IntegerType)))
+
   def rollingHash(c: Column): Column =
     invoke(LongType, "rollingHash", Seq(e(c)), Seq(StringType))
 

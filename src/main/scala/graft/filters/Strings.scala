@@ -67,6 +67,20 @@ case class ByteArray() extends ScalarFilter {
   override protected def clean(v: Column) = v.cast(StringType).cast(BinaryType)
 }
 
+/** The reference ByteArray's iterable-of-ints(0–255) input path, for
+  * `array<int>` columns: elements validated and packed into bytes by a
+  * native kernel (SURVEY.md §2.1 "int-list → custom expr over
+  * ArrayType(IntegerType)"). Out-of-range or null elements reject.
+  * Reference: `filters/simple.py::ByteArray`. */
+case class ByteArrayFromInts() extends ScalarFilter {
+  val name = "ByteArrayFromInts"
+  override def heavy = true
+  val code = "bad_encoding"
+  override protected def defaultMessage = "All elements must be bytes (0-255)."
+  override protected def invalid(v: Column) = native.bytesFromInts(v).isNull
+  override protected def clean(v: Column) = native.bytesFromInts(v)
+}
+
 /** Validate + normalize IP literals (IPv6 → compressed lowercase); no DNS.
   * Reference: `filters/string.py::IpAddress`. */
 case class IpAddress(ipv4: Boolean = true, ipv6: Boolean = false) extends ScalarFilter {

@@ -40,6 +40,14 @@ class MiscFiltersSpec extends SparkSuite {
     assert(out.collect()(0) == Row(1, 2.5))
   }
 
+  test("ByteArrayFromInts packs 0-255 ints to bytes, rejects out-of-range") {
+    val Seq((v, c)) = runFilter(F.ByteArrayFromInts(), "ARRAY<INT>", Seq(Seq(72, 105, 255, 0)))
+    assert(c.isEmpty && v.asInstanceOf[Array[Byte]].toSeq == Seq(72, 105, -1, 0).map(_.toByte))
+    assertErrors(F.ByteArrayFromInts(), "ARRAY<INT>", Seq(72, 256), Seq("bad_encoding"))
+    assertErrors(F.ByteArrayFromInts(), "ARRAY<INT>", Seq(-1), Seq("bad_encoding"))
+    assertPasses(F.ByteArrayFromInts(), "ARRAY<INT>", null, null)
+  }
+
   test("OmitMap drops map keys; null map passes through") {
     val schema = StructType.fromDDL("m MAP<STRING, INT>")
     val rows = Seq(Row(Map("a" -> 1, "b" -> 2, "c" -> 3)), Row(null))
