@@ -52,31 +52,39 @@ case class Currency() extends ScalarFilter {
   override protected def clean(v: Column) = upper(v)
 }
 
-/** BCP-47 locale tag (`en`, `en-US`, `zh-Hant-TW`): language must be a
-  * real ISO-639 code and, when a region subtag is present, it must be a
-  * real ISO-3166 code. Cleaned to the canonical `ll-RR` casing.
+/** BCP-47 locale tag (`en`, `en-US`, `zh-Hant-TW`, `fil-PH`, `es-419`,
+  * `ja-JP-u-ca-japanese`): 2-letter languages validated against ISO-639-1
+  * (3+-letter primary subtags accepted syntactically — the JDK ships no
+  * public 639-2/3 table); the region subtag — parsed POSITIONALLY per the
+  * BCP-47 grammar (language, optional 4-alpha script, then region), never
+  * from extension subtags — must be a real ISO-3166 code when 2-alpha
+  * (numeric UN M49 accepted). Cleaned to canonical `ll-Ssss-RR` casing
+  * with extension/variant subtags left lowercase, as BCP-47 specifies.
   * Reference: `filters-iso` extension `Locale`. */
 case class LocaleTag() extends ScalarFilter {
   val name = "LocaleTag"
+  override def heavy = true
   val code = "invalid_locale"
   override protected def defaultMessage = "This value is not a valid locale tag."
-  private def parts(v: Column) = split(regexp_replace(v, "_", "-"), "-")
+  private val shape = "^[A-Za-z]{2,8}(-[A-Za-z0-9]{1,8})*$"
+  // lowercased decomposition: g1 lang, g3 script, g5 region, g6 remainder
+  private val decomp = "^([a-z]{2,8})(-([a-z]{4}))?(-([a-z]{2}|[0-9]{3}))?((-.*)?)$"
+  private def norm(v: Column) = lower(regexp_replace(v, "_", "-"))
   override protected def invalid(v: Column) = {
-    val p = parts(v)
-    val lang = lower(p.getItem(0))
-    // region subtag is the first 2-letter ALL-ALPHA part after the language
-    val region = upper(try_element_at(filter(slice(p, 2, 10),
-      x => x.rlike("^[A-Za-z]{2}$")), lit(1)))
-    !lang.isin(Iso.languageCodes: _*) ||
-      (region.isNotNull && !region.isin(Iso.countryCodes: _*))
+    val n = norm(v)
+    val lang = regexp_extract(n, decomp, 1)
+    val region = regexp_extract(n, decomp, 5)
+    !n.rlike(shape) ||
+      (length(lang) === 2 && !lang.isin(Iso.languageCodes: _*)) ||
+      (region.rlike("^[a-z]{2}$") && !upper(region).isin(Iso.countryCodes: _*))
   }
   override protected def clean(v: Column) = {
-    val p = parts(v)
-    concat_ws("-",
-      (lower(p.getItem(0)) +:
-        Seq(transform(slice(p, 2, 100), x =>
-          when(x.rlike("^[A-Za-z]{2}$"), upper(x))
-            .when(x.rlike("^[A-Za-z]{4}$"), initcap(lower(x)))
-            .otherwise(lower(x))))): _*)
+    val n = norm(v)
+    val script = regexp_extract(n, decomp, 3)
+    val region = regexp_extract(n, decomp, 5)
+    concat(regexp_extract(n, decomp, 1),
+      when(script === "", "").otherwise(concat(lit("-"), initcap(script))),
+      when(region === "", "").otherwise(concat(lit("-"), upper(region))),
+      regexp_extract(n, decomp, 6))
   }
 }

@@ -77,8 +77,14 @@ case class ByteArrayFromInts() extends ScalarFilter {
   override def heavy = true
   val code = "bad_encoding"
   override protected def defaultMessage = "All elements must be bytes (0-255)."
-  override protected def invalid(v: Column) = native.bytesFromInts(v).isNull
-  override protected def clean(v: Column) = native.bytesFromInts(v)
+  // try_cast widens/narrows any integral array to array<int> (tinyint
+  // columns validate instead of failing analysis); an element overflowing
+  // int becomes a null element, which the kernel rejects
+  private def ints(v: Column) =
+    native.bytesFromInts(native.tryCast(v,
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType)))
+  override protected def invalid(v: Column) = ints(v).isNull
+  override protected def clean(v: Column) = ints(v)
 }
 
 /** Validate + normalize IP literals (IPv6 → compressed lowercase); no DNS.

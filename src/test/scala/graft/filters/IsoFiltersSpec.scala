@@ -34,6 +34,20 @@ class IsoFiltersSpec extends SparkSuite {
     assertPasses(F.LocaleTag(), "STRING", "en_US", "en-US") // underscore form
     assertErrors(F.LocaleTag(), "STRING", "xx-US", Seq("invalid_locale"))
     assertErrors(F.LocaleTag(), "STRING", "en-ZZ", Seq("invalid_locale"))
+    assertErrors(F.LocaleTag(), "STRING", "not a locale", Seq("invalid_locale"))
     assertPasses(F.LocaleTag(), "STRING", null, null)
+  }
+
+  test("LocaleTag: 3-letter languages, numeric regions, extension subtags") {
+    // 3-letter primary subtags (no ISO-639-1 equivalent) are accepted
+    assertPasses(F.LocaleTag(), "STRING", "fil-ph", "fil-PH")
+    assertPasses(F.LocaleTag(), "STRING", "yue-HK", "yue-HK")
+    // UN M49 numeric region
+    assertPasses(F.LocaleTag(), "STRING", "es-419", "es-419")
+    // extension subtags are NOT misread as regions, and keep lowercase
+    assertPasses(F.LocaleTag(), "STRING", "en-u-fw-mon", "en-u-fw-mon")
+    assertPasses(F.LocaleTag(), "STRING", "JA-JP-u-ca-japanese", "ja-JP-u-ca-japanese")
+    // region inside an extension-bearing tag still validated positionally
+    assertErrors(F.LocaleTag(), "STRING", "en-ZZ-u-fw-mon", Seq("invalid_locale"))
   }
 }

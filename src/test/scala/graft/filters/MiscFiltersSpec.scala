@@ -46,6 +46,10 @@ class MiscFiltersSpec extends SparkSuite {
     assertErrors(F.ByteArrayFromInts(), "ARRAY<INT>", Seq(72, 256), Seq("bad_encoding"))
     assertErrors(F.ByteArrayFromInts(), "ARRAY<INT>", Seq(-1), Seq("bad_encoding"))
     assertPasses(F.ByteArrayFromInts(), "ARRAY<INT>", null, null)
+    // other integral widths validate instead of failing analysis
+    val Seq((v2, c2)) = runFilter(F.ByteArrayFromInts(), "ARRAY<BIGINT>", Seq(Seq(1L, 200L)))
+    assert(c2.isEmpty && v2.asInstanceOf[Array[Byte]].toSeq == Seq(1, 200.toByte))
+    assertErrors(F.ByteArrayFromInts(), "ARRAY<BIGINT>", Seq(5000000000L), Seq("bad_encoding"))
   }
 
   test("OmitMap drops map keys; null map passes through") {
