@@ -474,6 +474,17 @@ object SparkEntry {
         "ELSE list_sort([{'h': h_de, 'l': 'de'}, {'h': h_en, 'l': 'en'}, {'h': h_es, 'l': 'es'}, " +
         "{'h': h_fr, 'l': 'fr'}, {'h': h_zh, 'l': 'zh'}])[-1].l END AS guess " +
         "FROM h ORDER BY doc_id"),
+    "q_ann_cosine" ->
+      // bitwise-comparable: both engines run the same sequential
+      // double-accumulation dot product over float-widened vectors
+      ("WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings), " +
+        "q AS (SELECT vec_id AS q_id, vec AS q_vec FROM v WHERE vec_id < 5), " +
+        "pairs AS (SELECT q.q_id, v.vec_id AS cand_id, " +
+        "CASE WHEN sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(v.vec, v.vec)) = 0 THEN 0.0 " +
+        "ELSE list_dot_product(q.q_vec, v.vec) / (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(v.vec, v.vec))) END AS sim " +
+        "FROM v, q WHERE v.vec_id <> q.q_id) " +
+        "SELECT q_id, cand_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS INTEGER) AS rk " +
+        "FROM pairs QUALIFY rk <= 3 ORDER BY q_id, rk"),
     "q_topk_similar" ->
       ("WITH iv AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000, 0)) AS v FROM embeddings), " +
         "q AS (SELECT vec_id AS q_id, v AS qv FROM iv WHERE vec_id < 10), " +
