@@ -41,6 +41,20 @@ class KernelPropsSpec extends AnyFunSuite {
     })
   }
 
+  test("bytesFromInts: packs any byte sequence exactly; rejects out-of-range") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    check(Prop.forAll(Gen.listOf(Gen.chooseNum(0, 255))) { ints =>
+      val out = Kernels.bytesFromInts(new GenericArrayData(ints.toArray))
+      out != null && out.toSeq == ints.map(_.toByte)
+    })
+    check(Prop.forAll(Gen.listOf(Gen.chooseNum(0, 255)),
+      Gen.oneOf(-1, 256, 1000, scala.Int.MinValue)) { (ints, bad) =>
+      val withBad = scala.util.Random.javaRandomToRandom(new java.util.Random(42))
+        .shuffle(bad +: ints)
+      Kernels.bytesFromInts(new GenericArrayData(withBad.toArray)) == null
+    })
+  }
+
   test("nfc is idempotent") {
     check(Prop.forAll(unicodeStr) { s =>
       val once = Kernels.nfc(u(s)).toString

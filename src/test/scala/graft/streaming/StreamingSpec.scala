@@ -29,6 +29,23 @@ class StreamingSpec extends SparkSuite {
     assert(rows == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
   }
 
+  test("native kernel expressions (CaseFold, Uuid) run unchanged in a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("id", "v")
+    val res = StreamingValidate(stream, "v" -> (F.Required() | F.CaseFold()))
+    val q = res.flagged("ok").writeStream.format("memory").queryName("kern_out")
+      .outputMode("append").start()
+    mem.addData((1L, "STRASSE"), (2L, "Straße"), (3L, ""))
+    q.processAllAvailable()
+    val byId = spark.table("kern_out").collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[String]("v"), r.getAs[Boolean]("ok"))).toMap
+    q.stop()
+    assert(byId(1L) == (("strasse", true)))
+    assert(byId(2L) == (("strasse", true)), "ICU fold must run inside the stream")
+    assert(byId(3L)._2 == false)
+  }
+
   test("tumbling window counts with watermark over a stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
