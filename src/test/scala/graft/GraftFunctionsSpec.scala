@@ -31,6 +31,19 @@ class GraftFunctionsSpec extends SparkSuite {
     assert(!r.isNullAt(0) && math.abs(r.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("declared inputTypes give builtin-style implicit casts (no codegen ClassCastException)") {
+    GraftFunctions.register(spark)
+    // pre-fix this threw ClassCastException inside generated code; with
+    // inputTypes the analyzer inserts an int->string cast like any builtin
+    val r0 = spark.sql("SELECT casefold(42) AS x").collect()(0)
+    assert(r0.getString(0) == "42")
+    // float arrays flow into the double-typed cosine kernel via implicit cast
+    val r = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), array(1.0d, 0.0d)) AS c")
+      .collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+  }
+
   test("plan stays codegen-native (no BatchEvalPython/ScalaUDF nodes)") {
     GraftFunctions.register(spark)
     val plan = spark.sql("SELECT casefold(c) FROM VALUES ('A') t(c)")
