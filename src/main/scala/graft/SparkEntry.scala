@@ -126,9 +126,12 @@ object SparkEntry {
         .select(col("doc_id"), col("messy").as("cleaned")).orderBy("doc_id")
     }),
     "q_casefold" -> ((s, dir) => {
+      // append a sharp-s suffix so the oracle actually exercises FULL
+      // folding (ß -> ss), not just ASCII lowercase
       val docs = T(s, dir, "documents")
-      Validate(docs, "lang" -> F.CaseFold()).valid
-        .select(col("doc_id"), col("lang").as("folded")).orderBy("doc_id")
+        .withColumn("mixed", concat(col("lang"), lit("-Straße")))
+      Validate(docs, "mixed" -> F.CaseFold()).valid
+        .select(col("doc_id"), col("mixed").as("folded")).orderBy("doc_id")
     }),
     "q_json" -> ((s, dir) => {
       val ev = T(s, dir, "events")
@@ -298,10 +301,14 @@ object SparkEntry {
         .select(col("q_id"), col("cand_id"), col("dot"), col("rk"))
         .orderBy("q_id", "rk")
     }),
-    // ---- non-oracle ops (rows-only driver check; ScalaTest covers) ------
+    // ---- kernel-dependent ops (rows-only driver check; ScalaTest covers;
+    // q_ann_cosine and q_lang_id above DO have oracle twins) -------------
     "q_dedup_minhash" -> ((s, dir) => {
-      // testdata docs share a 31-word vocabulary (avg pairwise Jaccard 0.65)
-      // — selective banding (16 rows/band) keeps candidates ~sub-1% of pairs
+      // testdata docs share a 31-word vocabulary (avg pairwise Jaccard
+      // 0.65) — selective banding (16 rows/band) trades recall for
+      // tractability on this pathologically self-similar corpus; even so
+      // candidates reach ~17% of all pairs at sf0.1 (2.1M of 12.5M;
+      // 835k emitted pairs). Real corpora want bandsForThreshold.
       Dedup.minhashNearDups(T(s, dir, "documents"), "doc_id", "text",
         numHashes = 64, bands = 4, threshold = 0.9)
         .orderBy("id_a", "id_b")
@@ -364,7 +371,10 @@ object SparkEntry {
     "q_omit" ->
       "SELECT c_custkey, c_name, c_nationkey FROM customer ORDER BY c_custkey",
     "q_type_int" ->
-      "SELECT event_id, CAST(value AS BIGINT) AS value_int FROM events WHERE value IS NULL OR value = floor(value) ORDER BY event_id",
+      // NaN guard (DuckDB: NaN = floor(NaN) is TRUE) + Int()'s explicit
+      // Long-range guard, so out-of-range doubles drop instead of erroring
+      ("SELECT event_id, CAST(value AS BIGINT) AS value_int FROM events WHERE value IS NULL OR " +
+        "(NOT isnan(value) AND value = floor(value) AND value >= -9223372036854775808 AND value <= 9223372036854775807) ORDER BY event_id"),
     "q_min" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity IS NULL OR l_quantity >= 5.0 ORDER BY l_orderkey, l_linenumber",
     "q_max" ->
@@ -378,11 +388,21 @@ object SparkEntry {
     "q_strip" ->
       "SELECT doc_id, regexp_replace(regexp_replace('  ' || text || ' \t', '^[\\p{C}\\s]+', ''), '[\\p{C}\\s]+$', '') AS stripped FROM documents ORDER BY doc_id",
     "q_casefold" ->
-      "SELECT doc_id, lower(lang) AS folded FROM documents ORDER BY doc_id",
+      // lower + explicit sharp-s expansion mirrors ICU full folding for
+      // this construction (fixture langs are ASCII; the suffix adds the
+      // one full-fold divergence)
+      "SELECT doc_id, replace(lower(lang || '-Straße'), 'ß', 'ss') AS folded FROM documents ORDER BY doc_id",
     "q_unicode" ->
-      "SELECT doc_id, nfc_normalize(text || ' café') AS cleaned FROM documents ORDER BY doc_id",
+      // full Unicode() twin: \r\n and \r -> \n, strip ISO controls (keeping
+      // \n \t) and FORMAT chars, THEN NFC -- same order as the kernel
+      ("SELECT doc_id, nfc_normalize(regexp_replace(regexp_replace(regexp_replace(text || ' café', " +
+        "'\\r\\n', '\\n', 'g'), '\\r', '\\n', 'g'), " +
+        "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]|\\p{Cf}', '', 'g')) AS cleaned " +
+        "FROM documents ORDER BY doc_id"),
     "q_json" ->
-      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id",
+      // WHERE twin of JsonDecode's .valid split: malformed JSON rows are
+      // DROPPED by Spark, and json_extract_string would ERROR on them here
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events WHERE props IS NULL OR json_valid(props) ORDER BY event_id",
     "q_regex" ->
       "SELECT doc_id, CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS BIGINT) AS n_matches FROM documents WHERE text IS NULL OR len(regexp_extract_all(text, '[aeiou]{2}')) > 0 ORDER BY doc_id",
     "q_split" ->
@@ -406,11 +426,15 @@ object SparkEntry {
         s"upper(cc0) IN ($codes) AS ok FROM t ORDER BY doc_id")
     },
     "q_repeater" ->
-      "SELECT vec_id, len(list_filter(embedding, x -> x < -0.25 OR x > 0.25)) = 0 AS ok FROM embeddings ORDER BY vec_id",
+      // null array passes (None-passthrough -> ok TRUE), mirrored explicitly:
+      // bare len(list_filter(NULL,..)) = 0 would yield NULL not TRUE
+      "SELECT vec_id, CASE WHEN embedding IS NULL THEN TRUE ELSE len(list_filter(embedding, x -> x < -0.25 OR x > 0.25)) = 0 END AS ok FROM embeddings ORDER BY vec_id",
     "q_switch" ->
       "SELECT event_id, CASE WHEN event_type = 'purchase' THEN (value IS NULL OR value >= 10.0) WHEN event_type = 'error' THEN (value IS NULL OR value <= 500.0) ELSE TRUE END AS ok FROM events ORDER BY event_id",
     "q_dedup_exact" ->
-      "SELECT DISTINCT lang, source FROM documents ORDER BY lang, source",
+      // NULLS FIRST pins DuckDB (default NULLS LAST) to Spark's default
+      // ascending order; the compare is positional
+      "SELECT DISTINCT lang, source FROM documents ORDER BY lang NULLS FIRST, source NULLS FIRST",
     "q_jaccard" ->
       ("WITH s AS (SELECT doc_id, list_distinct(list_transform(range(1, length(text) - 3), " +
         "i -> substr(lower(text), CAST(i AS INTEGER), 5))) AS sh " +
@@ -431,22 +455,24 @@ object SparkEntry {
         "OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL THEN 1 ELSE 0 END AS new_s FROM e), " +
         "s AS (SELECT user_id, t, SUM(new_s) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
         "SELECT MIN(t) AS session_start, user_id, COUNT(*) AS n FROM s GROUP BY user_id, sid " +
-        "ORDER BY user_id, session_start"),
+        "ORDER BY user_id NULLS FIRST, session_start NULLS FIRST"),
     "q_quantiles" ->
       "SELECT quantile_cont(l_quantity, 0.25) AS p25, quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.9) AS p90 FROM lineitem",
     "q_text_stats" ->
-      "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS n_tokens FROM documents GROUP BY lang ORDER BY lang",
+      "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS n_tokens FROM documents GROUP BY lang ORDER BY lang NULLS FIRST",
     "q_token_count" ->
       ("SELECT doc_id, CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_ws, " +
         "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subword " +
         "FROM documents ORDER BY doc_id"),
     "q_quality" ->
-      ("SELECT doc_id, round(0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) " +
+      // floor(x*1e6 + 0.5)/1e6 matches qualityScore's rounding exactly:
+      // plain double arithmetic, no engine-specific decimal-halfway rule
+      ("SELECT doc_id, floor((0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) " +
         "+ 0.4 * (CASE WHEN len(regexp_split_to_array(lower(text), '\\s+')) = 0 THEN 0.0 ELSE " +
         "CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t IN ('the','of','and','a','to','in','is','it','that','for'))) AS DOUBLE) " +
         "/ CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS DOUBLE) END) " +
         "+ 0.2 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
-        "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END), 6) AS quality " +
+        "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END)) * 1000000.0 + 0.5) / 1000000.0 AS quality " +
         "FROM documents ORDER BY doc_id"),
     "q_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",

@@ -36,17 +36,23 @@ object Kernels {
     // Strip FIRST, normalize LAST: a stripped control char can separate a
     // base char from its combining mark, and normalizing before stripping
     // would leave an uncomposed pair behind (breaking idempotence).
+    // Iterate CODEPOINTS, not chars: astral FORMAT chars (tag chars,
+    // U+E00xx) are surrogate pairs whose halves read as SURROGATE at the
+    // char level and would slip through (and \p{Cf}-based oracles strip
+    // them, so char-level iteration would silently drift).
     val n = s.toString
     val sb = new java.lang.StringBuilder(n.length)
     var i = 0
     while (i < n.length) {
-      val c = n.charAt(i)
-      if (c == '\r') {
+      val cp = n.codePointAt(i)
+      val w = Character.charCount(cp)
+      if (cp == '\r') {
         // \r\n and bare \r both become \n
         if (i + 1 >= n.length || n.charAt(i + 1) != '\n') sb.append('\n')
-      } else if (c == '\n' || c == '\t') sb.append(c)
-      else if (!Character.isISOControl(c) && Character.getType(c) != Character.FORMAT) sb.append(c)
-      i += 1
+      } else if (cp == '\n' || cp == '\t') sb.append(cp.toChar)
+      else if (!Character.isISOControl(cp) && Character.getType(cp) != Character.FORMAT)
+        sb.appendCodePoint(cp)
+      i += w
     }
     UTF8String.fromString(Normalizer.normalize(sb.toString, Normalizer.Form.NFC))
   }

@@ -63,7 +63,13 @@ object TextAnalysis {
     val punctRatio = when(length(text) === 0, 0.0)
       .otherwise(size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
         / length(text).cast("double"))
-    round(lit(0.4) * lenScore + lit(0.4) * stopRatio + lit(0.2) * (lit(1.0) - punctRatio), 6)
+    // floor(x*1e6 + 0.5)/1e6, NOT round(x, 6): engines disagree on how to
+    // round a binary double at a decimal halfway point (Spark rounds the
+    // shortest decimal repr half-up; DuckDB rounds the binary value). The
+    // floor formula is plain double arithmetic — bitwise identical
+    // everywhere, so oracles can reproduce it exactly.
+    val blend = lit(0.4) * lenScore + lit(0.4) * stopRatio + lit(0.2) * (lit(1.0) - punctRatio)
+    floor(blend * 1e6 + 0.5) / 1e6
   }
 
   /** PII patterns — deliberately RE2-compatible (no lookaround, no
