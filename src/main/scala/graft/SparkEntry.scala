@@ -208,6 +208,23 @@ object SparkEntry {
         .select(col("event_id"), col("ok")).orderBy("event_id")
     }),
     // ---- LLM-pipeline ops ----------------------------------------------
+    "q_repetition" -> ((s, dir) => {
+      // duplicate every line (plus a unique tail) so the dup-lines signal
+      // fires on every row; dup-tokens runs on the raw text
+      val docs = T(s, dir, "documents")
+        .withColumn("rep", concat_ws("\n", col("text"), col("text"), lit("tail")))
+      docs.select(col("doc_id"),
+        TextAnalysis.duplicateLineFraction(col("rep")).as("dup_lines"),
+        TextAnalysis.duplicateTokenFraction(col("text")).as("dup_tokens"))
+        .orderBy("doc_id")
+    }),
+    "q_contamination" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") < 3).select(col("text").as("bench_text"))
+      Dedup.contamination(docs.filter(col("doc_id") < 50), "doc_id", "text",
+        bench, "bench_text", k = 8)
+        .orderBy("doc_id")
+    }),
     "q_jaccard" -> ((s, dir) => {
       // exact shingle-set Jaccard on a small id range — the precise
       // counterpart the MinHash estimate approximates (oracle-able)
@@ -435,8 +452,27 @@ object SparkEntry {
       // NULLS FIRST pins DuckDB (default NULLS LAST) to Spark's default
       // ascending order; the compare is positional
       "SELECT DISTINCT lang, source FROM documents ORDER BY lang NULLS FIRST, source NULLS FIRST",
+    "q_repetition" ->
+      ("WITH t AS (SELECT doc_id, text, concat_ws(chr(10), text, text, 'tail') AS rep FROM documents), " +
+        "l AS (SELECT doc_id, list_filter(string_split(rep, chr(10)), x -> length(x) > 0) AS lines, " +
+        "list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0) AS toks FROM t) " +
+        "SELECT doc_id, " +
+        "CASE WHEN len(lines) = 0 THEN 0.0 ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / CAST(len(lines) AS DOUBLE) END AS dup_lines, " +
+        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS dup_tokens " +
+        "FROM l ORDER BY doc_id"),
+    "q_contamination" ->
+      // shingle base is lower(text) on BOTH sides (lowercasing can change
+      // string length for some codepoints)
+      ("WITH d AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(lower(text)) - 8, 0) + 2), " +
+        "i -> substr(lower(text), CAST(i AS INTEGER), 8))) AS shs FROM documents WHERE doc_id < 50 AND text IS NOT NULL), " +
+        "b AS (SELECT DISTINCT s AS sh FROM (SELECT unnest(shs) AS s FROM " +
+        "(SELECT list_distinct(list_transform(range(1, greatest(length(lower(text)) - 8, 0) + 2), " +
+        "i -> substr(lower(text), CAST(i AS INTEGER), 8))) AS shs FROM documents WHERE doc_id < 3 AND text IS NOT NULL))), " +
+        "u AS (SELECT doc_id, unnest(shs) AS sh FROM d) " +
+        "SELECT u.doc_id, CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS contamination " +
+        "FROM u LEFT JOIN b USING (sh) GROUP BY u.doc_id ORDER BY u.doc_id"),
     "q_jaccard" ->
-      ("WITH s AS (SELECT doc_id, list_distinct(list_transform(range(1, length(text) - 3), " +
+      ("WITH s AS (SELECT doc_id, list_distinct(list_transform(range(1, length(lower(text)) - 3), " +
         "i -> substr(lower(text), CAST(i AS INTEGER), 5))) AS sh " +
         "FROM documents WHERE doc_id < 30 AND length(text) >= 5) " +
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +

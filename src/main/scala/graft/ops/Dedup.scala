@@ -147,4 +147,28 @@ object Dedup {
   /** Approximate distinct count — built-in HLL++, no shuffle of raw values. */
   def approxDistinct(df: DataFrame, c: String, rsd: Double = 0.05): DataFrame =
     df.agg(approx_count_distinct(col(c), rsd).as("approx_n"))
+
+  /** Benchmark-contamination check: per document, the fraction of its
+    * distinct character k-shingles that also occur in `benchmark` — the
+    * standard n-gram-overlap test run before training to keep eval data
+    * out of the corpus.
+    *
+    * Scale shape: the benchmark shingle set is small (eval suites are
+    * MBs, not TBs) and BROADCASTS; docs explode to one row per distinct
+    * shingle map-side, the broadcast left-semi-style join marks hits with
+    * no shuffle, and the per-doc fraction is one partial-aggregated
+    * exchange keyed by id. The corpus itself never shuffles its text. */
+  def contamination(df: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, benchTextCol: String,
+                    k: Int = 8): DataFrame = {
+    val benchSh = benchmark
+      .select(explode(shingles(col(benchTextCol), k)).as("sh")).distinct()
+    val docSh = df
+      .select(col(idCol), explode(shingles(col(textCol), k)).as("sh"))
+    docSh
+      .join(broadcast(benchSh.withColumn("__hit", lit(1))), Seq("sh"), "left")
+      .groupBy(col(idCol))
+      .agg((sum(coalesce(col("__hit"), lit(0))).cast("double")
+        / count(lit(1)).cast("double")).as("contamination"))
+  }
 }

@@ -72,6 +72,25 @@ object TextAnalysis {
     floor(blend * 1e6 + 0.5) / 1e6
   }
 
+  /** Gopher-style repetition signals (public Gopher/RefinedWeb quality
+    * rules): fraction of duplicate lines and of duplicate tokens. High
+    * values flag boilerplate/templated documents. Map-only array math —
+    * no shuffle, oracle-able in any engine with list functions. */
+  def duplicateLineFraction(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => length(l) > 0)
+    when(size(lines) === 0, 0.0).otherwise(
+      (size(lines) - size(array_distinct(lines))).cast("double")
+        / size(lines).cast("double"))
+  }
+
+  /** Fraction of whitespace tokens that are repeats of an earlier token. */
+  def duplicateTokenFraction(text: Column): Column = {
+    val toks = filter(tokens(text), t => length(t) > 0)
+    when(size(toks) === 0, 0.0).otherwise(
+      (size(toks) - size(array_distinct(toks))).cast("double")
+        / size(toks).cast("double"))
+  }
+
   /** PII patterns — deliberately RE2-compatible (no lookaround, no
     * backreferences) so the same pattern strings run identically under
     * Java regex (Spark) and RE2 (DuckDB oracle / many scrubbing stacks). */

@@ -127,6 +127,30 @@ class OpsSpec extends SparkSuite {
     out.foreach { r => assert(r.getLong(1) != 0L && !r.getDouble(2).isNaN) }
   }
 
+  test("repetition stats: duplicated lines/tokens detected, clean text scores low") {
+    val df = Seq(
+      (1L, "alpha beta\nalpha beta\ngamma"),   // 2 of 3 lines dup -> 1/3
+      (2L, "a a a b"),                          // 2 of 4 tokens repeats -> 0.5
+      (3L, "all unique words here")).toDF("doc_id", "t")
+    val out = df.select(col("doc_id"),
+      TextAnalysis.duplicateLineFraction(col("t")).as("dl"),
+      TextAnalysis.duplicateTokenFraction(col("t")).as("dt")).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(out(1L)._1 - 1.0 / 3) < 1e-12)
+    assert(math.abs(out(2L)._2 - 0.5) < 1e-12)
+    assert(out(3L)._1 == 0.0 && out(3L)._2 == 0.0)
+  }
+
+  test("contamination: benchmark doc scores 1.0, disjoint doc scores 0.0") {
+    val corpus = Seq((1L, "the quick brown fox jumps over it"),
+      (2L, "zz qq xx ww vv uu tt ss rr")).toDF("doc_id", "text")
+    val bench = Seq("the quick brown fox jumps over it").toDF("bench_text")
+    val out = Dedup.contamination(corpus, "doc_id", "text", bench, "bench_text", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 1.0, s"identical doc must be fully contaminated: ${out(1L)}")
+    assert(out(2L) == 0.0, s"disjoint doc must be clean: ${out(2L)}")
+  }
+
   test("bandsForThreshold: cheapest banding whose S-curve threshold clears the target") {
     // 64 hashes, target 0.9: b=8 (r=8) has (1/8)^(1/8)=0.771 <= 0.9; b=4 is 0.917 > 0.9
     assert(Dedup.bandsForThreshold(64, 0.9) == 8)
