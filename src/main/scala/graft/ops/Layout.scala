@@ -48,4 +48,26 @@ object Layout {
     val saltedD = explodeDim(dim, saltBuckets)
     saltedF.join(saltedD, keys :+ "_salt").drop("_salt")
   }
+
+  /** Deterministic train/val/test split by id hash: map-only, stable
+    * across runs/clusters (no `rand()` — re-running a sample on new data
+    * keeps every previously-assigned row in the same split), and
+    * disjoint-and-exhaustive by construction. `fractions` are (name,
+    * weight) pairs; weights are normalized. */
+  def deterministicSplit(df: DataFrame, idCol: String,
+                         fractions: Seq[(String, Double)],
+                         splitCol: String = "_split",
+                         buckets: Int = 10000): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0))
+    val total = fractions.map(_._2).sum
+    val b = pmod(xxhash64(col(idCol)), lit(buckets))
+    // cumulative upper bounds over the bucket space
+    val bounds = fractions.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .tail.map(f => math.round(f * buckets))
+    val expr = fractions.init.zip(bounds.init).reverse
+      .foldLeft(lit(fractions.last._1)) { case (acc, ((name, _), hi)) =>
+        when(b < hi, name).otherwise(acc)
+      }
+    df.withColumn(splitCol, expr)
+  }
 }

@@ -49,6 +49,26 @@ class LayoutSpec extends SparkSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("deterministicSplit: disjoint, exhaustive, stable, ~right proportions") {
+    val split = Layout.deterministicSplit(lineitem,
+      "l_orderkey", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("_split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = lineitem.count()
+    assert(counts.values.sum == n, "split must be exhaustive")
+    assert(math.abs(counts("train").toDouble / n - 0.8) < 0.05, counts.toString)
+    // stable: same assignment on re-run
+    val again = Layout.deterministicSplit(lineitem,
+      "l_orderkey", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.select("l_orderkey", "l_linenumber", "_split")
+      .exceptAll(again.select("l_orderkey", "l_linenumber", "_split")).isEmpty)
+    // same key always lands in the same split (group-safe: no order leakage
+    // between train and eval for multi-row keys)
+    val perKey = split.groupBy("l_orderkey")
+      .agg(countDistinct("_split").as("k")).agg(max("k")).first().getLong(0)
+    assert(perKey == 1L)
+  }
+
   test("repartitionByKeys reuses the exchange for a following aggregation") {
     val rep = Layout.repartitionByKeys(lineitem, 4, "l_orderkey")
     val agg = rep.groupBy("l_orderkey").agg(sum("l_quantity"))
