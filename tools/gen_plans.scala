@@ -11,7 +11,7 @@ out.println("`executedPlan` for the scale-sensitive queries; see SCALE.md for th
 out.println("design rationale each plan demonstrates. Regenerate with tools/gen_plans.scala.")
 val dir = "/root/testdata/sf0.01"
 for (name <- Seq("q_required", "q_min", "q_topk_similar", "q_dedup_minhash",
-    "q_window_events", "q_pipeline_e2e", "q_session_window", "q_ivf_topk")) {
+    "q_window_events", "q_pipeline_e2e", "q_session_window", "q_ivf_topk", "q_contamination")) {
   val df = graft.SparkEntry.queries(name)(spark, dir)
   out.println()
   out.println(s"## $name")
