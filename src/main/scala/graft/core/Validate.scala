@@ -20,6 +20,9 @@ object Validate {
     val k = if (key == null) colName else key
     val vTmp = s"__vv_$colName"
     val eTmp = s"__ve_$colName"
+    // backtick-quote references: a literal dotted column name ("user.name"
+    // from a CSV header) must not parse as struct-field access
+    def q(n: String) = col(s"`$n`")
     // Apply each chain step behind its own projection so step N+1
     // references step N's RESULT ATTRIBUTE, not its expression tree —
     // otherwise a value-coercing chain duplicates each step's CASE into
@@ -27,17 +30,21 @@ object Validate {
     // chains then overflow codegen into interpreted evaluation).
     // CollapseProject keeps the barriers: the produced expressions are
     // non-cheap and multiply-referenced.
-    var cur = df.withColumn(vTmp, df(colName)).withColumn(eTmp, Errs.none)
+    var cur = df.withColumn(vTmp, df(s"`$colName`")).withColumn(eTmp, Errs.none)
     for (leaf <- v.flattened) {
-      val (nv, ne) = leaf.step(col(vTmp), col(eTmp), lit(k))
+      val (nv, ne) = leaf.step(q(vTmp), q(eTmp), lit(k))
       cur = cur.withColumns(Map(vTmp -> nv, eTmp -> ne))
     }
-    val step2 = cur.withColumn(colName, col(vTmp))
+    val step2 = cur.withColumn(colName, q(vTmp))
     val step3 =
       if (df.columns.contains(ErrorsCol))
-        step2.withColumn(ErrorsCol, concat(col(ErrorsCol), col(eTmp)))
+        // coalesce: a pre-existing null _errors (user column collision,
+        // union with an unvalidated frame) must not null the whole merge —
+        // concat(null, x) = null would silently drop the row from BOTH
+        // valid and invalid splits
+        step2.withColumn(ErrorsCol, concat(coalesce(col(ErrorsCol), Errs.none), q(eTmp)))
       else
-        step2.withColumn(ErrorsCol, col(eTmp))
+        step2.withColumn(ErrorsCol, q(eTmp))
     step3.drop(vTmp, eTmp)
   }
 
@@ -124,8 +131,12 @@ final case class ValidationResult(df: DataFrame, useBarrier: Boolean = false) {
     * done, or use `observed()` + [[Metrics]] for a zero-extra-job variant. */
   def logInvalid(log: String => Unit): DataFrame = {
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    errorCodes.collect().foreach { r =>
+    try errorCodes.collect().foreach { r =>
       log(s"[graft] ${r.getAs[String]("key")}/${r.getAs[String]("code")}: ${r.getAs[Long]("n")} invalid")
+    } catch {
+      // don't leak the cached frame when the summary job fails — the
+      // caller never gets a handle to unpersist it
+      case e: Throwable => df.unpersist(); throw e
     }
     valid
   }

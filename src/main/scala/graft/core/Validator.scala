@@ -39,16 +39,18 @@ trait Validator { self =>
     case other => Seq(other)
   }
 
+  /** Per-leaf cost classification for [[needsBarrier]]. Structural
+    * combinators default to heavy; wrappers (Templated) delegate to what
+    * they wrap so a message override doesn't reclassify a cheap filter. */
+  def leafHeavy: Boolean = true
+
   /** Whether split filters over this validator's output need an optimizer
     * barrier: inlining a chain via predicate pushdown costs ~3^steps, so
     * anything beyond a short cheap chain is cheaper evaluated behind its
     * projections. */
   def needsBarrier: Boolean = {
     val leaves = flattened
-    leaves.size >= 3 || (leaves.size >= 2 && leaves.exists {
-      case f: ScalarFilter => f.heavy
-      case _ => true // structural combinators count as heavy
-    })
+    leaves.size >= 3 || (leaves.size >= 2 && leaves.exists(_.leafHeavy))
   }
 
   /** Alias for `|` for readers who prefer words. */
@@ -93,6 +95,7 @@ final case class Templated(inner: Validator, overrides: Map[String, String]) ext
   override def flattened: Seq[Validator] =
     if (inner.flattened.sizeIs > 1) inner.flattened.map(Templated(_, overrides)) else Seq(this)
   override def needsBarrier: Boolean = inner.needsBarrier
+  override def leafHeavy: Boolean = inner.leafHeavy
   def step(v: Column, e: Column, key: Column): (Column, Column) = {
     val (nv, ne) = inner.step(v, e, key)
     val mapped = transform(ne, er => {
@@ -124,9 +127,10 @@ abstract class ScalarFilter extends Validator {
 
   /** Whether this filter's per-value work is expensive (parsing, regex,
     * decimal math, kernel calls). Chains containing heavy steps get an
-    * optimizer barrier on their split filters — see
-    * [[graft.expressions.OptimizerBarrier]]. */
+    * optimizer barrier on their split filters — the non-deterministic tag
+    * field in [[ValidationResult]] (see its scaladoc). */
   def heavy: Boolean = false
+  override def leafHeavy: Boolean = heavy
   def message: Column = lit(defaultMessage)
   protected def defaultMessage: String = "This value is invalid."
 

@@ -81,11 +81,14 @@ object Multimodal {
     * target dims — models the shape of a distributed media transform:
     * map-only, bounded output size per row. */
   def resizeImages(df: DataFrame, binCol: String, w: Int, h: Int): DataFrame = {
+    require(w > 0 && h > 0, s"target dims must be positive, got ${w}x$h")
     val outSchema = df.schema
       .add("resized", BinaryType).add("target_w", IntegerType).add("target_h", IntegerType)
     val enc = RowEncoder.encoderFor(outSchema)
     val binIdx = df.schema.fieldIndex(binCol)
-    val budget = w * h * 3 / 64 // stub: proportional byte budget
+    // Long math: 30000x30000x3 overflows Int to a negative budget, which
+    // would silently truncate every payload to 1 byte
+    val budget = math.min(w.toLong * h * 3 / 64, scala.Int.MaxValue).toInt
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
@@ -99,6 +102,10 @@ object Multimodal {
     * `frameSize` chunks, keep every `stride`-th — exercises the
     * one-row→many-rows (flatMap) shape with bounded memory. */
   def sampleFrames(df: DataFrame, binCol: String, frameSize: Int, stride: Int): DataFrame = {
+    // fail at call time on the driver, not as an executor-side
+    // ArithmeticException mid-scan
+    require(frameSize > 0, s"frameSize must be positive, got $frameSize")
+    require(stride > 0, s"stride must be positive, got $stride")
     val outSchema = StructType(df.schema.fields ++ Seq(
       StructField("frame_idx", IntegerType), StructField("frame", BinaryType)))
     val enc = RowEncoder.encoderFor(outSchema)

@@ -21,8 +21,9 @@ object ValidatedIO {
     Validate.columns(spark.read.parquet(path), specs: _*)
 
   /** CSV with an explicit schema (malformed lines land in
-    * `_corrupt_record` under PERMISSIVE mode and can be routed by a
-    * Required validator on that column). */
+    * `_corrupt_record` under PERMISSIVE mode and can be routed with an
+    * `Empty()` validator on that column — null/empty passes, a populated
+    * corrupt record quarantines the row). */
   def csv(spark: SparkSession, path: String, schema: StructType,
           options: Map[String, String] = Map("header" -> "true"))(
           specs: (String, Validator)*): ValidationResult =
@@ -67,9 +68,9 @@ object ValidatedIO {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     try {
       writer(cached.valid).save(validPath)
-      writer(cached.invalid.withColumn("_errors",
+      writer(cached.invalid.withColumn(Validate.ErrorsCol,
         org.apache.spark.sql.functions.to_json(
-          org.apache.spark.sql.functions.col("_errors")))).save(invalidPath)
+          org.apache.spark.sql.functions.col(Validate.ErrorsCol)))).save(invalidPath)
     } finally cached.df.unpersist()
   }
 }

@@ -64,8 +64,14 @@ object StreamingValidate {
       validSink: DataFrame => Unit, invalidSink: DataFrame => Unit): (DataFrame, Long) => Unit =
     (batch, _) => {
       val res = Validate.columns(batch, specs: _*)
-      validSink(res.valid)
-      invalidSink(res.invalid)
+      // both sinks consume the same annotated batch — persist so the
+      // micro-batch source read + validator chain runs once, not twice
+      val cached = res.df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val shared = res.copy(df = cached)
+        validSink(shared.valid)
+        invalidSink(shared.invalid)
+      } finally cached.unpersist()
     }
 
   /** Running per-key validation-error stats. */

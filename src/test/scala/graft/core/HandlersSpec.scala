@@ -64,6 +64,35 @@ class HandlersSpec extends SparkSuite {
     assert(msgs(2L) == "Custom: 5+")
   }
 
+  test("dotted LITERAL column names validate (not parsed as struct access)") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, "x"), org.apache.spark.sql.Row(2L, null)), 1),
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, `user.name` STRING"))
+    val res = Validate(df, "user.name" -> F.Required())
+    assert(res.valid.count() == 1 && res.invalid.count() == 1)
+  }
+
+  test("pre-existing null _errors rows are not silently dropped by the merge") {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v STRING, _errors ARRAY<STRUCT<key: STRING, code: STRING, message: STRING>>")
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, "ok", null),
+      org.apache.spark.sql.Row(2L, "fine", Seq.empty))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val res = Validate(df, "v" -> F.Required())
+    assert(res.valid.count() + res.invalid.count() == 2,
+      "every row must land in exactly one split")
+    assert(res.valid.count() == 2)
+  }
+
+  test("templates() does not reclassify a cheap chain as barrier-needing") {
+    val cheap = F.MinLength(2) | F.MinLength(5).templates("too_short" -> "x")
+    assert(!cheap.needsBarrier, "message override must not defeat scan pushdown")
+    val heavy = F.Required() | F.CaseFold().templates("unused" -> "x")
+    assert(heavy.needsBarrier, "heavy leaf stays heavy through the wrapper")
+  }
+
   test("LogHandler: summarizes counts, returns valid rows") {
     val lines = scala.collection.mutable.ArrayBuffer[String]()
     val out = Validate(df, "v" -> F.Required()).logInvalid(lines += _)
