@@ -417,9 +417,11 @@ object SparkEntry {
         "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]|\\p{Cf}', '', 'g')) AS cleaned " +
         "FROM documents ORDER BY doc_id"),
     "q_json" ->
-      // WHERE twin of JsonDecode's .valid split: malformed JSON rows are
-      // DROPPED by Spark, and json_extract_string would ERROR on them here
-      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events WHERE props IS NULL OR json_valid(props) ORDER BY event_id",
+      // WHERE twin of JsonDecode's .valid split: malformed JSON is DROPPED
+      // by Spark (json_extract_string would ERROR on it here), and so is
+      // valid JSON whose root is not an object (from_json against a struct
+      // schema nulls out -> coded rejection)
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events WHERE props IS NULL OR (json_valid(props) AND json_type(props) = 'OBJECT') ORDER BY event_id",
     "q_regex" ->
       "SELECT doc_id, CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS BIGINT) AS n_matches FROM documents WHERE text IS NULL OR len(regexp_extract_all(text, '[aeiou]{2}')) > 0 ORDER BY doc_id",
     "q_split" ->

@@ -67,17 +67,25 @@ object native {
     invoke(ArrayType(LongType, containsNull = false), "minhashSigShingles",
       Seq(e(c), Literal(k), Literal(numHashes)), Seq(StringType, IntegerType, IntegerType))
 
+  // array kernels declare their element types: ArrayData.getDouble on an
+  // array<float> column would read 4-byte slots as 8-byte doubles; the
+  // declared inputTypes make the analyzer insert the widening cast (or
+  // fail cleanly) instead
   def sigAgreement(a: Column, b: Column): Column =
-    invoke(DoubleType, "sigAgreement", Seq(e(a), e(b)), Nil)
+    invoke(DoubleType, "sigAgreement", Seq(e(a), e(b)),
+      Seq(ArrayType(LongType), ArrayType(LongType)))
 
   def dotD(a: Column, b: Column): Column =
-    invoke(DoubleType, "dotD", Seq(e(a), e(b)), Nil)
+    invoke(DoubleType, "dotD", Seq(e(a), e(b)),
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType)))
 
   def cosineD(a: Column, b: Column): Column =
-    invoke(DoubleType, "cosineD", Seq(e(a), e(b)), Nil)
+    invoke(DoubleType, "cosineD", Seq(e(a), e(b)),
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType)))
 
   def lshBucketD(v: Column, bits: Int): Column =
-    invoke(LongType, "lshBucketD", Seq(e(v), Literal(bits)), Nil)
+    invoke(LongType, "lshBucketD", Seq(e(v), Literal(bits)),
+      Seq(ArrayType(DoubleType), IntegerType))
 
   /** try_cast — null instead of error on failed cast (ANSI-safe coercion). */
   def tryCast(c: Column, dt: DataType): Column =

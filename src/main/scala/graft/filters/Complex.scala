@@ -19,6 +19,7 @@ import graft.core.{Errs, Validator}
   * `Validate.columns`, which applies steps behind linear projections.
   */
 case class FilterMapper(fieldMap: Seq[(String, Validator)]) extends Validator {
+  require(fieldMap.nonEmpty, "FilterMapper needs at least one field")
   val name = "FilterMapper"
 
   def step(value: Column, errors: Column, key: Column): (Column, Column) = {

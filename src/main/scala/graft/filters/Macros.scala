@@ -8,10 +8,20 @@ import graft.core.Validator
   * from the reference docs plus pipeline-flavored combinations. */
 object Macros {
 
-  /** The canonical text-cleaning chain (`Required | Unicode | Strip`). */
+  /** The canonical text-cleaning chain (`Required | Unicode | Strip`) —
+    * the reference docs' ordering. NOTE: Required runs on the RAW value,
+    * so whitespace-only input passes and cleans to "" (the reference
+    * behaves identically); use [[cleanTextStrict]] to also reject values
+    * that are empty AFTER normalization. */
   def cleanText: Validator = Required() | Unicode() | Strip()
 
-  /** Optional text: default empty, then normalize. */
+  /** cleanText + post-normalization emptiness check: "   " (or
+    * control-char soup) rejects with `empty` instead of cleaning to "". */
+  def cleanTextStrict: Validator = Required() | Unicode() | Strip() | NotEmpty()
+
+  /** Optional text: default empty, then normalize. Like the reference,
+    * the emptiness test is on the raw value — whitespace-only input is
+    * NOT replaced by the default (it normalizes to ""). */
   def optionalText(default: String = ""): Validator =
     Optional(default) | Unicode() | Strip()
 

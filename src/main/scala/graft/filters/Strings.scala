@@ -30,12 +30,18 @@ case class CaseFold() extends ScalarFilter {
 }
 
 /** Decode/clean to normalized text: NFC, control-char strip, \n line
-  * endings. Binary input is UTF-8 decoded first.
+  * endings. Binary input is UTF-8 decoded first — and VALIDATED: bytes
+  * that aren't well-formed UTF-8 reject with `bad_encoding` (the
+  * reference's decode-error path) instead of silently garbling to U+FFFD.
   * Reference: `filters/string.py::Unicode`. */
 case class Unicode(normalize: Boolean = true) extends ScalarFilter {
   val name = "Unicode"
   override def heavy = true
   val code = "bad_encoding"
+  // string inputs round-trip to valid UTF-8 bytes, so this only fires for
+  // genuinely undecodable binary payloads
+  override protected def invalid(v: Column) =
+    !is_valid_utf8(v.cast(org.apache.spark.sql.types.BinaryType))
   override protected def clean(v: Column) =
     if (normalize) native.unicodeClean(v.cast(StringType)) else v.cast(StringType)
 }
@@ -106,9 +112,15 @@ case class JsonDecode(schemaDdl: String) extends ScalarFilter {
   override def heavy = true
   val code = "not_json"
   override protected def defaultMessage = "This value is not valid JSON."
-  // from_json is lenient (truncated input yields a struct of nulls, not a
-  // null struct) — strict malformed-JSON detection needs the variant parser.
-  override protected def invalid(v: Column) = try_parse_json(v).isNull
+  // Two-part check: the variant parser catches malformed JSON (from_json
+  // is lenient there — truncated input yields a struct of nulls), and the
+  // root-shape test catches VALID JSON that isn't an object (array/scalar
+  // against a struct schema — from_json yields a struct of ALL-NULL
+  // fields, so such input would otherwise pass as "valid" with its data
+  // silently gone). For valid JSON, root-is-object ⟺ the first
+  // non-whitespace char is '{'.
+  override protected def invalid(v: Column) =
+    try_parse_json(v).isNull || !ltrim(v).startsWith("{")
   override protected def clean(v: Column) = from_json(v, lit(schemaDdl))
 }
 
@@ -153,12 +165,21 @@ case class Regex(pattern: String) extends ScalarFilter {
   override protected def clean(v: Column) = regexp_extract_all(v, lit(pattern), lit(0))
 }
 
-/** Regex-split; with `keys`, zip parts into a named struct.
-  * Reference: `filters/string.py::Split`. */
+/** Regex-split; with `keys`, zip parts into a named struct. The keyed
+  * form REJECTS a part/key count mismatch (`wrong_count`) — silently
+  * nulling missing fields or dropping extras would let malformed rows
+  * flow downstream as valid data.
+  * Reference: `filters/string.py::Split` (keyed arity ⚠ per SURVEY §2.2;
+  * our behavior is pinned here and by `MiscFiltersSpec`). */
 case class Split(pattern: String, keys: Seq[String] = Nil) extends ScalarFilter {
   val name = "Split"
   override def heavy = true
-  val code = "unused"
+  val code = "wrong_count"
+  override protected def defaultMessage =
+    s"Expected exactly ${keys.size} parts."
+  override protected def invalid(v: Column) =
+    if (keys.isEmpty) lit(false)
+    else size(split(v, pattern)) =!= keys.size
   override protected def clean(v: Column) = {
     val parts = split(v, pattern)
     if (keys.isEmpty) parts
@@ -210,14 +231,14 @@ class Datetime(val timezone: String = "UTC", val formats: Seq[String] = Nil) ext
     if (timezone == "UTC") base
     else {
       // offset forms: Z, +HH, +HHMM, +HH:MM, +H:MM — but only AFTER a
-      // time-of-day (1- or 2-digit hour — custom formats can parse "9:05"),
-      // else the day of a date-only string ("2024-01-01") reads as an
-      // offset. A single-digit offset hour REQUIRES the colon so a
-      // dash-separated trailing field like "-123" (e.g. dash-millis
-      // formats) cannot backtrack-match as "-1"+"23". Trailing whitespace
-      // tolerated — Spark's parser trims before parsing.
+      // time-of-day (colon form with 1- or 2-digit hour, or compact
+      // 6-digit HHmmss from basic-ISO custom formats), else the day of a
+      // date-only string ("2024-01-01") reads as an offset. A single-digit
+      // offset hour REQUIRES the colon so a dash-separated trailing field
+      // like "-123" (e.g. dash-millis formats) cannot backtrack-match as
+      // "-1"+"23". Trailing whitespace tolerated — Spark's parser trims.
       val hasOffset = v.cast(StringType).rlike(
-        "[0-9]{1,2}:[0-9]{2}(:[0-9]{2}(\\.[0-9]+)?)?\\s*" +
+        "([0-9]{1,2}:[0-9]{2}(:[0-9]{2}(\\.[0-9]+)?)?|[0-9]{6}(\\.[0-9]+)?)\\s*" +
           "([Zz]|[+-]([0-9]{2}(:?[0-9]{2})?|[0-9](:[0-9]{2})?))\\s*$")
       when(hasOffset, base).otherwise(to_utc_timestamp(base, timezone))
     }

@@ -97,6 +97,13 @@ class MiscFiltersSpec extends SparkSuite {
     assert(r.getString(0) == "2024" && r.getString(1) == "01" && r.getString(2) == "15")
   }
 
+  test("Split keyed rejects part/key count mismatch") {
+    assertErrors(F.Split("-", Seq("y", "m", "d")), "STRING", "2024-01", Seq("wrong_count"))
+    assertErrors(F.Split("-", Seq("y", "m", "d")), "STRING", "2024-01-15-extra", Seq("wrong_count"))
+    // keyless split never rejects
+    assertPasses(F.Split("-"), "STRING", "just-two", Seq("just", "two"))
+  }
+
   test("Choice case-insensitive keeps original value") {
     assertPasses(F.Choice(Seq("Red", "Blue"), caseSensitive = false), "STRING", "RED", "RED")
     assertErrors(F.Choice(Seq("Red", "Blue"), caseSensitive = false), "STRING", "green",
