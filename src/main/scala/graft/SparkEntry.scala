@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Validate, ValidationResult}
 import graft.{filters => F}
-import graft.filters.{Emptiness, FilterMapper, FilterRepeater, FilterSwitch}
+import graft.filters.{Emptiness, FilterMapper, FilterMapperDynamic, FilterRepeater, FilterSwitch}
 import graft.ops.{Dedup, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator
@@ -191,6 +191,23 @@ object SparkEntry {
         "event_type" -> F.Choice(Seq("signup", "purchase", "error")),
         "value" -> F.Min(50.0)))
       Validate(ev, "rec" -> mapper).errorCodes.orderBy("key", "code")
+    }),
+    "q_mapper_dynamic" -> ((s, dir) => {
+      // runtime key policy over a map<string,string>: vary the key set by
+      // event_id so all three policy codes fire (extra_key / missing_key /
+      // a field-chain error on a present key)
+      val ev = T(s, dir, "events")
+      val ks = (col("event_id") % 150).cast("string")
+      val m4 = col("event_id") % 4
+      val ev2 = ev.withColumn("m",
+        when(m4 === 0, map(lit("k"), ks, lit("v"), lit("ok")))
+          .when(m4 === 1, map(lit("k"), ks))
+          .when(m4 === 2, map(lit("k"), ks, lit("v"), lit("ok"), lit("z"), lit("boom")))
+          .otherwise(map(lit("v"), lit("ok"))))
+      val dyn = FilterMapperDynamic(
+        Seq("k" -> F.MinLength(2), "v" -> F.Choice(Seq("ok", "meh"))),
+        allowExtraKeys = false, allowMissingKeys = false)
+      Validate(ev2, "m" -> dyn).errorCodes.orderBy("key", "code")
     }),
     "q_repeater" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
@@ -444,6 +461,13 @@ object SparkEntry {
         s"SELECT doc_id, CASE WHEN upper(cc0) IN ($codes) THEN upper(cc0) END AS cc, " +
         s"upper(cc0) IN ($codes) AS ok FROM t ORDER BY doc_id")
     },
+    "q_mapper_dynamic" ->
+      ("SELECT * FROM (" +
+        "SELECT 'm.k' AS key, 'missing_key' AS code, COUNT(*) AS n FROM events WHERE event_id % 4 = 3 " +
+        "UNION ALL SELECT 'm.k', 'too_short', COUNT(*) FROM events WHERE event_id % 4 <> 3 AND length(CAST(event_id % 150 AS VARCHAR)) < 2 " +
+        "UNION ALL SELECT 'm.v', 'missing_key', COUNT(*) FROM events WHERE event_id % 4 = 1 " +
+        "UNION ALL SELECT 'm.z', 'extra_key', COUNT(*) FROM events WHERE event_id % 4 = 2" +
+        ") t WHERE n > 0 ORDER BY key, code"),
     "q_repeater" ->
       // null array passes (None-passthrough -> ok TRUE), mirrored explicitly:
       // bare len(list_filter(NULL,..)) = 0 would yield NULL not TRUE

@@ -44,6 +44,71 @@ object FilterMapper {
   def of(fields: (String, Validator)*): FilterMapper = FilterMapper(fields)
 }
 
+/** Per-field validation of a DYNAMIC string-keyed map (`map<string,V>`) —
+  * the reference `FilterMapper`'s runtime-dict form
+  * (`filters/complex.py::FilterMapper(filter_map, allow_extra_keys,
+  * allow_missing_keys)`). Where [[FilterMapper]] diffs keys at compile time
+  * against a static `StructType`, here key presence is a per-row runtime
+  * fact:
+  *
+  *  - declared key present → its chain runs on the value (errors keyed
+  *    `"parent.field"`, field-level short-circuit like [[FilterMapper]]);
+  *  - declared key absent → `missing_key` error unless `allowMissingKeys`
+  *    (absent keys stay absent in the output — no null insertion);
+  *  - undeclared key present → `extra_key` error (keyed by the offending
+  *    key) unless `allowExtraKeys`; allowed extras pass through untouched,
+  *    rejected extras null their value like any invalid field.
+  *
+  * Error order is pinned: declared fields in `fieldMap` order, then extra
+  * keys in map-entry order. A null map passes through (None-passthrough).
+  * All chains run per-entry inside ONE expression — map-only, no shuffle. */
+case class FilterMapperDynamic(fieldMap: Seq[(String, Validator)],
+                               allowExtraKeys: Boolean = true,
+                               allowMissingKeys: Boolean = true) extends Validator {
+  require(fieldMap.nonEmpty, "FilterMapperDynamic needs at least one field")
+  val name = "FilterMapperDynamic"
+
+  def step(value: Column, errors: Column, key: Column): (Column, Column) = {
+    val noPrior = size(errors) === 0
+    val declared = typedLit(fieldMap.map(_._1))
+
+    val fieldErrs = fieldMap.map { case (f, fv) =>
+      val subKey = concat(key, lit("." + f))
+      val present = map_contains_key(value, lit(f))
+      // try_element_at: plain element_at on a map THROWS on a missing key
+      // under ANSI mode; here absence is an expected, policy-governed case
+      val (_, ce) = fv.step(try_element_at(value, lit(f)), Errs.none, subKey)
+      if (allowMissingKeys) when(present, ce).otherwise(Errs.none)
+      else when(present, ce).otherwise(
+        array(Errs.one(subKey, "missing_key", lit("This key is required."))))
+    }
+    val extraErrs =
+      if (allowExtraKeys) Errs.none
+      else transform(
+        filter(map_keys(value), k => !array_contains(declared, k)),
+        k => Errs.one(concat(key, lit("."), k), "extra_key",
+          lit("This key is not expected.")))
+
+    val rebuilt = transform_values(value, (k, x) => {
+      val cleanedDecl = fieldMap.foldLeft(when(lit(false), x)) { case (acc, (f, fv)) =>
+        acc.when(k === f, fv.step(x, Errs.none, concat(key, lit("."), k))._1)
+      }
+      // no otherwise → rejected extras fall through to a typed null
+      if (allowExtraKeys) cleanedDecl.otherwise(x) else cleanedDecl
+    })
+
+    val allErrs = concat(fieldErrs :+ extraErrs: _*)
+    val newValue = when(noPrior && value.isNotNull, rebuilt)
+    val newErrors = when(!noPrior, errors)
+      .when(value.isNotNull, allErrs)
+      .otherwise(Errs.none)
+    (newValue, newErrors)
+  }
+}
+object FilterMapperDynamic {
+  def of(fields: (String, Validator)*): FilterMapperDynamic = FilterMapperDynamic(fields)
+}
+
 /** Apply one chain to every element of an array value; per-element errors
   * keyed `"col.0"`, `"col.1"`, … — reference
   * `filters/complex.py::FilterRepeater`. Uses the `transform` higher-order

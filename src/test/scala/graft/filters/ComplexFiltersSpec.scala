@@ -73,6 +73,76 @@ class ComplexFiltersSpec extends SparkSuite {
     assert(errPairs(out).isEmpty)
   }
 
+  // ---- FilterMapperDynamic: all four key-policy combinations ------------
+
+  private def dynDf(maps: Seq[Map[String, String]]) = {
+    val schema = StructType.fromDDL("m MAP<STRING, STRING>")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(maps.map(Row(_)), 1), schema)
+  }
+
+  test("FilterMapperDynamic strict: extra_key AND missing_key fire") {
+    val dyn = FilterMapperDynamic(
+      Seq("k" -> F.MinLength(2), "v" -> F.NoOp()),
+      allowExtraKeys = false, allowMissingKeys = false)
+    val out = Validate.column(dynDf(Seq(Map("k" -> "ab", "z" -> "boom"))), "m", dyn)
+    assert(errPairs(out).sorted == Seq(("m.v", "missing_key"), ("m.z", "extra_key")))
+  }
+
+  test("FilterMapperDynamic lenient: extras and missing both tolerated") {
+    val dyn = FilterMapperDynamic(
+      Seq("k" -> F.MinLength(2), "v" -> F.NoOp()),
+      allowExtraKeys = true, allowMissingKeys = true)
+    val out = Validate.column(dynDf(Seq(Map("k" -> "ab", "z" -> "boom"))), "m", dyn)
+    assert(errPairs(out).isEmpty)
+    // allowed extra passes through untouched; declared key cleaned in place
+    val m = out.collect()(0).getMap[String, String](0)
+    assert(m == Map("k" -> "ab", "z" -> "boom"))
+  }
+
+  test("FilterMapperDynamic allow-extra only: missing_key fires, extra passes") {
+    val dyn = FilterMapperDynamic(Seq("k" -> F.NoOp(), "v" -> F.NoOp()),
+      allowExtraKeys = true, allowMissingKeys = false)
+    val out = Validate.column(dynDf(Seq(Map("k" -> "x", "z" -> "boom"))), "m", dyn)
+    assert(errPairs(out) == Seq(("m.v", "missing_key")))
+  }
+
+  test("FilterMapperDynamic allow-missing only: extra_key fires, missing passes") {
+    val dyn = FilterMapperDynamic(Seq("k" -> F.NoOp(), "v" -> F.NoOp()),
+      allowExtraKeys = false, allowMissingKeys = true)
+    val out = Validate.column(dynDf(Seq(Map("k" -> "x", "z" -> "boom"))), "m", dyn)
+    assert(errPairs(out) == Seq(("m.z", "extra_key")))
+  }
+
+  test("FilterMapperDynamic runs field chains on present keys; rejected extras null out") {
+    val dyn = FilterMapperDynamic(Seq("k" -> (F.Strip() | F.MinLength(2))),
+      allowExtraKeys = false, allowMissingKeys = true)
+    val rows = Seq(Map("k" -> "  ab  "), Map("k" -> "x"), Map("k" -> "ok", "z" -> "boom"))
+    val out = Validate.column(dynDf(rows), "m", dyn)
+    assert(errPairs(out).sorted == Seq(("m.k", "too_short"), ("m.z", "extra_key")))
+    val cleaned = out.collect().map(_.getMap[String, String](0))
+    assert(cleaned(0) == Map("k" -> "ab"))            // chain cleaned in place
+    assert(cleaned(1) == Map("k" -> null))            // field error → null value
+    assert(cleaned(2) == Map("k" -> "ok", "z" -> null)) // rejected extra → null value
+  }
+
+  test("FilterMapperDynamic: missing key sees missing_key, NOT the field chain") {
+    // a Required chain must not ALSO fire its own empty error on an absent
+    // key — absence is the policy's fact, not the chain's
+    val dyn = FilterMapperDynamic(Seq("k" -> F.Required()),
+      allowExtraKeys = true, allowMissingKeys = false)
+    val out = Validate.column(dynDf(Seq(Map("other" -> "x"))), "m", dyn)
+    assert(errPairs(out) == Seq(("m.k", "missing_key")))
+  }
+
+  test("FilterMapperDynamic: null map passes through (None-passthrough)") {
+    val dyn = FilterMapperDynamic(Seq("k" -> F.Required()),
+      allowExtraKeys = false, allowMissingKeys = false)
+    val out = Validate.column(dynDf(Seq(null)), "m", dyn)
+    assert(errPairs(out).isEmpty)
+    assert(out.collect()(0).isNullAt(0))
+  }
+
   test("null struct passes through mapper/repeater (None-passthrough)") {
     val schema = StructType.fromDDL("rec STRUCT<a: STRING>, arr ARRAY<DOUBLE>")
     val df = spark.createDataFrame(
