@@ -1,58 +1,96 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal columns (BASELINE.json mandate, SURVEY.md §2.6): image/audio/
   * video as opaque `binary` columns + typed metadata structs.
   *
-  * The Spark-side plumbing — schema, partition sizing, per-partition batch
-  * decode shape — is real and tested. The actual media DECODE step is a
-  * clearly-marked deterministic STUB (`fakeDecode*`): this container ships
-  * no image/audio codecs, so the stub derives plausible metadata from the
-  * byte content. Swap `fakeDecodeImage` for a real codec (e.g. TwelveMonkeys
-  * ImageIO) without touching any of the distribution logic.
+  * Image decode is REAL: JDK `javax.imageio` (PNG/JPEG/GIF/BMP/WBMP — the
+  * readers that ship with the JRE; no external codec). Metadata extraction
+  * reads only the header (ImageIO readers parse dimensions lazily), so
+  * `withImageMeta` never materializes pixel data. `resizeImages` and
+  * `imageHistogramFeatures` DO decode pixels — both are per-partition batch
+  * shapes with bounded per-row output. Undecodable payloads yield null
+  * metadata / null output rather than failing the job (quarantine them with
+  * `Validate` on the null meta downstream).
+  *
+  * Remaining stubs, clearly marked: `extractFeatures` (hash-derived vector —
+  * stands in for a learned embedding model, which no JDK ships) and
+  * `sampleFrames` (byte-chunk "frames" — the JDK has no video codec). Their
+  * Spark-side plumbing (schema, batch iteration, flatMap fan-out) is real.
   */
 object Multimodal {
 
   val imageMetaSchema: StructType = StructType.fromDDL(
     "width INT, height INT, channels INT, format STRING")
 
-  /** STUB decode: deterministic metadata from the payload bytes. A real
-    * implementation decodes the header; the plumbing (batch iteration,
-    * output schema, null handling) is identical. */
-  private[ops] def fakeDecodeImage(bytes: Array[Byte]): Row = {
-    if (bytes == null || bytes.length == 0) return Row(null, null, null, null)
-    var h = 1125899906842597L
-    var i = 0
-    while (i < math.min(bytes.length, 64)) { h = 31 * h + bytes(i); i += 1 }
-    val w = 64 + (math.abs(h) % 512).toInt
-    val ht = 64 + (math.abs(h >> 16) % 512).toInt
-    Row(w, ht, 3, "stub/raw")
+  private val nullMeta = Row(null, null, null, null)
+
+  /** Real header decode: dimensions + band count + format via the JDK's
+    * registered ImageIO readers. Only the header is parsed — `getWidth`/
+    * `getHeight`/`getImageTypes` on an ImageReader are metadata reads, not
+    * a pixel decode. Returns all-null metadata for non-image bytes. */
+  private[ops] def decodeImageMeta(bytes: Array[Byte]): Row = {
+    if (bytes == null || bytes.length == 0) return nullMeta
+    // MemoryCacheImageInputStream (useCache=false default for stream input
+    // below): no executor-local temp files per image
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    if (iis == null) return nullMeta
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return nullMeta
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val w = reader.getWidth(0)
+        val h = reader.getHeight(0)
+        val types = reader.getImageTypes(0)
+        val channels: Any =
+          if (types.hasNext) types.next().getNumBands else null
+        Row(w, h, channels, reader.getFormatName.toLowerCase(java.util.Locale.ROOT))
+      } finally reader.dispose()
+    } catch {
+      case _: Exception => nullMeta // truncated/corrupt header
+    } finally iis.close()
+  }
+
+  /** Full pixel decode; None for non-image payloads. */
+  private[ops] def decodeImage(bytes: Array[Byte]): Option[BufferedImage] = {
+    if (bytes == null || bytes.length == 0) return None
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
   }
 
   /** Attach decoded metadata to a binary column via per-partition batch
     * decode (`mapPartitions` — the JVM analog of a vectorized decode UDF:
-    * one decoder init per partition, streamed rows, no driver collect). */
+    * one pass per partition, streamed rows, no driver collect). */
   def withImageMeta(df: DataFrame, binCol: String, metaCol: String = "image_meta"): DataFrame = {
     val outSchema = df.schema.add(metaCol, imageMetaSchema)
     val enc = RowEncoder.encoderFor(outSchema)
     val binIdx = df.schema.fieldIndex(binCol)
     df.mapPartitions { rows =>
-      // per-partition decoder init would go here (real codec); stub needs none
+      // the ImageIO registry is JVM-global and thread-safe; no per-partition
+      // init needed beyond disabling the disk cache for this executor
+      ImageIO.setUseCache(false)
       rows.map { r =>
         val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
-        Row.fromSeq(r.toSeq :+ (if (bytes == null) null else fakeDecodeImage(bytes)))
+        Row.fromSeq(r.toSeq :+ (if (bytes == null) null else decodeImageMeta(bytes)))
       }
     }(enc)
   }
 
-  /** Feature-extraction stub: binary payload → fixed-width float embedding
-    * (deterministic hash-derived features; a real extractor plugs in a
-    * model here). Output shape matches the `embeddings` table so the
-    * similarity operators compose directly. */
+  /** Feature-extraction STUB: binary payload → fixed-width float vector
+    * (deterministic hash-derived features; a real extractor plugs a model in
+    * here — none ships with the JDK). Output shape matches the `embeddings`
+    * table so the similarity operators compose directly. For DECODABLE
+    * images prefer [[imageHistogramFeatures]], which is real. */
   def extractFeatures(df: DataFrame, binCol: String, dims: Int = 64,
                       outCol: String = "features"): DataFrame = {
     val outSchema = df.schema.add(outCol, ArrayType(FloatType, containsNull = false))
@@ -77,30 +115,79 @@ object Multimodal {
     }(enc)
   }
 
-  /** "Resize" stub: emits a downsampled payload (here: truncated bytes) +
-    * target dims — models the shape of a distributed media transform:
-    * map-only, bounded output size per row. */
+  /** REAL image features: per-channel intensity histogram over the decoded
+    * pixels (`3 * bins` floats, L1-normalized per channel) — the classic
+    * color-histogram descriptor; composes with the similarity operators.
+    * Non-image payloads → null vector. Decodes pixels: budget partitions
+    * accordingly (`maxPartitionBytes`) when payloads are large. */
+  def imageHistogramFeatures(df: DataFrame, binCol: String, bins: Int = 8,
+                             outCol: String = "features"): DataFrame = {
+    require(bins > 0 && bins <= 256, s"bins must be in 1..256, got $bins")
+    val outSchema = df.schema.add(outCol, ArrayType(FloatType, containsNull = false))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        val feats = decodeImage(bytes).map { img =>
+          val hist = new Array[Float](3 * bins)
+          val w = img.getWidth; val h = img.getHeight
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              hist(((rgb >> 16) & 0xff) * bins / 256) += 1f
+              hist(bins + (((rgb >> 8) & 0xff) * bins / 256)) += 1f
+              hist(2 * bins + ((rgb & 0xff) * bins / 256)) += 1f
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toFloat
+          var i = 0
+          while (i < hist.length) { hist(i) /= n; i += 1 }
+          hist.toSeq
+        }.orNull
+        Row.fromSeq(r.toSeq :+ feats)
+      }
+    }(enc)
+  }
+
+  /** REAL resize: decode → scale (bilinear) → re-encode PNG. Undecodable
+    * payloads → null output. Map-only; per-row output bounded by the target
+    * dims, so a 100 TB corpus of mixed-size images emits uniform rows. */
   def resizeImages(df: DataFrame, binCol: String, w: Int, h: Int): DataFrame = {
     require(w > 0 && h > 0, s"target dims must be positive, got ${w}x$h")
     val outSchema = df.schema
       .add("resized", BinaryType).add("target_w", IntegerType).add("target_h", IntegerType)
     val enc = RowEncoder.encoderFor(outSchema)
     val binIdx = df.schema.fieldIndex(binCol)
-    // Long math: 30000x30000x3 overflows Int to a negative budget, which
-    // would silently truncate every payload to 1 byte
-    val budget = math.min(w.toLong * h * 3 / 64, scala.Int.MaxValue).toInt
     df.mapPartitions { rows =>
+      ImageIO.setUseCache(false)
       rows.map { r =>
         val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
-        val out = if (bytes == null) null else bytes.take(math.max(budget, 1))
+        val out = decodeImage(bytes).map { img =>
+          val target = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          val g = target.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+          } finally g.dispose()
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(target, "png", bos)
+          bos.toByteArray
+        }.orNull
         Row.fromSeq(r.toSeq ++ Seq(out, w, h))
       }
     }(enc)
   }
 
-  /** Frame sampling stub for video-ish payloads: split the payload into
-    * `frameSize` chunks, keep every `stride`-th — exercises the
-    * one-row→many-rows (flatMap) shape with bounded memory. */
+  /** Frame sampling STUB for video-ish payloads (no JDK video codec): split
+    * the payload into `frameSize` chunks, keep every `stride`-th — exercises
+    * the one-row→many-rows (flatMap) shape with bounded memory. */
   def sampleFrames(df: DataFrame, binCol: String, frameSize: Int, stride: Int): DataFrame = {
     // fail at call time on the driver, not as an executor-side
     // ArithmeticException mid-scan

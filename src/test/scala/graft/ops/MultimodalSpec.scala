@@ -1,73 +1,143 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 import graft.SparkSuite
 
-/** Multimodal binary-column plumbing (decode step is a marked STUB; the
-  * distribution shape — schema, per-partition batches, flatMap fan-out —
-  * is the thing under test). */
+/** Multimodal binary columns: REAL JDK ImageIO decode (PNG/JPEG/GIF/BMP)
+  * plus the distribution shape — schema, per-partition batches, flatMap
+  * fan-out. Fixtures are genuine encoded images generated in-process. */
 class MultimodalSpec extends SparkSuite {
   private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
 
-  test("binary payload column + metadata struct schema") {
-    val withBin = Multimodal.asBinaryPayload(docs.limit(10), "text")
-    assert(withBin.schema("payload").dataType.typeName == "binary")
-    val withMeta = Multimodal.withImageMeta(withBin, "payload")
-    val metaType = withMeta.schema("image_meta").dataType
-    assert(metaType.isInstanceOf[org.apache.spark.sql.types.StructType])
-    val rows = withMeta.select("image_meta.width", "image_meta.height").collect()
-    assert(rows.length == 10)
-    rows.foreach { r => assert(r.getInt(0) >= 64 && r.getInt(1) >= 64) }
+  /** Encode a w×h image with deterministic pixel content. */
+  private def imageBytes(w: Int, h: Int, format: String, seed: Int = 7): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (x * 31 + y * 17 + seed * 101) & 0xffffff)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, format, bos)
+    bos.toByteArray
   }
 
-  test("stub decode is deterministic (same bytes → same metadata)") {
-    val withBin = Multimodal.asBinaryPayload(docs.limit(5), "text")
-    val a = Multimodal.withImageMeta(withBin, "payload")
-      .select("doc_id", "image_meta.width").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
-    val b = Multimodal.withImageMeta(withBin, "payload")
-      .select("doc_id", "image_meta.width").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
-    assert(a == b)
+  private def imageDf(rows: Seq[(Long, Array[Byte])]) = {
+    val schema = StructType.fromDDL("id BIGINT, payload BINARY")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, b) => Row(i, b) }, 2), schema)
   }
 
-  test("feature extraction emits fixed-width float vectors composable with similarity ops") {
+  test("withImageMeta decodes real PNG/JPEG/GIF/BMP headers") {
+    val df = imageDf(Seq(
+      1L -> imageBytes(40, 30, "png"),
+      2L -> imageBytes(64, 8, "jpg"),
+      3L -> imageBytes(16, 16, "gif"),
+      4L -> imageBytes(10, 20, "bmp")))
+    val meta = Multimodal.withImageMeta(df, "payload")
+      .select("id", "image_meta.width", "image_meta.height", "image_meta.format")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(meta(1L) == ((40, 30, "png")))
+    assert(meta(2L)._1 == 64 && meta(2L)._2 == 8 && meta(2L)._3.startsWith("jp"))
+    assert(meta(3L) == ((16, 16, "gif")))
+    assert(meta(4L) == ((10, 20, "bmp")))
+  }
+
+  test("withImageMeta reports channel count and nulls out non-image bytes") {
+    val df = imageDf(Seq(
+      1L -> imageBytes(8, 8, "png"),
+      2L -> "definitely not an image".getBytes("UTF-8"),
+      3L -> Array.empty[Byte],
+      4L -> null))
+    val rows = Multimodal.withImageMeta(df, "payload").select("id", "image_meta").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getStruct(1))).toMap
+    assert(rows(1L).getInt(2) == 3, "RGB PNG must report 3 bands")
+    // non-image bytes → all-null meta struct; empty → all-null; null → null struct
+    assert(rows(2L).isNullAt(0) && rows(2L).isNullAt(3))
+    assert(rows(3L).isNullAt(0))
+    assert(rows(4L) == null)
+  }
+
+  test("decode survives truncated/corrupt headers without failing the job") {
+    val png = imageBytes(32, 32, "png")
+    val df = imageDf(Seq(
+      1L -> png.take(8),                      // magic only, no IHDR
+      2L -> png.take(png.length / 2),         // header ok, body truncated
+      3L -> png.map(b => (b ^ 0x5a).toByte))) // scrambled
+    // must not throw; row 2 still has a parseable header (dims live in IHDR)
+    val rows = Multimodal.withImageMeta(df, "payload")
+      .select("id", "image_meta.width").collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) null else r.getInt(1))).toMap
+    assert(rows(1L) == null)
+    assert(rows(2L) == 32)
+    assert(rows.size == 3)
+  }
+
+  test("resize really rescales: output decodes to the target dims") {
+    val df = imageDf(Seq(1L -> imageBytes(64, 48, "png"), 2L -> "junk".getBytes))
+    val out = Multimodal.resizeImages(df, "payload", 16, 12).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("resized")).toMap
+    val back = Multimodal.decodeImageMeta(out(1L))
+    assert(back.getInt(0) == 16 && back.getInt(1) == 12)
+    assert(out(2L) == null, "undecodable payload must yield null, not garbage")
+  }
+
+  test("imageHistogramFeatures: real per-channel histogram, L1-normalized") {
+    val df = imageDf(Seq(1L -> imageBytes(20, 10, "png"), 2L -> "junk".getBytes))
+    val rows = Multimodal.imageHistogramFeatures(df, "payload", bins = 4)
+      .select("id", "features").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Float](1))).toMap
+    val f = rows(1L)
+    assert(f.length == 12)
+    // each channel's histogram sums to ~1
+    Seq(0, 4, 8).foreach { off =>
+      val s = f.slice(off, off + 4).sum
+      assert(math.abs(s - 1f) < 1e-3, s"channel at $off sums to $s")
+    }
+    assert(rows(2L) == null)
+    // composes with similarity search
+    val feats = Multimodal.imageHistogramFeatures(
+      imageDf((1L to 6L).map(i => i -> imageBytes(16, 16, "png", seed = i.toInt))), "payload")
+    val topk = Similarity.bruteForceTopK(feats, feats.limit(2), "id", "features", 2)
+    assert(topk.count() == 4)
+  }
+
+  test("hash-stub feature extraction still covers arbitrary binary payloads") {
     val withBin = Multimodal.asBinaryPayload(docs.limit(8), "text")
     val feats = Multimodal.extractFeatures(withBin, "payload", dims = 16)
     val rows = feats.select("doc_id", "features").collect()
     assert(rows.forall(_.getSeq[Float](1).length == 16))
-    // composes with cosine search over the extracted features
     val topk = Similarity.bruteForceTopK(feats, feats.limit(2), "doc_id", "features", 2)
     assert(topk.count() == 4)
   }
 
-  test("binaryFile source end-to-end: files on disk → decode → features") {
+  test("binaryFile source end-to-end: image files on disk → decode → features") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mm").toFile
     try {
       for (i <- 1 to 3)
-        java.nio.file.Files.write(new java.io.File(dir, s"img_$i.bin").toPath,
-          Array.fill[Byte](100 + i)(i.toByte))
+        java.nio.file.Files.write(new java.io.File(dir, s"img_$i.png").toPath,
+          imageBytes(8 * i, 8, "png", seed = i))
       java.nio.file.Files.write(new java.io.File(dir, "skip.txt").toPath, "x".getBytes)
-      val files = graft.sources.ValidatedIO.binaryFiles(spark, dir.getAbsolutePath, "*.bin")
+      val files = graft.sources.ValidatedIO.binaryFiles(spark, dir.getAbsolutePath, "*.png")
       assert(files.count() == 3, "glob filter must exclude non-matching files")
       assert(Seq("path", "modificationTime", "length", "content")
         .forall(files.columns.contains))
       val meta = Multimodal.withImageMeta(files, "content")
         .select("path", "image_meta.width").collect()
-      assert(meta.length == 3 && meta.forall(_.getInt(1) >= 64))
-      val feats = Multimodal.extractFeatures(files.withColumn("id",
-        regexp_extract(col("path"), "img_([0-9])", 1).cast("long")), "content", dims = 8)
-      assert(feats.select("features").collect().forall(_.getSeq[Float](0).length == 8))
+        .map(r => (r.getString(0), r.getInt(1))).sortBy(_._1)
+      assert(meta.map(_._2).toSeq == Seq(8, 16, 24))
+      val feats = Multimodal.imageHistogramFeatures(files, "content", bins = 8)
+      assert(feats.select("features").collect().forall(_.getSeq[Float](0).length == 24))
     } finally {
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
   }
 
-  test("resize emits bounded payloads; frame sampling fans out with stride") {
+  test("frame sampling fans out with stride on arbitrary payloads") {
     val withBin = Multimodal.asBinaryPayload(docs.limit(3), "text")
-    val resized = Multimodal.resizeImages(withBin, "payload", 32, 32).collect()
-    resized.foreach { r =>
-      val out = r.getAs[Array[Byte]]("resized")
-      assert(out.length <= 32 * 32 * 3 / 64 && r.getAs[Int]("target_w") == 32)
-    }
     val frames = Multimodal.sampleFrames(withBin, "payload", frameSize = 16, stride = 2)
     val perDoc = frames.groupBy("doc_id").count().collect()
     assert(perDoc.nonEmpty)
