@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Validate, ValidationResult}
 import graft.{filters => F}
-import graft.filters.{Emptiness, FilterMapper, FilterMapperDynamic, FilterRepeater, FilterSwitch}
+import graft.filters.{Emptiness, FilterMapper, FilterMapperDynamic, FilterRepeater, FilterRepeaterMap, FilterSwitch}
 import graft.ops.{Dedup, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator
@@ -157,6 +157,33 @@ object SparkEntry {
         .select(col("doc_id"), octet_length(col("text")).cast("long").as("n_bytes"))
         .orderBy("doc_id")
     }),
+    "q_bytestring" -> ((s, dir) => {
+      // UTF-8 encode roundtrip: cleaned value is the encoded bytes
+      val docs = T(s, dir, "documents")
+      Validate(docs, "text" -> F.ByteString()).valid
+        .select(col("doc_id"), col("text").as("b"),
+          octet_length(col("text")).cast("long").as("n_bytes"))
+        .orderBy("doc_id")
+    }),
+    "q_maxbytes_trunc" -> ((s, dir) => {
+      // truncate mode on the ASCII subset, where the UTF-8-boundary-safe
+      // cut is mirrorable as a plain byte substring in the oracle
+      val docs = T(s, dir, "documents")
+        .filter(octet_length(col("text")) === length(col("text")))
+      Validate(docs, "text" -> F.MaxBytes(100, truncate = true)).valid
+        .select(col("doc_id"), col("text").as("t")).orderBy("doc_id")
+    }),
+    "q_split_keyed" -> ((s, dir) => {
+      // keyed split → named struct; every 5th row has 2 parts (arity
+      // mismatch → wrong_count, fields null out)
+      val docs = T(s, dir, "documents").withColumn("kv",
+        when(col("doc_id") % 5 === 0,
+          format_string("a%d:b%d", col("doc_id"), col("doc_id")))
+          .otherwise(format_string("a%d:b%d:c%d", col("doc_id"), col("doc_id"), col("doc_id"))))
+      Validate(docs, "kv" -> F.Split(":", Seq("x", "y", "z"))).flagged("ok")
+        .select(col("doc_id"), col("kv.x").as("x"), col("kv.z").as("z"), col("ok"))
+        .orderBy("doc_id")
+    }),
     "q_base64" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
         .withColumn("b64", base64(col("text").cast("binary")))
@@ -213,6 +240,14 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       Validate(emb, "embedding" -> FilterRepeater(F.Min(-0.25) | F.Max(0.25)))
         .flagged("ok").select(col("vec_id"), col("ok")).orderBy("vec_id")
+    }),
+    "q_repeater_map" -> ((s, dir) => {
+      // map-typed repeater: one chain over every map VALUE, errors keyed by
+      // map key (m.v / m.half)
+      val ev = T(s, dir, "events").withColumn("m",
+        map(lit("v"), col("value"), lit("half"), col("value") / 2))
+      Validate(ev, "m" -> FilterRepeaterMap(F.Min(10.0) | F.Max(400.0)))
+        .flagged("ok").select(col("event_id"), col("ok")).orderBy("event_id")
     }),
     "q_switch" -> ((s, dir) => {
       val ev = T(s, dir, "events")
@@ -447,6 +482,24 @@ object SparkEntry {
       "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents WHERE text IS NULL OR octet_length(encode(text)) <= 256 ORDER BY doc_id",
     "q_base64" ->
       "SELECT doc_id, decode(from_base64(to_base64(encode(text)))) AS decoded FROM documents ORDER BY doc_id",
+    "q_bytestring" ->
+      "SELECT doc_id, encode(text) AS b, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents ORDER BY doc_id",
+    "q_maxbytes_trunc" ->
+      // ASCII-only subset: byte truncation == char truncation, no boundary
+      // backoff needed in the mirror
+      ("SELECT doc_id, CASE WHEN octet_length(encode(text)) <= 100 THEN text ELSE substr(text, 1, 100) END AS t " +
+        "FROM documents WHERE octet_length(encode(text)) = length(text) ORDER BY doc_id"),
+    "q_split_keyed" ->
+      ("WITH t AS (SELECT doc_id, doc_id % 5 = 0 AS short FROM documents) " +
+        "SELECT doc_id, CASE WHEN short THEN NULL ELSE 'a' || doc_id END AS x, " +
+        "CASE WHEN short THEN NULL ELSE 'c' || doc_id END AS z, NOT short AS ok " +
+        "FROM t ORDER BY doc_id"),
+    "q_repeater_map" ->
+      // null value → null map values → None-passthrough → ok TRUE; the two
+      // derived entries bound value to [20, 400] jointly
+      ("SELECT event_id, CASE WHEN value IS NULL THEN TRUE ELSE " +
+        "NOT (value < 10 OR value > 400 OR value / 2 < 10 OR value / 2 > 400) END AS ok " +
+        "FROM events ORDER BY event_id"),
     "q_uuid" ->
       "SELECT doc_id, lower(printf('%08x-0000-4000-8000-%012x', doc_id, doc_id)) AS uuid FROM documents ORDER BY doc_id",
     "q_ip" ->
