@@ -52,10 +52,23 @@ object Validate {
     * DataFrame-level equivalent of the reference's `FilterMapper` over a
     * whole record (each field's chain short-circuits individually; errors
     * from different fields all accumulate). */
-  def columns(df: DataFrame, specs: (String, Validator)*): ValidationResult =
-    ValidationResult(
-      specs.foldLeft(df) { case (d, (c, v)) => column(d, c, v) },
-      useBarrier = specs.exists(_._2.needsBarrier))
+  def columns(df: DataFrame, specs: (String, Validator)*): ValidationResult = {
+    def annotate(src: DataFrame) =
+      specs.foldLeft(src) { case (d, (c, v)) => column(d, c, v) }
+    val useBarrier = specs.exists(_._2.needsBarrier)
+    // Barrier pushdown hybrid: the barrier blocks EVERY conjunct of the
+    // split filter from reaching the scan, including the free IsNotNull a
+    // leading Required implies. Re-derive those input-level facts and plant
+    // them BELOW the validation projections (directly on the source) for
+    // the valid split — they push to parquet; the dropped rows were invalid
+    // by construction. invalid/flagged/failFast must see every row, so only
+    // `valid` uses the pre-filtered twin.
+    val pushed = specs.flatMap { case (c, v) => v.pushedPredicate(df(s"`$c`")) }
+    val pushedValid =
+      if (useBarrier && pushed.nonEmpty) Some(annotate(df.filter(pushed.reduce(_ && _))))
+      else None
+    ValidationResult(annotate(df), useBarrier, pushedValid)
+  }
 
   def apply(df: DataFrame, specs: (String, Validator)*): ValidationResult =
     columns(df, specs: _*)
@@ -74,22 +87,27 @@ object Validate {
   * always-true predicate on it. Long/heavy chains get the tag; short cheap
   * chains skip it so their predicates still push into the scan
   * (e.g. IsNotNull from Required reaches parquet PushedFilters). */
-final case class ValidationResult(df: DataFrame, useBarrier: Boolean = false) {
+final case class ValidationResult(df: DataFrame, useBarrier: Boolean = false,
+                                  pushedValid: Option[DataFrame] = None) {
   import Validate.ErrorsCol
   private val Tag = "__graft_barrier"
 
-  private def split(cond: Column => Column): DataFrame =
+  private def split(base: DataFrame, cond: Column => Column): DataFrame =
     if (useBarrier)
-      df.withColumn(Tag, spark_partition_id())
+      base.withColumn(Tag, spark_partition_id())
         .filter(cond(col(ErrorsCol)) && col(Tag) >= 0)
         .drop(Tag)
-    else df.filter(cond(col(ErrorsCol)))
+    else base.filter(cond(col(ErrorsCol)))
 
-  /** Rows with no errors, `_errors` dropped (reference `cleaned_data`). */
-  def valid: DataFrame = split(e => size(e) === 0).drop(ErrorsCol)
+  /** Rows with no errors, `_errors` dropped (reference `cleaned_data`).
+    * Uses the pushdown twin when present: same rows, but input-level
+    * preconditions (IsNotNull from Required) sit below the barrier and
+    * reach the scan. */
+  def valid: DataFrame =
+    split(pushedValid.getOrElse(df), e => size(e) === 0).drop(ErrorsCol)
 
   /** Rows with at least one error, `_errors` kept (quarantine split). */
-  def invalid: DataFrame = split(e => size(e) > 0)
+  def invalid: DataFrame = split(df, e => size(e) > 0)
 
   /** Flag column instead of a split. */
   def flagged(flag: String = "_valid"): DataFrame =

@@ -56,6 +56,15 @@ trait Validator { self =>
   /** Alias for `|` for readers who prefer words. */
   def and(next: Validator): Validator = self | next
 
+  /** A cheap predicate on the RAW input column that is implied by "this
+    * chain produced no errors" — e.g. `IsNotNull` for a leading [[Required]].
+    * `Validate.columns` conjoins it BELOW the validation projections for the
+    * valid split, so it reaches the parquet scan (null-page row-group
+    * skipping) even when the chain's own split filter sits behind the
+    * optimizer barrier. Only the chain's first step can speak for the raw
+    * input: later steps see coerced values. */
+  def pushedPredicate(in: Column): Option[Column] = None
+
   /** Override error MESSAGES by code — the reference's per-class
     * `templates` dict (`filters/base.py::BaseFilter.templates`, merged up
     * the MRO; here: merged across wrappers, innermost wins are replaced by
@@ -84,6 +93,7 @@ final case class Chain(first: Validator, second: Validator) extends Validator {
     val (v1, e1) = first.step(v, e, key)
     second.step(v1, e1, key)
   }
+  override def pushedPredicate(in: Column): Option[Column] = first.pushedPredicate(in)
 }
 
 /** Message-template override wrapper (reference `templates` semantics):
@@ -96,6 +106,7 @@ final case class Templated(inner: Validator, overrides: Map[String, String]) ext
     if (inner.flattened.sizeIs > 1) inner.flattened.map(Templated(_, overrides)) else Seq(this)
   override def needsBarrier: Boolean = inner.needsBarrier
   override def leafHeavy: Boolean = inner.leafHeavy
+  override def pushedPredicate(in: Column): Option[Column] = inner.pushedPredicate(in)
   def step(v: Column, e: Column, key: Column): (Column, Column) = {
     val (nv, ne) = inner.step(v, e, key)
     val mapped = transform(ne, er => {

@@ -23,6 +23,9 @@ case class Required(isEmpty: Column => Column = Emptiness.string) extends Scalar
   override protected def defaultMessage = "This value is required."
   override protected def handlesNull = true
   override protected def invalid(v: Column) = v.isNull || isEmpty(v)
+  // "no error" ⟹ input non-null — the one parquet-pushable fact a leading
+  // Required contributes past the chain's optimizer barrier
+  override def pushedPredicate(in: Column): Option[Column] = Some(in.isNotNull)
 }
 
 /** Reject empty; null passes (reference `filters/simple.py::NotEmpty`,

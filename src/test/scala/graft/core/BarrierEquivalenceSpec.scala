@@ -34,6 +34,26 @@ class BarrierEquivalenceSpec extends SparkSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(text)"), plan.take(1500))
   }
 
+  test("barrier chain starting with Required still pushes IsNotNull to the scan") {
+    val chain = F.Required(Emptiness.never) | F.Int() | F.Min(1) | F.Max(50)
+    val res = Validate.columns(li, "l_quantity" -> chain)
+    assert(res.useBarrier && res.pushedValid.nonEmpty)
+    val plan = res.valid.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity)"),
+      plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    // the hybrid must not change the split: same keys as the barrier-less plan
+    import spark.implicits._
+    val a = res.valid.select("l_orderkey", "l_linenumber").as[(Long, Int)].collect().toSet
+    val b = res.copy(useBarrier = false, pushedValid = None)
+      .valid.select("l_orderkey", "l_linenumber").as[(Long, Int)].collect().toSet
+    assert(a == b)
+    // invalid split keeps EVERY failing row (no precondition leak): null
+    // quantities must appear there
+    assert(res.invalid.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("PushedFilters"))
+      .forall(!_.contains("IsNotNull(l_quantity)")))
+  }
+
   test("barrier plan filters on the computed attribute, not an inlined chain") {
     val chain = F.Required(Emptiness.never) | F.Int() | F.Min(1) | F.Max(50)
     val res = Validate.columns(li, "l_quantity" -> chain)

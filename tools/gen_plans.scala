@@ -10,9 +10,20 @@ out.println()
 out.println("`executedPlan` for the scale-sensitive queries; see SCALE.md for the")
 out.println("design rationale each plan demonstrates. Regenerate with tools/gen_plans.scala.")
 val dir = "/root/testdata/sf0.01"
-for (name <- Seq("q_required", "q_min", "q_topk_similar", "q_dedup_minhash",
-    "q_window_events", "q_pipeline_e2e", "q_session_window", "q_ivf_topk", "q_contamination")) {
-  val df = graft.SparkEntry.queries(name)(spark, dir)
+// flagship 4-step chain's valid split: the barrier pushdown hybrid must
+// show PushedFilters: [IsNotNull(l_quantity)] on the scan
+val flagship: org.apache.spark.sql.DataFrame = {
+  import org.apache.spark.sql.functions._
+  val li = spark.read.parquet(s"$dir/lineitem.parquet")
+  graft.core.Validate.columns(li, "l_quantity" ->
+    (graft.filters.Required(graft.filters.Emptiness.never) | graft.filters.Int() |
+      graft.filters.Min(1) | graft.filters.Max(50))).valid
+}
+for (name <- Seq("flagship_valid_split", "q_required", "q_min", "q_topk_similar",
+    "q_dedup_minhash", "q_window_events", "q_pipeline_e2e", "q_session_window",
+    "q_ivf_topk", "q_contamination")) {
+  val df = if (name == "flagship_valid_split") flagship
+           else graft.SparkEntry.queries(name)(spark, dir)
   out.println()
   out.println(s"## $name")
   out.println()
