@@ -373,18 +373,22 @@ object SparkEntry {
     // ---- kernel-dependent ops (rows-only driver check; ScalaTest covers;
     // q_ann_cosine and q_lang_id above DO have oracle twins) -------------
     "q_dedup_minhash" -> ((s, dir) => {
-      // testdata docs share a 31-word vocabulary (avg pairwise Jaccard
-      // 0.65) — selective banding (16 rows/band) trades recall for
-      // tractability on this pathologically self-similar corpus; even so
-      // candidates reach ~17% of all pairs at sf0.1 (2.1M of 12.5M;
-      // 835k emitted pairs). Real corpora want bandsForThreshold.
+      // recall target: pairs at Jaccard 0.9 must collide with ≥ 1-1/e
+      // probability — bandsForThreshold(64, 0.9) = 8 bands (8 rows/band,
+      // S-curve threshold (1/8)^(1/8) ≈ 0.77 ≤ 0.9). On this synthetic
+      // corpus (31-word vocabulary, avg pairwise Jaccard 0.65) that yields
+      // ~987k pairs at sf0.1 — the recall-safe default, not a hand-pinned
+      // banding.
       Dedup.minhashNearDups(T(s, dir, "documents"), "doc_id", "text",
-        numHashes = 64, bands = 4, threshold = 0.9)
+        numHashes = 64, threshold = 0.9)
         .orderBy("id_a", "id_b")
     }),
     "q_dedup_ngram" -> ((s, dir) => {
+      // bandsForThreshold(64, 0.95) = 4 (S-curve (1/4)^(1/16) ≈ 0.917 ≤
+      // 0.95) — the selector lands on the banding the harness previously
+      // pinned by hand
       Dedup.ngramNearDups(T(s, dir, "documents"), "doc_id", "text",
-        ngram = 5, numHashes = 64, bands = 4, threshold = 0.95)
+        ngram = 5, numHashes = 64, threshold = 0.95)
         .orderBy("id_a", "id_b")
     }),
     "q_dedup_embedding" -> ((s, dir) => {

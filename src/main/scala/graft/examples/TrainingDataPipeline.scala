@@ -52,7 +52,7 @@ object TrainingDataPipeline {
 
     // 5. near-dup removal: drop the higher-id member of each candidate pair
     val nearDups = Dedup.minhashNearDups(exactDeduped, "doc_id", "text",
-      numHashes = 64, bands = 4, threshold = nearDupThreshold)
+      numHashes = 64, threshold = nearDupThreshold) // banding auto-selected for recall
     exactDeduped.join(
       nearDups.select(col("id_b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")

@@ -68,26 +68,30 @@ object Dedup {
 
   /** Near-duplicate candidate pairs via MinHash LSH: band-bucket equi-join,
     * then exact Jaccard on the signatures to filter false positives.
-    * Never materializes an all-pairs product. `bands` trades recall for
-    * candidate volume — [[bandsForThreshold]] picks the cheapest setting
-    * whose S-curve clears `threshold` (pass fewer bands only to sacrifice
-    * recall deliberately on pathologically self-similar corpora, as the
-    * harness queries do on the synthetic testdata). */
+    * Never materializes an all-pairs product. `bands = 0` (the default)
+    * auto-selects via [[bandsForThreshold]] — the cheapest banding whose
+    * S-curve clears `threshold`, so pairs at the threshold collide with
+    * ≥ 1-1/e probability. Pin bands explicitly only to sacrifice recall
+    * deliberately (e.g. on pathologically self-similar corpora). */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      numHashes: Int = 16, bands: Int = 4,
+                      numHashes: Int = 16, bands: Int = 0,
                       threshold: Double = 0.7): DataFrame =
     nearDupsBySignature(df.filter(col(textCol).isNotNull), idCol,
       minhashSignature(col(textCol), numHashes),
-      numHashes, bands, threshold)
+      numHashes, resolveBands(numHashes, bands, threshold), threshold)
 
   /** n-gram (character shingle) Jaccard near-dups — same LSH pipeline over
-    * shingle MinHash signatures; estimates shingle-set Jaccard. */
+    * shingle MinHash signatures; estimates shingle-set Jaccard.
+    * `bands = 0` auto-selects like [[minhashNearDups]]. */
   def ngramNearDups(df: DataFrame, idCol: String, textCol: String,
-                    ngram: Int = 5, numHashes: Int = 16, bands: Int = 4,
+                    ngram: Int = 5, numHashes: Int = 16, bands: Int = 0,
                     threshold: Double = 0.7): DataFrame =
     nearDupsBySignature(df.filter(col(textCol).isNotNull), idCol,
       native.minhashSigShingles(lower(col(textCol)), ngram, numHashes),
-      numHashes, bands, threshold)
+      numHashes, resolveBands(numHashes, bands, threshold), threshold)
+
+  private def resolveBands(numHashes: Int, bands: Int, threshold: Double): Int =
+    if (bands == 0) bandsForThreshold(numHashes, threshold) else bands
 
   private def nearDupsBySignature(df: DataFrame, idCol: String, sigCol: Column,
                                   numHashes: Int, bands: Int,

@@ -30,6 +30,17 @@ class OpsSpec extends SparkSuite {
     assert(pairs.contains((0L, 9999L)), s"expected (0,9999) in $pairs")
   }
 
+  test("minhash near-dups default banding auto-selects from the threshold") {
+    // bands omitted → bandsForThreshold picks the banding; an exact dup
+    // must still surface (recall at J=1.0 is ~certain under any banding)
+    val base = docs.limit(20).select(col("doc_id"), col("text"))
+    val dup = base.filter(col("doc_id") === 0).select(lit(9999L).as("doc_id"), col("text"))
+    val out = Dedup.minhashNearDups(base.union(dup), "doc_id", "text",
+      numHashes = 64, threshold = 0.9)
+    val pairs = out.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 9999L)), s"expected (0,9999) in $pairs")
+  }
+
   test("ngram near-dups: exact duplicate pair surfaces with est 1.0") {
     val base = docs.limit(20).select(col("doc_id"), col("text"))
     val dup = base.filter(col("doc_id") === 1).select(lit(8888L).as("doc_id"), col("text"))
