@@ -209,57 +209,97 @@ object Uuid {
 
 /** Lenient-ish datetime parse → UTC timestamp. ISO-8601 (with or without
   * offset) plus caller-supplied extra formats; naive inputs interpreted in
-  * `timezone`. Full dateutil heuristics are out of v1 scope (SURVEY §7 risk
-  * register). Reference: `filters/string.py` (`Date`/`Datetime` live in the
-  * reference's simple module ⚠) — `filters/simple.py::Datetime`.
+  * `timezone`. `lenient = true` adds a BOUNDED heuristic tier approximating
+  * the reference's dateutil behavior (`filters/simple.py::Datetime`):
+  * English month-name formats (long and abbreviated, with optional ordinal
+  * day suffixes and a leading weekday name), US-order slash dates
+  * (`M/d/yyyy` — a documented divergence from dateutil's locale
+  * sensitivity), `yyyy/M/d`, and epoch-seconds / epoch-millis detection
+  * for pure-digit strings. Full dateutil fuzz ("next Tuesday") stays out
+  * of scope (SURVEY §7 risk register). Reference: `filters/string.py`
+  * (`Date`/`Datetime` live in the reference's simple module ⚠) —
+  * `filters/simple.py::Datetime`.
   *
   * REQUIRES `spark.sql.session.timeZone=UTC` (the engine-wide contract;
   * Verify/Bench/tests pin it): `try_to_timestamp` parses offset-less
   * strings in the session zone, and the naive-input correction below
   * assumes that zone is UTC. */
-class Datetime(val timezone: String = "UTC", val formats: Seq[String] = Nil) extends ScalarFilter {
+class Datetime(val timezone: String = "UTC", val formats: Seq[String] = Nil,
+               val lenient: Boolean = false) extends ScalarFilter {
   val name = "Datetime"
   override def heavy = true
   val code = "not_datetime"
   override protected def defaultMessage = "This value is not a valid date/time."
+
+  /** The lenient tier's format cascade, applied to the normalized string
+    * (ordinals stripped, weekday dropped, whitespace collapsed). Spark's
+    * parser rejects the 'E' pattern letter for PARSING, so weekday names
+    * are normalized away instead of matched. */
+  private val lenientFormats = Seq(
+    "MMMM d, yyyy h:mm a", "MMMM d, yyyy", "MMMM d yyyy", "d MMMM yyyy",
+    "MMM d, yyyy", "MMM d yyyy", "d MMM yyyy HH:mm:ss", "d MMM yyyy",
+    "M/d/yyyy H:mm", "M/d/yyyy", "yyyy/M/d")
+
   protected def parsed(v: Column): Column = {
     val attempts = try_to_timestamp(v) +: formats.map(f => try_to_timestamp(v, lit(f)))
-    val base = coalesce(attempts: _*)
+    val lenientAttempts = if (!lenient) Nil else {
+      // "Mon, 5th January 2024" → "5 January 2024": drop a leading weekday,
+      // strip digit-anchored ordinal suffixes, collapse whitespace
+      val norm = regexp_replace(regexp_replace(regexp_replace(
+        trim(v.cast(StringType)),
+        "^(?i)(mon|tue|wed|thu|fri|sat|sun)[a-z]*,?\\s+", ""),
+        "(?<=\\d)(?i)(st|nd|rd|th)", ""),
+        "\\s+", " ")
+      lenientFormats.map(f => try_to_timestamp(norm, lit(f)))
+    }
+    val epochAttempt = if (!lenient) Nil else {
+      val s = trim(v.cast(StringType))
+      // 9-10 digits → epoch seconds (1973–2286); 12-13 → epoch millis.
+      // Absolute instants: they bypass the naive-input timezone correction.
+      Seq(when(s.rlike("^\\d{9,10}$"), timestamp_seconds(s.cast("long")))
+        .when(s.rlike("^\\d{12,13}$"), timestamp_millis(s.cast("long"))))
+    }
+    val base = coalesce(attempts ++ lenientAttempts: _*)
     // Inputs carrying an explicit offset are already absolute; naive inputs
     // are interpreted in `timezone` then normalized to UTC. With an assumed
     // zone of UTC both paths are identity — skip the per-row offset regex.
-    if (timezone == "UTC") base
-    else {
-      // offset forms: Z, +HH, +HHMM, +HH:MM, +H:MM — but only AFTER a
-      // time-of-day (colon form with 1- or 2-digit hour, or compact
-      // 6-digit HHmmss from basic-ISO custom formats), else the day of a
-      // date-only string ("2024-01-01") reads as an offset. A single-digit
-      // offset hour REQUIRES the colon so a dash-separated trailing field
-      // like "-123" (e.g. dash-millis formats) cannot backtrack-match as
-      // "-1"+"23". Trailing whitespace tolerated — Spark's parser trims.
-      val hasOffset = v.cast(StringType).rlike(
-        "([0-9]{1,2}:[0-9]{2}(:[0-9]{2}(\\.[0-9]+)?)?|[0-9]{6}(\\.[0-9]+)?)\\s*" +
-          "([Zz]|[+-]([0-9]{2}(:?[0-9]{2})?|[0-9](:[0-9]{2})?))\\s*$")
-      when(hasOffset, base).otherwise(to_utc_timestamp(base, timezone))
-    }
+    val corrected =
+      if (timezone == "UTC") base
+      else {
+        // offset forms: Z, +HH, +HHMM, +HH:MM, +H:MM — but only AFTER a
+        // time-of-day (colon form with 1- or 2-digit hour, or compact
+        // 6-digit HHmmss from basic-ISO custom formats), else the day of a
+        // date-only string ("2024-01-01") reads as an offset. A single-digit
+        // offset hour REQUIRES the colon so a dash-separated trailing field
+        // like "-123" (e.g. dash-millis formats) cannot backtrack-match as
+        // "-1"+"23". Trailing whitespace tolerated — Spark's parser trims.
+        val hasOffset = v.cast(StringType).rlike(
+          "([0-9]{1,2}:[0-9]{2}(:[0-9]{2}(\\.[0-9]+)?)?|[0-9]{6}(\\.[0-9]+)?)\\s*" +
+            "([Zz]|[+-]([0-9]{2}(:?[0-9]{2})?|[0-9](:[0-9]{2})?))\\s*$")
+        when(hasOffset, base).otherwise(to_utc_timestamp(base, timezone))
+      }
+    coalesce(corrected +: epochAttempt: _*)
   }
   override protected def invalid(v: Column) = parsed(v).isNull
   override protected def clean(v: Column) = parsed(v)
 }
 
 object Datetime {
-  def apply(timezone: String = "UTC", formats: Seq[String] = Nil): Datetime =
-    new Datetime(timezone, formats)
+  def apply(timezone: String = "UTC", formats: Seq[String] = Nil,
+            lenient: Boolean = false): Datetime =
+    new Datetime(timezone, formats, lenient)
 }
 
 /** Datetime then calendar date (UTC). Reference: `filters/simple.py::Date`. */
-class Date(timezone: String = "UTC", formats: Seq[String] = Nil)
-    extends Datetime(timezone, formats) {
+class Date(timezone: String = "UTC", formats: Seq[String] = Nil,
+           lenient: Boolean = false)
+    extends Datetime(timezone, formats, lenient) {
   override val name = "Date"
   override val code = "not_date"
   override protected def clean(v: Column) = parsed(v).cast(DateType)
 }
 object Date {
-  def apply(timezone: String = "UTC", formats: Seq[String] = Nil): Date =
-    new Date(timezone, formats)
+  def apply(timezone: String = "UTC", formats: Seq[String] = Nil,
+            lenient: Boolean = false): Date =
+    new Date(timezone, formats, lenient)
 }
