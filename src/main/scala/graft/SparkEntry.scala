@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{Validate, ValidationResult}
 import graft.{filters => F}
 import graft.filters.{Emptiness, FilterMapper, FilterMapperDynamic, FilterRepeater, FilterRepeaterMap, FilterSwitch}
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2.7), each hash-checked against the DuckDB `oracleSql`. */
@@ -354,6 +354,22 @@ object SparkEntry {
       docs.select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
         .orderBy("doc_id")
     }),
+    "q_sample_det" -> ((s, dir) => {
+      // deterministic md5-thresholded Bernoulli sample — engine-portable,
+      // partitioning-independent (no rand())
+      Sampling.deterministicSample(T(s, dir, "documents"), "doc_id", 0.25)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+    "q_sample_stratified" -> ((s, dir) => {
+      // per-stratum mixing rates with a default for unlisted/null strata
+      Sampling.stratifiedSample(T(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.1), default = 0.05)
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")
+    }),
+    "q_temperature_weights" -> ((s, dir) => {
+      Sampling.temperatureWeights(T(s, dir, "documents"), "lang", 0.7)
+        .orderBy("lang")
+    }),
     "q_topk_similar" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val iv = emb.select(col("vec_id"),
@@ -630,6 +646,19 @@ object SparkEntry {
         "FROM v, q WHERE v.vec_id <> q.q_id) " +
         "SELECT q_id, cand_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS INTEGER) AS rk " +
         "FROM pairs QUALIFY rk <= 3 ORDER BY q_id, rk"),
+    "q_sample_det" ->
+      // 0.25 * 2^32 = 0x40000000; lowercase-hex string compare ==
+      // numeric compare on the first 32 hash bits
+      "SELECT doc_id FROM documents WHERE substr(md5('graft:' || doc_id), 1, 8) < '40000000' ORDER BY doc_id",
+    "q_sample_stratified" ->
+      ("SELECT doc_id, lang FROM documents WHERE substr(md5('graft:' || doc_id), 1, 8) < " +
+        "CASE WHEN lang = 'en' THEN '80000000' WHEN lang = 'de' THEN '1999999a' ELSE '0ccccccd' END " +
+        "ORDER BY doc_id"),
+    "q_temperature_weights" ->
+      ("WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang), " +
+        "p AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.7) AS pw FROM c) " +
+        "SELECT lang, n, floor(pw / SUM(pw) OVER () * 1000000.0 + 0.5) / 1000000.0 AS weight " +
+        "FROM p ORDER BY lang NULLS FIRST"),
     "q_topk_similar" ->
       ("WITH iv AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000, 0)) AS v FROM embeddings), " +
         "q AS (SELECT vec_id AS q_id, v AS qv FROM iv WHERE vec_id < 10), " +

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus sampling & data-mixing operators (SURVEY.md §2.6 extension —
+  * what a training-data pipeline runs after dedup/quality to assemble the
+  * final mixture).
+  *
+  * Everything here is DETERMINISTIC: no `rand()`. Sampling decisions hash
+  * the row's id, so results are stable across runs, retries, partitionings
+  * and cluster sizes — at 100 TB a resampled run must reproduce byte-for-
+  * byte, and a lost executor must not change the corpus. Selection is
+  * map-only (no shuffle); the mixing-weight aggregates exchange only
+  * #strata rows.
+  */
+object Sampling {
+
+  /** First 8 hex chars of `md5(salt ":" id)` — a uniform 32-bit draw as a
+    * lexicographically-comparable hex string (engine-portable: any system
+    * with md5 mirrors it exactly). */
+  def hashDraw(id: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), lit(":"), id.cast("string"))), 1, 8)
+
+  /** Hex threshold such that P(draw < threshold) = fraction. */
+  private[ops] def fractionThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
+    f"${math.min(math.round(fraction * 4294967296.0), 4294967295L)}%08x"
+  }
+
+  /** Deterministic Bernoulli sample: keep a row iff its 32-bit hash draw
+    * falls under `fraction`. Change `salt` to draw an independent sample;
+    * reuse it to reproduce one. Map-only — the predicate evaluates at the
+    * scan, nothing shuffles. */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double,
+                          salt: String = "graft"): DataFrame =
+    if (fraction >= 1.0) df
+    else df.filter(hashDraw(col(idCol), salt) < lit(fractionThreshold(fraction)))
+
+  /** Per-stratum deterministic fractions — the data-mixing primitive
+    * ("keep 50% of en, 10% of de, `default` of everything else"). One CASE
+    * over the stratum column picks the row's threshold; same hash draw as
+    * [[deterministicSample]], so a row's fate under a given salt is stable
+    * even when its stratum's rate changes. A null stratum uses `default`. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       fractions: Map[String, Double], default: Double = 0.0,
+                       salt: String = "graft"): DataFrame = {
+    val threshold = fractions.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (stratum, f)) =>
+        acc.when(col(stratumCol) === stratum, lit(fractionThreshold(f)))
+    }.otherwise(lit(fractionThreshold(default)))
+    df.filter(hashDraw(col(idCol), salt) < threshold)
+  }
+
+  /** Temperature-sampling mixture weights: `w_i ∝ n_i^T / Σ n_j^T` — the
+    * standard multilingual/multi-source rebalancing rule (T = 1 keeps the
+    * natural distribution, T → 0 approaches uniform, upweighting
+    * low-resource strata). Output: one row per stratum with its count and
+    * normalized weight (rounded to 6 dp for engine-portable comparison).
+    * The exchange carries #strata rows; the final normalization windows
+    * over that tiny frame only. */
+  def temperatureWeights(df: DataFrame, stratumCol: String,
+                         temperature: Double): DataFrame = {
+    require(temperature > 0.0, s"temperature must be positive, got $temperature")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+    val powed = counts.withColumn("__pw", pow(col("n").cast("double"), lit(temperature)))
+    powed
+      .withColumn("weight",
+        floor(col("__pw") / sum("__pw").over(Window.partitionBy()) * 1e6 + 0.5) / 1e6)
+      .drop("__pw")
+  }
+
+  /** Per-stratum sampling rates that hit a total token budget at the given
+    * mixture weights: `rate_i = min(1, budget * w_i / tokens_i)`. Join the
+    * result back (broadcast — #strata rows) and sample with
+    * [[stratifiedSample]]-style thresholds, or read the rates off for a
+    * planner. `weights` columns: (stratumCol, weight). */
+  def budgetRates(df: DataFrame, stratumCol: String, tokenCol: String,
+                  weights: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val tokens = df.groupBy(col(stratumCol))
+      .agg(sum(col(tokenCol)).cast("double").as("stratum_tokens"))
+    tokens.join(broadcast(weights), Seq(stratumCol))
+      .withColumn("rate",
+        least(lit(1.0), floor(lit(budget.toDouble) * col("weight")
+          / col("stratum_tokens") * 1e6 + 0.5) / 1e6))
+  }
+}

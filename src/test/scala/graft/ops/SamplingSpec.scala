@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Deterministic sampling & mixing: stability across runs/partitionings is
+  * the contract — no rand() anywhere. */
+class SamplingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("deterministicSample: stable across runs and repartitionings") {
+    val a = Sampling.deterministicSample(docs, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.deterministicSample(docs.repartition(7), "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "sample must not depend on partitioning")
+    // roughly the requested fraction (binomial, 500 rows)
+    val n = docs.count().toDouble
+    assert(a.size > n * 0.2 && a.size < n * 0.4, s"got ${a.size} of $n at fraction 0.3")
+  }
+
+  test("deterministicSample: fraction 1 keeps everything, 0 keeps nothing; salts are independent") {
+    assert(Sampling.deterministicSample(docs, "doc_id", 1.0).count() == docs.count())
+    assert(Sampling.deterministicSample(docs, "doc_id", 0.0).count() == 0)
+    val s1 = Sampling.deterministicSample(docs, "doc_id", 0.5, salt = "a")
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.deterministicSample(docs, "doc_id", 0.5, salt = "b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 != s2, "different salts must draw different samples")
+  }
+
+  test("deterministicSample nests: a row kept at f must be kept at f' > f (same salt)") {
+    val small = Sampling.deterministicSample(docs, "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val big = Sampling.deterministicSample(docs, "doc_id", 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(big), "thresholded hash draws must nest")
+  }
+
+  test("stratifiedSample applies per-stratum rates; unknown strata get default") {
+    val out = Sampling.stratifiedSample(docs, "lang", "doc_id",
+      Map("en" -> 1.0, "de" -> 0.0), default = 0.0)
+    val langs = out.select("lang").distinct().as[String].collect().toSet
+    assert(langs == Set("en"), s"only en should survive, got $langs")
+    // rate change in one stratum must not reshuffle another's selection
+    val enBefore = out.select("doc_id").as[Long].collect().toSet
+    val enAfter = Sampling.stratifiedSample(docs, "lang", "doc_id",
+      Map("en" -> 1.0, "de" -> 0.5), default = 0.0)
+      .filter(col("lang") === "en").select("doc_id").as[Long].collect().toSet
+    assert(enBefore == enAfter)
+  }
+
+  test("temperatureWeights: T=1 is the natural distribution; T<1 flattens it") {
+    val natural = Sampling.temperatureWeights(docs, "lang", 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val flat = Sampling.temperatureWeights(docs, "lang", 0.3)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(natural.values.sum - 1.0) < 1e-4)
+    assert(math.abs(flat.values.sum - 1.0) < 1e-4)
+    val maxNat = natural.values.max
+    val maxFlat = flat.values.max
+    assert(maxFlat < maxNat, "lower temperature must shrink the dominant stratum's share")
+  }
+
+  test("budgetRates: rates hit the budget under the weights, capped at 1") {
+    val withTok = docs.withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
+    val w = Sampling.temperatureWeights(docs, "lang", 0.7)
+      .select(col("lang"), col("weight"))
+    val rates = Sampling.budgetRates(withTok, "lang", "n_tok", w, budget = 10000L)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Double]("rate"),
+        r.getAs[Double]("stratum_tokens"), r.getAs[Double]("weight")))
+    rates.foreach { case (lang, rate, tokens, weight) =>
+      assert(rate > 0 && rate <= 1.0, s"$lang rate $rate out of range")
+      if (rate < 1.0)
+        assert(math.abs(rate * tokens - 10000L * weight) < tokens * 1e-3 + 10,
+          s"$lang uncapped rate should satisfy rate*tokens ≈ budget*weight")
+    }
+  }
+}
