@@ -20,6 +20,18 @@ object ValidatedIO {
               specs: (String, Validator)*): ValidationResult =
     Validate.columns(spark.read.parquet(path), specs: _*)
 
+  def orc(spark: SparkSession, path: String,
+          specs: (String, Validator)*): ValidationResult =
+    Validate.columns(spark.read.orc(path), specs: _*)
+
+  /** Raw text lines (`value: string` per line — the jsonl/log-file entry
+    * point before structured parse; chain `JsonDecode`/`Regex` on `value`).
+    * Compressed files (.gz etc.) decode transparently, but gzip is not
+    * splittable — one task per file, so shard source files at ~128 MB. */
+  def text(spark: SparkSession, path: String,
+           specs: (String, Validator)*): ValidationResult =
+    Validate.columns(spark.read.text(path), specs: _*)
+
   /** CSV with an explicit schema (malformed lines land in
     * `_corrupt_record` under PERMISSIVE mode and can be routed with an
     * `Empty()` validator on that column — null/empty passes, a populated
@@ -63,9 +75,13 @@ object ValidatedIO {
       if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
     }
     // two actions consume the same annotated frame — persist it so the
-    // source scan + validator chain runs once, not once per split
+    // source scan + validator chain runs once, not once per split. Drop
+    // the pushdown twin: it is a DIFFERENT (unpersisted) plan, so keeping
+    // it would silently re-scan + re-validate for the valid split; under
+    // a persisted frame scan pushdown buys nothing anyway.
     val cached = result.copy(df = result.df
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      pushedValid = None)
     try {
       writer(cached.valid).save(validPath)
       writer(cached.invalid.withColumn(Validate.ErrorsCol,
