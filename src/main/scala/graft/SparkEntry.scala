@@ -158,10 +158,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q_bytestring" -> ((s, dir) => {
-      // UTF-8 encode roundtrip: cleaned value is the encoded bytes
+      // UTF-8 encode roundtrip: cleaned value is the encoded bytes. Output
+      // hex(b), not raw binary — the driver's comparer can't hash a
+      // bytearray column (r4 ERR); hex is a lossless, hashable encoding of
+      // the same payload, so the binary path is still fully exercised.
       val docs = T(s, dir, "documents")
       Validate(docs, "text" -> F.ByteString()).valid
-        .select(col("doc_id"), col("text").as("b"),
+        .select(col("doc_id"), hex(col("text")).as("b_hex"),
           octet_length(col("text")).cast("long").as("n_bytes"))
         .orderBy("doc_id")
     }),
@@ -293,6 +296,29 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.distinctKeys(T(s, dir, "documents"), Seq("lang", "source"))
         .orderBy("lang", "source")
+    }),
+    "q_dedup_clusters" -> ((s, dir) => {
+      // transitive near-dup resolution, ORACLE-CHECKED: exact token-set
+      // Jaccard pairs on a clamped id range (the precise quantity
+      // minhashSignature estimates — the oracle-able pair source) resolved
+      // to connected components with min-id representatives; DuckDB
+      // mirrors the closure with a recursive CTE. The LSH-pair variant
+      // runs inside q_pipeline_e2e.
+      val docs = T(s, dir, "documents")
+        .filter(col("doc_id") < 200 && col("text").isNotNull)
+      val tokSet = array_distinct(filter(
+        split(lower(col("text")), "\\s+"), t => length(t) > 0))
+      val sh = docs.select(col("doc_id"), tokSet.as("tok"))
+      val a = sh.select(col("doc_id").as("id_a"), col("tok").as("tok_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("tok").as("tok_b"))
+      val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .filter(Dedup.jaccard(col("tok_a"), col("tok_b")) >= 0.9)
+        .select(col("id_a"), col("id_b"))
+      val cc = graft.ops.Clusters.connectedComponents(pairs)
+      docs.select(col("doc_id"))
+        .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+        .orderBy("doc_id")
     }),
     "q_approx_distinct" -> ((s, dir) => {
       T(s, dir, "events").agg(count_distinct(col("user_id")).as("n"))
@@ -443,6 +469,22 @@ object SparkEntry {
       Similarity.ivfTopK(assigned, emb.filter(col("vec_id") < 5), cents,
         "vec_id", "embedding", k = 3, nprobe = 4)
         .orderBy("q_id", "rk")
+    }),
+    "q_ivf_oracle" -> ((s, dir) => {
+      // ORACLE-CHECKED IVF twin: the same ivfAssign → ivfTopK path as
+      // q_ivf_topk, but with centroids picked by a DuckDB-expressible rule
+      // (vec_id < 16) instead of seedCentroids' xxhash64 order, so the full
+      // assignment + probe semantics get a bitwise float-cosine oracle
+      // (like q_ann_cosine). seedCentroids stays covered by q_ivf_topk
+      // (rows-only) + ScalaTest.
+      val emb = T(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("long").as("centroid_id"),
+          col("embedding").cast("array<double>").as("centroid_vec"))
+      val assigned = Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
+      Similarity.ivfTopK(assigned, emb.filter(col("vec_id") < 5), cents,
+        "vec_id", "embedding", k = 3, nprobe = 4)
+        .orderBy("q_id", "rk")
     })
   )
 
@@ -503,7 +545,7 @@ object SparkEntry {
     "q_base64" ->
       "SELECT doc_id, decode(from_base64(to_base64(encode(text)))) AS decoded FROM documents ORDER BY doc_id",
     "q_bytestring" ->
-      "SELECT doc_id, encode(text) AS b, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents ORDER BY doc_id",
+      "SELECT doc_id, hex(encode(text)) AS b_hex, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents ORDER BY doc_id",
     "q_maxbytes_trunc" ->
       // ASCII-only subset: byte truncation == char truncation, no boundary
       // backoff needed in the mirror
@@ -577,6 +619,45 @@ object SparkEntry {
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
         "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) AS j " +
         "FROM s a, s b WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b"),
+    "q_dedup_clusters" ->
+      // connected components via recursive transitive closure (node count
+      // is clamped to doc_id < 200, so the closure is bounded); rep = min
+      // id reachable from each node, singletons map to themselves
+      ("WITH RECURSIVE s AS (SELECT doc_id, list_distinct(list_filter(" +
+        "regexp_split_to_array(lower(text), '\\s+'), t -> length(t) > 0)) AS tok " +
+        "FROM documents WHERE doc_id < 200 AND text IS NOT NULL), " +
+        "p AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM s a, s b WHERE a.doc_id < b.doc_id " +
+        "AND CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) / len(list_distinct(list_concat(a.tok, b.tok))) >= 0.9), " +
+        "e AS (SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p), " +
+        "r(u, v) AS (SELECT u, v FROM e UNION SELECT r.u, e2.v FROM r JOIN e e2 ON r.v = e2.u), " +
+        "m AS (SELECT u AS doc_id, least(u, min(v)) AS rep FROM r GROUP BY u) " +
+        "SELECT s.doc_id, coalesce(m.rep, s.doc_id) AS rep FROM s LEFT JOIN m USING (doc_id) ORDER BY doc_id"),
+    "q_ivf_oracle" ->
+      // assignment = argmax cosine over the 16 seed centroids (tiebreak:
+      // lowest centroid_id — mirrors ivfAssign's max_by(sim, -id)); probe =
+      // top-4 centroids per query; rank candidates in probed cells only.
+      // Cosine fragment is IDENTICAL to q_ann_cosine's (bitwise parity).
+      ("WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings), " +
+        "c AS (SELECT vec_id AS centroid_id, vec AS cvec FROM v WHERE vec_id < 16), " +
+        "sc AS (SELECT v.vec_id, v.vec, c.centroid_id, " +
+        "CASE WHEN sqrt(list_dot_product(v.vec, v.vec)) * sqrt(list_dot_product(c.cvec, c.cvec)) = 0 THEN 0.0 " +
+        "ELSE list_dot_product(v.vec, c.cvec) / (sqrt(list_dot_product(v.vec, v.vec)) * sqrt(list_dot_product(c.cvec, c.cvec))) END AS csim " +
+        "FROM v, c), " +
+        "asn AS (SELECT vec_id, vec, centroid_id FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS rn FROM sc) WHERE rn = 1), " +
+        "q AS (SELECT vec_id AS q_id, vec AS q_vec FROM v WHERE vec_id < 5), " +
+        "qc AS (SELECT q.q_id, q.q_vec, c.centroid_id, " +
+        "CASE WHEN sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(c.cvec, c.cvec)) = 0 THEN 0.0 " +
+        "ELSE list_dot_product(q.q_vec, c.cvec) / (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(c.cvec, c.cvec))) END AS psim " +
+        "FROM q, c), " +
+        "pr AS (SELECT q_id, q_vec, centroid_id FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY psim DESC, centroid_id) AS c_rk FROM qc) WHERE c_rk <= 4), " +
+        "scored AS (SELECT pr.q_id, a.vec_id AS cand_id, " +
+        "CASE WHEN sqrt(list_dot_product(pr.q_vec, pr.q_vec)) * sqrt(list_dot_product(a.vec, a.vec)) = 0 THEN 0.0 " +
+        "ELSE list_dot_product(pr.q_vec, a.vec) / (sqrt(list_dot_product(pr.q_vec, pr.q_vec)) * sqrt(list_dot_product(a.vec, a.vec))) END AS sim " +
+        "FROM asn a JOIN pr ON a.centroid_id = pr.centroid_id WHERE a.vec_id <> pr.q_id) " +
+        "SELECT q_id, cand_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS INTEGER) AS rk " +
+        "FROM scored QUALIFY rk <= 3 ORDER BY q_id, rk"),
     "q_approx_distinct" ->
       "SELECT COUNT(DISTINCT user_id) AS n FROM events",
     "q_window_events" ->

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Validate
 import graft.{filters => F}
 import graft.filters.Macros
-import graft.ops.{Dedup, TextAnalysis}
+import graft.ops.{Clusters, Dedup, TextAnalysis}
 
 /** End-to-end LLM training-data curation pipeline — the composition a user
   * of the reference library + a data platform would run, expressed entirely
@@ -15,10 +15,13 @@ import graft.ops.{Dedup, TextAnalysis}
   *   2. language ID + quality score (map-only text analysis)
   *   3. gate on quality and length
   *   4. exact dedup by content fingerprint (one key-width shuffle)
-  *   5. near-dup candidate removal via MinHash LSH (band equi-join)
+  *   5. near-dup removal via MinHash LSH (band equi-join) resolved to
+  *      TRANSITIVE clusters (connected components), keeping the min-id
+  *      representative of each cluster
   *
   * Every stage before (4) is shuffle-free; the whole pipeline is 2 shuffles
-  * + the LSH band join regardless of input size.
+  * + the LSH band join + the (pair-sized, not corpus-sized) cluster
+  * resolution regardless of input size.
   */
 object TrainingDataPipeline {
 
@@ -50,12 +53,19 @@ object TrainingDataPipeline {
         exactDeduped0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else exactDeduped0
 
-    // 5. near-dup removal: drop the higher-id member of each candidate pair
+    // 5. near-dup removal, cluster-resolved: candidate pairs → connected
+    // components → keep exactly the min-id representative per transitive
+    // cluster. (Greedy "drop id_b of every pair" is transitively unstable:
+    // A~B, B~C, A≁C would drop both B and C.)
+    // maxBucket below the library default: pair-level recall inside split
+    // hot buckets is shed aggressively here BECAUSE the connected-components
+    // step re-merges each clique from the surviving pairs — cluster-level
+    // dedup (what curation needs) is preserved at a fraction of the
+    // candidate volume.
     val nearDups = Dedup.minhashNearDups(exactDeduped, "doc_id", "text",
-      numHashes = 64, threshold = nearDupThreshold) // banding auto-selected for recall
-    exactDeduped.join(
-      nearDups.select(col("id_b").as("doc_id")).distinct(),
-      Seq("doc_id"), "left_anti")
+      numHashes = 64, threshold = nearDupThreshold, // banding auto-selected for recall
+      maxBucket = 32)
+    Clusters.dropNearDupClusters(exactDeduped, nearDups, "doc_id")
   }
 
   /** Runnable demo over the harness testdata. */

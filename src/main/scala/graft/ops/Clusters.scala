@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Connected-components resolution of near-duplicate candidate PAIRS into
+  * clusters with a deterministic representative (the component's minimum
+  * id). The missing last step of scalable dedup: [[Dedup]]/[[Similarity]]
+  * emit pairs, but dropping `id_b` of every pair is greedy and
+  * transitively unstable (A~B, B~C, A≁C can drop both B and C). Real
+  * 100 TB dedup keeps exactly one member per TRANSITIVE cluster.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — the standard
+  * Spark-shaped formulation, converging in O(log² n) rounds on any graph
+  * and 1–2 rounds on the shallow clique-like graphs near-dup pairs form
+  * (large-star's first round collapses a w-clique straight to a star).
+  * Both star operations are expressed as WINDOW minima over the node id —
+  * one exchange each, no joins: the per-round plan is two
+  * window-partition exchanges + two distincts over edge-sized rows, with
+  * no join-strategy cliff (a groupBy+join formulation degrades to
+  * sort-merge when checkpointed stats go unknown). Each round
+  * materializes via checkpoint to truncate lineage (reliable checkpoint
+  * when the session has a checkpoint dir — the cluster deployment path —
+  * else a local one).
+  *
+  * No reference counterpart (`eflglobal/filters` is a record-at-a-time
+  * library); mandated by BASELINE.json's dedup scope.
+  */
+object Clusters {
+
+  /** Map every node appearing in `pairs` to its component representative:
+    * `(id, rep)` with `rep` = min id of the connected component. Nodes not
+    * in any pair don't appear (callers coalesce to self on a left join).
+    * Ids are cast to long; `pairs` may contain duplicates or self-loops. */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    def ckpt(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+
+    // canonical undirected edges: (u, v) with u > v. NOT deduped here: the
+    // window minima are duplicate-tolerant and every star round ends in a
+    // distinct, so an up-front distinct would only add an exchange over
+    // the largest edge set the algorithm ever sees.
+    val raw = pairs
+      .select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+
+    val byU = Window.partitionBy("u")
+    // one-pass row doubling: explode emits both directed copies in a
+    // single scan of the input, where a self-union would evaluate the
+    // (possibly expensive) upstream twice
+    def sym(e: DataFrame): DataFrame = e
+      .select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+
+    // large-star: every node connects its LARGER neighbors to the minimum
+    // of its neighborhood (incl. itself). No trailing distinct — the
+    // round-ending small-star window is duplicate-tolerant and its
+    // distinct dedups the round in one exchange.
+    def largeStar(e: DataFrame): DataFrame =
+      sym(e).withColumn("m", least(col("u"), min(col("v")).over(byU)))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+    // small-star: every node connects its smaller neighbors (and itself)
+    // to that minimum; input is canonical (u > v) so all neighbors seen
+    // here are the small side. Output rows (v, m) and (u, m) emit from
+    // one explode pass — the input is evaluated exactly once.
+    def smallStar(e: DataFrame): DataFrame = {
+      e.withColumn("m", min(col("v")).over(byU))
+        .select(explode(array(
+          struct(col("v").as("u"), col("m").as("v")),
+          struct(col("u"), col("m").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // convergence check: (count, order-independent hash-xor) of the edge
+    // set — two longs per round, no edge-set except() pass. bit_xor, not
+    // sum: ANSI mode (Spark 4 default) makes a hash SUM overflow-throw;
+    // xor cannot overflow and is exact on a distinct edge set.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    // SMALL-star opens the run: on the canonical (still asymmetric) pair
+    // input it runs over |E| rows where large-star's symmetric view runs
+    // over 2|E| — and one small-star pass already collapses the w-cliques
+    // near-dup pairs are made of, so every later pass sees a contracted
+    // graph. Its window exchange doubles as the single evaluation of the
+    // (possibly expensive) upstream pair computation; the checkpoint then
+    // pins the result for the loop. Alternation order doesn't affect
+    // correctness: both operations preserve components, and the fixpoint
+    // of the composition is still a union of stars.
+    var edges = ckpt(smallStar(raw))
+    var sig = signature(edges)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = ckpt(smallStar(largeStar(edges)))
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = next
+      it += 1
+    }
+    // at the fixpoint the edge set is a union of stars: (node, root)
+    edges.select(col("u").as("id"), col("v").as("rep"))
+      .union(edges.select(col("v").as("id"), col("v").as("rep")))
+      .distinct()
+  }
+
+  /** Cluster-resolved dedup: keep exactly the representative (minimum id)
+    * of every transitive near-dup cluster. `pairs` is any candidate-pair
+    * frame over ids of `df` (e.g. [[Dedup.minhashNearDups]] output). */
+  def dropNearDupClusters(df: DataFrame, pairs: DataFrame,
+                          idCol: String): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("rep"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+}

@@ -71,65 +71,138 @@ object Dedup {
     * Never materializes an all-pairs product. `bands = 0` (the default)
     * auto-selects via [[bandsForThreshold]] — the cheapest banding whose
     * S-curve clears `threshold`, so pairs at the threshold collide with
-    * ≥ 1-1/e probability. Pin bands explicitly only to sacrifice recall
-    * deliberately (e.g. on pathologically self-similar corpora). */
+    * ≥ 1-1/e probability. `maxBucket` bounds band-bucket width (hot-bucket
+    * guard, see [[nearDupsBySignature]]); pass `Int.MaxValue` to disable. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 16, bands: Int = 0,
-                      threshold: Double = 0.7): DataFrame =
+                      threshold: Double = 0.7,
+                      maxBucket: Int = 64): DataFrame =
     nearDupsBySignature(df.filter(col(textCol).isNotNull), idCol,
       minhashSignature(col(textCol), numHashes),
-      numHashes, resolveBands(numHashes, bands, threshold), threshold)
+      numHashes, resolveBands(numHashes, bands, threshold), threshold, maxBucket)
 
   /** n-gram (character shingle) Jaccard near-dups — same LSH pipeline over
     * shingle MinHash signatures; estimates shingle-set Jaccard.
     * `bands = 0` auto-selects like [[minhashNearDups]]. */
   def ngramNearDups(df: DataFrame, idCol: String, textCol: String,
                     ngram: Int = 5, numHashes: Int = 16, bands: Int = 0,
-                    threshold: Double = 0.7): DataFrame =
+                    threshold: Double = 0.7,
+                    maxBucket: Int = 64): DataFrame =
     nearDupsBySignature(df.filter(col(textCol).isNotNull), idCol,
       native.minhashSigShingles(lower(col(textCol)), ngram, numHashes),
-      numHashes, resolveBands(numHashes, bands, threshold), threshold)
+      numHashes, resolveBands(numHashes, bands, threshold), threshold, maxBucket)
 
   private def resolveBands(numHashes: Int, bands: Int, threshold: Double): Int =
     if (bands == 0) bandsForThreshold(numHashes, threshold) else bands
 
+  /** LSH candidate generation with a HOT-BUCKET GUARD.
+    *
+    * Healthy corpora hash a handful of documents per band bucket; a cluster
+    * of (near-)identical documents collapses into ONE bucket and the
+    * equi-join goes quadratic in its width w (w²/2 candidates — the r4
+    * bench regression, and a genuine 100 TB scale-killer: one hot key can
+    * stall a 1000-executor join). Guard: buckets wider than `maxBucket`
+    * are sub-split by a secondary hash of the id, so each sub-bucket holds
+    * ~maxBucket rows and a width-w bucket yields ~w·maxBucket/2 candidates
+    * instead of w²/2 — linear in w, like AQE's skew-join splitting (which
+    * cannot help here: it rebalances partitions, not the join's output
+    * cardinality).
+    *
+    * Recall under the guard: the sub-split is band-dependent
+    * (xxhash64(id, band)), so a pair split apart at one band still
+    * collides at another with independent probability — within a split
+    * clique a pair survives with p = 1-(1-1/s)^bands for s subs. Surviving
+    * pairs keep the clique CONNECTED (random graph, p ≫ log w / w), so
+    * the downstream connected-components resolution ([[Clusters]]) still
+    * merges it into one cluster: cluster-level dedup is preserved even
+    * where pair-level recall is shed. Buckets at or under `maxBucket` are
+    * untouched — on a healthy corpus the output is bit-identical to the
+    * unguarded join (spec-verified).
+    *
+    * Execution shape: the signature table (id, sig, band-hashes) is
+    * CHECKPOINTED up front — the kernel runs exactly ONCE, and the stats
+    * branch, both self-join sides, and the sub assignment all read the
+    * materialized (narrow: ~half a KB/row) table instead of re-deriving
+    * signatures from text. This is the standard iterative-reuse pattern
+    * (GraphFrames' connected components checkpoints the same way); at
+    * cluster scale it is exactly the "persist your signatures" step every
+    * real LSH dedup run performs. The guard's stats are an aggregate on
+    * the exploded (band, h) projection — no driver-side collect, no
+    * literal-map plan bloat; on a healthy corpus the wide-bucket side is
+    * empty and the sub columns fold to constants. */
   private def nearDupsBySignature(df: DataFrame, idCol: String, sigCol: Column,
                                   numHashes: Int, bands: Int,
-                                  threshold: Double): DataFrame = {
+                                  threshold: Double, maxBucket: Int): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
         "trailing signature positions would silently never participate in banding")
+    require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
     val rowsPerBand = numHashes / bands
+    def ckpt(d: DataFrame): DataFrame =
+      if (d.sparkSession.sparkContext.getCheckpointDir.isDefined) d.checkpoint()
+      else d.localCheckpoint()
     // CONTRACT: callers pre-filter rows whose source column is null (both
     // kernels are null-propagating and never null otherwise). A null
     // signature here would share constant band keys and form an all-pairs
     // clique; filtering on sig.isNotNull INSTEAD would push the null check
     // into the scan and re-evaluate the signature kernel there, doubling
     // the kernel work per row — so the guard lives on the source column.
-    val sigs = df.select(col(idCol).as("id"), sigCol.as("sig"))
-      .withColumn("bhs", minhashBands(col("sig"), bands, rowsPerBand))
-    val banded = sigs.select(col("id"), col("sig"), col("bhs"),
-      posexplode(col("bhs")).as(Seq("band", "h")))
+    val sigs = ckpt(df.select(col(idCol).as("id"), sigCol.as("sig"))
+      .withColumn("bhs", minhashBands(col("sig"), bands, rowsPerBand)))
+    val sigs2 =
+      if (maxBucket == Int.MaxValue)
+        // guard disabled: constant sub 0 everywhere, no stats pass
+        sigs.withColumn("subs",
+          array_repeat(lit(0), bands))
+      else ckpt {
+        // hot-bucket stats: which (band, h) buckets exceed maxBucket, and
+        // into how many subs to split them
+        val slim = sigs.select(col("id"), posexplode(col("bhs")).as(Seq("band", "h")))
+        val wide = slim.groupBy("band", "h").count()
+          .filter(col("count") > maxBucket)
+          .select(col("band"), col("h"),
+            ceil(col("count") / maxBucket).cast("int").as("splits"))
+        // per-id band→splits map, ONLY for ids touching a wide bucket
+        // (empty on a healthy corpus)
+        val wideIds = slim.join(wide, Seq("band", "h"))
+          .groupBy("id")
+          .agg(map_from_entries(collect_list(struct(col("band"), col("splits")))).as("wm"))
+        sigs.join(wideIds, Seq("id"), "left")
+          .withColumn("subs", transform(sequence(lit(0), lit(bands - 1)),
+            j => when(col("wm").isNull, lit(0)).otherwise(coalesce(
+              pmod(xxhash64(col("id"), j), element_at(col("wm"), j).cast("long"))
+                .cast("int"), lit(0)))))
+          .drop("wm")
+      }
+    val banded = sigs2.select(col("id"), col("sig"), col("bhs"), col("subs"),
+      posexplode(arrays_zip(col("bhs"), col("subs"))).as(Seq("band", "z")))
+      .select(col("id"), col("sig"), col("bhs"), col("subs"), col("band"),
+        col("z.bhs").as("h"), col("z.subs").as("sub"))
     val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
-      col("bhs").as("bhs_a"), col("band"), col("h"))
+      col("bhs").as("bhs_a"), col("subs").as("subs_a"),
+      col("band"), col("h"), col("sub"))
     val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
-      col("bhs").as("bhs_b"), col("band"), col("h"))
+      col("bhs").as("bhs_b"), col("subs").as("subs_b"),
+      col("band"), col("h"), col("sub"))
     // A pair sharing k bands would surface k times; emit it ONLY at its
-    // first matching band (no earlier band-hash pair equal) — a literal
-    // when-chain over band index, fully codegen'd. This replaces a
+    // first matching band (no earlier (band-hash, sub) pair equal) — a
+    // literal when-chain over band index, fully codegen'd. This replaces a
     // dropDuplicates EXCHANGE over every estimate-passing candidate with a
-    // few map-side comparisons per candidate.
+    // few map-side comparisons per candidate. The sub term keeps the
+    // invariant exact under the hot-bucket guard: a pair "matches at band
+    // j" iff it lands in the same (band, h, sub) join bucket there.
     val dupEarlier =
       if (bands == 1) lit(false)
       else (1 until bands).foldLeft(when(col("band") === 0, lit(false))) {
         case (acc, bIdx) => acc.when(col("band") === bIdx,
           (0 until bIdx).map(j =>
-            col("bhs_a").getItem(j) === col("bhs_b").getItem(j)).reduce(_ || _))
+            col("bhs_a").getItem(j) === col("bhs_b").getItem(j) &&
+              col("subs_a").getItem(j) === col("subs_b").getItem(j)).reduce(_ || _))
       }
     // Estimate Jaccard map-side IMMEDIATELY after the band equi-join
     // (native kernel, one tight loop per pair): nothing downstream
     // shuffles — the output is exchange-free past the join itself.
-    a.join(b, Seq("band", "h"))
+    a.join(b, Seq("band", "h", "sub"))
       .filter(col("id_a") < col("id_b") && !dupEarlier)
       .select(col("id_a"), col("id_b"),
         native.sigAgreement(col("sig_a"), col("sig_b")).as("jaccard_est"))

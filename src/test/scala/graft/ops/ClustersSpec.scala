@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Connected-components cluster resolution (Clusters.scala): transitive
+  * correctness, deterministic representatives, singleton behavior, and the
+  * curate-style drop. */
+class ClustersSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Clusters.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("transitive chain A~B~C resolves to ONE cluster with min-id rep") {
+    // the exact case greedy pair-dropping gets wrong: A~B, B~C, A≁C
+    val reps = cc(Seq((1L, 2L), (2L, 3L)))
+    assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("multiple components keep independent min-id representatives") {
+    val reps = cc(Seq((5L, 9L), (9L, 7L), (20L, 21L), (30L, 25L)))
+    assert(reps == Map(5L -> 5L, 7L -> 5L, 9L -> 5L,
+      20L -> 20L, 21L -> 20L, 25L -> 25L, 30L -> 25L))
+  }
+
+  test("long path graph converges (O(log² n) rounds, not diameter)") {
+    // 0-1-2-…-63: a 64-node path — worst case for naive propagation
+    val path = (0L until 63L).map(i => (i, i + 1))
+    val reps = cc(path)
+    assert(reps.size == 64 && reps.values.forall(_ == 0L))
+  }
+
+  test("duplicate and reversed pairs, self-loops are tolerated") {
+    val reps = cc(Seq((2L, 1L), (1L, 2L), (2L, 2L), (1L, 2L)))
+    assert(reps == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("empty pair set yields empty mapping") {
+    val empty = spark.emptyDataFrame
+      .select(lit(0L).as("id_a"), lit(0L).as("id_b")).limit(0)
+    assert(Clusters.connectedComponents(empty).count() == 0)
+  }
+
+  test("dropNearDupClusters keeps exactly the min-id member per cluster") {
+    val df = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Clusters.dropNearDupClusters(df, pairs, "doc_id")
+      .as[Long].collect().toSet
+    // clusters {1,2,3} → keep 1; {5,6} → keep 5; singleton 4 untouched
+    assert(kept == Set(1L, 4L, 5L))
+  }
+}

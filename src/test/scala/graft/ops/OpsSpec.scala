@@ -50,6 +50,38 @@ class OpsSpec extends SparkSuite {
     assert(pairs.contains((1L, 8888L)), s"expected (1,8888) in $pairs")
   }
 
+  test("hot-bucket guard: output identical to unguarded on a healthy corpus") {
+    // every band bucket on this corpus is far under the default cap, so
+    // the guarded join must be bit-identical to an effectively-unguarded
+    // run (the guard's contract: untouched buckets → untouched output)
+    val base = docs.limit(50).select(col("doc_id"), col("text"))
+    val guarded = Dedup.minhashNearDups(base, "doc_id", "text",
+      numHashes = 32, bands = 4, threshold = 0.5, maxBucket = 512)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val unguarded = Dedup.minhashNearDups(base, "doc_id", "text",
+      numHashes = 32, bands = 4, threshold = 0.5, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(guarded == unguarded, "guard changed output on a healthy corpus")
+  }
+
+  test("hot-bucket guard: a pathological clique is bounded but stays connected") {
+    // 120 identical documents = one band bucket per band holding all 120
+    // rows (w²/2 = 7140 candidates unguarded). With maxBucket = 10 the
+    // candidate count must shrink well below that, yet the surviving pairs
+    // must still connect the clique into ONE component (the guard's
+    // recall contract: p = 1-(1-1/s)^bands per pair, clusters re-merge).
+    val clique = (0L until 120L).map(i => (i, "the same exact document text repeated"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(clique, "doc_id", "text",
+      numHashes = 32, bands = 4, threshold = 0.9, maxBucket = 10)
+    val n = pairs.count()
+    assert(n > 0, "guard must not drop the clique entirely")
+    assert(n < 7140, s"guard must bound the quadratic blowup, got $n pairs")
+    val comps = Clusters.connectedComponents(pairs)
+      .select(countDistinct(col("rep"))).as[Long].head()
+    assert(comps == 1L, s"clique must stay one component, got $comps")
+  }
+
   test("embedding near-dups: identical vectors pair up at sim 1.0; none below threshold") {
     val base = emb.limit(50).select(col("vec_id"), col("embedding"))
     val dup = base.filter(col("vec_id") === 2)
