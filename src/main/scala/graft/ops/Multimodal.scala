@@ -86,11 +86,54 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic hash-derived feature kernel — the STAND-IN for a learned
+    * embedding model (none ships with the JDK). Exposed for the `graft.hash`
+    * extractor-pack entry. */
+  private[graft] def hashFeature(bytes: Array[Byte], dims: Int): Seq[Float] = {
+    if (bytes == null) return null
+    val arr = new Array[Float](dims)
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) {
+      h = 31 * h + bytes(i)
+      arr(i % dims) += (h % 1000) / 1000.0f
+      i += 1
+    }
+    arr.toSeq
+  }
+
+  /** REAL per-channel color-histogram feature kernel (see
+    * [[imageHistogramFeatures]]); null for undecodable payloads. Exposed for
+    * the `graft.histogram` extractor-pack entry. */
+  private[graft] def histogramFeature(bytes: Array[Byte], bins: Int): Seq[Float] =
+    decodeImage(bytes).map { img =>
+      val hist = new Array[Float](3 * bins)
+      val w = img.getWidth; val h = img.getHeight
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          hist(((rgb >> 16) & 0xff) * bins / 256) += 1f
+          hist(bins + (((rgb >> 8) & 0xff) * bins / 256)) += 1f
+          hist(2 * bins + ((rgb & 0xff) * bins / 256)) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      var i = 0
+      while (i < hist.length) { hist(i) /= n; i += 1 }
+      hist.toSeq
+    }.orNull
+
   /** Feature-extraction STUB: binary payload → fixed-width float vector
     * (deterministic hash-derived features; a real extractor plugs a model in
     * here — none ships with the JDK). Output shape matches the `embeddings`
     * table so the similarity operators compose directly. For DECODABLE
-    * images prefer [[imageHistogramFeatures]], which is real. */
+    * images prefer [[imageHistogramFeatures]], which is real; to plug a
+    * REAL model, register an [[graft.ext.ExtractorProvider]] pack and use
+    * [[extractFeaturesVia]]. */
   def extractFeatures(df: DataFrame, binCol: String, dims: Int = 64,
                       outCol: String = "features"): DataFrame = {
     val outSchema = df.schema.add(outCol, ArrayType(FloatType, containsNull = false))
@@ -99,18 +142,33 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
-        val feats = if (bytes == null) null else {
-          val arr = new Array[Float](dims)
-          var h = 1125899906842597L
-          var i = 0
-          while (i < bytes.length) {
-            h = 31 * h + bytes(i)
-            arr(i % dims) += (h % 1000) / 1000.0f
-            i += 1
-          }
-          arr.toSeq
-        }
-        Row.fromSeq(r.toSeq :+ feats)
+        Row.fromSeq(r.toSeq :+ hashFeature(bytes, dims))
+      }
+    }(enc)
+  }
+
+  /** Feature extraction through the [[graft.ext.ExtractorRegistry]] SPI:
+    * `extractor` is a namespace-qualified pack entry (e.g.
+    * `"graft.histogram"`, or a third-party `"mypack.clip_image"`). The
+    * closure captures only the NAME and args — the extractor function
+    * itself resolves from the ServiceLoader registry ON THE EXECUTOR, once
+    * per JVM (lazy object init), which is exactly how a real model-backed
+    * extractor wants to load: per-executor weights, never serialized
+    * through the driver. */
+  def extractFeaturesVia(df: DataFrame, binCol: String, extractor: String,
+                         args: Seq[String] = Nil,
+                         outCol: String = "features"): DataFrame = {
+    // resolve once on the DRIVER too, so an unknown name fails at call
+    // time with the registry's discoverable error, not mid-job
+    graft.ext.ExtractorRegistry.featureExtractor(extractor, args: _*)
+    val outSchema = df.schema.add(outCol, ArrayType(FloatType, containsNull = false))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      val f = graft.ext.ExtractorRegistry.featureExtractor(extractor, args: _*)
+      rows.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        Row.fromSeq(r.toSeq :+ (if (bytes == null) null else f(bytes)))
       }
     }(enc)
   }
@@ -130,27 +188,7 @@ object Multimodal {
       ImageIO.setUseCache(false)
       rows.map { r =>
         val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
-        val feats = decodeImage(bytes).map { img =>
-          val hist = new Array[Float](3 * bins)
-          val w = img.getWidth; val h = img.getHeight
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              hist(((rgb >> 16) & 0xff) * bins / 256) += 1f
-              hist(bins + (((rgb >> 8) & 0xff) * bins / 256)) += 1f
-              hist(2 * bins + ((rgb & 0xff) * bins / 256)) += 1f
-              x += 1
-            }
-            y += 1
-          }
-          val n = (w.toLong * h).toFloat
-          var i = 0
-          while (i < hist.length) { hist(i) /= n; i += 1 }
-          hist.toSeq
-        }.orNull
-        Row.fromSeq(r.toSeq :+ feats)
+        Row.fromSeq(r.toSeq :+ histogramFeature(bytes, bins))
       }
     }(enc)
   }
@@ -181,6 +219,37 @@ object Multimodal {
           bos.toByteArray
         }.orNull
         Row.fromSeq(r.toSeq ++ Seq(out, w, h))
+      }
+    }(enc)
+  }
+
+  /** Byte-chunk frame kernel — the STAND-IN for a video decoder (none ships
+    * with the JDK). Exposed for the `graft.chunks` sampler-pack entry:
+    * (original chunk index, chunk bytes) for every `stride`-th chunk. */
+  private[graft] def chunkFrames(bytes: Array[Byte], frameSize: Int,
+                                 stride: Int): Iterator[(Int, Array[Byte])] =
+    if (bytes == null) Iterator.empty
+    else bytes.grouped(frameSize).zipWithIndex.collect {
+      case (chunk, idx) if idx % stride == 0 => (idx, chunk)
+    }
+
+  /** Frame sampling through the [[graft.ext.ExtractorRegistry]] SPI —
+    * `sampler` names a pack entry (e.g. `"graft.chunks"`, or a third-party
+    * `"mypack.ffmpeg_keyframes"`); same executor-side resolution as
+    * [[extractFeaturesVia]]. One row fans out to (frame_idx, frame) rows. */
+  def sampleFramesVia(df: DataFrame, binCol: String, sampler: String,
+                      args: Seq[String] = Nil): DataFrame = {
+    graft.ext.ExtractorRegistry.frameSampler(sampler, args: _*) // fail fast driver-side
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", IntegerType), StructField("frame", BinaryType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      val f = graft.ext.ExtractorRegistry.frameSampler(sampler, args: _*)
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        if (bytes == null) Iterator.empty
+        else f(bytes).map { case (idx, frame) => Row.fromSeq(r.toSeq ++ Seq(idx, frame)) }
       }
     }(enc)
   }
