@@ -441,7 +441,14 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "q_simhash" -> ((s, dir) => {
+      // ORACLE-CHECKED (r5): DuckDB reproduces both kernels exactly with
+      // HUGEINT mod-2^64 arithmetic — FNV-1a-per-token bit votes for
+      // simhash, the 31-polynomial for the rolling fingerprint. The ASCII
+      // clamp (octet_length == length) pins byte-level == char-level
+      // folding so the mirror holds; the corpus is entirely ASCII, so no
+      // row actually drops.
       T(s, dir, "documents")
+        .filter(octet_length(col("text")) === length(col("text")))
         .select(col("doc_id"), TextAnalysis.fingerprintSimhash(col("text")).as("sh"),
           TextAnalysis.fingerprintRolling(col("text")).as("rh"))
         .orderBy("doc_id")
@@ -727,6 +734,38 @@ object SparkEntry {
         "FROM v, q WHERE v.vec_id <> q.q_id) " +
         "SELECT q_id, cand_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS INTEGER) AS rk " +
         "FROM pairs QUALIFY rk <= 3 ORDER BY q_id, rk"),
+    "q_simhash" -> {
+      // Exact integer mirror of the simhash + rolling-hash kernels
+      // (Kernels.simHash / Kernels.rollingHash): DuckDB HUGEINT carries
+      // the unsigned 64-bit state, every step reduces mod 2^64 (== Java
+      // long wraparound), and the final value converts to signed BIGINT.
+      // The 64 per-bit vote sums and the recomposition are generated
+      // programmatically below. xor() only ever sees the low 16 bits
+      // (token chars are < 2^16), keeping it in BIGINT range.
+      val two64 = BigInt(1) << 64
+      val two63 = BigInt(1) << 63
+      val fnvSeed = BigInt("cbf29ce484222325", 16)
+      val bitSums = (0 until 64).map(b =>
+        s"SUM(CASE WHEN (h // CAST('${BigInt(1) << b}' AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")
+      val recompose = (0 until 64).map(b =>
+        s"CASE WHEN v$b > 0 THEN CAST('${BigInt(1) << b}' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END").mkString(" + ")
+      s"WITH t AS (SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0) AS toks " +
+        "FROM documents WHERE octet_length(encode(text)) = length(text)), " +
+        "th AS (SELECT doc_id, unnest(toks) AS tok FROM t), " +
+        s"hh AS (SELECT doc_id, list_reduce(list_prepend(CAST('$fnvSeed' AS HUGEINT), " +
+        "list_transform(range(1, length(tok)+1), i -> CAST(unicode(substr(tok, i, 1)) AS HUGEINT))), " +
+        "(h, c) -> ((xor(CAST(h % 65536 AS BIGINT), CAST(c AS BIGINT)) + (h - h % 65536)) * 1099511628211) " +
+        s"% CAST('$two64' AS HUGEINT)) AS h FROM th), " +
+        s"votes AS (SELECT doc_id, $bitSums FROM hh GROUP BY doc_id), " +
+        s"sh AS (SELECT doc_id, $recompose AS sval FROM votes), " +
+        "rh AS (SELECT doc_id, list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), " +
+        "list_transform(range(1, length(text)+1), i -> CAST(unicode(substr(text, i, 1)) AS HUGEINT))), " +
+        s"(h, c) -> (h * 31 + c) % CAST('$two64' AS HUGEINT)) AS rval FROM t) " +
+        "SELECT t.doc_id, " +
+        s"CAST(CASE WHEN coalesce(sh.sval, 0) >= CAST('$two63' AS HUGEINT) THEN coalesce(sh.sval, 0) - CAST('$two64' AS HUGEINT) ELSE coalesce(sh.sval, 0) END AS BIGINT) AS sh, " +
+        s"CAST(CASE WHEN coalesce(rh.rval, 1125899906842597) >= CAST('$two63' AS HUGEINT) THEN coalesce(rh.rval, 1125899906842597) - CAST('$two64' AS HUGEINT) ELSE coalesce(rh.rval, 1125899906842597) END AS BIGINT) AS rh " +
+        "FROM t LEFT JOIN sh USING (doc_id) LEFT JOIN rh USING (doc_id) ORDER BY doc_id"
+    },
     "q_sample_det" ->
       // 0.25 * 2^32 = 0x40000000; lowercase-hex string compare ==
       // numeric compare on the first 32 hash bits

