@@ -396,6 +396,22 @@ object SparkEntry {
       Sampling.temperatureWeights(T(s, dir, "documents"), "lang", 0.7)
         .orderBy("lang")
     }),
+    "q_cap_stratum" -> ((s, dir) => {
+      // domain quota: at most 40 docs per lang, deterministic hash-draw
+      // selection (WindowGroupLimit pre-prunes before the exchange)
+      Sampling.capPerStratum(T(s, dir, "documents"), "lang", "doc_id", 40)
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")
+    }),
+    "q_pack_sequences" -> ((s, dir) => {
+      // token-budget packing via the two-phase distributed prefix sum;
+      // DuckDB mirrors with a plain global window cumsum — boundary
+      // independence of the prefix sum makes the two formulations equal
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Sampling.packSequences(docs, "doc_id", "n_tokens", 512)
+        .select(col("doc_id"), col("n_tokens"), col("seq_id"))
+        .orderBy("doc_id")
+    }),
     "q_topk_similar" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val iv = emb.select(col("vec_id"),
@@ -779,6 +795,16 @@ object SparkEntry {
         "p AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.7) AS pw FROM c) " +
         "SELECT lang, n, floor(pw / SUM(pw) OVER () * 1000000.0 + 0.5) / 1000000.0 AS weight " +
         "FROM p ORDER BY lang NULLS FIRST"),
+    "q_cap_stratum" ->
+      ("SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER " +
+        "(PARTITION BY lang ORDER BY substr(md5('graft:' || doc_id), 1, 8), doc_id) AS rk " +
+        "FROM documents) t WHERE rk <= 40 ORDER BY doc_id"),
+    "q_pack_sequences" ->
+      // global window cumsum (fine at 500 rows; the ENGINE runs the
+      // scale-safe two-phase form this mirrors)
+      ("SELECT doc_id, n_tokens, (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS seq_id " +
+        "FROM (SELECT doc_id, CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens " +
+        "FROM documents WHERE text IS NOT NULL) t ORDER BY doc_id"),
     "q_topk_similar" ->
       ("WITH iv AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000, 0)) AS v FROM embeddings), " +
         "q AS (SELECT vec_id AS q_id, v AS qv FROM iv WHERE vec_id < 10), " +

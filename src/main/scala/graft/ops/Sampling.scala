@@ -71,6 +71,64 @@ object Sampling {
       .drop("__pw")
   }
 
+  /** Per-stratum quota — "no domain/source may contribute more than `n`
+    * documents": keep at most `n` rows per stratum, selected
+    * DETERMINISTICALLY by the same salted hash draw as
+    * [[deterministicSample]] (a stable pseudo-random n-subset, not a
+    * first-n-by-id bias; ties broken by id). The selection nests: the
+    * rows kept at quota n are a subset of those kept at any larger quota
+    * under the same salt.
+    *
+    * Scale shape: `row_number ≤ n` compiles to `WindowGroupLimit` — every
+    * map task pre-prunes its partition to a local top-n BEFORE the
+    * exchange, so the shuffle moves ≤ n × #partitions rows per stratum,
+    * never the whole stratum. A 10-billion-row domain costs the same
+    * shuffle as a 10-thousand-row one. */
+  def capPerStratum(df: DataFrame, stratumCol: String, idCol: String, n: Int,
+                    salt: String = "graft"): DataFrame = {
+    require(n > 0, s"quota must be positive, got $n")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashDraw(col(idCol), salt), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
+  /** Token-budget sequence packing: assign rows to consecutive
+    * fixed-budget sequences in deterministic `orderCol` order —
+    * `seq_id = floor(exclusive_prefix_sum(tokens) / budget)` — the
+    * pre-tokenization step that turns a curated corpus into training
+    * sequences (contiguous-prefix packing; boundary documents straddle,
+    * real packers truncate/pad downstream). Rows with a null token count
+    * get a null seq_id.
+    *
+    * Scale shape: a naive global window (`Window.orderBy(...)` with no
+    * partitioning) collapses to a SINGLE-partition sort — the classic
+    * distributed prefix-sum trap. This is the two-phase version:
+    * range-repartition on the order column, per-partition window cumsum,
+    * then add each partition's exclusive offset from the #partitions-row
+    * totals frame (broadcast back). The only heavy exchange is the range
+    * partitioning itself; the result is independent of the sampled range
+    * boundaries because prefix sums compose across any split points. */
+  def packSequences(df: DataFrame, orderCol: String, tokenCol: String,
+                    budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val parted = df.repartitionByRange(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val wIn = Window.partitionBy("__pid").orderBy(col(orderCol))
+    val cum = parted.withColumn("__cum", sum(col(tokenCol)).over(wIn))
+    val offsets = cum.groupBy("__pid").agg(max(col("__cum")).as("__ptot"))
+      .withColumn("__off", coalesce(
+        sum("__ptot").over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    cum.join(broadcast(offsets), Seq("__pid"))
+      // integer `div`, not floor(double /): exact for any cumsum magnitude
+      .withColumn("__excl", col("__cum") + col("__off") - col(tokenCol))
+      .withColumn("seq_id", expr(s"__excl div ${budget}L"))
+      .drop("__pid", "__cum", "__off", "__excl")
+  }
+
   /** Per-stratum sampling rates that hit a total token budget at the given
     * mixture weights: `rate_i = min(1, budget * w_i / tokens_i)`. Join the
     * result back (broadcast — #strata rows) and sample with

@@ -64,6 +64,42 @@ class SamplingSpec extends SparkSuite {
     assert(maxFlat < maxNat, "lower temperature must shrink the dominant stratum's share")
   }
 
+  test("capPerStratum: quota respected, deterministic, and nested across quotas") {
+    val capped = Sampling.capPerStratum(docs, "lang", "doc_id", 5)
+    val sizes = capped.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(sizes.values.forall(_ <= 5), s"quota violated: $sizes")
+    // deterministic: same call → same set
+    val s1 = capped.select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.capPerStratum(docs, "lang", "doc_id", 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2)
+    // nesting: quota-5 selection ⊆ quota-20 selection (prefix of same order)
+    val s20 = Sampling.capPerStratum(docs, "lang", "doc_id", 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1.subsetOf(s20))
+  }
+
+  test("packSequences matches the naive global prefix sum and is partitioning-independent") {
+    import org.apache.spark.sql.expressions.Window
+    val withTok = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+    // naive single-partition global window = the semantic definition
+    val naive = withTok
+      .withColumn("seq_id",
+        expr("(sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) div 256L"))
+      .select("doc_id", "seq_id").as[(Long, Long)].collect().toMap
+    val packed = Sampling.packSequences(withTok, "doc_id", "n_tok", 256)
+      .select("doc_id", "seq_id").as[(Long, Long)].collect().toMap
+    assert(packed == naive, "two-phase prefix sum must equal the global window")
+    // same result under a different physical input partitioning
+    val repacked = Sampling.packSequences(withTok.repartition(7), "doc_id", "n_tok", 256)
+      .select("doc_id", "seq_id").as[(Long, Long)].collect().toMap
+    assert(repacked == naive)
+    // sequences are contiguous in doc order and start at 0
+    val ids = packed.values.toSeq.distinct.sorted
+    assert(ids.head == 0L && ids == (ids.head to ids.last))
+  }
+
   test("budgetRates: rates hit the budget under the weights, capped at 1") {
     val withTok = docs.withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
     val w = Sampling.temperatureWeights(docs, "lang", 0.7)
