@@ -79,6 +79,14 @@ class SamplingSpec extends SparkSuite {
     assert(s1.subsetOf(s20))
   }
 
+  test("capPerStratum plans a WindowGroupLimit (partial top-n before the exchange)") {
+    // the scale claim: every map task prunes to a local top-n, so the
+    // window exchange moves ≤ n×partitions rows per stratum
+    val plan = Sampling.capPerStratum(docs, "lang", "doc_id", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
   test("packSequences matches the naive global prefix sum and is partitioning-independent") {
     import org.apache.spark.sql.expressions.Window
     val withTok = docs.filter(col("text").isNotNull)
