@@ -43,6 +43,36 @@ class ClustersSpec extends SparkSuite {
     assert(Clusters.connectedComponents(empty).count() == 0)
   }
 
+  test("random graphs match a reference union-find (20 seeded trials)") {
+    // pin the distributed star algorithm against the textbook sequential
+    // answer across sparse and dense random graphs
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // path-compress everything, rep = min id (union by min above)
+      parent.keys.toSeq.map(k => k -> find(k)).toMap
+    }
+    for (seed <- 1 to 20) {
+      val rnd = new scala.util.Random(seed)
+      val n = 10 + rnd.nextInt(40)
+      val m = 1 + rnd.nextInt(3 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val expected = unionFind(n, edges)
+        val got = cc(edges)
+        assert(got == expected, s"seed=$seed n=$n m=$m:\n got=$got\n exp=$expected")
+      }
+    }
+  }
+
   test("dropNearDupClusters keeps exactly the min-id member per cluster") {
     val df = (1L to 6L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
