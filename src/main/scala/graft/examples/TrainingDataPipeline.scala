@@ -40,10 +40,16 @@ object TrainingDataPipeline {
       .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
       .filter(col("quality") >= minQuality)
 
-    // 4. exact dedup on the 128-bit fingerprint, keep lowest doc_id
+    // 4. exact dedup on the 128-bit fingerprint, keep lowest doc_id.
+    // row_number-over-fp, not groupBy+self-join: one full-row exchange
+    // (with WindowGroupLimit pruning each map task to its local winner)
+    // instead of an aggregate exchange PLUS a full-row join against it —
+    // at scale the keeper table is #distinct-fps-sized, far past broadcast.
     val fingerprinted = scored.withColumn("fp", TextAnalysis.fingerprintMd5(col("text")))
-    val keeper = fingerprinted.groupBy("fp").agg(min("doc_id").as("doc_id"))
-    val exactDeduped0 = fingerprinted.join(keeper, Seq("fp", "doc_id"))
+    val exactDeduped0 = fingerprinted
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("__rn") === 1).drop("__rn")
     // The curated set feeds BOTH sides of the near-dup band join and the
     // final anti-join — without materialization the whole validate/score/
     // dedup subtree recomputes ~4×. At cluster scale this is where a real
