@@ -92,6 +92,20 @@ object Dedup {
       native.minhashSigShingles(lower(col(textCol)), ngram, numHashes),
       numHashes, resolveBands(numHashes, bands, threshold), threshold, maxBucket)
 
+  /** Near-dups from a PRECOMPUTED signature column (`array<long>` of
+    * length `numHashes`, e.g. [[minhashSignature]] written to storage) —
+    * the index-reuse path a 100 TB deployment actually runs: signatures
+    * are computed and persisted ONCE (the expensive text pass), then
+    * candidate generation re-runs cheaply per threshold/banding sweep
+    * from the stored table. Rows with a null signature are dropped (they
+    * would otherwise clique on constant band keys). */
+  def nearDupsFromSignatures(df: DataFrame, idCol: String, sigCol: String,
+                             numHashes: Int, bands: Int = 0,
+                             threshold: Double = 0.7,
+                             maxBucket: Int = 64): DataFrame =
+    nearDupsBySignature(df.filter(col(sigCol).isNotNull), idCol, col(sigCol),
+      numHashes, resolveBands(numHashes, bands, threshold), threshold, maxBucket)
+
   private def resolveBands(numHashes: Int, bands: Int, threshold: Double): Int =
     if (bands == 0) bandsForThreshold(numHashes, threshold) else bands
 

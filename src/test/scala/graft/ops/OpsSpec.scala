@@ -82,6 +82,21 @@ class OpsSpec extends SparkSuite {
     assert(comps == 1L, s"clique must stay one component, got $comps")
   }
 
+  test("nearDupsFromSignatures: stored signatures reproduce the text-path output") {
+    // the index-reuse contract: persist minhashSignature once, re-run
+    // candidates from the stored column — identical pairs
+    val base = docs.limit(40).select(col("doc_id"), col("text"))
+    val direct = Dedup.minhashNearDups(base, "doc_id", "text",
+      numHashes = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val stored = base.filter(col("text").isNotNull)
+      .select(col("doc_id"), Dedup.minhashSignature(col("text"), 32).as("sig"))
+    val fromSigs = Dedup.nearDupsFromSignatures(stored, "doc_id", "sig",
+      numHashes = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromSigs == direct)
+  }
+
   test("embedding near-dups: identical vectors pair up at sim 1.0; none below threshold") {
     val base = emb.limit(50).select(col("vec_id"), col("embedding"))
     val dup = base.filter(col("vec_id") === 2)
