@@ -433,10 +433,14 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) => {
       // recall target: pairs at Jaccard 0.9 must collide with ≥ 1-1/e
       // probability — bandsForThreshold(64, 0.9) = 8 bands (8 rows/band,
-      // S-curve threshold (1/8)^(1/8) ≈ 0.77 ≤ 0.9). On this synthetic
-      // corpus (31-word vocabulary, avg pairwise Jaccard 0.65) that yields
-      // ~987k pairs at sf0.1 — the recall-safe default, not a hand-pinned
-      // banding.
+      // S-curve threshold (1/8)^(1/8) ≈ 0.77 ≤ 0.9). This synthetic corpus
+      // (31-word vocabulary, avg pairwise Jaccard 0.65) is pathologically
+      // self-similar: unguarded that banding yields ~987k pairs at sf0.1;
+      // the default hot-bucket guard (maxBucket=64) sub-splits the giant
+      // band buckets and sheds pair-level recall inside them to ~222k
+      // pairs, keeping split cliques CONNECTED for cluster-level dedup
+      // (see Dedup.nearDupsBySignature). On a healthy corpus the guard
+      // never fires and output is bit-identical to unguarded.
       Dedup.minhashNearDups(T(s, dir, "documents"), "doc_id", "text",
         numHashes = 64, threshold = 0.9)
         .orderBy("id_a", "id_b")
@@ -649,8 +653,12 @@ object SparkEntry {
       ("WITH RECURSIVE s AS (SELECT doc_id, list_distinct(list_filter(" +
         "regexp_split_to_array(lower(text), '\\s+'), t -> length(t) > 0)) AS tok " +
         "FROM documents WHERE doc_id < 200 AND text IS NOT NULL), " +
+        // empty∪empty guard mirrors Dedup.jaccard's `union=0 → 1.0` (a raw
+        // 0/0 division is NULL in DuckDB, which would silently drop a pair
+        // of empty-token docs the Spark side merges)
         "p AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM s a, s b WHERE a.doc_id < b.doc_id " +
-        "AND CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) / len(list_distinct(list_concat(a.tok, b.tok))) >= 0.9), " +
+        "AND (CASE WHEN len(list_distinct(list_concat(a.tok, b.tok))) = 0 THEN 1.0 " +
+        "ELSE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) / len(list_distinct(list_concat(a.tok, b.tok))) END) >= 0.9), " +
         "e AS (SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p), " +
         "r(u, v) AS (SELECT u, v FROM e UNION SELECT r.u, e2.v FROM r JOIN e e2 ON r.v = e2.u), " +
         "m AS (SELECT u AS doc_id, least(u, min(v)) AS rep FROM r GROUP BY u) " +

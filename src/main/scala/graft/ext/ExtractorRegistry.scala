@@ -34,10 +34,20 @@ trait ExtractorProvider {
 
 /** Classpath-discovered extractor registry ([[FilterRegistry]] twin). */
 object ExtractorRegistry {
-  // last provider wins on a namespace collision, matching FilterRegistry
-  private lazy val loaded: Map[String, ExtractorProvider] =
-    ServiceLoader.load(classOf[ExtractorProvider], getClass.getClassLoader)
+  // last provider wins on a namespace collision, matching FilterRegistry.
+  // Resolution prefers the thread CONTEXT classloader: this registry is the
+  // first to resolve on EXECUTORS (inside extractFeaturesVia/sampleFramesVia
+  // tasks), where pack jars shipped via --jars live in the task context
+  // loader (MutableURLClassLoader) — the defining loader alone would miss
+  // them whenever the engine jar sits on the executor system classpath.
+  // The context loader delegates to its parents, so the engine's own pack
+  // is always found too; a null context (bare JVM) falls back.
+  private lazy val loaded: Map[String, ExtractorProvider] = {
+    val cl = Option(Thread.currentThread().getContextClassLoader)
+      .getOrElse(getClass.getClassLoader)
+    ServiceLoader.load(classOf[ExtractorProvider], cl)
       .asScala.map(p => p.namespace -> p).toMap
+  }
 
   /** All discovered packs by namespace. */
   def providers: Map[String, ExtractorProvider] = loaded
@@ -78,19 +88,27 @@ object ExtractorRegistry {
   * stand-ins for a learned embedding / video keyframes. */
 final class GraftExtractorProvider extends ExtractorProvider {
   val namespace = "graft"
+  // factories validate numeric args HERE, at driver-side construction —
+  // the whole point of the fail-fast resolve is that a bad name OR a bad
+  // arg surfaces before any task launches, not as a per-row
+  // Arithmetic/IllegalArgumentException mid-job on the executors
   override val featureExtractors: Map[String, Seq[String] => Array[Byte] => Seq[Float]] = Map(
     "histogram" -> (args => {
       val bins = args.headOption.map(_.toInt).getOrElse(8)
+      require(bins > 0, s"histogram bins must be positive, got $bins")
       bytes => graft.ops.Multimodal.histogramFeature(bytes, bins)
     }),
     "hash" -> (args => {
       val dims = args.headOption.map(_.toInt).getOrElse(64)
+      require(dims > 0, s"hash dims must be positive, got $dims")
       bytes => graft.ops.Multimodal.hashFeature(bytes, dims)
     }))
   override val frameSamplers: Map[String, Seq[String] => Array[Byte] => Iterator[(Int, Array[Byte])]] =
     Map("chunks" -> (args => {
       val (size, stride) = (args.headOption.map(_.toInt).getOrElse(4096),
         args.lift(1).map(_.toInt).getOrElse(1))
+      require(size > 0, s"chunk size must be positive, got $size")
+      require(stride > 0, s"chunk stride must be positive, got $stride")
       bytes => graft.ops.Multimodal.chunkFrames(bytes, size, stride)
     }))
 }

@@ -27,10 +27,18 @@ trait ValidatorProvider {
   * a broken pack fails at USE time with a named error, not at JVM start. */
 object FilterRegistry {
   // last provider wins on a namespace collision, matching the reference's
-  // "most recently installed distribution" entry-point behavior
-  private lazy val loaded: Map[String, ValidatorProvider] =
-    ServiceLoader.load(classOf[ValidatorProvider], getClass.getClassLoader)
+  // "most recently installed distribution" entry-point behavior. Context
+  // classloader first (same reasoning as [[ExtractorRegistry]]): pack jars
+  // shipped via --jars live in Spark's task/session context loader, which
+  // the defining loader can't see when the engine jar is on the system
+  // classpath; the context chain still delegates up to the engine's own
+  // resources.
+  private lazy val loaded: Map[String, ValidatorProvider] = {
+    val cl = Option(Thread.currentThread().getContextClassLoader)
+      .getOrElse(getClass.getClassLoader)
+    ServiceLoader.load(classOf[ValidatorProvider], cl)
       .asScala.map(p => p.namespace -> p).toMap
+  }
 
   /** All discovered packs by namespace. */
   def providers: Map[String, ValidatorProvider] = loaded

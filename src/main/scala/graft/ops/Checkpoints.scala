@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Shared checkpoint pinning for the iterative ops ([[Dedup]]'s signature
+  * reuse, [[Clusters]]' star rounds): reliable checkpoint when the session
+  * has a checkpoint dir (the cluster deployment path — survives executor
+  * loss), local checkpoint otherwise (tests / exploratory local sessions).
+  *
+  * Spark does NOT delete reliable checkpoint files unless
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default false)
+  * AND the RDD is garbage-collected — an iterative algorithm that
+  * checkpoints every round would otherwise leak a full edge-set-sized file
+  * set per round, unbounded over a long-lived service. [[Pinned.delete]]
+  * lets the loop reclaim a SUPERSEDED round's files as soon as the next
+  * round is materialized; only the final round's checkpoint (which the
+  * returned DataFrame still reads) is left for the session cleaner, so a
+  * repeated caller accumulates one file set per call, not one per
+  * iteration. Long-lived services should still set `cleanCheckpoints=true`
+  * to reclaim those finals.
+  */
+private[ops] object Checkpoints {
+
+  /** A pinned (materialized, lineage-truncated) frame plus the reliable
+    * checkpoint location backing it, when one exists. */
+  final case class Pinned(df: DataFrame, path: Option[Path]) {
+    /** Delete the backing checkpoint files. Call ONLY once every reader of
+      * `df` has been superseded — the frame is unreadable afterwards. */
+    def delete(): Unit = path.foreach { p =>
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      p.getFileSystem(conf).delete(p, true)
+    }
+  }
+
+  /** Checkpoint `df` eagerly and return it with its backing path. The path
+    * is recovered from the checkpointed plan's [[LogicalRDD]]; if a future
+    * Spark changes that internal shape we degrade to `None` (no cleanup,
+    * never a failure). */
+  def pin(df: DataFrame): Pinned = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isDefined) {
+      val pinned = df.checkpoint()
+      val path = pinned.queryExecution.analyzed match {
+        case l: LogicalRDD => l.rdd.getCheckpointFile.map(new Path(_))
+        case _             => None
+      }
+      Pinned(pinned, path)
+    } else Pinned(df.localCheckpoint(), None)
+  }
+}

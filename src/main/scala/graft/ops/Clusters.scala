@@ -36,11 +36,6 @@ object Clusters {
     * Ids are cast to long; `pairs` may contain duplicates or self-loops. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20): DataFrame = {
-    val spark = pairs.sparkSession
-    def ckpt(df: DataFrame): DataFrame =
-      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
-
     // canonical undirected edges: (u, v) with u > v. NOT deduped here: the
     // window minima are duplicate-tolerant and every star round ends in a
     // distinct, so an up-front distinct would only add an exchange over
@@ -100,21 +95,28 @@ object Clusters {
     // pins the result for the loop. Alternation order doesn't affect
     // correctness: both operations preserve components, and the fixpoint
     // of the composition is still a union of stars.
-    var edges = ckpt(smallStar(raw))
-    var sig = signature(edges)
+    var edges = Checkpoints.pin(smallStar(raw))
+    var sig = signature(edges.df)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = ckpt(smallStar(largeStar(edges)))
-      val nextSig = signature(next)
+      val next = Checkpoints.pin(smallStar(largeStar(edges.df)))
+      val nextSig = signature(next.df)
       converged = nextSig == sig
       sig = nextSig
+      // the superseded round's reliable checkpoint files are reclaimed NOW
+      // (next is materialized; nothing reads the old round again) — without
+      // this every round leaks an edge-set-sized file set until the
+      // context's cleaner runs, which it does not by default (see
+      // [[Checkpoints]]). The FINAL round's files back the returned frame
+      // and stay.
+      edges.delete()
       edges = next
       it += 1
     }
     // at the fixpoint the edge set is a union of stars: (node, root)
-    edges.select(col("u").as("id"), col("v").as("rep"))
-      .union(edges.select(col("v").as("id"), col("v").as("rep")))
+    edges.df.select(col("u").as("id"), col("v").as("rep"))
+      .union(edges.df.select(col("v").as("id"), col("v").as("rep")))
       .distinct()
   }
 

@@ -72,7 +72,13 @@ object Dedup {
     * auto-selects via [[bandsForThreshold]] — the cheapest banding whose
     * S-curve clears `threshold`, so pairs at the threshold collide with
     * ≥ 1-1/e probability. `maxBucket` bounds band-bucket width (hot-bucket
-    * guard, see [[nearDupsBySignature]]); pass `Int.MaxValue` to disable. */
+    * guard, see [[nearDupsBySignature]]). NOTE: on a corpus with buckets
+    * wider than `maxBucket` the guard SHEDS pair-level recall inside the
+    * split buckets (cluster-level dedup via [[Clusters]] is preserved —
+    * split cliques stay connected); a consumer that needs the exhaustive
+    * pair list (reporting, threshold sweeps) must pass `Int.MaxValue` to
+    * disable the guard and accept the quadratic hot-bucket cost. Healthy
+    * corpora (no bucket over `maxBucket`) are bit-identical either way. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 16, bands: Int = 0,
                       threshold: Double = 0.7,
@@ -152,23 +158,22 @@ object Dedup {
         "trailing signature positions would silently never participate in banding")
     require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
     val rowsPerBand = numHashes / bands
-    def ckpt(d: DataFrame): DataFrame =
-      if (d.sparkSession.sparkContext.getCheckpointDir.isDefined) d.checkpoint()
-      else d.localCheckpoint()
     // CONTRACT: callers pre-filter rows whose source column is null (both
     // kernels are null-propagating and never null otherwise). A null
     // signature here would share constant band keys and form an all-pairs
     // clique; filtering on sig.isNotNull INSTEAD would push the null check
     // into the scan and re-evaluate the signature kernel there, doubling
     // the kernel work per row — so the guard lives on the source column.
-    val sigs = ckpt(df.select(col(idCol).as("id"), sigCol.as("sig"))
+    val sigsPin = Checkpoints.pin(df.select(col(idCol).as("id"), sigCol.as("sig"))
       .withColumn("bhs", minhashBands(col("sig"), bands, rowsPerBand)))
+    val sigs = sigsPin.df
     val sigs2 =
       if (maxBucket == Int.MaxValue)
         // guard disabled: constant sub 0 everywhere, no stats pass
         sigs.withColumn("subs",
           array_repeat(lit(0), bands))
-      else ckpt {
+      else {
+        val guarded = Checkpoints.pin {
         // hot-bucket stats: which (band, h) buckets exceed maxBucket, and
         // into how many subs to split them
         val slim = sigs.select(col("id"), posexplode(col("bhs")).as(Seq("band", "h")))
@@ -187,6 +192,12 @@ object Dedup {
               pmod(xxhash64(col("id"), j), element_at(col("wm"), j).cast("long"))
                 .cast("int"), lit(0)))))
           .drop("wm")
+        }
+        // everything downstream reads the guarded table only — reclaim the
+        // raw signature checkpoint's files now (see [[Checkpoints]]; the
+        // guarded table's own files back the returned frame and stay)
+        sigsPin.delete()
+        guarded.df
       }
     val banded = sigs2.select(col("id"), col("sig"), col("bhs"), col("subs"),
       posexplode(arrays_zip(col("bhs"), col("subs"))).as(Seq("band", "z")))

@@ -115,9 +115,34 @@ object Sampling {
     require(budget > 0, s"budget must be positive, got $budget")
     val parted = df.repartitionByRange(col(orderCol))
       .withColumn("__pid", spark_partition_id())
-    val wIn = Window.partitionBy("__pid").orderBy(col(orderCol))
+    // ROWS frame, not the default RANGE frame: with orderBy alone the
+    // cumsum frame is RANGE UNBOUNDED..CURRENT ROW, which lumps ALL rows
+    // sharing an orderCol value into one step — two 600-token peers at
+    // budget 512 would both get the same cumsum and land in the same
+    // sequence while an earlier sequence stays empty. Peers are serialized
+    // by a full-row hash tiebreak so the packing is deterministic across
+    // runs/retries (truly identical rows are interchangeable — any order
+    // yields the same multiset of assignments). Map-typed columns are
+    // excluded (Spark refuses to hash maps); range partitioning keeps all
+    // orderCol peers in one partition, so a within-partition tiebreak is a
+    // global one.
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val tieCols = df.schema.fields.toSeq.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    val tie = if (tieCols.nonEmpty) xxhash64(tieCols: _*) else lit(0L)
+    val wIn = Window.partitionBy("__pid").orderBy(col(orderCol), tie)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = parted.withColumn("__cum", sum(col(tokenCol)).over(wIn))
-    val offsets = cum.groupBy("__pid").agg(max(col("__cum")).as("__ptot"))
+    // per-partition totals come from a plain aggregate over `parted` (sum
+    // ignores nulls exactly like the windowed cumsum) — deriving them from
+    // max(__cum) would re-run the window sort on the broadcast side, since
+    // ReuseExchange dedups only the exchange below the window, not the
+    // window itself
+    val offsets = parted.groupBy("__pid").agg(sum(col(tokenCol)).as("__ptot"))
       .withColumn("__off", coalesce(
         sum("__ptot").over(Window.orderBy("__pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

@@ -96,4 +96,17 @@ class ExtractorRegistrySpec extends SparkSuite {
       Multimodal.extractFeaturesVia(df, "payload", "graft.nope"))
     assert(e2.getMessage.contains("histogram"), "error must list the pack's extractors")
   }
+
+  test("semantically invalid numeric args fail at construction, not per-row on executors") {
+    // "0".toInt parses, so without factory require()s these would pass the
+    // driver-side resolve and then throw Arithmetic/IllegalArgument
+    // exceptions from every task mid-job
+    intercept[IllegalArgumentException](ExtractorRegistry.featureExtractor("graft.histogram", "0"))
+    intercept[IllegalArgumentException](ExtractorRegistry.featureExtractor("graft.hash", "-1"))
+    intercept[IllegalArgumentException](ExtractorRegistry.frameSampler("graft.chunks", "0"))
+    intercept[IllegalArgumentException](ExtractorRegistry.frameSampler("graft.chunks", "4096", "0"))
+    val df = binDf(Seq(1L -> Array[Byte](1)))
+    intercept[IllegalArgumentException](
+      Multimodal.sampleFramesVia(df, "payload", "graft.chunks", Seq("4096", "0")))
+  }
 }

@@ -73,6 +73,30 @@ class ClustersSpec extends SparkSuite {
     }
   }
 
+  test("superseded rounds' reliable checkpoints are reclaimed (only the final survives)") {
+    // with a checkpoint dir set (the cluster deployment path) each star
+    // round writes an edge-set-sized file set that Spark does NOT delete
+    // by default — the loop must reclaim round N once round N+1 is
+    // materialized, else a long-lived service leaks unboundedly
+    val sc = spark.sparkContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    sc.setCheckpointDir(tmp)
+    try {
+      val dir = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
+      val fs = dir.getFileSystem(sc.hadoopConfiguration)
+      // 64-node path: converges in several rounds, so unreclaimed
+      // intermediates would be visible
+      val path = (0L until 63L).map(i => (i, i + 1))
+      val reps = cc(path)
+      assert(reps.size == 64 && reps.values.forall(_ == 0L), "still correct under reliable checkpoints")
+      val leftover = fs.listStatus(dir).count(_.getPath.getName.startsWith("rdd-"))
+      assert(leftover == 1, s"expected only the final round's checkpoint, found $leftover under $dir")
+    } finally {
+      sc.setCheckpointDir(null) // restore localCheckpoint behavior for other suites
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("dropNearDupClusters keeps exactly the min-id member per cluster") {
     val df = (1L to 6L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")

@@ -108,6 +108,24 @@ class SamplingSpec extends SparkSuite {
     assert(ids.head == 0L && ids == (ids.head to ids.last))
   }
 
+  test("packSequences serializes orderCol peers (ROWS frame, not the RANGE default)") {
+    // 4 rows sharing ONE order key, 600 tokens each, budget 512. The
+    // default RANGE frame would give every peer the same cumsum (2400) —
+    // all four rows in sequence 4 with sequences 0–3 empty. Correct
+    // contiguous packing serializes the peers: one row per sequence 0..3.
+    val df = Seq((1L, "a", 600L), (1L, "b", 600L), (1L, "c", 600L), (1L, "d", 600L))
+      .toDF("k", "payload", "n_tok")
+    val out = Sampling.packSequences(df, "k", "n_tok", 512L)
+    val seqs = out.select("seq_id").as[Long].collect().sorted.toSeq
+    assert(seqs == Seq(0L, 1L, 2L, 3L), s"peers must serialize, got $seqs")
+    // and the payload→seq assignment is deterministic across partitionings
+    // (full-row hash tiebreak), not whatever order the sort happened upon
+    val m1 = out.select("payload", "seq_id").as[(String, Long)].collect().toMap
+    val m2 = Sampling.packSequences(df.repartition(3), "k", "n_tok", 512L)
+      .select("payload", "seq_id").as[(String, Long)].collect().toMap
+    assert(m1 == m2, "peer serialization must be partitioning-independent")
+  }
+
   test("budgetRates: rates hit the budget under the weights, capped at 1") {
     val withTok = docs.withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
     val w = Sampling.temperatureWeights(docs, "lang", 0.7)
