@@ -435,12 +435,13 @@ object SparkEntry {
       // probability — bandsForThreshold(64, 0.9) = 8 bands (8 rows/band,
       // S-curve threshold (1/8)^(1/8) ≈ 0.77 ≤ 0.9). This synthetic corpus
       // (31-word vocabulary, avg pairwise Jaccard 0.65) is pathologically
-      // self-similar: unguarded that banding yields ~987k pairs at sf0.1;
-      // the default hot-bucket guard (maxBucket=64) sub-splits the giant
-      // band buckets and sheds pair-level recall inside them to ~222k
-      // pairs, keeping split cliques CONNECTED for cluster-level dedup
-      // (see Dedup.nearDupsBySignature). On a healthy corpus the guard
-      // never fires and output is bit-identical to unguarded.
+      // self-similar: the exhaustive join (maxBucket=Int.MaxValue) yields
+      // ~987k pairs at sf0.1; the default path collapses identical-sig
+      // groups to min-id STARS (certain pairs, never shed) and sub-splits
+      // the remaining over-cap buckets by a content hash, yielding ~25k
+      // pairs that keep every clique CONNECTED for cluster-level dedup
+      // (see Dedup.nearDupsBySignature). On a distinct-sig corpus with no
+      // over-cap bucket the output is bit-identical to exhaustive.
       Dedup.minhashNearDups(T(s, dir, "documents"), "doc_id", "text",
         numHashes = 64, threshold = 0.9)
         .orderBy("id_a", "id_b")

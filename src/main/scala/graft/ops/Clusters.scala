@@ -33,9 +33,25 @@ object Clusters {
   /** Map every node appearing in `pairs` to its component representative:
     * `(id, rep)` with `rep` = min id of the connected component. Nodes not
     * in any pair don't appear (callers coalesce to self on a left join).
-    * Ids are cast to long; `pairs` may contain duplicates or self-loops. */
+    * Ids are cast to long; `pairs` may contain duplicates or self-loops.
+    *
+    * Two execution paths behind one semantics:
+    *  - edge sets at or under `localSolveMax` (after canonicalization,
+    *    duplicates included) COLLECT to the driver and solve by sequential
+    *    union-find — a BOUNDED, size-gated collect (≤ 16 B/edge; the
+    *    default cap is ~8 MB), the same class of driver-side model state
+    *    as k-means centroids. Iterative jobs over a graph that fits in
+    *    one task's memory waste a full scheduler round per star round;
+    *    post-exact-dedup near-dup pair sets are routinely this small even
+    *    when the corpus is not.
+    *  - larger edge sets run the distributed star loop below, unchanged.
+    * The upstream pair computation (often an expensive LSH join) is
+    * evaluated ONCE either way: the canonical edge set is pinned first and
+    * both the count probe and whichever path runs read the pinned table.
+    * `localSolveMax = 0` forces the distributed path. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+                          idB: String = "id_b", maxIter: Int = 20,
+                          localSolveMax: Long = 500000L): DataFrame = {
     // canonical undirected edges: (u, v) with u > v. NOT deduped here: the
     // window minima are duplicate-tolerant and every star round ends in a
     // distinct, so an up-front distinct would only add an exchange over
@@ -86,16 +102,27 @@ object Clusters {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
+    // when the local path is enabled, pin the canonical edge set ONCE —
+    // the single evaluation of the (possibly expensive) upstream pair
+    // computation; the count probe and whichever path runs read this
+    // narrow (16 B/row) table. localSolveMax=0 skips the probe pin and
+    // keeps the pure distributed shape (first small-star evaluates the
+    // upstream directly, exactly once).
+    val praw = if (localSolveMax > 0) Some(Checkpoints.pin(raw)) else None
+    praw match {
+      case Some(p) if p.df.count() <= localSolveMax => return localSolve(p)
+      case _ => ()
+    }
+
     // SMALL-star opens the run: on the canonical (still asymmetric) pair
     // input it runs over |E| rows where large-star's symmetric view runs
     // over 2|E| — and one small-star pass already collapses the w-cliques
     // near-dup pairs are made of, so every later pass sees a contracted
-    // graph. Its window exchange doubles as the single evaluation of the
-    // (possibly expensive) upstream pair computation; the checkpoint then
-    // pins the result for the loop. Alternation order doesn't affect
-    // correctness: both operations preserve components, and the fixpoint
-    // of the composition is still a union of stars.
-    var edges = Checkpoints.pin(smallStar(raw))
+    // graph. Alternation order doesn't affect correctness: both operations
+    // preserve components, and the fixpoint of the composition is still a
+    // union of stars.
+    var edges = Checkpoints.pin(smallStar(praw.map(_.df).getOrElse(raw)))
+    praw.foreach(_.delete()) // the loop reads its own rounds from here on
     var sig = signature(edges.df)
     var converged = false
     var it = 0
@@ -118,6 +145,38 @@ object Clusters {
     edges.df.select(col("u").as("id"), col("v").as("rep"))
       .union(edges.df.select(col("v").as("id"), col("v").as("rep")))
       .distinct()
+  }
+
+  /** Sequential union-find over the collected (size-gated) edge set —
+    * union-by-min (roots only ever point to smaller ids, so a component's
+    * root IS its minimum) with iterative path compression: the exact
+    * (id → min-id rep) mapping the distributed fixpoint produces,
+    * spec-pinned against it on random graphs. */
+  private def localSolve(praw: Checkpoints.Pinned): DataFrame = {
+    val spark = praw.df.sparkSession
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrDefault(x, x) != x) x = parent.getOrDefault(x, x)
+      // compress the walked path so later finds are O(1) amortized
+      var w = x0
+      while (parent.getOrDefault(w, w) != x) { val p = parent.getOrDefault(w, w); parent.put(w, x); w = p }
+      x
+    }
+    val edges = praw.df.collect()
+    val nodes = new java.util.TreeSet[java.lang.Long]()
+    edges.foreach { r =>
+      val (u, v) = (r.getLong(0), r.getLong(1))
+      nodes.add(u); nodes.add(v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent.put(math.max(ru, rv), math.min(ru, rv))
+    }
+    praw.delete()
+    import scala.jdk.CollectionConverters._
+    val reps = nodes.asScala.iterator.map(n => (n.longValue, find(n))).toSeq
+    import spark.implicits._
+    spark.sparkContext.parallelize(reps, math.max(1, reps.size / 100000))
+      .toDF("id", "rep")
   }
 
   /** Cluster-resolved dedup: keep exactly the representative (minimum id)

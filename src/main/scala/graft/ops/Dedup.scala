@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.expressions.native
 
@@ -115,41 +116,52 @@ object Dedup {
   private def resolveBands(numHashes: Int, bands: Int, threshold: Double): Int =
     if (bands == 0) bandsForThreshold(numHashes, threshold) else bands
 
-  /** LSH candidate generation with a HOT-BUCKET GUARD.
+  /** LSH candidate generation with an EXACT-SIGNATURE COLLAPSE and a
+    * HOT-BUCKET GUARD (the default path; `maxBucket = Int.MaxValue`
+    * selects the exhaustive unguarded join below).
     *
-    * Healthy corpora hash a handful of documents per band bucket; a cluster
-    * of (near-)identical documents collapses into ONE bucket and the
-    * equi-join goes quadratic in its width w (w²/2 candidates — the r4
-    * bench regression, and a genuine 100 TB scale-killer: one hot key can
-    * stall a 1000-executor join). Guard: buckets wider than `maxBucket`
-    * are sub-split by a secondary hash of the id, so each sub-bucket holds
-    * ~maxBucket rows and a width-w bucket yields ~w·maxBucket/2 candidates
-    * instead of w²/2 — linear in w, like AQE's skew-join splitting (which
-    * cannot help here: it rebalances partitions, not the join's output
-    * cardinality).
+    * Step 1 — collapse identical signatures. Docs sharing a signature are
+    * CERTAIN candidates (estimate 1.0): emitting their w²/2 pairs through
+    * the band join is pure waste, and a clique of identical docs is
+    * exactly how a band bucket goes quadratic (the r4 bench regression,
+    * and a genuine 100 TB scale-killer: one hot key can stall a
+    * 1000-executor join). Instead each sig-group emits a linear STAR —
+    * (min-id rep, member) pairs — which is precisely what cluster
+    * resolution needs, and only the group REPRESENTATIVES (distinct
+    * signatures) enter the banding. One sig-keyed window exchange buys
+    * this; on a duplicate-free corpus the collapse is an identity and the
+    * star side is empty.
     *
-    * Recall under the guard: the sub-split is band-dependent
-    * (xxhash64(id, band)), so a pair split apart at one band still
-    * collides at another with independent probability — within a split
-    * clique a pair survives with p = 1-(1-1/s)^bands for s subs. Surviving
-    * pairs keep the clique CONNECTED (random graph, p ≫ log w / w), so
-    * the downstream connected-components resolution ([[Clusters]]) still
-    * merges it into one cluster: cluster-level dedup is preserved even
-    * where pair-level recall is shed. Buckets at or under `maxBucket` are
-    * untouched — on a healthy corpus the output is bit-identical to the
-    * unguarded join (spec-verified).
+    * Step 2 — guard the remaining buckets. Near-identical-but-distinct
+    * signatures still share band hashes; buckets wider than `maxBucket`
+    * are sub-split by a band-dependent hash OF THE SIGNATURE, bounding a
+    * width-w bucket to ~w·maxBucket/2 candidates instead of w²/2 — linear
+    * in w, like AQE's skew-join splitting (which cannot help here: it
+    * rebalances partitions, not the join's output cardinality). Hashing
+    * the signature, not the id, makes the whole candidate graph a pure
+    * function of corpus CONTENT: re-ingesting the same documents under
+    * different ids yields the same clusters — the reproducibility a
+    * 100 TB pipeline needs across ingestion runs (spec: the 1×/10×
+    * replication smoke curates to an identical document set).
     *
-    * Execution shape: the signature table (id, sig, band-hashes) is
-    * CHECKPOINTED up front — the kernel runs exactly ONCE, and the stats
-    * branch, both self-join sides, and the sub assignment all read the
-    * materialized (narrow: ~half a KB/row) table instead of re-deriving
-    * signatures from text. This is the standard iterative-reuse pattern
-    * (GraphFrames' connected components checkpoints the same way); at
-    * cluster scale it is exactly the "persist your signatures" step every
-    * real LSH dedup run performs. The guard's stats are an aggregate on
-    * the exploded (band, h) projection — no driver-side collect, no
-    * literal-map plan bloat; on a healthy corpus the wide-bucket side is
-    * empty and the sub columns fold to constants. */
+    * Recall under the guard: the sub-split is band-dependent, so a pair
+    * split apart at one band still collides at another with independent
+    * probability — a pair of DISTINCT sigs in a split bucket survives
+    * with p = 1-(1-1/s)^bands for s subs (identical sigs are never shed —
+    * they ride the star). Surviving pairs keep split cliques CONNECTED
+    * (random graph, p ≫ log w / w), so [[Clusters]] still merges them:
+    * cluster-level dedup is preserved even where pair-level recall is
+    * shed. Buckets at or under `maxBucket` are untouched, and on a corpus
+    * of distinct signatures with no over-cap bucket the output is
+    * bit-identical to the exhaustive join (spec-verified).
+    *
+    * Execution shape: the collapsed table pins once (the signature kernel
+    * runs exactly ONCE — the iterative-reuse pattern; at cluster scale
+    * this is the "persist your signatures" step every real LSH run
+    * performs), the guarded rep table pins once more, and the guard's
+    * stats are an aggregate on the exploded (band, h) projection — no
+    * driver-side collect, no literal-map plan bloat; on a healthy corpus
+    * the wide-bucket side is empty and the sub columns fold to constants. */
   private def nearDupsBySignature(df: DataFrame, idCol: String, sigCol: Column,
                                   numHashes: Int, bands: Int,
                                   threshold: Double, maxBucket: Int): DataFrame = {
@@ -164,19 +176,31 @@ object Dedup {
     // clique; filtering on sig.isNotNull INSTEAD would push the null check
     // into the scan and re-evaluate the signature kernel there, doubling
     // the kernel work per row — so the guard lives on the source column.
-    val sigsPin = Checkpoints.pin(df.select(col(idCol).as("id"), sigCol.as("sig"))
-      .withColumn("bhs", minhashBands(col("sig"), bands, rowsPerBand)))
-    val sigs = sigsPin.df
-    val sigs2 =
-      if (maxBucket == Int.MaxValue)
-        // guard disabled: constant sub 0 everywhere, no stats pass
-        sigs.withColumn("subs",
-          array_repeat(lit(0), bands))
-      else {
-        val guarded = Checkpoints.pin {
+    val idSig = df.select(col(idCol).as("id"), sigCol.as("sig"))
+
+    if (maxBucket == Int.MaxValue) {
+      // exhaustive path: no collapse, no guard — the documented escape
+      // hatch for consumers that need every pair (reporting, threshold
+      // sweeps), accepting the quadratic hot-bucket cost
+      val sigsPin = Checkpoints.pin(idSig
+        .withColumn("bhs", minhashBands(col("sig"), bands, rowsPerBand))
+        .withColumn("subs", array_repeat(lit(0), bands)))
+      bandJoin(sigsPin.df, bands, threshold)
+    } else {
+      val collapsedPin = Checkpoints.pin(idSig.withColumn("rep",
+        min(col("id")).over(Window.partitionBy("sig"))))
+      val collapsed = collapsedPin.df
+      val starPairs = collapsed.filter(col("id") =!= col("rep"))
+        .select(col("rep").as("id_a"), col("id").as("id_b"),
+          lit(1.0).as("jaccard_est"))
+        .filter(col("jaccard_est") >= threshold)
+      val reps = collapsed.filter(col("id") === col("rep"))
+        .select(col("id"), col("sig"))
+        .withColumn("bhs", minhashBands(col("sig"), bands, rowsPerBand))
+      val guarded = Checkpoints.pin {
         // hot-bucket stats: which (band, h) buckets exceed maxBucket, and
         // into how many subs to split them
-        val slim = sigs.select(col("id"), posexplode(col("bhs")).as(Seq("band", "h")))
+        val slim = reps.select(col("id"), posexplode(col("bhs")).as(Seq("band", "h")))
         val wide = slim.groupBy("band", "h").count()
           .filter(col("count") > maxBucket)
           .select(col("band"), col("h"),
@@ -186,19 +210,22 @@ object Dedup {
         val wideIds = slim.join(wide, Seq("band", "h"))
           .groupBy("id")
           .agg(map_from_entries(collect_list(struct(col("band"), col("splits")))).as("wm"))
-        sigs.join(wideIds, Seq("id"), "left")
+        reps.join(wideIds, Seq("id"), "left")
           .withColumn("subs", transform(sequence(lit(0), lit(bands - 1)),
             j => when(col("wm").isNull, lit(0)).otherwise(coalesce(
-              pmod(xxhash64(col("id"), j), element_at(col("wm"), j).cast("long"))
+              pmod(xxhash64(col("sig"), j), element_at(col("wm"), j).cast("long"))
                 .cast("int"), lit(0)))))
           .drop("wm")
-        }
-        // everything downstream reads the guarded table only — reclaim the
-        // raw signature checkpoint's files now (see [[Checkpoints]]; the
-        // guarded table's own files back the returned frame and stay)
-        sigsPin.delete()
-        guarded.df
       }
+      // both pins back the returned frame (collapsed → star side,
+      // guarded → band side) and stay; see [[Checkpoints]] for reclaim
+      starPairs.unionByName(bandJoin(guarded.df, bands, threshold))
+    }
+  }
+
+  /** The band-bucket equi-join over a pinned (id, sig, bhs, subs) table —
+    * shared by the guarded and exhaustive paths above. */
+  private def bandJoin(sigs2: DataFrame, bands: Int, threshold: Double): DataFrame = {
     val banded = sigs2.select(col("id"), col("sig"), col("bhs"), col("subs"),
       posexplode(arrays_zip(col("bhs"), col("subs"))).as(Seq("band", "z")))
       .select(col("id"), col("sig"), col("bhs"), col("subs"), col("band"),

@@ -9,9 +9,14 @@ import graft.SparkSuite
 class ClustersSpec extends SparkSuite {
   import spark.implicits._
 
-  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
-    Clusters.connectedComponents(pairs.toDF("id_a", "id_b"))
+  // default = local union-find path (small edge sets); max=0 forces the
+  // distributed star loop — both paths are pinned below
+  private def cc(pairs: Seq[(Long, Long)], localSolveMax: Long = 500000L): Map[Long, Long] =
+    Clusters.connectedComponents(pairs.toDF("id_a", "id_b"), localSolveMax = localSolveMax)
       .as[(Long, Long)].collect().toMap
+
+  private def ccDist(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    cc(pairs, localSolveMax = 0L)
 
   test("transitive chain A~B~C resolves to ONE cluster with min-id rep") {
     // the exact case greedy pair-dropping gets wrong: A~B, B~C, A≁C
@@ -43,6 +48,13 @@ class ClustersSpec extends SparkSuite {
     assert(Clusters.connectedComponents(empty).count() == 0)
   }
 
+  test("local and distributed paths agree on the star cases") {
+    for (edges <- Seq(Seq((1L, 2L), (2L, 3L)), Seq((5L, 9L), (9L, 7L), (20L, 21L)),
+                      (0L until 20L).map(i => (i, i + 1)))) {
+      assert(cc(edges) == ccDist(edges), s"paths diverge on $edges")
+    }
+  }
+
   test("random graphs match a reference union-find (20 seeded trials)") {
     // pin the distributed star algorithm against the textbook sequential
     // answer across sparse and dense random graphs
@@ -69,6 +81,12 @@ class ClustersSpec extends SparkSuite {
         val expected = unionFind(n, edges)
         val got = cc(edges)
         assert(got == expected, s"seed=$seed n=$n m=$m:\n got=$got\n exp=$expected")
+        // the distributed star loop must produce the identical mapping;
+        // exercised on a seed subset to keep suite runtime bounded
+        if (seed <= 5) {
+          val gotDist = ccDist(edges)
+          assert(gotDist == expected, s"distributed seed=$seed:\n got=$gotDist\n exp=$expected")
+        }
       }
     }
   }
@@ -85,9 +103,10 @@ class ClustersSpec extends SparkSuite {
       val dir = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
       val fs = dir.getFileSystem(sc.hadoopConfiguration)
       // 64-node path: converges in several rounds, so unreclaimed
-      // intermediates would be visible
+      // intermediates would be visible; localSolveMax=0 forces the
+      // distributed loop (the local path writes no round checkpoints)
       val path = (0L until 63L).map(i => (i, i + 1))
-      val reps = cc(path)
+      val reps = ccDist(path)
       assert(reps.size == 64 && reps.values.forall(_ == 0L), "still correct under reliable checkpoints")
       val leftover = fs.listStatus(dir).count(_.getPath.getName.startsWith("rdd-"))
       assert(leftover == 1, s"expected only the final round's checkpoint, found $leftover under $dir")

@@ -50,11 +50,15 @@ class OpsSpec extends SparkSuite {
     assert(pairs.contains((1L, 8888L)), s"expected (1,8888) in $pairs")
   }
 
-  test("hot-bucket guard: output identical to unguarded on a healthy corpus") {
-    // every band bucket on this corpus is far under the default cap, so
-    // the guarded join must be bit-identical to an effectively-unguarded
-    // run (the guard's contract: untouched buckets → untouched output)
+  test("hot-bucket guard: output identical to unguarded on a healthy distinct-sig corpus") {
+    // the guard's contract: on a corpus of DISTINCT signatures (exact-sig
+    // collapse is an identity) with every band bucket under the cap, the
+    // guarded join is bit-identical to the exhaustive unguarded run
     val base = docs.limit(50).select(col("doc_id"), col("text"))
+      .withColumn("__sig", Dedup.minhashSignature(col("text"), 32))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__sig").orderBy("doc_id")))
+      .filter(col("__rn") === 1).drop("__sig", "__rn")
     val guarded = Dedup.minhashNearDups(base, "doc_id", "text",
       numHashes = 32, bands = 4, threshold = 0.5, maxBucket = 512)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -62,6 +66,23 @@ class OpsSpec extends SparkSuite {
       numHashes = 32, bands = 4, threshold = 0.5, maxBucket = Int.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(guarded == unguarded, "guard changed output on a healthy corpus")
+  }
+
+  test("exact-sig collapse: identical-sig groups emit a min-id star, never shed") {
+    // 5 identical docs + 1 distinct: the guarded path must emit exactly
+    // the 4 star pairs (min-id rep → member, est 1.0) for the group —
+    // linear, deterministic, and immune to the guard — while the
+    // exhaustive path emits all 10 pairs
+    val df = ((0L until 5L).map(i => (10L + i, "same text here")) :+ (99L, "different"))
+      .toDF("doc_id", "text")
+    val star = Dedup.minhashNearDups(df, "doc_id", "text",
+      numHashes = 32, bands = 4, threshold = 0.9, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(star == (11L to 14L).map(i => (10L, i, 1.0)).toSet, s"got $star")
+    val exhaustive = Dedup.minhashNearDups(df, "doc_id", "text",
+      numHashes = 32, bands = 4, threshold = 0.9, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exhaustive.size == 10 && exhaustive.forall(_._3 == 1.0), s"got $exhaustive")
   }
 
   test("hot-bucket guard: a pathological clique is bounded but stays connected") {
