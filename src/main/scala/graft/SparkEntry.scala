@@ -461,6 +461,19 @@ object SparkEntry {
         simThreshold = 0.3, bits = 4)
         .orderBy("id_a", "id_b")
     }),
+    "q_dedup_incremental" -> ((s, dir) => {
+      // daily-ingest shape: docs with id < 50 arrive as the NEW batch and
+      // broadcast through the band join against the persisted signature
+      // index (the rest of the corpus) — the corpus side never shuffles.
+      // Rows-only like the other LSH queries (bucket membership has no
+      // closed SQL form); OpsSpec pins the semantics.
+      val d = T(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), Dedup.minhashSignature(col("text"), 64).as("sig"))
+      Dedup.nearDupsAgainstIndex(
+        d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50),
+        "doc_id", "sig", numHashes = 64, threshold = 0.9)
+        .orderBy("id_new", "id_index")
+    }),
     "q_simhash" -> ((s, dir) => {
       // ORACLE-CHECKED (r5): DuckDB reproduces both kernels exactly with
       // HUGEINT mod-2^64 arithmetic — FNV-1a-per-token bit votes for

@@ -116,6 +116,57 @@ object Dedup {
   private def resolveBands(numHashes: Int, bands: Int, threshold: Double): Int =
     if (bands == 0) bandsForThreshold(numHashes, threshold) else bands
 
+  /** Incremental near-dup: candidates of a NEW batch against a PERSISTED
+    * signature index — the daily-ingest shape. A 100 TB corpus is deduped
+    * once; every increment afterwards must answer "is this new document a
+    * near-dup of anything already ingested?" WITHOUT the corpus
+    * re-joining itself: here the (small) batch BROADCASTS through the
+    * band equi-join and the index streams by — the corpus never shuffles
+    * at all.
+    *
+    * Both frames supply `(idCol, sigCol)` with `array<long>` signatures
+    * of length `numHashes` (e.g. [[minhashSignature]] persisted at
+    * ingest). Identical-signature groups in the index collapse to their
+    * min-id representative first, so a batch doc matching a w-wide
+    * identical clique emits ONE pair, not w — the answer increments need
+    * ("is it a dup, and of which cluster rep"), at linear cost. Output:
+    * `(id_new, id_index, jaccard_est ≥ threshold)`; a pair sharing
+    * several bands emits once (first-match, as in the self-join path).
+    * Null signatures on either side are dropped. */
+  def nearDupsAgainstIndex(index: DataFrame, batch: DataFrame,
+                           idCol: String, sigCol: String,
+                           numHashes: Int, bands: Int = 0,
+                           threshold: Double = 0.7): DataFrame = {
+    val b = resolveBands(numHashes, bands, threshold)
+    require(numHashes % b == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($b)")
+    val rpb = numHashes / b
+    val idxReps = index.filter(col(sigCol).isNotNull)
+      .select(col(idCol).as("id_index"), col(sigCol).as("sig_i"))
+      .withColumn("__m", min(col("id_index")).over(Window.partitionBy("sig_i")))
+      .filter(col("id_index") === col("__m")).drop("__m")
+      .withColumn("bhs_i", minhashBands(col("sig_i"), b, rpb))
+    val idxE = idxReps.select(col("id_index"), col("sig_i"), col("bhs_i"),
+      posexplode(col("bhs_i")).as(Seq("band", "h")))
+    val btE = batch.filter(col(sigCol).isNotNull)
+      .select(col(idCol).as("id_new"), col(sigCol).as("sig_n"))
+      .withColumn("bhs_n", minhashBands(col("sig_n"), b, rpb))
+      .select(col("id_new"), col("sig_n"), col("bhs_n"),
+        posexplode(col("bhs_n")).as(Seq("band", "h")))
+    val dupEarlier =
+      if (b == 1) lit(false)
+      else (1 until b).foldLeft(when(col("band") === 0, lit(false))) {
+        case (acc, bIdx) => acc.when(col("band") === bIdx,
+          (0 until bIdx).map(j =>
+            col("bhs_n").getItem(j) === col("bhs_i").getItem(j)).reduce(_ || _))
+      }
+    broadcast(btE).join(idxE, Seq("band", "h"))
+      .filter(!dupEarlier)
+      .select(col("id_new"), col("id_index"),
+        native.sigAgreement(col("sig_n"), col("sig_i")).as("jaccard_est"))
+      .filter(col("jaccard_est") >= threshold)
+  }
+
   /** LSH candidate generation with an EXACT-SIGNATURE COLLAPSE and a
     * HOT-BUCKET GUARD (the default path; `maxBucket = Int.MaxValue`
     * selects the exhaustive unguarded join below).

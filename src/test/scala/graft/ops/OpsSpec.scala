@@ -103,6 +103,26 @@ class OpsSpec extends SparkSuite {
     assert(comps == 1L, s"clique must stay one component, got $comps")
   }
 
+  test("nearDupsAgainstIndex: batch finds its dups in the index, one pair per identical-sig clique") {
+    // index holds a 3-wide identical clique (10,11,12) and an unrelated
+    // doc; the new batch has one dup of the clique and one novel doc.
+    // Expected: exactly ONE pair — batch dup → min-id clique rep, est 1.0
+    val sig = (t: org.apache.spark.sql.Column) => Dedup.minhashSignature(t, 32)
+    val idx = Seq((10L, "aaa bbb ccc ddd"), (11L, "aaa bbb ccc ddd"),
+      (12L, "aaa bbb ccc ddd"), (20L, "totally different words here"))
+      .toDF("doc_id", "text").select(col("doc_id"), sig(col("text")).as("sig"))
+    val batch = Seq((100L, "aaa bbb ccc ddd"), (101L, "unrelated brand new content"))
+      .toDF("doc_id", "text").select(col("doc_id"), sig(col("text")).as("sig"))
+    val out = Dedup.nearDupsAgainstIndex(idx, batch, "doc_id", "sig",
+      numHashes = 32, threshold = 0.9)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set((100L, 10L, 1.0)), s"got $rows")
+    // the scale contract: the small batch side broadcasts; the index
+    // streams through the band join without shuffling
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast band join in:\n$plan")
+  }
+
   test("nearDupsFromSignatures: stored signatures reproduce the text-path output") {
     // the index-reuse contract: persist minhashSignature once, re-run
     // candidates from the stored column — identical pairs
