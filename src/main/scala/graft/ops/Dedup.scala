@@ -160,7 +160,11 @@ object Dedup {
           (0 until bIdx).map(j =>
             col("bhs_n").getItem(j) === col("bhs_i").getItem(j)).reduce(_ || _))
       }
-    broadcast(btE).join(idxE, Seq("band", "h"))
+    // a STREAMING batch side cannot be a broadcast build side — the
+    // stream-static planner re-plans the static index per microbatch and
+    // broadcasts it when small, which is the right shape there
+    val btSide = if (batch.isStreaming) btE else broadcast(btE)
+    btSide.join(idxE, Seq("band", "h"))
       .filter(!dupEarlier)
       .select(col("id_new"), col("id_index"),
         native.sigAgreement(col("sig_n"), col("sig_i")).as("jaccard_est"))

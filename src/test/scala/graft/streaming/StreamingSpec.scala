@@ -146,6 +146,34 @@ class StreamingSpec extends SparkSuite {
       ("u2", "2024-01-01 00:01:00.0", 1L)))
   }
 
+  test("incremental near-dup runs stream-static: new docs match the persisted index") {
+    // the daily-ingest operator reused unchanged on a stream: each
+    // microbatch of new docs joins the STATIC signature index (re-planned
+    // and broadcast by the stream-static planner); the index-side
+    // identical-sig collapse still answers one pair per clique
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Dedup
+    val sigOf = (c: org.apache.spark.sql.Column) => Dedup.minhashSignature(c, 32)
+    val idx = Seq((10L, "aaa bbb ccc ddd"), (11L, "aaa bbb ccc ddd"),
+      (20L, "totally different words here"))
+      .toDF("doc_id", "text").select(col("doc_id"), sigOf(col("text")).as("sig"))
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), sigOf(col("text")).as("sig"))
+    val out = Dedup.nearDupsAgainstIndex(idx, stream, "doc_id", "sig",
+      numHashes = 32, threshold = 0.9)
+    val q = out.writeStream.format("memory").queryName("incr_out")
+      .outputMode("append").start()
+    mem.addData((100L, "aaa bbb ccc ddd"), (101L, "unrelated brand new content"))
+    q.processAllAvailable()
+    mem.addData((102L, "aaa bbb ccc ddd")) // second microbatch re-hits the index
+    q.processAllAvailable()
+    val rows = spark.table("incr_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(rows == Set((100L, 10L), (102L, 10L)), s"got $rows")
+  }
+
   test("session window boundary: event at exactly prev+gap MERGES (gap is inclusive)") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val batch = Seq((t("2024-01-01 00:00:00"), "u1"), (t("2024-01-01 00:05:00"), "u1"))
