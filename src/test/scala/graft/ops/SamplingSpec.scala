@@ -126,6 +126,32 @@ class SamplingSpec extends SparkSuite {
     assert(m1 == m2, "peer serialization must be partitioning-independent")
   }
 
+  test("packSequences: random corpora with duplicate keys and nulls match the global reference") {
+    // seeded trials over heavy-duplicate order keys, null token counts and
+    // random budgets/partitionings, against the naive single-partition
+    // global window using the SAME full-row tiebreak
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 200).map { _ =>
+        (rnd.nextInt(20).toLong, rnd.alphanumeric.take(3).mkString,
+          if (rnd.nextInt(10) == 0) null else java.lang.Long.valueOf(rnd.nextInt(500).toLong))
+      }
+      val df = rows.toDF("k", "payload", "n_tok")
+      val budget = 64L + rnd.nextInt(500)
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),   // n_tok ≥ 0, so -1 is a safe null sentinel
+          if (r.isNullAt(3)) -1L else r.getLong(3))
+      val packed = Sampling.packSequences(df.repartition(1 + rnd.nextInt(8)), "k", "n_tok", budget)
+        .select("k", "payload", "n_tok", "seq_id").collect().map(key).sorted.toSeq
+      val reference = df.withColumn("seq_id",
+        expr(s"(sum(n_tok) OVER (ORDER BY k, xxhash64(k, payload, n_tok) " +
+          s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) div ${budget}L"))
+        .select("k", "payload", "n_tok", "seq_id").collect().map(key).sorted.toSeq
+      assert(packed == reference, s"seed=$seed budget=$budget diverged")
+    }
+  }
+
   test("budgetRates: rates hit the budget under the weights, capped at 1") {
     val withTok = docs.withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
     val w = Sampling.temperatureWeights(docs, "lang", 0.7)
