@@ -463,14 +463,17 @@ object SparkEntry {
     }),
     "q_dedup_incremental" -> ((s, dir) => {
       // daily-ingest shape: docs with id < 50 arrive as the NEW batch and
-      // broadcast through the band join against the persisted signature
-      // index (the rest of the corpus) — the corpus side never shuffles.
-      // Rows-only like the other LSH queries (bucket membership has no
-      // closed SQL form); OpsSpec pins the semantics.
+      // broadcast through the band join against the signature index built
+      // from the rest of the corpus (in deployment the build's sig-keyed
+      // exchange runs ONCE at ingest and queries read the stored table —
+      // here both compose inline). Rows-only like the other LSH queries
+      // (bucket membership has no closed SQL form); OpsSpec pins the
+      // semantics.
       val d = T(s, dir, "documents").filter(col("text").isNotNull)
         .select(col("doc_id"), Dedup.minhashSignature(col("text"), 64).as("sig"))
       Dedup.nearDupsAgainstIndex(
-        d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50),
+        Dedup.buildSignatureIndex(d.filter(col("doc_id") >= 50), "doc_id", "sig"),
+        d.filter(col("doc_id") < 50),
         "doc_id", "sig", numHashes = 64, threshold = 0.9)
         .orderBy("id_new", "id_index")
     }),

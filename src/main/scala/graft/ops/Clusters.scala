@@ -35,19 +35,19 @@ object Clusters {
     * in any pair don't appear (callers coalesce to self on a left join).
     * Ids are cast to long; `pairs` may contain duplicates or self-loops.
     *
-    * Two execution paths behind one semantics:
-    *  - edge sets at or under `localSolveMax` (after canonicalization,
-    *    duplicates included) COLLECT to the driver and solve by sequential
-    *    union-find — a BOUNDED, size-gated collect (≤ 16 B/edge; the
-    *    default cap is ~8 MB), the same class of driver-side model state
-    *    as k-means centroids. Iterative jobs over a graph that fits in
-    *    one task's memory waste a full scheduler round per star round;
-    *    post-exact-dedup near-dup pair sets are routinely this small even
-    *    when the corpus is not.
-    *  - larger edge sets run the distributed star loop below, unchanged.
-    * The upstream pair computation (often an expensive LSH join) is
-    * evaluated ONCE either way: the canonical edge set is pinned first and
-    * both the count probe and whichever path runs read the pinned table.
+    * Two execution paths behind one semantics, gated AFTER the first
+    * small-star round (whose window exchange doubles as the single
+    * evaluation of the upstream pair computation, and whose checkpoint
+    * makes the gating count near-free — no extra pass or write on the
+    * large-graph path):
+    *  - contracted edge sets at or under `localSolveMax` COLLECT to the
+    *    driver and solve by sequential union-find — a BOUNDED, size-gated
+    *    collect (≤ 16 B/edge; the default cap is ~8 MB), the same class
+    *    of driver-side model state as k-means centroids. Iterative jobs
+    *    over a graph that fits in one task's memory waste a full
+    *    scheduler round per star round; post-exact-dedup near-dup pair
+    *    sets are routinely this small even when the corpus is not.
+    *  - larger edge sets continue the distributed star loop, unchanged.
     * `localSolveMax = 0` forces the distributed path. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20,
@@ -102,27 +102,23 @@ object Clusters {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    // when the local path is enabled, pin the canonical edge set ONCE —
-    // the single evaluation of the (possibly expensive) upstream pair
-    // computation; the count probe and whichever path runs read this
-    // narrow (16 B/row) table. localSolveMax=0 skips the probe pin and
-    // keeps the pure distributed shape (first small-star evaluates the
-    // upstream directly, exactly once).
-    val praw = if (localSolveMax > 0) Some(Checkpoints.pin(raw)) else None
-    praw match {
-      case Some(p) if p.df.count() <= localSolveMax => return localSolve(p)
-      case _ => ()
-    }
-
     // SMALL-star opens the run: on the canonical (still asymmetric) pair
     // input it runs over |E| rows where large-star's symmetric view runs
     // over 2|E| — and one small-star pass already collapses the w-cliques
     // near-dup pairs are made of, so every later pass sees a contracted
-    // graph. Alternation order doesn't affect correctness: both operations
-    // preserve components, and the fixpoint of the composition is still a
-    // union of stars.
-    var edges = Checkpoints.pin(smallStar(praw.map(_.df).getOrElse(raw)))
-    praw.foreach(_.delete()) // the loop reads its own rounds from here on
+    // graph. Its window exchange doubles as the single evaluation of the
+    // (possibly expensive) upstream pair computation; the checkpoint then
+    // pins the result. Alternation order doesn't affect correctness: both
+    // operations preserve components, and the fixpoint of the composition
+    // is still a union of stars.
+    var edges = Checkpoints.pin(smallStar(raw))
+    // size gate AFTER the first contraction: the count reads the pinned
+    // round (near-free — no extra pass over the upstream, no extra
+    // write), and smallStar preserves both components and the node set
+    // (every input endpoint survives in some output edge), so union-find
+    // over the contracted edges yields the identical mapping
+    if (localSolveMax > 0 && edges.df.count() <= localSolveMax)
+      return localSolve(edges)
     var sig = signature(edges.df)
     var converged = false
     var it = 0
@@ -147,7 +143,8 @@ object Clusters {
       .distinct()
   }
 
-  /** Sequential union-find over the collected (size-gated) edge set —
+  /** Sequential union-find over the collected (size-gated, first-star
+    * contracted) edge set —
     * union-by-min (roots only ever point to smaller ids, so a component's
     * root IS its minimum) with iterative path compression: the exact
     * (id → min-id rep) mapping the distributed fixpoint produces,
@@ -182,9 +179,9 @@ object Clusters {
   /** Cluster-resolved dedup: keep exactly the representative (minimum id)
     * of every transitive near-dup cluster. `pairs` is any candidate-pair
     * frame over ids of `df` (e.g. [[Dedup.minhashNearDups]] output). */
-  def dropNearDupClusters(df: DataFrame, pairs: DataFrame,
-                          idCol: String): DataFrame = {
-    val losers = connectedComponents(pairs)
+  def dropNearDupClusters(df: DataFrame, pairs: DataFrame, idCol: String,
+                          localSolveMax: Long = 500000L): DataFrame = {
+    val losers = connectedComponents(pairs, localSolveMax = localSolveMax)
       .filter(col("id") =!= col("rep"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")

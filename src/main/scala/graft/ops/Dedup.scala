@@ -72,14 +72,18 @@ object Dedup {
     * Never materializes an all-pairs product. `bands = 0` (the default)
     * auto-selects via [[bandsForThreshold]] — the cheapest banding whose
     * S-curve clears `threshold`, so pairs at the threshold collide with
-    * ≥ 1-1/e probability. `maxBucket` bounds band-bucket width (hot-bucket
-    * guard, see [[nearDupsBySignature]]). NOTE: on a corpus with buckets
-    * wider than `maxBucket` the guard SHEDS pair-level recall inside the
-    * split buckets (cluster-level dedup via [[Clusters]] is preserved —
-    * split cliques stay connected); a consumer that needs the exhaustive
-    * pair list (reporting, threshold sweeps) must pass `Int.MaxValue` to
-    * disable the guard and accept the quadratic hot-bucket cost. Healthy
-    * corpora (no bucket over `maxBucket`) are bit-identical either way. */
+    * ≥ 1-1/e probability. The default path collapses IDENTICAL-signature
+    * groups to linear min-id star pairs (certain candidates, never shed)
+    * and guards the remaining band buckets at `maxBucket` width (see
+    * [[nearDupsBySignature]]). NOTE on pair-level semantics: identical-sig
+    * groups of 3+ emit a star, not all pairs, and buckets wider than
+    * `maxBucket` SHED distinct-sig pair recall inside the split
+    * (cluster-level dedup via [[Clusters]] is preserved — cliques stay
+    * connected); a consumer that needs the exhaustive pair list
+    * (reporting, threshold sweeps) must pass `maxBucket = Int.MaxValue`,
+    * which disables BOTH the collapse and the guard and accepts the
+    * quadratic hot-bucket cost. On a corpus of distinct signatures with
+    * no over-cap bucket the two paths are bit-identical. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 16, bands: Int = 0,
                       threshold: Double = 0.7,
@@ -116,38 +120,55 @@ object Dedup {
   private def resolveBands(numHashes: Int, bands: Int, threshold: Double): Int =
     if (bands == 0) bandsForThreshold(numHashes, threshold) else bands
 
+  /** Build the persisted signature index [[nearDupsAgainstIndex]] queries:
+    * one `(idCol, sigCol)` row per DISTINCT signature, keeping the min-id
+    * representative of each identical-signature group. Run ONCE at ingest
+    * (one sig-keyed exchange) and write to storage — incremental queries
+    * then stream the index with no shuffle at all, and a batch doc
+    * matching a w-wide identical clique answers with ONE pair (its rep). */
+  def buildSignatureIndex(df: DataFrame, idCol: String, sigCol: String): DataFrame =
+    df.filter(col(sigCol).isNotNull)
+      .withColumn("__m", min(col(idCol)).over(Window.partitionBy(sigCol)))
+      .filter(col(idCol) === col("__m")).drop("__m")
+      .select(col(idCol), col(sigCol))
+
   /** Incremental near-dup: candidates of a NEW batch against a PERSISTED
     * signature index — the daily-ingest shape. A 100 TB corpus is deduped
     * once; every increment afterwards must answer "is this new document a
     * near-dup of anything already ingested?" WITHOUT the corpus
-    * re-joining itself: here the (small) batch BROADCASTS through the
-    * band equi-join and the index streams by — the corpus never shuffles
-    * at all.
+    * re-joining itself: the (small) batch builds the hash side of the
+    * band equi-join and the index STREAMS by — no shuffle, no window,
+    * nothing corpus-sized moves.
     *
     * Both frames supply `(idCol, sigCol)` with `array<long>` signatures
     * of length `numHashes` (e.g. [[minhashSignature]] persisted at
-    * ingest). Identical-signature groups in the index collapse to their
-    * min-id representative first, so a batch doc matching a w-wide
-    * identical clique emits ONE pair, not w — the answer increments need
-    * ("is it a dup, and of which cluster rep"), at linear cost. Output:
-    * `(id_new, id_index, jaccard_est ≥ threshold)`; a pair sharing
-    * several bands emits once (first-match, as in the self-join path).
-    * Null signatures on either side are dropped. */
+    * ingest). Build the index with [[buildSignatureIndex]] (distinct
+    * signatures, min-id reps) so identical-sig cliques answer with one
+    * pair; a raw uncollapsed index also works but emits one pair per
+    * matching index ROW. Output: `(id_new, id_index, jaccard_est ≥
+    * threshold)`; a pair sharing several bands emits once (first-match,
+    * as in the self-join path). Null signatures on either side drop.
+    *
+    * `broadcastBatch = false` removes the broadcast hint for batches too
+    * big for a hashed relation (Spark caps broadcasts at 8 GB) — the
+    * join then falls back to the planner's choice, typically a shuffled
+    * hash join keyed on (band, h). A STREAMING batch never hints: the
+    * stream-static planner re-plans (and auto-broadcasts, when small)
+    * the static index per microbatch instead. */
   def nearDupsAgainstIndex(index: DataFrame, batch: DataFrame,
                            idCol: String, sigCol: String,
                            numHashes: Int, bands: Int = 0,
-                           threshold: Double = 0.7): DataFrame = {
+                           threshold: Double = 0.7,
+                           broadcastBatch: Boolean = true): DataFrame = {
     val b = resolveBands(numHashes, bands, threshold)
     require(numHashes % b == 0,
       s"numHashes ($numHashes) must be divisible by bands ($b)")
     val rpb = numHashes / b
-    val idxReps = index.filter(col(sigCol).isNotNull)
+    val idxE = index.filter(col(sigCol).isNotNull)
       .select(col(idCol).as("id_index"), col(sigCol).as("sig_i"))
-      .withColumn("__m", min(col("id_index")).over(Window.partitionBy("sig_i")))
-      .filter(col("id_index") === col("__m")).drop("__m")
       .withColumn("bhs_i", minhashBands(col("sig_i"), b, rpb))
-    val idxE = idxReps.select(col("id_index"), col("sig_i"), col("bhs_i"),
-      posexplode(col("bhs_i")).as(Seq("band", "h")))
+      .select(col("id_index"), col("sig_i"), col("bhs_i"),
+        posexplode(col("bhs_i")).as(Seq("band", "h")))
     val btE = batch.filter(col(sigCol).isNotNull)
       .select(col(idCol).as("id_new"), col(sigCol).as("sig_n"))
       .withColumn("bhs_n", minhashBands(col("sig_n"), b, rpb))
@@ -163,7 +184,7 @@ object Dedup {
     // a STREAMING batch side cannot be a broadcast build side — the
     // stream-static planner re-plans the static index per microbatch and
     // broadcasts it when small, which is the right shape there
-    val btSide = if (batch.isStreaming) btE else broadcast(btE)
+    val btSide = if (batch.isStreaming || !broadcastBatch) btE else broadcast(btE)
     btSide.join(idxE, Seq("band", "h"))
       .filter(!dupEarlier)
       .select(col("id_new"), col("id_index"),

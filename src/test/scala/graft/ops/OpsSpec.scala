@@ -103,24 +103,63 @@ class OpsSpec extends SparkSuite {
     assert(comps == 1L, s"clique must stay one component, got $comps")
   }
 
-  test("nearDupsAgainstIndex: batch finds its dups in the index, one pair per identical-sig clique") {
-    // index holds a 3-wide identical clique (10,11,12) and an unrelated
-    // doc; the new batch has one dup of the clique and one novel doc.
-    // Expected: exactly ONE pair — batch dup → min-id clique rep, est 1.0
+  test("nearDupsAgainstIndex: batch finds its dups in the built index, one pair per identical-sig clique") {
+    // buildSignatureIndex collapses the 3-wide identical clique (10,11,12)
+    // to its min-id rep ONCE at build time; the new batch has one dup of
+    // the clique and one novel doc. Expected: exactly ONE pair — batch
+    // dup → clique rep 10, est 1.0
     val sig = (t: org.apache.spark.sql.Column) => Dedup.minhashSignature(t, 32)
-    val idx = Seq((10L, "aaa bbb ccc ddd"), (11L, "aaa bbb ccc ddd"),
+    val raw = Seq((10L, "aaa bbb ccc ddd"), (11L, "aaa bbb ccc ddd"),
       (12L, "aaa bbb ccc ddd"), (20L, "totally different words here"))
       .toDF("doc_id", "text").select(col("doc_id"), sig(col("text")).as("sig"))
+    // persist the built index and read it back — the actual contract: the
+    // build's sig-keyed exchange happens once at ingest, queries read the
+    // stored table
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-sigidx-").toString
+    Dedup.buildSignatureIndex(raw, "doc_id", "sig")
+      .write.mode("overwrite").parquet(idxDir)
+    val idx = spark.read.parquet(idxDir)
+    assert(idx.count() == 2, "builder must collapse identical sigs to min-id reps")
     val batch = Seq((100L, "aaa bbb ccc ddd"), (101L, "unrelated brand new content"))
       .toDF("doc_id", "text").select(col("doc_id"), sig(col("text")).as("sig"))
     val out = Dedup.nearDupsAgainstIndex(idx, batch, "doc_id", "sig",
       numHashes = 32, threshold = 0.9)
     val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(rows == Set((100L, 10L, 1.0)), s"got $rows")
-    // the scale contract: the small batch side broadcasts; the index
-    // streams through the band join without shuffling
+    // the scale contract: the small batch side broadcasts and the index
+    // streams through the band join — no exchange anywhere on the query
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast band join in:\n$plan")
+    // no SHUFFLE exchange anywhere (the broadcast exchange is the point)
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"index side must not shuffle:\n$plan")
+    // opt-out for over-broadcast-limit batches: hint gone, query still correct
+    val big = Dedup.nearDupsAgainstIndex(idx, batch, "doc_id", "sig",
+      numHashes = 32, threshold = 0.9, broadcastBatch = false)
+    assert(big.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((100L, 10L)))
+  }
+
+  test("hot-bucket guard fires on wide buckets of DISTINCT near-identical sigs") {
+    // 80 docs = 60 shared tokens + 1 unique token each: signatures are
+    // DISTINCT (collapse is an identity) but near-identical, so band
+    // buckets are ~80 wide — far over maxBucket=10 — and the sig-hash
+    // sub-split path runs for real. Pairwise Jaccard 60/62 ≈ 0.97.
+    val shared = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs80 = (0L until 80L).map(i => (i, s"$shared unique$i")).toDF("doc_id", "text")
+    val guarded = Dedup.minhashNearDups(docs80, "doc_id", "text",
+      numHashes = 32, bands = 4, threshold = 0.9, maxBucket = 10)
+    val exhaustive = Dedup.minhashNearDups(docs80, "doc_id", "text",
+      numHashes = 32, bands = 4, threshold = 0.9, maxBucket = Int.MaxValue)
+    val (ng, ne) = (guarded.count(), exhaustive.count())
+    // the guard must actually shed (proves the wide/sub-split path ran —
+    // identical output would mean the test went vacuous) yet keep the
+    // clique connected for cluster-level dedup
+    assert(ng < ne, s"guard did not fire: guarded=$ng exhaustive=$ne")
+    assert(ng > 0, "guard must not drop the clique entirely")
+    val comps = Clusters.connectedComponents(guarded)
+      .select(countDistinct(col("rep"))).as[Long].head()
+    assert(comps == 1L, s"split clique must stay one component, got $comps")
   }
 
   test("nearDupsFromSignatures: stored signatures reproduce the text-path output") {

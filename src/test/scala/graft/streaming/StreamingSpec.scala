@@ -154,9 +154,11 @@ class StreamingSpec extends SparkSuite {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.Dedup
     val sigOf = (c: org.apache.spark.sql.Column) => Dedup.minhashSignature(c, 32)
-    val idx = Seq((10L, "aaa bbb ccc ddd"), (11L, "aaa bbb ccc ddd"),
-      (20L, "totally different words here"))
-      .toDF("doc_id", "text").select(col("doc_id"), sigOf(col("text")).as("sig"))
+    val idx = Dedup.buildSignatureIndex(
+      Seq((10L, "aaa bbb ccc ddd"), (11L, "aaa bbb ccc ddd"),
+        (20L, "totally different words here"))
+        .toDF("doc_id", "text").select(col("doc_id"), sigOf(col("text")).as("sig")),
+      "doc_id", "sig")
     val mem = MemoryStream[(Long, String)]
     val stream = mem.toDF().toDF("doc_id", "text")
       .select(col("doc_id"), sigOf(col("text")).as("sig"))
