@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{Validate, ValidationResult}
 import graft.{filters => F}
 import graft.filters.{Emptiness, FilterMapper, FilterMapperDynamic, FilterRepeater, FilterRepeaterMap, FilterSwitch}
-import graft.ops.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Boilerplate, Dedup, Joins, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2.7), each hash-checked against the DuckDB `oracleSql`. */
@@ -378,6 +378,57 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       docs.select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+    "q_asof" -> ((s, dir) => {
+      // as-of join: most recent purchase value at-or-before each click,
+      // per user — union + per-key window, ONE shuffle, no join operator
+      // (see Joins.asofJoin). Right side pre-aggregated to unique
+      // (user_id, ts) so ties are well-defined on both engines.
+      val ev = T(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("pv"))
+      Joins.asofJoin(clicks, purchases, Seq("user_id"), "ts", "ts")
+        .select(col("event_id"), col("pv")).orderBy("event_id")
+    }),
+    "q_asof_tolerance" -> ((s, dir) => {
+      // bounded-staleness variant: a purchase only matches within 2 hours
+      // before the click — the "join telemetry to the latest fresh
+      // snapshot" shape; stale matches null out rather than attach
+      val ev = T(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("pv"))
+      Joins.asofJoin(clicks, purchases, Seq("user_id"), "ts", "ts",
+        tolerance = Some(expr("INTERVAL 2 HOURS")))
+        .select(col("event_id"), col("pv")).orderBy("event_id")
+    }),
+    "q_range_join" -> ((s, dir) => {
+      // interval containment as a bin-overlap EQUI-join (never a nested
+      // loop): 49 price brackets derived from orders, each width 1000 =
+      // the bin width, so a range spans ≤ 2 bins
+      val points = T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      val ranges = T(s, dir, "orders").filter(col("o_orderkey") < 50)
+        .select(col("o_orderkey").as("rid"),
+          (col("o_totalprice") * 0.5).as("lo"),
+          (col("o_totalprice") * 0.5 + 1000.0).as("hi"))
+      Joins.rangeJoin(points, ranges, "l_extendedprice", "lo", "hi", binWidth = 1000.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("rid"))
+        .orderBy("l_orderkey", "l_linenumber", "rid")
+    }),
+    "q_boilerplate" -> ((s, dir) => {
+      // cross-document boilerplate removal at token granularity (the
+      // corpus has no newlines): units in ≥ 60% of documents strip, the
+      // rest reassemble in order. The explicit count() is the documented
+      // price of a fractional threshold (Boilerplate scaladoc).
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val minDocs = math.ceil(0.6 * docs.count()).toLong
+      Boilerplate.removeFrequentLines(docs, "doc_id", "text",
+        minDocs = minDocs, delim = " ", joinSep = " ")
         .orderBy("doc_id")
     }),
     "q_sample_det" -> ((s, dir) => {
@@ -807,6 +858,34 @@ object SparkEntry {
         s"CAST(CASE WHEN coalesce(rh.rval, 1125899906842597) >= CAST('$two63' AS HUGEINT) THEN coalesce(rh.rval, 1125899906842597) - CAST('$two64' AS HUGEINT) ELSE coalesce(rh.rval, 1125899906842597) END AS BIGINT) AS rh " +
         "FROM t LEFT JOIN sh USING (doc_id) LEFT JOIN rh USING (doc_id) ORDER BY doc_id"
     },
+    "q_asof" ->
+      // DuckDB's native ASOF LEFT JOIN is the reference semantics the
+      // union-window encoding must reproduce
+      ("WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events WHERE event_type = 'click'), " +
+        "p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, max(value) AS pv FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) " +
+        "SELECT c.event_id, p.pv FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t >= p.t ORDER BY c.event_id"),
+    "q_asof_tolerance" ->
+      // no ASOF-with-tolerance in SQL — the correlated latest-fresh-row
+      // subquery is the defining form
+      ("WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events WHERE event_type = 'click'), " +
+        "p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, max(value) AS pv FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) " +
+        "SELECT c.event_id, (SELECT p.pv FROM p WHERE p.user_id = c.user_id AND p.t <= c.t " +
+        "AND c.t - p.t <= INTERVAL 2 HOUR ORDER BY p.t DESC LIMIT 1) AS pv " +
+        "FROM c ORDER BY c.event_id"),
+    "q_range_join" ->
+      ("WITH r AS (SELECT o_orderkey AS rid, o_totalprice * 0.5 AS lo, o_totalprice * 0.5 + 1000.0 AS hi " +
+        "FROM orders WHERE o_orderkey < 50) " +
+        "SELECT l.l_orderkey, l.l_linenumber, r.rid FROM lineitem l JOIN r " +
+        "ON l.l_extendedprice >= r.lo AND l.l_extendedprice < r.hi " +
+        "ORDER BY l.l_orderkey, l.l_linenumber, r.rid"),
+    "q_boilerplate" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL), " +
+        "th AS (SELECT CAST(ceil(0.6 * COUNT(*)) AS BIGINT) AS v FROM d), " +
+        "l AS (SELECT doc_id, unnest(string_split(text, ' ')) AS u, " +
+        "unnest(generate_series(1, len(string_split(text, ' ')))) AS pos FROM d), " +
+        "f AS (SELECT u FROM l GROUP BY u HAVING COUNT(DISTINCT doc_id) >= (SELECT v FROM th)), " +
+        "k AS (SELECT doc_id, pos, u FROM l WHERE u NOT IN (SELECT u FROM f)) " +
+        "SELECT doc_id, string_agg(u, ' ' ORDER BY pos) AS text_clean FROM k GROUP BY doc_id ORDER BY doc_id"),
     "q_sample_det" ->
       // 0.25 * 2^32 = 0x40000000; lowercase-hex string compare ==
       // numeric compare on the first 32 hash bits

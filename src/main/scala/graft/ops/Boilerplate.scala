@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-document boilerplate removal (SURVEY.md §2.6 extension) — the
+  * C4/RefinedWeb-style pass that strips lines occurring in many documents
+  * (nav bars, cookie banners, license footers) BEFORE near-dup analysis:
+  * corpus-frequent lines both pollute training data and glue unrelated
+  * documents into spurious near-dup cliques.
+  *
+  * Unlike [[TextAnalysis.duplicateLineFraction]] (within-document, map-
+  * only), frequency here is across the corpus, so the operator is
+  * DataFrame-level and shuffles. Shape, in order:
+  *
+  *   1. split each document into units on `delim` (regex; "\n" for real
+  *      corpora — any segmentation works, e.g. " " prunes by token
+  *      document-frequency) — a map-only posexplode;
+  *   2. document frequency per unit, counted on the unit's 128-bit md5 so
+  *      the aggregate shuffles 16-byte keys, never text
+  *      (`count(DISTINCT doc)` — within-doc repeats count once);
+  *   3. the over-threshold hash set — small by construction for a
+  *      boilerplate threshold — BROADCASTS back against the exploded
+  *      units as a hash-key anti-join;
+  *   4. surviving units reassemble in document order (one exchange keyed
+  *      by doc id; `array_sort` on the collected (pos, unit) structs keeps
+  *      the aggregation partial-able, where a window would sort the whole
+  *      corpus).
+  *
+  * Two exchanges (unit-hash agg, doc reassembly) + one broadcast,
+  * regardless of corpus size. Documents whose every unit is boilerplate
+  * drop from the output (they carry no signal); count them via
+  * `input.count - output.count`. Null-text documents drop likewise.
+  */
+object Boilerplate {
+
+  /** Remove units (lines, by default) that occur in at least `minDocs`
+    * distinct documents. Returns `(idCol, cleanCol)` — the id and the
+    * reassembled text with boilerplate units deleted and surviving units
+    * re-joined by `joinSep` in original order.
+    *
+    * `minDocs` is an absolute document count; callers wanting a fraction
+    * multiply by their corpus size (kept explicit — a fraction computed
+    * inside would hide a full count() pass in an innocuous-looking call).
+    */
+  def removeFrequentLines(df: DataFrame, idCol: String, textCol: String,
+                          minDocs: Long, delim: String = "\n",
+                          joinSep: String = "\n",
+                          cleanCol: String = "text_clean"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be at least 2, got $minDocs")
+    val units = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(split(col(textCol), delim)).as(Seq("__pos", "__u")))
+      .withColumn("__h", md5(col("__u").cast("binary")))
+    val frequent = units.groupBy("__h")
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__h"))
+    units.join(broadcast(frequent), Seq("__h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__u")))),
+        x => x.getField("__u")), joinSep).as(cleanCol))
+  }
+
+  /** Document frequency per distinct unit — the profiling companion:
+    * returns `(unit, doc_freq)` sorted nowhere (caller orders). Exposes
+    * what [[removeFrequentLines]] would strip at a given threshold. The
+    * aggregate is keyed by the unit hash (16-byte shuffle keys); one
+    * representative unit string rides along per hash via `min`. */
+  def unitDocFrequency(df: DataFrame, idCol: String, textCol: String,
+                       delim: String = "\n"): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), delim)).as("__u"))
+      .withColumn("__h", md5(col("__u").cast("binary")))
+      .groupBy("__h")
+      .agg(min(col("__u")).as("unit"), count_distinct(col(idCol)).as("doc_freq"))
+      .drop("__h")
+      .select(col("unit"), col("doc_freq"))
+  }

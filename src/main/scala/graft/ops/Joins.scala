@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal/range join operators (SURVEY.md §2.6 extension). Spark has no
+  * built-in as-of or interval join; the naive encodings — a non-equi theta
+  * join (BroadcastNestedLoop / cartesian) or a per-row correlated subquery —
+  * are O(N×M) and die at scale. Both operators here re-shape the problem so
+  * the planner sees only equi-keys:
+  *
+  *  - [[asofJoin]]: union the two sides and carry the latest right payload
+  *    forward with a per-key running window — ONE shuffle on the key, no
+  *    join operator at all, no candidate blowup regardless of time skew.
+  *  - [[rangeJoin]]: quantize values into fixed-width bins; a range emits
+  *    one row per covered bin, a point joins its single bin — the match is
+  *    a hash equi-join on `bin` plus a residual bound check, never a
+  *    nested loop over the full point set.
+  */
+object Joins {
+
+  /** As-of join: for every left row, attach the payload of the single right
+    * row with the same key whose time is nearest at-or-before it
+    * (`direction = "backward"`, the default) or at-or-after it
+    * (`"forward"`). The classic "most recent quote for each trade" /
+    * "latest profile snapshot for each event" operator.
+    *
+    * Execution shape (the 100 TB rationale): both sides are tagged and
+    * UNIONED, then a single window per key — ordered by time, right rows
+    * sorting before left rows at equal timestamps so an exactly-coincident
+    * right row matches — carries the last non-null right payload onto each
+    * left row (`last(_, ignoreNulls)` over rows unbounded-preceding →
+    * current). One exchange on `keyCols`, map-sized state, no join: a hot
+    * key costs one sorted partition, never a candidate cross product.
+    * (A sort-merge as-of would need a custom physical operator; the union
+    * window gets the identical result from stock operators and stays
+    * whole-stage-codegen'd.)
+    *
+    * Output: every left column, plus each right column except the keys and
+    * `rightTimeCol` (names must not collide with left's), plus the matched
+    * right timestamp under `matchedTimeCol` when requested. Unmatched left
+    * rows keep null payloads (`joinType = "left"`) or drop (`"inner"`).
+    * Right rows with a null time cannot anchor a match and are dropped;
+    * left rows with a null time never match.
+    *
+    * `tolerance` (optional, in the time column's own difference algebra —
+    * e.g. an INTERVAL for timestamps) bounds how stale a match may be:
+    * backward requires `t_left - t_right <= tolerance`, forward
+    * `t_right - t_left <= tolerance`; beyond it the row is treated as
+    * unmatched. Ties inside a key at the SAME right timestamp are broken
+    * by the later-sorting right row; pre-aggregate the right side to
+    * unique (key, time) when that matters.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               leftTimeCol: String, rightTimeCol: String,
+               direction: String = "backward",
+               tolerance: Option[Column] = None,
+               joinType: String = "left",
+               matchedTimeCol: Option[String] = None): DataFrame = {
+    require(keyCols.nonEmpty, "asofJoin needs at least one key column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    require(joinType == "left" || joinType == "inner",
+      s"joinType must be left|inner, got $joinType")
+    val payloadCols = right.columns.filterNot(c =>
+      keyCols.contains(c) || c == rightTimeCol).toSeq
+    val collisions = payloadCols.toSet intersect left.columns.toSet
+    require(collisions.isEmpty,
+      s"right payload columns collide with left columns: $collisions — rename before joining")
+    matchedTimeCol.foreach(m => require(
+      !left.columns.contains(m) && !payloadCols.contains(m),
+      s"matchedTimeCol '$m' collides with an output column"))
+
+    // payload struct carries the right time too — the tolerance gate and
+    // matchedTimeCol read it back out after the window
+    val pStruct = struct((col(rightTimeCol).as("__rt") +: payloadCols.map(col)): _*)
+    val pType = right.select(pStruct).schema.head.dataType
+    val l2 = left.select(
+      struct(left.columns.map(col): _*).as("__l") +: keyCols.map(col) :+
+        col(leftTimeCol).as("__t") :+ lit(1).as("__side") :+
+        lit(null).cast(pType).as("__p"): _*)
+    val r2 = right.filter(col(rightTimeCol).isNotNull).select(
+      lit(null).cast(l2.schema.head.dataType).as("__l") +: keyCols.map(col) :+
+        col(rightTimeCol).as("__t") :+ lit(0).as("__side") :+
+        pStruct.as("__p"): _*)
+
+    // backward: ascending time; forward: descending — either way the right
+    // row at an equal timestamp sorts FIRST (side 0 < 1) so "at-or-before"
+    // / "at-or-after" is inclusive, and `last` sees it by the left row.
+    val ord: Seq[Column] =
+      if (direction == "backward") Seq(col("__t").asc, col("__side").asc)
+      else Seq(col("__t").desc_nulls_first, col("__side").asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = r2.unionByName(l2)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val staleness =
+      if (direction == "backward") col("__t") - col("__m.__rt")
+      else col("__m.__rt") - col("__t")
+    val gated = tolerance match {
+      // null-time left rows carry no match by construction (they sort
+      // before any right row backward / the gate below nulls them forward)
+      case Some(tol) => when(col("__t").isNotNull && staleness <= tol, col("__m"))
+      case None      => when(col("__t").isNotNull, col("__m"))
+    }
+    val matched = carried.withColumn("__m", gated)
+    val filtered =
+      if (joinType == "inner") matched.filter(col("__m").isNotNull) else matched
+    val outCols = left.columns.toSeq.map(c => col("__l").getField(c).as(c)) ++
+      payloadCols.map(c => col("__m").getField(c).as(c)) ++
+      matchedTimeCol.map(m => col("__m").getField("__rt").as(m))
+    filtered.select(outCols: _*)
+  }
+
+  /** Range (interval) join: every point row against every range row whose
+    * `[lo, hi)` interval contains it (bound inclusivity configurable).
+    * Overlapping ranges each match; a point in no range drops (inner).
+    *
+    * Execution shape: points land in bin `floor(p / binWidth)`; a range
+    * emits one row per bin it overlaps. Matching is then a hash EQUI-join
+    * on `bin` — broadcastable when the range side is dimension-sized
+    * (`broadcastRanges`, default) — with the exact bound check as a
+    * residual filter. Candidate volume is |points| × (ranges overlapping
+    * each point's bin), not |points| × |ranges|: the equi-key is what lets
+    * 100 TB of points stream map-side against the bins instead of nested-
+    * looping. Pick `binWidth` near the TYPICAL range width — a range
+    * spanning k bins emits k rows (cheap on the small side), while a too-
+    * wide bin packs many ranges per bucket and the residual does the work.
+    *
+    * Null points / null bounds never match (SQL comparison semantics drop
+    * them in the residual; nulls are filtered before binning to avoid a
+    * null-bin clique).
+    */
+  def rangeJoin(points: DataFrame, ranges: DataFrame, pointCol: String,
+                loCol: String, hiCol: String, binWidth: Double,
+                loInclusive: Boolean = true, hiInclusive: Boolean = false,
+                broadcastRanges: Boolean = true): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val collisions = points.columns.toSet intersect ranges.columns.toSet
+    require(collisions.isEmpty,
+      s"point/range column names collide: $collisions — rename before joining")
+    val p = points.filter(col(pointCol).isNotNull)
+      .withColumn("__bin", floor(col(pointCol) / binWidth))
+    // hi's own bin is always included: when hi is exclusive and sits
+    // exactly on a bin boundary the extra bin yields no residual survivors
+    // — correctness never depends on floating-point edge subtraction.
+    val r0 = ranges.filter(col(loCol).isNotNull && col(hiCol).isNotNull)
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn("__bin",
+        explode(sequence(floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
+    val r = if (broadcastRanges) broadcast(r0) else r0
+    val loOk = if (loInclusive) col(pointCol) >= col(loCol) else col(pointCol) > col(loCol)
+    val hiOk = if (hiInclusive) col(pointCol) <= col(hiCol) else col(pointCol) < col(hiCol)
+    p.join(r, Seq("__bin")).filter(loOk && hiOk).drop("__bin")
+  }
+
+  /** [[rangeJoin]] over timestamp columns: bins are `binWidth` seconds wide
+    * (epoch-microsecond quantization of the same bin-overlap shape). */
+  def timeRangeJoin(points: DataFrame, ranges: DataFrame, tsCol: String,
+                    loCol: String, hiCol: String, binWidthSeconds: Long,
+                    broadcastRanges: Boolean = true): DataFrame = {
+    require(binWidthSeconds > 0, s"binWidthSeconds must be positive, got $binWidthSeconds")
+    val p2 = points.withColumn("__pus", unix_micros(col(tsCol)))
+    val r2 = ranges.withColumn("__lous", unix_micros(col(loCol)))
+      .withColumn("__hius", unix_micros(col(hiCol)))
+    rangeJoin(p2, r2, "__pus", "__lous", "__hius",
+      binWidthSeconds.toDouble * 1000000L, loInclusive = true,
+      hiInclusive = false, broadcastRanges = broadcastRanges)
+      .drop("__pus", "__lous", "__hius")
+  }
+}

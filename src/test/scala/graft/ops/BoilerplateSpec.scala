@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Cross-document boilerplate removal ([[Boilerplate]]): threshold
+  * semantics, order preservation, full-boilerplate drop, and the
+  * within-doc-repeat rule (document frequency counts a doc once). */
+class BoilerplateSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "cookie banner\nreal content one\nfooter"),
+    (2L, "cookie banner\nreal content two\nfooter"),
+    (3L, "cookie banner\nunique line\nmore unique"),
+    (4L, "footer\nfooter\nonly footers here") // footer twice in ONE doc
+  ).toDF("doc_id", "text")
+
+  test("lines in >= minDocs distinct docs are stripped; order and uniques survive") {
+    val out = Boilerplate.removeFrequentLines(docs, "doc_id", "text", minDocs = 3)
+      .as[(Long, String)].collect().toMap
+    // "cookie banner" df=3, "footer" df=3 (doc 4's repeat counts once) → both stripped
+    assert(out(1L) == "real content one")
+    assert(out(2L) == "real content two")
+    assert(out(3L) == "unique line\nmore unique")
+    assert(out(4L) == "only footers here")
+  }
+
+  test("a doc of pure boilerplate drops from the output") {
+    val d = docs.union(Seq((5L, "cookie banner\nfooter")).toDF("doc_id", "text"))
+    val out = Boilerplate.removeFrequentLines(d, "doc_id", "text", minDocs = 3)
+      .as[(Long, String)].collect().toMap
+    assert(!out.contains(5L))
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("threshold above every document frequency is an identity (null text drops)") {
+    val d = docs.union(Seq((6L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val out = Boilerplate.removeFrequentLines(d, "doc_id", "text", minDocs = 99)
+      .as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == "cookie banner\nreal content one\nfooter")
+  }
+
+  test("custom delimiter: token-level document-frequency pruning") {
+    val d = Seq((1L, "the quick fox"), (2L, "the lazy dog"), (3L, "the end"))
+      .toDF("doc_id", "text")
+    val out = Boilerplate.removeFrequentLines(d, "doc_id", "text",
+      minDocs = 3, delim = " ", joinSep = " ")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "quick fox", 2L -> "lazy dog", 3L -> "end"))
+  }
+
+  test("unitDocFrequency reports per-unit document counts") {
+    val freq = Boilerplate.unitDocFrequency(docs, "doc_id", "text")
+      .as[(String, Long)].collect().toMap
+    assert(freq("cookie banner") == 3)
+    assert(freq("footer") == 3) // doc 4's double footer counts once
+    assert(freq("unique line") == 1)
+  }
+
+  test("boilerplate stripping stays stable under partitioning") {
+    val many = (0L until 60L).map { i =>
+      (i, if (i % 2 == 0) s"shared header\nbody $i" else s"body $i\nshared header")
+    }.toDF("doc_id", "text")
+    val a = Boilerplate.removeFrequentLines(many, "doc_id", "text", minDocs = 10)
+      .as[(Long, String)].collect().toMap
+    val b = Boilerplate.removeFrequentLines(many.repartition(7), "doc_id", "text", minDocs = 10)
+      .as[(Long, String)].collect().toMap
+    assert(a == b)
+    assert(a(0L) == "body 0" && a(1L) == "body 1")
+  }
+}

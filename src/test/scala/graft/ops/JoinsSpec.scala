@@ -1,0 +1,136 @@
+package graft.ops
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** As-of and range join semantics ([[Joins]]): backward/forward direction,
+  * tolerance gating, equal-timestamp inclusivity, bound inclusivity, and
+  * the bin-overlap equivalence against a reference nested-loop join. */
+class JoinsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private lazy val trades = Seq(
+    (1L, "A", ts("2024-01-01 10:00:05"), 100.0),
+    (2L, "A", ts("2024-01-01 10:01:00"), 101.0),
+    (3L, "B", ts("2024-01-01 10:00:30"), 200.0),
+    (4L, "B", ts("2024-01-01 09:59:00"), 201.0), // before any B quote
+    (5L, "C", ts("2024-01-01 10:00:00"), 300.0)  // key with no quotes at all
+  ).toDF("trade_id", "sym", "t", "px")
+
+  private lazy val quotes = Seq(
+    ("A", ts("2024-01-01 10:00:00"), 99.5),
+    ("A", ts("2024-01-01 10:00:05"), 99.7), // exactly coincident with trade 1
+    ("A", ts("2024-01-01 10:00:50"), 99.9),
+    ("B", ts("2024-01-01 10:00:00"), 199.5)
+  ).toDF("sym", "qt", "bid")
+
+  test("asof backward: latest at-or-before quote per trade; unmatched stay null on left join") {
+    val out = Joins.asofJoin(trades, quotes, Seq("sym"), "t", "qt",
+      matchedTimeCol = Some("quote_t"))
+      .select("trade_id", "bid", "quote_t")
+      .as[(Long, Option[Double], Option[Timestamp])].collect()
+      .map { case (k, v1, v2) => k -> ((v1, v2)) }.toMap
+    assert(out(1L) == (Some(99.7), Some(ts("2024-01-01 10:00:05")))) // coincident counts
+    assert(out(2L) == (Some(99.9), Some(ts("2024-01-01 10:00:50"))))
+    assert(out(3L) == (Some(199.5), Some(ts("2024-01-01 10:00:00"))))
+    assert(out(4L) == (None, None)) // no quote at-or-before
+    assert(out(5L) == (None, None)) // key absent from right
+  }
+
+  test("asof inner drops unmatched; forward picks earliest at-or-after") {
+    val inner = Joins.asofJoin(trades, quotes, Seq("sym"), "t", "qt", joinType = "inner")
+    assert(inner.select("trade_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+
+    val fwd = Joins.asofJoin(trades, quotes, Seq("sym"), "t", "qt",
+      direction = "forward")
+      .select("trade_id", "bid").as[(Long, Option[Double])].collect().toMap
+    assert(fwd(1L).contains(99.7))  // coincident still matches forward
+    assert(fwd(2L).isEmpty)         // nothing after 10:01
+    assert(fwd(4L).contains(199.5)) // earliest B quote after 09:59
+  }
+
+  test("asof tolerance bounds staleness; null left time never matches") {
+    val out = Joins.asofJoin(trades, quotes, Seq("sym"), "t", "qt",
+      tolerance = Some(expr("INTERVAL 20 SECONDS")))
+      .select("trade_id", "bid").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(99.7)) // staleness 0
+    assert(out(2L).contains(99.9)) // 10 s back, inside tolerance
+    assert(out(3L).isEmpty)        // 30 s back, beyond tolerance
+
+    val nullT = Seq((9L, "A", null.asInstanceOf[Timestamp], 1.0))
+      .toDF("trade_id", "sym", "t", "px")
+    val got = Joins.asofJoin(nullT, quotes, Seq("sym"), "t", "qt")
+      .select("bid").as[Option[Double]].collect()
+    assert(got.toSeq == Seq(None))
+  }
+
+  test("asof matches a reference per-row scan on a random corpus") {
+    // property pin: union-window asof == the obvious quadratic definition
+    val rnd = new scala.util.Random(7)
+    val lrows = (0 until 200).map(i =>
+      (i.toLong, s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong))
+    val rrows = (0 until 300).map(j =>
+      (s"k${rnd.nextInt(6)}", rnd.nextInt(1000).toLong, j.toDouble))
+    // uniquify right (key, time) — ties at identical right timestamps are
+    // documented as caller-resolved
+    val l = lrows.toDF("lid", "k", "lt")
+    val r = rrows.toDF("k", "rt", "v")
+      .groupBy("k", "rt").agg(max("v").as("v"))
+    val got = Joins.asofJoin(l, r, Seq("k"), "lt", "rt")
+      .select("lid", "v").as[(Long, Option[Double])].collect().toMap
+    val rMap = r.as[(String, Long, Double)].collect().groupBy(_._1)
+    val want = lrows.map { case (lid, k, lt) =>
+      lid -> rMap.getOrElse(k, Array.empty).filter(_._2 <= lt)
+        .sortBy(_._2).lastOption.map(_._3)
+    }.toMap
+    assert(got == want)
+  }
+
+  test("range join: bin-overlap equals nested-loop reference; bounds honor inclusivity") {
+    val pts = Seq((1L, 0.0), (2L, 5.0), (3L, 10.0), (4L, 17.5), (5L, 99.0))
+      .toDF("pid", "x")
+    val rng = Seq((10L, 0.0, 10.0), (11L, 5.0, 6.0), (12L, 9.0, 20.0))
+      .toDF("rid", "lo", "hi")
+    // [lo, hi): 0→{10}, 5→{10,11}, 10→{12} (10 excluded from [0,10)), 17.5→{12}
+    val got = Joins.rangeJoin(pts, rng, "x", "lo", "hi", binWidth = 4.0)
+      .select("pid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 12L), (4L, 12L)))
+    // inclusive hi picks up the boundary point
+    val incl = Joins.rangeJoin(pts, rng, "x", "lo", "hi", binWidth = 4.0,
+      hiInclusive = true)
+      .select("pid", "rid").as[(Long, Long)].collect().toSet
+    assert(incl == got + ((3L, 10L)))
+  }
+
+  test("range join matches reference across bin widths on a random corpus") {
+    val rnd = new scala.util.Random(11)
+    val pts = (0 until 500).map(i => (i.toLong, rnd.nextDouble() * 100)).toDF("pid", "x")
+    val rngRows = (0 until 40).map { j =>
+      val lo = rnd.nextDouble() * 90
+      (j.toLong, lo, lo + rnd.nextDouble() * 15)
+    }
+    val rng = rngRows.toDF("rid", "lo", "hi")
+    val want = pts.as[(Long, Double)].collect().flatMap { case (pid, x) =>
+      rngRows.collect { case (rid, lo, hi) if x >= lo && x < hi => (pid, rid) }
+    }.toSet
+    for (w <- Seq(0.5, 7.0, 1000.0)) { // narrow, typical, one-bin-for-everything
+      val got = Joins.rangeJoin(pts, rng, "x", "lo", "hi", binWidth = w)
+        .select("pid", "rid").as[(Long, Long)].collect().toSet
+      assert(got == want, s"binWidth=$w")
+    }
+  }
+
+  test("time range join quantizes timestamps without changing membership") {
+    val pts = Seq((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 11:30:00")))
+      .toDF("pid", "at")
+    val rng = Seq((10L, ts("2024-01-01 09:00:00"), ts("2024-01-01 10:30:00")),
+      (11L, ts("2024-01-01 11:30:00"), ts("2024-01-01 12:00:00")))
+      .toDF("rid", "s", "e")
+    val got = Joins.timeRangeJoin(pts, rng, "at", "s", "e", binWidthSeconds = 3600)
+      .select("pid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 11L)))
+  }
+}
