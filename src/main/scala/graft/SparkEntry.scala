@@ -431,6 +431,24 @@ object SparkEntry {
         minDocs = minDocs, delim = " ", joinSep = " ")
         .orderBy("doc_id")
     }),
+    "q_bloom_incremental" -> ((s, dir) => {
+      // incremental exact dedup through the seen-keys Bloom sketch: the
+      // batch splits map-only into certainly-new / needs-verify, only the
+      // verify sliver anti-joins the index — and the COMPOSED result is
+      // exact (false positives only route rows into the anti-join), so
+      // the sketch path gets a full DuckDB oracle despite the bloom bits
+      // themselves being engine-internal.
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val index = docs.filter(col("doc_id") >= 50)
+      val batch = docs.filter(col("doc_id") < 50)
+      val fp = md5(col("text").cast("binary"))
+      val bytes = Dedup.seenFilter(index, fp, expectedItems = 100000)
+      val (fresh, verify) = Dedup.splitBySeenFilter(batch, bytes, fp)
+      val verified = verify.withColumn("__fp", fp)
+        .join(index.select(fp.as("__fp")).distinct(), Seq("__fp"), "left_anti")
+        .drop("__fp")
+      fresh.unionByName(verified).select(col("doc_id")).orderBy("doc_id")
+    }),
     "q_sample_det" -> ((s, dir) => {
       // deterministic md5-thresholded Bernoulli sample — engine-portable,
       // partitioning-independent (no rand())
@@ -886,6 +904,10 @@ object SparkEntry {
         "f AS (SELECT u FROM l GROUP BY u HAVING COUNT(DISTINCT doc_id) >= (SELECT v FROM th)), " +
         "k AS (SELECT doc_id, pos, u FROM l WHERE u NOT IN (SELECT u FROM f)) " +
         "SELECT doc_id, string_agg(u, ' ' ORDER BY pos) AS text_clean FROM k GROUP BY doc_id ORDER BY doc_id"),
+    "q_bloom_incremental" ->
+      ("SELECT doc_id FROM documents WHERE doc_id < 50 AND text IS NOT NULL " +
+        "AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id >= 50 AND text IS NOT NULL) " +
+        "ORDER BY doc_id"),
     "q_sample_det" ->
       // 0.25 * 2^32 = 0x40000000; lowercase-hex string compare ==
       // numeric compare on the first 32 hash bits

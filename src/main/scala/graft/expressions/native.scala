@@ -90,4 +90,17 @@ object native {
   /** try_cast — null instead of error on failed cast (ANSI-safe coercion). */
   def tryCast(c: Column, dt: DataType): Column =
     GraftSqlShim.column(Cast(e(c), dt, Some("UTC"), EvalMode.TRY))
+
+  /** Bloom-filter membership probe against a pre-built serialized filter
+    * (`org.apache.spark.util.sketch.BloomFilter.writeTo` bytes) — the same
+    * codegen'd `BloomFilterMightContain` expression Spark's runtime-filter
+    * optimization injects into shuffle joins, here exposed for filters the
+    * PIPELINE owns (a persisted seen-keys sketch probed across jobs, not
+    * within one). `value` must be a LongType column probed exactly as the
+    * keys were inserted (see [[graft.ops.Dedup.seenFilter]]: xxhash64 on
+    * both sides). */
+  def bloomMightContain(filterBytes: Array[Byte], value: Column): Column =
+    GraftSqlShim.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        Literal(filterBytes, BinaryType), e(value)))
 }

@@ -353,6 +353,48 @@ object Dedup {
   def approxDistinct(df: DataFrame, c: String, rsd: Double = 0.05): DataFrame =
     df.agg(approx_count_distinct(col(c), rsd).as("approx_n"))
 
+  /** Serialized Bloom filter over `xxhash64(keyCol)` of every row — the
+    * seen-keys sketch for INCREMENTAL exact dedup. A 100 TB corpus is
+    * deduped once; each later ingest batch must answer "have we seen this
+    * fingerprint?" — and joining every daily batch against a
+    * corpus-sized key index is the expensive way. The sketch answers
+    * definitively-NEW with no join at all: build it once at ingest (one
+    * distributed aggregate; bounded memory per partition, merged on the
+    * driver), persist the bytes next to the corpus, and probe each batch
+    * map-only with [[mightBeSeen]].
+    *
+    * Sizing: ~1.2 bytes/key at 1% fpp (`-n·ln(p)/(8·ln²2)`) — 1 B keys ≈
+    * 1.1 GB, broadcast-friendly; toward 10 B keys either raise `fpp` (the
+    * filter only routes to verification, so fpp costs extra verify work,
+    * never correctness) or shard the sketch by key range. Spark's own
+    * runtime bloom join filters are intra-query only — this is the
+    * cross-job counterpart. */
+  def seenFilter(df: DataFrame, keyCol: Column, expectedItems: Long,
+                 fpp: Double = 0.01): Array[Byte] = {
+    val bf = df.select(xxhash64(keyCol).as("__k")).stat
+      .bloomFilter("__k", expectedItems, fpp)
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Membership predicate against a [[seenFilter]] sketch: false ⇒ the key
+    * is CERTAINLY new; true ⇒ seen OR a false positive (rate ≈ fpp).
+    * Codegen'd expression, map-only — no join, no shuffle. */
+  def mightBeSeen(filterBytes: Array[Byte], keyCol: Column): Column =
+    native.bloomMightContain(filterBytes, xxhash64(keyCol))
+
+  /** Split an ingest batch by the sketch: `(certainly-new, needs-verify)`.
+    * The needs-verify side (|batch|·fpp + true dups) is the ONLY part that
+    * proceeds to the exact anti-join against the persisted key index —
+    * the sketch turns a batch-vs-corpus join into a batch-vs-sketch map
+    * pass plus a sliver-vs-corpus join. */
+  def splitBySeenFilter(batch: DataFrame, filterBytes: Array[Byte],
+                        keyCol: Column): (DataFrame, DataFrame) = {
+    val p = mightBeSeen(filterBytes, keyCol)
+    (batch.filter(!p), batch.filter(p))
+  }
+
   /** Benchmark-contamination check: per document, the fraction of its
     * distinct character k-shingles that also occur in `benchmark` — the
     * standard n-gram-overlap test run before training to keep eval data

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Seen-keys Bloom sketch for incremental exact dedup ([[Dedup.seenFilter]]
+  * / [[Dedup.mightBeSeen]] / [[Dedup.splitBySeenFilter]]): no false
+  * negatives ever, bounded false positives, plan stays join-free. */
+class BloomSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val corpus = (0L until 2000L).map(i => (i, s"doc body number $i"))
+    .toDF("doc_id", "text")
+  private lazy val fp = md5(col("text").cast("binary"))
+
+  test("no false negatives: every ingested key reads as might-be-seen") {
+    val bytes = Dedup.seenFilter(corpus, fp, expectedItems = 2000)
+    val misses = corpus.filter(!Dedup.mightBeSeen(bytes, fp)).count()
+    assert(misses == 0, s"$misses ingested keys claimed unseen — bloom false negative")
+  }
+
+  test("unseen keys mostly pass; false-positive rate near fpp") {
+    val bytes = Dedup.seenFilter(corpus, fp, expectedItems = 2000, fpp = 0.01)
+    val fresh = (10000L until 14000L).map(i => (i, s"brand new text $i"))
+      .toDF("doc_id", "text")
+    val flagged = fresh.filter(Dedup.mightBeSeen(bytes, fp)).count()
+    // 4000 unseen keys at 1% nominal fpp — allow generous slack
+    assert(flagged < 200, s"$flagged/4000 unseen keys flagged — fpp far above nominal")
+  }
+
+  test("splitBySeenFilter routes exactly: certain-new ∪ needs-verify = batch, disjoint") {
+    val bytes = Dedup.seenFilter(corpus, fp, expectedItems = 2000)
+    val batch = corpus.filter(col("doc_id") < 50) // 50 true dups
+      .union(Seq((90000L, "never seen before A"), (90001L, "never seen before B"))
+        .toDF("doc_id", "text"))
+    val (fresh, verify) = Dedup.splitBySeenFilter(batch, bytes, fp)
+    val freshIds = fresh.select("doc_id").as[Long].collect().toSet
+    val verifyIds = verify.select("doc_id").as[Long].collect().toSet
+    assert((freshIds intersect verifyIds).isEmpty)
+    assert((freshIds union verifyIds) == batch.select("doc_id").as[Long].collect().toSet)
+    // every true dup MUST land on the verify side
+    assert((0L until 50L).forall(verifyIds.contains))
+    // the two genuinely-new docs land on fresh unless a (rare) false positive
+    assert(freshIds.contains(90000L) || freshIds.contains(90001L))
+  }
+
+  test("probe is map-only: no join or exchange in the filtered plan") {
+    val bytes = Dedup.seenFilter(corpus, fp, expectedItems = 2000)
+    val plan = corpus.filter(!Dedup.mightBeSeen(bytes, fp))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.toLowerCase.contains("join"),
+      s"expected a join-free map plan, got:\n$plan")
+  }
+}
