@@ -465,6 +465,24 @@ object SparkEntry {
       Sampling.temperatureWeights(T(s, dir, "documents"), "lang", 0.7)
         .orderBy("lang")
     }),
+    "q_weighted_sample" -> ((s, dir) => {
+      // Efraimidis–Spirakis weighted sample without replacement, weight =
+      // document length; priority rounded to 6 dp (pow is the one
+      // non-IEEE-exact op) so DuckDB ranks identically
+      Sampling.weightedSample(
+        T(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 100)
+        .select(col("doc_id"), col("priority")).orderBy("doc_id")
+    }),
+    "q_interleave" -> ((s, dir) => {
+      // weighted-fair-queueing interleave: virtual finish times use only
+      // IEEE-exact arithmetic on ranks and literal weights — bit-identical
+      // across engines, so the full mixing ORDER is oracle-checked
+      Sampling.interleaveByWeight(T(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.6, "de" -> 0.3), default = 0.1)
+        .select(col("doc_id"), col("lang"), col("vft"))
+        .orderBy("vft", "lang", "doc_id")
+    }),
     "q_cap_stratum" -> ((s, dir) => {
       // domain quota: at most 40 docs per lang, deterministic hash-draw
       // selection (WindowGroupLimit pre-prunes before the exchange)
@@ -921,6 +939,21 @@ object SparkEntry {
         "p AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.7) AS pw FROM c) " +
         "SELECT lang, n, floor(pw / SUM(pw) OVER () * 1000000.0 + 0.5) / 1000000.0 AS weight " +
         "FROM p ORDER BY lang NULLS FIRST"),
+    "q_weighted_sample" ->
+      // u = (hex32 + 1) / 2^32 as in Sampling.weightedSample; priority =
+      // round6(u^(1/w)); rank desc with doc_id tiebreak
+      ("WITH d AS (SELECT doc_id, n_chars, " +
+        "(CAST(concat('0x', substr(md5('graft:' || doc_id), 1, 8)) AS UBIGINT) + 1) / 4294967296.0 AS u " +
+        "FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0), " +
+        "p AS (SELECT doc_id, floor(pow(u, 1.0 / CAST(n_chars AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS priority FROM d) " +
+        "SELECT doc_id, priority FROM (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rk FROM p) " +
+        "WHERE rk <= 100 ORDER BY doc_id"),
+    "q_interleave" ->
+      ("WITH w AS (SELECT doc_id, lang, CASE WHEN lang = 'en' THEN 0.6 WHEN lang = 'de' THEN 0.3 ELSE 0.1 END AS wt, " +
+        "substr(md5('graft:' || doc_id), 1, 8) AS draw FROM documents), " +
+        "r AS (SELECT doc_id, lang, wt, row_number() OVER (PARTITION BY lang ORDER BY draw, doc_id) AS rk FROM w WHERE wt > 0) " +
+        "SELECT doc_id, lang, (CAST(rk AS DOUBLE) * 2.0 - 1.0) / (wt * 2.0) AS vft FROM r " +
+        "ORDER BY vft, lang NULLS FIRST, doc_id"),
     "q_cap_stratum" ->
       ("SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER " +
         "(PARTITION BY lang ORDER BY substr(md5('graft:' || doc_id), 1, 8), doc_id) AS rk " +

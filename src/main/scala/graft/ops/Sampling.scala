@@ -154,6 +154,78 @@ object Sampling {
       .drop("__pid", "__cum", "__off", "__excl")
   }
 
+  /** Weighted sample WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    * keep the k rows with the largest `u^(1/w)` where `u` is the row's
+    * deterministic 32-bit hash draw mapped to (0,1] — inclusion
+    * probability proportional to `weightCol` without ever materializing a
+    * cumulative distribution. The classic "sample 10k docs favoring high
+    * quality" selector.
+    *
+    * Deterministic like everything here: same salt → same sample, across
+    * runs, retries and partitionings. The priority is exposed as
+    * `priority` ROUNDED to 6 dp (the same engine-portability clamp as
+    * [[temperatureWeights]] — `pow` is the one non-IEEE-exact op in the
+    * formula) with id tiebreak, so cross-engine mirrors rank identically.
+    *
+    * Scale shape: the partitionless `row_number ≤ k` compiles to
+    * `TakeOrderedAndProject(limit=k)` (LimitPushDownThroughWindow) —
+    * each map task keeps a k-row heap and the single merge reads k rows
+    * per partition, never the corpus (plan-asserted in SamplingSpec;
+    * fine for k up to millions, the training-set regime). Rows with
+    * null/non-positive weight never qualify. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
+                     salt: String = "graft"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // draw ∈ (0,1]: (hash32 + 1) / 2^32 — the +1 keeps u > 0 so u^(1/w)
+    // never collapses to 0^0-style edge cases at w → ∞
+    val u = (conv(hashDraw(col(idCol), salt), 16, 10).cast("double") + 1.0) / 4294967296.0
+    val pri = floor(pow(u, lit(1.0) / col(weightCol).cast("double")) * 1e6 + 0.5) / 1e6
+    val w = Window.orderBy(col("priority").desc, col(idCol))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0.0)
+      .withColumn("priority", pri)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /** Deterministic weighted interleave — the FINAL data-mixing step: given
+    * per-stratum mixture weights, order the corpus so that any prefix of
+    * the output contains strata in proportion to their weights (weighted
+    * fair queueing). Each row gets a VIRTUAL FINISH TIME
+    * `vft = (2·rank_s − 1) / (2·w_s)` — rank within its stratum (by
+    * deterministic hash draw) over the stratum's weight; reading rows in
+    * `vft` order yields the interleave (the WFQ/virtual-time argument:
+    * stratum s places its r-th row at time ≈ r/w_s, so a time-t prefix
+    * holds ≈ t·w_s rows of s).
+    *
+    * `vft` uses ONLY +,−,×,÷ on small integers and the literal weights —
+    * IEEE-exact and therefore bit-identical on any engine (unlike `pow`
+    * above). Strata with no/zero weight drop (`default` applies to
+    * unlisted and null strata).
+    *
+    * Scale shape: one stratum-keyed window exchange for the ranks; the
+    * output carries `vft` rather than a global position — consumers
+    * range-partition + sort by `(vft, stratumCol, idCol)`, which is how a
+    * total order is written at 100 TB (a global row_number would
+    * single-partition; see [[packSequences]] for the two-phase form if a
+    * dense index is required). */
+  def interleaveByWeight(df: DataFrame, stratumCol: String, idCol: String,
+                         weights: Map[String, Double], default: Double = 0.0,
+                         salt: String = "graft"): DataFrame = {
+    require(weights.values.forall(_ >= 0.0), "weights must be non-negative")
+    require(default >= 0.0, s"default must be non-negative, got $default")
+    val wCol = weights.foldLeft(when(lit(false), lit(0.0))) {
+      case (acc, (stratum, wt)) => acc.when(col(stratumCol) === stratum, lit(wt))
+    }.otherwise(lit(default))
+    val rkW = Window.partitionBy(col(stratumCol))
+      .orderBy(hashDraw(col(idCol), salt), col(idCol))
+    df.withColumn("__w", wCol)
+      .filter(col("__w") > 0.0)
+      .withColumn("__rk", row_number().over(rkW))
+      .withColumn("vft", (col("__rk").cast("double") * 2.0 - 1.0) / (col("__w") * 2.0))
+      .drop("__w", "__rk")
+  }
+
   /** Per-stratum sampling rates that hit a total token budget at the given
     * mixture weights: `rate_i = min(1, budget * w_i / tokens_i)`. Join the
     * result back (broadcast — #strata rows) and sample with

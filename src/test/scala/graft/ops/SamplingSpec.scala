@@ -152,6 +152,62 @@ class SamplingSpec extends SparkSuite {
     }
   }
 
+  test("weightedSample: k rows, deterministic, and inclusion tracks weight") {
+    val weighted = (0L until 4000L).map(i => (i, if (i < 400) 50.0 else 1.0))
+      .toDF("id", "w")
+    val a = Sampling.weightedSample(weighted, "id", "w", k = 400)
+      .select("id").as[Long].collect().toSet
+    assert(a.size == 400)
+    // stable across partitionings
+    val b = Sampling.weightedSample(weighted.repartition(13), "id", "w", k = 400)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    // the 10% of rows carrying 50× weight should dominate the sample:
+    // E[heavy picks] ≈ 330 of 400; even a loose bound separates regimes
+    val heavy = a.count(_ < 400L)
+    assert(heavy > 200, s"only $heavy/400 heavy-weight rows sampled — weighting not applied")
+    // zero/null weights never qualify
+    val withZero = weighted.withColumn("w", when(col("id") % 2 === 0, lit(0.0)).otherwise(col("w")))
+    val z = Sampling.weightedSample(withZero, "id", "w", k = 100)
+      .select("id").as[Long].collect()
+    assert(z.forall(_ % 2 == 1))
+  }
+
+  test("weightedSample pre-prunes to top-k before the rank merge (no full-corpus sort)") {
+    // for the partitionless rank ≤ k, LimitPushDownThroughWindow rewrites
+    // to TakeOrderedAndProject(limit=k): each map task keeps a k-row heap
+    // and the merge sees k rows per partition — strictly better than the
+    // WindowGroupLimit shape the stratified variant gets
+    val weighted = (0L until 1000L).map(i => (i, 1.0 + i)).toDF("id", "w")
+    val plan = Sampling.weightedSample(weighted, "id", "w", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject") || plan.contains("WindowGroupLimit"),
+      s"expected a partial top-k operator in:\n$plan")
+  }
+
+  test("interleaveByWeight: prefix proportions track weights; vft ordering deterministic") {
+    val rows = (0L until 3000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("id", "s")
+    val out = Sampling.interleaveByWeight(rows, "s", "id",
+      Map("en" -> 3.0, "de" -> 1.0))
+      .orderBy(col("vft"), col("s"), col("id"))
+      .select("s").as[String].collect()
+    // any sizable prefix should hold en:de ≈ 3:1 until en (1000 rows) runs dry
+    val prefix = out.take(800)
+    val en = prefix.count(_ == "en")
+    assert(en > 540 && en < 660, s"en=$en of 800 — expected ≈ 600 (3:1 mix)")
+    // weight-0 / unlisted strata drop under default 0
+    val out2 = Sampling.interleaveByWeight(rows, "s", "id", Map("en" -> 1.0))
+    assert(out2.select("s").distinct().as[String].collect().toSeq == Seq("en"))
+    // stable across partitionings (vft is a pure function of stratum rank)
+    val v1 = Sampling.interleaveByWeight(rows, "s", "id", Map("en" -> 3.0, "de" -> 1.0))
+      .select("id", "vft").as[(Long, Double)].collect().toMap
+    val v2 = Sampling.interleaveByWeight(rows.repartition(11), "s", "id",
+      Map("en" -> 3.0, "de" -> 1.0))
+      .select("id", "vft").as[(Long, Double)].collect().toMap
+    assert(v1 == v2)
+  }
+
   test("budgetRates: rates hit the budget under the weights, capped at 1") {
     val withTok = docs.withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
     val w = Sampling.temperatureWeights(docs, "lang", 0.7)
