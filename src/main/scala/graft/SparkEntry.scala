@@ -465,6 +465,13 @@ object SparkEntry {
       Sampling.temperatureWeights(T(s, dir, "documents"), "lang", 0.7)
         .orderBy("lang")
     }),
+    "q_chunk" -> ((s, dir) => {
+      // context-window segmentation: 32-token chunks with 8-token overlap
+      // (stride 24) — map-only, no shuffle (plan-asserted in ChunkingSpec)
+      graft.ops.Chunking.chunkByTokens(T(s, dir, "documents"),
+        "doc_id", "text", chunkTokens = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_idx")
+    }),
     "q_weighted_sample" -> ((s, dir) => {
       // Efraimidis–Spirakis weighted sample without replacement, weight =
       // document length; priority rounded to 6 dp (pow is the one
@@ -939,6 +946,14 @@ object SparkEntry {
         "p AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.7) AS pw FROM c) " +
         "SELECT lang, n, floor(pw / SUM(pw) OVER () * 1000000.0 + 0.5) / 1000000.0 AS weight " +
         "FROM p ORDER BY lang NULLS FIRST"),
+    "q_chunk" ->
+      // stride 24 = 32 − 8; chunk count in exact integer arithmetic with
+      // the clamped dividend (greatest 0) so // and div agree
+      ("WITH d AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents WHERE text IS NOT NULL), " +
+        "c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM d), " +
+        "g AS (SELECT doc_id, toks, n, unnest(generate_series(CAST(0 AS BIGINT), (greatest(n - 32, 0) + 23) // 24)) AS chunk_idx FROM c) " +
+        "SELECT doc_id, chunk_idx, array_to_string(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ') AS chunk_text, " +
+        "least(32, n - chunk_idx * 24) AS n_tok FROM g ORDER BY doc_id, chunk_idx"),
     "q_weighted_sample" ->
       // u = (hex32 + 1) / 2^32 as in Sampling.weightedSample; priority =
       // round6(u^(1/w)); rank desc with doc_id tiebreak

@@ -176,6 +176,30 @@ class StreamingSpec extends SparkSuite {
     assert(rows == Set((100L, 10L), (102L, 10L)), s"got $rows")
   }
 
+  test("bloom seen-keys probe runs map-only per microbatch (stream vs static corpus sketch)") {
+    // the OTHER incremental-dedup shape on a stream: the corpus sketch is
+    // driver-built once and rides into each microbatch as a literal — no
+    // stream-static join at all, the probe is a pure codegen'd predicate
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Dedup
+    val corpus = Seq((1L, "seen text alpha"), (2L, "seen text beta"))
+      .toDF("doc_id", "text")
+    val fp = md5(col("text").cast("binary"))
+    val bytes = Dedup.seenFilter(corpus, fp, expectedItems = 1000)
+    val mem = MemoryStream[(Long, String)]
+    val fresh = mem.toDF().toDF("doc_id", "text")
+      .filter(!Dedup.mightBeSeen(bytes, fp))
+    val q = fresh.writeStream.format("memory").queryName("bloom_fresh")
+      .outputMode("append").start()
+    mem.addData((100L, "seen text alpha"), (101L, "genuinely new content"))
+    q.processAllAvailable()
+    mem.addData((102L, "seen text beta"), (103L, "another new one"))
+    q.processAllAvailable()
+    val got = spark.table("bloom_fresh").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(got == Set(101L, 103L), s"got $got")
+  }
+
   test("session window boundary: event at exactly prev+gap MERGES (gap is inclusive)") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val batch = Seq((t("2024-01-01 00:00:00"), "u1"), (t("2024-01-01 00:05:00"), "u1"))
