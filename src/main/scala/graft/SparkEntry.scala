@@ -465,6 +465,16 @@ object SparkEntry {
       Sampling.temperatureWeights(T(s, dir, "documents"), "lang", 0.7)
         .orderBy("lang")
     }),
+    "q_unigram_ll" -> ((s, dir) => {
+      // CCNet-style perplexity filter: score docs by mean token log-prob
+      // under the corpus's own top-25 unigram vocab (broadcast model,
+      // map-side lookup, one id-keyed exchange)
+      val docs = T(s, dir, "documents")
+      val vocab = graft.ops.LmScore.unigramVocab(docs, "text", k = 25)
+      graft.ops.LmScore.unigramLogLikelihood(docs, "doc_id", "text", vocab,
+        oovLogp = -20.0)
+        .orderBy("doc_id")
+    }),
     "q_chunk" -> ((s, dir) => {
       // context-window segmentation: 32-token chunks with 8-token overlap
       // (stride 24) — map-only, no shuffle (plan-asserted in ChunkingSpec)
@@ -946,6 +956,17 @@ object SparkEntry {
         "p AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.7) AS pw FROM c) " +
         "SELECT lang, n, floor(pw / SUM(pw) OVER () * 1000000.0 + 0.5) / 1000000.0 AS weight " +
         "FROM p ORDER BY lang NULLS FIRST"),
+    "q_unigram_ll" ->
+      ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "t2 AS (SELECT doc_id, token FROM toks WHERE len(token) > 0), " +
+        "cnt AS (SELECT token, COUNT(*) AS n FROM t2 GROUP BY token), " +
+        "tot AS (SELECT SUM(n) AS total FROM cnt), " +
+        "vocab AS (SELECT token, ln(CAST(n AS DOUBLE) / (SELECT CAST(total AS DOUBLE) FROM tot)) AS logp " +
+        "FROM cnt ORDER BY n DESC, token LIMIT 25) " +
+        "SELECT doc_id, COUNT(*) AS n_tok, " +
+        "floor(avg(coalesce(v.logp, -20.0)) * 1e6 + 0.5) / 1e6 AS ll " +
+        "FROM t2 LEFT JOIN vocab v USING (token) GROUP BY doc_id ORDER BY doc_id"),
     "q_chunk" ->
       // stride 24 = 32 − 8; chunk count in exact integer arithmetic with
       // the clamped dividend (greatest 0) so // and div agree

