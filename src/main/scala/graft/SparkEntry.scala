@@ -465,6 +465,14 @@ object SparkEntry {
       Sampling.temperatureWeights(T(s, dir, "documents"), "lang", 0.7)
         .orderBy("lang")
     }),
+    "q_zorder" -> ((s, dir) => {
+      // Morton codes for 2-D clustering — exact integer bit arithmetic,
+      // mirrored in DuckDB by the same magic-mask spread
+      T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.ops.Layout.zValue(col("l_partkey"), col("l_suppkey")).as("z"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     "q_unigram_ll" -> ((s, dir) => {
       // CCNet-style perplexity filter: score docs by mean token log-prob
       // under the corpus's own top-25 unigram vocab (broadcast model,
@@ -956,6 +964,15 @@ object SparkEntry {
         "p AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.7) AS pw FROM c) " +
         "SELECT lang, n, floor(pw / SUM(pw) OVER () * 1000000.0 + 0.5) / 1000000.0 AS weight " +
         "FROM p ORDER BY lang NULLS FIRST"),
+    "q_zorder" ->
+      // magic-mask bit spread, one CTE per shift step (Kernels.zValue2)
+      ("WITH s0 AS (SELECT l_orderkey, l_linenumber, CAST(l_partkey AS BIGINT) & 4294967295 AS x, CAST(l_suppkey AS BIGINT) & 4294967295 AS y FROM lineitem), " +
+        "s1 AS (SELECT l_orderkey, l_linenumber, (x | (x << 16)) & 281470681808895 AS x, (y | (y << 16)) & 281470681808895 AS y FROM s0), " +
+        "s2 AS (SELECT l_orderkey, l_linenumber, (x | (x << 8)) & 71777214294589695 AS x, (y | (y << 8)) & 71777214294589695 AS y FROM s1), " +
+        "s3 AS (SELECT l_orderkey, l_linenumber, (x | (x << 4)) & 1085102592571150095 AS x, (y | (y << 4)) & 1085102592571150095 AS y FROM s2), " +
+        "s4 AS (SELECT l_orderkey, l_linenumber, (x | (x << 2)) & 3689348814741910323 AS x, (y | (y << 2)) & 3689348814741910323 AS y FROM s3), " +
+        "s5 AS (SELECT l_orderkey, l_linenumber, (x | (x << 1)) & 6148914691236517205 AS x, (y | (y << 1)) & 6148914691236517205 AS y FROM s4) " +
+        "SELECT l_orderkey, l_linenumber, x | (y << 1) AS z FROM s5 ORDER BY l_orderkey, l_linenumber"),
     "q_unigram_ll" ->
       ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token " +
         "FROM documents WHERE text IS NOT NULL), " +

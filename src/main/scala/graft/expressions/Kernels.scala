@@ -323,4 +323,21 @@ object Kernels {
     while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
   }
+
+  /** Morton (Z-order) code of two non-negative 32-bit coordinates: bit i
+    * of `a` lands at position 2i, bit i of `b` at 2i+1. The magic-mask
+    * bit-spread runs in 10 shift/mask ops per coordinate — no loop. Inputs
+    * outside [0, 2^32) are masked to their low 32 bits. */
+  def zValue2(a: Long, b: Long): Long = {
+    def spread(v0: Long): Long = {
+      var v = v0 & 0xFFFFFFFFL
+      v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
+      v = (v | (v << 8)) & 0x00FF00FF00FF00FFL
+      v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL
+      v = (v | (v << 2)) & 0x3333333333333333L
+      v = (v | (v << 1)) & 0x5555555555555555L
+      v
+    }
+    spread(a) | (spread(b) << 1)
+  }
 }

@@ -91,6 +91,9 @@ object native {
   def tryCast(c: Column, dt: DataType): Column =
     GraftSqlShim.column(Cast(e(c), dt, Some("UTC"), EvalMode.TRY))
 
+  def zValue2(a: Column, b: Column): Column =
+    invoke(LongType, "zValue2", Seq(e(a), e(b)), Seq(LongType, LongType))
+
   /** Bloom-filter membership probe against a pre-built serialized filter
     * (`org.apache.spark.util.sketch.BloomFilter.writeTo` bytes) — the same
     * codegen'd `BloomFilterMightContain` expression Spark's runtime-filter

@@ -49,6 +49,28 @@ object Layout {
     saltedF.join(saltedD, keys :+ "_salt").drop("_salt")
   }
 
+  /** Morton (Z-order) code of two non-negative integer columns — the
+    * multi-dimensional clustering key behind "OPTIMIZE ZORDER BY"-style
+    * layouts: sorting by the interleaved bits keeps rows close in BOTH
+    * dimensions physically adjacent, so min/max file statistics prune
+    * scans filtered on EITHER column (a single-column sort only skips on
+    * its leading column). Exact integer bit arithmetic (native codegen'd
+    * kernel) — engine-portable, no floats anywhere. Inputs are masked to
+    * their low 32 bits; map columns through a rank/quantile first if
+    * their natural range exceeds that. */
+  def zValue(a: Column, b: Column): Column =
+    graft.expressions.native.zValue2(a.cast("long"), b.cast("long"))
+
+  /** Cluster a frame for Z-order locality: range-partition then sort each
+    * partition by the Morton code (exactly what a `write` needs in front
+    * of it for z-clustered parquet with tight per-file min/max on both
+    * `a` and `b`). One range exchange; the sort is per-partition. */
+  def clusterByZ(df: DataFrame, a: String, b: String,
+                 zCol: String = "_z"): DataFrame = {
+    val withZ = df.withColumn(zCol, zValue(col(a), col(b)))
+    withZ.repartitionByRange(col(zCol)).sortWithinPartitions(col(zCol))
+  }
+
   /** Deterministic train/val/test split by id hash: map-only, stable
     * across runs/clusters (no `rand()` — re-running a sample on new data
     * keeps every previously-assigned row in the same split), and

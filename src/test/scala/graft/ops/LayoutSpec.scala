@@ -69,6 +69,48 @@ class LayoutSpec extends SparkSuite {
     assert(perKey == 1L)
   }
 
+  test("zValue is the Morton interleave (known grid + random reference pin)") {
+    import spark.implicits._
+    // hand-computed Morton order of the 2×4 corner of the grid
+    val known = Seq((0L, 0L, 0L), (1L, 0L, 1L), (0L, 1L, 2L), (1L, 1L, 3L),
+      (2L, 0L, 4L), (3L, 0L, 5L), (2L, 1L, 6L), (3L, 1L, 7L), (0L, 2L, 8L))
+    val got = known.map(t => (t._1, t._2)).toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y"))).as[Long].collect().toSeq
+    assert(got == known.map(_._3))
+    // random 32-bit coordinates vs a bit-by-bit reference
+    val rnd = new scala.util.Random(17)
+    val pts = (0 until 500).map(_ => (rnd.nextInt(Int.MaxValue).toLong,
+      rnd.nextInt(Int.MaxValue).toLong))
+    def ref(a: Long, b: Long): Long =
+      (0 until 32).foldLeft(0L) { (acc, i) =>
+        acc | ((a >> i) & 1L) << (2 * i) | ((b >> i) & 1L) << (2 * i + 1)
+      }
+    val zs = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zValue(col("x"), col("y")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    zs.foreach { case (x, y, z) => assert(z == ref(x, y), s"($x,$y)") }
+  }
+
+  test("z-clustering bounds BOTH dimensions per chunk where a 1-D sort bounds one") {
+    import spark.implicits._
+    // 32×32 grid → 16 chunks of 64 rows: bounding boxes of z-sorted chunks
+    // stay ~8×8 (area 64-ish); x-sorted chunks span the full y range
+    val grid = (for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    def maxBboxArea(ordered: Array[(Long, Long)]): Long =
+      ordered.grouped(64).map { chunk =>
+        val (xs, ys) = chunk.unzip
+        (xs.max - xs.min + 1) * (ys.max - ys.min + 1)
+      }.max
+    val zOrdered = grid.withColumn("_z", Layout.zValue(col("x"), col("y")))
+      .orderBy("_z").select("x", "y").as[(Long, Long)].collect()
+    val xOrdered = grid.orderBy("x", "y").select("x", "y").as[(Long, Long)].collect()
+    val zArea = maxBboxArea(zOrdered)
+    val xArea = maxBboxArea(xOrdered)
+    assert(zArea == 64, s"z chunks should be exact 8×8 boxes, got area $zArea")
+    assert(xArea >= 32 * 2, s"x-sorted chunks should span full y, got $xArea")
+  }
+
   test("repartitionByKeys reuses the exchange for a following aggregation") {
     val rep = Layout.repartitionByKeys(lineitem, 4, "l_orderkey")
     val agg = rep.groupBy("l_orderkey").agg(sum("l_quantity"))
