@@ -2,7 +2,7 @@ package graft.examples
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, TextAnalysis}
+import graft.ops.{Clusters, Dedup, TextAnalysis}
 
 /** Daily incremental ingest against an already-curated corpus — the
   * steady-state companion to [[TrainingDataPipeline]] (which builds the
@@ -37,15 +37,46 @@ object IncrementalIngest {
     * corpus state. `corpusFps`: one `fp` column (or more; only `fp` is
     * used). `sigIndex`: a [[Dedup.buildSignatureIndex]] table with
     * (`idCol`, "sig"). The batch must carry `fp`/`sig` from
-    * [[annotate]]. */
+    * [[annotate]].
+    *
+    * `seenFp` (optional): a [[Dedup.seenFilter]] sketch of the corpus
+    * fingerprints. When present, the batch pre-routes MAP-ONLY: rows the
+    * sketch has never seen skip the exact anti-join entirely; only the
+    * might-be-seen sliver (|batch|·fpp + true dups) joins `corpusFps`.
+    * The composed result is exact either way — false positives only
+    * route rows into verification. */
   def novelDocs(batch: DataFrame, corpusFps: DataFrame, sigIndex: DataFrame,
                 idCol: String, numHashes: Int = 64,
-                threshold: Double = 0.9): DataFrame = {
-    val exactNovel = batch.join(corpusFps.select(col("fp")), Seq("fp"), "left_anti")
+                threshold: Double = 0.9,
+                seenFp: Option[Array[Byte]] = None): DataFrame = {
+    val exactNovel = seenFp match {
+      case Some(bytes) =>
+        val (fresh, verify) = Dedup.splitBySeenFilter(batch, bytes, col("fp"))
+        fresh.unionByName(
+          verify.join(corpusFps.select(col("fp")), Seq("fp"), "left_anti"))
+      case None =>
+        batch.join(corpusFps.select(col("fp")), Seq("fp"), "left_anti")
+    }
     val nearHits = Dedup.nearDupsAgainstIndex(sigIndex, exactNovel, idCol, "sig",
       numHashes = numHashes, threshold = threshold)
       .select(col("id_new").as(idCol)).distinct()
     exactNovel.join(nearHits, Seq(idCol), "left_anti")
+  }
+
+  /** Updated cluster assignment after an increment: fold the batch's
+    * near-dup pairs (vs the index AND within the batch) into the stored
+    * assignment via [[Clusters.mergeIncremental]] — 1–2 star rounds over
+    * assignment+new edges; historical raw pairs never recompute. */
+  def updatedClusters(assignment: DataFrame, batch: DataFrame,
+                      sigIndex: DataFrame, idCol: String,
+                      numHashes: Int = 64, threshold: Double = 0.9): DataFrame = {
+    val vsIndex = Dedup.nearDupsAgainstIndex(sigIndex, batch, idCol, "sig",
+      numHashes = numHashes, threshold = threshold)
+      .select(col("id_new").as("id_a"), col("id_index").as("id_b"))
+    val within = Dedup.nearDupsFromSignatures(batch, idCol, "sig",
+      numHashes = numHashes, threshold = threshold)
+      .select(col("id_a"), col("id_b"))
+    Clusters.mergeIncremental(assignment, vsIndex.unionByName(within))
   }
 
   /** Runnable demo: treat doc_id < 100 of the harness corpus as today's
@@ -64,7 +95,9 @@ object IncrementalIngest {
     val corpus = annotate(docs.filter(col("doc_id") >= 100), "doc_id", "text")
     val batch = annotate(docs.filter(col("doc_id") < 100), "doc_id", "text")
     val index = Dedup.buildSignatureIndex(corpus, "doc_id", "sig")
-    val novel = novelDocs(batch, corpus.select("fp"), index, "doc_id")
+    val sketch = Dedup.seenFilter(corpus, col("fp"), expectedItems = 100000)
+    val novel = novelDocs(batch, corpus.select("fp"), index, "doc_id",
+      seenFp = Some(sketch))
     println(s"[ingest] batch=${batch.count()} novel=${novel.count()}")
     spark.stop()
   }

@@ -176,6 +176,36 @@ object Clusters {
       .toDF("id", "rep")
   }
 
+  /** Incremental cluster maintenance — fold NEW candidate pairs into an
+    * EXISTING `(id, rep)` assignment without recomputing from raw pairs.
+    * The daily-ingest companion to [[Dedup.nearDupsAgainstIndex]]: the
+    * corpus's clusters are resolved once; each increment contributes its
+    * batch-vs-index and batch-vs-batch pairs, and the merged assignment
+    * covers every node of a ≥2-member cluster on either side. (Synthetic
+    * `id == rep` singleton rows — e.g. from a caller's coalesce-to-self
+    * left join — are self-loops and drop, exactly as
+    * [[connectedComponents]] drops them from pair input; re-coalesce
+    * after merging.)
+    *
+    * Why this beats recomputing: a stored assignment IS a depth-1 star
+    * forest (id → rep edges), so the union graph's components are shallow
+    * regardless of how deep the ORIGINAL pair graph was — the star loop
+    * (or the size-gated local solve) converges in 1–2 rounds over
+    * |assignment| + |newPairs| edges, and the raw historical pair set
+    * never re-enters the computation. Representative stability: a cluster
+    * untouched by new pairs keeps its min-id rep bit-for-bit; clusters
+    * bridged by a new pair adopt the min of their merged membership
+    * (spec-pinned equal to full recomputation over the union). */
+  def mergeIncremental(assignment: DataFrame, newPairs: DataFrame,
+                       idA: String = "id_a", idB: String = "id_b",
+                       localSolveMax: Long = 500000L): DataFrame = {
+    val asEdges = assignment.select(col("id").cast("long").as("id_a"),
+      col("rep").cast("long").as("id_b"))
+    val fresh = newPairs.select(col(idA).cast("long").as("id_a"),
+      col(idB).cast("long").as("id_b"))
+    connectedComponents(asEdges.unionByName(fresh), localSolveMax = localSolveMax)
+  }
+
   /** Cluster-resolved dedup: keep exactly the representative (minimum id)
     * of every transitive near-dup cluster. `pairs` is any candidate-pair
     * frame over ids of `df` (e.g. [[Dedup.minhashNearDups]] output). */

@@ -31,6 +31,53 @@ class IncrementalIngestSpec extends SparkSuite {
     assert(novel == Set(3L), s"got $novel")
   }
 
+  test("bloom pre-routed novelDocs returns the identical novel set") {
+    val corpusRaw = (0L until 300L).map(i => (1000L + i, s"corpus doc body $i"))
+      .toDF("doc_id", "text")
+    val corpus = IncrementalIngest.annotate(corpusRaw, "doc_id", "text", numHashes = 32)
+    val index = Dedup.buildSignatureIndex(corpus, "doc_id", "sig")
+    val batchRaw = Seq(
+      (1L, "corpus doc body 7"),                       // exact dup
+      (2L, "totally novel text alpha beta gamma")      // novel
+    ).toDF("doc_id", "text")
+    val batch = IncrementalIngest.annotate(batchRaw, "doc_id", "text", numHashes = 32)
+    val plain = IncrementalIngest.novelDocs(batch, corpus.select("fp"), index,
+      "doc_id", numHashes = 32, threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    val sketch = Dedup.seenFilter(corpus, col("fp"), expectedItems = 1000)
+    val routed = IncrementalIngest.novelDocs(batch, corpus.select("fp"), index,
+      "doc_id", numHashes = 32, threshold = 0.7, seenFp = Some(sketch))
+      .select("doc_id").as[Long].collect().toSet
+    assert(routed == plain)
+  }
+
+  test("updatedClusters folds batch pairs into the stored assignment") {
+    import graft.ops.Clusters
+    val corpusRaw = Seq(
+      (1000L, "shared text body one two three four five"),
+      (1001L, "shared text body one two three four five"),
+      (1002L, "unrelated corpus entry entirely different"))
+      .toDF("doc_id", "text")
+    val corpus = IncrementalIngest.annotate(corpusRaw, "doc_id", "text", numHashes = 32)
+    val index = Dedup.buildSignatureIndex(corpus, "doc_id", "sig")
+    // stored assignment: {1000, 1001} clustered from the corpus build
+    val assignment = Clusters.connectedComponents(
+      Seq((1000L, 1001L)).toDF("id_a", "id_b"))
+    // batch: one near-dup of the 1000-clique, one novel pair within batch
+    val batchRaw = Seq(
+      (1L, "shared text body one two three four five"),
+      (2L, "fresh pair text aaa bbb ccc"),
+      (3L, "fresh pair text aaa bbb ccc"))
+      .toDF("doc_id", "text")
+    val batch = IncrementalIngest.annotate(batchRaw, "doc_id", "text", numHashes = 32)
+    val merged = IncrementalIngest.updatedClusters(assignment, batch, index,
+      "doc_id", numHashes = 32, threshold = 0.7)
+      .as[(Long, Long)].collect().toMap
+    // doc 1 joins the 1000-cluster (rep = min id = 1); docs 2,3 form their own
+    assert(merged(1L) == 1L && merged(1000L) == 1L && merged(1001L) == 1L)
+    assert(merged(2L) == 2L && merged(3L) == 2L)
+  }
+
   test("an empty batch and an empty corpus are both fine") {
     val empty = IncrementalIngest.annotate(
       Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text", 32)

@@ -124,4 +124,37 @@ class ClustersSpec extends SparkSuite {
     // clusters {1,2,3} → keep 1; {5,6} → keep 5; singleton 4 untouched
     assert(kept == Set(1L, 4L, 5L))
   }
+
+  test("mergeIncremental: assignment + new pairs == full recompute (bridges, stability)") {
+    // existing clusters {1,2,3} and {10,11}; new pairs bridge 3–10 and
+    // introduce a brand-new cluster {20,21}
+    val assignment = Clusters.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b"))
+    val newPairs = Seq((3L, 10L), (20L, 21L)).toDF("id_a", "id_b")
+    val merged = Clusters.mergeIncremental(assignment, newPairs)
+      .as[(Long, Long)].collect().toMap
+    assert(merged == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 20L, 21L -> 20L))
+    // untouched clusters keep their rep bit-for-bit
+    val untouched = Clusters.mergeIncremental(assignment,
+      Seq((20L, 21L)).toDF("id_a", "id_b")).as[(Long, Long)].collect().toMap
+    assert(untouched.filter(_._1 <= 11L) ==
+      assignment.as[(Long, Long)].collect().toMap)
+  }
+
+  test("mergeIncremental equals full recompute on random edge splits (10 seeded trials)") {
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = (0 until 120).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val (first, second) = edges.splitAt(edges.length / 2)
+      val full = Clusters.connectedComponents(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      val base = Clusters.connectedComponents(first.toDF("id_a", "id_b"))
+      val inc = Clusters.mergeIncremental(base, second.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(inc == full, s"seed=$seed incremental diverged from full recompute")
+    }
+  }
 }
