@@ -465,6 +465,16 @@ object SparkEntry {
       Sampling.temperatureWeights(T(s, dir, "documents"), "lang", 0.7)
         .orderBy("lang")
     }),
+    "q_quantize" -> ((s, dir) => {
+      // int8 embedding quantization — IEEE-exact formula, bitwise oracle
+      // (scale + every code); DuckDB mirrors with list_transform
+      T(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("qs"))
+        .select(col("vec_id"), col("qs.scale").as("scale"),
+          // comma-joined codes: the comparer hashes scalar cells, not arrays
+          array_join(col("qs.q"), ",").as("q"))
+        .orderBy("vec_id")
+    }),
     "q_zorder" -> ((s, dir) => {
       // Morton codes for 2-D clustering — exact integer bit arithmetic,
       // mirrored in DuckDB by the same magic-mask spread
@@ -964,6 +974,15 @@ object SparkEntry {
         "p AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.7) AS pw FROM c) " +
         "SELECT lang, n, floor(pw / SUM(pw) OVER () * 1000000.0 + 0.5) / 1000000.0 AS weight " +
         "FROM p ORDER BY lang NULLS FIRST"),
+    "q_quantize" ->
+      // same left-to-right arithmetic as Kernels.quantizeI8D; CAST to
+      // DOUBLE first (float32 widening is exact)
+      ("WITH d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "m AS (SELECT vec_id, v, coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) AS ma FROM d) " +
+        "SELECT vec_id, ma / 127.0 AS scale, " +
+        "array_to_string(CASE WHEN ma > 0 THEN list_transform(v, x -> CAST(greatest(-127.0, least(127.0, floor(x * 127.0 / ma + 0.5))) AS INTEGER)) " +
+        "ELSE list_transform(v, x -> 0) END, ',') AS q " +
+        "FROM m ORDER BY vec_id"),
     "q_zorder" ->
       // magic-mask bit spread, one CTE per shift step (Kernels.zValue2)
       ("WITH s0 AS (SELECT l_orderkey, l_linenumber, CAST(l_partkey AS BIGINT) & 4294967295 AS x, CAST(l_suppkey AS BIGINT) & 4294967295 AS y FROM lineitem), " +

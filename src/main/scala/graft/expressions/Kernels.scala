@@ -324,6 +324,37 @@ object Kernels {
     out
   }
 
+  /** Largest absolute element of a double array (0.0 for empty) — the
+    * symmetric-quantization scale base. */
+  def maxAbsD(a: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = a.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) { val v = math.abs(a.getDouble(i)); if (v > m) m = v; i += 1 }
+    m
+  }
+
+  /** Symmetric int8 quantization against a max-abs scale base:
+    * `q_i = clamp(floor(x_i * 127 / maxAbs + 0.5), -127, 127)` — plain
+    * IEEE double arithmetic in left-to-right order, so any engine mirrors
+    * it bit-exactly. `maxAbs <= 0` yields all zeros (null vector). Codes
+    * are int-typed in the column (they FIT int8 — the storage win comes
+    * from writing the column as `array<tinyint>`/binary downstream). */
+  def quantizeI8D(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                  maxAbs: Double): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Int](n)
+    if (maxAbs > 0.0) {
+      var i = 0
+      while (i < n) {
+        val q = math.floor(a.getDouble(i) * 127.0 / maxAbs + 0.5)
+        out(i) = math.max(-127.0, math.min(127.0, q)).toInt
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Morton (Z-order) code of two non-negative 32-bit coordinates: bit i
     * of `a` lands at position 2i, bit i of `b` at 2i+1. The magic-mask
     * bit-spread runs in 10 shift/mask ops per coordinate — no loop. Inputs

@@ -94,6 +94,13 @@ object native {
   def zValue2(a: Column, b: Column): Column =
     invoke(LongType, "zValue2", Seq(e(a), e(b)), Seq(LongType, LongType))
 
+  def maxAbsD(a: Column): Column =
+    invoke(DoubleType, "maxAbsD", Seq(e(a)), Seq(ArrayType(DoubleType)))
+
+  def quantizeI8D(a: Column, maxAbs: Column): Column =
+    invoke(ArrayType(IntegerType, containsNull = false), "quantizeI8D",
+      Seq(e(a), e(maxAbs)), Seq(ArrayType(DoubleType), DoubleType))
+
   /** Bloom-filter membership probe against a pre-built serialized filter
     * (`org.apache.spark.util.sketch.BloomFilter.writeTo` bytes) — the same
     * codegen'd `BloomFilterMightContain` expression Spark's runtime-filter
