@@ -33,7 +33,12 @@ object GraftFunctions {
     ("minhash_sig", ArrayType(LongType, containsNull = false), "minhashSig",
       Seq(StringType, IntegerType)),
     ("cosine_sim", DoubleType, "cosineD",
-      Seq(ArrayType(DoubleType), ArrayType(DoubleType))))
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType))),
+    ("zvalue", LongType, "zValue2", Seq(LongType, LongType)),
+    ("quantize_i8", ArrayType(IntegerType, containsNull = false), "quantizeI8D",
+      Seq(ArrayType(DoubleType), DoubleType)),
+    ("dot_i", LongType, "dotI",
+      Seq(ArrayType(IntegerType), ArrayType(IntegerType))))
 
   def builder(dt: DataType, kernel: String,
               paramTypes: Seq[DataType]): Seq[Expression] => Expression =

@@ -465,6 +465,15 @@ object SparkEntry {
       Sampling.temperatureWeights(T(s, dir, "documents"), "lang", 0.7)
         .orderBy("lang")
     }),
+    "q_quantized_topk" -> ((s, dir) => {
+      // two-phase search's prune stage scored entirely on int8 codes:
+      // scales cancel in cosine, integer dots are exact, so the full
+      // RANKING has a bitwise oracle (unlike float-sum scoring)
+      val emb = T(s, dir, "embeddings")
+      Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3)
+        .orderBy("q_id", "rk")
+    }),
     "q_quantize" -> ((s, dir) => {
       // int8 embedding quantization — IEEE-exact formula, bitwise oracle
       // (scale + every code); DuckDB mirrors with list_transform
@@ -974,6 +983,20 @@ object SparkEntry {
         "p AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.7) AS pw FROM c) " +
         "SELECT lang, n, floor(pw / SUM(pw) OVER () * 1000000.0 + 0.5) / 1000000.0 AS weight " +
         "FROM p ORDER BY lang NULLS FIRST"),
+    "q_quantized_topk" ->
+      // codes as in q_quantize; dots of ≤127² × dim values are exactly
+      // representable doubles, so summation order cannot matter
+      ("WITH d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "m AS (SELECT vec_id, v, coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) AS ma FROM d), " +
+        "qz AS (SELECT vec_id, CASE WHEN ma > 0 THEN list_transform(v, x -> CAST(greatest(-127.0, least(127.0, floor(x * 127.0 / ma + 0.5))) AS DOUBLE)) " +
+        "ELSE list_transform(v, x -> 0.0) END AS q FROM m), " +
+        "n AS (SELECT vec_id, q, list_dot_product(q, q) AS nn FROM qz), " +
+        "qs AS (SELECT vec_id AS q_id, q AS qv, nn AS qn FROM n WHERE vec_id < 5), " +
+        "scored AS (SELECT qs.q_id, n.vec_id AS cand_id, " +
+        "CASE WHEN sqrt(qs.qn) * sqrt(n.nn) = 0 THEN 0.0 ELSE list_dot_product(qs.qv, n.q) / (sqrt(qs.qn) * sqrt(n.nn)) END AS sim " +
+        "FROM n, qs WHERE n.vec_id <> qs.q_id) " +
+        "SELECT q_id, cand_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS INTEGER) AS rk " +
+        "FROM scored QUALIFY rk <= 3 ORDER BY q_id, rk"),
     "q_quantize" ->
       // same left-to-right arithmetic as Kernels.quantizeI8D; CAST to
       // DOUBLE first (float32 widening is exact)

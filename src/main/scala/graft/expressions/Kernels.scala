@@ -355,6 +355,19 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Integer dot product of two int arrays (0 on length mismatch) — the
+    * quantized-search scorer: int8 codes × 4096 dims stay far inside long
+    * range, so the sum is EXACT (no FP order sensitivity at all). */
+  def dotI(a: org.apache.spark.sql.catalyst.util.ArrayData,
+           b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return 0L
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getInt(i).toLong * b.getInt(i); i += 1 }
+    s
+  }
+
   /** Morton (Z-order) code of two non-negative 32-bit coordinates: bit i
     * of `a` lands at position 2i, bit i of `b` at 2i+1. The magic-mask
     * bit-spread runs in 10 shift/mask ops per coordinate — no loop. Inputs

@@ -94,6 +94,10 @@ object native {
   def zValue2(a: Column, b: Column): Column =
     invoke(LongType, "zValue2", Seq(e(a), e(b)), Seq(LongType, LongType))
 
+  def dotI(a: Column, b: Column): Column =
+    invoke(LongType, "dotI", Seq(e(a), e(b)),
+      Seq(ArrayType(IntegerType), ArrayType(IntegerType)))
+
   def maxAbsD(a: Column): Column =
     invoke(DoubleType, "maxAbsD", Seq(e(a)), Seq(ArrayType(DoubleType)))
 

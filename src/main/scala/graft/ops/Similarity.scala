@@ -67,6 +67,34 @@ object Similarity {
     transform(qstruct.getField("q"),
       q => q.cast("double") * qstruct.getField("scale"))
 
+  /** Top-k cosine search over QUANTIZED vectors — the memory-lean prune
+    * stage of a two-phase search (prune on int8 codes, re-rank the short
+    * list on the originals). Scoring trick: per-vector scales CANCEL in
+    * cosine, so `cos_q = dotI(qa,qb) / (√dotI(qa,qa)·√dotI(qb,qb))` needs
+    * only EXACT integer dot products plus IEEE sqrt/divide — the ranking
+    * is bit-deterministic on any engine, unlike float-sum scoring.
+    * Same broadcast-queries + windowed-rank shape as [[bruteForceTopK]];
+    * the corpus side streams its (dim+1)-int codes, ~4× lighter than the
+    * float vectors. Zero vectors (maxAbs 0) score 0 against everything. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    import graft.expressions.native
+    def qz(df: DataFrame, id: String, v: String) =
+      df.select(col(idCol).as(id), quantizeInt8(col(vecCol)).getField("q").as(v))
+        .withColumn(v + "_n", native.dotI(col(v), col(v)))
+    val q = qz(queries, "q_id", "qv")
+    val c = qz(corpus, "cand_id", "cv")
+    val denom = sqrt(col("qv_n").cast("double")) * sqrt(col("cv_n").cast("double"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("q_id"))
+      .withColumn("sim", when(denom === 0.0, 0.0)
+        .otherwise(native.dotI(col("qv"), col("cv")).cast("double") / denom))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("cand_id"), col("sim"), col("rk"))
+  }
+
   /** Random-hyperplane LSH signature: sign bits of `bits` fixed pseudo-random
     * hyperplanes (derived via splitmix64 — deterministic, no stored model,
     * identical on every executor). Native one-pass kernel. */

@@ -35,6 +35,18 @@ class QuantizeSpec extends SparkSuite {
     qd.foreach { case (err, s) => assert(err <= s / 2 + 1e-12, s"err $err vs scale $s") }
   }
 
+  test("quantizedTopK ranks like float cosine top-k (high agreement on testdata)") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.quantizedTopK(emb, queries, "vec_id", "embedding", 3)
+      .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
+    // int8 cosine is a close approximation: expect ≥ 2/3 of the exact
+    // top-3 pairs to survive quantized ranking on near-orthogonal data
+    val agree = (exact intersect quant).size.toDouble / exact.size
+    assert(agree >= 0.6, s"only $agree of exact top-k survived quantization: $quant vs $exact")
+  }
+
   test("cosine on dequantized vectors tracks the original within 2e-2") {
     val a = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("ia"), col("embedding").cast("array<double>").as("va"),
