@@ -465,6 +465,16 @@ object SparkEntry {
       Sampling.temperatureWeights(T(s, dir, "documents"), "lang", 0.7)
         .orderBy("lang")
     }),
+    "q_dsir" -> ((s, dir) => {
+      // DSIR importance weights: target model from en docs, base from the
+      // whole corpus; log-domain ratio so the only transcendental is ln
+      val docs = T(s, dir, "documents")
+      val vt = graft.ops.LmScore.unigramVocab(docs.filter(col("lang") === "en"), "text", k = 25)
+      val vb = graft.ops.LmScore.unigramVocab(docs, "text", k = 25)
+      graft.ops.LmScore.importanceWeights(docs, "doc_id", "text", vt, vb,
+        oovLogp = -20.0)
+        .orderBy("doc_id")
+    }),
     "q_quantized_topk" -> ((s, dir) => {
       // two-phase search's prune stage scored entirely on int8 codes:
       // scales cancel in cosine, integer dots are exact, so the full
@@ -983,6 +993,17 @@ object SparkEntry {
         "p AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.7) AS pw FROM c) " +
         "SELECT lang, n, floor(pw / SUM(pw) OVER () * 1000000.0 + 0.5) / 1000000.0 AS weight " +
         "FROM p ORDER BY lang NULLS FIRST"),
+    "q_dsir" ->
+      ("WITH t2 AS (SELECT doc_id, lang, token FROM (SELECT doc_id, lang, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token " +
+        "FROM documents WHERE text IS NOT NULL) WHERE len(token) > 0), " +
+        "ct AS (SELECT token, COUNT(*) AS n FROM t2 WHERE lang = 'en' GROUP BY token), " +
+        "vt AS (SELECT token, ln(CAST(n AS DOUBLE) / (SELECT CAST(SUM(n) AS DOUBLE) FROM ct)) AS lt FROM ct ORDER BY n DESC, token LIMIT 25), " +
+        "cb AS (SELECT token, COUNT(*) AS n FROM t2 GROUP BY token), " +
+        "vb AS (SELECT token, ln(CAST(n AS DOUBLE) / (SELECT CAST(SUM(n) AS DOUBLE) FROM cb)) AS lb FROM cb ORDER BY n DESC, token LIMIT 25) " +
+        "SELECT doc_id, COUNT(*) AS n_tok, " +
+        "floor((avg(coalesce(vt.lt, -20.0)) - avg(coalesce(vb.lb, -20.0))) * 1e6 + 0.5) / 1e6 AS log_ratio " +
+        "FROM t2 LEFT JOIN vt USING (token) LEFT JOIN vb USING (token) " +
+        "GROUP BY doc_id ORDER BY doc_id"),
     "q_quantized_topk" ->
       // codes as in q_quantize; dots of ≤127² × dim values are exactly
       // representable doubles, so summation order cannot matter

@@ -39,6 +39,37 @@ object LmScore {
       .select(col("token"), col("logp"))
   }
 
+  /** DSIR-style importance weights for data selection (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS'23 — public method): per document, the LOG importance ratio
+    * `mean logp_target − mean logp_base` between a target-domain unigram
+    * model and a base-corpus model. Selecting the top-weighted documents
+    * (e.g. [[Sampling.weightedSample]] ranks monotonically, so the log
+    * weight works directly as a priority) shifts the corpus toward the
+    * target distribution without training a classifier.
+    *
+    * Output: `(idCol, n_tok, log_ratio)` — kept in the log domain on
+    * purpose: `exp` would add nothing to the ordering and another
+    * transcendental to the cross-engine story. Both models broadcast;
+    * the plan is two map-side lookups over one exploded pass + one
+    * id-keyed aggregation. */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+                        targetVocab: DataFrame, baseVocab: DataFrame,
+                        oovLogp: Double): DataFrame = {
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    toks
+      .join(broadcast(targetVocab.select(col("token"), col("logp").as("__lt"))),
+        Seq("token"), "left")
+      .join(broadcast(baseVocab.select(col("token"), col("logp").as("__lb"))),
+        Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        (floor((avg(coalesce(col("__lt"), lit(oovLogp)))
+          - avg(coalesce(col("__lb"), lit(oovLogp)))) * 1e6 + 0.5) / 1e6).as("log_ratio"))
+  }
+
   /** Mean token log-probability per document under `vocab` (`(token,
     * logp)`), out-of-vocabulary tokens scored at `oovLogp`. Output:
     * `(idCol, n_tok, ll)` with `ll` rounded to 6 dp (the floor-round

@@ -41,6 +41,25 @@ class LmScoreSpec extends SparkSuite {
     assert(n == 3)
   }
 
+  test("importance weights favor target-like documents (DSIR selection order)") {
+    val target = Seq((100L, "alpha beta alpha beta gamma")).toDF("doc_id", "text")
+    val base = Seq((200L, "delta epsilon zeta delta epsilon"),
+      (201L, "alpha delta epsilon zeta")).toDF("doc_id", "text")
+    val vt = LmScore.unigramVocab(target, "text", k = 100)
+    val vb = LmScore.unigramVocab(base, "text", k = 100)
+    val docs = Seq(
+      (1L, "alpha beta gamma"),   // target-like → positive log ratio
+      (2L, "delta epsilon zeta"), // base-like → negative
+      (3L, "qqq www eee")         // OOV both → ~0
+    ).toDF("doc_id", "text")
+    val w = LmScore.importanceWeights(docs, "doc_id", "text", vt, vb, oovLogp = -15.0)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(w(1L) > 0.5, s"target-like doc should score high, got ${w(1L)}")
+    assert(w(2L) < -0.5, s"base-like doc should score low, got ${w(2L)}")
+    assert(math.abs(w(3L)) < 0.5, s"OOV-everywhere doc should be neutral, got ${w(3L)}")
+    assert(w(1L) > w(3L) && w(3L) > w(2L))
+  }
+
   test("scoring a corpus under its own vocab separates natural docs from shuffled noise") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("text").isNotNull)
