@@ -1057,11 +1057,12 @@ object SparkEntry {
         "least(32, n - chunk_idx * 24) AS n_tok FROM g ORDER BY doc_id, chunk_idx"),
     "q_weighted_sample" ->
       // u = (hex32 + 1) / 2^32 as in Sampling.weightedSample; priority =
-      // round6(u^(1/w)); rank desc with doc_id tiebreak
+      // round12(ln(u)/w) — the saturation-free A-Res key; rank desc with
+      // doc_id tiebreak
       ("WITH d AS (SELECT doc_id, n_chars, " +
         "(CAST(concat('0x', substr(md5('graft:' || doc_id), 1, 8)) AS UBIGINT) + 1) / 4294967296.0 AS u " +
         "FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0), " +
-        "p AS (SELECT doc_id, floor(pow(u, 1.0 / CAST(n_chars AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS priority FROM d) " +
+        "p AS (SELECT doc_id, floor(ln(u) / CAST(n_chars AS DOUBLE) * 1e12 + 0.5) / 1e12 AS priority FROM d) " +
         "SELECT doc_id, priority FROM (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rk FROM p) " +
         "WHERE rk <= 100 ORDER BY doc_id"),
     "q_interleave" ->

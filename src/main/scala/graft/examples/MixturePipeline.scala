@@ -43,10 +43,12 @@ object MixturePipeline {
     val kept = docs.join(scored.select("doc_id"), Seq("doc_id"))
 
     // 2. context-window chunking; chunk id = (doc, idx) packed into one
-    // long so downstream per-row ids stay scalar
+    // long so downstream per-row ids stay scalar. 2^20 idx bits ≅ a
+    // ~59M-token document at stride 56 before collision — far past any
+    // real document; doc ids up to 2^43 keep the product in long range.
     val chunks = Chunking.chunkByTokens(kept, "doc_id", "text", chunkTokens, overlap)
       .join(kept.select(col("doc_id"), col(stratumCol)), Seq("doc_id"))
-      .withColumn("chunk_id", col("doc_id") * 4096 + col("chunk_idx"))
+      .withColumn("chunk_id", col("doc_id") * (1L << 20) + col("chunk_idx"))
 
     // 3.+4. temperature weights → per-stratum rates → deterministic sample.
     // collect() here is #strata rows (the k-means-model-state class of

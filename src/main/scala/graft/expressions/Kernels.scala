@@ -23,7 +23,8 @@ object Kernels {
   val totalKernels: Set[String] = Set(
     "nfc", "unicodeClean", "caseFold", "utf8Truncate", "rollingHash",
     "minhashSig", "minhashSigShingles", "sigAgreement", "dotD", "cosineD",
-    "lshBucketD", "simHash", "uuidVersion")
+    "lshBucketD", "simHash", "uuidVersion",
+    "zValue2", "dotI", "maxAbsD", "quantizeI8D")
 
   /** NFC normalization (reference `filters/string.py::Unicode` normalize step). */
   def nfc(s: UTF8String): UTF8String =

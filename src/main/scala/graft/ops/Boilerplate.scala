@@ -42,20 +42,29 @@ object Boilerplate {
     * `minDocs` is an absolute document count; callers wanting a fraction
     * multiply by their corpus size (kept explicit — a fraction computed
     * inside would hide a full count() pass in an innocuous-looking call).
+    *
+    * `broadcastFrequent` (default true) hints the over-threshold hash set
+    * as a broadcast — right for boilerplate thresholds, where the set is
+    * small by construction. A LOW threshold on a heavily-templated corpus
+    * (or token-granularity `delim`) can make the set corpus-scale; pass
+    * false there and the anti-join falls back to the planner's shuffled
+    * choice instead of blowing the 8 GB broadcast limit.
     */
   def removeFrequentLines(df: DataFrame, idCol: String, textCol: String,
                           minDocs: Long, delim: String = "\n",
                           joinSep: String = "\n",
-                          cleanCol: String = "text_clean"): DataFrame = {
+                          cleanCol: String = "text_clean",
+                          broadcastFrequent: Boolean = true): DataFrame = {
     require(minDocs >= 2, s"minDocs must be at least 2, got $minDocs")
     val units = df.filter(col(textCol).isNotNull)
       .select(col(idCol), posexplode(split(col(textCol), delim)).as(Seq("__pos", "__u")))
       .withColumn("__h", md5(col("__u").cast("binary")))
-    val frequent = units.groupBy("__h")
+    val frequent0 = units.groupBy("__h")
       .agg(count_distinct(col(idCol)).as("__df"))
       .filter(col("__df") >= minDocs)
       .select(col("__h"))
-    units.join(broadcast(frequent), Seq("__h"), "left_anti")
+    val frequent = if (broadcastFrequent) broadcast(frequent0) else frequent0
+    units.join(frequent, Seq("__h"), "left_anti")
       .groupBy(col(idCol))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("__pos"), col("__u")))),

@@ -41,8 +41,11 @@ object Joins {
     * `rightTimeCol` (names must not collide with left's), plus the matched
     * right timestamp under `matchedTimeCol` when requested. Unmatched left
     * rows keep null payloads (`joinType = "left"`) or drop (`"inner"`).
-    * Right rows with a null time cannot anchor a match and are dropped;
-    * left rows with a null time never match.
+    * Null handling follows SQL equi-join semantics: right rows with a null
+    * time OR a null key cannot anchor a match and are dropped; left rows
+    * with a null time or a null key never match (NULL = NULL is not a
+    * match, exactly as in `ASOF JOIN ... ON l.k = r.k` — the window
+    * encoding would otherwise quietly group null keys together).
     *
     * `tolerance` (optional, in the time column's own difference algebra —
     * e.g. an INTERVAL for timestamps) bounds how stale a match may be:
@@ -80,7 +83,8 @@ object Joins {
       struct(left.columns.map(col): _*).as("__l") +: keyCols.map(col) :+
         col(leftTimeCol).as("__t") :+ lit(1).as("__side") :+
         lit(null).cast(pType).as("__p"): _*)
-    val r2 = right.filter(col(rightTimeCol).isNotNull).select(
+    val keysNotNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
+    val r2 = right.filter(col(rightTimeCol).isNotNull && keysNotNull).select(
       lit(null).cast(l2.schema.head.dataType).as("__l") +: keyCols.map(col) :+
         col(rightTimeCol).as("__t") :+ lit(0).as("__side") :+
         pStruct.as("__p"): _*)
@@ -133,12 +137,21 @@ object Joins {
     * Null points / null bounds never match (SQL comparison semantics drop
     * them in the residual; nulls are filtered before binning to avoid a
     * null-bin clique).
+    *
+    * `maxBinsPerRange` guards the explode: one sentinel-wide range (a
+    * `hi = 1e12` outlier against a width-1000 bin) would otherwise build
+    * a billion-element sequence and OOM the task. A range spanning more
+    * bins RAISES with a clear message — the caller either widens
+    * `binWidth` or cleans the outlier; silently clamping or dropping it
+    * would corrupt the join result.
     */
   def rangeJoin(points: DataFrame, ranges: DataFrame, pointCol: String,
                 loCol: String, hiCol: String, binWidth: Double,
                 loInclusive: Boolean = true, hiInclusive: Boolean = false,
-                broadcastRanges: Boolean = true): DataFrame = {
+                broadcastRanges: Boolean = true,
+                maxBinsPerRange: Int = 100000): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(maxBinsPerRange > 0, s"maxBinsPerRange must be positive, got $maxBinsPerRange")
     val collisions = points.columns.toSet intersect ranges.columns.toSet
     require(collisions.isEmpty,
       s"point/range column names collide: $collisions — rename before joining")
@@ -147,10 +160,18 @@ object Joins {
     // hi's own bin is always included: when hi is exclusive and sits
     // exactly on a bin boundary the extra bin yields no residual survivors
     // — correctness never depends on floating-point edge subtraction.
+    val loBin = floor(col(loCol) / binWidth)
+    val hiBin = floor(col(hiCol) / binWidth)
+    val capMsg = concat(
+      lit(s"rangeJoin: a range spans more than $maxBinsPerRange bins at binWidth " +
+        s"$binWidth (lo="), col(loCol).cast("string"), lit(", hi="),
+      col(hiCol).cast("string"),
+      lit(") — widen binWidth, raise maxBinsPerRange, or clean the outlier"))
+    val binsOrRaise = when(hiBin - loBin < maxBinsPerRange, sequence(loBin, hiBin))
+      .otherwise(raise_error(capMsg).cast("array<bigint>"))
     val r0 = ranges.filter(col(loCol).isNotNull && col(hiCol).isNotNull)
       .filter(col(loCol) <= col(hiCol))
-      .withColumn("__bin",
-        explode(sequence(floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
+      .withColumn("__bin", explode(binsOrRaise))
     val r = if (broadcastRanges) broadcast(r0) else r0
     val loOk = if (loInclusive) col(pointCol) >= col(loCol) else col(pointCol) > col(loCol)
     val hiOk = if (hiInclusive) col(pointCol) <= col(hiCol) else col(pointCol) < col(hiCol)

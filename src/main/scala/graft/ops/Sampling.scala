@@ -155,7 +155,8 @@ object Sampling {
   }
 
   /** Weighted sample WITHOUT replacement (Efraimidis–Spirakis A-Res):
-    * keep the k rows with the largest `u^(1/w)` where `u` is the row's
+    * keep the k rows with the largest `u^(1/w)` — equivalently the
+    * largest `ln(u)/w`, the form used here — where `u` is the row's
     * deterministic 32-bit hash draw mapped to (0,1] — inclusion
     * probability proportional to `weightCol` without ever materializing a
     * cumulative distribution. The classic "sample 10k docs favoring high
@@ -163,9 +164,14 @@ object Sampling {
     *
     * Deterministic like everything here: same salt → same sample, across
     * runs, retries and partitionings. The priority is exposed as
-    * `priority` ROUNDED to 6 dp (the same engine-portability clamp as
-    * [[temperatureWeights]] — `pow` is the one non-IEEE-exact op in the
-    * formula) with id tiebreak, so cross-engine mirrors rank identically.
+    * `priority = ln(u)/w` ROUNDED to 12 dp with id tiebreak, so
+    * cross-engine mirrors rank identically (`ln` is the one
+    * non-IEEE-exact op; its ≤1-ulp wobble sits ~1e-4 under the quantum).
+    * The LOG form, not `u^(1/w)`: the power form saturates to 1.0 under
+    * rounding once weights reach ~10⁶ (every heavy row ties and
+    * selection degrades to the id tiebreak), while `ln(u)/w` keeps
+    * relative precision at any weight scale — same ordering, monotone
+    * transform.
     *
     * Scale shape: the partitionless `row_number ≤ k` compiles to
     * `TakeOrderedAndProject(limit=k)` (LimitPushDownThroughWindow) —
@@ -176,10 +182,10 @@ object Sampling {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
                      salt: String = "graft"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    // draw ∈ (0,1]: (hash32 + 1) / 2^32 — the +1 keeps u > 0 so u^(1/w)
-    // never collapses to 0^0-style edge cases at w → ∞
+    // draw ∈ (0,1]: (hash32 + 1) / 2^32 — the +1 keeps u > 0 so ln(u)
+    // stays finite
     val u = (conv(hashDraw(col(idCol), salt), 16, 10).cast("double") + 1.0) / 4294967296.0
-    val pri = floor(pow(u, lit(1.0) / col(weightCol).cast("double")) * 1e6 + 0.5) / 1e6
+    val pri = floor(log(u) / col(weightCol).cast("double") * 1e12 + 0.5) / 1e12
     val w = Window.orderBy(col("priority").desc, col(idCol))
     df.filter(col(weightCol).isNotNull && col(weightCol) > 0.0)
       .withColumn("priority", pri)

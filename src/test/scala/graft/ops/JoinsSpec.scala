@@ -67,6 +67,37 @@ class JoinsSpec extends SparkSuite {
     assert(got.toSeq == Seq(None))
   }
 
+  test("asof null keys never match (SQL equi-join semantics, not window grouping)") {
+    val l = Seq((1L, null.asInstanceOf[String], ts("2024-01-01 10:00:00"), 1.0),
+      (2L, "A", ts("2024-01-01 10:00:10"), 2.0))
+      .toDF("trade_id", "sym", "t", "px")
+    val r = Seq((null.asInstanceOf[String], ts("2024-01-01 09:59:00"), 9.9),
+      ("A", ts("2024-01-01 10:00:00"), 1.5))
+      .toDF("sym", "qt", "bid")
+    val out = Joins.asofJoin(l, r, Seq("sym"), "t", "qt")
+      .select("trade_id", "bid").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).isEmpty, "null-key left row must not match the null-key right row")
+    assert(out(2L).contains(1.5))
+  }
+
+  test("rangeJoin raises clearly on a range spanning more bins than the cap") {
+    val pts = Seq((1L, 5.0)).toDF("pid", "x")
+    val rng = Seq((10L, 0.0, 1e9)).toDF("rid", "lo", "hi") // degenerate outlier
+    val ex = intercept[Exception] {
+      Joins.rangeJoin(pts, rng, "x", "lo", "hi", binWidth = 1.0,
+        maxBinsPerRange = 1000).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("spans more than 1000 bins")),
+      s"expected the bin-cap message, got: ${msgs(ex).mkString(" | ")}")
+    // same data passes once the bin width makes the range fit the cap
+    val ok = Joins.rangeJoin(pts, rng, "x", "lo", "hi", binWidth = 1e7,
+      maxBinsPerRange = 1000).select("pid", "rid")
+      .as[(Long, Long)].collect().toSet
+    assert(ok == Set((1L, 10L)))
+  }
+
   test("asof matches a reference per-row scan on a random corpus") {
     // property pin: union-window asof == the obvious quadratic definition
     val rnd = new scala.util.Random(7)

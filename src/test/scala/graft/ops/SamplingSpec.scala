@@ -173,6 +173,23 @@ class SamplingSpec extends SparkSuite {
     assert(z.forall(_ % 2 == 1))
   }
 
+  test("weightedSample stays weight-proportional at extreme weights (no rounding saturation)") {
+    // the u^(1/w) form rounds to 1.000000 for w ≳ 1e6 and selection
+    // collapses to ascending id; the ln(u)/w form must keep distinct
+    // priorities and still favor the heavy rows
+    val weighted = (0L until 2000L).map(i => (i, if (i < 200) 5e7 else 1e6))
+      .toDF("id", "w")
+    val out = Sampling.weightedSample(weighted, "id", "w", k = 200)
+    val pris = out.select("priority").as[Double].collect()
+    assert(pris.distinct.length > 150, s"only ${pris.distinct.length}/200 distinct priorities — saturated")
+    val ids = out.select("id").as[Long].collect()
+    val heavy = ids.count(_ < 200L)
+    // heavy rows are 10% of the corpus at 50× weight → expect they dominate
+    assert(heavy > 100, s"only $heavy/200 heavy rows sampled — weighting lost at large w")
+    // NOT the id-prefix degenerate outcome
+    assert(ids.toSet != (0L until 200L).toSet, "sample collapsed to ascending-id prefix")
+  }
+
   test("weightedSample pre-prunes to top-k before the rank merge (no full-corpus sort)") {
     // for the partitionless rank ≤ k, LimitPushDownThroughWindow rewrites
     // to TakeOrderedAndProject(limit=k): each map task keeps a k-row heap
