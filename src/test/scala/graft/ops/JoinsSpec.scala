@@ -120,6 +120,18 @@ class JoinsSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("asof with a composite key partitions on both columns") {
+    val l = Seq((1L, "A", "x", ts("2024-01-01 10:00:00")),
+      (2L, "A", "y", ts("2024-01-01 10:00:00")))
+      .toDF("lid", "k1", "k2", "t")
+    val r = Seq(("A", "x", ts("2024-01-01 09:59:00"), 1.0),
+      ("A", "y", ts("2024-01-01 09:58:00"), 2.0))
+      .toDF("k1", "k2", "rt", "v")
+    val out = Joins.asofJoin(l, r, Seq("k1", "k2"), "t", "rt")
+      .select("lid", "v").as[(Long, Option[Double])].collect().toMap
+    assert(out == Map(1L -> Some(1.0), 2L -> Some(2.0)))
+  }
+
   test("range join: bin-overlap equals nested-loop reference; bounds honor inclusivity") {
     val pts = Seq((1L, 0.0), (2L, 5.0), (3L, 10.0), (4L, 17.5), (5L, 99.0))
       .toDF("pid", "x")
