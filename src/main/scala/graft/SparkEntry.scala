@@ -465,6 +465,24 @@ object SparkEntry {
       Sampling.temperatureWeights(T(s, dir, "documents"), "lang", 0.7)
         .orderBy("lang")
     }),
+    "q_containment_pairs" -> ((s, dir) => {
+      // asymmetric near-dup verification on an oracle-able pair clamp:
+      // exact containment + the size-recovery estimator (exact identity
+      // when fed true Jaccard — both columns bitwise-mirrored)
+      val docs = T(s, dir, "documents")
+        .filter(col("doc_id") < 30 && col("text").isNotNull)
+      val tokSet = array_distinct(filter(
+        split(lower(col("text")), "\\s+"), t => length(t) > 0))
+      val sh = docs.select(col("doc_id"), tokSet.as("tok"))
+      val a = sh.select(col("doc_id").as("id_a"), col("tok").as("tok_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("tok").as("tok_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Dedup.containment(col("tok_a"), col("tok_b")).as("cont_ab"),
+          Dedup.containmentFromJaccard(Dedup.jaccard(col("tok_a"), col("tok_b")),
+            size(col("tok_a")), size(col("tok_b"))).as("cont_est"))
+        .orderBy("id_a", "id_b")
+    }),
     "q_dsir" -> ((s, dir) => {
       // DSIR importance weights: target model from en docs, base from the
       // whole corpus; log-domain ratio so the only transcendental is ln
@@ -993,6 +1011,19 @@ object SparkEntry {
         "p AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.7) AS pw FROM c) " +
         "SELECT lang, n, floor(pw / SUM(pw) OVER () * 1000000.0 + 0.5) / 1000000.0 AS weight " +
         "FROM p ORDER BY lang NULLS FIRST"),
+    "q_containment_pairs" ->
+      // set union size = na+nb-inter exactly (distinct sets), matching
+      // Spark's size(array_union); estimator mirrors the left-to-right
+      // IEEE op order of Dedup.containmentFromJaccard
+      ("WITH d AS (SELECT doc_id, list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)) AS tok " +
+        "FROM documents WHERE doc_id < 30 AND text IS NOT NULL), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(len(a.tok) AS DOUBLE) AS na, CAST(len(b.tok) AS DOUBLE) AS nb, " +
+        "CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) AS inter " +
+        "FROM d a, d b WHERE a.doc_id < b.doc_id), " +
+        "j AS (SELECT *, CASE WHEN na + nb - inter = 0 THEN 1.0 ELSE inter / (na + nb - inter) END AS jac FROM p) " +
+        "SELECT id_a, id_b, CASE WHEN na = 0 THEN 1.0 ELSE inter / na END AS cont_ab, " +
+        "CASE WHEN na = 0.0 THEN 1.0 ELSE jac * (na + nb) / (jac + 1.0) / na END AS cont_est " +
+        "FROM j ORDER BY id_a, id_b"),
     "q_dsir" ->
       ("WITH t2 AS (SELECT doc_id, lang, token FROM (SELECT doc_id, lang, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token " +
         "FROM documents WHERE text IS NOT NULL) WHERE len(token) > 0), " +

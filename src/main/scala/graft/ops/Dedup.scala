@@ -349,6 +349,31 @@ object Dedup {
     when(union === 0, 1.0).otherwise(inter / union)
   }
 
+  /** Exact containment `|a ∩ b| / |a|` — the ASYMMETRIC near-dup signal
+    * Jaccard misses: a short document quoted wholesale inside a long one
+    * has containment ≈ 1 but Jaccard ≈ |a|/|b| (arbitrarily small), so a
+    * symmetric threshold never fires. Run on candidate pairs after the
+    * LSH join, same as [[jaccard]]. Empty `a` scores 1.0 (vacuously
+    * contained). */
+  def containment(a: Column, b: Column): Column = {
+    val na = size(a).cast("double")
+    when(na === 0, 1.0)
+      .otherwise(size(array_intersect(a, b)).cast("double") / na)
+  }
+
+  /** Containment recovered from a JACCARD estimate plus the two distinct
+    * set sizes — for the signature path, where [[native.sigAgreement]]
+    * estimates J but the raw sets are gone: `|∩| = J·(|a|+|b|)/(1+J)`
+    * (exact identity on true J, an estimator on estimated J), then
+    * containment = `|∩|/|a|`. Sizes are cheap to carry (one int per doc,
+    * e.g. `size(array_distinct(tokens))` persisted beside the
+    * signature). All plain IEEE arithmetic, left-to-right — mirrors
+    * exactly in any engine. */
+  def containmentFromJaccard(jac: Column, nA: Column, nB: Column): Column =
+    when(nA.cast("double") === 0.0, 1.0)
+      .otherwise(jac * (nA.cast("double") + nB.cast("double"))
+        / (jac + 1.0) / nA.cast("double"))
+
   /** Approximate distinct count — built-in HLL++, no shuffle of raw values. */
   def approxDistinct(df: DataFrame, c: String, rsd: Double = 0.05): DataFrame =
     df.agg(approx_count_distinct(col(c), rsd).as("approx_n"))

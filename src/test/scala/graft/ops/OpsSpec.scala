@@ -353,6 +353,29 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("containment: asymmetric signal where Jaccard stays low; estimator identity on true J") {
+    import spark.implicits._
+    val a = Seq("x1 x2 x3").toDF("ta")          // 3 tokens, fully inside b
+    val sets = Seq(
+      ("x1 x2 x3", "x1 x2 x3 y1 y2 y3 y4 y5 y6 y7 y8 y9"), // a ⊂ b
+      ("x1 x2", "y1 y2")                                    // disjoint
+    ).toDF("sa", "sb")
+      .select(array_distinct(split(col("sa"), " ")).as("ta"),
+        array_distinct(split(col("sb"), " ")).as("tb"))
+    val rows = sets.select(
+      Dedup.jaccard(col("ta"), col("tb")).as("j"),
+      Dedup.containment(col("ta"), col("tb")).as("c"),
+      Dedup.containmentFromJaccard(Dedup.jaccard(col("ta"), col("tb")),
+        size(col("ta")), size(col("tb"))).as("ce"))
+      .as[(Double, Double, Double)].collect()
+    val (j1, c1, ce1) = rows(0)
+    assert(c1 == 1.0, "full containment must score 1.0")
+    assert(j1 == 0.25, "Jaccard stays low for the contained short doc")
+    assert(math.abs(ce1 - c1) < 1e-12, "estimator is exact on true Jaccard")
+    val (j2, c2, ce2) = rows(1)
+    assert(j2 == 0.0 && c2 == 0.0 && math.abs(ce2) < 1e-12)
+  }
+
   test("approx distinct within rsd of exact") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val exact = ev.select("user_id").distinct().count().toDouble
