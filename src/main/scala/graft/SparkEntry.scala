@@ -420,6 +420,14 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("rid"))
         .orderBy("l_orderkey", "l_linenumber", "rid")
     }),
+    "q_boilerplate_domain" -> ((s, dir) => {
+      // RefinedWeb-accurate form: frequency counted within each doc's own
+      // source — a unit strips only where IT is domain-boilerplate
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      graft.ops.Boilerplate.removeFrequentLinesByStratum(docs, "doc_id",
+        "source", "text", minDocs = 10, delim = " ", joinSep = " ")
+        .orderBy("doc_id")
+    }),
     "q_boilerplate" -> ((s, dir) => {
       // cross-document boilerplate removal at token granularity (the
       // corpus has no newlines): units in ≥ 60% of documents strip, the
@@ -986,6 +994,13 @@ object SparkEntry {
         "SELECT l.l_orderkey, l.l_linenumber, r.rid FROM lineitem l JOIN r " +
         "ON l.l_extendedprice >= r.lo AND l.l_extendedprice < r.hi " +
         "ORDER BY l.l_orderkey, l.l_linenumber, r.rid"),
+    "q_boilerplate_domain" ->
+      ("WITH d AS (SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL), " +
+        "l AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS u, " +
+        "unnest(generate_series(1, len(string_split(text, ' ')))) AS pos FROM d), " +
+        "f AS (SELECT source, u FROM l GROUP BY source, u HAVING COUNT(DISTINCT doc_id) >= 10), " +
+        "k AS (SELECT l.doc_id, l.pos, l.u FROM l LEFT JOIN f ON l.source IS NOT DISTINCT FROM f.source AND l.u = f.u WHERE f.u IS NULL) " +
+        "SELECT doc_id, string_agg(u, ' ' ORDER BY pos) AS text_clean FROM k GROUP BY doc_id ORDER BY doc_id"),
     "q_boilerplate" ->
       ("WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL), " +
         "th AS (SELECT CAST(ceil(0.6 * COUNT(*)) AS BIGINT) AS v FROM d), " +

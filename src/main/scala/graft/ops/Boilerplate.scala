@@ -71,6 +71,45 @@ object Boilerplate {
         x => x.getField("__u")), joinSep).as(cleanCol))
   }
 
+  /** Domain-scoped variant — the RefinedWeb-accurate form: boilerplate is
+    * DOMAIN-specific (one site's nav bar, another's cookie banner), so a
+    * unit strips from a document only when it is frequent WITHIN that
+    * document's own `stratumCol` (source/domain) group. A line shared by
+    * 3 docs of a 5-doc domain is that domain's boilerplate; the same line
+    * appearing once each on 50 unrelated domains is content.
+    *
+    * Same shape as [[removeFrequentLines]] with the stratum joined into
+    * every key: DF counted per (stratum, unit-md5), over-threshold set
+    * broadcast anti-joined on both columns. `minDocs` applies per
+    * stratum; null strata form their own group (their units compete only
+    * with other null-stratum docs). */
+  def removeFrequentLinesByStratum(df: DataFrame, idCol: String,
+                                   stratumCol: String, textCol: String,
+                                   minDocs: Long, delim: String = "\n",
+                                   joinSep: String = "\n",
+                                   cleanCol: String = "text_clean",
+                                   broadcastFrequent: Boolean = true): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be at least 2, got $minDocs")
+    val units = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(stratumCol),
+        posexplode(split(col(textCol), delim)).as(Seq("__pos", "__u")))
+      .withColumn("__h", md5(col("__u").cast("binary")))
+    val frequent0 = units.groupBy(col(stratumCol), col("__h"))
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col(stratumCol), col("__h"))
+    val frequent = if (broadcastFrequent) broadcast(frequent0) else frequent0
+    // null-safe on the stratum: a null-stratum doc's units must anti-join
+    // against the null-stratum frequent set, which a plain join key would
+    // silently never match
+    units.join(frequent, units(stratumCol) <=> frequent(stratumCol)
+      && units("__h") === frequent("__h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__u")))),
+        x => x.getField("__u")), joinSep).as(cleanCol))
+  }
+
   /** Document frequency per distinct unit — the profiling companion:
     * returns `(unit, doc_freq)` sorted nowhere (caller orders). Exposes
     * what [[removeFrequentLines]] would strip at a given threshold. The

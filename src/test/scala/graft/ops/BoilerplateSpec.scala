@@ -59,6 +59,25 @@ class BoilerplateSpec extends SparkSuite {
     assert(freq("unique line") == 1)
   }
 
+  test("domain-scoped: a unit strips only where IT is frequent; cross-domain spread is content") {
+    val d = Seq(
+      (1L, "siteA", "navA\nbody one"),
+      (2L, "siteA", "navA\nbody two"),
+      (3L, "siteA", "navA\nbody three"),
+      (4L, "siteB", "navA\nunique b"), // navA appears ONCE on siteB → content there
+      (5L, "siteB", "navB\nmore b"),
+      (6L, "siteB", "navB\nother b"),
+      (7L, null.asInstanceOf[String], "navN\nnull one"),
+      (8L, null.asInstanceOf[String], "navN\nnull two")
+    ).toDF("doc_id", "source", "text")
+    val out = Boilerplate.removeFrequentLinesByStratum(d, "doc_id", "source", "text",
+      minDocs = 2).as[(Long, String)].collect().toMap
+    assert(out(1L) == "body one" && out(3L) == "body three") // navA stripped on siteA
+    assert(out(4L) == "navA\nunique b") // navA SURVIVES on siteB
+    assert(out(5L) == "more b")         // navB stripped on siteB (df=2)
+    assert(out(7L) == "null one")       // null stratum forms its own group
+  }
+
   test("boilerplate stripping stays stable under partitioning") {
     val many = (0L until 60L).map { i =>
       (i, if (i % 2 == 0) s"shared header\nbody $i" else s"body $i\nshared header")
