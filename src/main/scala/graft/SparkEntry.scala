@@ -406,6 +406,18 @@ object SparkEntry {
         tolerance = Some(expr("INTERVAL 2 HOURS")))
         .select(col("event_id"), col("pv")).orderBy("event_id")
     }),
+    "q_asof_nearest" -> ((s, dir) => {
+      // nearest-direction as-of (pandas merge_asof parity): closest
+      // purchase on either side, backward winning ties
+      val ev = T(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("pv"))
+      Joins.asofJoin(clicks, purchases, Seq("user_id"), "ts", "ts",
+        direction = "nearest")
+        .select(col("event_id"), col("pv")).orderBy("event_id")
+    }),
     "q_range_join" -> ((s, dir) => {
       // interval containment as a bin-overlap EQUI-join (never a nested
       // loop): 49 price brackets derived from orders, each width 1000 =
@@ -987,6 +999,14 @@ object SparkEntry {
         "p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, max(value) AS pv FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) " +
         "SELECT c.event_id, (SELECT p.pv FROM p WHERE p.user_id = c.user_id AND p.t <= c.t " +
         "AND c.t - p.t <= INTERVAL 2 HOUR ORDER BY p.t DESC LIMIT 1) AS pv " +
+        "FROM c ORDER BY c.event_id"),
+    "q_asof_nearest" ->
+      // exact-microsecond distances; at equal distance p.t ASC picks the
+      // earlier (= backward) row, matching the engine's tie rule
+      ("WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events WHERE event_type = 'click'), " +
+        "p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, max(value) AS pv FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) " +
+        "SELECT c.event_id, (SELECT p.pv FROM p WHERE p.user_id = c.user_id " +
+        "ORDER BY abs(epoch_us(c.t) - epoch_us(p.t)), p.t ASC LIMIT 1) AS pv " +
         "FROM c ORDER BY c.event_id"),
     "q_range_join" ->
       ("WITH r AS (SELECT o_orderkey AS rid, o_totalprice * 0.5 AS lo, o_totalprice * 0.5 + 1000.0 AS hi " +

@@ -22,8 +22,11 @@ object Joins {
 
   /** As-of join: for every left row, attach the payload of the single right
     * row with the same key whose time is nearest at-or-before it
-    * (`direction = "backward"`, the default) or at-or-after it
-    * (`"forward"`). The classic "most recent quote for each trade" /
+    * (`direction = "backward"`, the default), at-or-after it
+    * (`"forward"`), or closest on either side with backward winning ties
+    * (`"nearest"` — pandas `merge_asof` parity; costs a second
+    * per-partition sort over the same key exchange, never a second
+    * shuffle). The classic "most recent quote for each trade" /
     * "latest profile snapshot for each event" operator.
     *
     * Execution shape (the 100 TB rationale): both sides are tagged and
@@ -62,8 +65,8 @@ object Joins {
                joinType: String = "left",
                matchedTimeCol: Option[String] = None): DataFrame = {
     require(keyCols.nonEmpty, "asofJoin needs at least one key column")
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward|forward, got $direction")
+    require(direction == "backward" || direction == "forward" || direction == "nearest",
+      s"direction must be backward|forward|nearest, got $direction")
     require(joinType == "left" || joinType == "inner",
       s"joinType must be left|inner, got $joinType")
     val payloadCols = right.columns.filterNot(c =>
@@ -92,25 +95,48 @@ object Joins {
     // backward: ascending time; forward: descending — either way the right
     // row at an equal timestamp sorts FIRST (side 0 < 1) so "at-or-before"
     // / "at-or-after" is inclusive, and `last` sees it by the left row.
-    val ord: Seq[Column] =
-      if (direction == "backward") Seq(col("__t").asc, col("__side").asc)
-      else Seq(col("__t").desc_nulls_first, col("__side").asc)
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+    // "nearest" evaluates BOTH windows over the one key exchange (two
+    // per-partition sorts, no second shuffle) and keeps the closer match,
+    // backward winning ties — pandas merge_asof(direction='nearest').
+    val part = Window.partitionBy(keyCols.map(col): _*)
+    val wBack = part.orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = r2.unionByName(l2)
-      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+    val wFwd = part.orderBy(col("__t").desc_nulls_first, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val unioned = r2.unionByName(l2)
+    val carried = (direction match {
+      case "backward" =>
+        unioned.withColumn("__m", last(col("__p"), ignoreNulls = true).over(wBack))
+      case "forward" =>
+        unioned.withColumn("__m", last(col("__p"), ignoreNulls = true).over(wFwd))
+      case _ =>
+        unioned
+          .withColumn("__mb", last(col("__p"), ignoreNulls = true).over(wBack))
+          .withColumn("__mf", last(col("__p"), ignoreNulls = true).over(wFwd))
+    }).filter(col("__side") === 1)
 
-    val staleness =
-      if (direction == "backward") col("__t") - col("__m.__rt")
-      else col("__m.__rt") - col("__t")
-    val gated = tolerance match {
+    def gate(m: Column, staleness: Column): Column = tolerance match {
       // null-time left rows carry no match by construction (they sort
       // before any right row backward / the gate below nulls them forward)
-      case Some(tol) => when(col("__t").isNotNull && staleness <= tol, col("__m"))
-      case None      => when(col("__t").isNotNull, col("__m"))
+      case Some(tol) => when(col("__t").isNotNull && staleness <= tol, m)
+      case None      => when(col("__t").isNotNull, m)
     }
-    val matched = carried.withColumn("__m", gated)
+    val matched = direction match {
+      case "backward" =>
+        carried.withColumn("__m", gate(col("__m"), col("__t") - col("__m.__rt")))
+      case "forward" =>
+        carried.withColumn("__m", gate(col("__m"), col("__m.__rt") - col("__t")))
+      case _ =>
+        val mb = gate(col("__mb"), col("__t") - col("__mb.__rt"))
+        val mf = gate(col("__mf"), col("__mf.__rt") - col("__t"))
+        // closer side wins; equal distance (or only one present) → backward
+        carried.withColumn("__m",
+          when(mb.isNull, mf)
+            .when(mf.isNull, mb)
+            .when(col("__mf.__rt") - col("__t") < col("__t") - col("__mb.__rt"), mf)
+            .otherwise(mb))
+          .drop("__mb", "__mf")
+    }
     val filtered =
       if (joinType == "inner") matched.filter(col("__m").isNotNull) else matched
     val outCols = left.columns.toSeq.map(c => col("__l").getField(c).as(c)) ++

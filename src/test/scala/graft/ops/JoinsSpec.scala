@@ -120,6 +120,53 @@ class JoinsSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("asof nearest picks the closer side; backward wins ties; tolerance bounds both") {
+    val out = Joins.asofJoin(trades, quotes, Seq("sym"), "t", "qt",
+      direction = "nearest")
+      .select("trade_id", "bid").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(99.7)) // coincident: distance 0 both ways → backward
+    assert(out(2L).contains(99.9)) // only backward exists (10 s back)
+    assert(out(4L).contains(199.5)) // before any B quote → forward match (60 s ahead)
+    assert(out(5L).isEmpty)        // key absent entirely
+    // trade 3 (10:00:30): backward B quote 30 s back, no forward → backward
+    assert(out(3L).contains(199.5))
+
+    // a forward quote closer than the backward one must win
+    val l = Seq((9L, "A", ts("2024-01-01 10:00:48"))).toDF("trade_id", "sym", "t")
+    val near = Joins.asofJoin(l, quotes, Seq("sym"), "t", "qt",
+      direction = "nearest", matchedTimeCol = Some("qt_m"))
+      .select("trade_id", "bid", "qt_m")
+      .as[(Long, Option[Double], Option[Timestamp])].collect().head
+    assert(near._2.contains(99.9), s"expected the 10:00:50 quote (2 s ahead), got $near")
+
+    // tolerance applies per side
+    val tol = Joins.asofJoin(l, quotes, Seq("sym"), "t", "qt",
+      direction = "nearest", tolerance = Some(expr("INTERVAL 1 SECOND")))
+      .select("bid").as[Option[Double]].collect().head
+    assert(tol.isEmpty, "both sides beyond a 1 s tolerance must null out")
+
+    // random pin vs quadratic reference
+    val rnd = new scala.util.Random(23)
+    val lr = (0 until 150).map(i => (i.toLong, s"k${rnd.nextInt(4)}", rnd.nextInt(500).toLong))
+    val rr = (0 until 200).map(j => (s"k${rnd.nextInt(5)}", rnd.nextInt(500).toLong, j.toDouble))
+    val rdf = rr.toDF("k", "rt", "v").groupBy("k", "rt").agg(max("v").as("v"))
+    val got = Joins.asofJoin(lr.toDF("lid", "k", "lt"), rdf, Seq("k"), "lt", "rt",
+      direction = "nearest")
+      .select("lid", "v").as[(Long, Option[Double])].collect().toMap
+    val rMap = rdf.as[(String, Long, Double)].collect().groupBy(_._1)
+    val want = lr.map { case (lid, k, lt) =>
+      val cands = rMap.getOrElse(k, Array.empty)
+      val back = cands.filter(_._2 <= lt).sortBy(_._2).lastOption
+      val fwd = cands.filter(_._2 >= lt).sortBy(_._2).headOption
+      lid -> ((back, fwd) match {
+        case (Some(b), Some(f)) =>
+          if (f._2 - lt < lt - b._2) Some(f._3) else Some(b._3)
+        case (b, f) => b.orElse(f).map(_._3)
+      })
+    }.toMap
+    assert(got == want)
+  }
+
   test("asof with a composite key partitions on both columns") {
     val l = Seq((1L, "A", "x", ts("2024-01-01 10:00:00")),
       (2L, "A", "y", ts("2024-01-01 10:00:00")))
