@@ -1006,6 +1006,7 @@ object SparkEntry {
       ("WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events WHERE event_type = 'click'), " +
         "p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, max(value) AS pv FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) " +
         "SELECT c.event_id, (SELECT p.pv FROM p WHERE p.user_id = c.user_id " +
+        "AND c.t IS NOT NULL AND p.t IS NOT NULL " +
         "ORDER BY abs(epoch_us(c.t) - epoch_us(p.t)), p.t ASC LIMIT 1) AS pv " +
         "FROM c ORDER BY c.event_id"),
     "q_range_join" ->

@@ -54,22 +54,9 @@ object Boilerplate {
                           minDocs: Long, delim: String = "\n",
                           joinSep: String = "\n",
                           cleanCol: String = "text_clean",
-                          broadcastFrequent: Boolean = true): DataFrame = {
-    require(minDocs >= 2, s"minDocs must be at least 2, got $minDocs")
-    val units = df.filter(col(textCol).isNotNull)
-      .select(col(idCol), posexplode(split(col(textCol), delim)).as(Seq("__pos", "__u")))
-      .withColumn("__h", md5(col("__u").cast("binary")))
-    val frequent0 = units.groupBy("__h")
-      .agg(count_distinct(col(idCol)).as("__df"))
-      .filter(col("__df") >= minDocs)
-      .select(col("__h"))
-    val frequent = if (broadcastFrequent) broadcast(frequent0) else frequent0
-    units.join(frequent, Seq("__h"), "left_anti")
-      .groupBy(col(idCol))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("__pos"), col("__u")))),
-        x => x.getField("__u")), joinSep).as(cleanCol))
-  }
+                          broadcastFrequent: Boolean = true): DataFrame =
+    removeFrequent(df, idCol, Nil, textCol, minDocs, delim, joinSep,
+      cleanCol, broadcastFrequent)
 
   /** Domain-scoped variant — the RefinedWeb-accurate form: boilerplate is
     * DOMAIN-specific (one site's nav bar, another's cookie banner), so a
@@ -88,22 +75,33 @@ object Boilerplate {
                                    minDocs: Long, delim: String = "\n",
                                    joinSep: String = "\n",
                                    cleanCol: String = "text_clean",
-                                   broadcastFrequent: Boolean = true): DataFrame = {
+                                   broadcastFrequent: Boolean = true): DataFrame =
+    removeFrequent(df, idCol, Seq(stratumCol), textCol, minDocs, delim,
+      joinSep, cleanCol, broadcastFrequent)
+
+  /** Shared pipeline behind both public forms: DF aggregate keyed by
+    * (strata..., unit-md5), over-threshold set anti-joined back (null-safe
+    * `<=>` on each stratum key — a null-stratum doc's units must match the
+    * null-stratum frequent set, which a plain join key would silently
+    * never do), order-preserving reassembly. */
+  private def removeFrequent(df: DataFrame, idCol: String,
+                             strataCols: Seq[String], textCol: String,
+                             minDocs: Long, delim: String, joinSep: String,
+                             cleanCol: String,
+                             broadcastFrequent: Boolean): DataFrame = {
     require(minDocs >= 2, s"minDocs must be at least 2, got $minDocs")
     val units = df.filter(col(textCol).isNotNull)
-      .select(col(idCol), col(stratumCol),
-        posexplode(split(col(textCol), delim)).as(Seq("__pos", "__u")))
+      .select(col(idCol) +: strataCols.map(col) :+
+        posexplode(split(col(textCol), delim)).as(Seq("__pos", "__u")): _*)
       .withColumn("__h", md5(col("__u").cast("binary")))
-    val frequent0 = units.groupBy(col(stratumCol), col("__h"))
+    val frequent0 = units.groupBy(strataCols.map(col) :+ col("__h"): _*)
       .agg(count_distinct(col(idCol)).as("__df"))
       .filter(col("__df") >= minDocs)
-      .select(col(stratumCol), col("__h"))
+      .select(strataCols.map(col) :+ col("__h"): _*)
     val frequent = if (broadcastFrequent) broadcast(frequent0) else frequent0
-    // null-safe on the stratum: a null-stratum doc's units must anti-join
-    // against the null-stratum frequent set, which a plain join key would
-    // silently never match
-    units.join(frequent, units(stratumCol) <=> frequent(stratumCol)
-      && units("__h") === frequent("__h"), "left_anti")
+    val joinCond = (strataCols.map(c => units(c) <=> frequent(c)) :+
+      (units("__h") === frequent("__h"))).reduce(_ && _)
+    units.join(frequent, joinCond, "left_anti")
       .groupBy(col(idCol))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("__pos"), col("__u")))),

@@ -355,7 +355,6 @@ class OpsSpec extends SparkSuite {
 
   test("containment: asymmetric signal where Jaccard stays low; estimator identity on true J") {
     import spark.implicits._
-    val a = Seq("x1 x2 x3").toDF("ta")          // 3 tokens, fully inside b
     val sets = Seq(
       ("x1 x2 x3", "x1 x2 x3 y1 y2 y3 y4 y5 y6 y7 y8 y9"), // a ⊂ b
       ("x1 x2", "y1 y2")                                    // disjoint

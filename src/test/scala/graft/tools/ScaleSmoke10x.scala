@@ -49,17 +49,21 @@ object ScaleSmoke10x {
         .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 7} MINUTES")))
       .reduce(_ unionByName _)
     time("asof warmup")(asofRun(ev))
-    val a1 = time("asof 1x (10k events)")(asofRun(ev))
-    val a10 = time("asof 10x (100k events, same keys)")(asofRun(ev10))
+    val a1 = time("asof 1x (100k events)")(asofRun(ev))
+    val a10 = time("asof 10x (1M events, same keys)")(asofRun(ev10))
     println(s"[smoke] asof rows 1x=$a1 10x=$a10")
 
-    def bpRun(d: DataFrame): Long =
+    // threshold computed OUTSIDE the timed closure — the measurement is
+    // the operator, not an unrelated full-scan count
+    def bpRun(d: DataFrame, minDocs: Long): Long =
       Boilerplate.removeFrequentLines(d, "doc_id", "text",
-        minDocs = math.ceil(0.6 * d.count()).toLong, delim = " ", joinSep = " ").count()
+        minDocs = minDocs, delim = " ", joinSep = " ").count()
     val docs10 = rep(docs, 10, Seq("doc_id"))
-    time("boilerplate warmup")(bpRun(docs))
-    val b1 = time("boilerplate 1x (5k docs)")(bpRun(docs))
-    val b10 = time("boilerplate 10x (50k docs)")(bpRun(docs10))
+    val th1 = math.ceil(0.6 * docs.count()).toLong
+    val th10 = math.ceil(0.6 * docs10.count()).toLong
+    time("boilerplate warmup")(bpRun(docs, th1))
+    val b1 = time("boilerplate 1x (5k docs)")(bpRun(docs, th1))
+    val b10 = time("boilerplate 10x (50k docs)")(bpRun(docs10, th10))
     println(s"[smoke] boilerplate rows 1x=$b1 10x=$b10")
     spark.stop()
   }
