@@ -35,6 +35,7 @@ object GraftFunctions {
     ("cosine_sim", DoubleType, "cosineD",
       Seq(ArrayType(DoubleType), ArrayType(DoubleType))),
     ("zvalue", LongType, "zValue2", Seq(LongType, LongType)),
+    ("zvalue3", LongType, "zValue3", Seq(LongType, LongType, LongType)),
     ("quantize_i8", ArrayType(IntegerType, containsNull = false), "quantizeI8D",
       Seq(ArrayType(DoubleType), DoubleType)),
     ("dot_i", LongType, "dotI",

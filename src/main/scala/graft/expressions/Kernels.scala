@@ -24,7 +24,7 @@ object Kernels {
     "nfc", "unicodeClean", "caseFold", "utf8Truncate", "rollingHash",
     "minhashSig", "minhashSigShingles", "sigAgreement", "dotD", "cosineD",
     "lshBucketD", "simHash", "uuidVersion",
-    "zValue2", "dotI", "maxAbsD", "quantizeI8D")
+    "zValue2", "zValue3", "dotI", "maxAbsD", "quantizeI8D")
 
   /** NFC normalization (reference `filters/string.py::Unicode` normalize step). */
   def nfc(s: UTF8String): UTF8String =
@@ -384,5 +384,21 @@ object Kernels {
       v
     }
     spread(a) | (spread(b) << 1)
+  }
+
+  /** Morton code of three non-negative 21-bit coordinates (63 output
+    * bits): bit i of `a` → 3i, of `b` → 3i+1, of `c` → 3i+2. Standard
+    * every-third-bit magic masks; inputs masked to their low 21 bits. */
+  def zValue3(a: Long, b: Long, c: Long): Long = {
+    def spread(v0: Long): Long = {
+      var v = v0 & 0x1FFFFFL
+      v = (v | (v << 32)) & 0x1F00000000FFFFL
+      v = (v | (v << 16)) & 0x1F0000FF0000FFL
+      v = (v | (v << 8)) & 0x100F00F00F00F00FL
+      v = (v | (v << 4)) & 0x10C30C30C30C30C3L
+      v = (v | (v << 2)) & 0x1249249249249249L
+      v
+    }
+    spread(a) | (spread(b) << 1) | (spread(c) << 2)
   }
 }

@@ -94,6 +94,10 @@ object native {
   def zValue2(a: Column, b: Column): Column =
     invoke(LongType, "zValue2", Seq(e(a), e(b)), Seq(LongType, LongType))
 
+  def zValue3(a: Column, b: Column, c: Column): Column =
+    invoke(LongType, "zValue3", Seq(e(a), e(b), e(c)),
+      Seq(LongType, LongType, LongType))
+
   def dotI(a: Column, b: Column): Column =
     invoke(LongType, "dotI", Seq(e(a), e(b)),
       Seq(ArrayType(IntegerType), ArrayType(IntegerType)))

@@ -61,6 +61,12 @@ object Layout {
   def zValue(a: Column, b: Column): Column =
     graft.expressions.native.zValue2(a.cast("long"), b.cast("long"))
 
+  /** Three-dimensional Morton code (21 bits per coordinate — e.g.
+    * time-bucket × key-hash × size-class): same data-skipping story with
+    * per-file min/max bounding all THREE columns. */
+  def zValue3(a: Column, b: Column, c: Column): Column =
+    graft.expressions.native.zValue3(a.cast("long"), b.cast("long"), c.cast("long"))
+
   /** Cluster a frame for Z-order locality: range-partition then sort each
     * partition by the Morton code (exactly what a `write` needs in front
     * of it for z-clustered parquet with tight per-file min/max on both
@@ -68,6 +74,13 @@ object Layout {
   def clusterByZ(df: DataFrame, a: String, b: String,
                  zCol: String = "_z"): DataFrame = {
     val withZ = df.withColumn(zCol, zValue(col(a), col(b)))
+    withZ.repartitionByRange(col(zCol)).sortWithinPartitions(col(zCol))
+  }
+
+  /** [[clusterByZ]] over three columns ([[zValue3]]). */
+  def clusterByZ3(df: DataFrame, a: String, b: String, c: String,
+                  zCol: String = "_z"): DataFrame = {
+    val withZ = df.withColumn(zCol, zValue3(col(a), col(b), col(c)))
     withZ.repartitionByRange(col(zCol)).sortWithinPartitions(col(zCol))
   }
 

@@ -21,11 +21,12 @@ class GraftFunctionsSpec extends SparkSuite {
   test("round-5 kernels reachable from SQL: zvalue, quantize_i8, dot_i") {
     GraftFunctions.register(spark)
     val r = spark.sql(
-      "SELECT zvalue(3, 1) AS z, quantize_i8(array(0.5d, -1.0d), 1.0d) AS q, " +
+      "SELECT zvalue(3, 1) AS z, zvalue3(1, 1, 1) AS z3, quantize_i8(array(0.5d, -1.0d), 1.0d) AS q, " +
         "dot_i(array(2, 3), array(4, 5)) AS d").collect()(0)
     assert(r.getLong(0) == 7L) // interleave(0b11, 0b01) = 0b0111
-    assert(r.getSeq[Int](1) == Seq(64, -127))
-    assert(r.getLong(2) == 23L)
+    assert(r.getLong(1) == 7L) // 3-way interleave of (1,1,1) = 0b111
+    assert(r.getSeq[Int](2) == Seq(64, -127))
+    assert(r.getLong(3) == 23L)
   }
 
   test("null propagates through registered functions") {

@@ -91,6 +91,25 @@ class LayoutSpec extends SparkSuite {
     zs.foreach { case (x, y, z) => assert(z == ref(x, y), s"($x,$y)") }
   }
 
+  test("zValue3 is the 3-way Morton interleave (bit-by-bit reference pin)") {
+    import spark.implicits._
+    def ref(a: Long, b: Long, c: Long): Long =
+      (0 until 21).foldLeft(0L) { (acc, i) =>
+        acc | ((a >> i) & 1L) << (3 * i) | ((b >> i) & 1L) << (3 * i + 1) |
+          ((c >> i) & 1L) << (3 * i + 2)
+      }
+    val rnd = new scala.util.Random(19)
+    val pts = (0 until 300).map(_ => (rnd.nextInt(1 << 21).toLong,
+      rnd.nextInt(1 << 21).toLong, rnd.nextInt(1 << 21).toLong))
+    val zs = pts.toDF("x", "y", "w")
+      .select(col("x"), col("y"), col("w"),
+        Layout.zValue3(col("x"), col("y"), col("w")).as("z"))
+      .as[(Long, Long, Long, Long)].collect()
+    zs.foreach { case (x, y, w, z) => assert(z == ref(x, y, w), s"($x,$y,$w)") }
+    // known corner: (1,1,1) → 0b111 = 7; (2,0,0) → bit1→bit3 = 8
+    assert(ref(1, 1, 1) == 7 && ref(2, 0, 0) == 8)
+  }
+
   test("z-clustering bounds BOTH dimensions per chunk where a 1-D sort bounds one") {
     import spark.implicits._
     // 32×32 grid → 16 chunks of 64 rows: bounding boxes of z-sorted chunks
