@@ -167,6 +167,40 @@ class JoinsSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("asof property grid: every direction × tolerance × joinType matches the quadratic reference") {
+    val rnd = new scala.util.Random(31)
+    val lrows = (0 until 120).map(i => (i.toLong, s"k${rnd.nextInt(4)}", rnd.nextInt(300).toLong))
+    val rrows = (0 until 150).map(j => (s"k${rnd.nextInt(5)}", rnd.nextInt(300).toLong, j.toDouble))
+    val l = lrows.toDF("lid", "k", "lt")
+    val r = rrows.toDF("k", "rt", "v").groupBy("k", "rt").agg(max("v").as("v"))
+    val rMap = r.as[(String, Long, Double)].collect().groupBy(_._1)
+    for (dir <- Seq("backward", "forward", "nearest");
+         tol <- Seq(None, Some(25L));
+         jt <- Seq("left", "inner")) {
+      val got = Joins.asofJoin(l, r, Seq("k"), "lt", "rt", direction = dir,
+        tolerance = tol.map(t => lit(t)), joinType = jt)
+        .select("lid", "v").as[(Long, Option[Double])].collect().toMap
+      val wantAll = lrows.map { case (lid, k, lt) =>
+        val cands = rMap.getOrElse(k, Array.empty)
+        val back = cands.filter(c => c._2 <= lt && tol.forall(t => lt - c._2 <= t))
+          .sortBy(_._2).lastOption
+        val fwd = cands.filter(c => c._2 >= lt && tol.forall(t => c._2 - lt <= t))
+          .sortBy(_._2).headOption
+        lid -> (dir match {
+          case "backward" => back.map(_._3)
+          case "forward"  => fwd.map(_._3)
+          case _ => (back, fwd) match {
+            case (Some(b), Some(f)) =>
+              if (f._2 - lt < lt - b._2) Some(f._3) else Some(b._3)
+            case (b, f) => b.orElse(f).map(_._3)
+          }
+        })
+      }.toMap
+      val want = if (jt == "inner") wantAll.filter(_._2.nonEmpty) else wantAll
+      assert(got == want, s"dir=$dir tol=$tol joinType=$jt diverged")
+    }
+  }
+
   test("asof with a composite key partitions on both columns") {
     val l = Seq((1L, "A", "x", ts("2024-01-01 10:00:00")),
       (2L, "A", "y", ts("2024-01-01 10:00:00")))
