@@ -25,7 +25,7 @@ for (name <- Seq("flagship_valid_split", "q_required", "q_min", "q_topk_similar"
     "q_pack_sequences", "q_contamination", "q_dedup_incremental",
     "q_asof", "q_range_join", "q_boilerplate", "q_bloom_incremental",
     "q_weighted_sample", "q_interleave", "q_unigram_ll", "q_zorder",
-    "q_quantized_topk", "q_dsir")) {
+    "q_quantized_topk", "q_dsir", "q_asof_nearest", "q_boilerplate_domain")) {
   val df = if (name == "flagship_valid_split") flagship
            else graft.SparkEntry.queries(name)(spark, dir)
   out.println()
