@@ -109,12 +109,27 @@ object Sampling {
     * then add each partition's exclusive offset from the #partitions-row
     * totals frame (broadcast back). The only heavy exchange is the range
     * partitioning itself; the result is independent of the sampled range
-    * boundaries because prefix sums compose across any split points. */
+    * boundaries because prefix sums compose across any split points.
+    *
+    * The range-partitioned frame is PINNED (eagerly materialized,
+    * lineage-truncated) before the cumsum and offsets branches derive
+    * from it. `__pid` comes from `spark_partition_id()`, which is only
+    * meaningful relative to one physical partitioning: without the pin
+    * the two branches each hold a `repartitionByRange` subtree, and
+    * whenever the exchange is not physically reused (exchange reuse
+    * disabled, AQE re-planning, any future rule change) RangePartitioner
+    * re-samples its boundaries per execution — the branches then disagree
+    * on `__pid` and a row's `__cum` joins the WRONG partition's offset.
+    * The pin makes the partitioning a fact of the data rather than of
+    * the plan; the extra materialization (one corpus write, against the
+    * shuffle the op already pays) is the price of a consistent snapshot,
+    * and is the standard cost of any multi-consumer subtree at scale. */
   def packSequences(df: DataFrame, orderCol: String, tokenCol: String,
                     budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val parted = df.repartitionByRange(col(orderCol))
-      .withColumn("__pid", spark_partition_id())
+    val parted = Checkpoints.pin(
+      df.repartitionByRange(col(orderCol))
+        .withColumn("__pid", spark_partition_id())).df
     // ROWS frame, not the default RANGE frame: with orderBy alone the
     // cumsum frame is RANGE UNBOUNDED..CURRENT ROW, which lumps ALL rows
     // sharing an orderCol value into one step — two 600-token peers at
@@ -137,11 +152,11 @@ object Sampling {
     val wIn = Window.partitionBy("__pid").orderBy(col(orderCol), tie)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = parted.withColumn("__cum", sum(col(tokenCol)).over(wIn))
-    // per-partition totals come from a plain aggregate over `parted` (sum
-    // ignores nulls exactly like the windowed cumsum) — deriving them from
-    // max(__cum) would re-run the window sort on the broadcast side, since
-    // ReuseExchange dedups only the exchange below the window, not the
-    // window itself
+    // per-partition totals come from a plain aggregate over the PINNED
+    // frame (sum ignores nulls exactly like the windowed cumsum) — a
+    // cheap scan of the checkpointed rows, with no window sort on the
+    // broadcast side and, because of the pin, no second exchange whose
+    // sampled boundaries could disagree with the cumsum branch
     val offsets = parted.groupBy("__pid").agg(sum(col(tokenCol)).as("__ptot"))
       .withColumn("__off", coalesce(
         sum("__ptot").over(Window.orderBy("__pid")

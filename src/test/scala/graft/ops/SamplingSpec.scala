@@ -152,6 +152,37 @@ class SamplingSpec extends SparkSuite {
     }
   }
 
+  test("packSequences is bit-identical with exchange reuse disabled and AQE on/off") {
+    // the round-5 driver failure: the cumsum and offsets branches each
+    // held a repartitionByRange subtree, and whenever the physical
+    // exchange was NOT reused, RangePartitioner re-sampled its boundaries
+    // per execution — __pid diverged between branches and seq_ids went
+    // wrong while row count and schema stayed right. The pin makes the
+    // partitioning a fact of the data; this spec proves the output no
+    // longer depends on ANY exchange-reuse / re-planning decision.
+    val withTok = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+    def run(): Map[Long, Long] =
+      Sampling.packSequences(withTok.repartition(5), "doc_id", "n_tok", 256)
+        .select("doc_id", "seq_id").as[(Long, Long)].collect().toMap
+    val conf = spark.conf
+    val savedReuse = conf.get("spark.sql.exchange.reuse", "true")
+    val savedAqe = conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      conf.set("spark.sql.exchange.reuse", "true")
+      conf.set("spark.sql.adaptive.enabled", "true")
+      val baseline = run()
+      for (reuse <- Seq("false", "true"); aqe <- Seq("false", "true")) {
+        conf.set("spark.sql.exchange.reuse", reuse)
+        conf.set("spark.sql.adaptive.enabled", aqe)
+        assert(run() == baseline, s"output drifted at reuse=$reuse aqe=$aqe")
+      }
+    } finally {
+      conf.set("spark.sql.exchange.reuse", savedReuse)
+      conf.set("spark.sql.adaptive.enabled", savedAqe)
+    }
+  }
+
   test("weightedSample: k rows, deterministic, and inclusion tracks weight") {
     val weighted = (0L until 4000L).map(i => (i, if (i < 400) 50.0 else 1.0))
       .toDF("id", "w")
