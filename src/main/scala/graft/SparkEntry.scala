@@ -559,7 +559,7 @@ object SparkEntry {
     }),
     "q_weighted_sample" -> ((s, dir) => {
       // Efraimidis–Spirakis weighted sample without replacement, weight =
-      // document length; priority rounded to 6 dp (pow is the one
+      // document length; priority ln(u)/w rounded to 12 dp (ln is the one
       // non-IEEE-exact op) so DuckDB ranks identically
       Sampling.weightedSample(
         T(s, dir, "documents").select(col("doc_id"), col("n_chars")),

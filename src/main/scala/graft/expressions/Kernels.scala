@@ -356,17 +356,22 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  /** Integer dot product of two int arrays (0 on length mismatch) — the
-    * quantized-search scorer: int8 codes × 4096 dims stay far inside long
-    * range, so the sum is EXACT (no FP order sensitivity at all). */
+  /** Integer dot product of two int arrays (NULL on length mismatch — a
+    * dimension-mismatched embedding is a data error that must surface,
+    * not silently rank as orthogonal/last) — the quantized-search scorer:
+    * int8 codes × 4096 dims stay far inside long range, so the sum is
+    * EXACT (no FP order sensitivity at all). Boxed return: StaticInvoke
+    * with `returnNullable = true` null-checks non-primitive returns, so
+    * the null propagates as SQL NULL through both the Column and SQL
+    * registration paths. */
   def dotI(a: org.apache.spark.sql.catalyst.util.ArrayData,
-           b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+           b: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Long = {
     val n = a.numElements()
-    if (b.numElements() != n) return 0L
+    if (b.numElements() != n) return null
     var s = 0L
     var i = 0
     while (i < n) { s += a.getInt(i).toLong * b.getInt(i); i += 1 }
-    s
+    java.lang.Long.valueOf(s)
   }
 
   /** Morton (Z-order) code of two non-negative 32-bit coordinates: bit i

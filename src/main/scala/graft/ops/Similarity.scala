@@ -75,7 +75,10 @@ object Similarity {
     * is bit-deterministic on any engine, unlike float-sum scoring.
     * Same broadcast-queries + windowed-rank shape as [[bruteForceTopK]];
     * the corpus side streams its (dim+1)-int codes, ~4× lighter than the
-    * float vectors. Zero vectors (maxAbs 0) score 0 against everything. */
+    * float vectors. Zero vectors (maxAbs 0) score 0 against everything;
+    * a dimension-mismatched pair scores NULL (dotI surfaces the data
+    * error) and sorts after every real score rather than masquerading as
+    * orthogonal. */
   def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int): DataFrame = {
     import graft.expressions.native
@@ -170,7 +173,10 @@ object Similarity {
   def seedCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
     df.select(col(idCol).cast("long").as("centroid_id"),
         col(vecCol).cast("array<double>").as("centroid_vec"))
-      .orderBy(xxhash64(col("centroid_id")))
+      // id as the secondary key: a (rare) xxhash64 collision under
+      // limit(k) would otherwise make the k-seed selection depend on
+      // physical row order
+      .orderBy(xxhash64(col("centroid_id")), col("centroid_id"))
       .limit(k)
 
   /** Lloyd-iteration refinement of IVF centroids, expressed as DataFrame

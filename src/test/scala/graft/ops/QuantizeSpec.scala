@@ -24,6 +24,19 @@ class QuantizeSpec extends SparkSuite {
     assert(s2 == 0.0 && q2 == Seq(0, 0)) // null vector → zeros
   }
 
+  test("dotI is NULL on dimension mismatch (data error surfaces, not silent 0)") {
+    val rows = Seq((1L, Seq(1, 2, 3), Seq(4, 5, 6)), (2L, Seq(1, 2), Seq(1, 2, 3)))
+      .toDF("id", "a", "b")
+      .select(col("id"), graft.expressions.native.dotI(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows(1L).contains(32L))
+    assert(rows(2L).isEmpty, "mismatched dims must score NULL, not 0")
+    // same through the SQL registration path
+    graft.GraftFunctions.register(spark)
+    val sql = spark.sql("SELECT dot_i(array(1,2), array(1,2,3)) AS d").collect()(0)
+    assert(sql.isNullAt(0))
+  }
+
   test("round-trip error bounded by scale/2 per element") {
     val qd = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
       Similarity.quantizeInt8(col("embedding")).as("qs"))
