@@ -443,12 +443,12 @@ object SparkEntry {
     "q_boilerplate" -> ((s, dir) => {
       // cross-document boilerplate removal at token granularity (the
       // corpus has no newlines): units in ≥ 60% of documents strip, the
-      // rest reassemble in order. The explicit count() is the documented
-      // price of a fractional threshold (Boilerplate scaladoc).
+      // rest reassemble in order. The fractional threshold is computed
+      // INSIDE the frequency aggregate (grouping-sets () cell) — no
+      // separate count() action, no extra corpus scan.
       val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val minDocs = math.ceil(0.6 * docs.count()).toLong
-      Boilerplate.removeFrequentLines(docs, "doc_id", "text",
-        minDocs = minDocs, delim = " ", joinSep = " ")
+      Boilerplate.removeFrequentLinesFraction(docs, "doc_id", "text",
+        fraction = 0.6, delim = " ", joinSep = " ")
         .orderBy("doc_id")
     }),
     "q_bloom_incremental" -> ((s, dir) => {

@@ -79,25 +79,63 @@ object Boilerplate {
     removeFrequent(df, idCol, Seq(stratumCol), textCol, minDocs, delim,
       joinSep, cleanCol, broadcastFrequent)
 
-  /** Shared pipeline behind both public forms: DF aggregate keyed by
-    * (strata..., unit-md5), over-threshold set anti-joined back (null-safe
-    * `<=>` on each stratum key — a null-stratum doc's units must match the
-    * null-stratum frequent set, which a plain join key would silently
-    * never do), order-preserving reassembly. */
-  private def removeFrequent(df: DataFrame, idCol: String,
-                             strataCols: Seq[String], textCol: String,
-                             minDocs: Long, delim: String, joinSep: String,
-                             cleanCol: String,
-                             broadcastFrequent: Boolean): DataFrame = {
-    require(minDocs >= 2, s"minDocs must be at least 2, got $minDocs")
-    val units = df.filter(col(textCol).isNotNull)
+  /** Fractional-threshold form: remove units occurring in at least
+    * `fraction` of the (non-null-text) documents. Unlike a caller-side
+    * `ceil(fraction * df.count())`, the corpus size here comes out of the
+    * SAME aggregate that computes per-unit document frequencies — a
+    * grouping-sets `()` cell counting distinct doc ids over the exploded
+    * units (every non-null-text document emits at least one unit, so the
+    * two counts agree by construction). No second count() action, no
+    * extra corpus scan: the threshold costs one Expand duplication
+    * through the one exchange the operator already pays. The global cell
+    * joins back as a broadcast 1-row frame; the frequency subtree above
+    * the shared exchange is deduplicated by ReuseExchange (and the
+    * aggregate is exact either way — this is a cost concern, never a
+    * determinism one). */
+  def removeFrequentLinesFraction(df: DataFrame, idCol: String,
+                                  textCol: String, fraction: Double,
+                                  delim: String = "\n",
+                                  joinSep: String = "\n",
+                                  cleanCol: String = "text_clean",
+                                  broadcastFrequent: Boolean = true): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction must be in (0,1], got $fraction")
+    val units = explodeUnits(df, idCol, Nil, textCol, delim)
+    val cells = units
+      .groupingSets(Seq(Seq(col("__h")), Seq.empty[org.apache.spark.sql.Column]), col("__h"))
+      .agg(count_distinct(col(idCol)).as("__df"))
+    // the () cell is the only row with a null __h (md5 of a non-null
+    // string is never null)
+    val total = cells.filter(col("__h").isNull)
+      .select(col("__df").as("__total"))
+    val frequent0 = cells.filter(col("__h").isNotNull)
+      .crossJoin(broadcast(total))
+      .filter(col("__df") >= ceil(lit(fraction) * col("__total")).cast("long"))
+      .select(col("__h"))
+    reassemble(units, frequent0, Nil, idCol, joinSep, cleanCol, broadcastFrequent)
+  }
+
+  /** Map-only unit explosion shared by every form: one row per
+    * (doc, position, unit) with the unit's 128-bit md5, so downstream
+    * aggregates shuffle 16-byte keys, never text. */
+  private def explodeUnits(df: DataFrame, idCol: String,
+                           strataCols: Seq[String], textCol: String,
+                           delim: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
       .select(col(idCol) +: strataCols.map(col) :+
         posexplode(split(col(textCol), delim)).as(Seq("__pos", "__u")): _*)
       .withColumn("__h", md5(col("__u").cast("binary")))
-    val frequent0 = units.groupBy(strataCols.map(col) :+ col("__h"): _*)
-      .agg(count_distinct(col(idCol)).as("__df"))
-      .filter(col("__df") >= minDocs)
-      .select(strataCols.map(col) :+ col("__h"): _*)
+
+  /** Anti-join the frequent set back (null-safe `<=>` on each stratum
+    * key — a null-stratum doc's units must match the null-stratum
+    * frequent set, which a plain join key would silently never do) and
+    * reassemble survivors in document order (`array_sort` on collected
+    * (pos, unit) structs keeps the aggregation partial-able, where a
+    * window would sort the whole corpus). */
+  private def reassemble(units: DataFrame, frequent0: DataFrame,
+                         strataCols: Seq[String], idCol: String,
+                         joinSep: String, cleanCol: String,
+                         broadcastFrequent: Boolean): DataFrame = {
     val frequent = if (broadcastFrequent) broadcast(frequent0) else frequent0
     val joinCond = (strataCols.map(c => units(c) <=> frequent(c)) :+
       (units("__h") === frequent("__h"))).reduce(_ && _)
@@ -106,6 +144,24 @@ object Boilerplate {
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("__pos"), col("__u")))),
         x => x.getField("__u")), joinSep).as(cleanCol))
+  }
+
+  /** Shared pipeline behind the absolute-threshold forms: DF aggregate
+    * keyed by (strata..., unit-md5), over-threshold set anti-joined back,
+    * order-preserving reassembly. */
+  private def removeFrequent(df: DataFrame, idCol: String,
+                             strataCols: Seq[String], textCol: String,
+                             minDocs: Long, delim: String, joinSep: String,
+                             cleanCol: String,
+                             broadcastFrequent: Boolean): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be at least 2, got $minDocs")
+    val units = explodeUnits(df, idCol, strataCols, textCol, delim)
+    val frequent0 = units.groupBy(strataCols.map(col) :+ col("__h"): _*)
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(strataCols.map(col) :+ col("__h"): _*)
+    reassemble(units, frequent0, strataCols, idCol, joinSep, cleanCol,
+      broadcastFrequent)
   }
 
   /** Document frequency per distinct unit — the profiling companion:

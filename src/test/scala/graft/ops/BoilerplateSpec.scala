@@ -51,6 +51,28 @@ class BoilerplateSpec extends SparkSuite {
     assert(out == Map(1L -> "quick fox", 2L -> "lazy dog", 3L -> "end"))
   }
 
+  test("fraction form equals the absolute form at ceil(fraction * corpus) — no count() action") {
+    // 4 docs at fraction 0.6 → threshold ceil(2.4) = 3, the same stripping
+    // as minDocs = 3; the corpus size comes from the grouping-sets () cell
+    // inside the frequency aggregate, not a separate count() pass
+    val frac = Boilerplate.removeFrequentLinesFraction(docs, "doc_id", "text", 0.6)
+      .as[(Long, String)].collect().toMap
+    val abs = Boilerplate.removeFrequentLines(docs, "doc_id", "text", minDocs = 3)
+      .as[(Long, String)].collect().toMap
+    assert(frac == abs)
+    // null-text docs are excluded from the denominator exactly like the
+    // caller-side docs.filter(isNotNull).count() they replace
+    val d = docs.union(Seq((6L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val frac2 = Boilerplate.removeFrequentLinesFraction(d, "doc_id", "text", 0.6)
+      .as[(Long, String)].collect().toMap
+    assert(frac2 == abs)
+    // fraction 1.0 strips only corpus-universal units
+    val all = Boilerplate.removeFrequentLinesFraction(docs, "doc_id", "text", 1.0)
+      .as[(Long, String)].collect().toMap
+    assert(all(1L) == "cookie banner\nreal content one\nfooter",
+      "nothing is in all 4 docs — identity expected")
+  }
+
   test("unitDocFrequency reports per-unit document counts") {
     val freq = Boilerplate.unitDocFrequency(docs, "doc_id", "text")
       .as[(String, Long)].collect().toMap
