@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Regression pins for the rows-only queries — the ones whose DuckDB
+  * oracle cannot mirror the Spark computation (LSH bucket membership,
+  * engine-internal seeding). The driver's gate only checks their row
+  * COUNT, which is a weak tripwire: a silent drift in the LSH path could
+  * reshuffle which rows survive while the count stays stable. Each
+  * query's full sorted result at sf0.01 (the driver's gate scale) is
+  * pinned here as a content hash over a canonical rendering.
+  *
+  * The pinned set is derived from SparkEntry itself
+  * (`queries.keySet -- oracleSql.keySet`), so ADDING a rows-only query
+  * without pinning it fails this spec rather than slipping through.
+  *
+  * Re-derive a hash ONLY with an explicit fixture-update commit: run the
+  * suite, copy the computed hash from the failure message, and justify
+  * the behavior change in the commit message.
+  */
+class RowsOnlyPinSpec extends SparkSuite {
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  /** Expected md5 of each rows-only query's canonical sorted rendering. */
+  private val pinned: Map[String, String] = Map(
+    "q_dedup_embedding" -> "3bc439cf717811cbd5b3f4546bc209a2",
+    "q_dedup_incremental" -> "d279f7572e2e4fa890976aedab7e4e4d",
+    "q_dedup_minhash" -> "ed543d124949ebe2ce229b43bcd07ec3",
+    "q_dedup_ngram" -> "b3bbb5f354669639efe5c1befde00667",
+    "q_ivf_topk" -> "3f0dc86b8f92694fa48a56a774838d83",
+    "q_pipeline_e2e" -> "bbc1d1cba93be09a16c0ff961a4aa0c1")
+
+  /** Deterministic rendering: bit-exact for doubles (java toString),
+    * recursive for arrays/structs, explicit null marker. */
+  private def render(v: Any): String = v match {
+    case null => "<null>"
+    case r: Row => r.toSeq.map(render).mkString("{", ",", "}")
+    case s: scala.collection.Seq[_] => s.map(render).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.toSeq.map { case (k, x) => render(k) + "->" + render(x) }
+        .sorted.mkString("(", ",", ")")
+    case b: Array[Byte] => b.map("%02x".format(_)).mkString
+    case other => other.toString
+  }
+
+  private def contentHash(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    val lines = df.collect().map(r => render(r)).sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(lines.mkString("\n").getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  test("every rows-only query is pinned (no unpinned rows-only entries)") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == pinned.keySet,
+      s"rows-only set drifted: unpinned=${rowsOnly -- pinned.keySet}, " +
+        s"stale pins=${pinned.keySet -- rowsOnly}")
+  }
+
+  for ((name, expected) <- pinned.toSeq.sortBy(_._1)) {
+    test(s"$name sf0.01 content hash is pinned") {
+      val actual = contentHash(name)
+      assert(actual == expected,
+        s"$name content drifted: computed $actual, pinned $expected — if the " +
+          "behavior change is intended, update the pin in an explicit " +
+          "fixture-update commit")
+    }
+  }
+}
