@@ -1145,7 +1145,9 @@ object SparkEntry {
     "q_pack_sequences" ->
       // global window cumsum (fine at 500 rows; the ENGINE runs the
       // scale-safe two-phase form this mirrors)
-      ("SELECT doc_id, n_tokens, (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS seq_id " +
+      // DuckDB sum() widens BIGINT to HUGEINT; the driver hash is
+      // dtype-sensitive, so the cumsum must be cast back explicitly.
+      ("SELECT doc_id, n_tokens, CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS BIGINT) AS seq_id " +
         "FROM (SELECT doc_id, CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens " +
         "FROM documents WHERE text IS NOT NULL) t ORDER BY doc_id"),
     "q_topk_similar" ->

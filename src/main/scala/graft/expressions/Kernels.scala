@@ -18,13 +18,14 @@ object Kernels {
     * For these, `IsNotNull(kernel(args)) ≡ AND(IsNotNull(arg)...)` — the
     * `SimplifyKernelNullChecks` optimizer rule uses this to keep inferred
     * null guards from re-evaluating a kernel inside scan filters.
-    * base64Strict / ipNormalize / uuidNormalize are EXCLUDED: they return
-    * null to signal rejection of non-null input. */
+    * base64Strict / ipNormalize / uuidNormalize / dotI are EXCLUDED: they
+    * return null to signal rejection of non-null input (dotI: dimension
+    * mismatch), so eliding their null check would silently pass bad rows. */
   val totalKernels: Set[String] = Set(
     "nfc", "unicodeClean", "caseFold", "utf8Truncate", "rollingHash",
     "minhashSig", "minhashSigShingles", "sigAgreement", "dotD", "cosineD",
     "lshBucketD", "simHash", "uuidVersion",
-    "zValue2", "zValue3", "dotI", "maxAbsD", "quantizeI8D")
+    "zValue2", "zValue3", "maxAbsD", "quantizeI8D")
 
   /** NFC normalization (reference `filters/string.py::Unicode` normalize step). */
   def nfc(s: UTF8String): UTF8String =

@@ -91,7 +91,9 @@ object Boilerplate {
     * joins back as a broadcast 1-row frame; the frequency subtree above
     * the shared exchange is deduplicated by ReuseExchange (and the
     * aggregate is exact either way — this is a cost concern, never a
-    * determinism one). */
+    * determinism one). The effective threshold is floored at 2 documents:
+    * on a corpus small enough that `ceil(fraction * total) == 1`, every
+    * unit would be "frequent" and the output silently empty. */
   def removeFrequentLinesFraction(df: DataFrame, idCol: String,
                                   textCol: String, fraction: Double,
                                   delim: String = "\n",
@@ -108,9 +110,15 @@ object Boilerplate {
     // string is never null)
     val total = cells.filter(col("__h").isNull)
       .select(col("__df").as("__total"))
+    // Floor the threshold at 2 docs: ceil(fraction * total) can reach 1
+    // on tiny corpora (any fraction <= 1/total, or a 1-doc corpus), at
+    // which point EVERY unit is "frequent" and the anti-join silently
+    // empties the corpus. The absolute form guards the same edge with
+    // require(minDocs >= 2); this mirrors it without a driver-side count.
     val frequent0 = cells.filter(col("__h").isNotNull)
       .crossJoin(broadcast(total))
-      .filter(col("__df") >= ceil(lit(fraction) * col("__total")).cast("long"))
+      .filter(col("__df") >=
+        greatest(ceil(lit(fraction) * col("__total")).cast("long"), lit(2L)))
       .select(col("__h"))
     reassemble(units, frequent0, Nil, idCol, joinSep, cleanCol, broadcastFrequent)
   }

@@ -409,6 +409,56 @@ object Dedup {
   def mightBeSeen(filterBytes: Array[Byte], keyCol: Column): Column =
     native.bloomMightContain(filterBytes, xxhash64(keyCol))
 
+  /** Sharded [[seenFilter]]: `shards` independent Bloom filters, keys
+    * routed by `pmod(xxhash64(key), shards)`. Raises the sketch family's
+    * capacity past the single-filter ceiling (one `BloomFilter` tops out
+    * around ~14 B keys at 1% fpp — the backing long[] is int-indexed) and
+    * bounds BUILD memory at one shard per task instead of one corpus-
+    * sized filter merged on the driver: keys shuffle by shard (8-byte
+    * rows, the narrowest possible exchange), each of the `shards` tasks
+    * fills exactly its own filter, and the driver only concatenates the
+    * serialized results. Probe-side, the full shard set still travels
+    * with the plan (same total bytes as one big filter — probing is not
+    * what sharding buys); batch jobs probing a >GB sketch set should
+    * route the batch by shard and probe per-shard slices.
+    *
+    * No false negatives across shard boundaries by construction: a key's
+    * probe consults exactly the shard its hash routed it to at build
+    * time (same hash, same modulus — spec-verified). */
+  def seenFilterSharded(df: DataFrame, keyCol: Column, shards: Int,
+                        expectedItemsPerShard: Long,
+                        fpp: Double = 0.01): Array[Array[Byte]] = {
+    require(shards >= 1 && shards <= 4096, s"shards must be in [1,4096], got $shards")
+    import org.apache.spark.util.sketch.BloomFilter
+    val nShards = shards
+    val pairs = df.select(xxhash64(keyCol).as("__k")).rdd.map { r =>
+      val h = r.getLong(0)
+      (((h % nShards) + nShards) % nShards).toInt -> h
+    }
+    pairs.partitionBy(new org.apache.spark.HashPartitioner(nShards))
+      .mapPartitionsWithIndex { (pid, it) =>
+        val f = BloomFilter.create(expectedItemsPerShard, fpp)
+        it.foreach { case (_, h) => f.putLong(h) }
+        val out = new java.io.ByteArrayOutputStream()
+        f.writeTo(out)
+        Iterator.single(pid -> out.toByteArray)
+      }
+      .collect().sortBy(_._1).map(_._2)
+  }
+
+  /** Membership predicate against a [[seenFilterSharded]] sketch set:
+    * routes each row to its shard (`pmod(xxhash64(key), shards)`) and
+    * probes ONLY that shard's filter. Codegen'd when-chain, map-only. */
+  def mightBeSeenSharded(shardBytes: Seq[Array[Byte]], keyCol: Column): Column = {
+    require(shardBytes.nonEmpty, "empty shard set")
+    val h = xxhash64(keyCol)
+    val s = pmod(h, lit(shardBytes.size.toLong))
+    shardBytes.zipWithIndex.foldRight(lit(false): Column) {
+      case ((bytes, i), acc) =>
+        when(s === lit(i.toLong), native.bloomMightContain(bytes, h)).otherwise(acc)
+    }
+  }
+
   /** Split an ingest batch by the sketch: `(certainly-new, needs-verify)`.
     * The needs-verify side (|batch|·fpp + true dups) is the ONLY part that
     * proceeds to the exact anti-join against the persisted key index —

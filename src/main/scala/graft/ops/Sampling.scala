@@ -111,25 +111,37 @@ object Sampling {
     * partitioning itself; the result is independent of the sampled range
     * boundaries because prefix sums compose across any split points.
     *
-    * The range-partitioned frame is PINNED (eagerly materialized,
-    * lineage-truncated) before the cumsum and offsets branches derive
-    * from it. `__pid` comes from `spark_partition_id()`, which is only
-    * meaningful relative to one physical partitioning: without the pin
-    * the two branches each hold a `repartitionByRange` subtree, and
-    * whenever the exchange is not physically reused (exchange reuse
-    * disabled, AQE re-planning, any future rule change) RangePartitioner
-    * re-samples its boundaries per execution — the branches then disagree
-    * on `__pid` and a row's `__cum` joins the WRONG partition's offset.
-    * The pin makes the partitioning a fact of the data rather than of
-    * the plan; the extra materialization (one corpus write, against the
-    * shuffle the op already pays) is the price of a consistent snapshot,
-    * and is the standard cost of any multi-consumer subtree at scale. */
+    * The bucket id is DATA-DERIVED, not plan-derived: range boundaries
+    * over `orderCol` are sampled once (deterministic hash sample, weighted
+    * by row frequency) and embedded as LITERALS in the bucket expression,
+    * so every branch of the plan computes the identical `__pid` for a row
+    * no matter how Spark schedules, reuses, or re-plans exchanges. Earlier
+    * versions used `repartitionByRange` + `spark_partition_id()`, whose
+    * meaning is relative to one physical partitioning — RangePartitioner
+    * re-samples boundaries per execution, so whenever the exchange was not
+    * physically reused the cumsum and offsets branches disagreed on
+    * `__pid` (the round-5 driver failure); the eager-checkpoint pin that
+    * first fixed it cost a full corpus write per call, with files Spark
+    * never reclaims by default. Literal boundaries need NO
+    * materialization: the price is two lightweight preparatory jobs (a
+    * count and a one-column boundary sample) before the packing job —
+    * callers packing an expensively-derived frame should persist it
+    * first. Requires a deterministic input frame (everything in this
+    * library is): the branches recompute the input independently. */
   def packSequences(df: DataFrame, orderCol: String, tokenCol: String,
                     budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val parted = Checkpoints.pin(
-      df.repartitionByRange(col(orderCol))
-        .withColumn("__pid", spark_partition_id())).df
+    val buckets =
+      df.sparkSession.sessionState.conf.numShufflePartitions.max(1)
+    val bounds = packBoundaries(df, orderCol, buckets)
+    // first boundary with orderCol < bound wins; nulls sort first in the
+    // global ascending order, so they are pinned to bucket 0 explicitly
+    // (a null comparison would otherwise fall through to the LAST bucket)
+    val pidChain = bounds.zipWithIndex.foldRight(lit(bounds.length): Column) {
+      case ((b, i), acc) => when(col(orderCol) < lit(b), lit(i)).otherwise(acc)
+    }
+    val parted = df.withColumn("__pid",
+      when(col(orderCol).isNull, lit(0)).otherwise(pidChain))
     // ROWS frame, not the default RANGE frame: with orderBy alone the
     // cumsum frame is RANGE UNBOUNDED..CURRENT ROW, which lumps ALL rows
     // sharing an orderCol value into one step — two 600-token peers at
@@ -138,9 +150,9 @@ object Sampling {
     // by a full-row hash tiebreak so the packing is deterministic across
     // runs/retries (truly identical rows are interchangeable — any order
     // yields the same multiset of assignments). Map-typed columns are
-    // excluded (Spark refuses to hash maps); range partitioning keeps all
-    // orderCol peers in one partition, so a within-partition tiebreak is a
-    // global one.
+    // excluded (Spark refuses to hash maps); bucketing by orderCol VALUE
+    // keeps all orderCol peers in one bucket, so a within-bucket tiebreak
+    // is a global one.
     def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case _: org.apache.spark.sql.types.MapType => false
       case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
@@ -152,11 +164,11 @@ object Sampling {
     val wIn = Window.partitionBy("__pid").orderBy(col(orderCol), tie)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = parted.withColumn("__cum", sum(col(tokenCol)).over(wIn))
-    // per-partition totals come from a plain aggregate over the PINNED
-    // frame (sum ignores nulls exactly like the windowed cumsum) — a
-    // cheap scan of the checkpointed rows, with no window sort on the
-    // broadcast side and, because of the pin, no second exchange whose
-    // sampled boundaries could disagree with the cumsum branch
+    // per-bucket totals come from a plain aggregate (sum ignores nulls
+    // exactly like the windowed cumsum); both branches bucket rows with
+    // the SAME literal boundaries, so they cannot disagree no matter how
+    // the two subtrees are planned or scheduled. The #buckets-row window
+    // below is bounded by construction (≤ shuffle-partitions rows).
     val offsets = parted.groupBy("__pid").agg(sum(col(tokenCol)).as("__ptot"))
       .withColumn("__off", coalesce(
         sum("__ptot").over(Window.orderBy("__pid")
@@ -167,6 +179,49 @@ object Sampling {
       .withColumn("__excl", col("__cum") + col("__off") - col(tokenCol))
       .withColumn("seq_id", expr(s"__excl div ${budget}L"))
       .drop("__pid", "__cum", "__off", "__excl")
+  }
+
+  /** Deterministic range boundaries over `orderCol` for [[packSequences]]:
+    * a hash-selected sample of DISTINCT values weighted by row frequency
+    * (each value is all-in or all-out, so a heavily duplicated key
+    * contributes its mass as weight, never as millions of collected
+    * rows), sorted, then boundaries picked at even cumulative-weight
+    * steps. Two narrow jobs: a count to size the sample rate, then the
+    * one-column sample itself (~64 values per bucket expected). Returns
+    * ascending, deduplicated values; fewer than `buckets - 1` when the
+    * key space is small — degenerating to one bucket (a single-partition
+    * sort) only when the data itself has (almost) one distinct key,
+    * exactly when any order-based partitioning must. */
+  private def packBoundaries(df: DataFrame, orderCol: String,
+                             buckets: Int): Seq[Any] = {
+    if (buckets <= 1) return Nil
+    val keyed = df.select(col(orderCol).as("__k")).filter(col("__k").isNotNull)
+    val n = keyed.count()
+    if (n == 0) return Nil
+    val m = 1L << 20
+    val target = buckets.toLong * 64L
+    val keep = math.min(m,
+      math.max(1L, math.ceil(target.toDouble / n * m).toLong))
+    val sampled = keyed
+      .filter(pmod(xxhash64(col("__k"), lit("graft:pack")), lit(m)) < lit(keep))
+      .groupBy("__k").agg(count(lit(1)).as("__w"))
+      .orderBy("__k")
+      .collect()
+    if (sampled.isEmpty) return Nil
+    val totalW = sampled.iterator.map(_.getLong(1)).sum
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var cum = 0L
+    var k = 1
+    for (row <- sampled if k < buckets) {
+      cum += row.getLong(1)
+      // ceil(k * totalW / buckets): the k-th even cumulative-weight step
+      while (k < buckets && cum >= (k.toLong * totalW + buckets - 1) / buckets) {
+        val v = row.get(0)
+        if (out.isEmpty || out.last != v) out += v
+        k += 1
+      }
+    }
+    out.toSeq
   }
 
   /** Weighted sample WITHOUT replacement (Efraimidis–Spirakis A-Res):

@@ -44,6 +44,39 @@ class BloomSpec extends SparkSuite {
     assert(freshIds.contains(90000L) || freshIds.contains(90001L))
   }
 
+  test("sharded sketch: no false negatives across shard boundaries") {
+    // 2000 keys spread over 7 shards (a prime, so no accidental alignment
+    // with the 32-thread partitioning); EVERY ingested key must probe
+    // true — a key routed to shard i at build time must consult shard i
+    // at probe time, whatever partition computed it
+    val shards = Dedup.seenFilterSharded(corpus, fp, shards = 7,
+      expectedItemsPerShard = 400)
+    assert(shards.length == 7)
+    val misses = corpus.repartition(13)
+      .filter(!Dedup.mightBeSeenSharded(shards.toSeq, fp)).count()
+    assert(misses == 0, s"$misses keys lost across shard boundaries")
+    // unseen keys still mostly pass (each shard sized for its slice)
+    val fresh = (10000L until 14000L).map(i => (i, s"brand new text $i"))
+      .toDF("doc_id", "text")
+    val flagged = fresh.filter(Dedup.mightBeSeenSharded(shards.toSeq, fp)).count()
+    assert(flagged < 200, s"$flagged/4000 unseen keys flagged — sharded fpp broken")
+    // agreement with the unsharded sketch on the definitely-new verdict:
+    // both must clear the same genuinely-fresh batch join-free
+    val one = Dedup.seenFilter(corpus, fp, expectedItems = 2000)
+    val bothClear = fresh.filter(!Dedup.mightBeSeen(one, fp) &&
+      !Dedup.mightBeSeenSharded(shards.toSeq, fp)).count()
+    assert(bothClear > 3600)
+  }
+
+  test("sharded probe is map-only: no join or exchange in the filtered plan") {
+    val shards = Dedup.seenFilterSharded(corpus, fp, shards = 4,
+      expectedItemsPerShard = 600)
+    val plan = corpus.filter(!Dedup.mightBeSeenSharded(shards.toSeq, fp))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.toLowerCase.contains("join"),
+      s"expected a join-free map plan, got:\n$plan")
+  }
+
   test("probe is map-only: no join or exchange in the filtered plan") {
     val bytes = Dedup.seenFilter(corpus, fp, expectedItems = 2000)
     val plan = corpus.filter(!Dedup.mightBeSeen(bytes, fp))

@@ -73,6 +73,21 @@ class BoilerplateSpec extends SparkSuite {
       "nothing is in all 4 docs — identity expected")
   }
 
+  test("fraction threshold floors at 2 docs — a tiny corpus is never silently emptied") {
+    // 1 doc at 0.6 → ceil(0.6) = 1 would mark EVERY unit frequent and
+    // anti-join the whole corpus away; the floor keeps it intact
+    val one = Seq((1L, "only line\nanother line")).toDF("doc_id", "text")
+    val outOne = Boilerplate.removeFrequentLinesFraction(one, "doc_id", "text", 0.6)
+      .as[(Long, String)].collect().toMap
+    assert(outOne == Map(1L -> "only line\nanother line"))
+    // 2 docs at a fraction small enough that ceil(f * 2) = 1: the floor
+    // raises the bar to 2, so only the genuinely shared line strips
+    val two = Seq((1L, "shared\nalpha"), (2L, "shared\nbeta")).toDF("doc_id", "text")
+    val outTwo = Boilerplate.removeFrequentLinesFraction(two, "doc_id", "text", 0.4)
+      .as[(Long, String)].collect().toMap
+    assert(outTwo == Map(1L -> "alpha", 2L -> "beta"))
+  }
+
   test("unitDocFrequency reports per-unit document counts") {
     val freq = Boilerplate.unitDocFrequency(docs, "doc_id", "text")
       .as[(String, Long)].collect().toMap

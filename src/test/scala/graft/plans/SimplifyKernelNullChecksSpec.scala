@@ -30,6 +30,22 @@ class SimplifyKernelNullChecksSpec extends SparkSuite {
     assert(kept == Seq(1), s"only valid base64 must survive, got $kept")
   }
 
+  test("dotI keeps its null check — dimension mismatch must not survive the filter") {
+    // dotI returns null on mismatched dims (non-null inputs), so it is a
+    // rejection kernel: folding IsNotNull(dot_i(a,b)) to
+    // IsNotNull(a) AND IsNotNull(b) would let a bad-dims row through.
+    // Repartition defeats ConvertToLocalRelation so the optimizer batch
+    // (where SimplifyKernelNullChecks runs) actually sees the filter.
+    val df = Seq(
+      (1, Seq(1, 2), Seq(3, 4)),
+      (2, Seq(1, 2, 3), Seq(3, 4)), // dim mismatch → dotI null
+      (3, null.asInstanceOf[Seq[Int]], Seq(3, 4))
+    ).toDF("id", "a", "b").repartition(2)
+    val kept = df.filter(native.dotI(col("a"), col("b")).isNotNull)
+      .select("id").as[Int].collect().toSeq.sorted
+    assert(kept == Seq(1), s"mismatched-dims and null rows must be dropped, got $kept")
+  }
+
   test("minhash near-dup scan filters contain no kernel invocations") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = graft.ops.Dedup.minhashNearDups(docs, "doc_id", "text", 64, 4, 0.9)
