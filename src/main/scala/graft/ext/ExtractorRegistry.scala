@@ -83,9 +83,12 @@ object ExtractorRegistry {
 
 /** The engine's own pack, self-registered through the SAME SPI a
   * third-party model pack would use (see `src/main/resources/META-INF/
-  * services/`): `histogram` is the REAL ImageIO color-histogram
-  * descriptor; `hash`/`chunks` are the documented JDK-capability
-  * stand-ins for a learned embedding / video keyframes. */
+  * services/`): `histogram` (ImageIO color-histogram descriptor),
+  * `rp_image` (seeded random-projection features over decoded pixels —
+  * the weights derive deterministically from the seed, loaded once per
+  * factory exactly like a real model's) and `frames` (ImageIO
+  * multi-frame decode — animated GIF frames) are REAL; `hash`/`chunks`
+  * are byte-level fallbacks for payloads no JDK codec can decode. */
 final class GraftExtractorProvider extends ExtractorProvider {
   val namespace = "graft"
   // factories validate numeric args HERE, at driver-side construction —
@@ -98,13 +101,29 @@ final class GraftExtractorProvider extends ExtractorProvider {
       require(bins > 0, s"histogram bins must be positive, got $bins")
       bytes => graft.ops.Multimodal.histogramFeature(bytes, bins)
     }),
+    "rp_image" -> (args => {
+      val dims = args.headOption.map(_.toInt).getOrElse(64)
+      val seed = args.lift(1).map(_.toLong).getOrElse(42L)
+      val bins = args.lift(2).map(_.toInt).getOrElse(16)
+      require(dims > 0, s"rp_image dims must be positive, got $dims")
+      require(bins > 0 && bins <= 256, s"rp_image bins must be in 1..256, got $bins")
+      // the "model load": weights built once per factory (per executor
+      // partition), deterministically from the seed — never serialized
+      val w = graft.ops.Multimodal.rpWeights(3 * bins, dims, seed)
+      bytes => graft.ops.Multimodal.rpFeature(bytes, bins, w)
+    }),
     "hash" -> (args => {
       val dims = args.headOption.map(_.toInt).getOrElse(64)
       require(dims > 0, s"hash dims must be positive, got $dims")
       bytes => graft.ops.Multimodal.hashFeature(bytes, dims)
     }))
   override val frameSamplers: Map[String, Seq[String] => Array[Byte] => Iterator[(Int, Array[Byte])]] =
-    Map("chunks" -> (args => {
+    Map("frames" -> (args => {
+      val stride = args.headOption.map(_.toInt).getOrElse(1)
+      require(stride > 0, s"frame stride must be positive, got $stride")
+      bytes => graft.ops.Multimodal.imageFrames(bytes, stride)
+    }),
+    "chunks" -> (args => {
       val (size, stride) = (args.headOption.map(_.toInt).getOrElse(4096),
         args.lift(1).map(_.toInt).getOrElse(1))
       require(size > 0, s"chunk size must be positive, got $size")

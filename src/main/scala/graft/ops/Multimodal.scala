@@ -21,10 +21,14 @@ import org.apache.spark.sql.types._
   * metadata / null output rather than failing the job (quarantine them with
   * `Validate` on the null meta downstream).
   *
-  * Remaining stubs, clearly marked: `extractFeatures` (hash-derived vector —
-  * stands in for a learned embedding model, which no JDK ships) and
-  * `sampleFrames` (byte-chunk "frames" — the JDK has no video codec). Their
-  * Spark-side plumbing (schema, batch iteration, flatMap fan-out) is real.
+  * Both extractor roles now have REAL pure-JVM implementations registered
+  * through the SPI: `graft.rp_image` (decoded-pixel histogram through a
+  * seeded random-projection + tanh layer — the random-features regime;
+  * weights derive deterministically from the seed) and `graft.frames`
+  * (ImageIO multi-frame decode — every frame of an animated GIF). The
+  * byte-level `graft.hash` / `graft.chunks` entries remain as documented
+  * fallbacks for payloads no JDK codec can decode (raw video, audio);
+  * a model-backed pack plugs into the same SPI.
   */
 object Multimodal {
 
@@ -102,6 +106,56 @@ object Multimodal {
     arr.toSeq
   }
 
+  /** Seeded random-projection layer weights: `outDims` rows of
+    * `inDims + 1` floats (bias first), drawn from the JDK's spec-fixed
+    * PRNG (`java.util.Random` documents its exact LCG and nextGaussian
+    * algorithm, so the "model" reproduces bit-identically on every JVM)
+    * and scaled 1/sqrt(inDims) per the random-features convention. */
+  private[graft] def rpWeights(inDims: Int, outDims: Int,
+                               seed: Long): Array[Array[Float]] = {
+    val rnd = new java.util.Random(seed)
+    val scale = 1.0 / math.sqrt(inDims.toDouble)
+    Array.fill(outDims) {
+      val row = new Array[Float](inDims + 1)
+      var i = 0
+      while (i < row.length) { row(i) = (rnd.nextGaussian() * scale).toFloat; i += 1 }
+      row
+    }
+  }
+
+  /** REAL learned-style feature extractor: the decoded-pixel color
+    * histogram (a genuine image signal, not raw bytes) pushed through a
+    * fixed seeded random-projection + tanh layer, L2-normalized — the
+    * random-features regime (random projections preserve distances per
+    * Johnson–Lindenstrauss, so nearby images stay nearby in feature
+    * space). Because the input is PIXELS, re-encodings of the same image
+    * (PNG vs BMP) produce the SAME vector — the property a byte-hash
+    * stand-in cannot have. Null for undecodable payloads. Exposed for the
+    * `graft.rp_image` extractor-pack entry. */
+  private[graft] def rpFeature(bytes: Array[Byte], bins: Int,
+                               weights: Array[Array[Float]]): Seq[Float] = {
+    val hist = histogramFeature(bytes, bins)
+    if (hist == null) return null
+    val in = hist.toArray
+    val out = new Array[Float](weights.length)
+    var j = 0
+    while (j < weights.length) {
+      val row = weights(j)
+      var s = row(0).toDouble // bias
+      var i = 0
+      while (i < in.length) { s += row(i + 1) * in(i); i += 1 }
+      out(j) = math.tanh(s).toFloat
+      j += 1
+    }
+    var n = 0.0
+    var i = 0
+    while (i < out.length) { n += out(i).toDouble * out(i); i += 1 }
+    val inv = if (n == 0) 0f else (1.0 / math.sqrt(n)).toFloat
+    i = 0
+    while (i < out.length) { out(i) *= inv; i += 1 }
+    out.toSeq
+  }
+
   /** REAL per-channel color-histogram feature kernel (see
     * [[imageHistogramFeatures]]); null for undecodable payloads. Exposed for
     * the `graft.histogram` extractor-pack entry. */
@@ -127,13 +181,13 @@ object Multimodal {
       hist.toSeq
     }.orNull
 
-  /** Feature-extraction STUB: binary payload → fixed-width float vector
-    * (deterministic hash-derived features; a real extractor plugs a model in
-    * here — none ships with the JDK). Output shape matches the `embeddings`
-    * table so the similarity operators compose directly. For DECODABLE
-    * images prefer [[imageHistogramFeatures]], which is real; to plug a
-    * REAL model, register an [[graft.ext.ExtractorProvider]] pack and use
-    * [[extractFeaturesVia]]. */
+  /** Byte-hash feature fallback: binary payload → fixed-width float vector
+    * from a rolling hash of the raw bytes — for payloads no JDK codec can
+    * decode. Output shape matches the `embeddings` table so the similarity
+    * operators compose directly. For DECODABLE images use the REAL
+    * extractors instead: [[imageHistogramFeatures]] or
+    * `extractFeaturesVia(df, col, "graft.rp_image")` (seeded
+    * random-projection features over decoded pixels). */
   def extractFeatures(df: DataFrame, binCol: String, dims: Int = 64,
                       outCol: String = "features"): DataFrame = {
     val outSchema = df.schema.add(outCol, ArrayType(FloatType, containsNull = false))
@@ -223,9 +277,49 @@ object Multimodal {
     }(enc)
   }
 
-  /** Byte-chunk frame kernel — the STAND-IN for a video decoder (none ships
-    * with the JDK). Exposed for the `graft.chunks` sampler-pack entry:
-    * (original chunk index, chunk bytes) for every `stride`-th chunk. */
+  /** REAL multi-frame decode: ImageIO readers expose EVERY frame of a
+    * multi-image container — an animated GIF's frames in particular (the
+    * GIF reader ships with the JRE; TIFF pages too on JDK 9+). Every
+    * `stride`-th frame is re-encoded as PNG. Frames are the raw per-frame
+    * rasters as stored (GIF delta frames are NOT composited against
+    * previous frames — fine for sampling/feature extraction; a player
+    * would apply disposal methods). Empty for undecodable payloads.
+    * Exposed for the `graft.frames` sampler-pack entry. */
+  private[graft] def imageFrames(bytes: Array[Byte],
+                                 stride: Int): Iterator[(Int, Array[Byte])] = {
+    if (bytes == null || bytes.length == 0) return Iterator.empty
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    if (iis == null) return Iterator.empty
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return Iterator.empty
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false, true)
+        // allowSearch: the GIF reader must scan the stream to count frames
+        val n = reader.getNumImages(true)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+        var i = 0
+        while (i < n) {
+          if (i % stride == 0) {
+            val bos = new ByteArrayOutputStream()
+            ImageIO.write(reader.read(i), "png", bos)
+            out += ((i, bos.toByteArray))
+          }
+          i += 1
+        }
+        out.iterator
+      } finally reader.dispose()
+    } catch {
+      case _: Exception => Iterator.empty // truncated/corrupt container
+    } finally iis.close()
+  }
+
+  /** Byte-chunk frame kernel — the fallback for payloads no JDK codec can
+    * decode (raw video/audio). Exposed for the `graft.chunks` sampler-pack
+    * entry: (original chunk index, chunk bytes) for every `stride`-th
+    * chunk. For DECODABLE containers (animated GIF) prefer
+    * [[imageFrames]] via the `graft.frames` entry, which is real. */
   private[graft] def chunkFrames(bytes: Array[Byte], frameSize: Int,
                                  stride: Int): Iterator[(Int, Array[Byte])] =
     if (bytes == null) Iterator.empty
@@ -254,9 +348,10 @@ object Multimodal {
     }(enc)
   }
 
-  /** Frame sampling STUB for video-ish payloads (no JDK video codec): split
-    * the payload into `frameSize` chunks, keep every `stride`-th — exercises
-    * the one-row→many-rows (flatMap) shape with bounded memory. */
+  /** Byte-chunk frame fallback for payloads no JDK codec can decode: split
+    * the payload into `frameSize` chunks, keep every `stride`-th. For real
+    * multi-frame containers (animated GIF) use
+    * `sampleFramesVia(df, col, "graft.frames")` instead. */
   def sampleFrames(df: DataFrame, binCol: String, frameSize: Int, stride: Int): DataFrame = {
     // fail at call time on the driver, not as an executor-side
     // ArithmeticException mid-scan

@@ -143,4 +143,79 @@ class MultimodalSpec extends SparkSuite {
     assert(perDoc.nonEmpty)
     perDoc.foreach { r => assert(r.getLong(1) >= 1) }
   }
+
+  /** Encode an animated GIF (pure JDK: the gif ImageWriter supports
+    * multi-frame sequences) with one solid-color frame per entry. */
+  private def animatedGif(colors: Seq[Int], w: Int = 12, h: Int = 8): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      colors.foreach { c =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, c)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  test("graft.frames REALLY decodes animated-GIF frames (not byte chunks)") {
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff, 0x000000)
+    val df = imageDf(Seq(1L -> animatedGif(colors), 2L -> "not a gif".getBytes))
+    val out = Multimodal.sampleFramesVia(df, "payload", "graft.frames")
+      .select("id", "frame_idx", "frame").collect()
+    // undecodable payload contributes no frames; the gif yields one row
+    // per stored frame, each a decodable image of the ORIGINAL dims
+    assert(out.forall(_.getLong(0) == 1L))
+    assert(out.map(_.getInt(1)).sorted.toSeq == (0 until colors.length))
+    val metas = out.map(r => Multimodal.decodeImageMeta(r.getAs[Array[Byte]](2)))
+    assert(metas.forall(m => m.getInt(0) == 12 && m.getInt(1) == 8),
+      "each sampled frame must itself decode to the frame dimensions")
+    // frames carry the per-frame pixel content: the red and blue frames
+    // must produce different histograms (a byte-chunker cannot — its
+    // chunks aren't images at all)
+    val byIdx = out.map(r => r.getInt(1) -> r.getAs[Array[Byte]](2)).toMap
+    val histR = Multimodal.histogramFeature(byIdx(0), 4)
+    val histB = Multimodal.histogramFeature(byIdx(2), 4)
+    assert(histR != null && histB != null && histR != histB)
+    // stride sampling keeps every stride-th frame
+    val strided = Multimodal.sampleFramesVia(df, "payload", "graft.frames", Seq("2"))
+      .select("frame_idx").collect().map(_.getInt(0)).sorted.toSeq
+    assert(strided == Seq(0, 2, 4))
+  }
+
+  test("graft.rp_image features derive from PIXELS: re-encodings agree, stand-in cannot") {
+    // the same deterministic image encoded losslessly two ways: raw bytes
+    // differ wildly, decoded pixels are identical
+    val png = imageBytes(24, 16, "png", seed = 3)
+    val bmp = imageBytes(24, 16, "bmp", seed = 3)
+    assert(!java.util.Arrays.equals(png, bmp))
+    val df = imageDf(Seq(1L -> png, 2L -> bmp, 3L -> imageBytes(24, 16, "png", seed = 9),
+      4L -> "junk bytes".getBytes))
+    val feats = Multimodal.extractFeaturesVia(df, "payload", "graft.rp_image",
+      Seq("32", "7")).select("id", "features").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Float](1))).toMap
+    assert(feats(1L).length == 32)
+    assert(feats(1L) == feats(2L),
+      "PNG and BMP of the same pixels must embed identically — proves decode, not byte-hash")
+    assert(feats(1L) != feats(3L), "different pixels must embed differently")
+    assert(feats(4L) == null, "undecodable payload → null vector")
+    // unit-normalized, deterministic across invocations
+    val norm = math.sqrt(feats(1L).map(f => f.toDouble * f).sum)
+    assert(math.abs(norm - 1.0) < 1e-4)
+    val again = Multimodal.extractFeaturesVia(df, "payload", "graft.rp_image",
+      Seq("32", "7")).select("id", "features").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Float](1))).toMap
+    assert(again(1L) == feats(1L))
+    // composes with the similarity operators (the embeddings-table shape)
+    val featDf = Multimodal.extractFeaturesVia(
+      imageDf((1L to 6L).map(i => i -> imageBytes(16, 16, "png", seed = i.toInt))),
+      "payload", "graft.rp_image", Seq("16"))
+    val topk = Similarity.bruteForceTopK(featDf, featDf.limit(2), "id", "features", 2)
+    assert(topk.count() == 4)
+  }
 }
