@@ -57,13 +57,33 @@ object Joins {
     * unmatched. Ties inside a key at the SAME right timestamp are broken
     * by the later-sorting right row; pre-aggregate the right side to
     * unique (key, time) when that matters.
+    *
+    * `timeBuckets` is the HOT-KEY escape hatch. The default (1) sorts each
+    * key in one window partition — at 100 TB a key holding a large share
+    * of the corpus ("one symbol is half the trades") then becomes one
+    * giant sorted, possibly spilling partition. With `timeBuckets = B`,
+    * rows additionally partition by a data-derived TIME bucket (sampled
+    * boundaries over the unioned timestamps, embedded as literals — the
+    * same mechanism as [[Sampling.packSequences]]), so a hot key's rows
+    * spread across ≤ B parallel window partitions; a per-(key, bucket)
+    * aggregate then computes each bucket's boundary payload and a
+    * #buckets-row window per key carries it into the next bucket
+    * (two-level carry — the prefix-sum trick applied to
+    * `last(_, ignoreNulls)`). Costs: two narrow boundary-sampling jobs,
+    * one extra aggregate, and a broadcast of the (key, bucket) carry
+    * frame — so use it in the FEW-HOT-KEYS regime it exists for (#keys ×
+    * B must stay broadcast-sized; thousands of keys × 32 buckets is
+    * fine, hundreds of millions of keys is not, and with that many keys
+    * no key is hot enough to need it).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTimeCol: String, rightTimeCol: String,
                direction: String = "backward",
                tolerance: Option[Column] = None,
                joinType: String = "left",
-               matchedTimeCol: Option[String] = None): DataFrame = {
+               matchedTimeCol: Option[String] = None,
+               timeBuckets: Int = 1): DataFrame = {
+    require(timeBuckets >= 1, s"timeBuckets must be >= 1, got $timeBuckets")
     require(keyCols.nonEmpty, "asofJoin needs at least one key column")
     require(direction == "backward" || direction == "forward" || direction == "nearest",
       s"direction must be backward|forward|nearest, got $direction")
@@ -98,21 +118,60 @@ object Joins {
     // "nearest" evaluates BOTH windows over the one key exchange (two
     // per-partition sorts, no second shuffle) and keeps the closer match,
     // backward winning ties — pandas merge_asof(direction='nearest').
-    val part = Window.partitionBy(keyCols.map(col): _*)
+    val unioned0 = r2.unionByName(l2)
+    // hot-key mode: add a data-derived time bucket to the window partition
+    // (rows with equal __t always share a bucket, so the within-bucket
+    // carry is exact over its time range) and precompute each (key,
+    // bucket)'s carry-in: the last right payload of any EARLIER bucket
+    // (backward) / the first right payload of any LATER bucket (forward),
+    // from a per-key #buckets-row window over the bucket summaries.
+    val (unioned, part) =
+      if (timeBuckets <= 1) {
+        (unioned0, Window.partitionBy(keyCols.map(col): _*))
+      } else {
+        val bounds = Sampling.packBoundaries(unioned0, "__t", timeBuckets)
+        val chain = bounds.zipWithIndex.foldRight(lit(bounds.length): Column) {
+          case ((b, i), acc) => when(col("__t") < lit(b), lit(i)).otherwise(acc)
+        }
+        val bucketed = unioned0.withColumn("__b",
+          when(col("__t").isNull, lit(0)).otherwise(chain))
+        val gCols = keyCols.map(col) :+ col("__b")
+        // FILTER keeps every (key, bucket) group alive (left-only buckets
+        // included — they NEED a carry-in) while summarizing right rows only
+        val summaries = bucketed.groupBy(gCols: _*).agg(
+          expr("max_by(__p, struct(__t, __side)) FILTER (WHERE __side = 0)")
+            .as("__bLast"),
+          expr("min_by(__p, struct(__t, __side)) FILTER (WHERE __side = 0)")
+            .as("__bFirst"))
+        val wKey = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__b"))
+        val carry = summaries
+          .withColumn("__cinB", last(col("__bLast"), ignoreNulls = true)
+            .over(wKey.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("__cinF", first(col("__bFirst"), ignoreNulls = true)
+            .over(wKey.rowsBetween(1, Window.unboundedFollowing)))
+          .select(keyCols.map(col) :+ col("__b") :+ col("__cinB") :+ col("__cinF"): _*)
+        (bucketed.join(broadcast(carry), keyCols :+ "__b", "left"),
+          Window.partitionBy(gCols: _*))
+      }
     val wBack = part.orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wFwd = part.orderBy(col("__t").desc_nulls_first, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val unioned = r2.unionByName(l2)
+    def withCarry(c: Column, cin: String): Column =
+      if (timeBuckets <= 1) c else coalesce(c, col(cin))
     val carried = (direction match {
       case "backward" =>
-        unioned.withColumn("__m", last(col("__p"), ignoreNulls = true).over(wBack))
+        unioned.withColumn("__m",
+          withCarry(last(col("__p"), ignoreNulls = true).over(wBack), "__cinB"))
       case "forward" =>
-        unioned.withColumn("__m", last(col("__p"), ignoreNulls = true).over(wFwd))
+        unioned.withColumn("__m",
+          withCarry(last(col("__p"), ignoreNulls = true).over(wFwd), "__cinF"))
       case _ =>
         unioned
-          .withColumn("__mb", last(col("__p"), ignoreNulls = true).over(wBack))
-          .withColumn("__mf", last(col("__p"), ignoreNulls = true).over(wFwd))
+          .withColumn("__mb",
+            withCarry(last(col("__p"), ignoreNulls = true).over(wBack), "__cinB"))
+          .withColumn("__mf",
+            withCarry(last(col("__p"), ignoreNulls = true).over(wFwd), "__cinF"))
     }).filter(col("__side") === 1)
 
     def gate(m: Column, staleness: Column): Column = tolerance match {

@@ -192,8 +192,8 @@ object Sampling {
     * key space is small — degenerating to one bucket (a single-partition
     * sort) only when the data itself has (almost) one distinct key,
     * exactly when any order-based partitioning must. */
-  private def packBoundaries(df: DataFrame, orderCol: String,
-                             buckets: Int): Seq[Any] = {
+  private[ops] def packBoundaries(df: DataFrame, orderCol: String,
+                                  buckets: Int): Seq[Any] = {
     if (buckets <= 1) return Nil
     val keyed = df.select(col(orderCol).as("__k")).filter(col("__k").isNotNull)
     val n = keyed.count()

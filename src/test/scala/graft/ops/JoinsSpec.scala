@@ -176,9 +176,10 @@ class JoinsSpec extends SparkSuite {
     val rMap = r.as[(String, Long, Double)].collect().groupBy(_._1)
     for (dir <- Seq("backward", "forward", "nearest");
          tol <- Seq(None, Some(25L));
-         jt <- Seq("left", "inner")) {
+         jt <- Seq("left", "inner");
+         buckets <- Seq(1, 5)) {
       val got = Joins.asofJoin(l, r, Seq("k"), "lt", "rt", direction = dir,
-        tolerance = tol.map(t => lit(t)), joinType = jt)
+        tolerance = tol.map(t => lit(t)), joinType = jt, timeBuckets = buckets)
         .select("lid", "v").as[(Long, Option[Double])].collect().toMap
       val wantAll = lrows.map { case (lid, k, lt) =>
         val cands = rMap.getOrElse(k, Array.empty)
@@ -197,8 +198,39 @@ class JoinsSpec extends SparkSuite {
         })
       }.toMap
       val want = if (jt == "inner") wantAll.filter(_._2.nonEmpty) else wantAll
-      assert(got == want, s"dir=$dir tol=$tol joinType=$jt diverged")
+      assert(got == want, s"dir=$dir tol=$tol joinType=$jt buckets=$buckets diverged")
     }
+  }
+
+  test("asof hot-key mode: bucketed carry matches the plain form on a one-key-dominant corpus") {
+    // 90% of left rows share one key — the regime timeBuckets exists for.
+    // The bucketed result must be IDENTICAL to the single-partition form,
+    // including matches carried across bucket boundaries (a right row many
+    // buckets back) and left-only buckets (no right row in the bucket).
+    val rnd = new scala.util.Random(41)
+    val l = (0 until 2000).map { i =>
+      val k = if (i % 10 == 0) s"cold${i % 7}" else "hot"
+      (i.toLong, k, rnd.nextInt(10000).toLong)
+    }.toDF("lid", "k", "lt")
+    // sparse right side: only 20 hot quotes over the 10k time range, so
+    // most of the ~32 buckets contain left rows but NO right rows and
+    // depend entirely on the cross-bucket carry-in
+    val r = ((0 until 20).map(j => ("hot", (j * 487).toLong, j.toDouble)) ++
+      (0 until 5).map(j => (s"cold${j}", 5000L, 100.0 + j)))
+      .toDF("k", "rt", "v").groupBy("k", "rt").agg(max("v").as("v"))
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val plain = Joins.asofJoin(l, r, Seq("k"), "lt", "rt", direction = dir)
+        .select("lid", "v").as[(Long, Option[Double])].collect().toMap
+      val bucketed = Joins.asofJoin(l, r, Seq("k"), "lt", "rt", direction = dir,
+        timeBuckets = 32)
+        .select("lid", "v").as[(Long, Option[Double])].collect().toMap
+      assert(bucketed == plain, s"dir=$dir: bucketed carry diverged from plain")
+    }
+    // and the hot key's window really is split: the bucketed plan windows
+    // on (k, __b), so more than one partition processes key "hot"
+    val plan = Joins.asofJoin(l, r, Seq("k"), "lt", "rt", timeBuckets = 32)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("__b"), s"expected bucket column in the window spec:\n$plan")
   }
 
   test("asof with a composite key partitions on both columns") {

@@ -233,6 +233,43 @@ class SamplingSpec extends SparkSuite {
       s"expected a partial top-k operator in:\n$plan")
   }
 
+  /** Every partitionless logical Window in `df`'s plan must sit directly
+    * above an Aggregate — then the single-partition sort the WindowExec
+    * warning complains about only ever sees a #groups-row frame (strata /
+    * buckets), never the corpus. A global window over raw rows has no
+    * aggregate below it and fails here. */
+  private def assertGlobalWindowsBounded(df: org.apache.spark.sql.DataFrame,
+                                         name: String): Int = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    wins.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"$name: partitionless window NOT above an aggregate — " +
+          s"an unbounded global sort at scale:\n$w")
+    }
+    wins.size
+  }
+
+  test("every partitionless window sees a post-aggregate bounded frame, never the corpus") {
+    // temperatureWeights: global normalization over the #strata counts
+    val nTw = assertGlobalWindowsBounded(
+      Sampling.temperatureWeights(docs, "lang", 0.5), "temperatureWeights")
+    assert(nTw >= 1, "expected the global normalization window to be present")
+    // packSequences: the offsets prefix sum over the #buckets totals
+    // (the per-row cumsum window is partitioned by __pid, so it is
+    // excluded from the partitionless sweep by construction)
+    val withTok = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+    val nPack = assertGlobalWindowsBounded(
+      Sampling.packSequences(withTok, "doc_id", "n_tok", 256), "packSequences")
+    assert(nPack >= 1, "expected the offsets window to be present")
+    // weightedSample's global rank is the third site — its Window is
+    // rewritten to TakeOrderedAndProject (asserted in the spec above),
+    // so nothing reaches WindowExec at all
+  }
+
   test("interleaveByWeight: prefix proportions track weights; vft ordering deterministic") {
     val rows = (0L until 3000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
       .toDF("id", "s")
