@@ -214,6 +214,24 @@ object SparkEntry {
       Validate(docs, "cc" -> F.Country()).flagged("ok")
         .select(col("doc_id"), col("cc"), col("ok")).orderBy("doc_id")
     }),
+    "q_django" -> ((s, dir) => {
+      // second extension pack through the registry: slugify document
+      // heads (a pure transform) and slug-validate the source column —
+      // both constructed BY NAME via the ServiceLoader SPI
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("head", substring(col("text"), 1, 40))
+        // every source in the testdata is already slug-shaped, so break
+        // some deterministically to exercise the rejection path
+        .withColumn("src",
+          when(col("doc_id") % 5 === 0, concat(col("source"), lit(" bad!")))
+            .otherwise(col("source")))
+      val res = Validate(docs,
+        "head" -> graft.ext.FilterRegistry("django.slugify"),
+        "src" -> graft.ext.FilterRegistry("django.slug"))
+      res.flagged("src_ok")
+        .select(col("doc_id"), col("head").as("slug"), col("src_ok"))
+        .orderBy("doc_id")
+    }),
     "q_mapper" -> ((s, dir) => {
       val ev = T(s, dir, "events")
         .select(struct(col("event_type"), col("value")).as("rec"))
@@ -335,6 +353,30 @@ object SparkEntry {
       graft.streaming.StreamingValidate.sessionCounts(
         T(s, dir, "events"), "ts", "user_id", "30 minutes")
         .orderBy("user_id", "session_start")
+    }),
+    "q_stream_dedup" -> ((s, dir) => {
+      // TRUE streaming run (not batch parity): file source → the SAME
+      // validator chain as q_choice → watermark dedup → memory sink,
+      // driven to completion with Trigger.AvailableNow. Deterministic and
+      // oracle-able because (a) the output is only the dedup KEY (which
+      // duplicate survives is engine-internal; the key set is not) and
+      // (b) the bounded run ingests the single events file in one
+      // microbatch, where the initial watermark (epoch 0) drops nothing —
+      // so streaming dedup == batch DISTINCT on the valid split.
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev =
+        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      val valid = graft.streaming.StreamingValidate(ev,
+        "event_id" -> F.Required(),
+        "event_type" -> F.Choice(Seq("signup", "purchase", "error"))).valid
+      val deduped = graft.streaming.StreamingValidate.dedupWithinWatermark(
+        valid, Seq("user_id"), "ts", "1 hour")
+      graft.streaming.StreamingValidate.runBounded(deduped.select(col("user_id")))
+        .orderBy(col("user_id").asc_nulls_first)
     }),
     "q_quantiles" -> ((s, dir) => {
       T(s, dir, "lineitem").agg(
@@ -799,6 +841,17 @@ object SparkEntry {
         s"SELECT doc_id, CASE WHEN upper(cc0) IN ($codes) THEN upper(cc0) END AS cc, " +
         s"upper(cc0) IN ($codes) AS ok FROM t ORDER BY doc_id")
     },
+    "q_django" ->
+      // slugify mirrored step-for-step (RE2 'g' flag = Java replace-all;
+      // the heads are ASCII, so \w/\s/lower agree across engines)
+      ("WITH t AS (SELECT doc_id, substr(text, 1, 40) AS head, " +
+        "CASE WHEN doc_id % 5 = 0 THEN source || ' bad!' ELSE source END AS src " +
+        "FROM documents WHERE text IS NOT NULL) " +
+        "SELECT doc_id, " +
+        "regexp_replace(regexp_replace(regexp_replace(lower(trim(head)), " +
+        "'[^\\w\\s-]', '', 'g'), '[-\\s]+', '-', 'g'), '^[-_]+|[-_]+$', '', 'g') AS slug, " +
+        "(src IS NULL OR regexp_matches(src, '^[-a-zA-Z0-9_]+$')) AS src_ok " +
+        "FROM t ORDER BY doc_id"),
     "q_mapper_dynamic" ->
       ("SELECT * FROM (" +
         "SELECT 'm.k' AS key, 'missing_key' AS code, COUNT(*) AS n FROM events WHERE event_id % 4 = 3 " +
@@ -899,6 +952,13 @@ object SparkEntry {
         "s AS (SELECT user_id, t, SUM(new_s) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
         "SELECT MIN(t) AS session_start, user_id, COUNT(*) AS n FROM s GROUP BY user_id, sid " +
         "ORDER BY user_id NULLS FIRST, session_start NULLS FIRST"),
+    "q_stream_dedup" ->
+      // the bounded single-batch streaming run drops nothing at the
+      // watermark, so streaming watermark-dedup == DISTINCT over the
+      // q_choice-valid rows (see the queries entry for the argument)
+      ("SELECT DISTINCT user_id FROM events WHERE event_id IS NOT NULL " +
+        "AND (event_type IS NULL OR event_type IN ('signup','purchase','error')) " +
+        "ORDER BY user_id NULLS FIRST"),
     "q_quantiles" ->
       "SELECT quantile_cont(l_quantity, 0.25) AS p25, quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.9) AS p90 FROM lineitem",
     "q_text_stats" ->

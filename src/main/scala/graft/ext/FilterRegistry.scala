@@ -76,3 +76,14 @@ final class IsoProvider extends ValidatorProvider {
     "currency" -> (_ => graft.filters.Currency()),
     "locale"   -> (_ => graft.filters.LocaleTag()))
 }
+
+/** The `filters-django` pack (the reference ecosystem's OTHER production
+  * extension), through the same SPI — a second independent pack proves
+  * the registry handles multiple coexisting namespaces in one JVM. */
+final class DjangoProvider extends ValidatorProvider {
+  val namespace = "django"
+  val validators: Map[String, Seq[String] => Validator] = Map(
+    "slug"    -> (_ => graft.filters.Slug()),
+    "slugify" -> (_ => graft.filters.Slugify()),
+    "url"     -> (_ => graft.filters.Url()))
+}

@@ -55,6 +55,27 @@ object StreamingValidate {
                            delay: String): DataFrame =
     df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols)
 
+  /** Run a BOUNDED streaming query to completion and return its result:
+    * `Trigger.AvailableNow` processes everything the source currently has
+    * (respecting per-batch limits), then stops; rows land in an in-memory
+    * sink table. This is the harness/test entry point for TRUE streaming
+    * pipelines — the query goes through the streaming engine (microbatches,
+    * state stores, watermarks), not the batch-parity path. The sink table
+    * is driver-memory: bound the stream (validate → dedup → keys/aggregates)
+    * before sinking, exactly as a production job would bound what it
+    * collects. */
+  def runBounded(stream: DataFrame, outputMode: String = "append"): DataFrame = {
+    require(stream.isStreaming, "runBounded needs a streaming frame")
+    val name = "graft_bounded_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    stream.sparkSession.table(name)
+  }
+
   /** `foreachBatch` handler that validates each micro-batch and routes the
     * valid/invalid splits to separate sinks — the streaming form of the
     * invalid-value handler policy (reference `filters/handlers.py`):

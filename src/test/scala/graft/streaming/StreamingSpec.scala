@@ -200,6 +200,27 @@ class StreamingSpec extends SparkSuite {
     assert(got == Set(101L, 103L), s"got $got")
   }
 
+  test("runBounded drives a true file-source pipeline to completion (validate → dedup → sink)") {
+    // the q_stream_dedup harness shape end-to-end at sf0.001: a REAL
+    // streaming query (file source, state store, watermark) whose result
+    // must equal the batch DISTINCT over the same valid split
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q_stream_dedup")(spark, dir)
+      .as[Option[Long]].collect().toSeq
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_id").isNotNull &&
+        (col("event_type").isNull ||
+          col("event_type").isin("signup", "purchase", "error")))
+      .select("user_id").distinct()
+      .orderBy(col("user_id").asc_nulls_first)
+      .as[Option[Long]].collect().toSeq
+    assert(out == batch, "streaming watermark-dedup must equal batch DISTINCT on the key")
+    assert(out.nonEmpty)
+    // a second invocation works (fresh sink table per run)
+    val again = graft.SparkEntry.queries("q_stream_dedup")(spark, dir).count()
+    assert(again == out.size)
+  }
+
   test("session window boundary: event at exactly prev+gap MERGES (gap is inclusive)") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val batch = Seq((t("2024-01-01 00:00:00"), "u1"), (t("2024-01-01 00:05:00"), "u1"))
