@@ -211,12 +211,16 @@ object Uuid {
   * offset) plus caller-supplied extra formats; naive inputs interpreted in
   * `timezone`. `lenient = true` adds a BOUNDED heuristic tier approximating
   * the reference's dateutil behavior (`filters/simple.py::Datetime`):
-  * English month-name formats (long and abbreviated, with optional ordinal
-  * day suffixes and a leading weekday name), US-order slash dates
-  * (`M/d/yyyy` — a documented divergence from dateutil's locale
-  * sensitivity), `yyyy/M/d`, and epoch-seconds / epoch-millis detection
-  * for pure-digit strings. Full dateutil fuzz ("next Tuesday") stays out
-  * of scope (SURVEY §7 risk register). Reference: `filters/string.py`
+  * English month-name formats in any case (long and abbreviated, with
+  * optional ordinal day suffixes, abbreviation periods, a leading weekday
+  * name, and 12-hour clocks in am/a.m./PM spellings), RFC-2822 tails
+  * (numeric offset or GMT/UTC name), US-order slash and dotted dates
+  * (`M/d/yyyy`, `M.d.yyyy` — a documented divergence from dateutil's
+  * locale sensitivity), `yyyy/M/d`, `yyyy.M.d`, month-year and bare-year
+  * shapes (filled to the period's first instant, dateutil's default), and
+  * pure-digit detection: epoch seconds (9-10 digits), epoch millis
+  * (12-13), compact `yyyyMMdd` (8), bare year (4). Full dateutil fuzz
+  * ("next Tuesday") stays out of scope (SURVEY §7 risk register). Reference: `filters/string.py`
   * (`Date`/`Datetime` live in the reference's simple module ⚠) —
   * `filters/simple.py::Datetime`.
   *
@@ -232,34 +236,64 @@ class Datetime(val timezone: String = "UTC", val formats: Seq[String] = Nil,
   override protected def defaultMessage = "This value is not a valid date/time."
 
   /** The lenient tier's format cascade, applied to the normalized string
-    * (ordinals stripped, weekday dropped, whitespace collapsed). Spark's
-    * parser rejects the 'E' pattern letter for PARSING, so weekday names
-    * are normalized away instead of matched. */
+    * (ordinals stripped, weekday dropped, am/pm canonicalized, month-name
+    * periods removed, whitespace collapsed). Spark's parser rejects the
+    * 'E' pattern letter for PARSING, so weekday names are normalized away
+    * instead of matched. Ordered most-specific first; day-less shapes
+    * (month-year, bare year) resolve to the period's first instant,
+    * matching the reference parser's fill-in-missing-fields default. */
   private val lenientFormats = Seq(
-    "MMMM d, yyyy h:mm a", "MMMM d, yyyy", "MMMM d yyyy", "d MMMM yyyy",
-    "MMM d, yyyy", "MMM d yyyy", "d MMM yyyy HH:mm:ss", "d MMM yyyy",
-    "M/d/yyyy H:mm", "M/d/yyyy", "yyyy/M/d")
+    "MMMM d, yyyy h:mm:ss a", "MMMM d, yyyy h:mm a", "MMM d, yyyy h:mm a",
+    "MMMM d, yyyy", "MMMM d yyyy", "d MMMM yyyy HH:mm", "d MMMM yyyy",
+    "MMM d, yyyy", "MMM d yyyy",
+    // RFC-2822 tail (weekday already stripped; GMT/UTC names normalize to
+    // +0000 so one numeric-offset pattern covers both)
+    "d MMM yyyy HH:mm:ss Z",
+    "d MMM yyyy HH:mm:ss", "d MMM yyyy",
+    "M/d/yyyy h:mm a", "M/d/yyyy H:mm", "M/d/yyyy", "yyyy/M/d",
+    "yyyy.M.d", "M.d.yyyy",
+    "MMMM yyyy", "MMM yyyy")
 
   protected def parsed(v: Column): Column = {
     val attempts = try_to_timestamp(v) +: formats.map(f => try_to_timestamp(v, lit(f)))
     val lenientAttempts = if (!lenient) Nil else {
-      // "Mon, 5th January 2024" → "5 January 2024": drop a leading weekday,
-      // strip digit-anchored ordinal suffixes, collapse whitespace
-      val norm = regexp_replace(regexp_replace(regexp_replace(
-        trim(v.cast(StringType)),
-        "^(?i)(mon|tue|wed|thu|fri|sat|sun)[a-z]*,?\\s+", ""),
-        "(?<=\\d)(?i)(st|nd|rd|th)", ""),
+      // "MON, 5th sept. 2024 3pm" → "5 Sep 2024 3 PM": initcap first
+      // (Java's month-name parse is case-sensitive, the reference parser
+      // is not — initcap canonicalizes January/jan/JAN alike), then drop
+      // a leading weekday, canonicalize am/pm (a.m./pm/Pm. → AM/PM,
+      // detached so 'a' matches), Sept → Sep (the one abbreviation Java's
+      // MMM rejects), drop a period after a month abbreviation, strip
+      // digit-anchored ordinal suffixes, collapse whitespace
+      val norm = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(regexp_replace(
+          initcap(trim(v.cast(StringType))),
+          "^(?i)(mon|tue|wed|thu|fri|sat|sun)[a-z]*,?\\s+", ""),
+          "(?i)(?<=[\\d\\s])a\\.?m\\.?(?=$|[\\s,])", " AM"),
+          "(?i)(?<=[\\d\\s])p\\.?m\\.?(?=$|[\\s,])", " PM"),
+          "(?i)\\bsept(?=[\\s.,])", "Sep"),
+          "(?i)(?<=[a-z])\\.(?=\\s)", ""),
+          "(?<=\\d)(?i)(st|nd|rd|th)", ""),
         "\\s+", " ")
-      lenientFormats.map(f => try_to_timestamp(norm, lit(f)))
+        // trailing GMT/UTC zone name → numeric offset (after whitespace
+        // collapse so the lookbehind shapes are stable)
+      val norm2 = regexp_replace(norm, "(?i)\\s(gmt|utc|ut)$", " +0000")
+      lenientFormats.map(f => try_to_timestamp(norm2, lit(f)))
     }
     val epochAttempt = if (!lenient) Nil else {
       val s = trim(v.cast(StringType))
       // 9-10 digits → epoch seconds (1973–2286); 12-13 → epoch millis.
       // Absolute instants: they bypass the naive-input timezone correction.
+      // 8 digits → compact yyyyMMdd; 4 digits → bare year (both NAIVE:
+      // they re-enter through the corrected path below via lenientNaive).
       Seq(when(s.rlike("^\\d{9,10}$"), timestamp_seconds(s.cast("long")))
         .when(s.rlike("^\\d{12,13}$"), timestamp_millis(s.cast("long"))))
     }
-    val base = coalesce(attempts ++ lenientAttempts: _*)
+    val compactAttempts = if (!lenient) Nil else {
+      val s = trim(v.cast(StringType))
+      Seq(when(s.rlike("^\\d{8}$"), try_to_timestamp(s, lit("yyyyMMdd")))
+        .when(s.rlike("^\\d{4}$"), try_to_timestamp(s, lit("yyyy"))))
+    }
+    val base = coalesce(attempts ++ lenientAttempts ++ compactAttempts: _*)
     // Inputs carrying an explicit offset are already absolute; naive inputs
     // are interpreted in `timezone` then normalized to UTC. With an assumed
     // zone of UTC both paths are identity — skip the per-row offset regex.
@@ -273,9 +307,11 @@ class Datetime(val timezone: String = "UTC", val formats: Seq[String] = Nil,
         // offset hour REQUIRES the colon so a dash-separated trailing field
         // like "-123" (e.g. dash-millis formats) cannot backtrack-match as
         // "-1"+"23". Trailing whitespace tolerated — Spark's parser trims.
+        // GMT/UTC zone names count as absolute too (the lenient tier
+        // rewrites them to +0000 before parsing).
         val hasOffset = v.cast(StringType).rlike(
           "([0-9]{1,2}:[0-9]{2}(:[0-9]{2}(\\.[0-9]+)?)?|[0-9]{6}(\\.[0-9]+)?)\\s*" +
-            "([Zz]|[+-]([0-9]{2}(:?[0-9]{2})?|[0-9](:[0-9]{2})?))\\s*$")
+            "([Zz]|[+-]([0-9]{2}(:?[0-9]{2})?|[0-9](:[0-9]{2})?)|(?i:GMT|UTC|UT))\\s*$")
         when(hasOffset, base).otherwise(to_utc_timestamp(base, timezone))
       }
     coalesce(corrected +: epochAttempt: _*)
