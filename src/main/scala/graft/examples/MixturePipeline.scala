@@ -59,9 +59,14 @@ object MixturePipeline {
     val sampled = Sampling.stratifiedSample(chunks, stratumCol, "chunk_id",
       weights.map { case (s, w) => s -> math.min(1.0, 2.0 * w) }, default = 0.1)
 
-    // 5. interleave at the mixture weights; 6. pack the vft order
+    // 5. interleave at the mixture weights; 6. pack the vft order.
+    // packSequences executes its input several times (boundary-sample
+    // prep jobs + the two prefix-sum branches); the interleave subtree
+    // above is window-heavy, so persist it per the packSequences
+    // contract. Callers unpersist once the packed output materializes.
     val interleaved = Sampling.interleaveByWeight(sampled, stratumCol, "chunk_id",
       weights, default = 0.05)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Sampling.packSequences(interleaved, "vft", "n_tok", seqBudget)
       .select(col("chunk_id"), col("doc_id"), col("chunk_idx"),
         col(stratumCol), col("n_tok"), col("vft"), col("seq_id"))

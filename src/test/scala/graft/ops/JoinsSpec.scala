@@ -233,6 +233,29 @@ class JoinsSpec extends SparkSuite {
     assert(plan.contains("__b"), s"expected bucket column in the window spec:\n$plan")
   }
 
+  test("asof hot-key mode works over TIMESTAMP time columns (boundary literals)") {
+    // the sampled boundaries are embedded via lit(...) — this pins that a
+    // java.sql.Timestamp boundary round-trips (collect → literal →
+    // comparison) identically to the unbucketed plain form
+    for (dir <- Seq("backward", "nearest")) {
+      val plain = Joins.asofJoin(trades, quotes, Seq("sym"), "t", "qt",
+        direction = dir, matchedTimeCol = Some("qt_m"))
+        .select("trade_id", "bid", "qt_m").collect().map(_.toSeq).toSet
+      val bucketed = Joins.asofJoin(trades, quotes, Seq("sym"), "t", "qt",
+        direction = dir, matchedTimeCol = Some("qt_m"), timeBuckets = 4)
+        .select("trade_id", "bid", "qt_m").collect().map(_.toSeq).toSet
+      assert(bucketed == plain, s"dir=$dir: timestamp boundaries diverged")
+    }
+    // tolerance (interval algebra) composes with the bucketed carry
+    val tolPlain = Joins.asofJoin(trades, quotes, Seq("sym"), "t", "qt",
+      tolerance = Some(expr("INTERVAL 20 SECONDS")))
+      .select("trade_id", "bid").as[(Long, Option[Double])].collect().toMap
+    val tolBucketed = Joins.asofJoin(trades, quotes, Seq("sym"), "t", "qt",
+      tolerance = Some(expr("INTERVAL 20 SECONDS")), timeBuckets = 4)
+      .select("trade_id", "bid").as[(Long, Option[Double])].collect().toMap
+    assert(tolBucketed == tolPlain)
+  }
+
   test("asof with a composite key partitions on both columns") {
     val l = Seq((1L, "A", "x", ts("2024-01-01 10:00:00")),
       (2L, "A", "y", ts("2024-01-01 10:00:00")))
