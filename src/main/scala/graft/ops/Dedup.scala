@@ -391,15 +391,31 @@ object Dedup {
     * Sizing: ~1.2 bytes/key at 1% fpp (`-n·ln(p)/(8·ln²2)`) — 1 B keys ≈
     * 1.1 GB, broadcast-friendly; toward 10 B keys either raise `fpp` (the
     * filter only routes to verification, so fpp costs extra verify work,
-    * never correctness) or shard the sketch by key range. Spark's own
-    * runtime bloom join filters are intra-query only — this is the
-    * cross-job counterpart. */
+    * never correctness) or use [[seenFilterSharded]]. Spark's own runtime
+    * bloom join filters are intra-query only — this is the cross-job
+    * counterpart.
+    *
+    * Built DIRECTLY (per-partition `BloomFilter.create` + `treeReduce`
+    * merge), NOT via `df.stat.bloomFilter`: Spark 4's stat path runs the
+    * runtime-filter `BloomFilterAggregate`, which silently CLAMPS the
+    * sketch to 2^26 bits (8 MB) — beyond ~7 M keys at 1% the returned
+    * filter saturates and flags nearly every probe (measured: 99.8%
+    * false-positive rate at 50 M keys; `tools/BloomShardSmoke`). The
+    * direct build has no cap; per-task memory is one filter, the same as
+    * the stat path's partial aggregates. */
   def seenFilter(df: DataFrame, keyCol: Column, expectedItems: Long,
                  fpp: Double = 0.01): Array[Byte] = {
-    val bf = df.select(xxhash64(keyCol).as("__k")).stat
-      .bloomFilter("__k", expectedItems, fpp)
+    import org.apache.spark.util.sketch.BloomFilter
+    val (n, p) = (expectedItems, fpp)
+    val merged = df.select(xxhash64(keyCol).as("__k")).rdd
+      .mapPartitions { it =>
+        val f = BloomFilter.create(n, p)
+        it.foreach(r => f.putLong(r.getLong(0)))
+        Iterator.single(f)
+      }
+      .treeReduce((a, b) => { a.mergeInPlace(b); a }, depth = 2)
     val out = new java.io.ByteArrayOutputStream()
-    bf.writeTo(out)
+    merged.writeTo(out)
     out.toByteArray
   }
 

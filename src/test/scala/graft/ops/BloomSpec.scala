@@ -44,6 +44,24 @@ class BloomSpec extends SparkSuite {
     assert(freshIds.contains(90000L) || freshIds.contains(90001L))
   }
 
+  test("seenFilter sizes past Spark's 2^26-bit runtime-filter clamp (regression)") {
+    // df.stat.bloomFilter (Spark 4) runs BloomFilterAggregate, which
+    // silently clamps to 2^26 bits = 8,388,608 bytes — beyond ~7M keys at
+    // 1% the sketch saturates and flags nearly everything (measured 99.8%
+    // fpp at 50M keys). The direct build must honor the requested
+    // capacity: 10M expected keys needs ~96M bits ≈ 12MB.
+    val keys = spark.range(200000L).toDF("k")
+    val bytes = Dedup.seenFilter(keys, col("k"), expectedItems = 10000000L)
+    assert(bytes.length > 8388624,
+      s"sketch is ${bytes.length} B — capped at Spark's 2^26-bit clamp")
+    // fpp sanity at this occupancy (200k keys in 10M capacity): ~0
+    val fresh = spark.range(500000L, 600000L).toDF("k")
+    val flagged = fresh.filter(Dedup.mightBeSeen(bytes, col("k"))).count()
+    assert(flagged < 1000, s"$flagged/100000 fresh keys flagged — sketch saturated")
+    // and still no false negatives
+    assert(keys.filter(!Dedup.mightBeSeen(bytes, col("k"))).count() == 0)
+  }
+
   test("sharded sketch: no false negatives across shard boundaries") {
     // 2000 keys spread over 7 shards (a prime, so no accidental alignment
     // with the 32-thread partitioning); EVERY ingested key must probe
