@@ -69,7 +69,7 @@ object Joins {
     * aggregate then computes each bucket's boundary payload and a
     * #buckets-row window per key carries it into the next bucket
     * (two-level carry — the prefix-sum trick applied to
-    * `last(_, ignoreNulls)`). Costs: two narrow boundary-sampling jobs,
+    * `last(_, ignoreNulls)`). Costs: one narrow boundary-sketch pass,
     * one extra aggregate, and a broadcast of the (key, bucket) carry
     * frame — so use it in the FEW-HOT-KEYS regime it exists for (#keys ×
     * B must stay broadcast-sized; thousands of keys × 32 buckets is

@@ -123,10 +123,10 @@ object Sampling {
     * `__pid` (the round-5 driver failure); the eager-checkpoint pin that
     * first fixed it cost a full corpus write per call, with files Spark
     * never reclaims by default. Literal boundaries need NO
-    * materialization: the price is two lightweight preparatory jobs (a
-    * count and a one-column boundary sample) before the packing job —
-    * callers packing an expensively-derived frame should persist it
-    * first. Requires a deterministic input frame (everything in this
+    * materialization: the price is ONE narrow preparatory pass (a
+    * bottom-k boundary sketch over the order column) before the packing
+    * job — callers packing an expensively-derived frame should persist
+    * it first. Requires a deterministic input frame (everything in this
     * library is): the branches recompute the input independently. */
   def packSequences(df: DataFrame, orderCol: String, tokenCol: String,
                     budget: Long): DataFrame = {
@@ -181,44 +181,94 @@ object Sampling {
       .drop("__pid", "__cum", "__off", "__excl")
   }
 
-  /** Deterministic range boundaries over `orderCol` for [[packSequences]]:
-    * a hash-selected sample of DISTINCT values weighted by row frequency
-    * (each value is all-in or all-out, so a heavily duplicated key
-    * contributes its mass as weight, never as millions of collected
-    * rows), sorted, then boundaries picked at even cumulative-weight
-    * steps. Two narrow jobs: a count to size the sample rate, then the
-    * one-column sample itself (~64 values per bucket expected). Returns
-    * ascending, deduplicated values; fewer than `buckets - 1` when the
-    * key space is small — degenerating to one bucket (a single-partition
-    * sort) only when the data itself has (almost) one distinct key,
-    * exactly when any order-based partitioning must. */
+  /** Deterministic range boundaries over `orderCol` for [[packSequences]]
+    * and the as-of join's hot-key mode: a bottom-k-by-hash (KMV) sample of
+    * DISTINCT values with EXACT row counts as weights, from ONE narrow
+    * pass — then boundaries picked at even cumulative-weight steps.
+    *
+    * The KMV invariant makes the one-pass counts exact: a value is
+    * evicted from a partition's sketch only when ≥ k distinct values with
+    * smaller hash exist in that partition — and the hash is a global
+    * property of the value, so an evicted value cannot be in the GLOBAL
+    * bottom-k either; conversely every global-bottom-k value survives in
+    * every partition it appears in, with all of its rows counted. Heavy
+    * duplication contributes its mass as a count, never as collected
+    * rows; per-task state is ≤ 2k entries.
+    *
+    * The k surviving values sort through a tiny Spark job (K rows), not a
+    * driver-side comparator — boundary ORDER must agree exactly with the
+    * engine's own `<`, and e.g. Java's String compareTo (UTF-16) disagrees
+    * with Spark's UTF8String binary order outside ASCII.
+    *
+    * Returns ascending, deduplicated values; fewer than `buckets - 1`
+    * when the key space is small — degenerating to one bucket (a
+    * single-partition sort) only when the data itself has (almost) one
+    * distinct key, exactly when any order-based partitioning must. */
   private[ops] def packBoundaries(df: DataFrame, orderCol: String,
                                   buckets: Int): Seq[Any] = {
     if (buckets <= 1) return Nil
+    val k = buckets * 64
+    val dt = df.schema(orderCol).dataType
     val keyed = df.select(col(orderCol).as("__k")).filter(col("__k").isNotNull)
-    val n = keyed.count()
-    if (n == 0) return Nil
-    val m = 1L << 20
-    val target = buckets.toLong * 64L
-    val keep = math.min(m,
-      math.max(1L, math.ceil(target.toDouble / n * m).toLong))
-    val sampled = keyed
-      .filter(pmod(xxhash64(col("__k"), lit("graft:pack")), lit(m)) < lit(keep))
-      .groupBy("__k").agg(count(lit(1)).as("__w"))
-      .orderBy("__k")
-      .collect()
-    if (sampled.isEmpty) return Nil
+      .withColumn("__h", xxhash64(col("__k"), lit("graft:pack")))
+    type Sketch = scala.collection.mutable.HashMap[Any, (Long, Long)]
+    def prune(m: Sketch): Unit = if (m.size > k) {
+      val cut = m.values.map(_._1).toArray.sorted.apply(k - 1)
+      // ties on the cut hash stay — keeping a few extra is harmless,
+      // dropping a tied value could lose a global-bottom-k survivor
+      m.filterInPlace { case (_, (h, _)) => h <= cut }
+    }
+    val parts = keyed.rdd.mapPartitions { it =>
+      val m: Sketch = scala.collection.mutable.HashMap.empty
+      var sincePrune = 0
+      it.foreach { r =>
+        val v = r.get(0)
+        m.get(v) match {
+          case Some((h, c)) => m.update(v, (h, c + 1L))
+          case None =>
+            m.update(v, (r.getLong(1), 1L))
+            sincePrune += 1
+            if (sincePrune >= k) { prune(m); sincePrune = 0 }
+        }
+      }
+      prune(m)
+      Iterator.single(m)
+    }
+    if (parts.getNumPartitions == 0) return Nil // 0-partition frame: no job
+    val merged = parts.treeReduce({ (a, b) =>
+      b.foreach { case (v, (h, c)) =>
+        a.get(v) match {
+          case Some((_, cc)) => a.update(v, (h, cc + c))
+          case None          => a.update(v, (h, c))
+        }
+      }
+      prune(a)
+      a
+    }, depth = 2)
+    if (merged.isEmpty) return Nil
+    // sort the K survivors with the ENGINE's ordering (tiny local job)
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__k", dt),
+      org.apache.spark.sql.types.StructField("__w",
+        org.apache.spark.sql.types.LongType)))
+    val sampled = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        merged.toSeq.map { case (v, (_, c)) =>
+          org.apache.spark.sql.Row(v, c)
+        }, 1), schema)
+      .orderBy("__k").collect()
     val totalW = sampled.iterator.map(_.getLong(1)).sum
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var cum = 0L
-    var k = 1
-    for (row <- sampled if k < buckets) {
+    var b = 1
+    for (row <- sampled if b < buckets) {
       cum += row.getLong(1)
-      // ceil(k * totalW / buckets): the k-th even cumulative-weight step
-      while (k < buckets && cum >= (k.toLong * totalW + buckets - 1) / buckets) {
+      // ceil(b * totalW / buckets): the b-th even cumulative-weight step
+      while (b < buckets && cum >= (b.toLong * totalW + buckets - 1) / buckets) {
         val v = row.get(0)
         if (out.isEmpty || out.last != v) out += v
-        k += 1
+        b += 1
       }
     }
     out.toSeq

@@ -152,6 +152,28 @@ class SamplingSpec extends SparkSuite {
     }
   }
 
+  test("packSequences with a STRING order column (boundary order must match the engine's <)") {
+    // the KMV boundary sample sorts its survivors through a Spark job so
+    // boundary order agrees with the engine's UTF8 binary `<` — a
+    // driver-side Java compareTo would disagree outside ASCII. Non-ASCII
+    // keys included deliberately.
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map { i =>
+      val key = if (i % 7 == 0) s"kéy_${rnd.nextInt(10)}" else f"key_${rnd.nextInt(50)}%02d"
+      (key, i.toLong % 97 + 1)
+    }
+    val df = rows.toDF("k", "n_tok")
+    val packed = Sampling.packSequences(df.repartition(5), "k", "n_tok", 128)
+      .select("k", "n_tok", "seq_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val reference = df.withColumn("seq_id",
+      expr("(sum(n_tok) OVER (ORDER BY k, xxhash64(k, n_tok) " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) div 128L"))
+      .select("k", "n_tok", "seq_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(packed == reference)
+  }
+
   test("packSequences is bit-identical with exchange reuse disabled and AQE on/off") {
     // the round-5 driver failure: the cumsum and offsets branches each
     // held a repartitionByRange subtree, and whenever the physical
