@@ -36,6 +36,15 @@ for name, sql in sorted(oracle.items()):
     if len(got) != len(want):
         results[name] = f"ROWS_MISMATCH: spark={len(got)} duck={len(want)}"
         continue
+    # dtype compare — the driver's hash is dtype-SENSITIVE, so a value-equal
+    # result can still fail it (r6's q_pack_sequences: DuckDB sum() widens
+    # BIGINT to HUGEINT -> pandas object/float vs spark int64). Any oracle
+    # aggregate must be CAST so both engines land on the same pandas dtype.
+    dt_bad = [(c, str(got[c].dtype), str(want[c].dtype))
+              for c in got.columns if str(got[c].dtype) != str(want[c].dtype)]
+    if dt_bad:
+        results[name] = f"DTYPE_MISMATCH (driver hash would fail): {dt_bad}"
+        continue
     # value compare, column-wise, with dtype normalization
     bad = None
     for c in got.columns:
