@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{Validate, ValidationResult}
 import graft.{filters => F}
 import graft.filters.{Emptiness, FilterMapper, FilterMapperDynamic, FilterRepeater, FilterRepeaterMap, FilterSwitch}
-import graft.ops.{Boilerplate, Dedup, Joins, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Boilerplate, Dedup, Joins, Sampling, Similarity, TextAnalysis, Urls}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2.7), each hash-checked against the DuckDB `oracleSql`. */
@@ -314,6 +314,49 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.distinctKeys(T(s, dir, "documents"), Seq("lang", "source"))
         .orderBy("lang", "source")
+    }),
+    "q_dedup_units" -> ((s, dir) => {
+      // corpus-wide keep-first unit dedup at token granularity (the corpus
+      // has no newlines); units under 4 chars are exempt, exercising the
+      // structural-unit carve-out alongside the dedup path
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      Dedup.dedupUnitsKeepFirst(docs, "doc_id", "text",
+        delim = " ", joinSep = " ", minUnitLength = 4)
+        .orderBy("doc_id")
+    }),
+    "q_url_canon" -> ((s, dir) => {
+      // synthesized URLs sweep every canonicalization rule: scheme/host
+      // case, userinfo, default vs explicit port, trailing slash, tracking
+      // params + param sort, bare '?', fragment. The oracle states the
+      // EXPECTED canonical form in closed form — it verifies semantics
+      // independently rather than mirroring the parser.
+      val docs = T(s, dir, "documents")
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTP://u:p@WWW.Example.COM:80"))
+          .otherwise(lit("https://API.Example.org:8443")),
+        lit("/Path/"), (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("?utm_source=news&b=2&a=1"))
+          .otherwise(when(col("doc_id") % 4 === 1, lit("?id=7&utm_campaign=x&fbclid=abc"))
+            .otherwise(when(col("doc_id") % 4 === 2, lit("?")).otherwise(lit("")))),
+        when(col("doc_id") % 5 === 0, lit("#section-2")).otherwise(lit("")))
+      docs.select(col("doc_id"),
+        Urls.canonicalizeUrl(url).as("url_canonical"),
+        Urls.urlHost(url).as("host"),
+        Urls.registrableDomain(url).as("domain"))
+        .orderBy("doc_id")
+    }),
+    "q_url_dedup" -> ((s, dir) => {
+      // many URL spellings of the same resource (case, trailing slash,
+      // tracking param, fragment) collapse to one canonical form; keep the
+      // smallest doc_id per resource
+      val docs = T(s, dir, "documents")
+      val url = concat(lit("HTTPS://Example.COM/item/"),
+        (col("doc_id") % 37).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/?utm_source=x")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, lit("#f")).otherwise(lit("")))
+      Urls.dedupByUrl(docs.select(col("doc_id"), url.as("url")), "url", "doc_id")
+        .select("doc_id", "url_canonical").orderBy("doc_id")
     }),
     "q_dedup_clusters" -> ((s, dir) => {
       // transitive near-dup resolution, ORACLE-CHECKED: exact token-set
@@ -869,6 +912,32 @@ object SparkEntry {
       // NULLS FIRST pins DuckDB (default NULLS LAST) to Spark's default
       // ascending order; the compare is positional
       "SELECT DISTINCT lang, source FROM documents ORDER BY lang NULLS FIRST, source NULLS FIRST",
+    "q_dedup_units" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL), " +
+        "l AS (SELECT doc_id, unnest(string_split(text, ' ')) AS u, " +
+        "unnest(generate_series(1, len(string_split(text, ' ')))) AS pos FROM d), " +
+        "el AS (SELECT doc_id, pos, u, row_number() OVER (PARTITION BY u ORDER BY doc_id, pos) AS rk " +
+        "FROM l WHERE length(u) >= 4), " +
+        "k AS (SELECT doc_id, pos, u FROM el WHERE rk = 1 " +
+        "UNION ALL SELECT doc_id, pos, u FROM l WHERE length(u) < 4) " +
+        "SELECT doc_id, string_agg(u, ' ' ORDER BY pos) AS text_clean FROM k " +
+        "GROUP BY doc_id ORDER BY doc_id"),
+    "q_url_canon" ->
+      // closed-form EXPECTED output (not a parser mirror): lowercased
+      // scheme+host, userinfo gone, :80 dropped / :8443 kept, trailing
+      // slash stripped, tracking params dropped + survivors sorted, bare
+      // '?' and fragment gone
+      ("SELECT doc_id, " +
+        "(CASE WHEN doc_id % 2 = 0 THEN 'http://www.example.com' ELSE 'https://api.example.org:8443' END) " +
+        "|| '/Path/' || CAST(doc_id % 7 AS VARCHAR) " +
+        "|| (CASE WHEN doc_id % 4 = 0 THEN '?a=1&b=2' WHEN doc_id % 4 = 1 THEN '?id=7' ELSE '' END) AS url_canonical, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'www.example.com' ELSE 'api.example.org' END AS host, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'example.com' ELSE 'example.org' END AS domain " +
+        "FROM documents ORDER BY doc_id"),
+    "q_url_dedup" ->
+      ("WITH t AS (SELECT doc_id, 'https://example.com/item/' || CAST(doc_id % 37 AS VARCHAR) AS c FROM documents), " +
+        "r AS (SELECT doc_id, c, row_number() OVER (PARTITION BY c ORDER BY doc_id) AS rk FROM t) " +
+        "SELECT doc_id, c AS url_canonical FROM r WHERE rk = 1 ORDER BY doc_id"),
     "q_repetition" ->
       ("WITH t AS (SELECT doc_id, text, concat_ws(chr(10), text, text, 'tail') AS rep FROM documents), " +
         "l AS (SELECT doc_id, list_filter(string_split(rep, chr(10)), x -> length(x) > 0) AS lines, " +

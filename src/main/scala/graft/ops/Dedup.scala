@@ -30,6 +30,49 @@ object Dedup {
     * delegates to TextAnalysis so the two surfaces cannot diverge.) */
   def fingerprint(text: Column): Column = TextAnalysis.fingerprintMd5(text)
 
+  /** Corpus-wide UNIT-level exact dedup, keep-first (the C4-style pass:
+    * a paragraph/line appearing anywhere earlier in the corpus is deleted
+    * from every later document; the first occurrence — smallest
+    * `(idCol, position)` — survives in place). Complements
+    * [[Boilerplate.removeFrequentLines]]: that drops units frequent
+    * across MANY documents from ALL of them; this keeps exactly one copy
+    * of every unit regardless of frequency. Documents reassemble in
+    * original order; documents left with no surviving units drop (same
+    * contract as Boilerplate). Units shorter than `minUnitLength` are
+    * exempt — never deduplicated — so empty segments from consecutive
+    * delimiters (and, at higher settings, one-word lines) keep their
+    * structural role instead of surviving only at their corpus-first
+    * position.
+    *
+    * Scale shape — two exchanges, like Boilerplate: (1) winner selection,
+    * a window keyed by the unit's 128-bit md5 whose `row_number ≤ 1`
+    * compiles to `WindowGroupLimit` — every map task pre-prunes to one
+    * row per unit hash before the shuffle, so a million-fold repeated
+    * unit ships ≤ #map-partitions rows, never a million (md5-collision
+    * identification, the project-wide convention for unit keys);
+    * (2) order-preserving reassembly keyed by doc id (`array_sort` on
+    * collected (pos, unit) structs keeps the aggregate partial-able). */
+  def dedupUnitsKeepFirst(df: DataFrame, idCol: String, textCol: String,
+                          delim: String = "\n", joinSep: String = "\n",
+                          minUnitLength: Int = 1,
+                          cleanCol: String = "text_clean"): DataFrame = {
+    val units = df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol), delim)).as(Seq("__pos", "__u")))
+    val eligible = units.filter(length(col("__u")) >= minUnitLength)
+      .withColumn("__h", md5(col("__u").cast("binary")))
+    val w = Window.partitionBy(col("__h")).orderBy(col(idCol), col("__pos"))
+    val kept = eligible.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk", "__h")
+    val exempt = units.filter(length(col("__u")) < minUnitLength)
+    kept.unionByName(exempt)
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__u")))),
+        x => x.getField("__u")), joinSep).as(cleanCol))
+  }
+
   /** Character k-shingles of a normalized document — a map-only expression
     * (sequence + transform), no explode/shuffle. */
   def shingles(text: Column, k: Int = 5): Column = {

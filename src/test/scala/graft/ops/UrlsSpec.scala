@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** URL canonicalization & URL-level dedup ([[Urls]]): every
+  * canonicalization rule pinned on a single-row example, NULL contract for
+  * non-absolute inputs, keep-first semantics and the WindowGroupLimit
+  * pre-prune plan shape of [[Urls.dedupByUrl]]. */
+class UrlsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def canon(u: String): String = {
+    val r = Seq(Tuple1(u)).toDF("u")
+      .select(Urls.canonicalizeUrl(col("u")).as("c")).head()
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  test("scheme and host lowercase; path case preserved") {
+    assert(canon("HTTP://WWW.Example.COM/Path/File") == "http://www.example.com/Path/File")
+  }
+
+  test("userinfo dropped, default ports dropped, explicit ports kept") {
+    assert(canon("http://user:pw@a.com:80/x") == "http://a.com/x")
+    assert(canon("https://a.com:443/x") == "https://a.com/x")
+    assert(canon("https://a.com:8443/x") == "https://a.com:8443/x")
+    assert(canon("http://a.com:443/x") == "http://a.com:443/x") // non-default for http
+  }
+
+  test("trailing slashes strip; empty path becomes /") {
+    assert(canon("http://a.com") == "http://a.com/")
+    assert(canon("http://a.com/") == "http://a.com/")
+    assert(canon("http://a.com/x///") == "http://a.com/x")
+  }
+
+  test("tracking params drop, survivors sort, bare ? and fragment vanish") {
+    assert(canon("http://a.com/x?utm_source=s&b=2&a=1&gclid=g&fbclid=f&ref=r") ==
+      "http://a.com/x?a=1&b=2")
+    assert(canon("http://a.com/x?utm_campaign=c") == "http://a.com/x")
+    assert(canon("http://a.com/x?") == "http://a.com/x")
+    assert(canon("http://a.com/x#frag?not=query") == "http://a.com/x")
+    // a non-tracking key PREFIXED by a tracking name must survive
+    assert(canon("http://a.com/x?reference=1") == "http://a.com/x?reference=1")
+  }
+
+  test("non-absolute inputs canonicalize to NULL") {
+    assert(canon("not a url") == null)
+    assert(canon("/relative/path") == null)
+    assert(canon("example.com/x") == null)
+    assert(canon("") == null)
+    // empty host (scheme present, no authority) is malformed too
+    assert(canon("http:///path") == null)
+  }
+
+  test("urlHost and registrableDomain") {
+    val df = Seq(
+      ("http://u@A.B.Example.COM:8080/x", "a.b.example.com", "example.com"),
+      ("https://localhost/x", "localhost", "localhost"),
+      ("nope", null, null)
+    ).toDF("u", "h", "d")
+    val got = df.select(
+      Urls.urlHost(col("u")).as("gh"), col("h"),
+      Urls.registrableDomain(col("u")).as("gd"), col("d")).collect()
+    got.foreach { r =>
+      assert(r.get(0) == r.get(1), s"host mismatch: ${r.get(0)} vs ${r.get(1)}")
+      assert(r.get(2) == r.get(3), s"domain mismatch: ${r.get(2)} vs ${r.get(3)}")
+    }
+  }
+
+  test("dedupByUrl keeps the min-id row per canonical URL; malformed rows drop") {
+    val df = Seq(
+      (3L, "http://A.com/x/?utm_source=s"),
+      (1L, "HTTP://a.COM/x#frag"),
+      (2L, "http://a.com/x"),
+      (5L, "http://b.com/y"),
+      (6L, "garbage")
+    ).toDF("id", "url")
+    val out = Urls.dedupByUrl(df, "url", "id")
+      .select("id", "url_canonical").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "http://a.com/x"), (5L, "http://b.com/y")))
+  }
+
+  test("dedupByUrl plan pre-prunes map-side (WindowGroupLimit before the exchange)") {
+    val df = spark.range(1000).select(col("id"),
+      concat(lit("http://a.com/p/"), (col("id") % 10).cast("string")).as("url"))
+    val plan = Urls.dedupByUrl(df, "url", "id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit pre-prune in plan:\n$plan")
+  }
+}
