@@ -105,11 +105,12 @@ object Sampling {
     * Scale shape: a naive global window (`Window.orderBy(...)` with no
     * partitioning) collapses to a SINGLE-partition sort — the classic
     * distributed prefix-sum trap. This is the two-phase version:
-    * range-repartition on the order column, per-partition window cumsum,
-    * then add each partition's exclusive offset from the #partitions-row
-    * totals frame (broadcast back). The only heavy exchange is the range
-    * partitioning itself; the result is independent of the sampled range
-    * boundaries because prefix sums compose across any split points.
+    * bucket on the order column, per-bucket window cumsum, then add each
+    * bucket's exclusive offset — collected once (≤ #buckets longs) and
+    * embedded as a LITERAL map, so the final plan has ONE exchange and
+    * no join and no partitionless window at all. The result is
+    * independent of the sampled bucket boundaries because prefix sums
+    * compose across any split points.
     *
     * The bucket id is DATA-DERIVED, not plan-derived: range boundaries
     * over `orderCol` are sampled once (deterministic hash sample, weighted
@@ -164,17 +165,31 @@ object Sampling {
     val wIn = Window.partitionBy("__pid").orderBy(col(orderCol), tie)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = parted.withColumn("__cum", sum(col(tokenCol)).over(wIn))
-    // per-bucket totals come from a plain aggregate (sum ignores nulls
-    // exactly like the windowed cumsum); both branches bucket rows with
-    // the SAME literal boundaries, so they cannot disagree no matter how
-    // the two subtrees are planned or scheduled. The #buckets-row window
-    // below is bounded by construction (≤ shuffle-partitions rows).
-    val offsets = parted.groupBy("__pid").agg(sum(col(tokenCol)).as("__ptot"))
-      .withColumn("__off", coalesce(
-        sum("__ptot").over(Window.orderBy("__pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__pid", "__off")
-    cum.join(broadcast(offsets), Seq("__pid"))
+    // Per-bucket exclusive offsets as LITERALS, like the boundaries: the
+    // ≤ #buckets totals collect through one small-result action (sum
+    // ignores nulls exactly like the windowed cumsum; both jobs bucket
+    // rows with the SAME literal boundaries, so they cannot disagree no
+    // matter how they are planned or scheduled — and offsets are exact
+    // LONG sums, immune to accumulation order). The earlier broadcast-
+    // join formulation aggregated the corpus inside the broadcast
+    // subtree anyway, so this is the same number of corpus reads with
+    // one less join and no partitionless window in the final plan; the
+    // driver holds #buckets longs.
+    val offByPid: Map[Int, Long] = {
+      val totals = parted.groupBy("__pid")
+        .agg(sum(col(tokenCol)).as("__ptot")).collect()
+      val sorted = totals.map { r =>
+        (r.getInt(0),
+          if (r.isNullAt(1)) 0L
+          else r.get(1).asInstanceOf[Number].longValue())
+      }.sortBy(_._1)
+      var acc = 0L
+      sorted.map { case (pid, tot) =>
+        val off = acc; acc += tot; (pid, off)
+      }.toMap
+    }
+    cum.withColumn("__off",
+        coalesce(element_at(typedLit(offByPid), col("__pid")), lit(0L)))
       // integer `div`, not floor(double /): exact for any cumsum magnitude
       .withColumn("__excl", col("__cum") + col("__off") - col(tokenCol))
       .withColumn("seq_id", expr(s"__excl div ${budget}L"))

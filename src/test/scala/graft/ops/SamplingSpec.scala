@@ -279,14 +279,16 @@ class SamplingSpec extends SparkSuite {
     val nTw = assertGlobalWindowsBounded(
       Sampling.temperatureWeights(docs, "lang", 0.5), "temperatureWeights")
     assert(nTw >= 1, "expected the global normalization window to be present")
-    // packSequences: the offsets prefix sum over the #buckets totals
-    // (the per-row cumsum window is partitioned by __pid, so it is
-    // excluded from the partitionless sweep by construction)
+    // packSequences: r7-late, the offsets prefix sum is computed on the
+    // driver (≤ #buckets longs) and embedded as a literal map — the
+    // final plan has NO partitionless window at all (the per-row cumsum
+    // window is partitioned by __pid)
     val withTok = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
     val nPack = assertGlobalWindowsBounded(
       Sampling.packSequences(withTok, "doc_id", "n_tok", 256), "packSequences")
-    assert(nPack >= 1, "expected the offsets window to be present")
+    assert(nPack == 0,
+      "packSequences must have no partitionless window (literal offsets)")
     // weightedSample's global rank is the third site — its Window is
     // rewritten to TakeOrderedAndProject (asserted in the spec above),
     // so nothing reaches WindowExec at all
