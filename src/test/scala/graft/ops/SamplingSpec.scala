@@ -108,6 +108,15 @@ class SamplingSpec extends SparkSuite {
     assert(ids.head == 0L && ids == (ids.head to ids.last))
   }
 
+  test("packSequences degenerate inputs: empty frame and single row (literal offsets path)") {
+    val empty = Seq.empty[(Long, Long)].toDF("k", "n_tok")
+    assert(Sampling.packSequences(empty, "k", "n_tok", 512L).count() == 0L)
+    val one = Seq((7L, 100L)).toDF("k", "n_tok")
+    val out = Sampling.packSequences(one, "k", "n_tok", 512L)
+      .select("k", "seq_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((7L, 0L)))
+  }
+
   test("packSequences serializes orderCol peers (ROWS frame, not the RANGE default)") {
     // 4 rows sharing ONE order key, 600 tokens each, budget 512. The
     // default RANGE frame would give every peer the same cumsum (2400) —
