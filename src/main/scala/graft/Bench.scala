@@ -30,8 +30,11 @@ object Bench {
       }
     val results = pass() // cold: includes per-query codegen/JIT
     val warm = pass()    // steady-state: generated classes already compiled
+    // ms precision: full double repr (~11 chars/value) pushed the head of
+    // this line past the driver artifact's tail-capture window; 3 decimals
+    // keep every per-query time visible downstream
     def json(rs: Seq[(String, Double)]) =
-      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      rs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2.abs).sum else 0.0
     val totalWarm = if (warm.nonEmpty) warm.map(_._2.abs).sum else 0.0
     // count failures across BOTH passes — a warm-only crash must not
