@@ -80,6 +80,56 @@ class UrlsSpec extends SparkSuite {
     assert(out == Set((1L, "http://a.com/x"), (5L, "http://b.com/y")))
   }
 
+  test("canonicalizeUrl agrees with a java.net.URI-based reconstruction on 400 random URLs") {
+    // independent second implementation: parse with the JDK's URI parser,
+    // rebuild the canonical form from ITS components, and require
+    // equality — a shared misparse would need the same bug in two
+    // unrelated parsers. Seeded: reproducible across driver runs.
+    val rnd = new scala.util.Random(42)
+    // first char a letter: java.net.URI follows RFC 2396, whose hostname
+    // toplabel must start alphabetic — an all-digit label nulls getHost
+    def label() = ("abcXYZ"(rnd.nextInt(6)) +: (1 until 1 + rnd.nextInt(7)).map(_ =>
+      "abcXYZ019"(rnd.nextInt(9)))).mkString
+    def genUrl(): String = {
+      val scheme = Seq("http", "https", "HTTP", "HtTpS", "ftp")(rnd.nextInt(5))
+      val userinfo = Seq("", "", "user@", "u:p@")(rnd.nextInt(4))
+      val host = (1 to 1 + rnd.nextInt(3)).map(_ => label()).mkString(".")
+      val port = Seq("", "", ":80", ":443", ":8080", ":65535")(rnd.nextInt(6))
+      val path = if (rnd.nextBoolean()) ""
+        else "/" + (1 to rnd.nextInt(4)).map(_ => label()).mkString("/") +
+          (if (rnd.nextBoolean()) "/" else "")
+      val keys = Seq("a", "b", "id", "utm_source", "utm_campaign", "ref",
+        "reference", "gclid", "fbclid")
+      val query = if (rnd.nextBoolean()) ""
+        else "?" + (1 to 1 + rnd.nextInt(4)).map(_ =>
+          keys(rnd.nextInt(keys.size)) + "=" + label()).mkString("&")
+      val frag = Seq("", "", "#top", "#s2")(rnd.nextInt(4))
+      s"$scheme://$userinfo$host$port$path$query$frag"
+    }
+    def expected(u: String): String = {
+      val uri = new java.net.URI(u)
+      val scheme = uri.getScheme.toLowerCase
+      val host = uri.getHost.toLowerCase
+      val port = uri.getPort
+      val portPart = if (port == -1 || (scheme == "http" && port == 80) ||
+        (scheme == "https" && port == 443)) "" else s":$port"
+      val p0 = Option(uri.getRawPath).getOrElse("").replaceAll("/+$", "")
+      val path = if (p0.isEmpty) "/" else p0
+      val params = Option(uri.getRawQuery).map(_.split("&").toSeq).getOrElse(Nil)
+        .filter(s => s.nonEmpty && !s.matches("^(utm_[^=]*|gclid|fbclid|ref)=.*"))
+        .sorted
+      val qPart = if (params.isEmpty) "" else "?" + params.mkString("&")
+      s"$scheme://$host$portPart$path$qPart"
+    }
+    val urls = (1 to 400).map(_ => genUrl())
+    val got = urls.toDF("u")
+      .select(col("u"), Urls.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    urls.foreach { u =>
+      assert(got(u) == expected(u), s"mismatch for $u")
+    }
+  }
+
   test("dedupByUrl plan pre-prunes map-side (WindowGroupLimit before the exchange)") {
     val df = spark.range(1000).select(col("id"),
       concat(lit("http://a.com/p/"), (col("id") % 10).cast("string")).as("url"))
