@@ -46,9 +46,34 @@ object GraftFunctions {
     (args: Seq[Expression]) => StaticInvoke(Kernels.getClass, dt, kernel, args,
       paramTypes, propagateNull = true, returnNullable = true)
 
-  def register(spark: SparkSession): Unit =
+  /** COMPOSITE Column-expression functions on the same SQL surface — not
+    * single kernels but library functions whose body is an ordinary
+    * Catalyst tree (regexp/array/string ops, codegen-resident, no UDF).
+    * The builder bridges argument Expressions → Columns → the library
+    * function → back, via GraftSqlShim. (name, arity, fn). */
+  val columnFunctions: Seq[(String, Int,
+      Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column)] = Seq(
+    ("url_canonical", 1, args => graft.ops.Urls.canonicalizeUrl(args.head)),
+    ("url_host", 1, args => graft.ops.Urls.urlHost(args.head)),
+    ("url_domain", 1, args => graft.ops.Urls.registrableDomain(args.head)))
+
+  def columnBuilder(name: String, arity: Int,
+                    fn: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column)
+      : Seq[Expression] => Expression = { (args: Seq[Expression]) =>
+    require(args.length == arity,
+      s"$name expects $arity argument(s), got ${args.length}")
+    org.apache.spark.sql.GraftSqlShim.expressionEager(
+      fn(args.map(org.apache.spark.sql.GraftSqlShim.column)))
+  }
+
+  def register(spark: SparkSession): Unit = {
     kernelFunctions.foreach { case (name, dt, kernel, pts) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder(dt, kernel, pts), "scala_udf")
     }
+    columnFunctions.foreach { case (name, arity, fn) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, columnBuilder(name, arity, fn), "scala_udf")
+    }
+  }
 }

@@ -19,5 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(Kernels.getClass.getName, name),
         graft.GraftFunctions.builder(dt, kernel, pts)))
     }
+    graft.GraftFunctions.columnFunctions.foreach { case (name, arity, fn) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(graft.ops.Urls.getClass.getName, name),
+        graft.GraftFunctions.columnBuilder(name, arity, fn)))
+    }
   }
 }

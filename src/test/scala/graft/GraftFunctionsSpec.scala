@@ -55,6 +55,25 @@ class GraftFunctionsSpec extends SparkSuite {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("composite Column functions reachable from SQL: url_canonical/url_host/url_domain") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT url_canonical('HTTP://u@WWW.Ex.COM:80/A/?utm_source=s&b=1#f') AS c, " +
+        "url_host('https://A.B.Ex.org/x') AS h, url_domain('https://a.b.ex.org/x') AS d, " +
+        "url_canonical('not a url') AS n").collect()(0)
+    assert(r.getString(0) == "http://www.ex.com/A?b=1")
+    assert(r.getString(1) == "a.b.ex.org")
+    assert(r.getString(2) == "ex.org")
+    assert(r.isNullAt(3))
+    // extensions-injected path too: a FRESH session state (no explicit
+    // register() call) must already have the function via GraftExtensions
+    val fresh = spark.newSession()
+    val r2 = fresh.sql("SELECT url_canonical('https://A.com/x/') AS c").collect()(0)
+    assert(r2.getString(0) == "https://a.com/x")
+    // wrong arity fails analysis cleanly, not at runtime
+    intercept[Exception] { spark.sql("SELECT url_host('a', 'b')").collect() }
+  }
+
   test("plan stays codegen-native (no BatchEvalPython/ScalaUDF nodes)") {
     GraftFunctions.register(spark)
     val plan = spark.sql("SELECT casefold(c) FROM VALUES ('A') t(c)")
