@@ -346,6 +346,19 @@ object SparkEntry {
         Urls.registrableDomain(url).as("domain"))
         .orderBy("doc_id")
     }),
+    "q_url_blocklist" -> ((s, dir) => {
+      // suffix-label blocklist: every odd doc lands on *.example.org
+      // (blocked domain), src3's even docs land on src3.example.com
+      // (blocked subdomain); matching is case-insensitive on both sides
+      val docs = T(s, dir, "documents").filter(col("source").isNotNull)
+      val url = concat(lit("https://"), col("source"), lit(".Example."),
+        when(col("doc_id") % 2 === 0, lit("com")).otherwise(lit("ORG")),
+        lit("/p/"), col("doc_id").cast("string"))
+      Urls.filterBlockedDomains(
+        docs.select(col("doc_id"), col("source"), url.as("url")),
+        "url", Seq("example.org", "SRC3.example.com"))
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
     "q_url_dedup" -> ((s, dir) => {
       // many URL spellings of the same resource (case, trailing slash,
       // tracking param, fragment) collapse to one canonical form; keep the
@@ -934,6 +947,10 @@ object SparkEntry {
         "CASE WHEN doc_id % 2 = 0 THEN 'www.example.com' ELSE 'api.example.org' END AS host, " +
         "CASE WHEN doc_id % 2 = 0 THEN 'example.com' ELSE 'example.org' END AS domain " +
         "FROM documents ORDER BY doc_id"),
+    "q_url_blocklist" ->
+      // closed form: survivors are exactly the even-doc non-src3 rows
+      ("SELECT doc_id, source FROM documents WHERE source IS NOT NULL " +
+        "AND doc_id % 2 = 0 AND source <> 'src3' ORDER BY doc_id"),
     "q_url_dedup" ->
       ("WITH t AS (SELECT doc_id, 'https://example.com/item/' || CAST(doc_id % 37 AS VARCHAR) AS c FROM documents), " +
         "r AS (SELECT doc_id, c, row_number() OVER (PARTITION BY c ORDER BY doc_id) AS rk FROM t) " +

@@ -100,6 +100,35 @@ object Urls {
       .otherwise(concat(scheme, lit("://"), host, portPart, path, queryPart))
   }
 
+  /** Host suffix-label chains of an absolute URL's host, shortest first:
+    * `a.b.ex.org` → `[org, ex.org, b.ex.org, a.b.ex.org]`. The matching
+    * unit for blocklists — label-boundary suffixes, never substrings
+    * (`ex.org` must block `a.ex.org` but not `index.org`). NULL for
+    * non-absolute inputs. */
+  def hostSuffixes(u: Column): Column = {
+    val labels = split(urlHost(u), "\\.")
+    transform(sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, -i, i), "."))
+  }
+
+  /** Keep only rows whose URL host is NOT a blocked domain nor any
+    * subdomain of one. The blocklist embeds as a literal array and the
+    * test is one `arrays_overlap` over the host's suffix chain — map-only
+    * and codegen-resident, O(labels) per row regardless of list size
+    * (real blocklists run 10⁴–10⁶ entries; a CASE/rlike chain would blow
+    * codegen, and substring matching would over-block). Rows with
+    * non-absolute URLs are kept — filtering malformed records is
+    * [[dedupByUrl]]'s / the validator layer's decision, not a blocklist
+    * hit. For blocklists past broadcast-literal size, join
+    * `explode(hostSuffixes(u))` against a blocklist table instead. */
+  def filterBlockedDomains(df: DataFrame, urlCol: String,
+                           blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "empty blocklist: nothing to filter")
+    val hit = arrays_overlap(hostSuffixes(col(urlCol)),
+      typedLit(blocked.map(_.toLowerCase)))
+    df.filter(!coalesce(hit, lit(false)))
+  }
+
   /** URL-level exact dedup: keep, per canonical URL, the single row with
     * the smallest `idCol` (deterministic "first fetch wins" — same
     * nesting property as [[Sampling.capPerStratum]]: the survivor set is

@@ -80,6 +80,28 @@ class UrlsSpec extends SparkSuite {
     assert(out == Set((1L, "http://a.com/x"), (5L, "http://b.com/y")))
   }
 
+  test("filterBlockedDomains: label-boundary suffix match, never substring") {
+    val df = Seq(
+      (1L, "https://ex.org/a"),          // blocked exactly
+      (2L, "https://a.b.EX.org/a"),      // subdomain, case-insensitive
+      (3L, "https://index.org/a"),       // substring cousin — KEPT
+      (4L, "https://ex.org.evil.com/a"), // blocked string not a SUFFIX — kept
+      (5L, "https://other.com/a"),
+      (6L, "not a url")                  // malformed — kept (not a blocklist hit)
+    ).toDF("id", "url")
+    val kept = Urls.filterBlockedDomains(df, "url", Seq("EX.org"))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L, 5L, 6L))
+  }
+
+  test("hostSuffixes: label-boundary suffix chains; NULL for non-absolute") {
+    val r = Seq(Tuple1("http://a.b.ex.org/x")).toDF("u")
+      .select(Urls.hostSuffixes(col("u")).as("s")).head().getSeq[String](0)
+    assert(r == Seq("org", "ex.org", "b.ex.org", "a.b.ex.org"))
+    assert(Seq(Tuple1("nope")).toDF("u")
+      .select(Urls.hostSuffixes(col("u")).as("s")).head().isNullAt(0))
+  }
+
   test("canonicalizeUrl agrees with a java.net.URI-based reconstruction on 400 random URLs") {
     // independent second implementation: parse with the JDK's URI parser,
     // rebuild the canonical form from ITS components, and require
