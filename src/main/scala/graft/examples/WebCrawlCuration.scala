@@ -1,0 +1,70 @@
+package graft.examples
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.{Boilerplate, Dedup, Urls}
+
+/** The FIRST-PASS half of a web-crawl curation pipeline — everything that
+  * runs BEFORE the content-quality/near-dup stages of
+  * [[TrainingDataPipeline]], in the order real pipelines (CCNet / C4 /
+  * RefinedWeb) run it:
+  *
+  *   1. domain blocklist (map-only suffix-label match — cheapest first:
+  *      rows dropped here never pay any later stage)
+  *   2. URL-level dedup on the canonical form (one canonical-URL-keyed
+  *      exchange; re-crawls and URL spellings collapse before any
+  *      content work)
+  *   3. domain-scoped boilerplate removal (nav bars / cookie banners
+  *      are per-site — strip a unit only where it is frequent within
+  *      ITS OWN domain)
+  *   4. corpus-wide unit keep-first dedup (syndicated/quoted passages
+  *      keep exactly their first occurrence)
+  *   5. exact content dedup on the md5 fingerprint of the CLEANED text
+  *      (cheap last line of defense: steps 3–4 often make distinct
+  *      crawls byte-identical)
+  *
+  * Stage order is load-bearing: blocklist before URL dedup (blocked rows
+  * must not win a dedup group), boilerplate before unit dedup (a nav bar
+  * should vanish from ALL pages of its site, not survive once on the
+  * site's first page), both before fingerprinting (else trivial chrome
+  * differences defeat exact dedup).
+  *
+  * Input columns: (idCol: long, urlCol: string, textCol: string).
+  * Output: (idCol, url_canonical, domain, text_clean) — one row per
+  * surviving document. Every stage is oracle-checked individually
+  * (q_url_blocklist / q_url_dedup / q_boilerplate_domain /
+  * q_dedup_units / q_fingerprint); this composition is spec-pinned.
+  */
+object WebCrawlCuration {
+
+  def curate(crawl: DataFrame, blockedDomains: Seq[String],
+             idCol: String = "doc_id", urlCol: String = "url",
+             textCol: String = "text",
+             boilerplateMinDocs: Long = 3L): DataFrame = {
+    // 1. blocklist, then 2. canonical-URL dedup (adds url_canonical)
+    val allowed =
+      if (blockedDomains.isEmpty) crawl
+      else Urls.filterBlockedDomains(crawl, urlCol, blockedDomains)
+    val byUrl = Urls.dedupByUrl(allowed, urlCol, idCol)
+      .withColumn("domain", Urls.registrableDomain(col(urlCol)))
+
+    // 3. per-domain boilerplate (returns idCol + text_clean; re-join the
+    // surviving ids back to their URL metadata — id-keyed, the same
+    // exchange width as the reassembly itself)
+    val meta = byUrl.select(col(idCol), col("url_canonical"), col("domain"))
+    val deboiled = Boilerplate.removeFrequentLinesByStratum(
+      byUrl, idCol, "domain", textCol, minDocs = boilerplateMinDocs)
+
+    // 4. corpus-wide keep-first unit dedup on the de-boilerplated text
+    val unitDeduped = Dedup.dedupUnitsKeepFirst(deboiled, idCol, "text_clean")
+
+    // 5. exact content dedup on the cleaned text, keep min id
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text_clean").cast("binary"))).orderBy(col(idCol))
+    unitDeduped
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .join(meta, Seq(idCol))
+      .select(col(idCol), col("url_canonical"), col("domain"), col("text_clean"))
+  }
+}
