@@ -58,17 +58,41 @@ object Sampling {
     * natural distribution, T → 0 approaches uniform, upweighting
     * low-resource strata). Output: one row per stratum with its count and
     * normalized weight (rounded to 6 dp for engine-portable comparison).
-    * The exchange carries #strata rows; the final normalization windows
-    * over that tiny frame only. */
+    *
+    * ONE corpus pass (the per-stratum count aggregate, map-side
+    * combined); its #strata rows collect and normalize on the driver —
+    * the same model-state pattern as k-means centroids — and return as a
+    * LocalRelation, which downstream joins broadcast for free. This is
+    * the library's last former partitionless-window site: the window-free
+    * form keeps Verify's WindowExec warning count at zero so a REAL
+    * accidental global sort cannot hide. Driver-side accumulation is
+    * ordered (null stratum first, then by string form) so the float sum
+    * is run-to-run deterministic; the 6 dp rounding absorbs the ≤1-ulp
+    * difference vs any other summation order, as it always has
+    * cross-engine. Eager by design — the result is #strata rows; callers
+    * composing lazily lose nothing and a retried caller cannot recompute
+    * a different frame. */
   def temperatureWeights(df: DataFrame, stratumCol: String,
                          temperature: Double): DataFrame = {
     require(temperature > 0.0, s"temperature must be positive, got $temperature")
-    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
-    val powed = counts.withColumn("__pw", pow(col("n").cast("double"), lit(temperature)))
-    powed
-      .withColumn("weight",
-        floor(col("__pw") / sum("__pw").over(Window.partitionBy()) * 1e6 + 0.5) / 1e6)
-      .drop("__pw")
+    val spark = df.sparkSession
+    val stratumField = df.schema(stratumCol)
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n")).collect()
+    val sorted = counts.sortBy(r => (r.get(0) != null, String.valueOf(r.get(0))))
+    val pws = sorted.map(r => math.pow(r.getLong(1).toDouble, temperature))
+    val total = pws.sum
+    val rows = sorted.zip(pws).map { case (r, pw) =>
+      org.apache.spark.sql.Row(r.get(0), r.getLong(1),
+        math.floor(pw / total * 1e6 + 0.5) / 1e6)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      stratumField,
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("weight",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Per-stratum quota — "no domain/source may contribute more than `n`

@@ -264,30 +264,38 @@ class SamplingSpec extends SparkSuite {
       s"expected a partial top-k operator in:\n$plan")
   }
 
-  /** Every partitionless logical Window in `df`'s plan must sit directly
-    * above an Aggregate — then the single-partition sort the WindowExec
-    * warning complains about only ever sees a #groups-row frame (strata /
-    * buckets), never the corpus. A global window over raw rows has no
-    * aggregate below it and fails here. */
+  /** Every partitionless logical Window in `df`'s plan must sit above a
+    * BOUNDING operator — an Aggregate (the frame is #groups rows) or a
+    * Limit (LimitPushDownThroughWindow's shape: the pushed limit feeds
+    * the window ≤ k rows) — so the single-partition sort the WindowExec
+    * warning complains about never sees the corpus. A global window over
+    * raw rows has neither below it and fails here. */
   private def assertGlobalWindowsBounded(df: org.apache.spark.sql.DataFrame,
                                          name: String): Int = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, Window => LWindow}
     val wins = df.queryExecution.optimizedPlan.collect {
       case w: LWindow if w.partitionSpec.isEmpty => w
     }
     wins.foreach { w =>
-      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
-        s"$name: partitionless window NOT above an aggregate — " +
+      val bounded = w.child.collectFirst {
+        case a: Aggregate => a
+        case l: GlobalLimit => l
+        case l: LocalLimit => l
+      }.isDefined
+      assert(bounded,
+        s"$name: partitionless window NOT above an aggregate/limit — " +
           s"an unbounded global sort at scale:\n$w")
     }
     wins.size
   }
 
   test("every partitionless window sees a post-aggregate bounded frame, never the corpus") {
-    // temperatureWeights: global normalization over the #strata counts
+    // temperatureWeights: r7-late, normalization moved to the driver
+    // (#strata rows, LocalRelation result) — NO window at all
     val nTw = assertGlobalWindowsBounded(
       Sampling.temperatureWeights(docs, "lang", 0.5), "temperatureWeights")
-    assert(nTw >= 1, "expected the global normalization window to be present")
+    assert(nTw == 0,
+      "temperatureWeights must have no partitionless window (driver normalization)")
     // packSequences: r7-late, the offsets prefix sum is computed on the
     // driver (≤ #buckets longs) and embedded as a literal map — the
     // final plan has NO partitionless window at all (the per-row cumsum
@@ -298,9 +306,14 @@ class SamplingSpec extends SparkSuite {
       Sampling.packSequences(withTok, "doc_id", "n_tok", 256), "packSequences")
     assert(nPack == 0,
       "packSequences must have no partitionless window (literal offsets)")
-    // weightedSample's global rank is the third site — its Window is
-    // rewritten to TakeOrderedAndProject (asserted in the spec above),
-    // so nothing reaches WindowExec at all
+    // weightedSample: the LAST remaining partitionless window in the
+    // library. LimitPushDownThroughWindow keeps the Window but feeds it
+    // through TakeOrderedAndProject(limit=k), so WindowExec only ever
+    // ranks ≤ k rows — bounded by the Limit below it (checked by the
+    // helper), not by an aggregate
+    val nWs = assertGlobalWindowsBounded(
+      Sampling.weightedSample(docs, "doc_id", "n_chars", 50), "weightedSample")
+    assert(nWs >= 1, "expected weightedSample's bounded rank window")
   }
 
   test("interleaveByWeight: prefix proportions track weights; vft ordering deterministic") {
