@@ -40,13 +40,22 @@ object WebCrawlCuration {
   def curate(crawl: DataFrame, blockedDomains: Seq[String],
              idCol: String = "doc_id", urlCol: String = "url",
              textCol: String = "text",
-             boilerplateMinDocs: Long = 3L): DataFrame = {
+             boilerplateMinDocs: Long = 3L,
+             materializeIntermediate: Boolean = true): DataFrame = {
     // 1. blocklist, then 2. canonical-URL dedup (adds url_canonical)
     val allowed =
       if (blockedDomains.isEmpty) crawl
       else Urls.filterBlockedDomains(crawl, urlCol, blockedDomains)
-    val byUrl = Urls.dedupByUrl(allowed, urlCol, idCol)
+    val byUrl0 = Urls.dedupByUrl(allowed, urlCol, idCol)
       .withColumn("domain", Urls.registrableDomain(col(urlCol)))
+    // byUrl feeds BOTH the metadata branch and the boilerplate branch —
+    // without materialization the blocklist + URL-dedup exchange
+    // recomputes once per branch (same pattern as TrainingDataPipeline;
+    // at cluster scale this is where a real pipeline writes to storage)
+    val byUrl =
+      if (materializeIntermediate)
+        byUrl0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else byUrl0
 
     // 3. per-domain boilerplate (returns idCol + text_clean; re-join the
     // surviving ids back to their URL metadata — id-keyed, the same
