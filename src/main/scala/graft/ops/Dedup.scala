@@ -56,17 +56,21 @@ object Dedup {
                           delim: String = "\n", joinSep: String = "\n",
                           minUnitLength: Int = 1,
                           cleanCol: String = "text_clean"): DataFrame = {
-    val units = df.filter(col(textCol).isNotNull)
+    // ONE pass: an exempt unit gets a PER-OCCURRENCE-unique window key
+    // ((id, pos) is unique), so it always wins its singleton group and
+    // survives in place — a separate exempt branch would union a second
+    // filter over the same explode and re-scan the corpus text
+    val unitKey = when(length(col("__u")) >= minUnitLength,
+        md5(col("__u").cast("binary")))
+      .otherwise(md5(concat(col(idCol).cast("string"), lit(":"),
+        col("__pos").cast("string"), lit(":"), col("__u")).cast("binary")))
+    val w = Window.partitionBy(col("__h")).orderBy(col(idCol), col("__pos"))
+    df.filter(col(textCol).isNotNull)
       .select(col(idCol),
         posexplode(split(col(textCol), delim)).as(Seq("__pos", "__u")))
-    val eligible = units.filter(length(col("__u")) >= minUnitLength)
-      .withColumn("__h", md5(col("__u").cast("binary")))
-    val w = Window.partitionBy(col("__h")).orderBy(col(idCol), col("__pos"))
-    val kept = eligible.withColumn("__rk", row_number().over(w))
+      .withColumn("__h", unitKey)
+      .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
-      .drop("__rk", "__h")
-    val exempt = units.filter(length(col("__u")) < minUnitLength)
-    kept.unionByName(exempt)
       .groupBy(col(idCol))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("__pos"), col("__u")))),
