@@ -108,6 +108,34 @@ class SamplingSpec extends SparkSuite {
     assert(ids.head == 0L && ids == (ids.head to ids.last))
   }
 
+  test("packBoundaries balances buckets under eviction pressure (the KMV point)") {
+    // packing is CORRECT with any boundaries (prefix sums compose), so
+    // only this test would catch a boundary-quality regression — the
+    // sketch exists to keep bucket weights near-even. 5000 distinct keys
+    // with skewed duplication, buckets*64 = 512 sketch slots → heavy
+    // eviction. Deterministic: seeded keys + xxhash64 sketch hashing.
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 30000).map { _ =>
+      val k = rnd.nextInt(5000)
+      Tuple1(f"k$k%04d")
+    }
+    val df = rows.toDF("k").repartition(8)
+    val buckets = 8
+    val bounds = Sampling.packBoundaries(df, "k", buckets)
+    assert(bounds.nonEmpty && bounds.size <= buckets - 1)
+    // exact bucket weights under the returned boundaries
+    val sBounds = bounds.map(_.asInstanceOf[String])
+    def bucketOf(k: String): Int = {
+      val i = sBounds.indexWhere(b => k < b)
+      if (i == -1) sBounds.size else i
+    }
+    val weights = rows.groupBy(r => bucketOf(r._1)).view.mapValues(_.size).toMap
+    val ideal = rows.size.toDouble / (sBounds.size + 1)
+    val maxW = weights.values.max
+    assert(maxW <= ideal * 2.0,
+      s"worst bucket ${maxW} vs ideal $ideal — boundaries unbalanced: $weights")
+  }
+
   test("packSequences degenerate inputs: empty frame and single row (literal offsets path)") {
     val empty = Seq.empty[(Long, Long)].toDF("k", "n_tok")
     assert(Sampling.packSequences(empty, "k", "n_tok", 512L).count() == 0L)
