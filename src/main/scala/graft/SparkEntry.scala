@@ -346,6 +346,24 @@ object SparkEntry {
         Urls.registrableDomain(url).as("domain"))
         .orderBy("doc_id")
     }),
+    "q_curation_e2e" -> ((s, dir) => {
+      // the FULL first-pass curation composition, ORACLE-checked (unlike
+      // q_pipeline_e2e, every stage here is SQL-expressible): blocklist
+      // drops all odd docs (*.example.org), canonical-URL dedup collapses
+      // the %200 collisions, boilerplate strips corpus-frequent tokens
+      // within the (single) surviving domain, unit keep-first scrubs
+      // repeats, exact dedup collapses docs made identical by cleaning
+      val docs = T(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      val url = concat(lit("https://"), col("source"), lit(".Example."),
+        when(col("doc_id") % 2 === 0, lit("com")).otherwise(lit("ORG")),
+        lit("/p/"), (col("doc_id") % 200).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("?utm_source=x")).otherwise(lit("")))
+      val crawl = docs.select(col("doc_id"), url.as("url"), col("text"))
+      graft.examples.WebCrawlCuration.curate(crawl, Seq("example.org"),
+        boilerplateMinDocs = 10L, delim = " ", joinSep = " ")
+        .orderBy("doc_id")
+    }),
     "q_url_blocklist" -> ((s, dir) => {
       // suffix-label blocklist: every odd doc lands on *.example.org
       // (blocked domain), src3's even docs land on src3.example.com
@@ -951,6 +969,29 @@ object SparkEntry {
       // closed form: survivors are exactly the even-doc non-src3 rows
       ("SELECT doc_id, source FROM documents WHERE source IS NOT NULL " +
         "AND doc_id % 2 = 0 AND source <> 'src3' ORDER BY doc_id"),
+    "q_curation_e2e" ->
+      // stage-by-stage mirror: blocklist = even ids (closed form);
+      // canonical form stated in closed form; URL dedup / boilerplate /
+      // unit keep-first / exact dedup mirrored with the same window +
+      // unnest patterns as their standalone oracles. Stage 4 reuses the
+      // stage-3 (pos, u) rows: old positions are order-isomorphic to the
+      // re-split positions, so the keep-first winner is identical.
+      ("WITH base AS (SELECT doc_id, source, text, " +
+        "'https://' || lower(source) || '.example.com/p/' || CAST(doc_id % 200 AS VARCHAR) AS c " +
+        "FROM documents WHERE text IS NOT NULL AND source IS NOT NULL AND doc_id % 2 = 0), " +
+        "uniq AS (SELECT doc_id, source, text, c FROM " +
+        "(SELECT base.*, row_number() OVER (PARTITION BY c ORDER BY doc_id) AS rk FROM base) t WHERE rk = 1), " +
+        "l AS (SELECT doc_id, unnest(string_split(text, ' ')) AS u, " +
+        "unnest(generate_series(1, len(string_split(text, ' ')))) AS pos FROM uniq), " +
+        "f AS (SELECT u FROM l GROUP BY u HAVING COUNT(DISTINCT doc_id) >= 10), " +
+        "k AS (SELECT doc_id, pos, u FROM l WHERE u NOT IN (SELECT u FROM f)), " +
+        "kf AS (SELECT doc_id, pos, u, row_number() OVER (PARTITION BY u ORDER BY doc_id, pos) AS rk FROM k), " +
+        "r AS (SELECT doc_id, string_agg(u, ' ' ORDER BY pos) AS text_clean FROM kf WHERE rk = 1 GROUP BY doc_id), " +
+        "x AS (SELECT r.doc_id, u2.c, r.text_clean, " +
+        "row_number() OVER (PARTITION BY r.text_clean ORDER BY r.doc_id) AS rk " +
+        "FROM r JOIN uniq u2 ON r.doc_id = u2.doc_id) " +
+        "SELECT doc_id, c AS url_canonical, 'example.com' AS domain, text_clean " +
+        "FROM x WHERE rk = 1 ORDER BY doc_id"),
     "q_url_dedup" ->
       ("WITH t AS (SELECT doc_id, 'https://example.com/item/' || CAST(doc_id % 37 AS VARCHAR) AS c FROM documents), " +
         "r AS (SELECT doc_id, c, row_number() OVER (PARTITION BY c ORDER BY doc_id) AS rk FROM t) " +

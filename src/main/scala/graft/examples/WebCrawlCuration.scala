@@ -41,6 +41,7 @@ object WebCrawlCuration {
              idCol: String = "doc_id", urlCol: String = "url",
              textCol: String = "text",
              boilerplateMinDocs: Long = 3L,
+             delim: String = "\n", joinSep: String = "\n",
              materializeIntermediate: Boolean = true): DataFrame = {
     // 1. blocklist, then 2. canonical-URL dedup (adds url_canonical)
     val allowed =
@@ -62,10 +63,12 @@ object WebCrawlCuration {
     // exchange width as the reassembly itself)
     val meta = byUrl.select(col(idCol), col("url_canonical"), col("domain"))
     val deboiled = Boilerplate.removeFrequentLinesByStratum(
-      byUrl, idCol, "domain", textCol, minDocs = boilerplateMinDocs)
+      byUrl, idCol, "domain", textCol, minDocs = boilerplateMinDocs,
+      delim = delim, joinSep = joinSep)
 
     // 4. corpus-wide keep-first unit dedup on the de-boilerplated text
-    val unitDeduped = Dedup.dedupUnitsKeepFirst(deboiled, idCol, "text_clean")
+    val unitDeduped = Dedup.dedupUnitsKeepFirst(deboiled, idCol, "text_clean",
+      delim = delim, joinSep = joinSep)
 
     // 5. exact content dedup on the cleaned text, keep min id
     val w = org.apache.spark.sql.expressions.Window
