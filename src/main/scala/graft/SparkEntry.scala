@@ -359,7 +359,17 @@ object SparkEntry {
         when(col("doc_id") % 2 === 0, lit("com")).otherwise(lit("ORG")),
         lit("/p/"), (col("doc_id") % 200).cast("string"),
         when(col("doc_id") % 3 === 0, lit("?utm_source=x")).otherwise(lit("")))
-      val crawl = docs.select(col("doc_id"), url.as("url"), col("text"))
+      // every 4th doc carries a unique token: the tiny shared vocabulary
+      // is (correctly) all boilerplate at this threshold, so without
+      // distinctive tokens the corpus would collapse to ~1 doc and the
+      // later stages would see nothing — with them, ~half the
+      // URL-dedup survivors keep distinctive text, multi-token docs pin
+      // the reassembly order, and the rest still exercise the
+      // empty-drop / exact-dedup paths
+      val text2 = concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" uniq"), col("doc_id").cast("string"))).otherwise(lit("")))
+      val crawl = docs.select(col("doc_id"), url.as("url"), text2.as("text"))
       graft.examples.WebCrawlCuration.curate(crawl, Seq("example.org"),
         boilerplateMinDocs = 10L, delim = " ", joinSep = " ")
         .orderBy("doc_id")
@@ -976,7 +986,8 @@ object SparkEntry {
       // unnest patterns as their standalone oracles. Stage 4 reuses the
       // stage-3 (pos, u) rows: old positions are order-isomorphic to the
       // re-split positions, so the keep-first winner is identical.
-      ("WITH base AS (SELECT doc_id, source, text, " +
+      ("WITH base AS (SELECT doc_id, source, " +
+        "text || CASE WHEN doc_id % 4 = 0 THEN ' uniq' || CAST(doc_id AS VARCHAR) ELSE '' END AS text, " +
         "'https://' || lower(source) || '.example.com/p/' || CAST(doc_id % 200 AS VARCHAR) AS c " +
         "FROM documents WHERE text IS NOT NULL AND source IS NOT NULL AND doc_id % 2 = 0), " +
         "uniq AS (SELECT doc_id, source, text, c FROM " +
