@@ -32,9 +32,13 @@ object Bench {
     val warm = pass()    // steady-state: generated classes already compiled
     // ms precision: full double repr (~11 chars/value) pushed the head of
     // this line past the driver artifact's tail-capture window; 3 decimals
-    // keep every per-query time visible downstream
+    // keep every per-query time visible downstream. Locale.ROOT pins the
+    // decimal separator: the default-locale f"%.3f" emits "0,123" under
+    // comma-decimal locales — invalid JSON
     def json(rs: Seq[(String, Double)]) =
-      rs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      rs.map { case (k, v) =>
+        s""""$k":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))}"""
+      }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2.abs).sum else 0.0
     val totalWarm = if (warm.nonEmpty) warm.map(_._2.abs).sum else 0.0
     // count failures across BOTH passes — a warm-only crash must not

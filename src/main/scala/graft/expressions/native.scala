@@ -121,4 +121,10 @@ object native {
     GraftSqlShim.column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         Literal(filterBytes, BinaryType), e(value)))
+
+  /** Sharded-sketch membership probe (see [[BloomMightContainSharded]]):
+    * routes `value` (the insert-time hash) to its shard and probes only
+    * that filter — constant-size generated code at any shard count. */
+  def bloomMightContainSharded(shardBytes: Seq[Array[Byte]], value: Column): Column =
+    GraftSqlShim.column(BloomMightContainSharded(shardBytes, e(value)))
 }

@@ -454,13 +454,19 @@ object Dedup {
                  fpp: Double = 0.01): Array[Byte] = {
     import org.apache.spark.util.sketch.BloomFilter
     val (n, p) = (expectedItems, fpp)
-    val merged = df.select(xxhash64(keyCol).as("__k")).rdd
-      .mapPartitions { it =>
-        val f = BloomFilter.create(n, p)
-        it.foreach(r => f.putLong(r.getLong(0)))
-        Iterator.single(f)
-      }
-      .treeReduce((a, b) => { a.mergeInPlace(b); a }, depth = 2)
+    val rdd = df.select(xxhash64(keyCol).as("__k")).rdd
+    // a zero-partition input (empty frame) has nothing to reduce —
+    // treeReduce throws; an empty filter is the correct sketch for it
+    // (same guard as Sampling.packBoundaries)
+    val merged =
+      if (rdd.getNumPartitions == 0) BloomFilter.create(n, p)
+      else rdd
+        .mapPartitions { it =>
+          val f = BloomFilter.create(n, p)
+          it.foreach(r => f.putLong(r.getLong(0)))
+          Iterator.single(f)
+        }
+        .treeReduce((a, b) => { a.mergeInPlace(b); a }, depth = 2)
     val out = new java.io.ByteArrayOutputStream()
     merged.writeTo(out)
     out.toByteArray
@@ -482,8 +488,9 @@ object Dedup {
     * fills exactly its own filter, and the driver only concatenates the
     * serialized results. Probe-side, the full shard set still travels
     * with the plan (same total bytes as one big filter — probing is not
-    * what sharding buys); batch jobs probing a >GB sketch set should
-    * route the batch by shard and probe per-shard slices.
+    * what sharding buys); [[mightBeSeenSharded]] /
+    * [[splitBySeenFilterSharded]] probe it as ONE constant-size-codegen
+    * expression, so the shard count never shapes the plan.
     *
     * No false negatives across shard boundaries by construction: a key's
     * probe consults exactly the shard its hash routed it to at build
@@ -510,17 +517,16 @@ object Dedup {
   }
 
   /** Membership predicate against a [[seenFilterSharded]] sketch set:
-    * routes each row to its shard (`pmod(xxhash64(key), shards)`) and
-    * probes ONLY that shard's filter. Codegen'd when-chain, map-only. */
-  def mightBeSeenSharded(shardBytes: Seq[Array[Byte]], keyCol: Column): Column = {
-    require(shardBytes.nonEmpty, "empty shard set")
-    val h = xxhash64(keyCol)
-    val s = pmod(h, lit(shardBytes.size.toLong))
-    shardBytes.zipWithIndex.foldRight(lit(false): Column) {
-      case ((bytes, i), acc) =>
-        when(s === lit(i.toLong), native.bloomMightContain(bytes, h)).otherwise(acc)
-    }
-  }
+    * routes each row to its shard (`pmod(xxhash64(key), shards)` — the
+    * build-time routing) and probes ONLY that shard's filter. ONE native
+    * expression for the whole set ([[graft.expressions.BloomMightContainSharded]]):
+    * the deserialized filters sit in the codegen references array, so the
+    * generated code is a constant-size array index + probe at ANY shard
+    * count — the previous per-shard `when`-chain broke Janino's method
+    * limit (interpreted fallback) near the 4096-shard maximum and
+    * embedded every shard's bytes in the generated source. Map-only. */
+  def mightBeSeenSharded(shardBytes: Seq[Array[Byte]], keyCol: Column): Column =
+    native.bloomMightContainSharded(shardBytes, xxhash64(keyCol))
 
   /** Split an ingest batch by the sketch: `(certainly-new, needs-verify)`.
     * The needs-verify side (|batch|·fpp + true dups) is the ONLY part that
@@ -530,6 +536,18 @@ object Dedup {
   def splitBySeenFilter(batch: DataFrame, filterBytes: Array[Byte],
                         keyCol: Column): (DataFrame, DataFrame) = {
     val p = mightBeSeen(filterBytes, keyCol)
+    (batch.filter(!p), batch.filter(p))
+  }
+
+  /** [[splitBySeenFilter]] against a SHARDED sketch set: each row routes
+    * to its shard once inside the probe expression — no per-shard plan
+    * branches, no batch re-scan per shard, generated code constant-size
+    * at any shard count. The scale story matches the single-filter split:
+    * probing is a map pass, and only the needs-verify sliver proceeds to
+    * the exact anti-join. */
+  def splitBySeenFilterSharded(batch: DataFrame, shardBytes: Seq[Array[Byte]],
+                               keyCol: Column): (DataFrame, DataFrame) = {
+    val p = mightBeSeenSharded(shardBytes, keyCol)
     (batch.filter(!p), batch.filter(p))
   }
 

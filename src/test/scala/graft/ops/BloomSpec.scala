@@ -95,6 +95,63 @@ class BloomSpec extends SparkSuite {
       s"expected a join-free map plan, got:\n$plan")
   }
 
+  test("seenFilter on an empty frame returns an empty sketch, not an error") {
+    // a zero-partition RDD has nothing to treeReduce — regression for the
+    // guard; the empty sketch must flag nothing and accept probes
+    val empty = corpus.filter(col("doc_id") < 0).repartition(1).filter(lit(false))
+    val bytes = Dedup.seenFilter(empty, fp, expectedItems = 100)
+    assert(corpus.filter(Dedup.mightBeSeen(bytes, fp)).count() == 0)
+  }
+
+  test("256-shard probe stays inside whole-stage codegen (no interpreted fallback)") {
+    // the old when-chain probe emitted one branch per shard with the
+    // shard's bytes inlined in the generated source — at high shard
+    // counts Janino's method limit forced interpreted fallback. The
+    // single-expression probe must COMPILE at a realistic shard count:
+    // with codegen.fallback off, a Janino failure throws instead of
+    // silently interpreting.
+    val shards = Dedup.seenFilterSharded(corpus, fp, shards = 256,
+      expectedItemsPerShard = 64)
+    assert(shards.length == 256)
+    // probe over a Range scan, NOT the local Seq: ConvertToLocalRelation
+    // evaluates any deterministic filter over a LocalRelation driver-side
+    // at optimization time, which would bypass codegen entirely
+    val probe = spark.range(2000)
+      .select(concat(lit("doc body number "), col("id")).as("text"))
+    val probeFp = md5(col("text").cast("binary"))
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val misses = probe
+        .filter(!Dedup.mightBeSeenSharded(shards.toSeq, probeFp)).count()
+      assert(misses == 0, s"$misses keys lost across 256 shard boundaries")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+    // and the plan is one codegen'd map stage — the `*(n)` prefix is the
+    // WholeStageCodegen marker in simple-mode plan strings
+    val plan = probe.filter(!Dedup.mightBeSeenSharded(shards.toSeq, probeFp))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Filter"), s"probe fell out of codegen:\n$plan")
+    assert(!plan.contains("Exchange") && !plan.toLowerCase.contains("join"))
+  }
+
+  test("splitBySeenFilterSharded routes exactly: certain-new ∪ needs-verify = batch, disjoint") {
+    val shards = Dedup.seenFilterSharded(corpus, fp, shards = 7,
+      expectedItemsPerShard = 400)
+    val batch = corpus.filter(col("doc_id") < 50)
+      .union(Seq((90000L, "never seen before A"), (90001L, "never seen before B"))
+        .toDF("doc_id", "text"))
+    val (fresh, verify) = Dedup.splitBySeenFilterSharded(batch, shards.toSeq, fp)
+    val freshIds = fresh.select("doc_id").as[Long].collect().toSet
+    val verifyIds = verify.select("doc_id").as[Long].collect().toSet
+    assert((freshIds intersect verifyIds).isEmpty)
+    assert((freshIds union verifyIds) == batch.select("doc_id").as[Long].collect().toSet)
+    assert((0L until 50L).forall(verifyIds.contains))
+    assert(freshIds.contains(90000L) || freshIds.contains(90001L))
+  }
+
   test("probe is map-only: no join or exchange in the filtered plan") {
     val bytes = Dedup.seenFilter(corpus, fp, expectedItems = 2000)
     val plan = corpus.filter(!Dedup.mightBeSeen(bytes, fp))
