@@ -326,7 +326,8 @@ object SparkEntry {
     }),
     "q_url_canon" -> ((s, dir) => {
       // synthesized URLs sweep every canonicalization rule: scheme/host
-      // case, userinfo, default vs explicit port, trailing slash, tracking
+      // case, userinfo, default vs explicit port, percent-encoding
+      // (unreserved decode + hex uppercase), trailing slash, tracking
       // params + param sort, bare '?', fragment. The oracle states the
       // EXPECTED canonical form in closed form — it verifies semantics
       // independently rather than mirroring the parser.
@@ -335,11 +336,34 @@ object SparkEntry {
         when(col("doc_id") % 2 === 0, lit("HTTP://u:p@WWW.Example.COM:80"))
           .otherwise(lit("https://API.Example.org:8443")),
         lit("/Path/"), (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 6 === 0, lit("/%7euser%2fB%41")).otherwise(lit("")),
         when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
         when(col("doc_id") % 4 === 0, lit("?utm_source=news&b=2&a=1"))
           .otherwise(when(col("doc_id") % 4 === 1, lit("?id=7&utm_campaign=x&fbclid=abc"))
             .otherwise(when(col("doc_id") % 4 === 2, lit("?")).otherwise(lit("")))),
         when(col("doc_id") % 5 === 0, lit("#section-2")).otherwise(lit("")))
+      docs.select(col("doc_id"),
+        Urls.canonicalizeUrl(url).as("url_canonical"),
+        Urls.urlHost(url).as("host"),
+        Urls.registrableDomain(url).as("domain"))
+        .orderBy("doc_id")
+    }),
+    "q_url_psl" -> ((s, dir) => {
+      // PSL registrable-domain + IPv6-host vectors, closed-form oracle:
+      // ccTLD second-level suffixes (co.uk / com.au), the wildcard
+      // (*.ck) and exception (!www.ck) rule forms, suffix-self hosts,
+      // IP hosts (no registrable domain), and bracket-host
+      // canonicalization incl. default-port drop
+      val docs = T(s, dir, "documents")
+      val url =
+        when(col("doc_id") % 8 === 0, lit("https://a.b.Example.CO.UK/x"))
+          .when(col("doc_id") % 8 === 1, lit("http://shop.Example.COM.AU:80/y?z=1"))
+          .when(col("doc_id") % 8 === 2, lit("https://deep.sub.foo.CK/p"))
+          .when(col("doc_id") % 8 === 3, lit("https://WWW.CK/q"))
+          .when(col("doc_id") % 8 === 4, lit("http://[2001:DB8::1]:8080/v6"))
+          .when(col("doc_id") % 8 === 5, lit("http://[2001:DB8::1]:80/v6"))
+          .when(col("doc_id") % 8 === 6, lit("https://192.168.0.1/ip"))
+          .otherwise(lit("https://co.uk/self"))
       docs.select(col("doc_id"),
         Urls.canonicalizeUrl(url).as("url_canonical"),
         Urls.urlHost(url).as("host"),
@@ -965,15 +989,44 @@ object SparkEntry {
         "GROUP BY doc_id ORDER BY doc_id"),
     "q_url_canon" ->
       // closed-form EXPECTED output (not a parser mirror): lowercased
-      // scheme+host, userinfo gone, :80 dropped / :8443 kept, trailing
-      // slash stripped, tracking params dropped + survivors sorted, bare
-      // '?' and fragment gone
+      // scheme+host, userinfo gone, :80 dropped / :8443 kept, percent
+      // escapes normalized (%7e→~, %41→A unreserved-decoded, %2f→%2F
+      // hex-uppercased but kept), trailing slash stripped, tracking
+      // params dropped + survivors sorted, bare '?' and fragment gone
       ("SELECT doc_id, " +
         "(CASE WHEN doc_id % 2 = 0 THEN 'http://www.example.com' ELSE 'https://api.example.org:8443' END) " +
         "|| '/Path/' || CAST(doc_id % 7 AS VARCHAR) " +
+        "|| (CASE WHEN doc_id % 6 = 0 THEN '/~user%2FBA' ELSE '' END) " +
         "|| (CASE WHEN doc_id % 4 = 0 THEN '?a=1&b=2' WHEN doc_id % 4 = 1 THEN '?id=7' ELSE '' END) AS url_canonical, " +
         "CASE WHEN doc_id % 2 = 0 THEN 'www.example.com' ELSE 'api.example.org' END AS host, " +
         "CASE WHEN doc_id % 2 = 0 THEN 'example.com' ELSE 'example.org' END AS domain " +
+        "FROM documents ORDER BY doc_id"),
+    "q_url_psl" ->
+      // closed-form EXPECTED output for the PSL + IPv6 vectors: suffix
+      // rules group ccTLD sites one label deeper than the two-label
+      // heuristic; wildcard/exception rules behave per the published
+      // grammar; IP hosts have no registrable domain; bracket hosts
+      // never split at their colons and obey the default-port drop
+      ("SELECT doc_id, " +
+        "CASE doc_id % 8 " +
+        "WHEN 0 THEN 'https://a.b.example.co.uk/x' " +
+        "WHEN 1 THEN 'http://shop.example.com.au/y?z=1' " +
+        "WHEN 2 THEN 'https://deep.sub.foo.ck/p' " +
+        "WHEN 3 THEN 'https://www.ck/q' " +
+        "WHEN 4 THEN 'http://[2001:db8::1]:8080/v6' " +
+        "WHEN 5 THEN 'http://[2001:db8::1]/v6' " +
+        "WHEN 6 THEN 'https://192.168.0.1/ip' " +
+        "ELSE 'https://co.uk/self' END AS url_canonical, " +
+        "CASE doc_id % 8 " +
+        "WHEN 0 THEN 'a.b.example.co.uk' WHEN 1 THEN 'shop.example.com.au' " +
+        "WHEN 2 THEN 'deep.sub.foo.ck' WHEN 3 THEN 'www.ck' " +
+        "WHEN 4 THEN '[2001:db8::1]' WHEN 5 THEN '[2001:db8::1]' " +
+        "WHEN 6 THEN '192.168.0.1' ELSE 'co.uk' END AS host, " +
+        "CASE doc_id % 8 " +
+        "WHEN 0 THEN 'example.co.uk' WHEN 1 THEN 'example.com.au' " +
+        "WHEN 2 THEN 'sub.foo.ck' WHEN 3 THEN 'www.ck' " +
+        "WHEN 4 THEN NULL WHEN 5 THEN NULL WHEN 6 THEN NULL " +
+        "ELSE 'co.uk' END AS domain " +
         "FROM documents ORDER BY doc_id"),
     "q_url_blocklist" ->
       // closed form: survivors are exactly the even-doc non-src3 rows
@@ -996,8 +1049,15 @@ object SparkEntry {
         "unnest(generate_series(1, len(string_split(text, ' ')))) AS pos FROM uniq), " +
         "f AS (SELECT u FROM l GROUP BY u HAVING COUNT(DISTINCT doc_id) >= 10), " +
         "k AS (SELECT doc_id, pos, u FROM l WHERE u NOT IN (SELECT u FROM f)), " +
-        "kf AS (SELECT doc_id, pos, u, row_number() OVER (PARTITION BY u ORDER BY doc_id, pos) AS rk FROM k), " +
-        "r AS (SELECT doc_id, string_agg(u, ' ' ORDER BY pos) AS text_clean FROM kf WHERE rk = 1 GROUP BY doc_id), " +
+        // keep-first runs at minUnitLength=1: length-0 units (consecutive
+        // delimiters) are EXEMPT on the Spark side — never deduplicated —
+        // so the mirror dedups only non-empty units and passes empties
+        // through (current testdata has none; this keeps the mirror
+        // faithful if it ever does)
+        "kf AS (SELECT doc_id, pos, u, row_number() OVER (PARTITION BY u ORDER BY doc_id, pos) AS rk FROM k WHERE length(u) >= 1), " +
+        "ku AS (SELECT doc_id, pos, u FROM kf WHERE rk = 1 " +
+        "UNION ALL SELECT doc_id, pos, u FROM k WHERE length(u) < 1), " +
+        "r AS (SELECT doc_id, string_agg(u, ' ' ORDER BY pos) AS text_clean FROM ku GROUP BY doc_id), " +
         "x AS (SELECT r.doc_id, u2.c, r.text_clean, " +
         "row_number() OVER (PARTITION BY r.text_clean ORDER BY r.doc_id) AS rk " +
         "FROM r JOIN uniq u2 ON r.doc_id = u2.doc_id) " +

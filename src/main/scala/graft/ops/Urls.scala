@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * C4 / RefinedWeb): before any content hashing, collapse crawl records
   * that are the same page fetched under cosmetically different URLs
   * (scheme/host case, default ports, fragments, tracking parameters,
-  * trailing slashes, query-parameter order).
+  * trailing slashes, query-parameter order, percent-encoding variants
+  * of unreserved characters).
   *
   * Everything is a pure `Column` expression over Spark's native string
   * kernels (`regexp_extract`, `split`, the `filter`/`transform`
@@ -19,12 +20,13 @@ import org.apache.spark.sql.functions._
   *
   * Scope, documented rather than discovered: absolute `scheme://` URLs
   * only (anything else canonicalizes to NULL — a crawl record without
-  * an absolute URL is malformed upstream); IPv6 bracket hosts and
-  * internationalized domain names pass through verbatim (no punycode
-  * table on board); "registrable domain" is the last-two-labels
-  * heuristic, not the Public Suffix List (`co.uk`-style two-level TLDs
-  * group one label too high — callers needing PSL precision join their
-  * own suffix table against [[urlHost]]).
+  * an absolute URL is malformed upstream); IPv6 bracket hosts are
+  * preserved intact (lowercased, port rules applied — `[2001:db8::1]`
+  * never splits at its colons); internationalized domain names pass
+  * through verbatim (no punycode table on board); "registrable domain"
+  * follows Public-Suffix-List rule semantics over an embedded curated
+  * rule subset ([[DefaultPublicSuffixRules]]) — callers with the full
+  * published list pass it via [[registrableDomain(u:org\.apache\.spark\.sql\.Column,pslRules:Seq[String])*]].
   */
 object Urls {
 
@@ -39,50 +41,211 @@ object Urls {
     * cross-engine mirrors don't have). */
   private val TrackingRe = "^(utm_[^=]*|gclid|fbclid|ref)="
 
-  /** Lowercased host of an absolute URL, with userinfo and port
-    * stripped; NULL when the input has no `scheme://` prefix. */
-  def urlHost(u: Column): Column = {
+  /** RFC 3986 §2.3 unreserved characters keyed by their UPPERCASE
+    * percent-encoding hex: `%41 → A`, `%7E → ~`. The only octets whose
+    * encoded and bare forms are equivalent by the standard (§6.2.2.2) —
+    * decoding anything else (`%2F` vs `/`) would change URL semantics. */
+  private val UnreservedByHex: Map[String, String] =
+    (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ Seq('-', '.', '_', '~'))
+      .map(c => f"${c.toInt}%02X" -> c.toString).toMap
+
+  /** Percent-encoding normalization (RFC 3986 §6.2.2.1–.2): uppercase
+    * the hex digits of every escape and decode escapes of UNRESERVED
+    * characters (`%7Euser` → `~user`, `%2f` → `%2F`). Malformed escapes
+    * (`%4`, `%zz`) pass through verbatim — garbage in, garbage out, but
+    * stable. Zero-width-lookahead split keeps every `%` at the head of
+    * its own segment; the per-segment fix-up is a literal-map lookup —
+    * all codegen-resident higher-order functions, no UDF. */
+  private def normalizePercent(s: Column): Column = {
+    val segs = split(s, "(?=%)")
+    val fixed = transform(segs, seg => {
+      val isEscape = seg.rlike("^%[0-9A-Fa-f]{2}")
+      val hex = upper(substring(seg, 2, 2))
+      val rest = substr(seg, lit(4))
+      val decoded = element_at(typedLit(UnreservedByHex), hex)
+      when(!isEscape, seg)
+        .otherwise(when(decoded.isNotNull, concat(decoded, rest))
+          .otherwise(concat(lit("%"), hex, rest)))
+    })
+    array_join(fixed, "")
+  }
+
+  /** Host of `hostport`, lowercased: the full bracketed literal for
+    * IPv6 (`[2001:DB8::1]:8080` → `[2001:db8::1]` — naive first-colon
+    * truncation would mangle every v6 host into `[2001`), everything
+    * before the first colon otherwise. Empty when malformed (unclosed
+    * bracket). */
+  private def hostOf(hostport: Column): Column =
+    when(substring(hostport, 1, 1) === "[",
+      lower(regexp_extract(hostport, "^(\\[[^\\]]+\\])", 1)))
+    .otherwise(lower(regexp_extract(hostport, "^([^:]*)", 1)))
+
+  /** Port digits of `hostport` ("" when absent), bracket-aware. */
+  private def portOf(hostport: Column): Column =
+    when(substring(hostport, 1, 1) === "[",
+      regexp_extract(hostport, "^\\[[^\\]]+\\]:([0-9]+)$", 1))
+    .otherwise(regexp_extract(hostport, ":([0-9]+)$", 1))
+
+  private def hostportOf(u: Column): Column = {
     val auth = regexp_extract(u, AuthorityRe, 1)
     // after the LAST '@' (userinfo may itself contain '@' percent-variants)
-    val hostport = regexp_extract(auth, "([^@]*)$", 1)
-    val host = lower(regexp_extract(hostport, "^([^:]*)", 1))
+    regexp_extract(auth, "([^@]*)$", 1)
+  }
+
+  /** Lowercased host of an absolute URL, with userinfo and port
+    * stripped; IPv6 bracket literals kept whole; NULL when the input
+    * has no `scheme://` prefix. */
+  def urlHost(u: Column): Column = {
+    val host = hostOf(hostportOf(u))
     when(regexp_extract(u, SchemeRe, 1) === "" || host === "",
       lit(null).cast("string")).otherwise(host)
   }
 
-  /** Last-two-labels registrable-domain heuristic over [[urlHost]]
-    * (`a.b.example.com` → `example.com`); single-label hosts pass
-    * through. See the object scaladoc for the PSL caveat. */
-  def registrableDomain(u: Column): Column = {
+  /** Curated subset of the public ICANN Public Suffix List: the
+    * second-level country-code suffixes (`co.uk`, `com.au`, …) that
+    * cover the bulk of ccTLD registrations on a real crawl, plus the
+    * PSL's wildcard (`*.ck` — every direct child of `ck` is a public
+    * suffix) and exception (`!www.ck`) rule forms. Unlisted TLDs fall
+    * back to the PSL default rule `*` (the TLD itself is the suffix),
+    * which reproduces the classic last-two-labels heuristic — so this
+    * list only ever CORRECTS groupings, never breaks `example.com`.
+    * Callers with the full published list (https://publicsuffix.org)
+    * pass it to [[registrableDomain(u:org\.apache\.spark\.sql\.Column,pslRules:Seq[String])*]] verbatim — the rule grammar
+    * is the PSL's own. */
+  val DefaultPublicSuffixRules: Seq[String] = Seq(
+    // United Kingdom
+    "ac.uk", "co.uk", "gov.uk", "ltd.uk", "me.uk", "net.uk", "nhs.uk",
+    "org.uk", "plc.uk", "police.uk", "sch.uk",
+    // Australia
+    "asn.au", "com.au", "edu.au", "gov.au", "id.au", "net.au", "org.au",
+    // Japan
+    "ac.jp", "ad.jp", "co.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp",
+    "ne.jp", "or.jp",
+    // New Zealand
+    "ac.nz", "co.nz", "geek.nz", "gen.nz", "govt.nz", "kiwi.nz",
+    "maori.nz", "mil.nz", "net.nz", "org.nz", "school.nz",
+    // Brazil
+    "com.br", "edu.br", "gov.br", "mil.br", "net.br", "org.br",
+    // China
+    "ac.cn", "com.cn", "edu.cn", "gov.cn", "mil.cn", "net.cn", "org.cn",
+    // India
+    "ac.in", "co.in", "edu.in", "firm.in", "gen.in", "gov.in", "ind.in",
+    "mil.in", "net.in", "nic.in", "org.in", "res.in",
+    // South Africa
+    "ac.za", "co.za", "edu.za", "gov.za", "mil.za", "net.za", "org.za",
+    "web.za",
+    // South Korea
+    "ac.kr", "co.kr", "go.kr", "mil.kr", "ne.kr", "or.kr", "pe.kr", "re.kr",
+    // Taiwan / Hong Kong / Singapore
+    "com.tw", "edu.tw", "gov.tw", "idv.tw", "net.tw", "org.tw",
+    "com.hk", "edu.hk", "gov.hk", "idv.hk", "net.hk", "org.hk",
+    "com.sg", "edu.sg", "gov.sg", "net.sg", "org.sg",
+    // Mexico / Argentina / Colombia
+    "com.mx", "edu.mx", "gob.mx", "net.mx", "org.mx",
+    "com.ar", "edu.ar", "gob.ar", "int.ar", "mil.ar", "net.ar", "org.ar",
+    "com.co", "edu.co", "gov.co", "mil.co", "net.co", "nom.co", "org.co",
+    // Turkey / Israel / Ukraine / Poland
+    "com.tr", "edu.tr", "gov.tr", "mil.tr", "net.tr", "org.tr", "web.tr",
+    "ac.il", "co.il", "gov.il", "muni.il", "net.il", "org.il",
+    "com.ua", "edu.ua", "gov.ua", "in.ua", "net.ua", "org.ua",
+    "com.pl", "edu.pl", "gov.pl", "net.pl", "org.pl", "waw.pl",
+    // Indonesia / Thailand / Malaysia / Philippines / Vietnam
+    "ac.id", "co.id", "go.id", "my.id", "or.id", "sch.id", "web.id",
+    "ac.th", "co.th", "go.th", "in.th", "net.th", "or.th",
+    "com.my", "edu.my", "gov.my", "net.my", "org.my",
+    "com.ph", "edu.ph", "gov.ph", "net.ph", "org.ph",
+    "com.vn", "edu.vn", "gov.vn", "net.vn", "org.vn",
+    // Pakistan / Nigeria / Kenya / Egypt / Saudi Arabia
+    "com.pk", "edu.pk", "gov.pk", "net.pk", "org.pk",
+    "com.ng", "edu.ng", "gov.ng", "net.ng", "org.ng",
+    "ac.ke", "co.ke", "go.ke", "ne.ke", "or.ke", "sc.ke",
+    "com.eg", "edu.eg", "gov.eg", "net.eg", "org.eg",
+    "com.sa", "edu.sa", "gov.sa", "net.sa", "org.sa",
+    // PSL wildcard + exception rule forms (real PSL entries)
+    "*.bd", "*.ck", "!www.ck", "*.jm", "*.kh", "*.mm", "*.np", "*.pg")
+
+  /** Registrable domain of an absolute URL's host under Public Suffix
+    * List rule semantics, against the embedded
+    * [[DefaultPublicSuffixRules]] subset. See the two-arg overload for
+    * the algorithm; pass `Nil` for the pure last-two-labels fallback. */
+  def registrableDomain(u: Column): Column =
+    registrableDomain(u, DefaultPublicSuffixRules)
+
+  /** Registrable domain under PSL rule semantics ("domain" in every
+    * crawl-pipeline sense: the unit a site's pages share — the stratum
+    * key of [[Boilerplate.removeFrequentLinesByStratum]] and the
+    * grouping the naive last-two-labels heuristic got wrong for every
+    * ccTLD site: `foo.co.uk` grouped under `co.uk`).
+    *
+    * Rule grammar is the PSL's own: `"co.uk"` exact, `"*.ck"` wildcard
+    * (any direct child of `ck` is a public suffix), `"!www.ck"`
+    * exception (`www.ck` is registrable despite the wildcard). The
+    * longest matching rule wins; unmatched hosts take the default rule
+    * `*` (TLD itself is the suffix → last two labels). Total function:
+    * a host that IS a public suffix maps to itself (a grouping key must
+    * not degenerate to NULL), and IP hosts (v4 dotted-quad or v6
+    * bracket) map to NULL — an address has no registrable domain.
+    *
+    * Shape: the host's suffix-label chain is computed once and each
+    * rule set is ONE literal-array membership scan per chain entry —
+    * map-only, codegen-resident, cost O(labels · |rules|) string
+    * compares per row. That is the right trade at curated-subset size
+    * (~200 rules); a full 9k-rule PSL pushes it to ~50k compares/row —
+    * still map-only, but callers at that size on 100 TB should prefer
+    * a broadcast join of [[hostSuffixes]] against a rules table. */
+  def registrableDomain(u: Column, pslRules: Seq[String]): Column = {
     val host = urlHost(u)
-    val twoLabels = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
-    when(host.isNull, lit(null).cast("string"))
-      .otherwise(when(twoLabels === "", host).otherwise(twoLabels))
+    val exacts = pslRules.filterNot(r => r.startsWith("*.") || r.startsWith("!"))
+      .map(_.toLowerCase)
+    val wilds = pslRules.filter(_.startsWith("*.")).map(_.drop(2).toLowerCase)
+    val excs = pslRules.filter(_.startsWith("!")).map(_.drop(1).toLowerCase)
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val chain = transform(sequence(lit(1), n),
+      i => array_join(slice(labels, -i, i), "."))
+    // longest rule match as a suffix LENGTH (0 = no match); `add` turns a
+    // wildcard parent match at depth i into its depth-(i+1) public suffix
+    def maxMatch(set: Seq[String], add: Int): Column =
+      if (set.isEmpty) lit(0)
+      else array_max(transform(sequence(lit(1), n),
+        i => when(array_contains(typedLit(set), element_at(chain, i)), i + add)
+          .otherwise(0)))
+    val excLen = maxMatch(excs, 0)
+    val psLen = greatest(maxMatch(exacts, 0), maxMatch(wilds, 1), lit(1))
+    val regLen = when(excLen > 0, excLen).otherwise(least(psLen + 1, n))
+    val isIp = host.rlike("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$") ||
+      substring(host, 1, 1) === "["
+    when(host.isNull || isIp, lit(null).cast("string"))
+      .otherwise(element_at(chain, regLen))
   }
 
   /** Canonical form of an absolute URL, NULL for anything else:
     *
-    *   - scheme and host lowercased, userinfo dropped;
+    *   - scheme and host lowercased, userinfo dropped; IPv6 bracket
+    *     hosts kept whole (lowercased per RFC 5952);
     *   - default ports dropped (`http:80`, `https:443`), others kept;
     *   - path: trailing slashes stripped, empty path becomes `/`;
+    *   - percent-encoding normalized (RFC 3986 §6.2.2.1–.2): escape hex
+    *     uppercased, escapes of unreserved characters decoded
+    *     (`%7Euser` ≡ `~user`); reserved escapes (`%2F`) preserved —
+    *     decoding them would change the URL's meaning;
     *   - query: tracking parameters ([[TrackingRe]]) and empty
     *     fragments dropped, survivors SORTED (byte order) and rejoined —
     *     parameter order never changes page identity; an emptied query
     *     loses its `?`;
     *   - fragment dropped (client-side only, never sent to the server).
     *
-    * Percent-encoding is preserved verbatim (normalizing it safely
-    * requires a reserved-character table; `%2F` vs `/` is not an
-    * equivalence). Two URLs canonicalizing equal are the same resource
-    * under RFC 3986 §6 comparison minus the documented approximations.
-    */
+    * Two URLs canonicalizing equal are the same resource under RFC 3986
+    * §6 comparison minus the documented approximations. */
   def canonicalizeUrl(u: Column): Column = {
     val scheme = lower(regexp_extract(u, SchemeRe, 1))
-    val auth = regexp_extract(u, AuthorityRe, 1)
-    val hostport = regexp_extract(auth, "([^@]*)$", 1)
-    val host = lower(regexp_extract(hostport, "^([^:]*)", 1))
-    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
-    val pq = regexp_extract(u, PathQueryRe, 1)
+    val hostport = hostportOf(u)
+    val host = hostOf(hostport)
+    val port = portOf(hostport)
+    // normalize escapes over path+query as one string: decoding an
+    // unreserved octet can never create or destroy a '/', '?', or '&'
+    // (all reserved), so the later structural splits are unaffected
+    val pq = normalizePercent(regexp_extract(u, PathQueryRe, 1))
     val rawPath = regexp_extract(pq, "^([^?]*)", 1)
     val rawQuery = regexp_extract(pq, "\\?(.*)$", 1)
     val strippedPath = regexp_replace(rawPath, "/+$", "")

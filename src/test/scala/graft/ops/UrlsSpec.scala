@@ -67,6 +67,91 @@ class UrlsSpec extends SparkSuite {
     }
   }
 
+  test("IPv6 bracket hosts survive intact (regression: first-colon truncation merged distinct hosts)") {
+    assert(canon("http://[2001:DB8::1]/x") == "http://[2001:db8::1]/x")
+    assert(canon("http://[2001:db8::1]:8080/x") == "http://[2001:db8::1]:8080/x")
+    assert(canon("http://[2001:db8::1]:80/x") == "http://[2001:db8::1]/x")
+    assert(canon("https://[::1]:443/x") == "https://[::1]/x")
+    // the ADVICE failure mode: two distinct v6 hosts must NOT canonicalize equal
+    assert(canon("http://[2001:db8::1]/x") != canon("http://[2001:db8::2]/x"))
+    // unclosed bracket is malformed → NULL
+    assert(canon("http://[2001:db8/x") == null)
+    val r = Seq(Tuple1("https://u:p@[2001:DB8::1]:8443/x")).toDF("u")
+      .select(Urls.urlHost(col("u")), Urls.registrableDomain(col("u"))).head()
+    assert(r.getString(0) == "[2001:db8::1]")
+    assert(r.isNullAt(1), "an IPv6 address has no registrable domain")
+  }
+
+  test("percent-encoding normalization: unreserved decode, hex uppercase, reserved kept") {
+    // RFC 3986 §6.2.2.1-.2: the three spellings of ~user are ONE resource
+    assert(canon("http://a.com/%7euser") == "http://a.com/~user")
+    assert(canon("http://a.com/%7Euser") == "http://a.com/~user")
+    assert(canon("http://a.com/~user") == "http://a.com/~user")
+    // reserved escape: kept encoded (%2F ≠ /), hex uppercased
+    assert(canon("http://a.com/a%2fb") == "http://a.com/a%2Fb")
+    assert(canon("http://a.com/%41%62%2D%5f") == "http://a.com/Ab-_")
+    // query side normalizes too, before the param sort
+    assert(canon("http://a.com/x?k=%76%2f&a=1") == "http://a.com/x?a=1&k=v%2F")
+    // malformed escapes pass through verbatim (stable, not decoded)
+    assert(canon("http://a.com/100%") == "http://a.com/100%")
+    assert(canon("http://a.com/%4x") == "http://a.com/%4x")
+  }
+
+  test("registrableDomain follows PSL rule semantics over the embedded subset") {
+    val vecs = Seq(
+      // ccTLD second-level suffixes — the groupings the last-two-labels
+      // heuristic got wrong (foo.co.uk under co.uk)
+      ("https://a.b.example.CO.UK/x", "example.co.uk"),
+      ("https://shop.example.com.au/x", "example.com.au"),
+      ("https://news.site.co.jp/x", "site.co.jp"),
+      // unlisted TLDs take the PSL default rule — classic two labels
+      ("https://www.example.com/x", "example.com"),
+      ("https://a.b.example.dev/x", "example.dev"),
+      // wildcard rule *.ck: any direct child of ck is a public suffix
+      ("https://deep.sub.foo.ck/x", "sub.foo.ck"),
+      // exception rule !www.ck: registrable despite the wildcard
+      ("https://www.ck/x", "www.ck"),
+      ("https://a.www.ck/x", "www.ck"),
+      // a host that IS a public suffix self-maps (total grouping key)
+      ("https://co.uk/x", "co.uk"),
+      ("https://com/x", "com"),
+      // IPv4 addresses have no registrable domain
+      ("https://192.168.0.1/x", null),
+      ("nope", null)
+    )
+    val got = vecs.toDF("u", "want")
+      .select(Urls.registrableDomain(col("u")).as("got"), col("want"), col("u"))
+      .collect()
+    got.foreach(r => assert(r.get(0) == r.get(1),
+      s"${r.get(2)}: got ${r.get(0)}, want ${r.get(1)}"))
+  }
+
+  test("registrableDomain with caller-supplied rules and the Nil fallback") {
+    // custom table wins over the embedded default
+    val custom = Seq(Tuple1("https://x.y.mysuffix.example/p")).toDF("u")
+      .select(Urls.registrableDomain(col("u"), Seq("mysuffix.example"))).head()
+    assert(custom.getString(0) == "y.mysuffix.example")
+    // Nil = pure default rule = the old last-two-labels heuristic
+    val twoLabel = Seq(Tuple1("https://a.b.example.co.uk/p")).toDF("u")
+      .select(Urls.registrableDomain(col("u"), Nil)).head()
+    assert(twoLabel.getString(0) == "co.uk")
+  }
+
+  test("dedupByUrl collapses percent-spelling and v6-port variants of one resource") {
+    val df = Seq(
+      (1L, "http://a.com/%7Euser"),
+      (2L, "http://a.com/~user"),
+      (3L, "http://a.com/%7euser"),
+      (4L, "http://[2001:db8::1]:80/x"),
+      (5L, "http://[2001:db8::1]/x"),
+      (6L, "http://[2001:db8::2]/x") // DIFFERENT v6 host — must survive
+    ).toDF("id", "url")
+    val out = Urls.dedupByUrl(df, "url", "id")
+      .select("id", "url_canonical").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "http://a.com/~user"),
+      (4L, "http://[2001:db8::1]/x"), (6L, "http://[2001:db8::2]/x")))
+  }
+
   test("dedupByUrl keeps the min-id row per canonical URL; malformed rows drop") {
     val df = Seq(
       (3L, "http://A.com/x/?utm_source=s"),
