@@ -55,7 +55,8 @@ object GraftFunctions {
       Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column)] = Seq(
     ("url_canonical", 1, args => graft.ops.Urls.canonicalizeUrl(args.head)),
     ("url_host", 1, args => graft.ops.Urls.urlHost(args.head)),
-    ("url_domain", 1, args => graft.ops.Urls.registrableDomain(args.head)))
+    ("url_domain", 1, args => graft.ops.Urls.registrableDomain(args.head)),
+    ("html_to_text", 1, args => graft.ops.Html.htmlToText(args.head)))
 
   def columnBuilder(name: String, arity: Int,
                     fn: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{Validate, ValidationResult}
 import graft.{filters => F}
 import graft.filters.{Emptiness, FilterMapper, FilterMapperDynamic, FilterRepeater, FilterRepeaterMap, FilterSwitch}
-import graft.ops.{Boilerplate, Dedup, Joins, Sampling, Similarity, TextAnalysis, Urls}
+import graft.ops.{Boilerplate, Dedup, Html, Joins, Sampling, Similarity, TextAnalysis, Urls}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2.7), each hash-checked against the DuckDB `oracleSql`. */
@@ -368,6 +368,27 @@ object SparkEntry {
         Urls.canonicalizeUrl(url).as("url_canonical"),
         Urls.urlHost(url).as("host"),
         Urls.registrableDomain(url).as("domain"))
+        .orderBy("doc_id")
+    }),
+    "q_html_text" -> ((s, dir) => {
+      // synthesized markup sweeps every extraction stage: subtree drops
+      // (script/style), comments, CDATA, block-tag newlines, inline-tag
+      // spaces, named/decimal/hex entities, nbsp collapse, no-double-
+      // decode. Oracle states the EXPECTED extracted text in closed form.
+      val docs = T(s, dir, "documents")
+      val html = concat(
+        when(col("doc_id") % 5 === 0, lit("<html><head><title>T</title>" +
+            "<style>p{color:red}</style></head><body><h1>Hello</h1>" +
+            "<p>World &amp; friends</p></body></html>"))
+          .when(col("doc_id") % 5 === 1,
+            lit("<div>A<!-- hidden <b>x</b> -->B<span>C</span></div>"))
+          .when(col("doc_id") % 5 === 2,
+            lit("<p>X<![CDATA[1 < 2 & \"raw\"]]>Y &#65;&#x42; &copy;</p>"))
+          .when(col("doc_id") % 5 === 3, lit("<script type=\"text/js\">" +
+            "var a=\"<p>no</p>\";</script>Only&nbsp;this"))
+          .otherwise(lit("Line1<br/>Line2<hr>Line3 <b>bold &amp;lt;tag&amp;gt;</b>")),
+        lit("<p>uniq"), col("doc_id").cast("string"), lit("</p>"))
+      docs.select(col("doc_id"), Html.htmlToText(html).as("text_extracted"))
         .orderBy("doc_id")
     }),
     "q_curation_e2e" -> ((s, dir) => {
@@ -1032,6 +1053,17 @@ object SparkEntry {
       // closed form: survivors are exactly the even-doc non-src3 rows
       ("SELECT doc_id, source FROM documents WHERE source IS NOT NULL " +
         "AND doc_id % 2 = 0 AND source <> 'src3' ORDER BY doc_id"),
+    "q_html_text" ->
+      // closed-form EXPECTED extracted text (not an extractor mirror)
+      ("SELECT doc_id, " +
+        "CASE doc_id % 5 " +
+        "WHEN 0 THEN 'T' || chr(10) || 'Hello' || chr(10) || 'World & friends' " +
+        "WHEN 1 THEN 'A B C' " +
+        "WHEN 2 THEN 'X1 < 2 & \"raw\"Y AB ©' " +
+        "WHEN 3 THEN 'Only this' " +
+        "ELSE 'Line1' || chr(10) || 'Line2' || chr(10) || 'Line3 bold &lt;tag&gt;' END " +
+        "|| chr(10) || 'uniq' || CAST(doc_id AS VARCHAR) AS text_extracted " +
+        "FROM documents ORDER BY doc_id"),
     "q_curation_e2e" ->
       // stage-by-stage mirror: blocklist = even ids (closed form);
       // canonical form stated in closed form; URL dedup / boilerplate /

@@ -2,7 +2,7 @@ package graft.examples
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.ops.{Boilerplate, Dedup, Urls}
+import graft.ops.{Boilerplate, Dedup, Html, Urls}
 
 /** The FIRST-PASS half of a web-crawl curation pipeline — everything that
   * runs BEFORE the content-quality/near-dup stages of
@@ -37,18 +37,27 @@ import graft.ops.{Boilerplate, Dedup, Urls}
   */
 object WebCrawlCuration {
 
+  /** `htmlInput = true` inserts the [[Html.htmlToText]] extraction as
+    * stage 0 — positioned AFTER the URL-level stages (which never read
+    * text), so rows the blocklist and URL dedup drop never pay the
+    * extraction regexes. */
   def curate(crawl: DataFrame, blockedDomains: Seq[String],
              idCol: String = "doc_id", urlCol: String = "url",
              textCol: String = "text",
              boilerplateMinDocs: Long = 3L,
              delim: String = "\n", joinSep: String = "\n",
-             materializeIntermediate: Boolean = true): DataFrame = {
+             materializeIntermediate: Boolean = true,
+             htmlInput: Boolean = false): DataFrame = {
     // 1. blocklist, then 2. canonical-URL dedup (adds url_canonical)
     val allowed =
       if (blockedDomains.isEmpty) crawl
       else Urls.filterBlockedDomains(crawl, urlCol, blockedDomains)
-    val byUrl0 = Urls.dedupByUrl(allowed, urlCol, idCol)
+    val byUrl1 = Urls.dedupByUrl(allowed, urlCol, idCol)
       .withColumn("domain", Urls.registrableDomain(col(urlCol)))
+    // 0. (optional, map-only) raw markup → text before any content stage
+    val byUrl0 =
+      if (htmlInput) byUrl1.withColumn(textCol, Html.htmlToText(col(textCol)))
+      else byUrl1
     // byUrl feeds BOTH the metadata branch and the boilerplate branch —
     // without materialization the blocklist + URL-dedup exchange
     // recomputes once per branch (same pattern as TrainingDataPipeline;

@@ -25,7 +25,7 @@ object Kernels {
     "nfc", "unicodeClean", "caseFold", "utf8Truncate", "rollingHash",
     "minhashSig", "minhashSigShingles", "sigAgreement", "dotD", "cosineD",
     "lshBucketD", "simHash", "uuidVersion",
-    "zValue2", "zValue3", "maxAbsD", "quantizeI8D")
+    "zValue2", "zValue3", "maxAbsD", "quantizeI8D", "htmlEntityDecode")
 
   /** NFC normalization (reference `filters/string.py::Unicode` normalize step). */
   def nfc(s: UTF8String): UTF8String =
@@ -406,5 +406,81 @@ object Kernels {
       v
     }
     spread(a) | (spread(b) << 1) | (spread(c) << 2)
+  }
+
+  /** Named HTML entities decoded by [[htmlEntityDecode]]: the HTML 2.0/3.2
+    * core plus the punctuation/typography set that dominates real crawl
+    * text. Deliberately a SUBSET of HTML5's ~2200 names — unknown entities
+    * pass through verbatim (stable, visible), never misdecode. */
+  private val NamedEntities: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    val pairs = Seq(
+      "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+      "apos" -> "'", "nbsp" -> "\u00A0", "shy" -> "\u00AD",
+      "copy" -> "©", "reg" -> "®", "trade" -> "™",
+      "deg" -> "°", "plusmn" -> "±", "times" -> "×",
+      "divide" -> "÷", "micro" -> "µ", "middot" -> "·",
+      "bull" -> "•", "hellip" -> "…", "dagger" -> "†",
+      "sect" -> "§", "para" -> "¶", "laquo" -> "«",
+      "raquo" -> "»", "lsquo" -> "‘", "rsquo" -> "’",
+      "ldquo" -> "“", "rdquo" -> "”", "ndash" -> "–",
+      "mdash" -> "—", "prime" -> "′", "Prime" -> "″",
+      "euro" -> "€", "pound" -> "£", "yen" -> "¥",
+      "cent" -> "¢", "curren" -> "¤", "frac12" -> "½",
+      "frac14" -> "¼", "frac34" -> "¾", "sup1" -> "¹",
+      "sup2" -> "²", "sup3" -> "³", "szlig" -> "ß",
+      "agrave" -> "à", "aacute" -> "á", "acirc" -> "â",
+      "auml" -> "ä", "ccedil" -> "ç", "egrave" -> "è",
+      "eacute" -> "é", "ecirc" -> "ê", "euml" -> "ë",
+      "iacute" -> "í", "ntilde" -> "ñ", "oacute" -> "ó",
+      "ocirc" -> "ô", "ouml" -> "ö", "oslash" -> "ø",
+      "uacute" -> "ú", "uuml" -> "ü", "aring" -> "å",
+      "aelig" -> "æ", "thorn" -> "þ", "eth" -> "ð")
+    pairs.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
+  /** Decode HTML character references: named ([[NamedEntities]] subset),
+    * decimal (`&#65;`), and hex (`&#x1F600;` — supplementary planes via
+    * `Character.toChars`, never broken surrogates). Single left-to-right
+    * pass, so `&amp;lt;` decodes to the LITERAL `&lt;` (no double decode).
+    * Anything unrecognized — unknown name, no `;` within 32 chars, code
+    * point out of range or a surrogate — passes through verbatim. Total
+    * function (in [[totalKernels]]): never null for non-null input. */
+  def htmlEntityDecode(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (str.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(str.length)
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      var decoded: String = null
+      var next = i + 1
+      if (c == '&') {
+        val semi = str.indexOf(';', i + 1)
+        if (semi > i + 1 && semi - i <= 32) {
+          val body = str.substring(i + 1, semi)
+          decoded =
+            if (body.charAt(0) == '#') {
+              val num = body.substring(1)
+              val cp =
+                try {
+                  if (num.nonEmpty && (num.charAt(0) == 'x' || num.charAt(0) == 'X'))
+                    Integer.parseInt(num.substring(1), 16)
+                  else Integer.parseInt(num, 10)
+                } catch { case _: NumberFormatException => -1 }
+              val surrogate = cp >= 0xD800 && cp <= 0xDFFF
+              if ((Character.isValidCodePoint(cp) && !surrogate && cp >= 0x20)
+                  || cp == '\n' || cp == '\t')
+                new String(Character.toChars(cp))
+              else null
+            } else NamedEntities.get(body)
+          if (decoded != null) next = semi + 1
+        }
+      }
+      if (decoded != null) sb.append(decoded) else sb.append(c)
+      i = if (decoded != null) next else i + 1
+    }
+    UTF8String.fromString(sb.toString)
   }
 }

@@ -87,6 +87,9 @@ object native {
     invoke(LongType, "lshBucketD", Seq(e(v), Literal(bits)),
       Seq(ArrayType(DoubleType), IntegerType))
 
+  def htmlEntityDecode(c: Column): Column =
+    invoke(StringType, "htmlEntityDecode", Seq(e(c)), Seq(StringType))
+
   /** try_cast — null instead of error on failed cast (ANSI-safe coercion). */
   def tryCast(c: Column, dt: DataType): Column =
     GraftSqlShim.column(Cast(e(c), dt, Some("UTC"), EvalMode.TRY))

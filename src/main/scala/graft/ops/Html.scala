@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.expressions.native
+
+/** HTML-to-text extraction (SURVEY.md §2.6 extension) — the step UPSTREAM
+  * of every shipped text operator on a real crawl: raw fetched markup →
+  * plain text, before language-ID / quality / boilerplate / dedup ever
+  * run. The whole pipeline is map-only `Column` work — chained
+  * `regexp_replace` passes plus one native entity-decode kernel
+  * ([[graft.expressions.Kernels.htmlEntityDecode]]) — so it stays inside
+  * whole-stage codegen, pushes down around it, and costs zero shuffles at
+  * any corpus size.
+  *
+  * This is a text EXTRACTOR, not an HTML parser: regex passes over tag
+  * syntax, with the known limits of that class (a literal `</script>`
+  * inside a JS string ends the script subtree early; an unclosed
+  * `<script>` leaves its body as text after the open tag strips). Real
+  * crawl pipelines (C4, CCNet) accept exactly these semantics from their
+  * extractors; documents needing DOM fidelity should use a parser at
+  * ingest, not a Column expression.
+  *
+  * Stage order is load-bearing: comments/CDATA first (a commented-out
+  * `<script>` must not open a subtree), subtree drops before tag strip
+  * (else script BODIES leak into text), tags before entity decode (so
+  * `&lt;script&gt;` can never BECOME a tag — the safe direction), decode
+  * before whitespace collapse (nbsp → U+00A0 joins the collapse class).
+  */
+object Html {
+
+  /** Tags whose entire element content is dropped — machine payload,
+    * never prose. */
+  private val DropSubtrees = "script|style|noscript|template"
+
+  /** Tags that end a text block — each becomes a newline, so paragraph /
+    * list / heading / row boundaries survive into unit-based downstream
+    * ops ([[Boilerplate]], [[Dedup.dedupUnitsKeepFirst]], [[Chunking]]). */
+  private val BlockTags =
+    "p|div|br|li|ul|ol|dl|dt|dd|h[1-6]|tr|table|thead|tbody|blockquote|pre|" +
+      "section|article|header|footer|nav|aside|form|fieldset|hr|figure|figcaption"
+
+  /** Extract plain text from an HTML fragment or document:
+    *
+    *   1. comments dropped (`<!-- … -->`, dot-matches-newline);
+    *   2. CDATA sections unwrapped to their raw content;
+    *   3. `<script>/<style>/<noscript>/<template>` SUBTREES dropped
+    *      (case-insensitive, attribute-tolerant, lazy to the matching
+    *      close tag);
+    *   4. block-level tags ([[BlockTags]], open or close or self-closed)
+    *      → newline; every other tag (incl. `<!DOCTYPE …>`) → space;
+    *   5. character references decoded — named subset, decimal, hex —
+    *      in one left-to-right kernel pass (`&amp;lt;` → literal `&lt;`);
+    *   6. whitespace collapsed: horizontal runs (incl. decoded nbsp) →
+    *      one space, newline-bearing runs → one newline, ends trimmed.
+    *
+    * Null propagates. A page that is all markup yields the empty string —
+    * feed the result through the usual `NotEmpty`/quality gates. */
+  def htmlToText(html: Column): Column = {
+    val noComments = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noCdata = regexp_replace(noComments, "(?s)<!\\[CDATA\\[(.*?)\\]\\]>", "$1")
+    val noSubtrees = regexp_replace(noCdata,
+      s"(?is)<($DropSubtrees)\\b[^>]*>.*?</\\1\\s*>", " ")
+    val blocks = regexp_replace(noSubtrees,
+      s"(?i)</?($BlockTags)\\b[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "(?s)</?[A-Za-z!][^>]*>", " ")
+    val decoded = native.htmlEntityDecode(noTags)
+    val collapsed = regexp_replace(
+      regexp_replace(decoded, "[ \\t\\x0B\\f\\r\\u00A0]+", " "),
+      " ?\\n[ \\n]*", "\n")
+    trim(collapsed, " \n")
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** HTML-to-text extraction ([[Html.htmlToText]]): subtree drops, tag
+  * strip, entity decode (named/decimal/hex, incl. supplementary planes),
+  * whitespace collapse — each pinned on hand-checked vectors, plus the
+  * map-only plan shape. */
+class HtmlSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def extract(html: String): String = {
+    val r = Seq(Tuple1(html)).toDF("h")
+      .select(Html.htmlToText(col("h")).as("t")).head()
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  test("basic page: head kept as text, style dropped, blocks become newlines") {
+    assert(extract("<html><head><title>T</title><style>p{color:red}</style>" +
+      "</head><body><h1>Hello</h1><p>World &amp; friends</p></body></html>")
+      == "T\nHello\nWorld & friends")
+  }
+
+  test("script/style/noscript subtrees drop entirely, case-insensitive, with attributes") {
+    assert(extract("""a<SCRIPT type="text/javascript">var x = "<p>not text</p>";</script>b""")
+      == "a b")
+    assert(extract("a<style media='all'>.x{}</STYLE >b") == "a b")
+    assert(extract("a<noscript><img src=x></noscript>b") == "a b")
+    // unclosed script: open tag strips as a tag, body stays (documented)
+    assert(extract("a<script>leftover") == "a leftover")
+  }
+
+  test("comments drop, including markup hidden inside them; nested tags strip") {
+    assert(extract("<div>A<!-- hidden <b>x</b> -->B<span>C</span></div>") == "A B C")
+    assert(extract("<!-- <script>alert(1)</script> -->ok") == "ok")
+    assert(extract("<ul><li>one<li>two</ul>") == "one\ntwo")
+  }
+
+  test("CDATA unwraps to raw content; bare < stays when not a tag") {
+    assert(extract("""<p>X<![CDATA[1 < 2 & "raw"]]>Y</p>""") == """X1 < 2 & "raw"Y""")
+    assert(extract("a < b and c > d") == "a < b and c > d")
+  }
+
+  test("entity decode: named, decimal, hex, supplementary; unknown pass through; no double decode") {
+    assert(extract("&#65;&#x42;c &copy; &ldquo;q&rdquo;") == "ABc © “q”")
+    // supplementary plane via surrogate-pair-safe toChars
+    assert(extract("smile &#x1F600; end") == "smile 😀 end")
+    // unknown / malformed references stay verbatim
+    assert(extract("&unknown; &#xZZ; 100% &#55296;") == "&unknown; &#xZZ; 100% &#55296;")
+    // single pass: &amp;lt; is the LITERAL string "&lt;"
+    assert(extract("x &amp;lt;tag&amp;gt; y") == "x &lt;tag&gt; y")
+  }
+
+  test("whitespace collapse: nbsp joins the space class, newline runs fold, ends trim") {
+    assert(extract("  a&nbsp;&nbsp;b\t c  ") == "a b c")
+    assert(extract("<p>a</p><p></p><p>b</p>") == "a\nb")
+    assert(extract("<br><br>x<br/>y<br />") == "x\ny")
+  }
+
+  test("all-markup page yields empty string, null propagates") {
+    assert(extract("<html><head><script>x()</script></head></html>") == "")
+    val r = Seq(Tuple1(null: String)).toDF("h")
+      .select(Html.htmlToText(col("h")).as("t")).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("plan is map-only: no exchange, stays in whole-stage codegen") {
+    val df = spark.range(100).select(
+      concat(lit("<p>doc "), col("id"), lit(" &amp; more</p>")).as("h"))
+    val plan = df.select(Html.htmlToText(col("h")).as("t"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"extraction must be map-only:\n$plan")
+    assert(plan.contains("*(1)"), s"fell out of codegen:\n$plan")
+  }
+}
