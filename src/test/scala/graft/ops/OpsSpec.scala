@@ -375,6 +375,75 @@ class OpsSpec extends SparkSuite {
     assert(j2 == 0.0 && c2 == 0.0 && math.abs(ce2) < 1e-12)
   }
 
+  test("LSH banding recall MEASURED at the S-curve claim, not asserted from theory") {
+    // plant token-set pairs at an EXACT known Jaccard (o shared + (n-o)
+    // unique tokens per side, namespaced per pair so cross-pair overlap
+    // is impossible → J = o/(2n-o) by construction), then measure the
+    // fraction whose band arrays collide in ≥1 position. The scaladoc
+    // claim under test: pairs AT the auto-selected banding's threshold
+    // collide w.p. ≥ 1-1/e, climbing steeply above. Fixed seed; the
+    // minhash kernel's hash family is fixed → fully deterministic.
+    val rnd = new scala.util.Random(7)
+    def pairAt(pid: String, j: Double, n: Int): (String, String) = {
+      val o = math.round(2 * n * j / (1 + j)).toInt
+      val shared = (0 until o).map(k => s"${pid}s$k")
+      val a = shared ++ (0 until n - o).map(k => s"${pid}a$k")
+      val b = shared ++ (0 until n - o).map(k => s"${pid}b$k")
+      (rnd.shuffle(a).mkString(" "), rnd.shuffle(b).mkString(" "))
+    }
+    def bandRecall(numHashes: Int, threshold: Double, j: Double,
+                   nPairs: Int): Double = {
+      val b = Dedup.bandsForThreshold(numHashes, threshold)
+      val r = numHashes / b
+      val rows = (0 until nPairs)
+        .map { p => val (ta, tb) = pairAt(s"h${numHashes}t${threshold}j$j-$p-", j, 40); (ta, tb) }
+      val hits = rows.toDF("ta", "tb").select(
+        exists(zip_with(
+          Dedup.minhashBands(Dedup.minhashSignature(col("ta"), numHashes), b, r),
+          Dedup.minhashBands(Dedup.minhashSignature(col("tb"), numHashes), b, r),
+          (x, y) => x === y), h => h).as("hit"))
+        .filter(col("hit")).count()
+      hits.toDouble / nPairs
+    }
+    for ((numHashes, threshold) <- Seq((16, 0.7), (16, 0.5), (32, 0.8))) {
+      val atT = bandRecall(numHashes, threshold, threshold, 200)
+      val above = bandRecall(numHashes, threshold, threshold + 0.1, 200)
+      assert(atT >= 0.6,
+        s"recall $atT < 0.6 at J=threshold=$threshold (numHashes=$numHashes)")
+      assert(above >= 0.9,
+        s"recall $above < 0.9 at J=threshold+0.1 (threshold=$threshold, numHashes=$numHashes)")
+      assert(above >= atT, "S-curve must climb above the threshold")
+    }
+  }
+
+  test("end-to-end minhashNearDups recall on planted pairs above threshold") {
+    // the full pipeline (banding + sigAgreement ≥ threshold verification)
+    // on 100 planted pairs at J = threshold+0.15: the verification step
+    // re-estimates J from 16 hashes, so per-pair estimates straddle the
+    // cutoff — recall is necessarily below the banding-only number, but
+    // must stay well above half on a comfortably-above-threshold corpus
+    val rnd = new scala.util.Random(11)
+    val n = 40
+    val j = 0.65
+    val o = math.round(2 * n * j / (1 + j)).toInt
+    val docs = (0 until 100).flatMap { p =>
+      val shared = (0 until o).map(k => s"p${p}s$k")
+      val a = shared ++ (0 until n - o).map(k => s"p${p}a$k")
+      val b = shared ++ (0 until n - o).map(k => s"p${p}b$k")
+      Seq((2L * p, rnd.shuffle(a).mkString(" ")),
+        (2L * p + 1, rnd.shuffle(b).mkString(" ")))
+    }
+    val found = Dedup.minhashNearDups(docs.toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.5, maxBucket = Int.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val recall = (0 until 100).count(p =>
+      found.contains((2L * p, 2L * p + 1))).toDouble / 100
+    assert(recall >= 0.9, s"end-to-end recall $recall < 0.9 on planted J=$j pairs at threshold 0.5")
+    // namespaced pairs: nothing ELSE may pair up
+    val falsePairs = found.filterNot { case (a, b) => b == a + 1 && a % 2 == 0 }
+    assert(falsePairs.isEmpty, s"cross-pair false positives: $falsePairs")
+  }
+
   test("approx distinct within rsd of exact") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val exact = ev.select("user_id").distinct().count().toDouble
