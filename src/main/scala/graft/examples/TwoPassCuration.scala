@@ -1,0 +1,60 @@
+package graft.examples
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The FULL curation pipeline: [[WebCrawlCuration]] (first pass — URL-level
+  * and unit-level cleanup of a raw crawl) feeding [[TrainingDataPipeline]]
+  * (second pass — validation, quality gating, exact + near-dup content
+  * dedup). This is the composition a real pretraining-data run executes
+  * end-to-end; the two halves were previously only shipped (and smoked)
+  * separately.
+  *
+  * Stage order across the seam is the standard one (CCNet / C4 /
+  * RefinedWeb): everything URL- and boilerplate-shaped happens BEFORE
+  * content fingerprinting and LSH — first-pass cleanup makes distinct
+  * crawls byte-identical, which is precisely what lets the second pass's
+  * exact dedup fold them cheaply, and removes the per-site chrome that
+  * would otherwise defeat near-dup detection (two different articles
+  * sharing a nav bar are NOT near-dups).
+  *
+  * Scale shape = the sum of its published parts: first pass ~7 exchanges
+  * (each skew-bounded, see [[WebCrawlCuration]]), second pass 2 shuffles +
+  * the band join + pair-sized cluster resolution. The first-pass output is
+  * persisted by its own `materializeIntermediate`; the second pass
+  * persists its exact-deduped set before the LSH fan-out. Duplication
+  * invariance (re-crawling pages 10× must not change the curated corpus)
+  * is spec-pinned end-to-end in `TwoPassCurationSpec` and wall-time-smoked
+  * in `tools/TwoPassSmoke` (numbers in SCALE.md).
+  *
+  * Output: one row per curated document — `(doc_id, url_canonical,
+  * domain, text, lang_guess, quality, n_tokens)`.
+  */
+object TwoPassCuration {
+
+  def curate(crawl: DataFrame, blockedDomains: Seq[String],
+             urlCol: String = "url", textCol: String = "text",
+             boilerplateMinDocs: Long = 3L,
+             delim: String = "\n", joinSep: String = "\n",
+             htmlInput: Boolean = false,
+             minQuality: Double = 0.3,
+             nearDupThreshold: Double = 0.9,
+             materializeIntermediate: Boolean = true): DataFrame = {
+    val first = WebCrawlCuration.curate(crawl, blockedDomains,
+      idCol = "doc_id", urlCol = urlCol, textCol = textCol,
+      boilerplateMinDocs = boilerplateMinDocs,
+      delim = delim, joinSep = joinSep,
+      materializeIntermediate = materializeIntermediate,
+      htmlInput = htmlInput)
+    // the seam: first-pass cleaned text becomes the second pass's input
+    // text; lang is absent in a raw crawl — Optional("und") fills it
+    val docs = first
+      .withColumnRenamed("text_clean", "text")
+      .withColumn("lang", lit(null).cast("string"))
+    TrainingDataPipeline.curate(docs, minQuality = minQuality,
+        nearDupThreshold = nearDupThreshold,
+        materializeIntermediate = materializeIntermediate)
+      .select(col("doc_id"), col("url_canonical"), col("domain"),
+        col("text"), col("lang_guess"), col("quality"), col("n_tokens"))
+  }
+}
