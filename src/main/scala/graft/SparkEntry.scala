@@ -419,6 +419,26 @@ object SparkEntry {
         boilerplateMinDocs = 10L, delim = " ", joinSep = " ")
         .orderBy("doc_id")
     }),
+    "q_twopass" -> ((s, dir) => {
+      // the COMPOSED two-pass pipeline (WebCrawlCuration → seam →
+      // TrainingDataPipeline) over the real documents table with a
+      // synthesized crawl surface: deterministic per-doc URL over 50
+      // registrable domains + a per-domain nav line for the boilerplate
+      // stage. Rows-only (standard LSH rationale: band-bucket membership
+      // is not SQL-mirrorable) — content-pinned in RowsOnlyPinSpec; the
+      // per-stage semantics are each oracle-checked by q_curation_e2e /
+      // q_pipeline_e2e, and invariance is smoked in tools/TwoPassSmoke.
+      val docs = T(s, dir, "documents")
+      val crawl = docs.select(col("doc_id"),
+        concat(lit("https://www.crawl"), pmod(col("doc_id"), lit(50)).cast("string"),
+          lit(".co.uk/d/"), col("doc_id").cast("string")).as("url"),
+        concat(lit("crawl"), pmod(col("doc_id"), lit(50)).cast("string"),
+          lit(" home about contact navigation\n"), col("text")).as("text"))
+      graft.examples.TwoPassCuration.curate(crawl, Seq("blocked.example.com"))
+        .select(col("doc_id"), col("domain"), col("lang_guess"),
+          col("quality"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
     "q_url_blocklist" -> ((s, dir) => {
       // suffix-label blocklist: every odd doc lands on *.example.org
       // (blocked domain), src3's even docs land on src3.example.com

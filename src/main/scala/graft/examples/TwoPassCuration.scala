@@ -25,7 +25,10 @@ import org.apache.spark.sql.functions._
   * persists its exact-deduped set before the LSH fan-out. Duplication
   * invariance (re-crawling pages 10× must not change the curated corpus)
   * is spec-pinned end-to-end in `TwoPassCurationSpec` and wall-time-smoked
-  * in `tools/TwoPassSmoke` (numbers in SCALE.md).
+  * in `Test/runMain graft.tools.TwoPassSmoke` over 10×-duplicated sf0.1
+  * (numbers in SCALE.md "two-pass composition"); the harness runs the
+  * composition as `q_twopass` (rows-only — LSH bucket membership is not
+  * SQL-mirrorable — content-pinned in `RowsOnlyPinSpec`).
   *
   * Output: one row per curated document — `(doc_id, url_canonical,
   * domain, text, lang_guess, quality, n_tokens)`.

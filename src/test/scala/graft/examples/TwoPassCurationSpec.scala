@@ -12,21 +12,28 @@ class TwoPassCurationSpec extends SparkSuite {
   import spark.implicits._
 
   // synthetic 3-domain crawl: per-domain nav boilerplate on every page,
-  // exact-dup page pairs, near-dup page pairs (token Jaccard ≈ 0.94),
-  // one blocked domain, and under-length junk the quality gate must drop
+  // planted near-dup page pairs, one blocked domain, and under-length
+  // junk the quality gate must drop. Content tokens are NAMESPACED by
+  // (domain, block) — the same technique as the MinHash recall spec — so
+  // distinct blocks share ZERO tokens (cross-pair Jaccard 0) while the
+  // odd doc of each pair appends ONE token to its even twin's body line
+  // (within-pair Jaccard = 60/61 ≈ 0.984 — far enough above the 0.9
+  // threshold that the 64-hash signature ESTIMATE, which must also clear
+  // 0.9 in the verification step, has a safe margin on every pair).
+  // The survivor set is therefore exactly predictable: one (min-id, i.e.
+  // even) doc per planted pair.
   private def crawl(copies: Int): DataFrame = {
     val base = (0 until 3).flatMap { d =>
       (0 until 40).map { i =>
         val id = (d * 40 + i).toLong
         val url = s"https://www.site$d.co.uk/p/$i"
         val nav = s"site$d home about contact navigation bar for every page of this domain"
-        val body = s"the quick brown content block number ${i / 2} of domain $d " +
-          "with plenty of common stopwords and some more words to pass the gates"
-        // odd docs append ONE extra token → near-dup of their even twin
-        // (J ≈ 30/31); even docs of a pair are EXACT dups after the nav
-        // line strips
-        val tail = if (i % 2 == 1) s"\nthe same closing line plus marker$d" else ""
-        (id, url, s"$nav\n$body$tail")
+        val b = i / 2
+        val body = (0 until 60).map(k => s"d${d}b${b}w$k").mkString(" ")
+        // one appended token, SAME line: a distinct unit (so corpus-wide
+        // unit keep-first dedup does not eat it) that is a near-dup
+        val text = if (i % 2 == 1) s"$nav\n$body d${d}b${b}x" else s"$nav\n$body"
+        (id, url, text)
       }
     } ++ (0 until 20).map { j =>
       val id = (200 + j).toLong
@@ -68,9 +75,15 @@ class TwoPassCurationSpec extends SparkSuite {
     // boilerplate: the nav line is stripped from every surviving text
     val navLeaks = out.filter(col("text").contains("navigation bar")).count()
     assert(navLeaks == 0, s"$navLeaks docs still carry the domain nav line")
-    // near-dup + exact dedup: each content-block pair keeps ONE doc —
-    // far fewer survivors than the 120 content docs in
-    assert(ids.size < 120 && ids.size >= 3, s"implausible survivor count ${ids.size}")
+    // near-dup dedup: each planted pair collapses to its min-id (even)
+    // member and nothing else is lost — the survivor set is EXACTLY the
+    // 60 even content ids (cross-pair Jaccard is 0 by construction, so
+    // any extra loss means spurious merging; any extra survivor means a
+    // missed pair)
+    val expected = (0 until 120 by 2).map(_.toLong).toSet
+    assert(ids == expected,
+      s"survivors != planted distinct-content set: missing=${expected -- ids} " +
+        s"extra=${ids -- expected}")
     // PSL domain survives to the output surface
     val domains = out.select("domain").distinct().as[String].collect().toSet
     assert(domains.subsetOf(Set("site0.co.uk", "site1.co.uk", "site2.co.uk")),
