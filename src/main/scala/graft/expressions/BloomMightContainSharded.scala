@@ -16,16 +16,24 @@ import org.apache.spark.util.sketch.BloomFilter
   * serialized bytes into the generated source): at the permitted maximum
   * of 4096 shards that chain blew past Janino's 64 KB method limit into
   * interpreted fallback with the multi-GB sketch set embedded once per
-  * plan reference. Here the generated code is a constant-size array index
-  * + virtual call — the deserialized filters live in the codegen
-  * `references` array (`addReferenceObj`, the same mechanism Spark's own
-  * `BloomFilterMightContain` uses), so codegen survives at ANY shard
-  * count and the plan carries the bytes exactly once.
+  * plan reference. Here the generated code is a constant-size virtual
+  * call, so codegen survives at ANY shard count — and the codegen
+  * `references` entry is THIS expression instance itself (the
+  * `CodegenFallback` pattern), not a second copy of the filters: the
+  * expression-tree node and the references entry are one shared object
+  * in the task's single serialization stream, so the serialized shard
+  * bytes ship once per task, and the deserialized filters are
+  * `@transient lazy` — rebuilt at most once per executor instance,
+  * never per row.
   *
   * Child must be the LongType hash the keys were inserted under (xxhash64
-  * on both sides — see [[graft.ops.Dedup.mightBeSeenSharded]]). Filters
-  * deserialize lazily once per (de)serialized expression instance, never
-  * per row.
+  * on both sides — see [[graft.ops.Dedup.mightBeSeenSharded]]).
+  *
+  * Equality compares an MD5 digest of the shard bytes (plus the child),
+  * not the `Seq[Array[Byte]]` itself — array reference equality would
+  * make semantically identical probes compare unequal, silently
+  * defeating `semanticEquals`/subexpression elimination when a probe
+  * column is reused.
   */
 case class BloomMightContainSharded(shardBytes: Seq[Array[Byte]],
                                     child: Expression)
@@ -40,18 +48,38 @@ case class BloomMightContainSharded(shardBytes: Seq[Array[Byte]],
     shardBytes.map(b =>
       BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))).toArray
 
-  override def nullSafeEval(input: Any): Any = {
-    val h = input.asInstanceOf[Long]
+  @transient private lazy val shardDigest: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    shardBytes.foreach { b =>
+      md.update(java.nio.ByteBuffer.allocate(4).putInt(b.length).array())
+      md.update(b)
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case that: BloomMightContainSharded =>
+      child == that.child && shardBytes.length == that.shardBytes.length &&
+        shardDigest == that.shardDigest
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(prettyName, child, shardDigest)
+
+  /** Row-level probe, shared by interpreted and generated paths. */
+  def probe(h: Long): Boolean = {
     val n = filters.length
     filters((((h % n) + n) % n).toInt).mightContainLong(h)
   }
 
+  override def nullSafeEval(input: Any): Any =
+    probe(input.asInstanceOf[Long])
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val fs = ctx.addReferenceObj("shardedBloomFilters", filters,
-      "org.apache.spark.util.sketch.BloomFilter[]")
-    val n = filters.length
-    nullSafeCodeGen(ctx, ev, h =>
-      s"${ev.value} = $fs[(int) ((($h % ${n}L) + ${n}L) % ${n}L)].mightContainLong($h);")
+    val self = ctx.addReferenceObj("shardedBloomProbe", this,
+      classOf[BloomMightContainSharded].getName)
+    nullSafeCodeGen(ctx, ev, h => s"${ev.value} = $self.probe($h);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BloomMightContainSharded =

@@ -440,13 +440,32 @@ object Kernels {
     m
   }
 
+  /** HTML5 numeric-character-reference remap for 0x80–0x9F: the spec
+    * (and browsers, and Python's html.unescape) interprets references in
+    * the C1 control block through the windows-1252 table — `&#147;`
+    * (ubiquitous in Word-exported HTML) means U+201C LEFT DOUBLE
+    * QUOTATION MARK, not an invisible control byte that would survive
+    * whitespace collapse and perturb fingerprint/dedup keys. The five
+    * code points cp1252 leaves undefined (0x81 0x8D 0x8F 0x90 0x9D) are
+    * rejected like every other control. */
+  private val Cp1252Remap: Map[Int, Int] = Map(
+    0x80 -> 0x20AC, 0x82 -> 0x201A, 0x83 -> 0x0192, 0x84 -> 0x201E,
+    0x85 -> 0x2026, 0x86 -> 0x2020, 0x87 -> 0x2021, 0x88 -> 0x02C6,
+    0x89 -> 0x2030, 0x8A -> 0x0160, 0x8B -> 0x2039, 0x8C -> 0x0152,
+    0x8E -> 0x017D, 0x91 -> 0x2018, 0x92 -> 0x2019, 0x93 -> 0x201C,
+    0x94 -> 0x201D, 0x95 -> 0x2022, 0x96 -> 0x2013, 0x97 -> 0x2014,
+    0x98 -> 0x02DC, 0x99 -> 0x2122, 0x9A -> 0x0161, 0x9B -> 0x203A,
+    0x9C -> 0x0153, 0x9E -> 0x017E, 0x9F -> 0x0178)
+
   /** Decode HTML character references: named ([[NamedEntities]] subset),
     * decimal (`&#65;`), and hex (`&#x1F600;` — supplementary planes via
-    * `Character.toChars`, never broken surrogates). Single left-to-right
-    * pass, so `&amp;lt;` decodes to the LITERAL `&lt;` (no double decode).
-    * Anything unrecognized — unknown name, no `;` within 32 chars, code
-    * point out of range or a surrogate — passes through verbatim. Total
-    * function (in [[totalKernels]]): never null for non-null input. */
+    * `Character.toChars`, never broken surrogates). Numeric references
+    * in 0x80–0x9F take the HTML5 windows-1252 remap ([[Cp1252Remap]]).
+    * Single left-to-right pass, so `&amp;lt;` decodes to the LITERAL
+    * `&lt;` (no double decode). Anything unrecognized — unknown name, no
+    * `;` within 32 chars, code point out of range, a surrogate, or a
+    * control — passes through verbatim. Total function (in
+    * [[totalKernels]]): never null for non-null input. */
   def htmlEntityDecode(s: UTF8String): UTF8String = {
     val str = s.toString
     if (str.indexOf('&') < 0) return s
@@ -463,12 +482,16 @@ object Kernels {
           decoded =
             if (body.charAt(0) == '#') {
               val num = body.substring(1)
-              val cp =
+              val cp0 =
                 try {
                   if (num.nonEmpty && (num.charAt(0) == 'x' || num.charAt(0) == 'X'))
                     Integer.parseInt(num.substring(1), 16)
                   else Integer.parseInt(num, 10)
                 } catch { case _: NumberFormatException => -1 }
+              // C1 block → windows-1252 (HTML5 §13.2.5.80); unmapped C1
+              // code points fall to -1 and reject like other controls
+              val cp = if (cp0 >= 0x80 && cp0 <= 0x9F)
+                Cp1252Remap.getOrElse(cp0, -1) else cp0
               val surrogate = cp >= 0xD800 && cp <= 0xDFFF
               if ((Character.isValidCodePoint(cp) && !surrogate && cp >= 0x20)
                   || cp == '\n' || cp == '\t')

@@ -14,10 +14,14 @@ import graft.expressions.native
   * any corpus size.
   *
   * This is a text EXTRACTOR, not an HTML parser: regex passes over tag
-  * syntax, with the known limits of that class (a literal `</script>`
+  * syntax, with the known limits of that class, each pinned as a spec
+  * vector (HtmlSpec "known regex-class limits"): a literal `</script>`
   * inside a JS string ends the script subtree early; an unclosed
-  * `<script>` leaves its body as text after the open tag strips). Real
-  * crawl pipelines (C4, CCNet) accept exactly these semantics from their
+  * `<script>` leaves its body as text after the open tag strips; a `>`
+  * inside a QUOTED attribute value ends the tag match early and leaks
+  * the attribute tail as text; nested `<template>` elements drop only
+  * to the first close tag (inner content past it survives). Real crawl
+  * pipelines (C4, CCNet) accept exactly these semantics from their
   * extractors; documents needing DOM fidelity should use a parser at
   * ingest, not a Column expression.
   *

@@ -186,13 +186,17 @@ object Urls {
     * not degenerate to NULL), and IP hosts (v4 dotted-quad or v6
     * bracket) map to NULL — an address has no registrable domain.
     *
-    * Shape: the host's suffix-label chain is computed once and each
-    * rule set is ONE literal-array membership scan per chain entry —
-    * map-only, codegen-resident, cost O(labels · |rules|) string
-    * compares per row. That is the right trade at curated-subset size
-    * (~200 rules); a full 9k-rule PSL pushes it to ~50k compares/row —
-    * still map-only, but callers at that size on 100 TB should prefer
-    * a broadcast join of [[hostSuffixes]] against a rules table. */
+    * Shape: ONE pass over the host's suffix-label chain — each chain
+    * entry (the `array_join(slice(...))` string build) is computed once
+    * per depth, inside a single lambda, with all three rule-set
+    * membership scans against it (the earlier form ran one transform
+    * per rule set, and codegen cannot CSE across lambda bodies, so the
+    * chain was built three times per row). Map-only, codegen-resident,
+    * cost O(labels · |rules|) string compares per row. That is the
+    * right trade at curated-subset size (~200 rules); a full 9k-rule
+    * PSL pushes it to ~50k compares/row — still map-only, but callers
+    * at that size on 100 TB should use [[registrableDomainViaTable]],
+    * the broadcast join of [[hostSuffixes]] against a rules table. */
   def registrableDomain(u: Column, pslRules: Seq[String]): Column = {
     val host = urlHost(u)
     val exacts = pslRules.filterNot(r => r.startsWith("*.") || r.startsWith("!"))
@@ -201,28 +205,97 @@ object Urls {
     val excs = pslRules.filter(_.startsWith("!")).map(_.drop(1).toLowerCase)
     val labels = split(host, "\\.")
     val n = size(labels)
-    val chain = transform(sequence(lit(1), n),
-      i => array_join(slice(labels, -i, i), "."))
-    // longest rule match as a suffix LENGTH (0 = no match); `add` turns a
-    // wildcard parent match at depth i into its depth-(i+1) public suffix
-    def maxMatch(set: Seq[String], add: Int): Column =
-      if (set.isEmpty) lit(0)
-      else array_max(transform(sequence(lit(1), n),
-        i => when(array_contains(typedLit(set), element_at(chain, i)), i + add)
-          .otherwise(0)))
-    val excLen = maxMatch(excs, 0)
-    val psLen = greatest(maxMatch(exacts, 0), maxMatch(wilds, 1), lit(1))
+    def member(set: Seq[String], e: Column): Column =
+      if (set.isEmpty) lit(false) else array_contains(typedLit(set), e)
+    // per depth i: the suffix string (built ONCE) + its rule matches as
+    // suffix LENGTHS (0 = no match); a wildcard parent match at depth i
+    // makes depth i+1 the public suffix
+    val per = transform(sequence(lit(1), n), i => {
+      val entry = array_join(slice(labels, -i, i), ".")
+      struct(entry.as("entry"),
+        when(member(excs, entry), i).otherwise(0).as("exc"),
+        greatest(
+          when(member(exacts, entry), i).otherwise(0),
+          when(member(wilds, entry), i + 1).otherwise(0)).as("ps"))
+    })
+    val excLen = array_max(transform(per, x => x.getField("exc")))
+    val psLen = greatest(array_max(transform(per, x => x.getField("ps"))), lit(1))
     val regLen = when(excLen > 0, excLen).otherwise(least(psLen + 1, n))
     val isIp = host.rlike("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$") ||
       substring(host, 1, 1) === "["
     when(host.isNull || isIp, lit(null).cast("string"))
-      .otherwise(element_at(chain, regLen))
+      .otherwise(element_at(per, regLen).getField("entry"))
+  }
+
+  /** [[registrableDomain]] for rule lists past literal-embedding size
+    * (the full published PSL is ~9k rules ≈ ~50k string compares/row on
+    * the literal path): explode the host's suffix chain, equi-join a
+    * broadcast rules table, longest-match reduce — identical semantics
+    * to the literal path (spec-asserted equal on
+    * [[DefaultPublicSuffixRules]]), appended as `outCol`.
+    *
+    * `rulesDf` holds one PSL rule per row in `rulesCol`, the list's own
+    * grammar verbatim: `co.uk` exact, `*.ck` wildcard, `!www.ck`
+    * exception.
+    *
+    * Scale shape: the rules table broadcasts (~9k rows); the explode is
+    * a ~#labels× row fan-out (hosts run 3–5 labels) feeding a
+    * partial-aggregated groupBy on `idCol` and one id-keyed join back —
+    * per-row rule work drops from O(labels·|rules|) compares to
+    * O(labels) hash probes, the right trade once |rules| is thousands.
+    * Null/IP hosts yield NULL like the literal path; rows are preserved
+    * 1:1 (`posexplode_outer` keeps null-host rows through the
+    * round-trip). `idCol` must be unique per row — it is the reassembly
+    * key. */
+  def registrableDomainViaTable(df: DataFrame, rulesDf: DataFrame,
+                                urlCol: String, idCol: String,
+                                outCol: String = "domain",
+                                rulesCol: String = "rule"): DataFrame = {
+    val rule = lower(trim(col(rulesCol)))
+    val rules = rulesDf.select(rule.as("__r"))
+      .filter(col("__r").isNotNull && col("__r") =!= "")
+      .select(
+        when(col("__r").startsWith("*."), expr("substring(__r, 3)"))
+          .when(col("__r").startsWith("!"), expr("substring(__r, 2)"))
+          .otherwise(col("__r")).as("__sfx"),
+        // rule kind → the match's public-suffix LENGTH contribution:
+        // exact at depth i gives ps=i, wildcard parent at depth i gives
+        // ps=i+1, exception at depth i gives exc=i (wins outright)
+        when(col("__r").startsWith("*."), lit(1)).otherwise(lit(0)).as("__add"),
+        col("__r").startsWith("!").as("__isExc"))
+      .dropDuplicates("__sfx", "__add", "__isExc")
+    val host = urlHost(col(urlCol))
+    val exploded = df.select(col(idCol),
+        posexplode_outer(hostSuffixes(col(urlCol))).as(Seq("__pos", "__sfx_h")))
+    val lens = exploded
+      .join(broadcast(rules), col("__sfx_h") === col("__sfx"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        max(col("__pos")).as("__maxpos"),
+        coalesce(max(when(col("__isExc"), col("__pos") + 1)), lit(0)).as("__exc"),
+        greatest(coalesce(max(when(!col("__isExc"), col("__pos") + 1 + col("__add"))),
+          lit(0)), lit(1)).as("__ps"))
+    val n = col("__maxpos") + 1
+    val regLen = when(col("__exc") > 0, col("__exc"))
+      .otherwise(least(col("__ps") + 1, n))
+    val labels = split(host, "\\.")
+    val isIp = host.rlike("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$") ||
+      substring(host, 1, 1) === "["
+    df.join(lens, Seq(idCol))
+      .withColumn(outCol,
+        when(host.isNull || isIp, lit(null).cast("string"))
+          .otherwise(array_join(slice(labels, -regLen, regLen), ".")))
+      .drop("__maxpos", "__exc", "__ps")
   }
 
   /** Canonical form of an absolute URL, NULL for anything else:
     *
     *   - scheme and host lowercased, userinfo dropped; IPv6 bracket
-    *     hosts kept whole (lowercased per RFC 5952);
+    *     hosts kept whole — lowercased but otherwise VERBATIM (no
+    *     RFC 5952 zero-compression/leading-zero normalization, so
+    *     `[2001:0db8::1]` and `[2001:db8::1]` stay distinct: v6
+    *     spelling variants escape dedup rather than ever merging
+    *     distinct hosts — the conservative direction);
     *   - default ports dropped (`http:80`, `https:443`), others kept;
     *   - path: trailing slashes stripped, empty path becomes `/`;
     *   - percent-encoding normalized (RFC 3986 §6.2.2.1–.2): escape hex

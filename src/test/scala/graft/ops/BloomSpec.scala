@@ -103,6 +103,23 @@ class BloomSpec extends SparkSuite {
     assert(corpus.filter(Dedup.mightBeSeen(bytes, fp)).count() == 0)
   }
 
+  test("probes built from equal-but-distinct shard bytes compare equal") {
+    // case-class equality over Seq[Array[Byte]] was reference equality:
+    // two probes deserialized/rebuilt from identical bytes never matched,
+    // silently defeating semanticEquals/subexpression elimination. The
+    // digest-based equals must see through distinct array instances.
+    val shards = Dedup.seenFilterSharded(corpus, fp, shards = 4,
+      expectedItemsPerShard = 600)
+    val copies = shards.map(_.clone())
+    val h = org.apache.spark.sql.catalyst.expressions.Literal(42L)
+    val a = graft.expressions.BloomMightContainSharded(shards.toSeq, h)
+    val b = graft.expressions.BloomMightContainSharded(copies.toSeq, h)
+    assert(a == b && a.hashCode == b.hashCode,
+      "equal shard bytes in distinct arrays must compare equal")
+    val c = graft.expressions.BloomMightContainSharded(shards.toSeq.take(3), h)
+    assert(a != c, "different shard sets must not compare equal")
+  }
+
   test("256-shard probe stays inside whole-stage codegen (no interpreted fallback)") {
     // the old when-chain probe emitted one branch per shard with the
     // shard's bytes inlined in the generated source — at high shard

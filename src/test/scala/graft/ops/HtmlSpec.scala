@@ -52,6 +52,34 @@ class HtmlSpec extends SparkSuite {
     assert(extract("x &amp;lt;tag&amp;gt; y") == "x &lt;tag&gt; y")
   }
 
+  test("C1 numeric references take the HTML5 windows-1252 remap, not raw controls") {
+    // Word-exported HTML: &#147;…&#148; are curly quotes (U+201C/U+201D),
+    // &#150; an en dash — NOT invisible C1 bytes that would survive the
+    // whitespace collapse and perturb fingerprint keys
+    assert(extract("&#147;quoted&#148; a&#150;b &#133;") == "“quoted” a–b …")
+    // hex spellings of the same block remap identically
+    assert(extract("&#x93;q&#x94;") == "“q”")
+    // the five code points cp1252 leaves undefined reject verbatim
+    assert(extract("x &#129; &#x8d; y") == "x &#129; &#x8d; y")
+  }
+
+  test("uppercase hex digits and X marker decode like lowercase") {
+    assert(extract("&#X42;&#x6F;&#X6B;") == "Bok")
+    assert(extract("smile &#X1F600; end") == "smile 😀 end")
+    assert(extract("&#x201C;q&#X201D;") == "“q”")
+  }
+
+  test("known regex-class limits, pinned: quoted '>' in attributes, nested template") {
+    // a '>' inside a quoted attribute value ends the tag match early —
+    // the attribute tail leaks as text (documented extractor limit; a
+    // DOM parser belongs at ingest if this matters for a corpus)
+    assert(extract("""<a title="a>b">link</a>""") == """b">link""")
+    // nested <template>: the lazy subtree regex drops to the FIRST close
+    // tag, the orphan close tag then strips as a plain tag — inner
+    // content c survives where a browser would drop it
+    assert(extract("<template>a<template>b</template>c</template>x") == "c x")
+  }
+
   test("whitespace collapse: nbsp joins the space class, newline runs fold, ends trim") {
     assert(extract("  a&nbsp;&nbsp;b\t c  ") == "a b c")
     assert(extract("<p>a</p><p></p><p>b</p>") == "a\nb")

@@ -126,6 +126,31 @@ class UrlsSpec extends SparkSuite {
       s"${r.get(2)}: got ${r.get(0)}, want ${r.get(1)}"))
   }
 
+  test("registrableDomainViaTable matches the literal path rule-for-rule") {
+    // the full-PSL escape hatch (broadcast rules table) must agree with
+    // the literal-array path on every vector class: exact/wildcard/
+    // exception rules, unlisted-TLD default, suffix-self totality,
+    // IPv4/bracket-IPv6 → NULL, malformed → NULL
+    val urls = Seq(
+      "https://a.b.example.CO.UK/x", "https://shop.example.com.au/x",
+      "https://news.site.co.jp/x", "https://www.example.com/x",
+      "https://a.b.example.dev/x", "https://deep.sub.foo.ck/x",
+      "https://www.ck/x", "https://a.www.ck/x", "https://co.uk/x",
+      "https://com/x", "https://192.168.0.1/x",
+      "https://[2001:db8::1]:8443/x", "nope"
+    ).zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("doc_id", "u")
+    val rulesDf = Urls.DefaultPublicSuffixRules.map(Tuple1(_)).toDF("rule")
+    val viaTable = Urls.registrableDomainViaTable(urls, rulesDf, "u", "doc_id")
+      .select(col("doc_id"), col("domain"))
+    val literal = urls.select(col("doc_id"),
+      Urls.registrableDomain(col("u")).as("domain"))
+    val diff = viaTable.exceptAll(literal).unionAll(literal.exceptAll(viaTable))
+    assert(diff.isEmpty, s"paths diverge: ${diff.collect().mkString(", ")}")
+    // 1:1 row preservation through the explode/agg/join round-trip
+    assert(viaTable.count() == urls.count())
+  }
+
   test("registrableDomain with caller-supplied rules and the Nil fallback") {
     // custom table wins over the embedded default
     val custom = Seq(Tuple1("https://x.y.mysuffix.example/p")).toDF("u")
