@@ -360,7 +360,9 @@ object SparkEntry {
           .when(col("doc_id") % 8 === 1, lit("http://shop.Example.COM.AU:80/y?z=1"))
           .when(col("doc_id") % 8 === 2, lit("https://deep.sub.foo.CK/p"))
           .when(col("doc_id") % 8 === 3, lit("https://WWW.CK/q"))
-          .when(col("doc_id") % 8 === 4, lit("http://[2001:DB8::1]:8080/v6"))
+          // non-canonical v6 spelling: RFC 5952 must strip the leading
+          // zeros and compress the zero run → [2001:db8::1]
+          .when(col("doc_id") % 8 === 4, lit("http://[2001:0DB8:0:0:0:0:0:1]:8080/v6"))
           .when(col("doc_id") % 8 === 5, lit("http://[2001:DB8::1]:80/v6"))
           .when(col("doc_id") % 8 === 6, lit("https://192.168.0.1/ip"))
           .otherwise(lit("https://co.uk/self"))

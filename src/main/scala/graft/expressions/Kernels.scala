@@ -100,19 +100,30 @@ object Kernels {
   }
 
   /** Validate + normalize an IP literal (reference
-    * `filters/string.py::IpAddress`): IPv4 dotted-quad, IPv6 compressed
-    * lowercase output. Pure parse — never touches DNS (guava
+    * `filters/string.py::IpAddress`): IPv4 dotted-quad, IPv6 RFC 5952
+    * compressed lowercase output. Pure parse — never touches DNS (guava
     * `InetAddresses.forString` only accepts literals; guava ships with
-    * Spark). Returns null if not a valid literal of an allowed family. */
+    * Spark). Returns null if not a valid literal of an allowed family.
+    * Scoped v6 literals (`fe80::1%eth0`) are rejected UP FRONT: guava's
+    * `isInetAddress` accepts them and `forString` then resolves the zone
+    * against the LOCAL machine's interfaces — it throws where the
+    * interface doesn't exist and succeeds where it does, so without the
+    * explicit rejection the same literal would crash one executor and
+    * validate on another (environment-dependent behavior is exactly what
+    * a 1000-executor job cannot have). The try/catch backstops any other
+    * parse path guava throws on. */
   def ipNormalize(s: UTF8String, ipv4: Boolean, ipv6: Boolean): UTF8String = {
     val str = s.toString
+    if (str.indexOf('%') >= 0) return null
     if (!com.google.common.net.InetAddresses.isInetAddress(str)) return null
-    com.google.common.net.InetAddresses.forString(str) match {
-      case a: Inet4Address if ipv4 => UTF8String.fromString(a.getHostAddress)
-      case a: Inet6Address if ipv6 =>
-        UTF8String.fromString(com.google.common.net.InetAddresses.toAddrString(a))
-      case _ => null
-    }
+    try {
+      com.google.common.net.InetAddresses.forString(str) match {
+        case a: Inet4Address if ipv4 => UTF8String.fromString(a.getHostAddress)
+        case a: Inet6Address if ipv6 =>
+          UTF8String.fromString(com.google.common.net.InetAddresses.toAddrString(a))
+        case _ => null
+      }
+    } catch { case _: IllegalArgumentException => null }
   }
 
   /** Strict UUID parse → canonical lowercase-hyphen form (reference

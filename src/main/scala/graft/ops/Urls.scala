@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
   * Scope, documented rather than discovered: absolute `scheme://` URLs
   * only (anything else canonicalizes to NULL — a crawl record without
   * an absolute URL is malformed upstream); IPv6 bracket hosts are
-  * preserved intact (lowercased, port rules applied — `[2001:db8::1]`
-  * never splits at its colons); internationalized domain names pass
+  * preserved intact and RFC 5952-canonicalized (port rules applied —
+  * `[2001:db8::1]` never splits at its colons); internationalized
+  * domain names pass
   * through verbatim (no punycode table on board); "registrable domain"
   * follows Public-Suffix-List rule semantics over an embedded curated
   * rule subset ([[DefaultPublicSuffixRules]]) — callers with the full
@@ -72,13 +73,24 @@ object Urls {
 
   /** Host of `hostport`, lowercased: the full bracketed literal for
     * IPv6 (`[2001:DB8::1]:8080` → `[2001:db8::1]` — naive first-colon
-    * truncation would mangle every v6 host into `[2001`), everything
+    * truncation would mangle every v6 host into `[2001`), RFC
+    * 5952-canonicalized via the [[graft.expressions.Kernels.ipNormalize]]
+    * kernel when the literal parses (`[2001:0db8::1]` ≡ `[2001:db8::1]`
+    * — spelling variants of one address merge); non-parsing bracket
+    * contents (zone ids, garbage) fall back to lowercased-verbatim — the
+    * conservative direction, distinct hosts never merge. Everything
     * before the first colon otherwise. Empty when malformed (unclosed
     * bracket). */
-  private def hostOf(hostport: Column): Column =
-    when(substring(hostport, 1, 1) === "[",
-      lower(regexp_extract(hostport, "^(\\[[^\\]]+\\])", 1)))
-    .otherwise(lower(regexp_extract(hostport, "^([^:]*)", 1)))
+  private def hostOf(hostport: Column): Column = {
+    val inner = lower(regexp_extract(hostport, "^\\[([^\\]]+)\\]", 1))
+    val bracket = when(inner === "", lit(""))
+      .otherwise(concat(lit("["),
+        coalesce(graft.expressions.native.ipNormalize(inner, ipv4 = false, ipv6 = true),
+          inner),
+        lit("]")))
+    when(substring(hostport, 1, 1) === "[", bracket)
+      .otherwise(lower(regexp_extract(hostport, "^([^:]*)", 1)))
+  }
 
   /** Port digits of `hostport` ("" when absent), bracket-aware. */
   private def portOf(hostport: Column): Column =
@@ -291,11 +303,12 @@ object Urls {
   /** Canonical form of an absolute URL, NULL for anything else:
     *
     *   - scheme and host lowercased, userinfo dropped; IPv6 bracket
-    *     hosts kept whole — lowercased but otherwise VERBATIM (no
-    *     RFC 5952 zero-compression/leading-zero normalization, so
-    *     `[2001:0db8::1]` and `[2001:db8::1]` stay distinct: v6
-    *     spelling variants escape dedup rather than ever merging
-    *     distinct hosts — the conservative direction);
+    *     hosts kept whole and RFC 5952-canonicalized when the literal
+    *     parses (`[2001:0db8::1]` ≡ `[2001:db8::1]` ≡
+    *     `[2001:db8:0:0:0:0:0:1]` — leading zeros stripped, longest
+    *     zero run compressed, via the ipNormalize kernel); bracket
+    *     contents that don't parse as v6 (zone ids, garbage) stay
+    *     lowercased-verbatim — distinct hosts never merge;
     *   - default ports dropped (`http:80`, `https:443`), others kept;
     *   - path: trailing slashes stripped, empty path becomes `/`;
     *   - percent-encoding normalized (RFC 3986 §6.2.2.1–.2): escape hex

@@ -74,6 +74,13 @@ class UrlsSpec extends SparkSuite {
     assert(canon("https://[::1]:443/x") == "https://[::1]/x")
     // the ADVICE failure mode: two distinct v6 hosts must NOT canonicalize equal
     assert(canon("http://[2001:db8::1]/x") != canon("http://[2001:db8::2]/x"))
+    // RFC 5952: spelling variants of ONE address DO canonicalize equal —
+    // leading zeros strip, the longest zero run compresses
+    assert(canon("http://[2001:0db8::1]/x") == "http://[2001:db8::1]/x")
+    assert(canon("http://[2001:db8:0:0:0:0:0:1]/x") == "http://[2001:db8::1]/x")
+    assert(canon("http://[0:0:0:0:0:0:0:1]/x") == "http://[::1]/x")
+    // non-parsing bracket contents (zone id) fall back lowercased-verbatim
+    assert(canon("http://[fe80::1%25ETH0]/x") == "http://[fe80::1%25eth0]/x")
     // unclosed bracket is malformed → NULL
     assert(canon("http://[2001:db8/x") == null)
     val r = Seq(Tuple1("https://u:p@[2001:DB8::1]:8443/x")).toDF("u")
