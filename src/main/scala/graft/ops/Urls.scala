@@ -219,24 +219,37 @@ object Urls {
     val n = size(labels)
     def member(set: Seq[String], e: Column): Column =
       if (set.isEmpty) lit(false) else array_contains(typedLit(set), e)
-    // per depth i: the suffix string (built ONCE) + its rule matches as
-    // suffix LENGTHS (0 = no match); a wildcard parent match at depth i
-    // makes depth i+1 the public suffix
-    val per = transform(sequence(lit(1), n), i => {
-      val entry = array_join(slice(labels, -i, i), ".")
-      struct(entry.as("entry"),
-        when(member(excs, entry), i).otherwise(0).as("exc"),
-        greatest(
-          when(member(exacts, entry), i).otherwise(0),
-          when(member(wilds, entry), i + 1).otherwise(0)).as("ps"))
-    })
-    val excLen = array_max(transform(per, x => x.getField("exc")))
-    val psLen = greatest(array_max(transform(per, x => x.getField("ps"))), lit(1))
-    val regLen = when(excLen > 0, excLen).otherwise(least(psLen + 1, n))
+    // ONE fold over depths 1..n with a finish lambda: the accumulator
+    // carries (deepest exception match, deepest public-suffix match) as
+    // suffix LENGTHS — a wildcard parent match at depth i makes depth
+    // i+1 the public suffix — and the finish computes the domain from
+    // the final accumulator. Every suffix-string build and rule scan
+    // evaluates EXACTLY once per row: the earlier array_max-over-
+    // transform form referenced the per-depth array three times under a
+    // conditional, where codegen subexpression elimination does not
+    // apply, tripling the per-row rule work (measured in
+    // tools/PslScaleSmoke).
+    val dom = aggregate(
+      sequence(lit(1), n),
+      struct(lit(0).as("exc"), lit(1).as("ps")),
+      (st, i) => {
+        val entry = array_join(slice(labels, -i, i), ".")
+        struct(
+          greatest(st.getField("exc"),
+            when(member(excs, entry), i).otherwise(0)).as("exc"),
+          greatest(st.getField("ps"),
+            when(member(exacts, entry), i).otherwise(0),
+            when(member(wilds, entry), i + 1).otherwise(0)).as("ps"))
+      },
+      st => {
+        val regLen = when(st.getField("exc") > 0, st.getField("exc"))
+          .otherwise(least(st.getField("ps") + 1, n))
+        array_join(slice(labels, -regLen, regLen), ".")
+      })
     val isIp = host.rlike("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$") ||
       substring(host, 1, 1) === "["
     when(host.isNull || isIp, lit(null).cast("string"))
-      .otherwise(element_at(per, regLen).getField("entry"))
+      .otherwise(dom)
   }
 
   /** [[registrableDomain]] for rule lists past literal-embedding size
