@@ -25,7 +25,8 @@ object Kernels {
     "nfc", "unicodeClean", "caseFold", "utf8Truncate", "rollingHash",
     "minhashSig", "minhashSigShingles", "sigAgreement", "dotD", "cosineD",
     "lshBucketD", "simHash", "uuidVersion",
-    "zValue2", "zValue3", "maxAbsD", "quantizeI8D", "htmlEntityDecode")
+    "zValue2", "zValue3", "maxAbsD", "quantizeI8D", "htmlEntityDecode",
+    "percentNormalize")
 
   /** NFC normalization (reference `filters/string.py::Unicode` normalize step). */
   def nfc(s: UTF8String): UTF8String =
@@ -124,6 +125,38 @@ object Kernels {
         case _ => null
       }
     } catch { case _: IllegalArgumentException => null }
+  }
+
+  /** RFC 3986 §6.2.2.1–.2 percent-encoding normalization in ONE pass:
+    * uppercase the hex digits of every escape and decode escapes of
+    * UNRESERVED characters (`%7Euser` → `~user`, `%2f` → `%2F`) — the
+    * only octets whose encoded and bare forms the standard declares
+    * equivalent; decoding reserved escapes (`%2F`) would change URL
+    * semantics. Malformed escapes (`%4`, `%zz`) pass through verbatim —
+    * garbage in, garbage out, but stable. Total function (in
+    * [[totalKernels]]). Replaces a split-on-lookahead + transform +
+    * array_join Column chain that allocated an array per URL. */
+  def percentNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (str.indexOf('%') < 0) return s
+    val sb = new java.lang.StringBuilder(str.length)
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if (c == '%' && i + 2 < str.length &&
+          Character.digit(str.charAt(i + 1), 16) >= 0 &&
+          Character.digit(str.charAt(i + 2), 16) >= 0) {
+        val v = Character.digit(str.charAt(i + 1), 16) * 16 +
+          Character.digit(str.charAt(i + 2), 16)
+        val unreserved = (v >= 'A' && v <= 'Z') || (v >= 'a' && v <= 'z') ||
+          (v >= '0' && v <= '9') || v == '-' || v == '.' || v == '_' || v == '~'
+        if (unreserved) sb.append(v.toChar)
+        else sb.append('%').append(Character.toUpperCase(str.charAt(i + 1)))
+          .append(Character.toUpperCase(str.charAt(i + 2)))
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    UTF8String.fromString(sb.toString)
   }
 
   /** Strict UUID parse → canonical lowercase-hyphen form (reference

@@ -46,6 +46,9 @@ object native {
   def uuidNormalize(c: Column): Column =
     invoke(StringType, "uuidNormalize", Seq(e(c)), Seq(StringType))
 
+  def percentNormalize(c: Column): Column =
+    invoke(StringType, "percentNormalize", Seq(e(c)), Seq(StringType))
+
   def uuidVersion(c: Column): Column =
     invoke(IntegerType, "uuidVersion", Seq(e(c)), Seq(StringType))
 

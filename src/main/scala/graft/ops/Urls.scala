@@ -42,34 +42,17 @@ object Urls {
     * cross-engine mirrors don't have). */
   private val TrackingRe = "^(utm_[^=]*|gclid|fbclid|ref)="
 
-  /** RFC 3986 §2.3 unreserved characters keyed by their UPPERCASE
-    * percent-encoding hex: `%41 → A`, `%7E → ~`. The only octets whose
-    * encoded and bare forms are equivalent by the standard (§6.2.2.2) —
-    * decoding anything else (`%2F` vs `/`) would change URL semantics. */
-  private val UnreservedByHex: Map[String, String] =
-    (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ Seq('-', '.', '_', '~'))
-      .map(c => f"${c.toInt}%02X" -> c.toString).toMap
-
   /** Percent-encoding normalization (RFC 3986 §6.2.2.1–.2): uppercase
     * the hex digits of every escape and decode escapes of UNRESERVED
     * characters (`%7Euser` → `~user`, `%2f` → `%2F`). Malformed escapes
     * (`%4`, `%zz`) pass through verbatim — garbage in, garbage out, but
-    * stable. Zero-width-lookahead split keeps every `%` at the head of
-    * its own segment; the per-segment fix-up is a literal-map lookup —
-    * all codegen-resident higher-order functions, no UDF. */
-  private def normalizePercent(s: Column): Column = {
-    val segs = split(s, "(?=%)")
-    val fixed = transform(segs, seg => {
-      val isEscape = seg.rlike("^%[0-9A-Fa-f]{2}")
-      val hex = upper(substring(seg, 2, 2))
-      val rest = substr(seg, lit(4))
-      val decoded = element_at(typedLit(UnreservedByHex), hex)
-      when(!isEscape, seg)
-        .otherwise(when(decoded.isNotNull, concat(decoded, rest))
-          .otherwise(concat(lit("%"), hex, rest)))
-    })
-    array_join(fixed, "")
-  }
+    * stable. One native single-pass kernel
+    * ([[graft.expressions.Kernels.percentNormalize]], codegen-resident
+    * `StaticInvoke` like the other scalar kernels) — replaced a
+    * split-on-lookahead + transform + array_join Column chain that
+    * allocated an array per URL on the hottest canonicalization path. */
+  private def normalizePercent(s: Column): Column =
+    graft.expressions.native.percentNormalize(s)
 
   /** Host of `hostport`, lowercased: the full bracketed literal for
     * IPv6 (`[2001:DB8::1]:8080` → `[2001:db8::1]` — naive first-colon

@@ -108,4 +108,37 @@ class KernelPropsSpec extends AnyFunSuite {
     assert(Kernels.uuidNormalize(u("")) == null)
     assert(Kernels.uuidNormalize(u("g23e4567-e89b-42d3-a456-426614174000")) == null)
   }
+
+  test("percentNormalize: idempotent, agrees with a per-escape reference") {
+    // reference: regex over complete escapes only (the kernel must treat
+    // everything else — bare %, short escapes — as verbatim text)
+    def ref(s: String): String =
+      "%([0-9A-Fa-f]{2})".r.replaceAllIn(s, m => {
+        val v = Integer.parseInt(m.group(1), 16)
+        val unres = (v >= 'A' && v <= 'Z') || (v >= 'a' && v <= 'z') ||
+          (v >= '0' && v <= '9') || "-._~".contains(v.toChar)
+        val rep = if (unres) v.toChar.toString else "%" + m.group(1).toUpperCase
+        java.util.regex.Matcher.quoteReplacement(rep)
+      })
+    val pctStr: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString),
+      Gen.oneOf("%", "%2f", "%2F", "%7e", "%41", "%zz", "%4", "/", "?", "&",
+        "=", ".", "~", "é"))).map(_.mkString)
+    check(Prop.forAll(pctStr) { s =>
+      Kernels.percentNormalize(u(s)).toString == ref(s)
+    })
+    // idempotence holds on input whose escapes are all COMPLETE; with a
+    // malformed "%4" in play, a decoded hex char landing after it can
+    // form a new escape on the next pass ("%4%41" → "%4A" → "J") — true
+    // of the replaced Column implementation too, and fine in practice:
+    // canonicalization applies the pass exactly once
+    val wellformed: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString),
+      Gen.oneOf("%2f", "%2F", "%7e", "%41", "/", "?", "&", "=", ".", "~", "é")))
+      .map(_.mkString)
+    check(Prop.forAll(wellformed) { s =>
+      val once = Kernels.percentNormalize(u(s)).toString
+      Kernels.percentNormalize(u(once)).toString == once
+    })
+  }
 }
