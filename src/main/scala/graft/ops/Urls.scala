@@ -364,14 +364,40 @@ object Urls {
     * codegen, and substring matching would over-block). Rows with
     * non-absolute URLs are kept — filtering malformed records is
     * [[dedupByUrl]]'s / the validator layer's decision, not a blocklist
-    * hit. For blocklists past broadcast-literal size, join
-    * `explode(hostSuffixes(u))` against a blocklist table instead. */
+    * hit. For blocklists past literal-embedding size, use
+    * [[filterBlockedDomainsViaTable]]. */
   def filterBlockedDomains(df: DataFrame, urlCol: String,
                            blocked: Seq[String]): DataFrame = {
     require(blocked.nonEmpty, "empty blocklist: nothing to filter")
     val hit = arrays_overlap(hostSuffixes(col(urlCol)),
       typedLit(blocked.map(_.toLowerCase)))
     df.filter(!coalesce(hit, lit(false)))
+  }
+
+  /** [[filterBlockedDomains]] for blocklists past literal-embedding size
+    * (abuse feeds run 10⁶+ entries): explode the host's suffix chain,
+    * semi-join the blocklist table for the hit set, anti-join it away —
+    * identical semantics to the literal path (label-boundary suffixes,
+    * case-insensitive, non-absolute URLs kept; spec-asserted equal).
+    *
+    * `blockedDf` holds one blocked domain per row in `blockedCol`.
+    * `idCol` must be unique per row — it keys the anti-join. Scale
+    * shape: the blocklist broadcasts when it fits (Spark picks the
+    * strategy from its size — past the broadcast threshold both joins
+    * hash-partition, which is exactly right for a multi-GB feed); the
+    * hit set is blocked-rows-sized, far smaller than the corpus. */
+  def filterBlockedDomainsViaTable(df: DataFrame, blockedDf: DataFrame,
+                                   urlCol: String, idCol: String,
+                                   blockedCol: String = "domain"): DataFrame = {
+    val blocked = blockedDf
+      .select(lower(trim(col(blockedCol))).as("__blocked"))
+      .filter(col("__blocked").isNotNull && col("__blocked") =!= "")
+      .distinct()
+    val hits = df
+      .select(col(idCol), explode(hostSuffixes(col(urlCol))).as("__sfx"))
+      .join(blocked, col("__sfx") === col("__blocked"), "left_semi")
+      .select(col(idCol)).distinct()
+    df.join(hits, Seq(idCol), "left_anti")
   }
 
   /** URL-level exact dedup: keep, per canonical URL, the single row with

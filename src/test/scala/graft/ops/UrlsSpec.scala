@@ -211,6 +211,27 @@ class UrlsSpec extends SparkSuite {
     assert(kept == Set(3L, 4L, 5L, 6L))
   }
 
+  test("filterBlockedDomainsViaTable matches the literal path row-for-row") {
+    // the big-blocklist escape hatch (semi-join + anti-join) must agree
+    // with the literal-array path on every vector class: exact hit,
+    // subdomain, case, substring cousin, non-suffix, malformed-kept —
+    // plus table-side noise (case, whitespace, null, empty, duplicates)
+    val df = Seq(
+      (1L, "https://ex.org/a"), (2L, "https://a.b.EX.org/a"),
+      (3L, "https://index.org/a"), (4L, "https://ex.org.evil.com/a"),
+      (5L, "https://other.com/a"), (6L, "not a url"),
+      (7L, "https://tracker.net/x"), (8L, "https://sub.tracker.NET/x")
+    ).toDF("id", "url")
+    val blockedSeq = Seq("EX.org", "tracker.net")
+    val blockedDf = Seq(" EX.org ", "tracker.net", "TRACKER.NET", "", null)
+      .map(Tuple1(_)).toDF("domain")
+    val literal = Urls.filterBlockedDomains(df, "url", blockedSeq)
+    val viaTable = Urls.filterBlockedDomainsViaTable(df, blockedDf, "url", "id")
+    val diff = literal.exceptAll(viaTable).unionAll(viaTable.exceptAll(literal))
+    assert(diff.isEmpty, s"paths diverge: ${diff.collect().mkString(", ")}")
+    assert(viaTable.select("id").as[Long].collect().toSet == Set(3L, 4L, 5L, 6L))
+  }
+
   test("hostSuffixes: label-boundary suffix chains; NULL for non-absolute") {
     val r = Seq(Tuple1("http://a.b.ex.org/x")).toDF("u")
       .select(Urls.hostSuffixes(col("u")).as("s")).head().getSeq[String](0)
