@@ -158,6 +158,22 @@ class UrlsSpec extends SparkSuite {
     assert(viaTable.count() == urls.count())
   }
 
+  test("via-table paths broadcast the small side; no nested loop anywhere") {
+    import spark.implicits._
+    val urls = (0L until 100L).map(i => (i, s"https://site$i.co.uk/p")).toDF("id", "u")
+    val rulesDf = Urls.DefaultPublicSuffixRules.map(Tuple1(_)).toDF("rule")
+    val pslPlan = Urls.registrableDomainViaTable(urls, rulesDf, "u", "id")
+      .queryExecution.executedPlan.toString
+    assert(pslPlan.contains("BroadcastHashJoin"), s"rules side not broadcast:\n$pslPlan")
+    assert(!pslPlan.contains("CartesianProduct") && !pslPlan.contains("NestedLoop"),
+      s"via-table PSL path must never cross-product:\n$pslPlan")
+    val blockPlan = Urls.filterBlockedDomainsViaTable(urls,
+      Seq("ex.org").toDF("domain"), "u", "id")
+      .queryExecution.executedPlan.toString
+    assert(!blockPlan.contains("CartesianProduct") && !blockPlan.contains("NestedLoop"),
+      s"via-table blocklist must never cross-product:\n$blockPlan")
+  }
+
   test("registrableDomain with caller-supplied rules and the Nil fallback") {
     // custom table wins over the embedded default
     val custom = Seq(Tuple1("https://x.y.mysuffix.example/p")).toDF("u")
