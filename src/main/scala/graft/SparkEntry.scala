@@ -324,6 +324,23 @@ object SparkEntry {
         delim = " ", joinSep = " ", minUnitLength = 4)
         .orderBy("doc_id")
     }),
+    "q_dedup_spans" -> ((s, dir) => {
+      // duplicated k-token span excision, ORACLE-CHECKED end to end (the
+      // window keys are exact content hashes, not LSH — fully
+      // mirrorable): every doc appends a group-shared 8-token tail, so
+      // within each doc_id%10 group every doc after the first loses
+      // exactly that span (plus whatever real-text windows the corpus
+      // happens to repeat — the oracle mirrors the algorithm, so
+      // incidental repetition verifies rather than breaks)
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val g = (col("doc_id") % 10).cast("string")
+      val tail = concat_ws(" ", Seq("a", "b", "c", "d", "e", "f", "g", "h")
+        .map(x => concat(lit("sp"), g, lit(x))): _*)
+      val crafted = docs.select(col("doc_id"),
+        concat(col("text"), lit(" "), tail).as("text"))
+      Dedup.dedupSpansKeepFirst(crafted, "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    }),
     "q_url_canon" -> ((s, dir) => {
       // synthesized URLs sweep every canonicalization rule: scheme/host
       // case, userinfo, default vs explicit port, percent-encoding
@@ -1030,6 +1047,28 @@ object SparkEntry {
         "UNION ALL SELECT doc_id, pos, u FROM l WHERE length(u) < 4) " +
         "SELECT doc_id, string_agg(u, ' ' ORDER BY pos) AS text_clean FROM k " +
         "GROUP BY doc_id ORDER BY doc_id"),
+    "q_dedup_spans" ->
+      // algorithm mirror (q_dedup_units style): same tail construction,
+      // same tokenization, window keys as the raw window string (Spark
+      // md5s it — identical grouping absent collisions), same global
+      // (doc_id, pos) keep-first, same anti-join + ordered reassembly
+      ("WITH d0 AS (SELECT doc_id, text || ' sp' || CAST(doc_id % 10 AS VARCHAR) || 'a" +
+        " sp' || CAST(doc_id % 10 AS VARCHAR) || 'b sp' || CAST(doc_id % 10 AS VARCHAR) || 'c" +
+        " sp' || CAST(doc_id % 10 AS VARCHAR) || 'd sp' || CAST(doc_id % 10 AS VARCHAR) || 'e" +
+        " sp' || CAST(doc_id % 10 AS VARCHAR) || 'f sp' || CAST(doc_id % 10 AS VARCHAR) || 'g" +
+        " sp' || CAST(doc_id % 10 AS VARCHAR) || 'h' AS t2 " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "d AS (SELECT doc_id, list_filter(string_split_regex(t2, '\\s+'), x -> length(x) > 0) AS l FROM d0), " +
+        "tk AS (SELECT doc_id, unnest(l) AS tok, unnest(generate_series(1, len(l))) AS pos FROM d), " +
+        "wn AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 7)) AS wpos FROM d WHERE len(l) >= 8), " +
+        "wk AS (SELECT doc_id, wpos, array_to_string(l[wpos : wpos + 7], ' ') AS wkey FROM wn), " +
+        "dup AS (SELECT doc_id, wpos, row_number() OVER (PARTITION BY wkey ORDER BY doc_id, wpos) AS rk FROM wk), " +
+        "rem AS (SELECT DISTINCT doc_id, rpos FROM " +
+        "(SELECT doc_id, unnest(generate_series(wpos, wpos + 7)) AS rpos FROM dup WHERE rk > 1)), " +
+        "kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tk ANTI JOIN rem " +
+        "ON tk.doc_id = rem.doc_id AND tk.pos = rem.rpos) " +
+        "SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean " +
+        "FROM kept GROUP BY doc_id ORDER BY doc_id"),
     "q_url_canon" ->
       // closed-form EXPECTED output (not a parser mirror): lowercased
       // scheme+host, userinfo gone, :80 dropped / :8443 kept, percent

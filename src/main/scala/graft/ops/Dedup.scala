@@ -77,6 +77,68 @@ object Dedup {
         x => x.getField("__u")), joinSep).as(cleanCol))
   }
 
+  /** Corpus-wide duplicated k-token SPAN excision, keep-first — the
+    * windowed form of exact-substring dedup (Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" /
+    * RefinedWeb's repeated-span scrub): every k-consecutive-token window
+    * that occurred EARLIER in the corpus (global `(idCol, position)`
+    * order) has its k tokens removed from the later document; the first
+    * occurrence survives in place. Complements
+    * [[dedupUnitsKeepFirst]] at sub-unit granularity: a sentence
+    * syndicated into otherwise-unique paragraphs is excised without
+    * touching the rest of the line, and a duplicated run of m ≥ k tokens
+    * is fully covered by its overlapping windows.
+    *
+    * Output is whitespace-NORMALIZED (tokens rejoin with single spaces
+    * — the usual contract after token-level surgery); documents left
+    * with no surviving tokens drop (the [[dedupUnitsKeepFirst]] /
+    * Boilerplate emptied-doc contract); null-text rows drop. Docs
+    * shorter than k tokens carry no windows and pass through (modulo
+    * whitespace normalization).
+    *
+    * Scale shape — the honest cost of exact-substring dedup, linear in
+    * corpus tokens: (1) winner selection, a window keyed by the span's
+    * md5 over `(doc, position)` rows — ALL occurrences are ranked (no
+    * top-1 pre-prune: later occurrences are what gets excised, so every
+    * row matters), payload one 32-byte key + two longs per token;
+    * (2) removal positions are span-starts exploded ×k (duplicate spans
+    * only, usually ≪ corpus) anti-joined against the token table;
+    * (3) order-preserving reassembly keyed by doc id, partial-able
+    * `array_sort(collect_list)` like every reassembly in this file.
+    * At 100 TB, run AFTER unit-level dedup so syndication-heavy mass
+    * dies at unit granularity first and only residual spans pay the
+    * token-level exchange. */
+  def dedupSpansKeepFirst(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 8, cleanCol: String = "text_clean"): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens, got $k")
+    val toksArr = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), toksArr.as("__toks"))
+    val toks = base.select(col(idCol),
+      posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+    // one window key per start position (1-based slice i covers 0-based
+    // token positions i-1 .. i+k-2; posexplode re-0-bases the starts)
+    val wins = base.filter(size(col("__toks")) >= k)
+      .select(col(idCol), posexplode(
+          transform(sequence(lit(1), size(col("__toks")) - (k - 1)),
+            i => md5(array_join(slice(col("__toks"), i, lit(k)), " ").cast("binary"))))
+        .as(Seq("__wpos", "__wkey")))
+    val w = Window.partitionBy(col("__wkey")).orderBy(col(idCol), col("__wpos"))
+    val removed = wins
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") > 1)
+      .select(col(idCol).as("__rid"),
+        explode(sequence(col("__wpos"), col("__wpos") + (k - 1))).as("__rpos"))
+      .distinct()
+    toks
+      .join(removed,
+        col(idCol) === col("__rid") && col("__pos") === col("__rpos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+        x => x.getField("__tok")), " ").as(cleanCol))
+  }
+
   /** Character k-shingles of a normalized document — a map-only expression
     * (sequence + transform), no explode/shuffle. */
   def shingles(text: Column, k: Int = 5): Column = {
