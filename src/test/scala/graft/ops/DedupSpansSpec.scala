@@ -74,6 +74,15 @@ class DedupSpansSpec extends SparkSuite {
     assert(out(5L) == "l5a l5b")
   }
 
+  test("plan: key-width joins only — no cartesian, no nested loop") {
+    val df = (0L until 100L).map(i => (i, s"tok${i}a tok${i}b tok${i}c tok${i}d tok${i}e"))
+      .toDF("id", "text")
+    val plan = Dedup.dedupSpansKeepFirst(df, "id", "text", k = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"span excision must stay on hash joins:\n$plan")
+  }
+
   test("deterministic under repartitioning") {
     val rows = (0L until 60L).map { i =>
       val shared = s"sh${i % 6}a sh${i % 6}b sh${i % 6}c sh${i % 6}d"
