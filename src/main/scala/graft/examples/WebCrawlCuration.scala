@@ -40,14 +40,24 @@ object WebCrawlCuration {
   /** `htmlInput = true` inserts the [[Html.htmlToText]] extraction as
     * stage 0 — positioned AFTER the URL-level stages (which never read
     * text), so rows the blocklist and URL dedup drop never pay the
-    * extraction regexes. */
+    * extraction regexes.
+    *
+    * `spanK > 0` inserts [[Dedup.dedupSpansKeepFirst]] as stage 4b —
+    * AFTER unit keep-first (so syndication-heavy mass dies at cheap
+    * unit granularity before the token-level ranking pays) and before
+    * the exact-fingerprint stage. Opt-in because it whitespace-
+    * NORMALIZES the surviving text (tokens rejoin with single spaces,
+    * `joinSep` structure collapses) — the usual contract after
+    * token-level surgery, but a representation change a caller must
+    * choose. */
   def curate(crawl: DataFrame, blockedDomains: Seq[String],
              idCol: String = "doc_id", urlCol: String = "url",
              textCol: String = "text",
              boilerplateMinDocs: Long = 3L,
              delim: String = "\n", joinSep: String = "\n",
              materializeIntermediate: Boolean = true,
-             htmlInput: Boolean = false): DataFrame = {
+             htmlInput: Boolean = false,
+             spanK: Int = 0): DataFrame = {
     // 1. blocklist, then 2. canonical-URL dedup (adds url_canonical)
     val allowed =
       if (blockedDomains.isEmpty) crawl
@@ -76,8 +86,12 @@ object WebCrawlCuration {
       delim = delim, joinSep = joinSep)
 
     // 4. corpus-wide keep-first unit dedup on the de-boilerplated text
-    val unitDeduped = Dedup.dedupUnitsKeepFirst(deboiled, idCol, "text_clean",
+    val unitDeduped0 = Dedup.dedupUnitsKeepFirst(deboiled, idCol, "text_clean",
       delim = delim, joinSep = joinSep)
+    // 4b. (opt-in) duplicated-span excision on what units left behind
+    val unitDeduped =
+      if (spanK > 0) Dedup.dedupSpansKeepFirst(unitDeduped0, idCol, "text_clean", k = spanK)
+      else unitDeduped0
 
     // 5. exact content dedup on the cleaned text, keep min id
     val w = org.apache.spark.sql.expressions.Window

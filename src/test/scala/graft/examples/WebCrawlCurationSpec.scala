@@ -42,6 +42,28 @@ class WebCrawlCurationSpec extends SparkSuite {
     assert(out(6L)._2 == "echo story")
   }
 
+  test("opt-in stage 4b excises a syndicated SPAN that unit dedup cannot see") {
+    import org.apache.spark.sql.functions.col
+    // the syndicated sentence lives INSIDE each page's single content
+    // line, so unit-level keep-first (whole lines) cannot touch it —
+    // only the span stage can; context tokens are doc-unique
+    val crawl2 = Seq(
+      (1L, "http://a.com/p1", "d1a d1b quote w1 w2 w3 w4 d1c"),
+      (2L, "http://a.com/p2", "d2a d2b quote w1 w2 w3 w4 d2c"),
+      (3L, "http://a.com/p3", "d3a d3b plainly unique content d3c")
+    ).toDF("doc_id", "url", "text")
+    val off = WebCrawlCuration.curate(crawl2, Seq("blocked.example"),
+        boilerplateMinDocs = 99L)
+      .select("doc_id", "text_clean").as[(Long, String)].collect().toMap
+    assert(off(2L).contains("quote w1 w2 w3 w4"), "span must survive with spanK=0")
+    val on = WebCrawlCuration.curate(crawl2, Seq("blocked.example"),
+        boilerplateMinDocs = 99L, spanK = 5)
+      .select("doc_id", "text_clean").as[(Long, String)].collect().toMap
+    assert(on(1L) == "d1a d1b quote w1 w2 w3 w4 d1c", "first occurrence keeps")
+    assert(on(2L) == "d2a d2b d2c", "later occurrence excised")
+    assert(on(3L) == "d3a d3b plainly unique content d3c")
+  }
+
   test("exact-dedup stage collapses docs made identical by cleaning") {
     // two sites, no shared domain boilerplate threshold reached, but the
     // same single unit after unit-dedup... construct: identical cleaned
