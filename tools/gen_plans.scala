@@ -25,7 +25,9 @@ for (name <- Seq("flagship_valid_split", "q_required", "q_min", "q_topk_similar"
     "q_pack_sequences", "q_contamination", "q_dedup_incremental",
     "q_asof", "q_range_join", "q_boilerplate", "q_bloom_incremental",
     "q_weighted_sample", "q_interleave", "q_unigram_ll", "q_zorder",
-    "q_quantized_topk", "q_dsir", "q_asof_nearest", "q_boilerplate_domain")) {
+    "q_quantized_topk", "q_dsir", "q_asof_nearest", "q_boilerplate_domain",
+    "q_url_dedup", "q_url_psl", "q_dedup_units", "q_curation_e2e",
+    "q_html_text", "q_dedup_spans", "q_twopass")) {
   val df = if (name == "flagship_valid_split") flagship
            else graft.SparkEntry.queries(name)(spark, dir)
   out.println()
