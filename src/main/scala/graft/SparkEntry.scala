@@ -12,12 +12,18 @@ import graft.ops.{Boilerplate, Dedup, Html, Joins, Sampling, Similarity, TextAna
   * (SURVEY.md §2.7), each hash-checked against the DuckDB `oracleSql`. */
 object SparkEntry {
 
-  /** Table loader. `events.ts` is NANOSECOND parquet, which Spark 4 refuses
-    * to read as a timestamp; sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` and this helper converts
-    * ns→µs with exact integer math (`div`, not double division — ns epochs
-    * overflow double mantissa). DuckDB oracles use `CAST(ts AS TIMESTAMP)`,
-    * which truncates identically. */
+  /** Table loader. `events.ts` in the CURRENT testdata is microsecond
+    * TIMESTAMP_NTZ (`Timestamp(isAdjustedToUTC=false, µs)` — the
+    * pandas/pyarrow default), which Spark reads natively and every batch
+    * operator (windows, as-of, comparisons) consumes as-is; DuckDB's
+    * TIMESTAMP is NTZ-shaped too, so under the pinned-UTC session the
+    * oracle hashes agree with no conversion. The guarded branch below
+    * supports the LEGACY testdata shape (nanosecond-as-long, readable only
+    * with `spark.sql.legacy.parquet.nanosAsLong=true`, converted ns→µs with
+    * exact integer `div` — ns epochs overflow a double mantissa); both
+    * shapes are spec-covered in `StreamingSpec`. Streaming paths
+    * additionally normalize NTZ→TIMESTAMP, which `withWatermark` requires
+    * (`StreamingValidate.ensureEventTime`). */
   private def T(s: SparkSession, dir: String, n: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$n.parquet")
     if (n == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
@@ -534,10 +540,9 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val raw = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val ev =
-        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
+      // normalize all three observed testdata shapes (µs TIMESTAMP_NTZ is
+      // the current one; ns-as-long the legacy one) to watermarkable TIMESTAMP
+      val ev = graft.streaming.StreamingValidate.ensureEventTime(raw, "ts")
       val valid = graft.streaming.StreamingValidate(ev,
         "event_id" -> F.Required(),
         "event_type" -> F.Choice(Seq("signup", "purchase", "error"))).valid
@@ -545,6 +550,24 @@ object SparkEntry {
         valid, Seq("user_id"), "ts", "1 hour")
       graft.streaming.StreamingValidate.runBounded(deduped.select(col("user_id")))
         .orderBy(col("user_id").asc_nulls_first)
+    }),
+    "q_stream_session" -> ((s, dir) => {
+      // TRUE streaming session windows (file source → watermark → session
+      // state store), driven to completion with Trigger.AvailableNow under
+      // COMPLETE output mode. The bounded run ingests the single events
+      // file in one microbatch where the initial watermark (epoch 0) drops
+      // nothing, and complete mode emits ALL sessions — append mode would
+      // emit only watermark-closed sessions, silently dropping every
+      // session within (delay+gap) of max event time. So streaming session
+      // assembly == the batch gaps-and-islands oracle (same argument as
+      // q_stream_dedup, extended to windowed state).
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val sess = graft.streaming.StreamingValidate.sessionCounts(
+        raw, "ts", "user_id", "30 minutes")
+      graft.streaming.StreamingValidate.runBounded(sess, outputMode = "complete")
+        .orderBy(col("user_id").asc_nulls_first, col("session_start"))
     }),
     "q_quantiles" -> ((s, dir) => {
       T(s, dir, "lineitem").agg(
@@ -1237,6 +1260,16 @@ object SparkEntry {
       // gaps-and-islands: new session only when STRICTLY more than the gap
       // since the previous event (Spark merges an event landing exactly on
       // prev+gap — verified in StreamingSpec)
+      ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events), " +
+        "m AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > INTERVAL 30 MINUTE " +
+        "OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL THEN 1 ELSE 0 END AS new_s FROM e), " +
+        "s AS (SELECT user_id, t, SUM(new_s) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
+        "SELECT MIN(t) AS session_start, user_id, COUNT(*) AS n FROM s GROUP BY user_id, sid " +
+        "ORDER BY user_id NULLS FIRST, session_start NULLS FIRST"),
+    "q_stream_session" ->
+      // identical gaps-and-islands form as q_session_window: the bounded
+      // complete-mode streaming run emits every session, so the streaming
+      // state-store assembly must reproduce the batch islands exactly
       ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events), " +
         "m AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > INTERVAL 30 MINUTE " +
         "OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL THEN 1 ELSE 0 END AS new_s FROM e), " +

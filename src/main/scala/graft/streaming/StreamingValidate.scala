@@ -19,11 +19,40 @@ object StreamingValidate {
   def apply(stream: DataFrame, specs: (String, Validator)*): ValidationResult =
     Validate.columns(stream, specs: _*)
 
+  /** Normalize an event-time column to TIMESTAMP, the only type
+    * `withWatermark` accepts. Input shapes, in order of how a user hits
+    * them:
+    *  - TIMESTAMP — already fine, pass through;
+    *  - TIMESTAMP_NTZ — what pandas/pyarrow write by default
+    *    (`Timestamp(isAdjustedToUTC=false, µs)`); under this library's
+    *    pinned-UTC sessions the cast is value-preserving (the naive local
+    *    datetime is re-labelled as the same UTC instant);
+    *  - legacy nanosecond-as-long (read via
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`) — exact integer
+    *    `div 1000` to µs, not double division (ns epochs overflow a double
+    *    mantissa).
+    * Anything else is a caller error worth a clear message rather than an
+    * `EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE` analysis failure deep in the
+    * engine. */
+  def ensureEventTime(df: DataFrame, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(tsCol).dataType match {
+      case TimestampType    => df
+      case TimestampNTZType => df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case LongType         => df.withColumn(tsCol, timestamp_micros(expr(s"`$tsCol` div 1000")))
+      case other => throw new IllegalArgumentException(
+        s"event-time column `$tsCol` must be TIMESTAMP, TIMESTAMP_NTZ, or " +
+          s"nanosecond-epoch LONG; got $other")
+    }
+  }
+
   /** Watermark only applies to streams; on a batch frame the same query
     * runs watermark-free — one code path for both (batch parity is how the
-    * window oracles are checked). */
+    * window oracles are checked). Streaming frames get their event-time
+    * column normalized first (see [[ensureEventTime]]); batch frames are
+    * left untouched so batch-parity results keep their input's exact type. */
   private def watermarked(df: DataFrame, tsCol: String, delay: String): DataFrame =
-    if (df.isStreaming) df.withWatermark(tsCol, delay) else df
+    if (df.isStreaming) ensureEventTime(df, tsCol).withWatermark(tsCol, delay) else df
 
   /** Tumbling (or sliding, if `slide` differs) window counts with a
     * watermark for state cleanup + late-data drop. */
@@ -50,10 +79,13 @@ object StreamingValidate {
       .agg(count(lit(1)).as("n"))
       .select(col("session_window.start").as("session_start"), col(keyCol), col("n"))
 
-  /** Exactly-once-ish dedup bounded by the watermark. */
+  /** Exactly-once-ish dedup bounded by the watermark. The event-time
+    * column is normalized first ([[ensureEventTime]]) so NTZ/legacy-long
+    * sources get a defined contract instead of an analysis error. */
   def dedupWithinWatermark(df: DataFrame, keyCols: Seq[String], tsCol: String,
                            delay: String): DataFrame =
-    df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols)
+    ensureEventTime(df, tsCol)
+      .withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols)
 
   /** Run a BOUNDED streaming query to completion and return its result:
     * `Trigger.AvailableNow` processes everything the source currently has

@@ -221,6 +221,75 @@ class StreamingSpec extends SparkSuite {
     assert(again == out.size)
   }
 
+  test("ensureEventTime normalizes all three event-time shapes value-preservingly") {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val micros = 1704067200123456L // 2024-01-01 00:00:00.123456 UTC
+    // TIMESTAMP passes through untouched
+    val tsDf = Seq(Tuple1(micros)).toDF("raw")
+      .select(timestamp_micros(col("raw")).as("ts"))
+    assert(StreamingValidate.ensureEventTime(tsDf, "ts").schema("ts").dataType == TimestampType)
+    // TIMESTAMP_NTZ (current testdata / pandas default) casts; under the
+    // pinned-UTC session the µs value is identical
+    val ntzDf = tsDf.select(col("ts").cast(TimestampNTZType).as("ts"))
+    assert(ntzDf.schema("ts").dataType == TimestampNTZType)
+    val ntzOut = StreamingValidate.ensureEventTime(ntzDf, "ts")
+    assert(ntzOut.schema("ts").dataType == TimestampType)
+    assert(ntzOut.select(unix_micros(col("ts"))).head.getLong(0) == micros)
+    // legacy nanosecond-as-long converts with exact integer math
+    val nsDf = Seq(Tuple1(micros * 1000L + 789L)).toDF("ts")
+    val nsOut = StreamingValidate.ensureEventTime(nsDf, "ts")
+    assert(nsOut.schema("ts").dataType == TimestampType)
+    assert(nsOut.select(unix_micros(col("ts"))).head.getLong(0) == micros)
+    // anything else is a clear caller error, not an engine analysis failure
+    val err = intercept[IllegalArgumentException] {
+      StreamingValidate.ensureEventTime(Seq(Tuple1("x")).toDF("ts"), "ts")
+    }
+    assert(err.getMessage.contains("event-time column"))
+  }
+
+  test("watermark dedup accepts an NTZ file source (the regenerated-testdata shape)") {
+    // end-to-end guard for the r9 break: write a parquet whose ts is
+    // TIMESTAMP_NTZ, stream it, watermark-dedup it — must not throw
+    // EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE and must dedup the key
+    val dir = java.nio.file.Files.createTempDirectory("ntz_stream").toString
+    try {
+      import org.apache.spark.sql.types.TimestampNTZType
+      Seq((1704067200000000L, 7L), (1704067201000000L, 7L), (1704067202000000L, 8L))
+        .toDF("raw", "k")
+        .select(timestamp_micros(col("raw")).cast(TimestampNTZType).as("ts"), col("k"))
+        .coalesce(1).write.parquet(s"$dir/src")
+      val schema = spark.read.parquet(s"$dir/src").schema
+      assert(schema("ts").dataType == TimestampNTZType, "fixture must be NTZ on disk")
+      val stream = spark.readStream.schema(schema).parquet(s"$dir/src")
+      val deduped = StreamingValidate.dedupWithinWatermark(stream, Seq("k"), "ts", "1 hour")
+      val out = StreamingValidate.runBounded(deduped.select("k"))
+        .collect().map(_.getLong(0)).toSet
+      assert(out == Set(7L, 8L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("q_stream_session: true-streaming session windows equal the batch session assembly") {
+    // the complete-mode bounded run must reproduce q_session_window's
+    // batch result row for row — watermark + session state store through
+    // the real engine, not batch parity
+    val dir = "/root/testdata/sf0.001"
+    // normalize session_start to epoch-µs: the streaming path carries
+    // TIMESTAMP (ensureEventTime), the batch path keeps the source's NTZ —
+    // same instants under the pinned-UTC session, different JVM classes
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(unix_micros(col("session_start").cast("timestamp")).as("us"),
+        col("user_id"), col("n"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2))).toSeq
+    val streamed = rows(graft.SparkEntry.queries("q_stream_session")(spark, dir))
+    val batch = rows(graft.SparkEntry.queries("q_session_window")(spark, dir)
+      .orderBy(col("user_id").asc_nulls_first, col("session_start")))
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      "streaming session windows must equal the batch gaps-and-islands result")
+  }
+
   test("session window boundary: event at exactly prev+gap MERGES (gap is inclusive)") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val batch = Seq((t("2024-01-01 00:00:00"), "u1"), (t("2024-01-01 00:05:00"), "u1"))
