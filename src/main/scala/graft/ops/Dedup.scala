@@ -97,14 +97,22 @@ object Dedup {
     * whitespace normalization).
     *
     * Scale shape — the honest cost of exact-substring dedup, linear in
-    * corpus tokens: (1) winner selection, a window keyed by the span's
-    * md5 over `(doc, position)` rows — ALL occurrences are ranked (no
-    * top-1 pre-prune: later occurrences are what gets excised, so every
-    * row matters), payload one 32-byte key + two longs per token;
-    * (2) removal positions are span-starts exploded ×k (duplicate spans
-    * only, usually ≪ corpus) anti-joined against the token table;
-    * (3) order-preserving reassembly keyed by doc id, partial-able
-    * `array_sort(collect_list)` like every reassembly in this file.
+    * corpus tokens: (1) winner selection by the partial-aggregable
+    * `min(struct(doc, position))` per span key — a hot span (legal
+    * boilerplate embedded mid-line, a syndicated lede occurring tens of
+    * millions of times post-unit-dedup) is combined MAP-SIDE, so no
+    * single reducer ever ranks all its occurrences (the skew guard a
+    * `row_number` window over the key cannot have); span keys occurring
+    * once — the vast majority after unit dedup — drop at this step, so
+    * (2) the non-winner mark is an equi-join of the window table against
+    * only the genuinely-duplicated keys: AQE broadcasts that side when
+    * small and skew-splits the sort-merge when not, either way hot keys
+    * are subdivided, not serialized; (3) removal positions are
+    * span-starts exploded ×k anti-joined against the token table;
+    * (4) order-preserving reassembly keyed by doc id, partial-able
+    * `array_sort(collect_list)` like every reassembly in this file. The
+    * shared tokenized `base` feeds both the token and the window table
+    * and is persisted so the corpus is scanned + split exactly once.
     * At 100 TB, run AFTER unit-level dedup so syndication-heavy mass
     * dies at unit granularity first and only residual spans pay the
     * token-level exchange. */
@@ -112,8 +120,12 @@ object Dedup {
                           k: Int = 8, cleanCol: String = "text_clean"): DataFrame = {
     require(k >= 2, s"window must span at least 2 tokens, got $k")
     val toksArr = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    // feeds BOTH the token table and the window table — persisted, or the
+    // corpus text is read and re-tokenized once per branch (the same
+    // shared-intermediate rule WebCrawlCuration applies)
     val base = df.filter(col(textCol).isNotNull)
       .select(col(idCol), toksArr.as("__toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val toks = base.select(col(idCol),
       posexplode(col("__toks")).as(Seq("__pos", "__tok")))
     // one window key per start position (1-based slice i covers 0-based
@@ -123,10 +135,16 @@ object Dedup {
           transform(sequence(lit(1), size(col("__toks")) - (k - 1)),
             i => md5(array_join(slice(col("__toks"), i, lit(k)), " ").cast("binary"))))
         .as(Seq("__wpos", "__wkey")))
-    val w = Window.partitionBy(col("__wkey")).orderBy(col(idCol), col("__wpos"))
-    val removed = wins
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") > 1)
+    // keep-first winner per span key: struct ordering is (doc, position) —
+    // identical semantics to the old `row_number` window's orderBy, minus
+    // its all-occurrences-on-one-reducer skew hazard
+    val dupWinners = wins.groupBy(col("__wkey"))
+      .agg(min(struct(col(idCol), col("__wpos"))).as("__w1"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select(col("__wkey"), col("__w1"))
+    val removed = wins.join(dupWinners, Seq("__wkey"))
+      .filter(struct(col(idCol), col("__wpos")) =!= col("__w1"))
       .select(col(idCol).as("__rid"),
         explode(sequence(col("__wpos"), col("__wpos") + (k - 1))).as("__rpos"))
       .distinct()

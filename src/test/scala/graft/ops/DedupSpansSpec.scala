@@ -83,6 +83,34 @@ class DedupSpansSpec extends SparkSuite {
       s"span excision must stay on hash joins:\n$plan")
   }
 
+  test("plan: winner selection is a partial aggregate, not an all-rows window (skew guard)") {
+    // the r9 hazard: row_number() over (partition by __wkey) ships EVERY
+    // occurrence of a hot span to one reducer. The rewrite must show a
+    // partial+final HashAggregate on __wkey and NO window operator anywhere
+    val df = (0L until 50L).map(i => (i, s"a$i b$i c$i d$i e$i"))
+      .toDF("id", "text")
+    val plan = Dedup.dedupSpansKeepFirst(df, "id", "text", k = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"no unguarded all-rows window may remain in span excision:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"winner selection must be an aggregate (map-side combinable):\n$plan")
+  }
+
+  test("hot span: a k-run planted in EVERY doc excises everywhere but the first") {
+    // the adversarial shape the skew guard exists for — one span key whose
+    // occurrence count equals the corpus size
+    val hot = "hot1 hot2 hot3 hot4"
+    val n = 500L
+    val rows = (0L until n).map(i => (i, s"u${i}x u${i}y $hot u${i}z"))
+    val out = Dedup.dedupSpansKeepFirst(rows.toDF("id", "text"), "id", "text", k = 4)
+      .as[(Long, String)].collect().toMap
+    assert(out(0L) == s"u0x u0y $hot u0z", "global-first doc keeps the hot span")
+    (1L until n).foreach { i =>
+      assert(out(i) == s"u${i}x u${i}y u${i}z", s"doc $i must lose the hot span")
+    }
+  }
+
   test("deterministic under repartitioning") {
     val rows = (0L until 60L).map { i =>
       val shared = s"sh${i % 6}a sh${i % 6}b sh${i % 6}c sh${i % 6}d"
