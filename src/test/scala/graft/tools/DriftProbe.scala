@@ -17,7 +17,10 @@ import graft.SparkEntry
 object DriftProbe {
   private val probes = Seq("q_uuid", "q_window_events", "q_weighted_sample",
     "q_zorder", "q_type_int", "q_ann_cosine", "q_approx_distinct",
-    "q_dedup_minhash")
+    "q_dedup_minhash",
+    // r9 above-band watch items (driver showed 2.6× / 3.7× on
+    // unchanged-or-faster code): attribute within one JVM
+    "q_curation_e2e", "q_pack_sequences")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
