@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{Validate, ValidationResult}
 import graft.{filters => F}
 import graft.filters.{Emptiness, FilterMapper, FilterMapperDynamic, FilterRepeater, FilterRepeaterMap, FilterSwitch}
-import graft.ops.{Boilerplate, Dedup, Html, Joins, Sampling, Similarity, TextAnalysis, Urls}
+import graft.ops.{Boilerplate, Dedup, Html, Joins, Layout, Retrieval, Sampling, Similarity, TextAnalysis, Urls}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2.7), each hash-checked against the DuckDB `oracleSql`. */
@@ -587,6 +587,25 @@ object SparkEntry {
       docs.select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_ws"),
         TextAnalysis.subwordCount(col("text")).as("n_subword"))
+        .orderBy("doc_id")
+    }),
+    "q_bm25_topk" -> ((s, dir) => {
+      // BM25 keyword retrieval: 5 literal queries over the documents
+      // corpus, top-10 each. Scores rounded to 1e-6 BEFORE ranking in
+      // both engines (see Retrieval.bm25TopK), ties break by doc_id.
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val qs = Seq((1L, "fast hash join"), (2L, "window group query"),
+        (3L, "slow table scan"), (4L, "customer order line part"),
+        (5L, "stream batch data")).toDF("qid", "qtext")
+      Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 10)
+        .orderBy("qid", "rk")
+    }),
+    "q_shard_assign" -> ((s, dir) => {
+      // deterministic training-serving shuffle: md5-derived shard +
+      // intra-shard order key, bit-for-bit reproducible anywhere
+      Layout.assignShards(T(s, dir, "documents"), "doc_id", nShards = 16)
+        .select(col("doc_id"), col("shard"), col("shard_order"))
         .orderBy("doc_id")
     }),
     "q_quality" -> ((s, dir) => {
@@ -1291,6 +1310,30 @@ object SparkEntry {
       ("SELECT doc_id, CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_ws, " +
         "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subword " +
         "FROM documents ORDER BY doc_id"),
+    "q_bm25_topk" ->
+      // full BM25 mirror (k1=1.2, b=0.75, Lucene idf): identical term
+      // extraction ([a-z0-9]+ over lower), identical per-term formula,
+      // identical 1e-6 floor-rounding BEFORE ranking, doc_id tiebreak
+      ("WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1), " +
+        "st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl), " +
+        "q(qid, qtext) AS (VALUES (1, 'fast hash join'), (2, 'window group query'), " +
+        "(3, 'slow table scan'), (4, 'customer order line part'), (5, 'stream batch data')), " +
+        "qt AS (SELECT CAST(qid AS BIGINT) AS qid, unnest(list_distinct(regexp_extract_all(lower(qtext), '[a-z0-9]+'))) AS term FROM q), " +
+        "dfreq AS (SELECT term, COUNT(*) AS df FROM tf WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1), " +
+        "sc AS (SELECT qt.qid, tf.doc_id, " +
+        "SUM(ln(1.0 + (CAST(st.n AS DOUBLE) - df + 0.5) / (df + 0.5)) " +
+        "* (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS raw " +
+        "FROM tf JOIN qt USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN st " +
+        "GROUP BY 1, 2) " +
+        "SELECT qid, doc_id, floor(raw * 1000000.0 + 0.5) / 1000000.0 AS score, " +
+        "CAST(row_number() OVER (PARTITION BY qid ORDER BY floor(raw * 1000000.0 + 0.5) / 1000000.0 DESC, doc_id) AS INTEGER) AS rk " +
+        "FROM sc QUALIFY rk <= 10 ORDER BY qid, rk"),
+    "q_shard_assign" ->
+      ("SELECT doc_id, CAST(('0x' || substr(md5('graftshard:' || doc_id), 1, 8))::UBIGINT % 16 AS INTEGER) AS shard, " +
+        "md5('graftorder:' || doc_id) AS shard_order FROM documents ORDER BY doc_id"),
     "q_quality" ->
       // floor(x*1e6 + 0.5)/1e6 matches qualityScore's rounding exactly:
       // plain double arithmetic, no engine-specific decimal-halfway rule

@@ -105,4 +105,44 @@ object Layout {
       }
     df.withColumn(splitCol, expr)
   }
+
+  /** Deterministic global shuffle for training-data serving — the last
+    * mile after curation: every document gets a content-independent
+    * pseudo-random shard in `[0, nShards)` plus an intra-shard order key,
+    * BOTH pure functions of `(seed, id)`. The exact example order a
+    * training run consumes is therefore reproducible from scratch on any
+    * cluster (no `rand()`, no partition-order dependence), documents
+    * added later land in a stable shard without moving anything already
+    * assigned, and changing `seed` is a fresh epoch-level reshuffle.
+    * Hashes are md5 (same function the deterministic samplers use) via
+    * integer hex parse — exactly mirrorable in SQL engines, which is what
+    * lets `q_shard_assign` oracle the assignment bit-for-bit.
+    *
+    * Scale shape: assignment is MAP-ONLY (two md5s per row). The physical
+    * move is [[shuffleToShards]]: one repartition-on-shard exchange + an
+    * in-partition sort — a global shuffle WITHOUT a global sort, the only
+    * shape that works when the corpus outweighs the cluster. md5 spreads
+    * uniformly, so shards balance to ±√ deviations at any corpus size. */
+  def assignShards(df: DataFrame, idCol: String, nShards: Int,
+                   shardCol: String = "shard", orderCol: String = "shard_order",
+                   seed: String = "graft"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    def h(tag: String) =
+      md5(concat(lit(s"$seed$tag:"), col(idCol).cast("string")))
+    // first 8 hex digits < 2^32: exact in a long, no sign games
+    df.withColumn(shardCol,
+        (conv(substring(h("shard"), 1, 8), 16, 10).cast("long")
+          % nShards).cast("int"))
+      .withColumn(orderCol, h("order"))
+  }
+
+  /** [[assignShards]] + the physical move: hash-repartition on the shard
+    * column and sort each partition by the order key. Write with
+    * `.write.partitionBy(shardCol)` for one directory per shard. */
+  def shuffleToShards(df: DataFrame, idCol: String, nShards: Int,
+                      shardCol: String = "shard", orderCol: String = "shard_order",
+                      seed: String = "graft"): DataFrame =
+    assignShards(df, idCol, nShards, shardCol, orderCol, seed)
+      .repartition(nShards, col(shardCol))
+      .sortWithinPartitions(col(shardCol), col(orderCol))
 }

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus keyword retrieval — BM25 top-k (SURVEY.md §2.6 extension). The
+  * training-data use cases are retrieval-shaped curation steps: pulling the
+  * documents most relevant to a benchmark prompt (contamination triage
+  * beyond exact n-gram hits), building targeted eval slices ("every doc
+  * about X"), and seed-query corpus exploration. BM25 (Robertson et al.,
+  * TREC-3 Okapi; the `k1`/`b` form every open-source engine ships) is the
+  * standard lexical scorer, and its structure is pure OLAP — term
+  * statistics are aggregations, scoring is a broadcast join, ranking is a
+  * group-limited window — so the whole operator stays declarative and
+  * Catalyst-optimized.
+  *
+  * Scale shape: ONE exploded pass over the corpus builds `(doc, term, tf,
+  * dl)` — tf by a partial-aggregated `(doc, term)` exchange, doc length by
+  * an id-partition window over the already-aggregated rows (bounded: a
+  * doc's distinct-term count ≤ its token count — no skew hazard). The
+  * query set is model-sized and BROADCASTS; the corpus side is pruned to
+  * query-matching terms BEFORE document frequencies are counted, so the
+  * expensive statistics are only paid for terms someone asked about.
+  * Final ranking is `row_number ≤ k` over qid — Spark's WindowGroupLimit
+  * rewrites it to a map-side top-k pre-prune per partition, so a query
+  * matching half the corpus ships ≤ k·partitions rows, not its whole
+  * posting list (plan-asserted in `RetrievalSpec`).
+  */
+object Retrieval {
+
+  /** Lexical terms: lowercase alphanumeric runs. Splitting on the
+    * complement (plus an empty-token filter for leading separators)
+    * yields exactly the `[a-z0-9]+` extraction — the form a DuckDB/SQL
+    * mirror expresses as `regexp_extract_all(lower(text), '[a-z0-9]+')`. */
+  def terms(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Per-(document, term) statistics: `(idCol, term, tf, dl)` with `tf`
+    * the in-document term frequency and `dl` the document's total token
+    * count. One exploded aggregation + one bounded id-window; the reusable
+    * index half of BM25 (build once, persist/write, score many query
+    * sets against it). */
+  def termStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(terms(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    tf.withColumn("dl", sum(col("tf")).over(Window.partitionBy(col(idCol))))
+  }
+
+  /** BM25 top-`k` documents per query. `queries` is a model-sized frame
+    * `(qidCol, qtextCol)` — it broadcasts; never pass a corpus here.
+    * Scores use the Lucene-style always-positive idf
+    * `ln(1 + (N − df + ½)/(df + ½))` and are rounded to 1e-6 BEFORE
+    * ranking (the `q_quality` rounding form — plain double arithmetic,
+    * no engine-specific halfway rule) so cross-engine ulp drift in the
+    * per-term sum cannot reorder ranks; residual exact ties break by
+    * document id. Query terms absent from the corpus contribute nothing
+    * (no df row → no score row), matching every BM25 implementation.
+    *
+    * Output: `(qidCol, idCol, score, rk)` with `rk` 1-based, ≤ `k`. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qidCol: String, qtextCol: String,
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val stats = termStats(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // corpus scalars: document count + mean length — bounded driver state,
+    // same as every model-sized collect in this library
+    val corpus = stats.groupBy(col(idCol)).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
+    val nDocs = corpus.getLong(0)
+    val avgdl = corpus.getDouble(1)
+    val qterms = queries.select(col(qidCol),
+      explode(array_distinct(terms(col(qtextCol)))).as("term"))
+    // prune the corpus to query-matching terms FIRST; document frequency
+    // is then counted over only those posting lists. (idCol, term) rows
+    // are unique post-aggregation, so count(*) == containing-doc count.
+    val matched = stats.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+    val dfreq = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val perTerm = matched
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .withColumn("__idf",
+        log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("__s", col("__idf") * (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol))
+    perTerm.groupBy(col(qidCol), col(idCol)).agg(sum(col("__s")).as("__raw"))
+      .withColumn("score", floor(col("__raw") * 1e6 + lit(0.5)) / 1e6)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(qidCol), col(idCol), col("score"), col("rk").cast("integer").as("rk"))
+  }
+}

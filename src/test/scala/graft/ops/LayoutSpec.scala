@@ -137,4 +137,45 @@ class LayoutSpec extends SparkSuite {
     // only the explicit repartition exchange; no extra ENSURE_REQUIREMENTS hash exchange
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(3000))
   }
+
+  test("assignShards: in-range, deterministic, id-stable under growth, seed-sensitive") {
+    val ids = spark.range(5000).toDF("id")
+    val a = Layout.assignShards(ids, "id", 16)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(a.values.forall { case (s, _) => s >= 0 && s < 16 })
+    // re-run identical
+    val b = Layout.assignShards(ids.repartition(7), "id", 16)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(a == b)
+    // adding documents later leaves every existing assignment untouched
+    val grown = Layout.assignShards(spark.range(9000).toDF("id"), "id", 16)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(a.forall { case (id, v) => grown(id) == v })
+    // a different seed is a genuinely different shuffle
+    val reseeded = Layout.assignShards(ids, "id", 16, seed = "epoch2")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a.count { case (id, (s, _)) => reseeded(id) == s } < 1000,
+      "reseeding must move ~15/16 of documents")
+  }
+
+  test("assignShards: md5 spreads shards uniformly") {
+    val counts = Layout.assignShards(spark.range(16000).toDF("id"), "id", 16)
+      .groupBy("shard").count().collect().map(_.getLong(1))
+    assert(counts.length == 16)
+    // mean 1000/shard; md5 uniformity keeps every shard within ±15%
+    assert(counts.forall(c => c > 850 && c < 1150), counts.mkString(","))
+  }
+
+  test("shuffleToShards: map-only assignment + ONE exchange, sorted within partitions") {
+    val out = Layout.shuffleToShards(spark.range(2000).toDF("id"), "id", 8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"one repartition exchange, no global sort exchange:\n${plan.take(2000)}")
+    assert(!plan.contains("rangepartitioning"), "must not global-sort")
+    // every partition is internally ordered by (shard, order key)
+    val perPart = out.select("shard", "shard_order").rdd
+      .mapPartitions(it => Iterator.single(it.map(r => (r.getInt(0), r.getString(1))).toSeq))
+      .collect()
+    perPart.foreach { p => assert(p == p.sorted, "partition not sorted") }
+  }
 }

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** BM25 retrieval ([[Retrieval.bm25TopK]]): closed-form score check, k
+  * cutoff, absent-term semantics, broadcast + group-limit plan shape,
+  * repartition determinism. */
+class RetrievalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "apple banana apple"),           // dl=3, tf(apple)=2
+    (2L, "apple cherry"),                 // dl=2, tf(apple)=1
+    (3L, "banana banana banana cherry"))  // dl=4
+    .toDF("doc_id", "text")
+
+  test("closed-form BM25: hand-computed scores and ranks (k1=1.2, b=0.75)") {
+    val qs = Seq((7L, "apple")).toDF("qid", "qtext")
+    val out = Retrieval.bm25TopK(corpus, "doc_id", "text", qs, "qid", "qtext", k = 10)
+      .orderBy("rk").collect()
+    // N=3, avgdl=3, df(apple)=2 → idf = ln(1 + 1.5/2.5)
+    val idf = math.log(1.0 + (3.0 - 2 + 0.5) / (2 + 0.5))
+    def bm25(tf: Long, dl: Long) =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq ==
+      Seq((7L, 1L, 1), (7L, 2L, 2)), "doc 3 has no query term and must be absent")
+    assert(out(0).getDouble(2) == r6(bm25(2, 3)))
+    assert(out(1).getDouble(2) == r6(bm25(1, 2)))
+  }
+
+  test("k cutoff and per-query independence; ties break by doc id") {
+    val docs = (1L to 20L).map(i => (i, "same words here")).toDF("doc_id", "text")
+    val qs = Seq((1L, "same"), (2L, "words here")).toDF("qid", "qtext")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    // identical docs → identical scores → rank by doc_id, capped at 5
+    assert(out.toSet ==
+      (for (q <- 1L to 2L; d <- 1L to 5L) yield (q, d, d.toInt)).toSet)
+  }
+
+  test("query terms absent from the corpus contribute nothing; all-absent query vanishes") {
+    val qs = Seq((1L, "apple zebrafish"), (2L, "quux xyzzy")).toDF("qid", "qtext")
+    val out = Retrieval.bm25TopK(corpus, "doc_id", "text", qs, "qid", "qtext", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.forall(_._1 == 1L), "a query with no corpus term yields no rows")
+    assert(out.map(_._2).toSet == Set(1L, 2L))
+  }
+
+  test("null text drops; tokenization is [a-z0-9]+ over lowercase") {
+    val docs = Seq((1L, "APPLE-banana!! 42x"), (2L, null)).toDF("doc_id", "text")
+    val qs = Seq((1L, "Apple"), (2L, "42X")).toDF("qid", "qtext")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 1L), (2L, 1L)),
+      "case folds, punctuation splits, digit-letter runs survive as one term")
+  }
+
+  test("plan: query side broadcasts and ranking is group-limited (no full-corpus window spill)") {
+    val docs = (0L until 200L).map(i => (i, s"w${i % 7} w${i % 11} filler")).toDF("doc_id", "text")
+    val qs = Seq((1L, "w1 w2"), (2L, "w3")).toDF("qid", "qtext")
+    val plan = Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"query joins must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k must pre-prune map-side via WindowGroupLimit:\n$plan")
+  }
+
+  test("deterministic under repartitioning") {
+    val docs = (0L until 300L).map(i =>
+      (i, s"alpha${i % 5} beta${i % 3} gamma${i % 17} delta")).toDF("doc_id", "text")
+    val qs = Seq((1L, "alpha1 delta"), (2L, "beta2 gamma4")).toDF("qid", "qtext")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Retrieval.bm25TopK(d, "doc_id", "text", qs, "qid", "qtext", k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(run(docs) == run(docs.repartition(13)))
+  }
+
+  test("termStats: one row per (doc, term) with tf and shared dl") {
+    val st = Retrieval.termStats(corpus, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(st((1L, "apple")) == ((2L, 3L)))
+    assert(st((1L, "banana")) == ((1L, 3L)))
+    assert(st((3L, "banana")) == ((3L, 4L)))
+    assert(st((3L, "cherry")) == ((1L, 4L)))
+    assert(st.size == 6)
+  }
+}
