@@ -42,13 +42,14 @@ object TwoPassCuration {
              htmlInput: Boolean = false,
              minQuality: Double = 0.3,
              nearDupThreshold: Double = 0.9,
-             materializeIntermediate: Boolean = true): DataFrame = {
+             materializeIntermediate: Boolean = true,
+             spanK: Int = 0): DataFrame = {
     val first = WebCrawlCuration.curate(crawl, blockedDomains,
       idCol = "doc_id", urlCol = urlCol, textCol = textCol,
       boilerplateMinDocs = boilerplateMinDocs,
       delim = delim, joinSep = joinSep,
       materializeIntermediate = materializeIntermediate,
-      htmlInput = htmlInput)
+      htmlInput = htmlInput, spanK = spanK)
     // the seam: first-pass cleaned text becomes the second pass's input
     // text; lang is absent in a raw crawl — Optional("und") fills it
     val docs = first

@@ -50,8 +50,9 @@ object TwoPassSmoke {
         base.withColumn("doc_id", col("doc_id") + lit(k * 10_000_000L))
       }.reduce(_ unionAll _)
 
-    def run(mult: Int): Set[Long] =
-      TwoPassCuration.curate(crawlAt(mult), Seq("blocked.example.com"))
+    def run(mult: Int, spanK: Int = 0): Set[Long] =
+      TwoPassCuration.curate(crawlAt(mult), Seq("blocked.example.com"),
+          spanK = spanK)
         .select("doc_id").collect().map(_.getLong(0)).toSet
 
     // absorb one-time JVM/codegen cost so the 1× number is honest
@@ -65,6 +66,18 @@ object TwoPassSmoke {
         s"extra=${(tenX -- once).take(5)}")
     println(f"[twopass] wall ratio 10×/1× = ${t10 / t1}%.2f (10× the rows, " +
       "dup copies die at first-pass URL dedup)")
+
+    // same invariance with span excision (stage 4b) enabled: duplicate
+    // COPIES die at URL dedup before the span stage ever sees them, so
+    // span excision must not break the 1×==10× survivor identity — the
+    // spec argues it, this measures it (r9 verdict ask)
+    val (onceS, t1s) = time("curate 1× crawl, spanK=8")(run(1, spanK = 8))
+    val (tenXS, t10s) = time("curate 10×-duplicated crawl, spanK=8")(run(10, spanK = 8))
+    println(s"[twopass] spanK=8 1× survivors=${onceS.size} 10× survivors=${tenXS.size}")
+    assert(tenXS == onceS,
+      s"duplication changed the spanK=8 curated set: missing=${(onceS -- tenXS).take(5)} " +
+        s"extra=${(tenXS -- onceS).take(5)}")
+    println(f"[twopass] spanK=8 wall ratio 10×/1× = ${t10s / t1s}%.2f")
     spark.stop()
   }
 }
