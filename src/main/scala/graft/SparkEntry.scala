@@ -802,6 +802,17 @@ object SparkEntry {
         oovLogp = -20.0)
         .orderBy("doc_id")
     }),
+    "q_bigram_ll" -> ((s, dir) => {
+      // bigram LM with stupid backoff (Brants et al. '07): corpus-built
+      // top-50 bigram + top-25 unigram models, broadcast lookups,
+      // exactly SQL-mirrorable because backoff never mixes probabilities
+      val docs = T(s, dir, "documents")
+      val bi = graft.ops.LmScore.bigramVocab(docs, "text", k = 50)
+      val uni = graft.ops.LmScore.unigramVocab(docs, "text", k = 25)
+      graft.ops.LmScore.bigramLogLikelihood(docs, "doc_id", "text", bi, uni,
+        backoff = 0.4, oovLogp = -20.0)
+        .orderBy("doc_id")
+    }),
     "q_chunk" -> ((s, dir) => {
       // context-window segmentation: 32-token chunks with 8-token overlap
       // (stride 24) — map-only, no shuffle (plan-asserted in ChunkingSpec)
@@ -1541,6 +1552,29 @@ object SparkEntry {
         "SELECT doc_id, COUNT(*) AS n_tok, " +
         "floor(avg(coalesce(v.logp, -20.0)) * 1e6 + 0.5) / 1e6 AS ll " +
         "FROM t2 LEFT JOIN vocab v USING (token) GROUP BY doc_id ORDER BY doc_id"),
+    "q_bigram_ll" ->
+      // full stupid-backoff mirror: identical tokenization, bigram
+      // conditional MLE over a per-w1 window total, top-50/top-25 vocab
+      // with deterministic tie-breaks, ln(0.4) backoff penalty, -20 OOV,
+      // 1e-6 floor-round — no exp anywhere, so the mirror is exact
+      ("WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0) AS a " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "pos AS (SELECT doc_id, unnest(generate_series(1, len(a))) AS i, a FROM d WHERE len(a) >= 1), " +
+        "tp AS (SELECT doc_id, CASE WHEN i = 1 THEN NULL ELSE a[i-1] END AS w1, a[i] AS w2 FROM pos), " +
+        "bc AS (SELECT w1, w2, COUNT(*) AS n FROM tp WHERE w1 IS NOT NULL GROUP BY 1, 2), " +
+        "bctx AS (SELECT w1, w2, n, SUM(n) OVER (PARTITION BY w1) AS ctx FROM bc), " +
+        "bv AS (SELECT w1, w2, ln(CAST(n AS DOUBLE) / CAST(ctx AS DOUBLE)) AS lb " +
+        "FROM bctx ORDER BY n DESC, w1, w2 LIMIT 50), " +
+        "uc AS (SELECT w2 AS token, COUNT(*) AS n FROM tp GROUP BY 1), " +
+        "ut AS (SELECT SUM(n) AS total FROM uc), " +
+        "uv AS (SELECT token, ln(CAST(n AS DOUBLE) / (SELECT CAST(total AS DOUBLE) FROM ut)) AS lu " +
+        "FROM uc ORDER BY n DESC, token LIMIT 25) " +
+        "SELECT tp.doc_id, COUNT(*) AS n_tok, " +
+        "floor(avg(coalesce(bv.lb, CASE WHEN tp.w1 IS NULL THEN coalesce(uv.lu, -20.0) " +
+        "ELSE ln(0.4) + coalesce(uv.lu, -20.0) END)) * 1e6 + 0.5) / 1e6 AS ll " +
+        "FROM tp LEFT JOIN bv ON tp.w1 = bv.w1 AND tp.w2 = bv.w2 " +
+        "LEFT JOIN uv ON tp.w2 = uv.token " +
+        "GROUP BY tp.doc_id ORDER BY tp.doc_id"),
     "q_chunk" ->
       // stride 24 = 32 − 8; chunk count in exact integer arithmetic with
       // the clamped dividend (greatest 0) so // and div agree

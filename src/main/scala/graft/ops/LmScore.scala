@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Unigram language-model scoring (SURVEY.md §2.6 extension) — the
@@ -85,5 +86,78 @@ object LmScore {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tok"),
         (floor(avg(coalesce(col("logp"), lit(oovLogp))) * 1e6 + 0.5) / 1e6).as("ll"))
+  }
+
+  /** Whitespace tokens, lowercased, empties dropped — as an ARRAY (the
+    * same token stream [[unigramVocab]] sees exploded). */
+  private def tokArray(textCol: String) =
+    filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
+
+  /** Top-`k` bigram table `(w1, w2, logp)` with CONDITIONAL
+    * log-probabilities `ln(c(w1,w2) / c(w1,·))` — the context total is the
+    * sum of bigram counts sharing the first word (standard conditional
+    * MLE). Ties at the count boundary break lexicographically on
+    * `(w1, w2)` — deterministic like [[unigramVocab]]. The context-total
+    * window partitions by `w1`, bounded by that word's distinct-successor
+    * count (≤ vocabulary size — not corpus-sized; no skew hazard). */
+  def bigramVocab(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val a = tokArray(textCol)
+    val bi = df.filter(col(textCol).isNotNull)
+      .select(a.as("__a"))
+      .filter(size(col("__a")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__a")) - 1),
+        i => struct(element_at(col("__a"), i).as("w1"),
+          element_at(col("__a"), i + 1).as("w2")))).as("__b"))
+      .select(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    bi.withColumn("__ctx", sum(col("n")).over(Window.partitionBy(col("w1"))))
+      .withColumn("logp", log(col("n").cast("double") / col("__ctx").cast("double")))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("logp"))
+  }
+
+  /** Per-document mean token log-probability under a bigram model with
+    * STUPID BACKOFF (Brants et al., "Large Language Models in Machine
+    * Translation", EMNLP'07 — the smoothing designed FOR distributed
+    * corpus-scale LMs): token i ≥ 2 scores the bigram conditional if
+    * `(w_{i−1}, w_i)` is in the table, otherwise `ln(backoff)` + its
+    * unigram log-prob (OOV → `oovLogp`); the first token scores by
+    * unigram alone. No probability-space interpolation means no `exp` —
+    * every score is a table lookup plus additions, which keeps the whole
+    * operator exactly SQL-mirrorable (the `q_bigram_ll` oracle) where
+    * Jelinek-Mercer mixing would not be.
+    *
+    * Scale shape: token/bigram pairs are built MAP-SIDE from the token
+    * array (no self-join of the exploded stream to reach the previous
+    * token); both models broadcast; one id-keyed partial aggregation.
+    * Output `(idCol, n_tok, ll)`, `ll` floor-rounded to 6 dp (the
+    * [[unigramLogLikelihood]] convention). */
+  def bigramLogLikelihood(df: DataFrame, idCol: String, textCol: String,
+                          bigrams: DataFrame, unigrams: DataFrame,
+                          backoff: Double = 0.4, oovLogp: Double = -20.0): DataFrame = {
+    require(backoff > 0 && backoff <= 1, s"backoff must be in (0,1], got $backoff")
+    val a = tokArray(textCol)
+    val pairs = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), a.as("__a"))
+      .filter(size(col("__a")) >= 1)
+      .select(col(idCol), explode(transform(sequence(lit(1), size(col("__a"))),
+        i => struct(
+          when(i === 1, lit(null).cast("string"))
+            .otherwise(element_at(col("__a"), i - 1)).as("w1"),
+          element_at(col("__a"), i).as("w2")))).as("__t"))
+      .select(col(idCol), col("__t.w1").as("w1"), col("__t.w2").as("w2"))
+    val uniPath = coalesce(col("__lu"), lit(oovLogp))
+    pairs
+      .join(broadcast(bigrams.select(col("w1"), col("w2"), col("logp").as("__lb"))),
+        Seq("w1", "w2"), "left")
+      .join(broadcast(unigrams.select(col("token").as("w2"), col("logp").as("__lu"))),
+        Seq("w2"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        (floor(avg(coalesce(col("__lb"),
+          when(col("w1").isNull, uniPath)
+            .otherwise(lit(math.log(backoff)) + uniPath))) * 1e6 + 0.5) / 1e6).as("ll"))
   }
 }

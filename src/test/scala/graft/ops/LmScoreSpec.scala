@@ -60,6 +60,45 @@ class LmScoreSpec extends SparkSuite {
     assert(w(1L) > w(3L) && w(3L) > w(2L))
   }
 
+  test("bigram vocab: conditional MLE over per-context totals, deterministic top-k") {
+    val d = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
+    val v = LmScore.bigramVocab(d, "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // bigrams: (a,b)=3, (b,a)=1, (b,c)=1, (b,x)=1; ctx(a)=3, ctx(b)=3
+    // k=3 keeps (a,b) then the lexicographically-first ties (b,a), (b,c)
+    assert(v.keySet == Set(("a", "b"), ("b", "a"), ("b", "c")))
+    assert(v(("a", "b")) == math.log(3.0 / 3.0))
+    assert(v(("b", "a")) == math.log(1.0 / 3.0))
+  }
+
+  test("stupid backoff scoring: bigram hit, backoff+unigram, backoff+OOV, first token — hand pin") {
+    val d = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
+    val bi = LmScore.bigramVocab(d, "text", k = 3)
+    val uni = LmScore.unigramVocab(d, "text", k = 2) // a, b at ln(3/8)
+    val out = LmScore.bigramLogLikelihood(d, "doc_id", "text", bi, uni,
+        backoff = 0.4, oovLogp = -20.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val uniA = math.log(3.0 / 8.0)
+    // d1: uni(a) + bi(a,b) + bi(b,a) + bi(a,b) + bi(b,c)
+    val d1 = (uniA + 0.0 + math.log(1.0 / 3.0) + 0.0 + math.log(1.0 / 3.0)) / 5.0
+    // d2: uni(a) + bi(a,b) + [backoff → OOV x]
+    val d2 = (uniA + 0.0 + (math.log(0.4) + -20.0)) / 3.0
+    assert(out(1L) == ((5L, r6(d1))))
+    assert(out(2L) == ((3L, r6(d2))))
+  }
+
+  test("bigram scoring plan: models broadcast; pairs built map-side (no self-join)") {
+    val d = (0L until 200L).map(i => (i, s"t${i % 9} t${i % 5} t${i % 3} tail")).toDF("doc_id", "text")
+    val bi = LmScore.bigramVocab(d, "text", k = 20)
+    val uni = LmScore.unigramVocab(d, "text", k = 10)
+    val plan = LmScore.bigramLogLikelihood(d, "doc_id", "text", bi, uni)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus side must never shuffle for the model lookups:\n${plan.take(2000)}")
+  }
+
   test("scoring a corpus under its own vocab separates natural docs from shuffled noise") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("text").isNotNull)
