@@ -130,11 +130,15 @@ object Dedup {
       posexplode(col("__toks")).as(Seq("__pos", "__tok")))
     // one window key per start position (1-based slice i covers 0-based
     // token positions i-1 .. i+k-2; posexplode re-0-bases the starts)
+    // ALSO persisted: the window table feeds winner selection AND the
+    // non-winner mark join — without materialization the per-window md5
+    // pass (the expensive map work) runs twice
     val wins = base.filter(size(col("__toks")) >= k)
       .select(col(idCol), posexplode(
           transform(sequence(lit(1), size(col("__toks")) - (k - 1)),
             i => md5(array_join(slice(col("__toks"), i, lit(k)), " ").cast("binary"))))
         .as(Seq("__wpos", "__wkey")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // keep-first winner per span key: struct ordering is (doc, position) —
     // identical semantics to the old `row_number` window's orderBy, minus
     // its all-occurrences-on-one-reducer skew hazard
