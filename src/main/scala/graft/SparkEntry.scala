@@ -371,6 +371,32 @@ object SparkEntry {
         Urls.registrableDomain(url).as("domain"))
         .orderBy("doc_id")
     }),
+    "q_robots" -> ((s, dir) => {
+      // RFC 9309 evaluation vectors: star-group longest-match + allow
+      // override + $-anchored wildcard on alpha, exact-agent group
+      // shadowing the star group on beta, robots-less gamma defaulting
+      // to allowed. Oracle states the EXPECTED verdicts in closed form.
+      import s.implicits._
+      val robots = Seq(
+        ("alpha.test",
+          "User-agent: *\nDisallow: /private/\nAllow: /private/ok\nDisallow: /*.zip$\n"),
+        ("beta.test",
+          "User-agent: graftbot\nDisallow: /\n\nUser-agent: *\nDisallow: /tmp/\n"))
+        .toDF("domain", "content")
+      val rules = graft.ops.Robots.rulesFor(robots, "domain", "content", "graftbot")
+      val dom = when(col("doc_id") % 3 === 0, lit("alpha.test"))
+        .when(col("doc_id") % 3 === 1, lit("beta.test"))
+        .otherwise(lit("gamma.test"))
+      val path = when(col("doc_id") % 5 === 0, lit("/public/a"))
+        .when(col("doc_id") % 5 === 1, lit("/private/x"))
+        .when(col("doc_id") % 5 === 2, lit("/private/ok/y"))
+        .when(col("doc_id") % 5 === 3, lit("/data/file.zip"))
+        .otherwise(lit("/tmp/t"))
+      val urls = T(s, dir, "documents")
+        .select(col("doc_id"), concat(lit("https://"), dom, path).as("url"))
+      graft.ops.Robots.annotateAllowed(urls, "url", "doc_id", rules, "allowed")
+        .orderBy("doc_id")
+    }),
     "q_url_psl" -> ((s, dir) => {
       // PSL registrable-domain + IPv6-host vectors, closed-form oracle:
       // ccTLD second-level suffixes (co.uk / com.au), the wildcard
@@ -1135,6 +1161,19 @@ object SparkEntry {
         "|| (CASE WHEN doc_id % 4 = 0 THEN '?a=1&b=2' WHEN doc_id % 4 = 1 THEN '?id=7' ELSE '' END) AS url_canonical, " +
         "CASE WHEN doc_id % 2 = 0 THEN 'www.example.com' ELSE 'api.example.org' END AS host, " +
         "CASE WHEN doc_id % 2 = 0 THEN 'example.com' ELSE 'example.org' END AS domain " +
+        "FROM documents ORDER BY doc_id"),
+    "q_robots" ->
+      // closed-form EXPECTED verdicts: beta's exact graftbot group
+      // disallows everything; gamma has no robots.txt so everything is
+      // allowed; alpha's star group denies /private/ (except the longer
+      // /private/ok Allow) and the $-anchored /*.zip$, and /tmp/t has no
+      // matching alpha rule
+      ("SELECT doc_id, 'https://' || " +
+        "(CASE doc_id % 3 WHEN 0 THEN 'alpha.test' WHEN 1 THEN 'beta.test' ELSE 'gamma.test' END) || " +
+        "(CASE doc_id % 5 WHEN 0 THEN '/public/a' WHEN 1 THEN '/private/x' WHEN 2 THEN '/private/ok/y' " +
+        "WHEN 3 THEN '/data/file.zip' ELSE '/tmp/t' END) AS url, " +
+        "CASE WHEN doc_id % 3 = 1 THEN false WHEN doc_id % 3 = 2 THEN true " +
+        "ELSE doc_id % 5 NOT IN (1, 3) END AS allowed " +
         "FROM documents ORDER BY doc_id"),
     "q_url_psl" ->
       // closed-form EXPECTED output for the PSL + IPv6 vectors: suffix

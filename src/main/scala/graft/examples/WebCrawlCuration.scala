@@ -2,7 +2,7 @@ package graft.examples
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.ops.{Boilerplate, Dedup, Html, Urls}
+import graft.ops.{Boilerplate, Dedup, Html, Robots, Urls}
 
 /** The FIRST-PASS half of a web-crawl curation pipeline — everything that
   * runs BEFORE the content-quality/near-dup stages of
@@ -49,7 +49,12 @@ object WebCrawlCuration {
     * NORMALIZES the surviving text (tokens rejoin with single spaces,
     * `joinSep` structure collapses) — the usual contract after
     * token-level surgery, but a representation change a caller must
-    * choose. */
+    * choose.
+    *
+    * `robotsRules` (from [[Robots.rulesFor]]) inserts the RFC 9309
+    * allow/deny filter as the FIRST stage — the site's own policy runs
+    * before the operator's blocklist, and like the blocklist it never
+    * reads text, so disallowed captures pay nothing downstream. */
   def curate(crawl: DataFrame, blockedDomains: Seq[String],
              idCol: String = "doc_id", urlCol: String = "url",
              textCol: String = "text",
@@ -57,11 +62,17 @@ object WebCrawlCuration {
              delim: String = "\n", joinSep: String = "\n",
              materializeIntermediate: Boolean = true,
              htmlInput: Boolean = false,
-             spanK: Int = 0): DataFrame = {
-    // 1. blocklist, then 2. canonical-URL dedup (adds url_canonical)
+             spanK: Int = 0,
+             robotsRules: Option[DataFrame] = None): DataFrame = {
+    // 0. site policy (robots), 1. blocklist, then 2. canonical-URL dedup
+    // (adds url_canonical)
+    val politeCrawl = robotsRules match {
+      case Some(rules) => Robots.filterAllowed(crawl, urlCol, idCol, rules)
+      case None => crawl
+    }
     val allowed =
-      if (blockedDomains.isEmpty) crawl
-      else Urls.filterBlockedDomains(crawl, urlCol, blockedDomains)
+      if (blockedDomains.isEmpty) politeCrawl
+      else Urls.filterBlockedDomains(politeCrawl, urlCol, blockedDomains)
     val byUrl1 = Urls.dedupByUrl(allowed, urlCol, idCol)
       .withColumn("domain", Urls.registrableDomain(col(urlCol)))
     // 0. (optional, map-only) raw markup → text before any content stage

@@ -550,4 +550,46 @@ object Kernels {
     }
     UTF8String.fromString(sb.toString)
   }
+
+  /** RFC 9309 (Robots Exclusion Protocol) rule matching: does `pattern`
+    * match `path`? Patterns are path prefixes where `*` matches any run
+    * of characters and a trailing `$` anchors the match to the path end;
+    * `$` anywhere else is literal (per the RFC's grammar). Greedy
+    * leftmost segment placement — the standard wildcard-prefix algorithm:
+    * the first `*`-separated segment must sit at position 0, each later
+    * segment at the earliest position after the previous one, and an
+    * anchored pattern additionally requires the LAST segment to end
+    * exactly at the path end. Empty pattern matches everything (the RFC's
+    * "Disallow:" empty-value rule is dropped at parse time, so this only
+    * serves `Allow:`-style universals). Total function: never throws,
+    * never null for non-null inputs. */
+  def robotsMatch(path: UTF8String, pattern: UTF8String): Boolean = {
+    val p = path.toString
+    var pat = pattern.toString
+    var anchored = false
+    if (pat.endsWith("$")) { anchored = true; pat = pat.substring(0, pat.length - 1) }
+    // split on '*' keeping empty segments ("a**b" ≡ "a*b"; leading '*'
+    // gives an empty first segment = unanchored start)
+    val segs = pat.split("\\*", -1)
+    var pos = 0
+    var i = 0
+    while (i < segs.length) {
+      val seg = segs(i)
+      if (i == 0) {
+        if (!p.startsWith(seg)) return false
+        pos = seg.length
+      } else if (i == segs.length - 1 && anchored) {
+        // last segment of an anchored pattern must END the path
+        return p.length - seg.length >= pos && p.endsWith(seg)
+      } else {
+        val at = p.indexOf(seg, pos)
+        if (at < 0) return false
+        pos = at + seg.length
+      }
+      i += 1
+    }
+    // unanchored: pattern is a prefix-with-wildcards — already satisfied;
+    // anchored single-segment (no '*') must end exactly at path end
+    if (anchored && segs.length == 1) p.length == pos else true
+  }
 }

@@ -59,6 +59,10 @@ object native {
   def rollingHash(c: Column): Column =
     invoke(LongType, "rollingHash", Seq(e(c)), Seq(StringType))
 
+  def robotsMatch(path: Column, pattern: Column): Column =
+    invoke(BooleanType, "robotsMatch", Seq(e(path), e(pattern)),
+      Seq(StringType, StringType))
+
   def simHash(c: Column): Column =
     invoke(LongType, "simHash", Seq(e(c)), Seq(StringType))
 

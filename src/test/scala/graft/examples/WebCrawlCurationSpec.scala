@@ -80,6 +80,23 @@ class WebCrawlCurationSpec extends SparkSuite {
     assert(out == Set(1L, 3L))
   }
 
+  test("opt-in robots stage drops site-disallowed captures before everything else") {
+    import graft.ops.Robots
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /p2\n"),
+      ("b.net", "User-agent: *\nDisallow: /y$\n"))
+      .toDF("domain", "content")
+    val rules = Robots.rulesFor(robots, "domain", "content", "graftbot")
+    val out = WebCrawlCuration.curate(crawl, Seq("bad.org"),
+        robotsRules = Some(rules))
+      .as[(Long, String, String, String)].collect().map(_._1).toSet
+    // doc 3 (/p2) and doc 6 (/y) die at the robots stage; the blocklist
+    // and dedup survivors are otherwise unchanged
+    val base = WebCrawlCuration.curate(crawl, Seq("bad.org"))
+      .as[(Long, String, String, String)].collect().map(_._1).toSet
+    assert(out == base -- Set(3L, 6L), s"got $out from base $base")
+  }
+
   test("deterministic under repartitioning") {
     val a = WebCrawlCuration.curate(crawl, Seq("bad.org"))
       .as[(Long, String, String, String)].collect().toSet
