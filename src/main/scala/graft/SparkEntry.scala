@@ -982,6 +982,20 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, nprobe = 4)
         .orderBy("q_id", "rk")
     }),
+    "q_semdedup" -> ((s, dir) => {
+      // SemDeDup (Abbas et al. 2023): nearest-centroid cells over
+      // DuckDB-expressible centroids (vec_id < 8, the q_ivf_oracle
+      // pattern), within-cell cosine ≥ 0.35 pairs, transitive closure to
+      // min-id reps. Corpus clamped to vec_id < 1000 so the oracle's
+      // recursive closure stays bounded (q_dedup_clusters precedent).
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 1000)
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("long").as("centroid_id"),
+          col("embedding").cast("array<double>").as("centroid_vec"))
+      Similarity.semanticDedup(emb, "vec_id", "embedding", cents,
+        simThreshold = 0.35)
+        .orderBy("vec_id")
+    }),
     "q_ivf_oracle" -> ((s, dir) => {
       // ORACLE-CHECKED IVF twin: the same ivfAssign → ivfTopK path as
       // q_ivf_topk, but with centroids picked by a DuckDB-expressible rule
@@ -1295,6 +1309,27 @@ object SparkEntry {
         "r(u, v) AS (SELECT u, v FROM e UNION SELECT r.u, e2.v FROM r JOIN e e2 ON r.v = e2.u), " +
         "m AS (SELECT u AS doc_id, least(u, min(v)) AS rep FROM r GROUP BY u) " +
         "SELECT s.doc_id, coalesce(m.rep, s.doc_id) AS rep FROM s LEFT JOIN m USING (doc_id) ORDER BY doc_id"),
+    "q_semdedup" ->
+      // full SemDeDup mirror: argmax-cosine cell assignment (ties to the
+      // lowest centroid_id, mirroring ivfAssign's max_by), within-cell
+      // pairs at >= 0.35, recursive transitive closure, min-id reps,
+      // singletons to themselves. Zero-norm cosine pinned to 0.0 exactly
+      // like the cosineD kernel.
+      ("WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 1000), " +
+        "c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8), " +
+        "asn AS (SELECT vec_id, cid FROM (" +
+        "SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+        "(CASE WHEN sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)) = 0 THEN 0.0 " +
+        "ELSE list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) END) DESC, c.cid) AS rk " +
+        "FROM e, c) WHERE rk = 1), " +
+        "s AS (SELECT asn.vec_id, asn.cid, e.v FROM asn JOIN e USING (vec_id)), " +
+        "p AS (SELECT a.vec_id AS ia, b.vec_id AS ib FROM s a JOIN s b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
+        "WHERE (CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0.0 " +
+        "ELSE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END) >= 0.35), " +
+        "ed AS (SELECT ia AS u, ib AS w FROM p UNION SELECT ib, ia FROM p), " +
+        "r(u, w) AS (SELECT u, w FROM ed UNION SELECT r.u, ed2.w FROM r JOIN ed ed2 ON r.w = ed2.u), " +
+        "m AS (SELECT u AS vec_id, least(u, min(w)) AS rep FROM r GROUP BY u) " +
+        "SELECT e.vec_id, coalesce(m.rep, e.vec_id) AS rep FROM e LEFT JOIN m USING (vec_id) ORDER BY vec_id"),
     "q_ivf_oracle" ->
       // assignment = argmax cosine over the 16 seed centroids (tiebreak:
       // lowest centroid_id — mirrors ivfAssign's max_by(sim, -id)); probe =

@@ -264,4 +264,42 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("q_id"), col("cand_id"), col("sim"), col("rk"))
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication" —
+    * public method): partition the embedding space by nearest centroid,
+    * find cosine-above-threshold pairs WITHIN each cell only, resolve
+    * transitive groups to their min-id representative. Returns the full
+    * `(idCol, rep)` mapping (singletons map to themselves) — filter
+    * `rep === id` for the survivor set, exactly like the token-level
+    * `q_dedup_clusters` mapping.
+    *
+    * The cell partition is the scale mechanism AND the semantics: like
+    * the paper (which dedups within k-means clusters only), cross-cell
+    * near-dups are accepted misses — that approximation is what turns an
+    * O(N²) all-pairs cosine into Σ O(|cell|²) with cells sized by the
+    * centroid count. At 100 TB: centroids broadcast ([[ivfAssign]]'s
+    * map-side argmax), the pair join is a centroid_id equi-join (AQE
+    * skew-splits fat cells; more centroids = finer cells = less work),
+    * and component resolution reuses [[Clusters.connectedComponents]]'
+    * pair-sized star contraction. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, simThreshold: Double): DataFrame = {
+    val assigned = ivfAssign(df, centroids, idCol, vecCol)
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"),
+        col("centroid_id"))
+    val a = assigned.select(col("centroid_id"), col(idCol).as("id_a"),
+      col("__v").as("vec_a"))
+    val b = assigned.select(col("centroid_id"), col(idCol).as("id_b"),
+      col("__v").as("vec_b"))
+    val pairs = a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.expressions.native.cosineD(col("vec_a"), col("vec_b"))
+        >= simThreshold)
+      .select(col("id_a"), col("id_b"))
+    val cc = Clusters.connectedComponents(pairs)
+    df.select(col(idCol))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("rep"), col(idCol)).as("rep"))
+  }
 }

@@ -450,4 +450,46 @@ class OpsSpec extends SparkSuite {
     val approx = Dedup.approxDistinct(ev, "user_id").collect()(0).getLong(0).toDouble
     assert(math.abs(approx - exact) / exact < 0.15)
   }
+
+  test("semanticDedup: within-cell merges to min-id rep, transitivity, singleton identity") {
+    import spark.implicits._
+    // two orthogonal directions define two cells; planted duplicates and a
+    // transitive chain inside cell 1, an isolated vector in cell 2
+    def v(x: Double, y: Double) = Array(x, y)
+    val emb = Seq(
+      (10L, v(1.0, 0.0)),          // cell A
+      (11L, v(1.0, 0.0)),          // exact dup of 10 → merges
+      (12L, v(0.999, 0.02)),       // near 10/11 → transitive chain
+      (20L, v(0.0, 1.0)),          // cell B, alone
+      (30L, v(0.7, 0.714)))        // between cells, lands in ONE cell only
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, v(1.0, 0.0)), (1L, v(0.0, 1.0)))
+      .toDF("centroid_id", "centroid_vec")
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding", cents,
+        simThreshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(10L) == 10L && out(11L) == 10L && out(12L) == 10L,
+      s"cell-A near-dups must collapse to the min id: $out")
+    assert(out(20L) == 20L && out(30L) == 30L)
+    // survivors = rep == id
+    assert(out.count { case (id, rep) => id == rep } == 3)
+  }
+
+  test("semanticDedup: cross-cell near-dups are accepted misses (the SemDeDup contract)") {
+    import spark.implicits._
+    // identical vectors would share a cell; force a miss with two vectors
+    // equidistant-ish but assigned to DIFFERENT cells via the tiebreak
+    def v(x: Double, y: Double) = Array(x, y)
+    val emb = Seq(
+      (1L, v(1.0, 0.9)),   // nearer cell 0
+      (2L, v(0.9, 1.0)))   // nearer cell 1 — cosine(1,2) ≈ 0.994 but cells differ
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, v(1.0, 0.0)), (1L, v(0.0, 1.0)))
+      .toDF("centroid_id", "centroid_vec")
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding", cents,
+        simThreshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L),
+      "different cells never compare — documented approximation")
+  }
 }
