@@ -27,7 +27,9 @@ for (name <- Seq("flagship_valid_split", "q_required", "q_min", "q_topk_similar"
     "q_weighted_sample", "q_interleave", "q_unigram_ll", "q_zorder",
     "q_quantized_topk", "q_dsir", "q_asof_nearest", "q_boilerplate_domain",
     "q_url_dedup", "q_url_psl", "q_dedup_units", "q_curation_e2e",
-    "q_html_text", "q_dedup_spans", "q_twopass")) {
+    "q_html_text", "q_dedup_spans", "q_twopass",
+    "q_bm25_topk", "q_shard_assign", "q_stream_session", "q_bigram_ll",
+    "q_robots", "q_semdedup")) {
   val df = if (name == "flagship_valid_split") flagship
            else graft.SparkEntry.queries(name)(spark, dir)
   out.println()
