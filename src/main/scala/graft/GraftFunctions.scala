@@ -39,7 +39,8 @@ object GraftFunctions {
     ("quantize_i8", ArrayType(IntegerType, containsNull = false), "quantizeI8D",
       Seq(ArrayType(DoubleType), DoubleType)),
     ("dot_i", LongType, "dotI",
-      Seq(ArrayType(IntegerType), ArrayType(IntegerType))))
+      Seq(ArrayType(IntegerType), ArrayType(IntegerType))),
+    ("robots_match", BooleanType, "robotsMatch", Seq(StringType, StringType)))
 
   def builder(dt: DataType, kernel: String,
               paramTypes: Seq[DataType]): Seq[Expression] => Expression =

@@ -29,6 +29,15 @@ class GraftFunctionsSpec extends SparkSuite {
     assert(r.getLong(3) == 23L)
   }
 
+  test("robots_match reachable from SQL (r10 kernel)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT robots_match('/private/x', '/private/') AS a, " +
+        "robots_match('/a/b/f.zip', '/*.zip$') AS b, " +
+        "robots_match('/public', '/private/') AS c").collect()(0)
+    assert(r.getBoolean(0) && r.getBoolean(1) && !r.getBoolean(2))
+  }
+
   test("null propagates through registered functions") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT casefold(CAST(NULL AS STRING)) AS x").collect()(0)
