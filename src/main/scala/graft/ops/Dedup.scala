@@ -256,11 +256,15 @@ object Dedup {
     * representative of each identical-signature group. Run ONCE at ingest
     * (one sig-keyed exchange) and write to storage — incremental queries
     * then stream the index with no shuffle at all, and a batch doc
-    * matching a w-wide identical clique answers with ONE pair (its rep). */
+    * matching a w-wide identical clique answers with ONE pair (its rep).
+    *
+    * Shape note (r10): a straight partial-aggregable `groupBy(sig).min(id)`
+    * — a mirror-heavy corpus's million-row identical group combines
+    * MAP-SIDE instead of shipping every copy (sig array payload and all)
+    * to one reducer, the hazard the earlier per-sig window had. */
   def buildSignatureIndex(df: DataFrame, idCol: String, sigCol: String): DataFrame =
     df.filter(col(sigCol).isNotNull)
-      .withColumn("__m", min(col(idCol)).over(Window.partitionBy(sigCol)))
-      .filter(col(idCol) === col("__m")).drop("__m")
+      .groupBy(col(sigCol)).agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col(sigCol))
 
   /** Incremental near-dup: candidates of a NEW batch against a PERSISTED
@@ -394,8 +398,13 @@ object Dedup {
         .withColumn("subs", array_repeat(lit(0), bands)))
       bandJoin(sigsPin.df, bands, threshold)
     } else {
-      val collapsedPin = Checkpoints.pin(idSig.withColumn("rep",
-        min(col("id")).over(Window.partitionBy("sig"))))
+      // rep per row via partial-aggregable min-per-sig + an AQE-handled
+      // equi-join back — an identical-sig group (mirror-heavy corpora: a
+      // million exact copies) combines map-side instead of serializing
+      // onto one window reducer with its sig-array payload (r10, the same
+      // guard shape as dedupSpansKeepFirst's winner selection)
+      val sigReps = idSig.groupBy(col("sig")).agg(min(col("id")).as("rep"))
+      val collapsedPin = Checkpoints.pin(idSig.join(sigReps, Seq("sig")))
       val collapsed = collapsedPin.df
       val starPairs = collapsed.filter(col("id") =!= col("rep"))
         .select(col("rep").as("id_a"), col("id").as("id_b"),
