@@ -368,12 +368,20 @@ object Sampling {
     * above). Strata with no/zero weight drop (`default` applies to
     * unlisted and null strata).
     *
-    * Scale shape: one stratum-keyed window exchange for the ranks; the
-    * output carries `vft` rather than a global position — consumers
-    * range-partition + sort by `(vft, stratumCol, idCol)`, which is how a
-    * total order is written at 100 TB (a global row_number would
-    * single-partition; see [[packSequences]] for the two-phase form if a
-    * dense index is required). */
+    * Scale shape (r10): per-stratum rank by the TWO-PHASE distributed
+    * form — literal draw-bucket boundaries (the [[packSequences]]
+    * mechanism), in-bucket `row_number` windows partitioned by
+    * (stratum, bucket) and therefore bounded by bucket width, plus
+    * per-(stratum, bucket) exclusive count offsets broadcast-joined back
+    * (a #strata × #buckets table). The earlier single window per stratum
+    * serialized a 10-billion-row stratum onto ONE reducer — strata are
+    * few and huge by construction (domains/sources), exactly the
+    * hot-key shape this library guards everywhere else. The output
+    * carries `vft` rather than a global position — consumers
+    * range-partition + sort by `(vft, stratumCol, idCol)`, which is how
+    * a total order is written at 100 TB. The offsets branch re-reads the
+    * input (like packSequences' boundary pass) — persist
+    * expensively-derived frames before calling. */
   def interleaveByWeight(df: DataFrame, stratumCol: String, idCol: String,
                          weights: Map[String, Double], default: Double = 0.0,
                          salt: String = "graft"): DataFrame = {
@@ -382,13 +390,35 @@ object Sampling {
     val wCol = weights.foldLeft(when(lit(false), lit(0.0))) {
       case (acc, (stratum, wt)) => acc.when(col(stratumCol) === stratum, lit(wt))
     }.otherwise(lit(default))
-    val rkW = Window.partitionBy(col(stratumCol))
-      .orderBy(hashDraw(col(idCol), salt), col(idCol))
-    df.withColumn("__w", wCol)
+    val weighted = df.withColumn("__w", wCol)
       .filter(col("__w") > 0.0)
-      .withColumn("__rk", row_number().over(rkW))
+      .withColumn("__draw", hashDraw(col(idCol), salt))
+    val buckets =
+      df.sparkSession.sessionState.conf.numShufflePartitions.max(1)
+    val bounds = packBoundaries(weighted, "__draw", buckets)
+    val pidChain = bounds.zipWithIndex.foldRight(lit(bounds.length): Column) {
+      case ((b, i), acc) => when(col("__draw") < lit(b), lit(i)).otherwise(acc)
+    }
+    val parted = weighted.withColumn("__pid",
+      when(col("__draw").isNull, lit(0)).otherwise(pidChain))
+    val wIn = Window.partitionBy(col(stratumCol), col("__pid"))
+      .orderBy(col("__draw"), col(idCol))
+    val inRank = parted.withColumn("__irk", row_number().over(wIn))
+    // exclusive offsets: tiny table, its prefix window partitions by
+    // stratum over ≤ #buckets rows; null-safe join key preserves the
+    // old window's null-stratum-as-a-group semantics
+    val offW = Window.partitionBy(col("__s")).orderBy(col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = parted
+      .groupBy(col(stratumCol).as("__s"), col("__pid").as("__p"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", sum(col("__n")).over(offW) - col("__n"))
+      .select(col("__s"), col("__p"), col("__off"))
+    inRank.join(broadcast(offsets),
+        col(stratumCol) <=> col("__s") && col("__pid") === col("__p"))
+      .withColumn("__rk", col("__irk") + col("__off"))
       .withColumn("vft", (col("__rk").cast("double") * 2.0 - 1.0) / (col("__w") * 2.0))
-      .drop("__w", "__rk")
+      .drop("__w", "__draw", "__pid", "__irk", "__s", "__p", "__off", "__rk")
   }
 
   /** Per-stratum sampling rates that hit a total token budget at the given

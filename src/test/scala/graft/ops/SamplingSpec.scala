@@ -367,6 +367,34 @@ class SamplingSpec extends SparkSuite {
     assert(v1 == v2)
   }
 
+  test("interleaveByWeight: two-phase rank equals the single-window rank; no whole-stratum window") {
+    // exact rank semantics: vft must equal the directly-computed
+    // (2·rank−1)/(2w) with rank by (hashDraw, id) within stratum
+    val rows = (0L until 2000L).map(i => (i, if (i % 4 == 0) "en" else "de"))
+      .toDF("id", "s")
+    val out = Sampling.interleaveByWeight(rows, "s", "id",
+      Map("en" -> 2.0, "de" -> 1.0))
+    val naive = rows.withColumn("__w",
+        when(col("s") === "en", 2.0).otherwise(1.0))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("s")
+          .orderBy(Sampling.hashDraw(col("id"), "graft"), col("id"))))
+      .select(col("id"),
+        ((col("__rk").cast("double") * 2.0 - 1.0) / (col("__w") * 2.0)).as("vft"))
+    val a = out.select("id", "vft").as[(Long, Double)].collect().toMap
+    val b = naive.as[(Long, Double)].collect().toMap
+    assert(a == b, "two-phase rank must reproduce the reference single-window rank exactly")
+    // the scale guard: every rank window must partition by MORE than the
+    // stratum alone (stratum + draw bucket), so no reducer ever sees a
+    // whole stratum
+    val plan = out.queryExecution.executedPlan.toString
+    val rankSpecs = "row_number\\(\\) windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(rankSpecs.nonEmpty, s"expected a row_number window in:\n${plan.take(1500)}")
+    rankSpecs.foreach { s => assert(s.contains("__pid"),
+      s"rank window must include the draw bucket in its partition keys: $s") }
+  }
+
   test("budgetRates: rates hit the budget under the weights, capped at 1") {
     val withTok = docs.withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
     val w = Sampling.temperatureWeights(docs, "lang", 0.7)
