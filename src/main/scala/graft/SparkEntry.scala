@@ -839,6 +839,13 @@ object SparkEntry {
         backoff = 0.4, oovLogp = -20.0)
         .orderBy("doc_id")
     }),
+    "q_collocations" -> ((s, dir) => {
+      // PMI collocation mining (Church & Hanks): top-40 bigrams at
+      // minCount 5, PMI floor-rounded to 6 dp BEFORE ranking so the SQL
+      // mirror orders identically
+      graft.ops.LmScore.collocations(T(s, dir, "documents"), "text",
+        k = 40, minCount = 5L)
+    }),
     "q_chunk" -> ((s, dir) => {
       // context-window segmentation: 32-token chunks with 8-token overlap
       // (stride 24) — map-only, no shuffle (plan-asserted in ChunkingSpec)
@@ -1649,6 +1656,23 @@ object SparkEntry {
         "FROM tp LEFT JOIN bv ON tp.w1 = bv.w1 AND tp.w2 = bv.w2 " +
         "LEFT JOIN uv ON tp.w2 = uv.token " +
         "GROUP BY tp.doc_id ORDER BY tp.doc_id"),
+    "q_collocations" ->
+      // exact PMI mirror: same tokenization, same division tree inside
+      // the ln, same 1e-6 floor-round before the (pmi, w1, w2) total
+      // order, same minCount floor
+      ("WITH d AS (SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0) AS a " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "pos AS (SELECT unnest(generate_series(1, len(a))) AS i, a FROM d WHERE len(a) >= 1), " +
+        "tp AS (SELECT CASE WHEN i = 1 THEN NULL ELSE a[i-1] END AS w1, a[i] AS w2 FROM pos), " +
+        "uni AS (SELECT w2 AS token, COUNT(*) AS cu FROM tp GROUP BY 1), " +
+        "ut AS (SELECT CAST(SUM(cu) AS DOUBLE) AS t FROM uni), " +
+        "bi AS (SELECT w1, w2, COUNT(*) AS n FROM tp WHERE w1 IS NOT NULL GROUP BY 1, 2 HAVING COUNT(*) >= 5), " +
+        "bt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t2 FROM tp WHERE w1 IS NOT NULL) " +
+        "SELECT bi.w1, bi.w2, bi.n, " +
+        "floor(ln((bi.n / bt.t2) / ((u1.cu / ut.t) * (u2.cu / ut.t))) * 1e6 + 0.5) / 1e6 AS pmi " +
+        "FROM bi JOIN uni u1 ON bi.w1 = u1.token JOIN uni u2 ON bi.w2 = u2.token " +
+        "CROSS JOIN ut CROSS JOIN bt " +
+        "ORDER BY pmi DESC, bi.w1, bi.w2 LIMIT 40"),
     "q_chunk" ->
       // stride 24 = 32 − 8; chunk count in exact integer arithmetic with
       // the clamped dividend (greatest 0) so // and div agree

@@ -118,6 +118,56 @@ object LmScore {
       .select(col("w1"), col("w2"), col("logp"))
   }
 
+  /** Top-`k` collocations by pointwise mutual information —
+    * `pmi(w1,w2) = ln( p(w1,w2) / (p(w1)·p(w2)) )` with the bigram
+    * probability over total bigram count and unigram probabilities over
+    * total token count (the standard Church & Hanks formulation).
+    * `minCount` floors the bigram count (PMI famously explodes on
+    * hapax pairs). Returned ordered by `(pmi6 desc, w1, w2)` with `pmi6`
+    * floor-rounded to 6 dp — the rounding happens BEFORE the ranking so
+    * a SQL mirror orders identically despite `ln` ulp wobble.
+    *
+    * Scale shape: two partial-aggregated count passes over one exploded
+    * pair stream (bigrams + unigrams-as-second-position), two scalar
+    * totals, broadcast unigram join onto the (already-aggregated,
+    * bigram-vocabulary-sized) pair counts, global top-k via
+    * orderBy+limit = `TakeOrderedAndProject` (k rows per partition to
+    * the driver merge, no global sort). */
+  def collocations(df: DataFrame, textCol: String, k: Int,
+                   minCount: Long = 5L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val a = tokArray(textCol)
+    val pairs = df.filter(col(textCol).isNotNull)
+      .select(a.as("__a"))
+      .filter(size(col("__a")) >= 1)
+      .select(explode(transform(sequence(lit(1), size(col("__a"))),
+        i => struct(
+          when(i === 1, lit(null).cast("string"))
+            .otherwise(element_at(col("__a"), i - 1)).as("w1"),
+          element_at(col("__a"), i).as("w2")))).as("__t"))
+      .select(col("__t.w1").as("w1"), col("__t.w2").as("w2"))
+    val uni = pairs.groupBy(col("w2").as("token")).agg(count(lit(1)).as("cu"))
+    val uniTotal = uni.agg(sum(col("cu"))).head.getLong(0).toDouble
+    val bi = pairs.filter(col("w1").isNotNull)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    val biTotal = pairs.filter(col("w1").isNotNull).count().toDouble
+    // vocab-sized join sides — NOT broadcast-hinted: a web-corpus
+    // vocabulary is not model-sized, so AQE picks broadcast only when
+    // the counts actually fit
+    bi
+      .join(uni.select(col("token").as("w1"), col("cu").as("__c1")), Seq("w1"))
+      .join(uni.select(col("token").as("w2"), col("cu").as("__c2")), Seq("w2"))
+      .withColumn("pmi", floor(
+        log((col("n") / lit(biTotal)) /
+          ((col("__c1") / lit(uniTotal)) * (col("__c2") / lit(uniTotal)))) * 1e6
+          + lit(0.5)) / 1e6)
+      .select(col("w1"), col("w2"), col("n"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Per-document mean token log-probability under a bigram model with
     * STUPID BACKOFF (Brants et al., "Large Language Models in Machine
     * Translation", EMNLP'07 — the smoothing designed FOR distributed

@@ -99,6 +99,28 @@ class LmScoreSpec extends SparkSuite {
       s"the corpus side must never shuffle for the model lookups:\n${plan.take(2000)}")
   }
 
+  test("collocations: hand-computed PMI, minCount floor, deterministic order") {
+    // "new york" always together (5×), "the cat"/"the dog" split the
+    // context of "the"; filler tokens pad the totals
+    val d = Seq.tabulate(5)(i => (i.toLong, s"new york the cat f$i"))
+      .++(Seq((10L, "the dog the dog the dog the dog the dog")))
+      .toDF("id", "text")
+    val out = LmScore.collocations(d, "text", k = 3, minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // totals: tokens T = 5*5 + 10 = 35; bigrams T2 = 5*4 + 9 = 29
+    // counts: new=5, york=5, the=5+5=10? the appears once per doc 0-4 and 5x in doc 10 → 10; cat=5, dog=5
+    // bigram (new,york)=5; (york,the)=5; (the,cat)=5; (the,dog)=5; (dog,the)=4
+    def pmi(n: Long, c1: Long, c2: Long) =
+      math.floor(math.log((n / 29.0) / ((c1 / 35.0) * (c2 / 35.0))) * 1e6 + 0.5) / 1e6
+    val expected = Seq(
+      ("new", "york", 5L, pmi(5, 5, 5)),
+      ("the", "cat", 5L, pmi(5, 10, 5)),
+      ("the", "dog", 5L, pmi(5, 10, 5)),
+      ("york", "the", 5L, pmi(5, 5, 10)))
+      .sortBy { case (w1, w2, _, p) => (-p, w1, w2) }.take(3)
+    assert(out.toSeq == expected, s"got ${out.toSeq}, want $expected")
+  }
+
   test("scoring a corpus under its own vocab separates natural docs from shuffled noise") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("text").isNotNull)
