@@ -839,6 +839,28 @@ object SparkEntry {
         backoff = 0.4, oovLogp = -20.0)
         .orderBy("doc_id")
     }),
+    "q_script_mix" -> ((s, dir) => {
+      // per-doc script profile over synthesized multi-script suffixes
+      // (testdata text is ASCII): each doc gains a per-residue sample of
+      // Cyrillic/CJK/Arabic/kana text so every class exercises on real
+      // rows; the oracle runs the SAME \x{...} character classes (the
+      // escape parses identically in Java regex and RE2)
+      val t = concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" дом мир"))
+          .when(col("doc_id") % 4 === 1, lit(" 漢字文"))
+          .when(col("doc_id") % 4 === 2, lit(" كتاب"))
+          .otherwise(lit(" かなカナ")))
+      val sc = TextAnalysis.scriptCounts(t)
+      T(s, dir, "documents").select(col("doc_id"),
+        sc.getField("latin").as("n_latin"),
+        sc.getField("cyrillic").as("n_cyrillic"),
+        sc.getField("cjk").as("n_cjk"),
+        sc.getField("arabic").as("n_arabic"),
+        sc.getField("kana").as("n_kana"),
+        sc.getField("digit").as("n_digit"),
+        TextAnalysis.dominantScript(t).as("script"))
+        .orderBy("doc_id")
+    }),
     "q_collocations" -> ((s, dir) => {
       // PMI collocation mining (Church & Hanks): top-40 bigrams at
       // minCount 5, PMI floor-rounded to 6 dp BEFORE ranking so the SQL
@@ -1656,6 +1678,27 @@ object SparkEntry {
         "FROM tp LEFT JOIN bv ON tp.w1 = bv.w1 AND tp.w2 = bv.w2 " +
         "LEFT JOIN uv ON tp.w2 = uv.token " +
         "GROUP BY tp.doc_id ORDER BY tp.doc_id"),
+    "q_script_mix" ->
+      // identical \x{...} character classes in RE2; dominant script =
+      // first class in declaration order hitting the max, zero → 'none'
+      ("WITH d AS (SELECT doc_id, text || CASE doc_id % 4 WHEN 0 THEN ' дом мир' WHEN 1 THEN ' 漢字文' " +
+        "WHEN 2 THEN ' كتاب' ELSE ' かなカナ' END AS t FROM documents), " +
+        "c AS (SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(t, '[A-Za-z\\x{00C0}-\\x{024F}]')) AS BIGINT) AS n_latin, " +
+        "CAST(len(regexp_extract_all(t, '[\\x{0400}-\\x{04FF}]')) AS BIGINT) AS n_cyrillic, " +
+        "CAST(len(regexp_extract_all(t, '[\\x{0370}-\\x{03FF}]')) AS BIGINT) AS n_greek, " +
+        "CAST(len(regexp_extract_all(t, '[\\x{0600}-\\x{06FF}]')) AS BIGINT) AS n_arabic, " +
+        "CAST(len(regexp_extract_all(t, '[\\x{0900}-\\x{097F}]')) AS BIGINT) AS n_devanagari, " +
+        "CAST(len(regexp_extract_all(t, '[\\x{4E00}-\\x{9FFF}]')) AS BIGINT) AS n_cjk, " +
+        "CAST(len(regexp_extract_all(t, '[\\x{3040}-\\x{30FF}]')) AS BIGINT) AS n_kana, " +
+        "CAST(len(regexp_extract_all(t, '[\\x{AC00}-\\x{D7AF}]')) AS BIGINT) AS n_hangul, " +
+        "CAST(len(regexp_extract_all(t, '[0-9]')) AS BIGINT) AS n_digit FROM d), " +
+        "g AS (SELECT *, greatest(n_latin, n_cyrillic, n_greek, n_arabic, n_devanagari, n_cjk, n_kana, n_hangul, n_digit) AS mx FROM c) " +
+        "SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_arabic, n_kana, n_digit, " +
+        "CASE WHEN mx = 0 THEN 'none' WHEN n_latin = mx THEN 'latin' WHEN n_cyrillic = mx THEN 'cyrillic' " +
+        "WHEN n_greek = mx THEN 'greek' WHEN n_arabic = mx THEN 'arabic' WHEN n_devanagari = mx THEN 'devanagari' " +
+        "WHEN n_cjk = mx THEN 'cjk' WHEN n_kana = mx THEN 'kana' WHEN n_hangul = mx THEN 'hangul' ELSE 'digit' END AS script " +
+        "FROM g ORDER BY doc_id"),
     "q_collocations" ->
       // exact PMI mirror: same tokenization, same division tree inside
       // the ln, same 1e-6 floor-round before the (pmi, w1, w2) total

@@ -129,4 +129,42 @@ object TextAnalysis {
 
   /** 64-bit SimHash near-dup fingerprint. */
   def fingerprintSimhash(text: Column): Column = native.simHash(text)
+
+  /** Per-script character classes for [[scriptCounts]]. `\x{…}` hex
+    * escapes parse identically in Java regex and RE2, so a SQL mirror
+    * uses the SAME pattern strings (BMP ranges only — the major writing
+    * systems a crawl triage cares about; astral CJK extensions land in
+    * no class, like any character outside these ranges). */
+  val scriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "greek" -> "[\\x{0370}-\\x{03FF}]",
+    "arabic" -> "[\\x{0600}-\\x{06FF}]",
+    "devanagari" -> "[\\x{0900}-\\x{097F}]",
+    "cjk" -> "[\\x{4E00}-\\x{9FFF}]",
+    "kana" -> "[\\x{3040}-\\x{30FF}]",
+    "hangul" -> "[\\x{AC00}-\\x{D7AF}]",
+    "digit" -> "[0-9]")
+
+  /** Script-mix profile: one count per [[scriptClasses]] entry — the
+    * crawl-triage signal language-ID alone misses (mixed-script spam,
+    * mojibake, wrong-script "English"). Map-only (`regexp_count` per
+    * class, all codegen); a struct column so one pass carries every
+    * class. */
+  def scriptCounts(text: Column): Column =
+    struct(scriptClasses.map { case (name, cls) =>
+      regexp_count(text, lit(cls)).cast("long").as(name)
+    }: _*)
+
+  /** Dominant script name of [[scriptCounts]] (ties to the first class in
+    * declaration order; all-zero → "none"). */
+  def dominantScript(text: Column): Column = {
+    val counts = scriptCounts(text)
+    val best = scriptClasses.map(_._1).foldLeft(lit(0L)) {
+      (acc, n) => greatest(acc, counts.getField(n))
+    }
+    scriptClasses.map(_._1).foldRight(lit("none"): Column) {
+      (n, acc) => when(best > 0 && counts.getField(n) === best, lit(n)).otherwise(acc)
+    }
+  }
 }

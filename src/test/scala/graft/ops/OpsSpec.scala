@@ -333,6 +333,27 @@ class OpsSpec extends SparkSuite {
     assert(out.filter(col("id_a").isin(2L, 3L, 4L) || col("id_b").isin(2L, 3L, 4L)).count() == 0)
   }
 
+  test("scriptCounts / dominantScript: per-class counts, tie order, all-zero → none") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "hello мир"),        // 5 latin, 3 cyrillic → latin
+      (2L, "漢字 かな"),          // 2 cjk, 2 kana → cjk (declaration order)
+      (3L, "12345"),            // digits only
+      (4L, "!!! ..."),          // nothing classified
+      (5L, "καλημέρα"))         // greek
+      .toDF("id", "t")
+    val out = rows.select(col("id"),
+        TextAnalysis.scriptCounts(col("t")).as("c"),
+        TextAnalysis.dominantScript(col("t")).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getStruct(1).getLong(0), r.getStruct(1).getLong(1), r.getString(2))).toMap
+    assert(out(1L) == ((5L, 3L, "latin")))
+    assert(out(2L)._3 == "cjk", "ties resolve in declaration order")
+    assert(out(3L)._3 == "digit")
+    assert(out(4L)._3 == "none")
+    assert(out(5L)._3 == "greek")
+  }
+
   test("language id picks the language whose stopwords dominate") {
     val df = Seq(
       "the cat of the house and the dog", // en
