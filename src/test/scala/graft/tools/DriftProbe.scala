@@ -20,7 +20,10 @@ object DriftProbe {
     "q_dedup_minhash",
     // r9 above-band watch items (driver showed 2.6× / 3.7× on
     // unchanged-or-faster code): attribute within one JVM
-    "q_curation_e2e", "q_pack_sequences")
+    "q_curation_e2e", "q_pack_sequences",
+    // r10: the two-pass composition swung 3.59→9.89 s between two
+    // same-session bench runs — give the next round in-JVM numbers
+    "q_twopass")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
