@@ -17,11 +17,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a crashed query must be LOUD in the artifacts, not just on stderr:
+    // in round 9 a thrown query was simply absent from the correctness
+    // report and nothing downstream noticed until the judge diffed counts
+    val failed = scala.collection.mutable.ArrayBuffer[(String, String)]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name -> String.valueOf(e.getMessage)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -39,6 +44,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // failure manifest: always written (empty object = clean run), so a
+    // missing result directory is distinguishable from a never-registered
+    // query by artifact inspection alone
+    val failJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_failed.json"), failJson)
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} queries FAILED: " +
+        failed.map(_._1).mkString(", "))
     spark.stop()
   }
 }

@@ -73,3 +73,12 @@ for d in sorted(glob.glob(f"{out_dir}/q_*")):
     if name not in oracle:
         n = con.sql(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
         print(f"  rows-only {name}: {n} rows")
+# queries that THREW inside Verify (absent above, loud here — the r9
+# q_stream_dedup failure mode: a crash must not read as a small run)
+fail_path = f"{out_dir}/verify_failed.json"
+if os.path.exists(fail_path):
+    failed = json.load(open(fail_path))
+    for name, msg in sorted(failed.items()):
+        print(f"  !! VERIFY-CRASHED {name}: {msg[:200]}")
+    if failed:
+        sys.exit(1)
