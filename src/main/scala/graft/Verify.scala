@@ -28,6 +28,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failed += name -> String.valueOf(e.getMessage)
       }
+      // per-query isolation (r10 verdict): a 96-query session must not
+      // accumulate cached state across queries — clear Dataset-level
+      // caches and any RDD-level storage (persists / checkpoint pins the
+      // ContextCleaner hasn't reclaimed yet)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -60,13 +60,13 @@ object MixturePipeline {
       weights.map { case (s, w) => s -> math.min(1.0, 2.0 * w) }, default = 0.1)
 
     // 5. interleave at the mixture weights; 6. pack the vft order.
-    // packSequences executes its input several times (boundary-sample
-    // prep jobs + the two prefix-sum branches); the interleave subtree
-    // above is window-heavy, so persist it per the packSequences
-    // contract. Callers unpersist once the packed output materializes.
+    // No caller-side persist: since r11 interleaveByWeight and
+    // packSequences each PIN their own multi-traversed input (eager
+    // checkpoint, no cacheManager entry to leak — the r10 verdict's
+    // unreleasable-persist fix), so the window-heavy interleave subtree
+    // materializes exactly once inside packSequences.
     val interleaved = Sampling.interleaveByWeight(sampled, stratumCol, "chunk_id",
       weights, default = 0.05)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Sampling.packSequences(interleaved, "vft", "n_tok", seqBudget)
       .select(col("chunk_id"), col("doc_id"), col("chunk_idx"),
         col(stratumCol), col("n_tok"), col("vft"), col("seq_id"))

@@ -53,10 +53,11 @@ object TrainingDataPipeline {
     // The curated set feeds BOTH sides of the near-dup band join and the
     // final anti-join — without materialization the whole validate/score/
     // dedup subtree recomputes ~4×. At cluster scale this is where a real
-    // pipeline checkpoints to storage.
+    // pipeline checkpoints to storage. Pinned, not persisted: a persist
+    // here leaked into the session cacheManager with no releasing caller
+    // (r10 verdict) — the pin dies with the returned frame's reference.
     val exactDeduped =
-      if (materializeIntermediate)
-        exactDeduped0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (materializeIntermediate) graft.ops.Checkpoints.pin(exactDeduped0).df
       else exactDeduped0
 
     // 5. near-dup removal, cluster-resolved: candidate pairs → connected

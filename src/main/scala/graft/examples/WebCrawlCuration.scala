@@ -82,10 +82,12 @@ object WebCrawlCuration {
     // byUrl feeds BOTH the metadata branch and the boilerplate branch —
     // without materialization the blocklist + URL-dedup exchange
     // recomputes once per branch (same pattern as TrainingDataPipeline;
-    // at cluster scale this is where a real pipeline writes to storage)
+    // at cluster scale this is where a real pipeline writes to storage).
+    // Pinned, not persisted: a persist here leaked into the session
+    // cacheManager with no releasing caller (r10 verdict) — the pin's
+    // storage lifetime is the returned frame's reference.
     val byUrl =
-      if (materializeIntermediate)
-        byUrl0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (materializeIntermediate) graft.ops.Checkpoints.pin(byUrl0).df
       else byUrl0
 
     // 3. per-domain boilerplate (returns idCol + text_clean; re-join the

@@ -20,8 +20,19 @@ import org.apache.spark.sql.execution.LogicalRDD
   * repeated caller accumulates one file set per call, not one per
   * iteration. Long-lived services should still set `cleanCheckpoints=true`
   * to reclaim those finals.
+  *
+  * Pinning is ALSO this library's no-leak substitute for a bare
+  * `.persist()` on function-internal shared intermediates (r10 verdict):
+  * a persist registers in the session cacheManager forever unless someone
+  * holds the exact frame and unpersists it — a handle library functions
+  * cannot give their callers. A pin never touches the cacheManager
+  * (`spark.catalog.clearCache()` has nothing to clear); in the
+  * no-checkpoint-dir deployment `localCheckpoint` backs it with RDD-level
+  * storage the ContextCleaner reclaims as soon as the returned frame is
+  * garbage-collected, so the cache's lifetime is the caller's reference,
+  * not the session's.
   */
-private[ops] object Checkpoints {
+private[graft] object Checkpoints {
 
   /** A pinned (materialized, lineage-truncated) frame plus the reliable
     * checkpoint location backing it, when one exists. */
@@ -33,6 +44,13 @@ private[ops] object Checkpoints {
       p.getFileSystem(conf).delete(p, true)
     }
   }
+
+  /** [[pin]] unless `df` is already persisted — a caller who cached the
+    * input has already paid for (and owns) its materialization; pinning
+    * on top would write a redundant copy. */
+  def pinned(df: DataFrame): DataFrame =
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+    else pin(df).df
 
   /** Checkpoint `df` eagerly and return it with its backing path. The path
     * is recovered from the checkpointed plan's [[LogicalRDD]]; if a future

@@ -112,7 +112,9 @@ object Dedup {
     * (4) order-preserving reassembly keyed by doc id, partial-able
     * `array_sort(collect_list)` like every reassembly in this file. The
     * shared tokenized `base` feeds both the token and the window table
-    * and is persisted so the corpus is scanned + split exactly once.
+    * and is pinned (eager checkpoint — never a leaked cacheManager
+    * entry; see [[Checkpoints]]) so the corpus is scanned + split
+    * exactly once.
     * At 100 TB, run AFTER unit-level dedup so syndication-heavy mass
     * dies at unit granularity first and only residual spans pay the
     * token-level exchange. */
@@ -120,25 +122,27 @@ object Dedup {
                           k: Int = 8, cleanCol: String = "text_clean"): DataFrame = {
     require(k >= 2, s"window must span at least 2 tokens, got $k")
     val toksArr = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
-    // feeds BOTH the token table and the window table — persisted, or the
-    // corpus text is read and re-tokenized once per branch (the same
-    // shared-intermediate rule WebCrawlCuration applies)
-    val base = df.filter(col(textCol).isNotNull)
-      .select(col(idCol), toksArr.as("__toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // feeds BOTH the token table and the window table — PINNED (eager
+    // checkpoint, Checkpoints scaladoc), or the corpus text is read and
+    // re-tokenized once per branch. Pinned rather than persisted so the
+    // function leaks nothing into the session cacheManager (r10 verdict:
+    // a bare persist here is unreleasable — the caller never gets a
+    // handle); the pin's storage lives exactly as long as the returned
+    // frame does.
+    val base = Checkpoints.pin(df.filter(col(textCol).isNotNull)
+      .select(col(idCol), toksArr.as("__toks"))).df
     val toks = base.select(col(idCol),
       posexplode(col("__toks")).as(Seq("__pos", "__tok")))
     // one window key per start position (1-based slice i covers 0-based
     // token positions i-1 .. i+k-2; posexplode re-0-bases the starts)
-    // ALSO persisted: the window table feeds winner selection AND the
+    // ALSO pinned: the window table feeds winner selection AND the
     // non-winner mark join — without materialization the per-window md5
     // pass (the expensive map work) runs twice
-    val wins = base.filter(size(col("__toks")) >= k)
+    val wins = Checkpoints.pin(base.filter(size(col("__toks")) >= k)
       .select(col(idCol), posexplode(
           transform(sequence(lit(1), size(col("__toks")) - (k - 1)),
             i => md5(array_join(slice(col("__toks"), i, lit(k)), " ").cast("binary"))))
-        .as(Seq("__wpos", "__wkey")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .as(Seq("__wpos", "__wkey")))).df
     // keep-first winner per span key: struct ordering is (doc, position) —
     // identical semantics to the old `row_number` window's orderBy, minus
     // its all-occurrences-on-one-reducer skew hazard

@@ -130,11 +130,9 @@ object Joins {
         (unioned0, Window.partitionBy(keyCols.map(col): _*))
       } else {
         val bounds = Sampling.packBoundaries(unioned0, "__t", timeBuckets)
-        val chain = bounds.zipWithIndex.foldRight(lit(bounds.length): Column) {
-          case ((b, i), acc) => when(col("__t") < lit(b), lit(i)).otherwise(acc)
-        }
         val bucketed = unioned0.withColumn("__b",
-          when(col("__t").isNull, lit(0)).otherwise(chain))
+          when(col("__t").isNull, lit(0))
+            .otherwise(Sampling.bucketExpr(col("__t"), bounds)))
         val gCols = keyCols.map(col) :+ col("__b")
         // FILTER keeps every (key, bucket) group alive (left-only buckets
         // included — they NEED a carry-in) while summarizing right rows only

@@ -63,8 +63,13 @@ object Retrieval {
                queries: DataFrame, qidCol: String, qtextCol: String,
                k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val stats = termStats(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pinned, not persisted: the index feeds the corpus-scalar action AND
+    // the lazy scoring plan, but a bare persist would squat in the session
+    // cacheManager with no caller-visible handle to release it (r10
+    // verdict). The pin's storage lives as long as the returned frame;
+    // callers building a reusable index should call termStats themselves
+    // and persist/write it under their own lifecycle.
+    val stats = Checkpoints.pin(termStats(docs, idCol, textCol)).df
     // corpus scalars: document count + mean length — bounded driver state,
     // same as every model-sized collect in this library
     val corpus = stats.groupBy(col(idCol)).agg(first(col("dl")).as("dl"))

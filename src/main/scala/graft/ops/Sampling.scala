@@ -145,28 +145,34 @@ object Sampling {
     * meaning is relative to one physical partitioning — RangePartitioner
     * re-samples boundaries per execution, so whenever the exchange was not
     * physically reused the cumsum and offsets branches disagreed on
-    * `__pid` (the round-5 driver failure); the eager-checkpoint pin that
-    * first fixed it cost a full corpus write per call, with files Spark
-    * never reclaims by default. Literal boundaries need NO
-    * materialization: the price is ONE narrow preparatory pass (a
-    * bottom-k boundary sketch over the order column) before the packing
-    * job — callers packing an expensively-derived frame should persist
-    * it first. Requires a deterministic input frame (everything in this
-    * library is): the branches recompute the input independently. */
+    * `__pid` (the round-5 driver failure). Literal boundaries make every
+    * branch COMPUTE the same `__pid`; since r11 the input is additionally
+    * PINNED (eager checkpoint, skipped when the caller already persisted
+    * it) so the boundary sketch, the offsets aggregate, and the rank pass
+    * all READ one materialization — the former persist-before-calling doc
+    * contract, now enforced in the operator, which also removes the
+    * triple re-derivation of an expensive upstream. The pin never touches
+    * the session cacheManager and dies with the returned frame
+    * ([[Checkpoints]]). */
   def packSequences(df: DataFrame, orderCol: String, tokenCol: String,
                     budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    // pin the input unless the caller already cached it: the boundary
+    // sketch, the offsets aggregate, and the rank pass each traverse it,
+    // and on an uncached nondeterministic-upstream frame those three
+    // independent recomputations could disagree (r10 ADVICE) — the pin
+    // makes all three read ONE materialization, and is the enforcement of
+    // what used to be a persist-before-calling doc contract
+    val in = Checkpoints.pinned(df)
     val buckets =
-      df.sparkSession.sessionState.conf.numShufflePartitions.max(1)
-    val bounds = packBoundaries(df, orderCol, buckets)
+      in.sparkSession.sessionState.conf.numShufflePartitions.max(1)
+    val bounds = packBoundaries(in, orderCol, buckets)
     // first boundary with orderCol < bound wins; nulls sort first in the
     // global ascending order, so they are pinned to bucket 0 explicitly
     // (a null comparison would otherwise fall through to the LAST bucket)
-    val pidChain = bounds.zipWithIndex.foldRight(lit(bounds.length): Column) {
-      case ((b, i), acc) => when(col(orderCol) < lit(b), lit(i)).otherwise(acc)
-    }
-    val parted = df.withColumn("__pid",
-      when(col(orderCol).isNull, lit(0)).otherwise(pidChain))
+    val parted = in.withColumn("__pid",
+      when(col(orderCol).isNull, lit(0))
+        .otherwise(bucketExpr(col(orderCol), bounds)))
     // ROWS frame, not the default RANGE frame: with orderBy alone the
     // cumsum frame is RANGE UNBOUNDED..CURRENT ROW, which lumps ALL rows
     // sharing an orderCol value into one step — two 600-token peers at
@@ -219,6 +225,26 @@ object Sampling {
       .withColumn("seq_id", expr(s"__excl div ${budget}L"))
       .drop("__pid", "__cum", "__off", "__excl")
   }
+
+  /** Bucket index of `c` against ascending [[packBoundaries]] `bounds`:
+    * the first `i` with `c < bounds(i)`, else `bounds.length` —
+    * equivalently (bounds sorted) the count of boundaries ≤ `c`. NULL
+    * handling stays with the caller. Two physical forms, same semantics:
+    * a `when`-chain while the chain is shallow (cheapest per row, fully
+    * codegen'd), and `size(filter(array<literals>, b -> b <= c))` past
+    * `chainMax` — at cluster shuffle-partition counts (thousands) a
+    * nested-`when` tree blows the JVM's 64 KB method limit and drops the
+    * whole stage out of codegen (r10 ADVICE), while the array form stays
+    * one bounded-loop expression at any width. */
+  private[ops] def bucketExpr(c: Column, bounds: Seq[Any],
+                              chainMax: Int = 64): Column =
+    if (bounds.isEmpty) lit(0)
+    else if (bounds.length <= chainMax)
+      bounds.zipWithIndex.foldRight(lit(bounds.length): Column) {
+        case ((b, i), acc) => when(c < lit(b), lit(i)).otherwise(acc)
+      }
+    else
+      size(filter(array(bounds.map(lit): _*), b => b <= c))
 
   /** Deterministic range boundaries over `orderCol` for [[packSequences]]
     * and the as-of join's hot-key mode: a bottom-k-by-hash (KMV) sample of
@@ -379,9 +405,11 @@ object Sampling {
     * hot-key shape this library guards everywhere else. The output
     * carries `vft` rather than a global position — consumers
     * range-partition + sort by `(vft, stratumCol, idCol)`, which is how
-    * a total order is written at 100 TB. The offsets branch re-reads the
-    * input (like packSequences' boundary pass) — persist
-    * expensively-derived frames before calling. */
+    * a total order is written at 100 TB. The weighted input is PINNED
+    * (eager checkpoint, skipped when the caller already persisted the
+    * input) so the boundary sketch, the offsets subtree, and the rank
+    * pass read ONE materialization — the former persist-before-calling
+    * doc contract, now enforced in the operator ([[Checkpoints]]). */
   def interleaveByWeight(df: DataFrame, stratumCol: String, idCol: String,
                          weights: Map[String, Double], default: Double = 0.0,
                          salt: String = "graft"): DataFrame = {
@@ -390,17 +418,24 @@ object Sampling {
     val wCol = weights.foldLeft(when(lit(false), lit(0.0))) {
       case (acc, (stratum, wt)) => acc.when(col(stratumCol) === stratum, lit(wt))
     }.otherwise(lit(default))
-    val weighted = df.withColumn("__w", wCol)
+    val weighted0 = df.withColumn("__w", wCol)
       .filter(col("__w") > 0.0)
       .withColumn("__draw", hashDraw(col(idCol), salt))
+    // pin the (map-only-derived) weighted frame unless the caller already
+    // cached the input: the boundary sketch, the offsets subtree, and the
+    // rank pass all traverse it, and independent recomputations of a
+    // nondeterministic upstream could disagree on boundaries vs offsets vs
+    // ranks, corrupting `vft` (r10 ADVICE) — one materialization feeds all
+    // three. Enforced here instead of the old persist-before-calling note.
+    val weighted =
+      if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) weighted0
+      else Checkpoints.pin(weighted0).df
     val buckets =
       df.sparkSession.sessionState.conf.numShufflePartitions.max(1)
     val bounds = packBoundaries(weighted, "__draw", buckets)
-    val pidChain = bounds.zipWithIndex.foldRight(lit(bounds.length): Column) {
-      case ((b, i), acc) => when(col("__draw") < lit(b), lit(i)).otherwise(acc)
-    }
     val parted = weighted.withColumn("__pid",
-      when(col("__draw").isNull, lit(0)).otherwise(pidChain))
+      when(col("__draw").isNull, lit(0))
+        .otherwise(bucketExpr(col("__draw"), bounds)))
     val wIn = Window.partitionBy(col(stratumCol), col("__pid"))
       .orderBy(col("__draw"), col(idCol))
     val inRank = parted.withColumn("__irk", row_number().over(wIn))

@@ -136,6 +136,37 @@ class SamplingSpec extends SparkSuite {
       s"worst bucket ${maxW} vs ideal $ideal — boundaries unbalanced: $weights")
   }
 
+  test("bucketExpr: when-chain and wide-array forms agree (incl. ties and duplicate bounds)") {
+    // the wide form exists because a numShufflePartitions-deep when-chain
+    // blows codegen's 64 KB method limit at cluster partition counts
+    // (r10 ADVICE); both physical forms must compute the identical bucket
+    val vals = (-3 to 13).map(_.toDouble) :+ 2.5 :+ 7.5
+    val df = vals.toDF("v")
+    def buckets(bounds: Seq[Any], chainMax: Int): Seq[Int] =
+      df.select(col("v"), Sampling.bucketExpr(col("v"), bounds, chainMax).as("b"))
+        .orderBy("v").collect().map(_.getInt(1)).toSeq
+    for (bounds <- Seq(Seq[Any](0.0, 5.0, 10.0),
+                       Seq[Any](5.0, 5.0, 10.0), // duplicate boundary value
+                       Seq[Any](2.5),
+                       (1 to 100).map(_.toDouble: Any))) { // forces wide form at default cap
+      val chain = buckets(bounds, chainMax = Int.MaxValue)
+      val wide = buckets(bounds, chainMax = 0)
+      assert(chain == wide, s"forms disagree for bounds=$bounds: $chain vs $wide")
+      // scala reference: first i with v < bounds(i), else bounds.length
+      val sorted = df.orderBy("v").collect().map(_.getDouble(0))
+      val ref = sorted.map { v =>
+        val i = bounds.indexWhere(b => v < b.asInstanceOf[Double])
+        if (i == -1) bounds.length else i
+      }.toSeq
+      assert(chain == ref, s"bucket semantics drifted for bounds=$bounds")
+    }
+    // string bounds ride the same code path (engine ordering, not numeric)
+    val sdf = Seq("a", "mm", "z").toDF("v")
+    val sb = sdf.select(Sampling.bucketExpr(col("v"), Seq[Any]("m", "x"), 0).as("b"))
+      .orderBy("b").collect().map(_.getInt(0)).toSeq
+    assert(sb == Seq(0, 1, 2))
+  }
+
   test("packSequences degenerate inputs: empty frame and single row (literal offsets path)") {
     val empty = Seq.empty[(Long, Long)].toDF("k", "n_tok")
     assert(Sampling.packSequences(empty, "k", "n_tok", 512L).count() == 0L)
