@@ -43,7 +43,7 @@ object Bench {
     // distinguishable from fast passes in the JSON (round-2 ADVICE)
     def pass(): (Seq[(String, Double)], PassStats) = {
       val gc0 = gcMillis()
-      val rs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val rs = (SparkEntry.queries ++ SparkEntry.benchExtra).toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); false

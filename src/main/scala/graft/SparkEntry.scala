@@ -43,6 +43,31 @@ object SparkEntry {
       .orderBy(col("is_valid"))
   }
 
+  /** Crafted lowercase-ASCII base text for q_ngram_jaccard — shared
+    * VERBATIM by the Spark query and its DuckDB oracle mirror (no quotes,
+    * no escapes, pure ASCII so UTF-16 char units == code points). Varied
+    * wording keeps the distinct-5-shingle count near the char count, so
+    * small marker differences move Jaccard only slightly. */
+  private val NgramBase: String =
+    "the river bends east past the old mill where stone walls hold back " +
+      "spring floods and herons stalk the shallows at dawn while upstream " +
+      "the valley narrows into a gorge of layered shale and pine roots " +
+      "grip the cliff face above deep green pools fed by snowmelt from " +
+      "the northern ridge where goats graze between lichen covered rocks " +
+      "and the trail switchbacks through birch groves toward the summit " +
+      "meadow full of gentians and the ruins of a shepherd hut whose " +
+      "timbers weathered silver over eighty winters of wind and ice"
+
+  /** Mirror of `Kernels.splitmix64` (the minhash affine-family seed
+    * derivation) — duplicated here only to embed the A/B constants as
+    * literals in the q_ngram_jaccard oracle SQL. */
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- simple filters -------------------------------------------------
     "q_required" -> ((s, dir) => {
@@ -943,12 +968,29 @@ object SparkEntry {
         numHashes = 64, threshold = 0.9)
         .orderBy("id_a", "id_b")
     }),
-    "q_dedup_ngram" -> ((s, dir) => {
-      // bandsForThreshold(64, 0.95) = 4 (S-curve (1/4)^(1/16) ≈ 0.917 ≤
-      // 0.95) — the selector lands on the banding the harness previously
-      // pinned by hand
-      Dedup.ngramNearDups(T(s, dir, "documents"), "doc_id", "text",
-        ngram = 5, numHashes = 64, threshold = 0.95)
+    "q_ngram_jaccard" -> ((s, dir) => {
+      // ORACLE-CHECKED ngram LSH (r11 — the former rows-only q_dedup_ngram
+      // path, now bitwise-mirrored): on this crafted clamp the ENTIRE
+      // guarded nearDupsBySignature path is DuckDB-expressible — the
+      // minhash-over-shingles kernel (FNV-1a per shingle + the
+      // splitmix64-derived affine family, mirrored in HUGEINT mod-2^64
+      // arithmetic exactly like q_simhash), the identical-signature star
+      // collapse (same doc_id%10 ⇒ identical text ⇒ (min-id rep, member)
+      // star pairs at est 1.0), and the band join among group
+      // representatives (band membership ≡ equality of a 16-wide
+      // signature slice; est ≥ threshold). Crafted texts = a shared
+      // ~600-char lowercase-ASCII base + small per-group markers, giving
+      // all three regimes: identical (stars), same-sect ~0.97 (band
+      // candidates), different-sect sub-threshold. bandsForThreshold(64,
+      // 0.95) = 4 (S-curve (1/4)^(1/16) ≈ 0.917 ≤ 0.95), so bands are the
+      // four 16-wide slices the oracle checks.
+      val tagged = concat(lit(NgramBase),
+        lit(" tag"), (col("doc_id") % 10).cast("string"),
+        lit(" sect"), (col("doc_id") % 5).cast("string"), lit(" end"))
+      val crafted = T(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"), tagged.as("text"))
+      Dedup.ngramNearDups(crafted, "doc_id", "text", ngram = 5,
+        numHashes = 64, threshold = 0.95)
         .orderBy("id_a", "id_b")
     }),
     "q_dedup_embedding" -> ((s, dir) => {
@@ -1527,6 +1569,57 @@ object SparkEntry {
         s"CAST(CASE WHEN coalesce(rh.rval, 1125899906842597) >= CAST('$two63' AS HUGEINT) THEN coalesce(rh.rval, 1125899906842597) - CAST('$two64' AS HUGEINT) ELSE coalesce(rh.rval, 1125899906842597) END AS BIGINT) AS rh " +
         "FROM t LEFT JOIN sh USING (doc_id) LEFT JOIN rh USING (doc_id) ORDER BY doc_id"
     },
+    "q_ngram_jaccard" -> {
+      // Exact integer mirror of the full guarded ngram-LSH path
+      // (Kernels.minhashSigShingles + Dedup.nearDupsBySignature) on the
+      // crafted doc_id<40 clamp. Per doc: FNV-1a over each 5-char shingle
+      // (HUGEINT mod 2^64, xor on the low 16 bits — chars are ASCII),
+      // then for each of 64 hash slots k the SIGNED min over shingles of
+      // (A_k*h + B_k) mod 2^64, with A/B the splitmix64-derived constants
+      // embedded below as literals. The A*h product is split 32/32 to
+      // stay inside HUGEINT (a full 64x64 product can exceed 2^127).
+      // Identical-signature groups emit (min-id rep, member) stars at est
+      // 1.0; representatives pair up when ANY of the four 16-wide
+      // signature slices is equal (band membership == slice equality —
+      // the engine's xxhash64 band keys are injective on this clamp) and
+      // the position-agreement estimate clears the 0.95 threshold.
+      val two64 = BigInt(1) << 64
+      val two63 = BigInt(1) << 63
+      val fnvSeed = BigInt("cbf29ce484222325", 16)
+      def u(l: Long) = java.lang.Long.toUnsignedString(l)
+      val aList = (0 until 64).map(k => s"CAST('${u(splitmix64(2L * k + 1) | 1L)}' AS HUGEINT)")
+        .mkString("[", ", ", "]")
+      val bList = (0 until 64).map(k => s"CAST('${u(splitmix64(2L * k + 2))}' AS HUGEINT)")
+        .mkString("[", ", ", "]")
+      val T64 = s"CAST('$two64' AS HUGEINT)"
+      val T63 = s"CAST('$two63' AS HUGEINT)"
+      s"WITH d AS (SELECT doc_id, '$NgramBase' || ' tag' || CAST(doc_id % 10 AS VARCHAR) || " +
+        "' sect' || CAST(doc_id % 5 AS VARCHAR) || ' end' AS lt FROM documents WHERE doc_id < 40), " +
+        "sh AS (SELECT doc_id, substr(lt, i, 5) AS g FROM d, unnest(range(1, length(lt) - 3)) AS un(i)), " +
+        s"hh AS (SELECT doc_id, list_reduce(list_prepend(CAST('$fnvSeed' AS HUGEINT), " +
+        "list_transform(range(1, 6), j -> CAST(unicode(substr(g, j, 1)) AS HUGEINT))), " +
+        "(h, c) -> ((xor(CAST(h % 65536 AS BIGINT), CAST(c AS BIGINT)) + (h - h % 65536)) * 1099511628211) " +
+        s"% $T64) AS h FROM sh), " +
+        s"ab AS (SELECT k, la[k + 1] AS a, lb[k + 1] AS b FROM (SELECT $aList AS la, $bList AS lb), " +
+        "unnest(range(0, 64)) AS t(k)), " +
+        s"sv AS (SELECT doc_id, k, MIN(CAST(CASE WHEN v >= $T63 THEN v - $T64 ELSE v END AS BIGINT)) AS sv FROM " +
+        "(SELECT hh.doc_id, ab.k, ((ab.a * (hh.h % 4294967296) + " +
+        s"((ab.a * (hh.h // 4294967296)) % 4294967296) * 4294967296) % $T64 + ab.b) % $T64 AS v " +
+        "FROM hh CROSS JOIN ab) GROUP BY doc_id, k), " +
+        "sg AS (SELECT doc_id, list(sv ORDER BY k) AS sig FROM sv GROUP BY doc_id), " +
+        "reps AS (SELECT sig, MIN(doc_id) AS rep FROM sg GROUP BY sig), " +
+        "stars AS (SELECT r.rep AS id_a, s.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard_est " +
+        "FROM sg s JOIN reps r ON s.sig = r.sig WHERE s.doc_id <> r.rep), " +
+        "pairs AS (SELECT a.rep AS id_a, b.rep AS id_b, a.sig AS sa, b.sig AS sb " +
+        "FROM reps a JOIN reps b ON a.rep < b.rep), " +
+        "scored AS (SELECT id_a, id_b, " +
+        "CAST(list_sum(list_transform(range(0, 64), i -> CASE WHEN sa[i + 1] = sb[i + 1] THEN 1 ELSE 0 END)) AS DOUBLE) / 64.0 AS jaccard_est, " +
+        "list_max(list_transform(range(0, 4), bb -> list_min(list_transform(range(0, 16), " +
+        "r -> CASE WHEN sa[bb * 16 + r + 1] = sb[bb * 16 + r + 1] THEN 1 ELSE 0 END)))) AS anyband FROM pairs) " +
+        "SELECT id_a, id_b, jaccard_est FROM (SELECT id_a, id_b, jaccard_est FROM stars " +
+        "UNION ALL SELECT id_a, id_b, jaccard_est FROM scored WHERE anyband = 1 AND jaccard_est >= 0.95) " +
+        "ORDER BY id_a, id_b"
+    },
     "q_asof" ->
       // DuckDB's native ASOF LEFT JOIN is the reference semantics the
       // union-window encoding must reproduce
@@ -1758,5 +1851,63 @@ object SparkEntry {
         "pairs AS (SELECT q.q_id, iv.vec_id AS cand_id, CAST(list_dot_product(q.qv, iv.v) AS BIGINT) AS dot FROM iv, q WHERE iv.vec_id <> q.q_id) " +
         "SELECT q_id, cand_id, dot, CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, cand_id) AS INTEGER) AS rk " +
         "FROM pairs QUALIFY rk <= 5 ORDER BY q_id, rk")
+  )
+
+  /** Timed-ONLY bench entries (r10 verdict ask #5): surfaces with no
+    * DuckDB-oracle form that still deserve a per-round wall-clock row.
+    * `Bench` runs `queries ++ benchExtra`; `Verify`/correctness runs
+    * `queries` alone — these rows are covered by ScalaTest instead
+    * (MultimodalSpec, LayoutSpec, OpsSpec). */
+  def benchExtra: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b_dedup_ngram_full" -> ((s, dir) => {
+      // full-corpus char-shingle LSH — the former q_dedup_ngram body; its
+      // correctness home is now the oracle-checked q_ngram_jaccard clamp,
+      // and this keeps the full-corpus timing series going round-over-round
+      Dedup.ngramNearDups(T(s, dir, "documents"), "doc_id", "text",
+        ngram = 5, numHashes = 64, threshold = 0.95)
+    }),
+    "b_multimodal_decode" -> ((s, _) => {
+      // REAL ImageIO decode under timing: 256 deterministic in-process
+      // PNGs (seeded pixel pattern, ~64x48) through header decode + a
+      // histogram-feature extraction + a join — the executor-side batch
+      // plumbing MultimodalSpec pins functionally, now with a wall-clock
+      // row (decode work dominates; generation is driver-side and tiny)
+      val imgs = (0 until 256).map { i =>
+        val img = new java.awt.image.BufferedImage(
+          64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 48) {
+          var x = 0
+          while (x < 64) { img.setRGB(x, y, (x * 31 + y * 17 + i * 101) & 0xffffff); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        org.apache.spark.sql.Row(i.toLong, bos.toByteArray)
+      }
+      val df = s.createDataFrame(s.sparkContext.parallelize(imgs, 32),
+        org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, payload BINARY"))
+      graft.ops.Multimodal.withImageMeta(df, "payload")
+        .join(graft.ops.Multimodal.imageHistogramFeatures(df, "payload", bins = 8)
+          .select(col("id"), col("features")), Seq("id"))
+        .select(col("id"), col("image_meta.width").as("w"), col("features"))
+    }),
+    "b_layout_bucketed" -> ((s, dir) => {
+      // bucketed write + SHUFFLE-FREE bucketed join read-back: both sides
+      // bucketed on the join key with the same bucket count, so the timed
+      // read plan contains no Exchange (LayoutSpec plan-asserts this
+      // property; here it gets a wall-clock row). Tables land in the
+      // session warehouse and are overwritten per pass.
+      Layout.writeBucketed(T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice")),
+        "bench_orders_bucketed", 8, Seq("o_orderkey"))
+      Layout.writeBucketed(T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice")),
+        "bench_lineitem_bucketed", 8, Seq("o_orderkey"))
+      s.table("bench_lineitem_bucketed")
+        .join(s.table("bench_orders_bucketed"), Seq("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(col("l_extendedprice")).as("rev"), max(col("o_totalprice")).as("tp"))
+    })
   )
 }

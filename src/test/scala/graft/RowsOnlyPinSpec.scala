@@ -27,7 +27,6 @@ class RowsOnlyPinSpec extends SparkSuite {
     "q_dedup_embedding" -> "3bc439cf717811cbd5b3f4546bc209a2",
     "q_dedup_incremental" -> "d279f7572e2e4fa890976aedab7e4e4d",
     "q_dedup_minhash" -> "ed543d124949ebe2ce229b43bcd07ec3",
-    "q_dedup_ngram" -> "b3bbb5f354669639efe5c1befde00667",
     "q_ivf_topk" -> "3f0dc86b8f92694fa48a56a774838d83",
     "q_pipeline_e2e" -> "bbc1d1cba93be09a16c0ff961a4aa0c1",
     "q_twopass" -> "aab7fbfd4bc64c07d7eac08d2a018b1c")
