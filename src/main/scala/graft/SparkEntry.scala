@@ -853,6 +853,19 @@ object SparkEntry {
         oovLogp = -20.0)
         .orderBy("doc_id")
     }),
+    "q_perplexity_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail bucketing (r11): per-LANG tercile
+      // boundaries over the corpus's own ll distribution, exact
+      // interpolated percentile (the quantile_cont-mirrorable form;
+      // percentile_approx is the documented corpus-scale escape),
+      // boundaries and ll both 1e-6-rounded BEFORE comparison so
+      // interpolation ulp cannot flip a boundary doc's bucket
+      val docs = T(s, dir, "documents")
+      val vocab = graft.ops.LmScore.unigramVocab(docs, "text", k = 25)
+      graft.ops.LmScore.perplexityTerciles(docs, "doc_id", "text", "lang",
+        vocab, oovLogp = -20.0)
+        .orderBy("doc_id")
+    }),
     "q_bigram_ll" -> ((s, dir) => {
       // bigram LM with stupid backoff (Brants et al. '07): corpus-built
       // top-50 bigram + top-25 unigram models, broadcast lookups,
@@ -1748,6 +1761,25 @@ object SparkEntry {
         "SELECT doc_id, COUNT(*) AS n_tok, " +
         "floor(avg(coalesce(v.logp, -20.0)) * 1e6 + 0.5) / 1e6 AS ll " +
         "FROM t2 LEFT JOIN vocab v USING (token) GROUP BY doc_id ORDER BY doc_id"),
+    "q_perplexity_buckets" ->
+      // q_unigram_ll's scoring mirror + per-lang quantile_cont terciles
+      // (the q_quantiles-proven exact-percentile equivalence), identical
+      // 1e-6 rounding on both the boundaries and ll, null-safe lang join
+      ("WITH toks AS (SELECT doc_id, lang, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "t2 AS (SELECT doc_id, lang, token FROM toks WHERE len(token) > 0), " +
+        "cnt AS (SELECT token, COUNT(*) AS n FROM t2 GROUP BY token), " +
+        "tot AS (SELECT SUM(n) AS total FROM cnt), " +
+        "vocab AS (SELECT token, ln(CAST(n AS DOUBLE) / (SELECT CAST(total AS DOUBLE) FROM tot)) AS logp " +
+        "FROM cnt ORDER BY n DESC, token LIMIT 25), " +
+        "scored AS (SELECT doc_id, lang, COUNT(*) AS n_tok, " +
+        "floor(avg(coalesce(v.logp, -20.0)) * 1e6 + 0.5) / 1e6 AS ll " +
+        "FROM t2 LEFT JOIN vocab v USING (token) GROUP BY doc_id, lang), " +
+        "b AS (SELECT lang, floor(quantile_cont(ll, CAST(1 AS DOUBLE) / 3) * 1e6 + 0.5) / 1e6 AS p33, " +
+        "floor(quantile_cont(ll, CAST(2 AS DOUBLE) / 3) * 1e6 + 0.5) / 1e6 AS p67 FROM scored GROUP BY lang) " +
+        "SELECT s.doc_id, s.lang, s.n_tok, s.ll, " +
+        "CASE WHEN s.ll >= b.p67 THEN 'head' WHEN s.ll >= b.p33 THEN 'middle' ELSE 'tail' END AS bucket " +
+        "FROM scored s JOIN b ON s.lang IS NOT DISTINCT FROM b.lang ORDER BY s.doc_id"),
     "q_bigram_ll" ->
       // full stupid-backoff mirror: identical tokenization, bigram
       // conditional MLE over a per-w1 window total, top-50/top-25 vocab

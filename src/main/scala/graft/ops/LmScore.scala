@@ -88,6 +88,60 @@ object LmScore {
         (floor(avg(coalesce(col("logp"), lit(oovLogp))) * 1e6 + 0.5) / 1e6).as("ll"))
   }
 
+  /** CCNet-style per-stratum perplexity bucketing (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data" — public method): score each document by mean token log-prob
+    * under `vocab` (the [[unigramLogLikelihood]] scoring, stratum carried
+    * through), compute per-stratum tercile boundaries, and label each
+    * document `head` (best-modelled third), `middle`, or `tail`. CCNet
+    * computes the boundaries per LANGUAGE over the corpus itself and
+    * keeps only head+middle for training — compose the label with a
+    * filter or [[Sampling.stratifiedSample]] for that policy.
+    *
+    * Both `ll` and the boundaries floor-round to 1e-6 BEFORE comparison
+    * (the library's cross-engine convention): an ulp of percentile-
+    * interpolation drift can then never flip a boundary document's
+    * bucket. Null-stratum documents form their own group (null-safe
+    * join), matching every stratified operator here.
+    *
+    * Scale shape: scoring is the broadcast-lookup + one id-keyed exchange
+    * of [[unigramLogLikelihood]]; boundaries are a #strata × 2 aggregate
+    * that BROADCASTS back — no second corpus exchange. The boundary
+    * aggregate uses EXACT interpolated `percentile` (mirrorable by
+    * DuckDB's `quantile_cont`, same as `q_quantiles`), which keeps a
+    * per-group value-count map: document `ll` values are high-cardinality,
+    * so at true corpus scale pass `approxAccuracy > 0` to switch the
+    * boundary pass to `percentile_approx` (bounded state, documented
+    * rank-error trade — the labels move only for documents within the
+    * approximation band of a boundary).
+    *
+    * Output: `(idCol, stratumCol, n_tok, ll, bucket)`. */
+  def perplexityTerciles(df: DataFrame, idCol: String, textCol: String,
+                         stratumCol: String, vocab: DataFrame,
+                         oovLogp: Double,
+                         approxAccuracy: Int = 0): DataFrame = {
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(stratumCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    val scored = toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(idCol), col(stratumCol))
+      .agg(count(lit(1)).as("n_tok"),
+        (floor(avg(coalesce(col("logp"), lit(oovLogp))) * 1e6 + 0.5) / 1e6).as("ll"))
+    def pct(p: Double) =
+      if (approxAccuracy > 0) percentile_approx(col("ll"), lit(p), lit(approxAccuracy))
+      else percentile(col("ll"), lit(p))
+    val bounds = scored.groupBy(col(stratumCol).as("__s"))
+      .agg((floor(pct(1.0 / 3) * 1e6 + 0.5) / 1e6).as("__p33"),
+        (floor(pct(2.0 / 3) * 1e6 + 0.5) / 1e6).as("__p67"))
+    scored.join(broadcast(bounds), col(stratumCol) <=> col("__s"))
+      .withColumn("bucket",
+        when(col("ll") >= col("__p67"), lit("head"))
+          .when(col("ll") >= col("__p33"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__s", "__p33", "__p67")
+  }
+
   /** Whitespace tokens, lowercased, empties dropped — as an ARRAY (the
     * same token stream [[unigramVocab]] sees exploded). */
   private def tokArray(textCol: String) =

@@ -91,10 +91,17 @@ object Robots {
     when(p === "", lit("/")).otherwise(p)
   }
 
-  /** Annotate `urls` with a boolean `allowedCol`: may `userAgent` (the
-    * agent `rules` was resolved for) fetch this URL? Longest matching
-    * pattern decides; `Allow` wins ties; unmatched or rule-less domains
-    * are allowed. 1:1 row-preserving (left join + per-id reduce). */
+  /** Annotate `urls` with `allowedCol`: may `userAgent` (the agent
+    * `rules` was resolved for) fetch this URL? Longest matching pattern
+    * decides; `Allow` wins ties; parseable URLs with no matching rule or
+    * a rule-less domain are allowed. UNPARSEABLE rows — no extractable
+    * host (malformed or scheme-less URL), or a null url/id join key —
+    * carry a NULL verdict rather than a silent `true` (r10 ADVICE): the
+    * site policy is unknowable there, and the caller decides via
+    * [[filterAllowed]]'s `keepUnparseable`. 1:1 row-preserving; verdicts
+    * are computed per (idCol, urlCol) PAIR, so duplicated ids with
+    * different urls keep independent verdicts instead of merging (r10
+    * ADVICE — ids no longer need to be unique). */
   def annotateAllowed(urls: DataFrame, urlCol: String, idCol: String,
                       rules: DataFrame, allowedCol: String = "robots_allowed"): DataFrame = {
     val native = graft.expressions.native
@@ -107,20 +114,26 @@ object Robots {
         when(col("pattern").isNotNull &&
           native.robotsMatch(col("__rpath"), col("pattern")),
           length(col("pattern"))).otherwise(lit(-1)))
-      .groupBy(col(idCol))
+      .groupBy(col(idCol), col(urlCol))
       .agg(
+        max(col("__rdom").isNotNull).as("__parsed"),
         max(when(col("allow") === true, col("__m")).otherwise(lit(-1))).as("__a"),
         max(when(col("allow") === false, col("__m")).otherwise(lit(-1))).as("__d"))
-      .select(col(idCol),
-        (col("__d") < 0 || col("__a") >= col("__d")).as(allowedCol))
-    urls.join(scored, Seq(idCol), "left")
-      .withColumn(allowedCol, coalesce(col(allowedCol), lit(true)))
+      .select(col(idCol), col(urlCol),
+        when(!col("__parsed"), lit(null).cast("boolean"))
+          .otherwise(col("__d") < 0 || col("__a") >= col("__d")).as(allowedCol))
+    urls.join(scored, Seq(idCol, urlCol), "left")
   }
 
   /** [[annotateAllowed]] then keep only the allowed rows — the curation
-    * filter form. */
+    * filter form. `keepUnparseable` decides the NULL-verdict rows (URLs
+    * with no extractable host, whose site policy cannot be resolved):
+    * `true` (default — the historical fail-open behavior) keeps them for
+    * downstream URL hygiene to handle; `false` is the conservative
+    * politeness posture that fetches nothing it cannot check. */
   def filterAllowed(urls: DataFrame, urlCol: String, idCol: String,
-                    rules: DataFrame): DataFrame =
+                    rules: DataFrame, keepUnparseable: Boolean = true): DataFrame =
     annotateAllowed(urls, urlCol, idCol, rules)
-      .filter(col("robots_allowed")).drop("robots_allowed")
+      .filter(coalesce(col("robots_allowed"), lit(keepUnparseable)))
+      .drop("robots_allowed")
 }

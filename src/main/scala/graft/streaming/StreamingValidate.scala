@@ -27,22 +27,49 @@ object StreamingValidate {
     *    (`Timestamp(isAdjustedToUTC=false, µs)`); under this library's
     *    pinned-UTC sessions the cast is value-preserving (the naive local
     *    datetime is re-labelled as the same UTC instant);
-    *  - legacy nanosecond-as-long (read via
-    *    `spark.sql.legacy.parquet.nanosAsLong=true`) — exact integer
-    *    `div 1000` to µs, not double division (ns epochs overflow a double
-    *    mantissa).
-    * Anything else is a caller error worth a clear message rather than an
-    * `EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE` analysis failure deep in the
-    * engine. */
-  def ensureEventTime(df: DataFrame, tsCol: String): DataFrame = {
+    *  - epoch LONG in `longUnit` ∈ ns | us | ms | s (default `ns`, the
+    *    legacy `spark.sql.legacy.parquet.nanosAsLong=true` shape) —
+    *    exact integer arithmetic to µs, not double division (ns epochs
+    *    overflow a double mantissa).
+    * A long that decodes OUTSIDE [1990-01-01, 2200-01-01) fails the job
+    * with a message naming the assumed unit (r10 ADVICE): every
+    * wrong-unit misread lands outside that window (a µs/ms/s epoch fed
+    * through the ns default decodes to early 1970; a ns epoch fed
+    * through `s` to the year 56k) — silently-wrong watermarks are
+    * strictly worse than a loud per-row error, and EVENT streams carry
+    * no genuine pre-1990 instants (an epoch-0 placeholder fails too:
+    * null is the missing-time marker, not zero). Anything else is a
+    * caller error worth a
+    * clear message rather than an `EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE`
+    * analysis failure deep in the engine. */
+  def ensureEventTime(df: DataFrame, tsCol: String, longUnit: String = "ns"): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema(tsCol).dataType match {
       case TimestampType    => df
       case TimestampNTZType => df.withColumn(tsCol, col(tsCol).cast(TimestampType))
-      case LongType         => df.withColumn(tsCol, timestamp_micros(expr(s"`$tsCol` div 1000")))
+      case LongType =>
+        val us = longUnit match {
+          case "ns" => expr(s"`$tsCol` div 1000")
+          case "us" => col(tsCol)
+          case "ms" => col(tsCol) * lit(1000L)
+          case "s"  => col(tsCol) * lit(1000000L)
+          case other => throw new IllegalArgumentException(
+            s"longUnit must be one of ns|us|ms|s, got `$other`")
+        }
+        // plausibility bound in µs: 1990-01-01 .. 2200-01-01 (tight enough
+        // that every unit misread falls outside — see scaladoc)
+        val (lo, hi) = (631152000000000L, 7258118400000000L)
+        df.withColumn(tsCol,
+          when(col(tsCol).isNull, lit(null).cast(TimestampType))
+            .when(us >= lo && us < hi, timestamp_micros(us))
+            .otherwise(raise_error(concat(
+              lit(s"event-time long in `$tsCol` decoded (unit=$longUnit) to an " +
+                "implausible instant from value "), col(tsCol).cast("string"),
+              lit(s"; if the column is not a $longUnit epoch, pass the actual " +
+                "unit via ensureEventTime(df, tsCol, longUnit)")))))
       case other => throw new IllegalArgumentException(
         s"event-time column `$tsCol` must be TIMESTAMP, TIMESTAMP_NTZ, or " +
-          s"nanosecond-epoch LONG; got $other")
+          s"epoch LONG (see longUnit); got $other")
     }
   }
 

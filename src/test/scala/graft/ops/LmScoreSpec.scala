@@ -41,6 +41,40 @@ class LmScoreSpec extends SparkSuite {
     assert(n == 3)
   }
 
+  test("perplexity terciles: per-stratum boundaries, head=best third, null stratum grouped") {
+    // 6 en docs with strictly ordered ll (token 'the' frequency rises) +
+    // 2 null-lang docs — boundaries must be computed per stratum
+    val corpus = Seq(
+      (1L, "zz qq xx", "en"), (2L, "zz qq the", "en"), (3L, "zz the the", "en"),
+      (4L, "the the xx", "en"), (5L, "the the the", "en"), (6L, "the the qq the", "en"),
+      (10L, "zz zz zz", null), (11L, "the the zz", null))
+      .toDF("doc_id", "text", "lang")
+    val v = LmScore.unigramVocab(corpus, "text", k = 4)
+    val out = LmScore.perplexityTerciles(corpus, "doc_id", "text", "lang", v, -20.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(3), r.getString(4)))).toMap
+    assert(out.size == 8)
+    // en: strictly increasing ll by doc construction → terciles split 2/2/2
+    val en = (1L to 6L).map(i => out(i)).sortBy(_._1)
+    assert(en.map(_._2) == Seq("tail", "tail", "middle", "middle", "head", "head"),
+      s"en buckets must follow the ll order, got $en")
+    // null-lang docs get their OWN boundaries (null-safe grouping): the
+    // better-modelled of the two is head, not judged by en's thresholds
+    assert(out(11L)._2 == "head" && out(10L)._2 == "tail")
+    // boundary semantics: a doc AT the rounded p67 boundary is head (>=)
+    val bothSame = Seq((1L, "the the", "en"), (2L, "the the", "en"), (3L, "the the", "en"))
+      .toDF("doc_id", "text", "lang")
+    val same = LmScore.perplexityTerciles(bothSame, "doc_id", "text", "lang",
+      LmScore.unigramVocab(bothSame, "text", 2), -20.0)
+      .collect().map(_.getString(4))
+    assert(same.forall(_ == "head"), "identical ll ⇒ everyone at the boundary ⇒ all head")
+    // the percentile_approx scale path runs and keeps the schema
+    val approx = LmScore.perplexityTerciles(corpus, "doc_id", "text", "lang", v, -20.0,
+      approxAccuracy = 10000)
+    assert(approx.columns.toSeq ==
+      Seq("doc_id", "lang", "n_tok", "ll", "bucket") && approx.count() == 8)
+  }
+
   test("importance weights favor target-like documents (DSIR selection order)") {
     val target = Seq((100L, "alpha beta alpha beta gamma")).toDF("doc_id", "text")
     val base = Seq((200L, "delta epsilon zeta delta epsilon"),

@@ -100,6 +100,42 @@ class RobotsSpec extends SparkSuite {
     assert(out, "equal-length Allow/Disallow must resolve to allow per RFC 9309")
   }
 
+  test("unparseable URLs surface a NULL verdict; filterAllowed decides via keepUnparseable") {
+    val rules = Robots.rulesFor(robots, "domain", "content", "graftbot")
+    val urls = Seq(
+      (1L, "https://alpha.test/public/a"), // parseable, allowed
+      (2L, "not a url at all"),            // no host → policy unknowable
+      (3L, "/relative/only"),              // scheme-less → no host
+      (4L, null.asInstanceOf[String]))     // null url
+      .toDF("id", "url")
+    val out = Robots.annotateAllowed(urls, "url", "id", rules)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("robots_allowed"))) null
+         else Boolean.box(r.getBoolean(r.fieldIndex("robots_allowed"))))).toMap
+    assert(out(1L) == Boolean.box(true))
+    assert(out(2L) == null && out(3L) == null && out(4L) == null,
+      s"hostless rows must carry a NULL (unknowable) verdict, got $out")
+    // historical fail-open default keeps them; the conservative posture drops
+    assert(Robots.filterAllowed(urls, "url", "id", rules)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+    assert(Robots.filterAllowed(urls, "url", "id", rules, keepUnparseable = false)
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("duplicate ids with different URLs keep independent verdicts") {
+    val rules = Robots.rulesFor(robots, "domain", "content", "graftbot")
+    val urls = Seq(
+      (1L, "https://alpha.test/public/a"),  // allowed
+      (1L, "https://alpha.test/private/x")) // denied — same id!
+      .toDF("id", "url")
+    val out = Robots.annotateAllowed(urls, "url", "id", rules)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        r.getBoolean(r.fieldIndex("robots_allowed"))).toMap
+    assert(out((1L, "https://alpha.test/public/a")) === true)
+    assert(out((1L, "https://alpha.test/private/x")) === false,
+      "verdicts for distinct URLs sharing an id must not merge (r10 ADVICE)")
+  }
+
   test("plan: domain-keyed join only, no cartesian; 1:1 row preservation") {
     val rules = Robots.rulesFor(robots, "domain", "content", "graftbot")
     val urls = (0L until 500L).map(i => (i, s"https://alpha.test/p$i")).toDF("id", "url")

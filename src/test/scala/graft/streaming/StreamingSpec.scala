@@ -131,6 +131,49 @@ class StreamingSpec extends SparkSuite {
     assert(n == 2) // two sessions for u1 separated by >5min gap
   }
 
+  test("append-mode session windows emit only watermark-closed sessions and DROP the tail") {
+    // The production shape at 100 TB: an unbounded deployment runs append
+    // + watermark (complete mode re-emits every session each trigger —
+    // unbounded state AND unbounded sink traffic). The contract asserted
+    // here, documented on q_stream_session: a session is emitted exactly
+    // once, after the watermark passes its close (last event + gap), and
+    // any session still open when the stream ends is NEVER emitted — the
+    // tail drop that makes the bounded harness query use complete mode.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val stream = mem.toDF().toDF("ts", "user")
+    val sessions = StreamingValidate.sessionCounts(stream, "ts", "user",
+      gap = "5 minutes", watermarkDelay = "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_append")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: two early sessions; watermark still at epoch → nothing emits
+    mem.addData(
+      (t("2024-01-01 00:00:00"), "u1"), (t("2024-01-01 00:02:00"), "u1"),
+      (t("2024-01-01 00:01:00"), "u2"))
+    q.processAllAvailable()
+    assert(spark.table("sess_append").isEmpty,
+      "append mode must not emit sessions the watermark has not closed")
+    // batch 2: a far-future event advances the watermark to 00:50 —
+    // PAST both early sessions' close (+gap), but NOT past its own
+    mem.addData((t("2024-01-01 01:00:00"), "u1"))
+    q.processAllAvailable()
+    // one more event keeps the tail session open while forcing another
+    // microbatch (watermark moves to 00:51 — still before the tail close)
+    mem.addData((t("2024-01-01 01:01:00"), "u1"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_append").collect()
+      .map(r => (r.getString(1), r.getTimestamp(0).toString, r.getLong(2))).toSet
+    assert(rows == Set(
+      ("u1", "2024-01-01 00:00:00.0", 2L),
+      ("u2", "2024-01-01 00:01:00.0", 1L)),
+      s"expected exactly the two watermark-closed sessions, got $rows")
+    // the 01:00 tail session was open at stream end → dropped, by design
+    assert(!rows.exists(_._2.startsWith("2024-01-01 01:")),
+      "the still-open tail session must be dropped in append mode")
+  }
+
   test("session windows run the SAME code path on a batch frame (no watermark)") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val batch = Seq(
@@ -245,6 +288,34 @@ class StreamingSpec extends SparkSuite {
       StreamingValidate.ensureEventTime(Seq(Tuple1("x")).toDF("ts"), "ts")
     }
     assert(err.getMessage.contains("event-time column"))
+  }
+
+  test("ensureEventTime: explicit long units convert exactly; unit mismatch fails LOUDLY") {
+    val micros = 1704067200123456L
+    def us(df: org.apache.spark.sql.DataFrame) =
+      df.select(unix_micros(col("ts"))).head.getLong(0)
+    assert(us(StreamingValidate.ensureEventTime(
+      Seq(Tuple1(micros)).toDF("ts"), "ts", longUnit = "us")) == micros)
+    assert(us(StreamingValidate.ensureEventTime(
+      Seq(Tuple1(micros / 1000L)).toDF("ts"), "ts", longUnit = "ms")) == micros / 1000L * 1000L)
+    assert(us(StreamingValidate.ensureEventTime(
+      Seq(Tuple1(micros / 1000000L)).toDF("ts"), "ts", longUnit = "s")) == micros / 1000000L * 1000000L)
+    // a µs epoch fed through the ns default decodes to 1970+ε — outside
+    // the plausibility bound, so the job FAILS with the unit named
+    // instead of silently producing watermarks wrong by 10^3 (r10 ADVICE)
+    val boom = intercept[Exception] {
+      StreamingValidate.ensureEventTime(Seq(Tuple1(micros)).toDF("ts"), "ts").collect()
+    }
+    assert(boom.getMessage != null && boom.getMessage.contains("implausible"),
+      s"expected the implausible-instant error, got: ${boom.getMessage}")
+    // null event times stay null, not errors
+    val nulls = StreamingValidate.ensureEventTime(
+      Seq(Tuple1(null.asInstanceOf[java.lang.Long])).toDF("ts"), "ts")
+    assert(nulls.select(col("ts")).head.isNullAt(0))
+    val bad = intercept[IllegalArgumentException] {
+      StreamingValidate.ensureEventTime(Seq(Tuple1(1L)).toDF("ts"), "ts", longUnit = "days")
+    }
+    assert(bad.getMessage.contains("longUnit"))
   }
 
   test("watermark dedup accepts an NTZ file source (the regenerated-testdata shape)") {

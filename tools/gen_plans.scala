@@ -29,7 +29,8 @@ for (name <- Seq("flagship_valid_split", "q_required", "q_min", "q_topk_similar"
     "q_url_dedup", "q_url_psl", "q_dedup_units", "q_curation_e2e",
     "q_html_text", "q_dedup_spans", "q_twopass",
     "q_bm25_topk", "q_shard_assign", "q_stream_session", "q_bigram_ll",
-    "q_robots", "q_semdedup", "q_collocations", "q_script_mix")) {
+    "q_robots", "q_semdedup", "q_collocations", "q_script_mix",
+    "q_perplexity_buckets", "q_ngram_jaccard")) {
   val df = if (name == "flagship_valid_split") flagship
            else graft.SparkEntry.queries(name)(spark, dir)
   out.println()
