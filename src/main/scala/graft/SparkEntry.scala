@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{Validate, ValidationResult}
 import graft.{filters => F}
 import graft.filters.{Emptiness, FilterMapper, FilterMapperDynamic, FilterRepeater, FilterRepeaterMap, FilterSwitch}
-import graft.ops.{Boilerplate, Dedup, Html, Joins, Layout, Retrieval, Sampling, Similarity, TextAnalysis, Urls}
+import graft.ops.{Boilerplate, Dedup, Html, Joins, Layout, QualityRules, Retrieval, Sampling, Similarity, TextAnalysis, Urls}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2.7), each hash-checked against the DuckDB `oracleSql`. */
@@ -57,6 +57,31 @@ object SparkEntry {
       "and the trail switchbacks through birch groves toward the summit " +
       "meadow full of gentians and the ruins of a shepherd hut whose " +
       "timbers weathered silver over eighty winters of wind and ice"
+
+  /** Deterministic structured-text synthesis for the Gopher/C4 rule queries
+    * (documents.parquet text has no lines or punctuation of its own): four
+    * lines with terminal punctuation, a bullet line, a doc_id%3 ellipsis
+    * tail, a doc_id%7 "lorem ipsum { x" boilerplate line, and a too-short
+    * line — written identically in the DuckDB oracle SQL. */
+  private def structuredDoc: Column =
+    concat(
+      substring(col("text"), 1, 60), lit(".\n"),
+      lit("- bullet "), substring(col("text"), 61, 40), lit("\n"),
+      substring(col("text"), 101, 50),
+      when(col("doc_id") % 3 === 0, "...").otherwise("?"), lit("\n"),
+      when(col("doc_id") % 7 === 0, "lorem ipsum { x\n").otherwise(""),
+      when(col("doc_id") % 5 < 4,
+        "we have to be with them and that is the point of it.\n").otherwise(""),
+      lit("tiny\n"),
+      substring(col("text"), 151, 999), lit("."))
+
+  /** DuckDB mirror of [[structuredDoc]], shared by the Gopher/C4 oracles. */
+  private val StructuredDocSql: String =
+    "concat(substr(text,1,60), '.', chr(10), '- bullet ', substr(text,61,40), chr(10), " +
+      "substr(text,101,50), CASE WHEN doc_id % 3 = 0 THEN '...' ELSE '?' END, chr(10), " +
+      "CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum { x' || chr(10) ELSE '' END, " +
+      "CASE WHEN doc_id % 5 < 4 THEN 'we have to be with them and that is the point of it.' || chr(10) ELSE '' END, " +
+      "'tiny', chr(10), substr(text,151,999), '.')"
 
   /** Mirror of `Kernels.splitmix64` (the minhash affine-family seed
     * derivation) — duplicated here only to embed the A/B constants as
@@ -662,6 +687,37 @@ object SparkEntry {
     "q_quality" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       docs.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+    "q_gopher_rules" -> ((s, dir) => {
+      // documents.parquet text is single-line word soup, so the query first
+      // gives it deterministic structure (lines, punctuation, bullets,
+      // ellipses, boilerplate markers — the q_redact synthesis pattern,
+      // mirrored verbatim in the oracle) so every Gopher rule branch fires
+      val docs = T(s, dir, "documents").withColumn("t", structuredDoc)
+      docs.select(col("doc_id"),
+        QualityRules.wordCount(col("t")).as("word_count"),
+        QualityRules.meanWordLength(col("t")).as("mean_word_len"),
+        QualityRules.symbolWordRatio(col("t")).as("symbol_ratio"),
+        QualityRules.bulletLineFraction(col("t")).as("bullet_frac"),
+        QualityRules.ellipsisLineFraction(col("t")).as("ellipsis_frac"),
+        QualityRules.alphaWordFraction(col("t")).as("alpha_frac"),
+        QualityRules.gopherStopwordMatches(col("t")).as("stop_hits"),
+        QualityRules.gopherKeep(col("t")).as("keep"))
+        .orderBy("doc_id")
+    }),
+    "q_c4_clean" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").withColumn("t", structuredDoc)
+      val cleaned = QualityRules.c4CleanLines(col("t"))
+      docs.select(col("doc_id"), cleaned.as("cleaned"),
+        QualityRules.c4Keep(col("t"), cleaned).as("keep"))
+        .orderBy("doc_id")
+    }),
+    "q_ngram_repetition" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      docs.select(col("doc_id"),
+        QualityRules.topNgramCharFraction(col("text"), 2).as("top2_frac"),
+        QualityRules.dupNgramCharFraction(col("text"), 3).as("dup3_frac"))
         .orderBy("doc_id")
     }),
     "q_redact" -> ((s, dir) => {
@@ -1515,6 +1571,52 @@ object SparkEntry {
         "FROM documents ORDER BY doc_id"),
     "q_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+    "q_gopher_rules" ->
+      // Gopher §A1.1 signals over the synthesized structured text; every
+      // fraction uses the cross-engine floor(x*1e6+0.5)/1e6 rounding
+      (s"WITH t0 AS (SELECT doc_id, $StructuredDocSql AS t FROM documents), " +
+        "t1 AS (SELECT doc_id, t, " +
+        "list_filter(regexp_split_to_array(t, '\\s+'), w -> len(w) > 0) AS ws, " +
+        "list_filter(regexp_split_to_array(lower(t), '\\s+'), w -> len(w) > 0) AS wl, " +
+        "list_filter(regexp_split_to_array(t, chr(10)), l -> len(trim(l)) > 0) AS ls FROM t0), " +
+        "t2 AS (SELECT doc_id, len(ws) AS word_count, " +
+        "CASE WHEN len(ws) = 0 THEN 0.0 ELSE floor(CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END AS mean_word_len, " +
+        "CASE WHEN len(ws) = 0 THEN 0.0 ELSE floor(CAST(len(regexp_extract_all(t, '#|\\.\\.\\.')) AS DOUBLE) / CAST(len(ws) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END AS symbol_ratio, " +
+        "CASE WHEN len(ls) = 0 THEN 0.0 ELSE floor(CAST(len(list_filter(ls, l -> regexp_matches(l, '^\\s*[-•*] '))) AS DOUBLE) / CAST(len(ls) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END AS bullet_frac, " +
+        "CASE WHEN len(ls) = 0 THEN 0.0 ELSE floor(CAST(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE) / CAST(len(ls) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END AS ellipsis_frac, " +
+        "CASE WHEN len(ws) = 0 THEN 0.0 ELSE floor(CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END AS alpha_frac, " +
+        "len(list_intersect(list_distinct(wl), ['the','be','to','of','and','that','have','with'])) AS stop_hits FROM t1) " +
+        "SELECT doc_id, word_count, mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac, stop_hits, " +
+        "(word_count >= 50 AND word_count <= 100000 AND mean_word_len BETWEEN 3.0 AND 10.0 AND symbol_ratio <= 0.1 " +
+        "AND bullet_frac < 0.9 AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep " +
+        "FROM t2 ORDER BY doc_id"),
+    "q_c4_clean" ->
+      (s"WITH t0 AS (SELECT doc_id, $StructuredDocSql AS t FROM documents), " +
+        "t1 AS (SELECT doc_id, t, " +
+        "array_to_string(list_filter(regexp_split_to_array(t, chr(10)), l -> " +
+        "regexp_matches(trim(l), '[.!?\"]$') " +
+        "AND len(list_filter(regexp_split_to_array(trim(l), '\\s+'), w -> len(w) > 0)) >= 5 " +
+        "AND NOT regexp_matches(lower(l), 'javascript')), chr(10)) AS cleaned FROM t0) " +
+        "SELECT doc_id, cleaned, " +
+        "(len(regexp_extract_all(cleaned, '[.!?]')) >= 3 " +
+        "AND NOT contains(lower(t), 'lorem ipsum') " +
+        "AND NOT contains(t, '{')) AS keep " +
+        "FROM t1 ORDER BY doc_id"),
+    "q_ngram_repetition" ->
+      // struct-max tiebreak: DuckDB compares {'cnt','gram'} structs in field
+      // order, exactly like Spark's array_max over struct(cnt, gram)
+      ("WITH b AS (SELECT doc_id, text, " +
+        "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> len(w) > 0) AS ws FROM documents), " +
+        "g AS (SELECT doc_id, text, " +
+        "CASE WHEN len(ws) < 2 THEN [] ELSE list_transform(generate_series(1, len(ws)-1), i -> array_to_string(ws[i:i+1], ' ')) END AS g2, " +
+        "CASE WHEN len(ws) < 3 THEN [] ELSE list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' ')) END AS g3 FROM b), " +
+        "m AS (SELECT doc_id, text, g2, g3, " +
+        "list_aggregate(list_transform(list_distinct(g2), d -> {'cnt': len(list_filter(g2, x -> x = d)), 'gram': d}), 'max') AS best2, " +
+        "list_sum(list_transform(list_distinct(g3), d -> CASE WHEN len(list_filter(g3, x -> x = d)) > 1 THEN len(list_filter(g3, x -> x = d)) * len(d) ELSE 0 END)) AS dup3 FROM g) " +
+        "SELECT doc_id, " +
+        "CASE WHEN len(g2) = 0 OR length(text) = 0 THEN 0.0 ELSE floor(CAST(best2.cnt AS DOUBLE) * CAST(len(best2.gram) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END AS top2_frac, " +
+        "CASE WHEN len(g3) = 0 OR length(text) = 0 THEN 0.0 ELSE floor(CAST(dup3 AS DOUBLE) / CAST(length(text) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END AS dup3_frac " +
+        "FROM m ORDER BY doc_id"),
     "q_redact" ->
       ("WITH t AS (SELECT doc_id, text || ' contact u' || doc_id || '@mail.example.org or +1 555 01' || doc_id " +
         "|| ' at 10.0.' || (doc_id % 256) || '.7 see https://ex' || doc_id || '.org/a/b?x=1' AS t FROM documents) " +
