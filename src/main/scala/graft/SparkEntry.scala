@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{Validate, ValidationResult}
 import graft.{filters => F}
 import graft.filters.{Emptiness, FilterMapper, FilterMapperDynamic, FilterRepeater, FilterRepeaterMap, FilterSwitch}
-import graft.ops.{Boilerplate, Dedup, Html, Joins, Layout, QualityRules, Retrieval, Sampling, Similarity, TextAnalysis, Urls}
+import graft.ops.{Boilerplate, Dedup, Html, Joins, Layout, QualityRules, Retrieval, Sampling, Similarity, Sketches, TextAnalysis, Urls}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2.7), each hash-checked against the DuckDB `oracleSql`. */
@@ -651,6 +651,26 @@ object SparkEntry {
         percentile(col("l_quantity"), lit(0.5)).as("p50"),
         percentile(col("l_quantity"), lit(0.9)).as("p90"))
     }),
+    "q_kmv_overlap" -> ((s, dir) => {
+      // cross-corpus set algebra from two mergeable KMV theta sketches
+      // (train/test overlap at 100 TB without re-shuffling keys); k=4096
+      // exceeds every SF's distinct count here, so the sketch holds ALL
+      // hashes and each output is exact — which is what the oracle pins
+      val docs = T(s, dir, "documents")
+      val k = 4096
+      val a = docs.filter(col("doc_id") % 3 =!= 0)
+        .agg(Sketches.kmv(col("doc_id"), k).as("ska"))
+      val b = docs.filter(col("doc_id") % 2 === 0)
+        .agg(Sketches.kmv(col("doc_id"), k).as("skb"))
+      a.crossJoin(b).select(
+        size(col("ska")).cast("long").as("n_a"),
+        size(col("skb")).cast("long").as("n_b"),
+        Sketches.kmvIntersectCount(col("ska"), col("skb"), k).as("n_intersect"),
+        size(Sketches.kmvUnion(col("ska"), col("skb"), k)).cast("long").as("n_union"),
+        (floor(Sketches.kmvIntersectEstimate(col("ska"), col("skb"), k)
+          / Sketches.kmvEstimate(Sketches.kmvUnion(col("ska"), col("skb"), k), k)
+          * 1e6 + 0.5) / 1e6).as("jaccard"))
+    }),
     "q_text_stats" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       docs.groupBy(col("lang"))
@@ -944,15 +964,19 @@ object SparkEntry {
           .when(col("doc_id") % 4 === 1, lit(" 漢字文"))
           .when(col("doc_id") % 4 === 2, lit(" كتاب"))
           .otherwise(lit(" かなカナ")))
-      val sc = TextAnalysis.scriptCounts(t)
-      T(s, dir, "documents").select(col("doc_id"),
-        sc.getField("latin").as("n_latin"),
-        sc.getField("cyrillic").as("n_cyrillic"),
-        sc.getField("cjk").as("n_cjk"),
-        sc.getField("arabic").as("n_arabic"),
-        sc.getField("kana").as("n_kana"),
-        sc.getField("digit").as("n_digit"),
-        TextAnalysis.dominantScript(t).as("script"))
+      // materialize the 9-regex counts struct ONCE, then extract fields
+      // and run the tie-break over the struct column — each class scans
+      // each row exactly once (see dominantScriptFromCounts scaladoc)
+      T(s, dir, "documents")
+        .withColumn("__sc", TextAnalysis.scriptCounts(t))
+        .select(col("doc_id"),
+          col("__sc.latin").as("n_latin"),
+          col("__sc.cyrillic").as("n_cyrillic"),
+          col("__sc.cjk").as("n_cjk"),
+          col("__sc.arabic").as("n_arabic"),
+          col("__sc.kana").as("n_kana"),
+          col("__sc.digit").as("n_digit"),
+          TextAnalysis.dominantScriptFromCounts(col("__sc")).as("script"))
         .orderBy("doc_id")
     }),
     "q_collocations" -> ((s, dir) => {
@@ -1529,6 +1553,17 @@ object SparkEntry {
         "ORDER BY user_id NULLS FIRST"),
     "q_quantiles" ->
       "SELECT quantile_cont(l_quantity, 0.25) AS p25, quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.9) AS p90 FROM lineitem",
+    "q_kmv_overlap" ->
+      // the sketches are exact below k, so every output equals the true
+      // distinct set algebra the oracle computes directly
+      ("WITH a AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 3 <> 0), " +
+        "b AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 0), " +
+        "u AS (SELECT doc_id FROM a UNION SELECT doc_id FROM b) " +
+        "SELECT (SELECT count(*) FROM a) AS n_a, (SELECT count(*) FROM b) AS n_b, " +
+        "(SELECT count(*) FROM a JOIN b USING (doc_id)) AS n_intersect, " +
+        "(SELECT count(*) FROM u) AS n_union, " +
+        "floor(CAST((SELECT count(*) FROM a JOIN b USING (doc_id)) AS DOUBLE) " +
+        "/ CAST((SELECT count(*) FROM u) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS jaccard"),
     "q_text_stats" ->
       "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS n_tokens FROM documents GROUP BY lang ORDER BY lang NULLS FIRST",
     "q_token_count" ->

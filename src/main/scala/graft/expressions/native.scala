@@ -137,4 +137,10 @@ object native {
     * that filter — constant-size generated code at any shard count. */
   def bloomMightContainSharded(shardBytes: Seq[Array[Byte]], value: Column): Column =
     GraftSqlShim.column(BloomMightContainSharded(shardBytes, e(value)))
+
+  /** KMV theta-sketch aggregate over a LongType hash column (see
+    * [[KmvSketchAgg]]; estimator algebra in `graft.ops.Sketches.kmv*`). */
+  def kmvSketch(hash: Column, k: Int): Column =
+    GraftSqlShim.column(
+      KmvSketchAgg(e(hash), k).toAggregateExpression())
 }

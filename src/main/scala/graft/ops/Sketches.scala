@@ -38,4 +38,58 @@ object Sketches {
       approx_count_distinct(col(c)).as("approx_distinct"),
       min(col(c)).as("min"),
       max(col(c)).as("max"))
+
+  // ------------------------------------------------ KMV theta sketches
+  //
+  // HLL answers "how many distinct"; the KMV/theta family additionally
+  // answers UNION / INTERSECTION / JACCARD between corpora (train-test
+  // overlap, snapshot drift) from two tiny mergeable sketches — no key
+  // ever re-shuffles. Build with [[kmv]] (map-side partial k-min trees,
+  // ≤ k longs per partial over the exchange — see
+  // `expressions.KmvSketchAgg`), then combine sketch ARRAYS with the pure
+  // Column algebra below. Values are stored sign-flipped (signed order ==
+  // unsigned hash order); `2^63 ≈ 9.223372036854776e18` converts a stored
+  // value back to an unsigned fraction of the hash space.
+
+  /** KMV sketch aggregate of `xxhash64(c)`: sorted `array<long>` of the k
+    * smallest distinct (sign-flipped) hashes. EXACT while the input has
+    * < k distinct values. */
+  def kmv(c: Column, k: Int = 4096): Column =
+    graft.expressions.native.kmvSketch(xxhash64(c), k)
+
+  /** Unsigned-order cutoff of a sketch: the k-th value when full, +∞
+    * (Long.MaxValue) when the sketch still holds every distinct hash. */
+  private def kmvCutoff(sk: Column, k: Int): Column =
+    when(size(sk) < k, lit(Long.MaxValue)).otherwise(element_at(sk, k))
+
+  /** Cutoff → fraction of the 64-bit hash space below it (theta). */
+  private def thetaFrac(cut: Column): Column =
+    when(cut === Long.MaxValue, lit(1.0))
+      .otherwise((cut.cast("double") + 9.223372036854775808e18) / 1.8446744073709551616e19)
+
+  /** Distinct-cardinality estimate from one sketch: exact size when not
+    * full, else the classic (k-1)/theta estimator. */
+  def kmvEstimate(sk: Column, k: Int): Column =
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(lit((k - 1).toDouble) / thetaFrac(element_at(sk, k)))
+
+  /** Union of two sketches built with the same k (valid KMV sketch of the
+    * union stream): merge, dedup, keep the k smallest. */
+  def kmvUnion(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+
+  /** Number of common retained hashes below both cutoffs — the theta
+    * intersection's sample count. Exact |A ∩ B| while both sketches are
+    * not full. */
+  def kmvIntersectCount(a: Column, b: Column, k: Int): Column = {
+    val cut = least(kmvCutoff(a, k), kmvCutoff(b, k))
+    size(filter(array_intersect(a, b), h => h < cut)).cast("long")
+  }
+
+  /** Theta-intersection cardinality estimate: common-below-cutoff count
+    * scaled by the shared theta. */
+  def kmvIntersectEstimate(a: Column, b: Column, k: Int): Column = {
+    val cut = least(kmvCutoff(a, k), kmvCutoff(b, k))
+    size(filter(array_intersect(a, b), h => h < cut)).cast("double") / thetaFrac(cut)
+  }
 }

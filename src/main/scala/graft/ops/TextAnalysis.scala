@@ -156,10 +156,17 @@ object TextAnalysis {
       regexp_count(text, lit(cls)).cast("long").as(name)
     }: _*)
 
-  /** Dominant script name of [[scriptCounts]] (ties to the first class in
-    * declaration order; all-zero → "none"). */
-  def dominantScript(text: Column): Column = {
-    val counts = scriptCounts(text)
+  /** Dominant script from an ALREADY-MATERIALIZED [[scriptCounts]] struct
+    * column (ties to the first class in declaration order; all-zero →
+    * "none"). Take the struct from its own projection (`withColumn`) —
+    * the tie-break chain references every field several times, and
+    * feeding it a fresh `scriptCounts(text)` expression would clone the
+    * nine regex scans into each reference (the r11 q_script_mix finding:
+    * ~20× redundant regex work that codegen CSE did not reliably
+    * eliminate). CollapseProject keeps a multiply-referenced non-cheap
+    * alias in its own project, so the two-step form runs each class scan
+    * exactly once per row. */
+  def dominantScriptFromCounts(counts: Column): Column = {
     val best = scriptClasses.map(_._1).foldLeft(lit(0L)) {
       (acc, n) => greatest(acc, counts.getField(n))
     }
@@ -167,4 +174,10 @@ object TextAnalysis {
       (n, acc) => when(best > 0 && counts.getField(n) === best, lit(n)).otherwise(acc)
     }
   }
+
+  /** Dominant script name of `text` — one-shot convenience over
+    * [[dominantScriptFromCounts]]; when also selecting the counts, compute
+    * [[scriptCounts]] once in a `withColumn` and pass the column instead. */
+  def dominantScript(text: Column): Column =
+    dominantScriptFromCounts(scriptCounts(text))
 }

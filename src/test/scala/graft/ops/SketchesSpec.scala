@@ -29,4 +29,42 @@ class SketchesSpec extends SparkSuite {
     assert(prof.getLong(0) == li.count() && prof.getLong(1) == 0L)
     assert(prof.getDouble(3) == 1.0 && prof.getDouble(4) == 50.0)
   }
+
+  test("kmv sketch is exact below k, across partitions and duplicates") {
+    import spark.implicits._
+    // 300 distinct ids, each duplicated 3x, spread over 8 partitions
+    val df = (0 until 900).map(_ % 300).toDF("id").repartition(8)
+    val sk = df.agg(Sketches.kmv(col("id"), k = 1024).as("sk"))
+      .select(size(col("sk")).as("n"),
+        Sketches.kmvEstimate(col("sk"), 1024).as("est"))
+      .head()
+    assert(sk.getInt(0) == 300)
+    assert(sk.getDouble(1) == 300.0)
+  }
+
+  test("kmv estimator lands near truth when the sketch saturates") {
+    import spark.implicits._
+    val df = (0 until 20000).toDF("id").repartition(16)
+    val est = df.agg(Sketches.kmv(col("id"), k = 256).as("sk"))
+      .select(Sketches.kmvEstimate(col("sk"), 256)).head().getDouble(0)
+    // (k-1)/theta with k=256: relative error ~1/sqrt(k) ≈ 6%; allow 3σ
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.2, s"estimate $est")
+  }
+
+  test("kmv set algebra: union / intersection exact below k") {
+    import spark.implicits._
+    val a = (0 until 400).toDF("id")
+    val b = (300 until 700).toDF("id")
+    val k = 1024
+    val row = a.agg(Sketches.kmv(col("id"), k).as("ska"))
+      .crossJoin(b.agg(Sketches.kmv(col("id"), k).as("skb")))
+      .select(
+        Sketches.kmvIntersectCount(col("ska"), col("skb"), k).as("ni"),
+        size(Sketches.kmvUnion(col("ska"), col("skb"), k)).as("nu"),
+        Sketches.kmvIntersectEstimate(col("ska"), col("skb"), k).as("est"))
+      .head()
+    assert(row.getLong(0) == 100L)
+    assert(row.getInt(1) == 700)
+    assert(row.getDouble(2) == 100.0)
+  }
 }
