@@ -75,6 +75,13 @@ object SparkEntry {
       lit("tiny\n"),
       substring(col("text"), 151, 999), lit("."))
 
+  /** q_hash_split's named fractions; the oracle derives its hex thresholds
+    * from the SAME cumulative scan `Sampling.hashSplit` runs, so double
+    * summation quirks (0.8+0.1 ≠ 0.9 exactly) cannot diverge the two. */
+  private val HashSplits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private val HashSplitCums: Seq[Double] =
+    HashSplits.map(_._2).scanLeft(0.0)(_ + _).tail
+
   /** DuckDB mirror of [[structuredDoc]], shared by the Gopher/C4 oracles. */
   private val StructuredDocSql: String =
     "concat(substr(text,1,60), '.', chr(10), '- bullet ', substr(text,61,40), chr(10), " +
@@ -650,6 +657,16 @@ object SparkEntry {
         percentile(col("l_quantity"), lit(0.25)).as("p25"),
         percentile(col("l_quantity"), lit(0.5)).as("p50"),
         percentile(col("l_quantity"), lit(0.9)).as("p90"))
+    }),
+    "q_hash_split" -> ((s, dir) => {
+      // deterministic train/val/test partition: id-stable, engine-portable
+      Sampling.hashSplit(T(s, dir, "documents"), "doc_id", HashSplits)
+        .select(col("doc_id"), col("split")).orderBy("doc_id")
+    }),
+    "q_char_entropy" -> ((s, dir) => {
+      T(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.charEntropy(col("text")).as("entropy"))
+        .orderBy("doc_id")
     }),
     "q_kmv_overlap" -> ((s, dir) => {
       // cross-corpus set algebra from two mergeable KMV theta sketches
@@ -1553,6 +1570,28 @@ object SparkEntry {
         "ORDER BY user_id NULLS FIRST"),
     "q_quantiles" ->
       "SELECT quantile_cont(l_quantity, 0.25) AS p25, quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.9) AS p90 FROM lineitem",
+    "q_hash_split" ->
+      // lowercase-hex string compare == numeric compare on the first 32
+      // hash bits (the q_sample_det pattern), thresholds generated from
+      // the same cumulative scan as the Spark side
+      (s"SELECT doc_id, CASE WHEN substr(md5('split:' || doc_id), 1, 8) < " +
+        s"'${Sampling.fractionThreshold(HashSplitCums(0))}' THEN 'train' " +
+        s"WHEN substr(md5('split:' || doc_id), 1, 8) < " +
+        s"'${Sampling.fractionThreshold(HashSplitCums(1))}' THEN 'val' " +
+        "ELSE 'test' END AS split FROM documents ORDER BY doc_id"),
+    "q_char_entropy" ->
+      // list_reduce over a prepended 0.0 accumulator replicates Spark's
+      // aggregate() LEFT-FOLD order bitwise; distinct chars sorted on both
+      // sides so the partial sums add in one canonical order; ln 2 is a
+      // shared literal, not an engine call
+      ("WITH b AS (SELECT doc_id, text, " +
+        "list_transform(generate_series(1, length(text)), i -> substr(text, i, 1)) AS cs FROM documents) " +
+        "SELECT doc_id, CASE WHEN text IS NULL THEN NULL WHEN length(text) = 0 THEN 0.0 ELSE " +
+        "floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_sort(list_distinct(cs)), ch -> " +
+        "-(CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE) / CAST(length(text) AS DOUBLE)) " +
+        "* ln(CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE) / CAST(length(text) AS DOUBLE)))), (a, b) -> a + b) " +
+        "/ 0.6931471805599453) * 1000000.0 + 0.5) / 1000000.0 END AS entropy " +
+        "FROM b ORDER BY doc_id"),
     "q_kmv_overlap" ->
       // the sketches are exact below k, so every output equals the true
       // distinct set algebra the oracle computes directly

@@ -24,7 +24,7 @@ object Sampling {
     substring(md5(concat(lit(salt), lit(":"), id.cast("string"))), 1, 8)
 
   /** Hex threshold such that P(draw < threshold) = fraction. */
-  private[ops] def fractionThreshold(fraction: Double): String = {
+  private[graft] def fractionThreshold(fraction: Double): String = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
     f"${math.min(math.round(fraction * 4294967296.0), 4294967295L)}%08x"
   }
@@ -37,6 +37,30 @@ object Sampling {
                           salt: String = "graft"): DataFrame =
     if (fraction >= 1.0) df
     else df.filter(hashDraw(col(idCol), salt) < lit(fractionThreshold(fraction)))
+
+  /** Deterministic named-fraction partition (train/val/test): each id lands
+    * in exactly ONE split by where its 32-bit hash draw falls among the
+    * cumulative fraction boundaries. Id-stable under corpus growth (a new
+    * document never moves an old one between splits — the property random
+    * `randomSplit` lacks), reproducible on any engine with md5, and
+    * map-only: the label evaluates at the scan, nothing shuffles. Change
+    * `salt` for an independent re-split. Fractions must sum to 1. */
+  def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+                salt: String = "split", splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "hashSplit needs at least one split")
+    splits.foreach { case (n, f) =>
+      require(f >= 0.0, s"split '$n' has negative fraction $f") }
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) <= 1e-9,
+      s"split fractions must sum to 1, got $total")
+    val draw = hashDraw(col(idCol), salt)
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val expr = splits.zip(cums).init.foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cum), acc) =>
+        when(draw < lit(fractionThreshold(cum)), name).otherwise(acc)
+    }
+    df.withColumn(splitCol, expr)
+  }
 
   /** Per-stratum deterministic fractions — the data-mixing primitive
     * ("keep 50% of en, 10% of de, `default` of everything else"). One CASE

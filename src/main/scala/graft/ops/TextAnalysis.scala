@@ -91,6 +91,27 @@ object TextAnalysis {
         / size(toks).cast("double"))
   }
 
+  /** Shannon entropy (bits per character) of the document's character
+    * distribution — the classic cheap garbage detector (≈0 for repeated
+    * filler, ≈ log2(alphabet) for random bytes; natural English prose sits
+    * near 4.1). O(alphabet × length) per row via the in-row count table
+    * (same contract as the n-gram fraction ops: length-cap outliers
+    * upstream). ln is engine-libm; the 1e-6 floor-round absorbs ulp drift
+    * (the LmScore precedent), and ln 2 is a shared literal, not a call. */
+  def charEntropy(text: Column): Column = {
+    val cs = transform(sequence(lit(1), length(text)), i => text.substr(i, lit(1)))
+    val n = length(text).cast("double")
+    // fold over SORTED distinct chars: both engines then add the partial
+    // terms in the same order, so the float sum is reproducible
+    val ent = aggregate(array_sort(array_distinct(cs)), lit(0.0), (acc, ch) => {
+      val p = size(filter(cs, x => x === ch)).cast("double") / n
+      acc - p * log(p)
+    }) / lit(0.6931471805599453) // ln 2
+    when(text.isNull, lit(null).cast("double"))
+      .when(length(text) === 0, 0.0)
+      .otherwise(floor(ent * 1e6 + 0.5) / 1e6)
+  }
+
   /** PII patterns — deliberately RE2-compatible (no lookaround, no
     * backreferences) so the same pattern strings run identically under
     * Java regex (Spark) and RE2 (DuckDB oracle / many scrubbing stacks). */

@@ -73,6 +73,16 @@ class QualityRulesSpec extends SparkSuite {
     assert(sig("one", QualityRules.topNgramCharFraction(col("t"), 2)) == 0.0)
   }
 
+  test("charEntropy: uniform, constant, and empty inputs") {
+    // 4 equiprobable chars -> exactly 2 bits
+    assert(sig("abcd", TextAnalysis.charEntropy(col("t"))) == 2.0)
+    // constant run -> 0 bits
+    assert(sig("aaaaaa", TextAnalysis.charEntropy(col("t"))) == 0.0)
+    assert(sig("", TextAnalysis.charEntropy(col("t"))) == 0.0)
+    // "aab": -(2/3)ln(2/3)-(1/3)ln(1/3) / ln2 = 0.918296
+    assert(sig("aab", TextAnalysis.charEntropy(col("t"))) == 0.918296)
+  }
+
   test("dupNgramCharFraction: only n-grams occurring more than once") {
     // trigrams of "x y z x y z w": "x y z" 2x (5 chars) -> 10/13; others unique
     assert(sig("x y z x y z w", QualityRules.dupNgramCharFraction(col("t"), 3)) == 0.769231)

@@ -39,6 +39,26 @@ class SamplingSpec extends SparkSuite {
     assert(small.subsetOf(big), "thresholded hash draws must nest")
   }
 
+  test("hashSplit: total partition, id-stable under growth, sane proportions") {
+    import spark.implicits._
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val small = (0 until 2000).toDF("id")
+    val grown = (0 until 4000).toDF("id")
+    val a = Sampling.hashSplit(small, "id", splits).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val b = Sampling.hashSplit(grown, "id", splits).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    // every id labeled; old ids keep their split when the corpus doubles
+    assert(a.size == 2000 && a.forall { case (k, v) => b(k) == v })
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.04 &&
+      math.abs(frac("val") - 0.1) < 0.03 && math.abs(frac("test") - 0.1) < 0.03, frac.toString)
+    // bad fractions rejected
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(small, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("stratifiedSample applies per-stratum rates; unknown strata get default") {
     val out = Sampling.stratifiedSample(docs, "lang", "doc_id",
       Map("en" -> 1.0, "de" -> 0.0), default = 0.0)
