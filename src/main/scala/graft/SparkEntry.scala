@@ -75,6 +75,24 @@ object SparkEntry {
       lit("tiny\n"),
       substring(col("text"), 151, 999), lit("."))
 
+  /** q_bpe_tokens's merge table: learned ONCE by `Bpe.learn` over the
+    * sf0.001 documents corpus (16 merges, rank order) and committed as the
+    * vocabulary artifact — the production pattern (vocabularies ship with
+    * the model; they are not re-fit per query). The oracle SQL is GENERATED
+    * from this same Seq, so the two engines always apply identical rules. */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "e r" -> "er", "o r" -> "or", "i n" -> "in", "o w" -> "ow",
+    "s t" -> "st", "l u" -> "lu", "a r" -> "ar", "p ar" -> "par",
+    "m er" -> "mer", "a t" -> "at", "a n" -> "an", "c an" -> "can",
+    "s can" -> "scan", "c o" -> "co", "co lu" -> "colu", "colu m" -> "colum")
+
+  /** DuckDB mirror of `Bpe.applyMerges(Bpe.charSeq(w), BpeMerges)`:
+    * the same non-regex greedy-left `replace` fold. */
+  private def bpeApplySql(inner: String): String =
+    BpeMerges.foldLeft(s"trim(regexp_replace($inner, '(.)', '\\1 ', 'g'))") {
+      case (acc, (p, j)) => s"replace($acc, '$p', '$j')"
+    }
+
   /** q_hash_split's named fractions; the oracle derives its hex thresholds
     * from the SAME cumulative scan `Sampling.hashSplit` runs, so double
     * summation quirks (0.8+0.1 ≠ 0.9 exactly) cannot diverge the two. */
@@ -657,6 +675,12 @@ object SparkEntry {
         percentile(col("l_quantity"), lit(0.25)).as("p25"),
         percentile(col("l_quantity"), lit(0.5)).as("p50"),
         percentile(col("l_quantity"), lit(0.9)).as("p90"))
+    }),
+    "q_bpe_tokens" -> ((s, dir) => {
+      // real BPE subword counts under the committed 16-merge vocabulary
+      T(s, dir, "documents").select(col("doc_id"),
+        graft.ops.Bpe.tokenCount(col("text"), BpeMerges).as("n_bpe"))
+        .orderBy("doc_id")
     }),
     "q_hash_split" -> ((s, dir) => {
       // deterministic train/val/test partition: id-stable, engine-portable
@@ -1570,6 +1594,14 @@ object SparkEntry {
         "ORDER BY user_id NULLS FIRST"),
     "q_quantiles" ->
       "SELECT quantile_cont(l_quantity, 0.25) AS p25, quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.9) AS p90 FROM lineitem",
+    "q_bpe_tokens" ->
+      // generated from the SAME committed merge Seq as the Spark query;
+      // DuckDB's replace is greedy-left like Java's, reproducing BPE's
+      // leftmost-first overlap resolution exactly
+      (s"SELECT doc_id, CAST(coalesce(list_sum(list_transform(" +
+        "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> len(w) > 0), " +
+        s"w -> len(string_split(${bpeApplySql("w")}, ' ')))), 0) AS BIGINT) AS n_bpe " +
+        "FROM documents ORDER BY doc_id"),
     "q_hash_split" ->
       // lowercase-hex string compare == numeric compare on the first 32
       // hash bits (the q_sample_det pattern), thresholds generated from
