@@ -29,6 +29,7 @@ object GraftFunctions {
     ("ip_normalize", StringType, "ipNormalize", Seq(StringType, BooleanType, BooleanType)),
     ("uuid_normalize", StringType, "uuidNormalize", Seq(StringType)),
     ("rolling_hash", LongType, "rollingHash", Seq(StringType)),
+    ("dedup_normalize", StringType, "dedupNormalize", Seq(StringType)),
     ("simhash", LongType, "simHash", Seq(StringType)),
     ("minhash_sig", ArrayType(LongType, containsNull = false), "minhashSig",
       Seq(StringType, IntegerType)),

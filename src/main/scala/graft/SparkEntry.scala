@@ -676,6 +676,23 @@ object SparkEntry {
         percentile(col("l_quantity"), lit(0.5)).as("p50"),
         percentile(col("l_quantity"), lit(0.9)).as("p90"))
     }),
+    "q_winsorize" -> ((s, dir) => {
+      // per-stratum [5%, 95%] clamp of price, exact percentiles
+      Sketches.winsorize(T(s, dir, "lineitem"), "l_extendedprice",
+        "l_returnflag", lo = 0.05, hi = 0.95, outCol = "price_w")
+        .select(col("l_orderkey"), col("l_linenumber"), col("price_w"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q_dedup_normalize" -> ((s, dir) => {
+      // accents + case + punctuation synthesized per row; the kernel's
+      // lowercase→NFD-strip→collapse pipeline must equal DuckDB's
+      // lower→strip_accents→regex-collapse bitwise
+      val t = concat(lit("Héllo, WORLD!  Café #"), col("doc_id"), lit(": "),
+        upper(substring(col("text"), 1, 40)), lit(" ñ-ç…ü"))
+      T(s, dir, "documents").select(col("doc_id"),
+        graft.expressions.native.dedupNormalize(t).as("norm"))
+        .orderBy("doc_id")
+    }),
     "q_bpe_tokens" -> ((s, dir) => {
       // real BPE subword counts under the committed 16-merge vocabulary
       T(s, dir, "documents").select(col("doc_id"),
@@ -1594,6 +1611,24 @@ object SparkEntry {
         "ORDER BY user_id NULLS FIRST"),
     "q_quantiles" ->
       "SELECT quantile_cont(l_quantity, 0.25) AS p25, quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.9) AS p90 FROM lineitem",
+    "q_winsorize" ->
+      // quantile_cont matches Spark's exact `percentile` interpolation
+      // (the q_quantiles precedent); bounds rounded with the shared
+      // formula BEFORE clamping on both sides
+      ("WITH b AS (SELECT l_returnflag AS g, " +
+        "floor(quantile_cont(l_extendedprice, 0.05) * 1000000.0 + 0.5) / 1000000.0 AS lo, " +
+        "floor(quantile_cont(l_extendedprice, 0.95) * 1000000.0 + 0.5) / 1000000.0 AS hi " +
+        "FROM lineitem GROUP BY 1) " +
+        "SELECT l_orderkey, l_linenumber, " +
+        "least(greatest(CAST(l_extendedprice AS DOUBLE), lo), hi) AS price_w " +
+        "FROM lineitem JOIN b ON l_returnflag IS NOT DISTINCT FROM g " +
+        "ORDER BY l_orderkey, l_linenumber"),
+    "q_dedup_normalize" ->
+      // [^\p{L}\p{Nd}]+ is exactly the kernel's isLetterOrDigit complement
+      // (L* + decimal digits); strip_accents is NFD-based like the kernel
+      ("SELECT doc_id, trim(regexp_replace(strip_accents(lower(" +
+        "concat('Héllo, WORLD!  Café #', doc_id, ': ', upper(substr(text, 1, 40)), ' ñ-ç…ü')" +
+        ")), '[^\\p{L}\\p{Nd}]+', ' ', 'g')) AS norm FROM documents ORDER BY doc_id"),
     "q_bpe_tokens" ->
       // generated from the SAME committed merge Seq as the Spark query;
       // DuckDB's replace is greedy-left like Java's, reproducing BPE's

@@ -200,6 +200,35 @@ object Kernels {
     out
   }
 
+  /** Dedup text normalization (the standard MinHash preprocessing from the
+    * public text-dedup stacks): lowercase → NFD → strip combining marks →
+    * collapse every non-alphanumeric run to one space → trim. Accent
+    * semantics match DuckDB's `strip_accents` (both NFD-based: é→e, ł
+    * kept), which is what lets the oracle mirror the full pipeline. One
+    * pass per step over the string, no regex backtracking hazards. */
+  def dedupNormalize(s: UTF8String): UTF8String = {
+    val lowered = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val stripped = Normalizer.normalize(lowered, Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(stripped.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < stripped.length) {
+      val cp = stripped.codePointAt(i)
+      val t = Character.getType(cp)
+      val isMark = t == Character.NON_SPACING_MARK ||
+        t == Character.COMBINING_SPACING_MARK || t == Character.ENCLOSING_MARK
+      if (!isMark) {
+        if (Character.isLetterOrDigit(cp)) {
+          if (pendingSpace && sb.length > 0) sb.append(' ')
+          pendingSpace = false
+          sb.appendCodePoint(cp)
+        } else pendingSpace = true
+      }
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Polynomial rolling hash (Rabin–Karp style) over the whole string —
     * document fingerprinting primitive for the LLM-pipeline ops. Stable,
     * seed-free, platform-independent. */

@@ -59,6 +59,9 @@ object native {
   def rollingHash(c: Column): Column =
     invoke(LongType, "rollingHash", Seq(e(c)), Seq(StringType))
 
+  def dedupNormalize(c: Column): Column =
+    invoke(StringType, "dedupNormalize", Seq(e(c)), Seq(StringType))
+
   def robotsMatch(path: Column, pattern: Column): Column =
     invoke(BooleanType, "robotsMatch", Seq(e(path), e(pattern)),
       Seq(StringType, StringType))

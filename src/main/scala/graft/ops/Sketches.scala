@@ -39,6 +39,36 @@ object Sketches {
       min(col(c)).as("min"),
       max(col(c)).as("max"))
 
+  /** Per-stratum winsorization: clamp `valueCol` into its stratum's
+    * [lo, hi] percentile band — the standard normalization before quality
+    * scores from different domains are compared or mixed (a spam-heavy
+    * domain's tail must not dominate a global threshold). Bounds are
+    * floor-rounded to 6 dp (the cross-engine formula) and broadcast back:
+    * one group-sized aggregate + a broadcast hash join, row-preserving.
+    * `exact = true` uses the exact sort-based percentile (oracle-able;
+    * per-group state is the group's values — fine at moderate group
+    * cardinality); `exact = false` switches to `percentile_approx`
+    * (bounded state, the 100 TB path — same plan shape, approximate
+    * bounds). Rows whose stratum is NULL match the NULL group
+    * (null-safe join), so they winsorize within their own band too. */
+  def winsorize(df: DataFrame, valueCol: String, byCol: String,
+                lo: Double = 0.01, hi: Double = 0.99,
+                outCol: String = "", exact: Boolean = true): DataFrame = {
+    require(lo >= 0.0 && hi <= 1.0 && lo <= hi,
+      s"need 0 <= lo <= hi <= 1, got [$lo, $hi]")
+    val out = if (outCol.isEmpty) valueCol + "_w" else outCol
+    def pct(p: Double): Column =
+      if (exact) percentile(col(valueCol), lit(p))
+      else percentile_approx(col(valueCol), lit(p), lit(10000))
+    val bounds = df.groupBy(col(byCol).as("__g")).agg(
+      (floor(pct(lo) * 1e6 + 0.5) / 1e6).as("__lo"),
+      (floor(pct(hi) * 1e6 + 0.5) / 1e6).as("__hi"))
+    df.join(broadcast(bounds), col(byCol) <=> col("__g"), "left")
+      .withColumn(out,
+        least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi")))
+      .drop("__g", "__lo", "__hi")
+  }
+
   // ------------------------------------------------ KMV theta sketches
   //
   // HLL answers "how many distinct"; the KMV/theta family additionally

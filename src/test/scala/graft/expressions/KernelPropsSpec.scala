@@ -141,4 +141,19 @@ class KernelPropsSpec extends AnyFunSuite {
       Kernels.percentNormalize(u(once)).toString == once
     })
   }
+
+  test("dedupNormalize: vectors, idempotence, and output alphabet") {
+    def dn(s: String) = Kernels.dedupNormalize(u(s)).toString
+    assert(dn("Héllo, WORLD!  Café #7") == "hello world cafe 7")
+    assert(dn("  -- ") == "")
+    assert(dn("łódź") == "łodz") // ł is a letter, not an accent: kept
+    assert(dn("á b") == "a b") // combining acute stripped
+    assert(dn("中文 test") == "中文 test") // non-Latin letters survive
+    check(Prop.forAll(unicodeStr) { s =>
+      val once = dn(s)
+      dn(once) == once && // idempotent
+        // collapsed: never two separators, never edge whitespace
+        !once.contains("  ") && once.trim == once
+    })
+  }
 }

@@ -30,6 +30,25 @@ class SketchesSpec extends SparkSuite {
     assert(prof.getDouble(3) == 1.0 && prof.getDouble(4) == 50.0)
   }
 
+  test("winsorize clamps per stratum; null strata form their own band") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 0.0), ("a", 10.0), ("a", 20.0), ("a", 30.0), ("a", 1000.0),
+      ("b", 5.0), ("b", 6.0), ("b", 7.0), ("b", 8.0), ("b", 9.0)
+    ).toDF("g", "v")
+    val w = Sketches.winsorize(df, "v", "g", lo = 0.25, hi = 0.75)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // stratum a: p25 = 10, p75 = 30 -> 0 clamps up, 1000 clamps down
+    assert(w.filter(_._1 == "a").map(_._3).sorted.toSeq == Seq(10.0, 10.0, 20.0, 30.0, 30.0))
+    // stratum b untouched inside its band except the band edges
+    assert(w.filter(_._1 == "b").map(_._3).min == 6.0)
+    // null stratum winsorizes within itself, not against a/b
+    val withNull = df.union(Seq((null: String, 100.0), (null, 200.0), (null, 300.0)).toDF("g", "v"))
+    val nw = Sketches.winsorize(withNull, "v", "g", lo = 0.25, hi = 0.75)
+      .filter(col("g").isNull).collect().map(_.getDouble(2)).sorted
+    assert(nw.head == 150.0 && nw.last == 250.0, nw.toSeq.toString)
+  }
+
   test("kmv sketch is exact below k, across partitions and duplicates") {
     import spark.implicits._
     // 300 distinct ids, each duplicated 3x, spread over 8 partitions
