@@ -676,6 +676,29 @@ object SparkEntry {
         percentile(col("l_quantity"), lit(0.5)).as("p50"),
         percentile(col("l_quantity"), lit(0.9)).as("p90"))
     }),
+    "q_mean_pool" -> ((s, dir) => {
+      // per-label centroids via the partial-aggregable array_sum agg.
+      // Elements are pre-rounded to the 2^-20 grid, making every partial
+      // sum EXACTLY representable -> the sum is identical under ANY
+      // addition order (Spark partial-agg order is nondeterministic),
+      // which is what lets an aggregate over floats be hash-oracled
+      val emb = T(s, dir, "embeddings").withColumn("e",
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1048576.0 + 0.5) / 1048576.0))
+      Similarity.meanPool(emb, Seq("label"), "e")
+        .select(col("label"), col("n"),
+          posexplode(transform(col("mean"), x => floor(x * 1e6 + 0.5) / 1e6))
+            .as(Seq("pos", "val")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("pos"),
+          col("val"), col("n"))
+        .orderBy("label", "pos")
+    }),
+    "q_phrase_flag" -> ((s, dir) => {
+      val phrases = Seq("merge part", "scan join", "lorem ipsum")
+      T(s, dir, "documents").select(col("doc_id"),
+        QualityRules.containsAnyPhrase(col("text"), phrases).as("flagged"))
+        .orderBy("doc_id")
+    }),
     "q_winsorize" -> ((s, dir) => {
       // per-stratum [5%, 95%] clamp of price, exact percentiles
       Sketches.winsorize(T(s, dir, "lineitem"), "l_extendedprice",
@@ -1611,6 +1634,18 @@ object SparkEntry {
         "ORDER BY user_id NULLS FIRST"),
     "q_quantiles" ->
       "SELECT quantile_cont(l_quantity, 0.25) AS p25, quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.9) AS p90 FROM lineitem",
+    "q_mean_pool" ->
+      // grid-rounded elements make the group sums exact (order-free); the
+      // mean division and 1e-6 rounding then mirror deterministically
+      ("WITH e AS (SELECT label, list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) / 1048576.0) AS emb FROM embeddings), " +
+        "u AS (SELECT label, t.i AS pos, emb[t.i] AS val FROM e, UNNEST(generate_series(1, len(emb))) AS t(i)), " +
+        "s AS (SELECT label, pos, sum(val) AS sv FROM u GROUP BY label, pos), " +
+        "nn AS (SELECT label, count(*) AS nrows FROM e GROUP BY label) " +
+        "SELECT s.label, CAST(pos AS BIGINT) AS pos, floor(sv / nrows * 1000000.0 + 0.5) / 1000000.0 AS val, nrows AS n " +
+        "FROM s JOIN nn ON s.label = nn.label ORDER BY s.label, pos"),
+    "q_phrase_flag" ->
+      ("SELECT doc_id, len(list_filter(['merge part', 'scan join', 'lorem ipsum'], " +
+        "p -> contains(lower(text), p))) > 0 AS flagged FROM documents ORDER BY doc_id"),
     "q_winsorize" ->
       // quantile_cont matches Spark's exact `percentile` interpolation
       // (the q_quantiles precedent); bounds rounded with the shared

@@ -146,4 +146,9 @@ object native {
   def kmvSketch(hash: Column, k: Int): Column =
     GraftSqlShim.column(
       KmvSketchAgg(e(hash), k).toAggregateExpression())
+
+  /** Element-wise vector-sum aggregate over `array<double>` rows →
+    * `struct(sum, n)` (see [[ArraySumAgg]]; `Similarity.meanPool`). */
+  def arraySum(vec: Column): Column =
+    GraftSqlShim.column(ArraySumAgg(e(vec)).toAggregateExpression())
 }

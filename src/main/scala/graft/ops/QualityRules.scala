@@ -139,6 +139,18 @@ object QualityRules {
       !lower(text).contains("lorem ipsum") &&
       !text.contains("{")
 
+  /** True iff the (lowercased) document contains ANY of the phrases — the
+    * C4 badword / policy-phrase page filter. The phrase list ships as an
+    * array literal in the expression tree (fine to a few thousand entries;
+    * a corpus-scale lexicon becomes a broadcast join on extracted tokens
+    * instead). Plain substring containment, not regex — no metacharacter
+    * escaping hazards, and the oracle mirrors it verbatim. */
+  def containsAnyPhrase(text: Column, phrases: Seq[String]): Column = {
+    require(phrases.nonEmpty, "containsAnyPhrase needs at least one phrase")
+    exists(array(phrases.map(p => lit(p.toLowerCase)): _*),
+      p => contains(lower(text), p))
+  }
+
   // ------------------------------------------------- Repetition (n-grams)
 
   /** Word n-grams of `text` (lowercased), space-joined; empty array when the

@@ -302,4 +302,24 @@ object Similarity {
       .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("rep"), col(idCol)).as("rep"))
   }
+
+  /** Mean-pooled embedding per group (chunk → document pooling, cluster
+    * centroids, per-domain embedding profiles): element-wise mean of an
+    * `array`-typed vector column. Built on the partial-aggregable
+    * `array_sum` aggregate (`expressions.ArraySumAgg`) — each map task
+    * reduces its rows to one dim-length partial, so the exchange carries
+    * #groups × dim doubles, never rows; contrast a `collect_list`-based
+    * pooling, which ships every vector to its group's reducer. Output:
+    * group columns + `meanCol` (`array<double>`) + `nCol` (pooled rows).
+    * Groups whose vectors are all null pool to a null mean with n = 0.
+    * Float inputs are upcast exactly; dimension mismatches throw. */
+  def meanPool(df: DataFrame, groupCols: Seq[String], embCol: String,
+               meanCol: String = "mean", nCol: String = "n"): DataFrame = {
+    val summed = df.groupBy(groupCols.map(col): _*)
+      .agg(graft.expressions.native.arraySum(
+        col(embCol).cast("array<double>")).as("__as"))
+    summed.select(groupCols.map(col) ++ Seq(
+      transform(col("__as.sum"), x => x / col("__as.n").cast("double")).as(meanCol),
+      coalesce(col("__as.n"), lit(0L)).as(nCol)): _*)
+  }
 }

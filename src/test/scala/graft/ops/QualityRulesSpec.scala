@@ -73,6 +73,13 @@ class QualityRulesSpec extends SparkSuite {
     assert(sig("one", QualityRules.topNgramCharFraction(col("t"), 2)) == 0.0)
   }
 
+  test("containsAnyPhrase: case-insensitive substring, any-of semantics") {
+    val phrases = Seq("Lorem Ipsum", "click here")
+    assert(sig("best LOREM ipsum generator", QualityRules.containsAnyPhrase(col("t"), phrases)) == true)
+    assert(sig("please Click  here", QualityRules.containsAnyPhrase(col("t"), phrases)) == false)
+    assert(sig("clean prose only", QualityRules.containsAnyPhrase(col("t"), phrases)) == false)
+  }
+
   test("charEntropy: uniform, constant, and empty inputs") {
     // 4 equiprobable chars -> exactly 2 bits
     assert(sig("abcd", TextAnalysis.charEntropy(col("t"))) == 2.0)
