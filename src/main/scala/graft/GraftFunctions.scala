@@ -58,7 +58,12 @@ object GraftFunctions {
     ("url_canonical", 1, args => graft.ops.Urls.canonicalizeUrl(args.head)),
     ("url_host", 1, args => graft.ops.Urls.urlHost(args.head)),
     ("url_domain", 1, args => graft.ops.Urls.registrableDomain(args.head)),
-    ("html_to_text", 1, args => graft.ops.Html.htmlToText(args.head)))
+    ("html_to_text", 1, args => graft.ops.Html.htmlToText(args.head)),
+    // r11 quality/repetition surface
+    ("gopher_keep", 1, args => graft.ops.QualityRules.gopherKeep(args.head)),
+    ("c4_clean", 1, args => graft.ops.QualityRules.c4CleanLines(args.head)),
+    ("char_entropy", 1, args => graft.ops.TextAnalysis.charEntropy(args.head)),
+    ("quality_score", 1, args => graft.ops.TextAnalysis.qualityScore(args.head)))
 
   def columnBuilder(name: String, arity: Int,
                     fn: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column)

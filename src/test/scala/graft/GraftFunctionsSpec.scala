@@ -83,6 +83,20 @@ class GraftFunctionsSpec extends SparkSuite {
     intercept[Exception] { spark.sql("SELECT url_host('a', 'b')").collect() }
   }
 
+  test("r11 quality surface reachable from SQL: gopher_keep/c4_clean/char_entropy/quality_score/dedup_normalize") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT char_entropy('abcd') AS e, " +
+        "c4_clean('This line has five words.\nshort') AS c, " +
+        "dedup_normalize('Héllo, WORLD!') AS d, " +
+        "gopher_keep('x') AS g, quality_score('the data') AS q").collect()(0)
+    assert(r.getDouble(0) == 2.0)
+    assert(r.getString(1) == "This line has five words.")
+    assert(r.getString(2) == "hello world")
+    assert(!r.getBoolean(3)) // one word: fails the 50-word floor
+    assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+  }
+
   test("plan stays codegen-native (no BatchEvalPython/ScalaUDF nodes)") {
     GraftFunctions.register(spark)
     val plan = spark.sql("SELECT casefold(c) FROM VALUES ('A') t(c)")
