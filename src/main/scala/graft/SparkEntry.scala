@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{Validate, ValidationResult}
 import graft.{filters => F}
 import graft.filters.{Emptiness, FilterMapper, FilterMapperDynamic, FilterRepeater, FilterRepeaterMap, FilterSwitch}
-import graft.ops.{Boilerplate, Dedup, Html, Joins, Layout, QualityRules, Retrieval, Sampling, Similarity, Sketches, TextAnalysis, Urls}
+import graft.ops.{Boilerplate, Dedup, Html, Joins, Layout, QualityRules, Retrieval, Sampling, Sequences, Similarity, Sketches, TextAnalysis, TimeSeries, Urls}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2.7), each hash-checked against the DuckDB `oracleSql`. */
@@ -877,6 +877,46 @@ object SparkEntry {
       Joins.asofJoin(clicks, purchases, Seq("user_id"), "ts", "ts",
         direction = "nearest")
         .select(col("event_id"), col("pv")).orderBy("event_id")
+    }),
+    "q_funnel" -> ((s, dir) => {
+      // ordered-sequence funnel view→click→purchase, whole funnel bounded
+      // to 7 days from the first view; greedy earliest-first matching
+      Sequences.funnel(T(s, dir, "events"), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"),
+          horizon = Some(expr("INTERVAL 7 DAYS")))
+        .select(col("user_id"), col("step_reached"),
+          col("t_1"), col("t_2"), col("t_3"))
+        .orderBy("user_id")
+    }),
+    "q_funnel_counts" -> ((s, dir) => {
+      // unbounded variant + the cumulative conversion report
+      val f = Sequences.funnel(T(s, dir, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      Sequences.funnelCounts(f, Seq("view", "click", "purchase")).orderBy("step")
+    }),
+    "q_rolling" -> ((s, dir) => {
+      // per-user rolling features; values snapped to a 2^-20 grid so every
+      // frame aggregate (sums of ≤4 grid points, ÷4 a power of two) is
+      // EXACT in both engines — the oracle compare is rounding-free in
+      // spirit, the round(…,6) is belt-and-braces
+      val ev = T(s, dir, "events").withColumn("v",
+        floor(col("value") * 1048576.0 + 0.5) / 1048576.0)
+      TimeSeries.rollingFeatures(ev, "user_id", "ts", "v", "event_id",
+          rowFrame = 4, rangeSeconds = 86400)
+        .select(col("event_id"), col("lag_1"),
+          round(col("delta"), 6).as("delta"),
+          round(col("roll_avg"), 6).as("roll_avg"),
+          col("roll_min"), col("roll_max"), col("n_range"))
+        .orderBy("event_id")
+    }),
+    "q_ewma" -> ((s, dir) => {
+      // two-level blocked EWMA (α=0.1) vs the oracle's closed-form prefix
+      // sum — machine-precision-equal by the forgetting argument, rounded
+      // to 6dp for the cross-engine hash
+      TimeSeries.ewma(T(s, dir, "events"), "user_id", "ts", "value",
+          "event_id", alpha = 0.1, blockSize = 64)
+        .select(col("event_id"), round(col("ewma"), 6).as("ewma"))
+        .orderBy("event_id")
     }),
     "q_range_join" -> ((s, dir) => {
       // interval containment as a bin-overlap EQUI-join (never a nested
@@ -1934,6 +1974,51 @@ object SparkEntry {
         "AND c.t IS NOT NULL AND p.t IS NOT NULL " +
         "ORDER BY abs(epoch_us(c.t) - epoch_us(p.t)), p.t ASC LIMIT 1) AS pv " +
         "FROM c ORDER BY c.event_id"),
+    "q_funnel" ->
+      // iterated earliest-next-step CTEs — the SQL spelling of greedy
+      // funnel matching; every step ≥2 bounded by t_1 + 7 days
+      ("WITH s1 AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_1 FROM events " +
+        "WHERE event_type = 'view' AND user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1), " +
+        "s2 AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_2 FROM events e JOIN s1 ON e.user_id = s1.user_id " +
+        "WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t_1 AND CAST(e.ts AS TIMESTAMP) <= s1.t_1 + INTERVAL 7 DAY GROUP BY 1), " +
+        "s3 AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_3 FROM events e JOIN s2 ON e.user_id = s2.user_id JOIN s1 ON e.user_id = s1.user_id " +
+        "WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t_2 AND CAST(e.ts AS TIMESTAMP) <= s1.t_1 + INTERVAL 7 DAY GROUP BY 1) " +
+        "SELECT s1.user_id, CAST(CASE WHEN s3.t_3 IS NOT NULL THEN 3 WHEN s2.t_2 IS NOT NULL THEN 2 ELSE 1 END AS INTEGER) AS step_reached, " +
+        "s1.t_1, s2.t_2, s3.t_3 FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id LEFT JOIN s3 ON s1.user_id = s3.user_id " +
+        "ORDER BY s1.user_id"),
+    "q_funnel_counts" ->
+      ("WITH s1 AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_1 FROM events " +
+        "WHERE event_type = 'view' AND user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1), " +
+        "s2 AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_2 FROM events e JOIN s1 ON e.user_id = s1.user_id " +
+        "WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t_1 GROUP BY 1), " +
+        "s3 AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_3 FROM events e JOIN s2 ON e.user_id = s2.user_id " +
+        "WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t_2 GROUP BY 1) " +
+        "SELECT CAST(1 AS INTEGER) AS step, 'view' AS step_type, CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_keys " +
+        "UNION ALL SELECT CAST(2 AS INTEGER), 'click', CAST((SELECT count(*) FROM s2) AS BIGINT) " +
+        "UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT) ORDER BY step"),
+    "q_rolling" ->
+      // identical 2^-20 grid snap; ROWS frame of 4 and a 1-day RANGE frame
+      // over the truncated epoch second — every aggregate exact on the grid
+      ("WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t, floor(value * 1048576.0 + 0.5) / 1048576.0 AS v " +
+        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL) " +
+        "SELECT event_id, lag(v) OVER (PARTITION BY user_id ORDER BY t, event_id) AS lag_1, " +
+        "round(v - lag(v) OVER (PARTITION BY user_id ORDER BY t, event_id), 6) AS delta, " +
+        "round(avg(v) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS roll_avg, " +
+        "min(v) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll_min, " +
+        "max(v) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll_max, " +
+        "CAST(count(*) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(t)) AS BIGINT) " +
+        "RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_range " +
+        "FROM e ORDER BY event_id"),
+    "q_ewma" ->
+      // closed-form prefix spelling: y_t = β^rn · Σ_{i≤t} z_i·β^(−rn_i)
+      // with z_0 = x_0, z_i = α·x_i — exponents ≤ the per-user row count,
+      // safe at oracle scale; the engine's blocked scan must agree to 6dp
+      ("WITH e AS (SELECT event_id, user_id, value, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn " +
+        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL), " +
+        "s AS (SELECT event_id, user_id, rn, power(0.9, -rn) * (CASE WHEN rn = 0 THEN value ELSE 0.1 * value END) AS zb FROM e), " +
+        "p AS (SELECT event_id, user_id, rn, sum(zb) OVER (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING) AS pref FROM s) " +
+        "SELECT event_id, round(power(0.9, rn) * pref, 6) AS ewma FROM p ORDER BY event_id"),
     "q_range_join" ->
       ("WITH r AS (SELECT o_orderkey AS rid, o_totalprice * 0.5 AS lo, o_totalprice * 0.5 + 1000.0 AS hi " +
         "FROM orders WHERE o_orderkey < 50) " +

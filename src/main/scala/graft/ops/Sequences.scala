@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered event-sequence (funnel) matching (SURVEY.md §2.6 extension):
+  * for each key, find the earliest completion of an ordered list of event
+  * types — "view, then click, then purchase, all within the horizon" — and
+  * report how far each key got plus the step timestamps. The analytics
+  * counterpart of `MATCH_RECOGNIZE` / ClickHouse `windowFunnel`, and the
+  * curation counterpart of "did this session produce a conversion label".
+  *
+  * Semantics (greedy earliest-first, the standard funnel definition):
+  * `t1 = min time of step 1`; `t_i = min time of step i strictly after
+  * t_{i-1}` (and, with a horizon, at most `t1 + horizon`). Greedy earliest
+  * matching is optimal here: taking the earliest possible step i never
+  * forecloses a later step, so a key completes the funnel under SOME
+  * assignment iff it completes under the greedy one (exchange argument —
+  * any witness's step-i time is ≥ the greedy t_i, so the greedy prefix
+  * always extends at least as far).
+  *
+  * Execution shape (the 100 TB rationale): NOT a per-key sort. The obvious
+  * encodings — collect each key's events into one sorted list
+  * (`mapGroups`) or run k window functions over the raw events — serialize
+  * a hot key's entire event history through one task. Instead each step is
+  * one filtered conditional aggregation: pass i scans only the step-i
+  * events (a `filter` that reaches the parquet scan as a pushed predicate
+  * on the type column), shuffle-aggregates `min(time)` per key against the
+  * previous pass's per-key frame, and emits ONE ROW PER KEY. Per-pass cost
+  * is a map-side-combined `min` — a key with a billion step-i events still
+  * contributes one row per partition to the exchange. Funnel depth k costs
+  * k such passes joined on the key (all equi-joins on frames of #keys
+  * rows, AQE-planned); depth is a query constant (3–6), not data-sized.
+  */
+object Sequences {
+
+  /** Earliest-completion funnel. Output: one row per key that has at least
+    * one step-1 event — `(keyCol, step_reached, t_1 .. t_k)` with
+    * `step_reached` in `[1, k]` and `t_i` null beyond the reached step.
+    * Keys with no step-1 event do not appear (they reached step 0; emit
+    * them by left-joining this result back to your key universe).
+    *
+    * `horizon` (e.g. `expr("INTERVAL 7 DAYS")`) bounds the WHOLE funnel:
+    * every step beyond the first must land within `t1 + horizon`. Equal
+    * timestamps do NOT advance the funnel (strictly-after matching): a
+    * click logged at exactly the view's timestamp is ambiguous evidence of
+    * order, so it is not counted — the documented tie rule.
+    *
+    * Null keys and null times never match (SQL equi-join semantics).
+    */
+  def funnel(events: DataFrame, keyCol: String, timeCol: String,
+             typeCol: String, steps: Seq[String],
+             horizon: Option[Column] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val k = col(keyCol)
+    // pass 1: earliest step-1 event per key
+    var acc = events
+      .filter(col(typeCol) === steps.head && k.isNotNull && col(timeCol).isNotNull)
+      .groupBy(k).agg(min(col(timeCol)).as("t_1"))
+    steps.zipWithIndex.drop(1).foreach { case (step, i) =>
+      val prev = s"t_$i"
+      val cur = s"t_${i + 1}"
+      // pass i+1: earliest step event strictly after the previous step's
+      // time (and inside the horizon). The join keys on keyCol only; the
+      // time bound is a residual predicate on the equi-join — no theta
+      // join, no window. `acc` is #keys rows; at corpus scale both sides
+      // shuffle on the key and AQE picks the join strategy.
+      val stepEvents = events.filter(col(typeCol) === step &&
+        k.isNotNull && col(timeCol).isNotNull)
+      val bound = horizon match {
+        case Some(h) => col(timeCol) > col(prev) && col(timeCol) <= col("t_1") + h
+        case None    => col(timeCol) > col(prev)
+      }
+      acc = stepEvents.join(acc, Seq(keyCol), "right")
+        .groupBy((k +: (1 to i).map(j => col(s"t_$j"))): _*)
+        .agg(min(when(bound, col(timeCol))).as(cur))
+    }
+    // fold ascending so the DEEPEST step's check lands outermost:
+    // when(t_k notnull, k) else when(t_{k-1} notnull, k-1) … else 0
+    val stepReached = steps.indices.foldLeft(lit(0)) { case (e, i) =>
+      when(col(s"t_${i + 1}").isNotNull, lit(i + 1)).otherwise(e)
+    }
+    acc.select(k +: steps.indices.map(i => col(s"t_${i + 1}")): _*)
+      .withColumn("step_reached", stepReached)
+  }
+
+  /** Funnel summary: how many keys reached AT LEAST each step — the
+    * conversion report. One row per step `(step, step_type, n_keys)`;
+    * `n_keys` is cumulative-from-the-top (step 1 counts every key in the
+    * [[funnel]] output). A single partial-aggregable pass over the
+    * #keys-row funnel frame. */
+  def funnelCounts(funnelResult: DataFrame, steps: Seq[String]): DataFrame = {
+    val perStep = steps.indices.map { i =>
+      sum(when(col("step_reached") >= i + 1, 1L).otherwise(0L)).as(s"__n_${i + 1}")
+    }
+    val wide = funnelResult.agg(perStep.head, perStep.tail: _*)
+    val stacked = explode(array(steps.indices.map(i =>
+      struct(lit(i + 1).as("step"), lit(steps(i)).as("step_type"),
+        col(s"__n_${i + 1}").as("n_keys"))): _*))
+    wide.select(stacked.as("s")).select(col("s.step"), col("s.step_type"), col("s.n_keys"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.ops
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Rolling features and EWMA ([[TimeSeries]]): frame semantics against
+  * hand computation, and the two-level EWMA scan against the plain
+  * sequential recurrence — including tiny block widths that force the
+  * cross-block carry path, and extreme alphas that exercise the
+  * precision-horizon clamps. */
+class TimeSeriesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("rollingFeatures: lag/delta/rows-frame/range-frame semantics") {
+    val d = Seq(
+      (1L, ts(0), 10.0, 1L), (1L, ts(60), 20.0, 2L), (1L, ts(120), 6.0, 3L),
+      (1L, ts(4000), 8.0, 4L), // outside the 1h range frame of the first three
+      (2L, ts(0), 5.0, 5L)
+    ).toDF("k", "t", "v", "id")
+    val out = TimeSeries.rollingFeatures(d, "k", "t", "v", "id",
+        rowFrame = 2, rangeSeconds = 3600)
+      .orderBy("k", "t")
+      .select("k", "lag_1", "delta", "roll_avg", "roll_min", "roll_max", "n_range")
+      .as[(Long, Option[Double], Option[Double], Double, Double, Double, Long)]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, None, None, 10.0, 10.0, 10.0, 1L),
+      (1L, Some(10.0), Some(10.0), 15.0, 10.0, 20.0, 2L),
+      (1L, Some(20.0), Some(-14.0), 13.0, 6.0, 20.0, 3L),
+      (1L, Some(6.0), Some(2.0), 7.0, 6.0, 8.0, 1L), // range frame [400,4000] holds only itself
+      (2L, None, None, 5.0, 5.0, 5.0, 1L)))
+  }
+
+  test("rollingFeatures drops null keys and times") {
+    val d = Seq((Option.empty[Long], Some(ts(0)), 1.0, 1L),
+      (Some(1L), Option.empty[Timestamp], 2.0, 2L), (Some(1L), Some(ts(0)), 3.0, 3L))
+      .toDF("k", "t", "v", "id")
+    assert(TimeSeries.rollingFeatures(d, "k", "t", "v", "id").count() == 1)
+  }
+
+  test("ewma matches the sequential recurrence on random keys (multi-block)") {
+    val rnd = new scala.util.Random(7)
+    for ((alpha, blockSize) <- Seq((0.1, 16), (0.35, 7), (0.9, 4), (0.02, 64), (0.999, 8))) {
+      val rows = (0 until 4000).map { i =>
+        (rnd.nextInt(5).toLong, ts(i.toLong), rnd.nextDouble() * 200 - 100, i.toLong)
+      }
+      val got = TimeSeries.ewma(rows.toDF("k", "t", "v", "id"), "k", "t", "v", "id",
+          alpha, blockSize)
+        .select("id", "ewma").as[(Long, Double)].collect().toMap
+      // reference: y_0 = x_0; y_t = (1-a) y_{t-1} + a x_t, per key in time order
+      val want = rows.groupBy(_._1).values.flatMap { evs =>
+        val sorted = evs.sortBy(e => (e._2.getTime, e._4))
+        var y = 0.0
+        sorted.zipWithIndex.map { case (e, i) =>
+          y = if (i == 0) e._3 else (1 - alpha) * y + alpha * e._3
+          e._4 -> y
+        }
+      }.toMap
+      assert(got.keySet == want.keySet)
+      got.foreach { case (id, v) =>
+        val r = want(id)
+        assert(math.abs(v - r) <= 1e-9 * (1 + math.abs(r)),
+          s"alpha=$alpha W=$blockSize id=$id got=$v want=$r")
+      }
+    }
+  }
+
+  test("ewma: single-row key is the value itself; null value rows drop") {
+    val d = Seq((Some(1L), Some(ts(0)), Some(42.0), 1L),
+      (Some(1L), Some(ts(1)), Option.empty[Double], 2L),
+      (Some(2L), Option.empty[Timestamp], Some(1.0), 3L))
+      .toDF("k", "t", "v", "id")
+    val out = TimeSeries.ewma(d, "k", "t", "v", "id", 0.5)
+      .select("id", "ewma").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 42.0)))
+  }
+
+  test("plan shape: one exchange on the key feeds the rolling frames") {
+    val d = Seq((1L, ts(0), 1.0, 1L)).toDF("k", "t", "v", "id")
+    val plan = TimeSeries.rollingFeatures(d, "k", "t", "v", "id")
+      .queryExecution.executedPlan.toString
+    // all three window groups hash-partition on k — Catalyst reuses one
+    // exchange; no rowFrame-sized state can appear as extra exchanges
+    assert(plan.split("Exchange hashpartitioning").length - 1 <= 2,
+      s"expected the key exchange to be reused:\n$plan")
+  }
+}
