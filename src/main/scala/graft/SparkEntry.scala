@@ -75,6 +75,24 @@ object SparkEntry {
       lit("tiny\n"),
       substring(col("text"), 151, 999), lit("."))
 
+  /** Synthesized link markup for q_links/q_pagerank/q_degrees: two
+    * unconditional links to pages (doc_id·31+7)%500 and (doc_id·31+13)%500
+    * — the first with inner tags and ragged whitespace in its anchor — a
+    * third to (doc_id·31+29)%500 on doc_id%3==0, and an href-less anchor
+    * that must NOT extract. Fixed modulus 500 keeps the node universe
+    * SF-independent in form; the oracles restate the links in closed form. */
+  private def linkFixtureHtml: Column =
+    concat(
+      lit("<p>doc <a href=\"https://ex.org/p"),
+      ((col("doc_id") * 31 + 7) % 500).cast("string"),
+      lit("\">to <b>page</b>  A</a> <a name=\"x\">skip</a> <a href=\"https://ex.org/p"),
+      ((col("doc_id") * 31 + 13) % 500).cast("string"), lit("\">B</a>"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" <a href=\"https://ex.org/p"),
+          ((col("doc_id") * 31 + 29) % 500).cast("string"), lit("\">C</a>")))
+        .otherwise(lit("")),
+      lit("</p>"))
+
   /** q_bpe_tokens's merge table: learned ONCE by `Bpe.learn` over the
     * sf0.001 documents corpus (16 merges, rank order) and committed as the
     * vocabulary artifact — the production pattern (vocabularies ship with
@@ -516,6 +534,43 @@ object SparkEntry {
         lit("<p>uniq"), col("doc_id").cast("string"), lit("</p>"))
       docs.select(col("doc_id"), Html.htmlToText(html).as("text_extracted"))
         .orderBy("doc_id")
+    }),
+    "q_fuzzy_join" -> ((s, dir) => {
+      // typo-tolerant pair discovery over 16-char prefixes: lossless
+      // q-gram prefix-filter blocking vs the oracle's exhaustive
+      // length-filtered all-pairs levenshtein
+      val strs = T(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 16).as("s"))
+      graft.ops.FuzzyJoin.editDistanceJoin(strs, "doc_id", "s", maxDist = 2)
+        .orderBy("id_1", "id_2")
+    }),
+    "q_links" -> ((s, dir) => {
+      // synthesized per-doc markup: two unconditional links (one with
+      // inner tags + messy whitespace in the anchor), a third on doc_id%3,
+      // plus an href-less <a> that must NOT match. Oracle states the
+      // expected (pos, href, anchor) rows in closed form.
+      Html.extractLinks(T(s, dir, "documents")
+          .withColumn("html", linkFixtureHtml), "doc_id", "html")
+        .orderBy("doc_id", "link_pos")
+    }),
+    "q_pagerank" -> ((s, dir) => {
+      // end-to-end link-graph prior: extract links from the synthesized
+      // markup, parse the page id back out of each href, run 3
+      // grid-quantized PageRank iterations over the edge list
+      val edges = Html.extractLinks(T(s, dir, "documents")
+          .withColumn("html", linkFixtureHtml), "doc_id", "html")
+        .select(col("doc_id").as("src"),
+          regexp_extract(col("href"), "([0-9]+)$", 1).cast("long").as("dst"))
+      graft.ops.Graphs.pageRank(edges, "src", "dst", iterations = 3)
+        .select(col("node"), round(col("rank"), 8).as("rank"))
+        .orderBy("node")
+    }),
+    "q_degrees" -> ((s, dir) => {
+      val edges = Html.extractLinks(T(s, dir, "documents")
+          .withColumn("html", linkFixtureHtml), "doc_id", "html")
+        .select(col("doc_id").as("src"),
+          regexp_extract(col("href"), "([0-9]+)$", 1).cast("long").as("dst"))
+      graft.ops.Graphs.degrees(edges, "src", "dst").orderBy("node")
     }),
     "q_curation_e2e" -> ((s, dir) => {
       // the FULL first-pass curation composition, ORACLE-checked (unlike
@@ -1516,6 +1571,48 @@ object SparkEntry {
         "ELSE 'Line1' || chr(10) || 'Line2' || chr(10) || 'Line3 bold &lt;tag&gt;' END " +
         "|| chr(10) || 'uniq' || CAST(doc_id AS VARCHAR) AS text_extracted " +
         "FROM documents ORDER BY doc_id"),
+    "q_fuzzy_join" ->
+      // exhaustive length-filtered all-pairs — the blocking must shed
+      // NOTHING against it (losslessness is the operator's claim)
+      ("WITH s AS (SELECT doc_id, substr(text, 1, 16) AS p FROM documents WHERE text IS NOT NULL) " +
+        "SELECT a.doc_id AS id_1, b.doc_id AS id_2, CAST(levenshtein(a.p, b.p) AS INTEGER) AS dist " +
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id AND abs(length(a.p) - length(b.p)) <= 2 " +
+        "AND levenshtein(a.p, b.p) <= 2 ORDER BY id_1, id_2"),
+    "q_links" ->
+      // closed-form expected rows (not an extractor mirror): the href-less
+      // anchor contributes nothing; anchor 0's inner tags/whitespace are
+      // already normalized here
+      ("WITH l AS (SELECT doc_id, CAST(0 AS INTEGER) AS link_pos, " +
+        "'https://ex.org/p' || CAST((doc_id*31+7)%500 AS VARCHAR) AS href, 'to page A' AS anchor FROM documents " +
+        "UNION ALL SELECT doc_id, CAST(1 AS INTEGER), 'https://ex.org/p' || CAST((doc_id*31+13)%500 AS VARCHAR), 'B' FROM documents " +
+        "UNION ALL SELECT doc_id, CAST(2 AS INTEGER), 'https://ex.org/p' || CAST((doc_id*31+29)%500 AS VARCHAR), 'C' FROM documents WHERE doc_id%3 = 0) " +
+        "SELECT doc_id, link_pos, href, anchor FROM l ORDER BY doc_id, link_pos"),
+    "q_pagerank" ->
+      // three unrolled grid-quantized iterations over the closed-form edge
+      // list; quantization makes every iteration's floats identical across
+      // engines, so the compare needs no tolerance
+      ("WITH e AS (SELECT doc_id AS src, (doc_id*31+7)%500 AS dst FROM documents " +
+        "UNION ALL SELECT doc_id, (doc_id*31+13)%500 FROM documents " +
+        "UNION ALL SELECT doc_id, (doc_id*31+29)%500 FROM documents WHERE doc_id%3 = 0), " +
+        "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), " +
+        "deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1), " +
+        "nn AS (SELECT count(*) AS n FROM nodes), " +
+        "r0 AS (SELECT node, floor((1.0/nn.n)/1e-12 + 0.5)*1e-12 AS rank FROM nodes CROSS JOIN nn), " +
+        "r1 AS (SELECT v.node, floor(((0.15/nn.n) + 0.85*coalesce(c.s, 0))/1e-12 + 0.5)*1e-12 AS rank FROM nodes v CROSS JOIN nn " +
+        "LEFT JOIN (SELECT e.dst AS node, sum(r.rank/deg.d) AS s FROM e JOIN r0 r ON e.src = r.node JOIN deg ON e.src = deg.src GROUP BY 1) c ON v.node = c.node), " +
+        "r2 AS (SELECT v.node, floor(((0.15/nn.n) + 0.85*coalesce(c.s, 0))/1e-12 + 0.5)*1e-12 AS rank FROM nodes v CROSS JOIN nn " +
+        "LEFT JOIN (SELECT e.dst AS node, sum(r.rank/deg.d) AS s FROM e JOIN r1 r ON e.src = r.node JOIN deg ON e.src = deg.src GROUP BY 1) c ON v.node = c.node), " +
+        "r3 AS (SELECT v.node, floor(((0.15/nn.n) + 0.85*coalesce(c.s, 0))/1e-12 + 0.5)*1e-12 AS rank FROM nodes v CROSS JOIN nn " +
+        "LEFT JOIN (SELECT e.dst AS node, sum(r.rank/deg.d) AS s FROM e JOIN r2 r ON e.src = r.node JOIN deg ON e.src = deg.src GROUP BY 1) c ON v.node = c.node) " +
+        "SELECT node, round(rank, 8) AS rank FROM r3 ORDER BY node"),
+    "q_degrees" ->
+      ("WITH e AS (SELECT doc_id AS src, (doc_id*31+7)%500 AS dst FROM documents " +
+        "UNION ALL SELECT doc_id, (doc_id*31+13)%500 FROM documents " +
+        "UNION ALL SELECT doc_id, (doc_id*31+29)%500 FROM documents WHERE doc_id%3 = 0), " +
+        "o AS (SELECT src AS node, count(*) AS c FROM e GROUP BY 1), " +
+        "i AS (SELECT dst AS node, count(*) AS c FROM e GROUP BY 1) " +
+        "SELECT coalesce(o.node, i.node) AS node, CAST(coalesce(o.c, 0) AS BIGINT) AS out_deg, " +
+        "CAST(coalesce(i.c, 0) AS BIGINT) AS in_deg FROM o FULL JOIN i ON o.node = i.node ORDER BY node"),
     "q_curation_e2e" ->
       // stage-by-stage mirror: blocklist = even ids (closed form);
       // canonical form stated in closed form; URL dedup / boilerplate /

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Edit-distance similarity join (SURVEY.md §2.6 extension): all pairs of
+  * rows whose strings are within Levenshtein distance `maxDist` — the
+  * fuzzy-key join behind entity resolution, typo-tolerant dedup, and
+  * crawl-URL/title reconciliation.
+  *
+  * Never all-pairs: candidates come from LOSSLESS q-gram prefix-filter
+  * blocking (the Ed-Join scheme, Xiao et al., VLDB 2008):
+  *
+  *  - One edit operation disturbs at most `q` of a string's positional
+  *    q-grams, so strings within distance k share all but ≤ q·k grams —
+  *    by the pigeonhole principle, ANY (q·k+1)-subset of one string's
+  *    gram set intersects the other's gram set. Fixing one global total
+  *    order over grams and taking each string's FIRST q·k+1 grams in that
+  *    order ("the signature") therefore guarantees two matching strings
+  *    share ≥ 1 signature gram. Ordering by ascending document frequency
+  *    makes signatures prefer RARE grams, which is what keeps blocks
+  *    small — but correctness needs only a fixed order, not a good one.
+  *  - The theorem needs the pair's required overlap to be ≥ 1, which
+  *    fails when BOTH strings own ≤ q·k grams (k edits can then destroy
+  *    every gram — e.g. "abcdefgh" at q=3, k=2). All such strings
+  *    (len ≤ q·k + q − 1) therefore additionally enter a short-string
+  *    pool, banded by ⌊len/(k+1)⌋ with each string emitting its own and
+  *    the previous band — bands differ by ≤ 1 whenever lengths differ by
+  *    ≤ k, so no short-short pair escapes; short-long pairs have a
+  *    long side with > q·k grams, which restores the theorem (the short
+  *    side keeps ALL its grams as signature, longer than its required
+  *    prefix).
+  *  - Candidates then pass the length filter (|len₁−len₂| ≤ k) and exact
+  *    `levenshtein(s₁, s₂, k)` verification (the threshold form stops
+  *    early once a row of the DP matrix exceeds k).
+  *
+  * Execution shape (the 100 TB rationale): gram document frequencies are
+  * a partial-aggregable `groupBy(gram).count` joined back to the gram
+  * table (an AQE equi-join — the vocabulary is corpus-sized web text, so
+  * NO driver-side collect); per-string ranking is a window bounded by the
+  * string's own gram count; candidate generation is an equi-join on the
+  * signature token. Rare-gram signatures keep token blocks small by
+  * construction; the one deliberately shared block is the short-string
+  * pool, which is bounded by the distinct-short-string universe
+  * (alphabet^(q·k+q−1)) — run exact dedup first if your corpus holds
+  * millions of COPIES of the same short string, since those pairs are
+  * quadratic in the OUTPUT, not an artifact of the blocking.
+  */
+object FuzzyJoin {
+
+  /** All pairs `(id_1, id_2, dist)` with `id_1 < id_2` and
+    * `levenshtein(str_1, str_2) = dist ≤ maxDist`. Null strings drop.
+    * `q` is the gram width (default 3); any `q ≥ 2` is correct — larger
+    * q means rarer grams but longer signatures (q·maxDist+1). */
+  def editDistanceJoin(df: DataFrame, idCol: String, strCol: String,
+                       maxDist: Int, q: Int = 3): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be ≥ 0, got $maxDist")
+    require(q >= 2, s"q must be ≥ 2, got $q")
+    val sigLen = q * maxDist + 1
+    val strs = df.select(col(idCol).cast("long").as("__id"),
+        col(strCol).as("__s"))
+      .filter(col("__s").isNotNull)
+      .withColumn("__len", length(col("__s")))
+    // distinct positional-content q-grams per string (set semantics — the
+    // prefix theorem is stated over gram sets)
+    val grams = strs.filter(col("__len") >= q)
+      .select(col("__id"), explode(array_distinct(
+        expr(s"transform(sequence(1, __len - ${q - 1}), i -> substring(__s, i, $q))")))
+        .as("__g"))
+    val dfCounts = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    val ranked = grams.join(dfCounts, "__g")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__id")).orderBy(col("__df"), col("__g"))))
+      .filter(col("__rk") <= sigLen)
+      .select(col("__id"), col("__g").as("__tok"))
+    // short-string pool: every string with ≤ q·maxDist grams (incl. all
+    // gramless ones) — the regime where the prefix theorem gives no
+    // guarantee between two pool members
+    val shortMax = q * maxDist + q - 1
+    val band = floor(col("__len") / (maxDist + 1)).cast("long")
+    val shorts = strs.filter(col("__len") <= shortMax)
+      .select(col("__id"), explode(array(
+        concat(lit("#s:"), band),
+        concat(lit("#s:"), band - 1))).as("__tok"))
+    val tokens = ranked.unionByName(shorts)
+    val cands = tokens.as("a").join(tokens.as("b"),
+        col("a.__tok") === col("b.__tok") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("__id1"), col("b.__id").as("__id2"))
+      .distinct()
+    cands
+      .join(strs.select(col("__id").as("__id1"), col("__s").as("__s1"),
+        col("__len").as("__l1")), "__id1")
+      .join(strs.select(col("__id").as("__id2"), col("__s").as("__s2"),
+        col("__len").as("__l2")), "__id2")
+      .filter(abs(col("__l1") - col("__l2")) <= maxDist)
+      .withColumn("dist", expr(s"levenshtein(__s1, __s2, $maxDist)"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("__id1").as("id_1"), col("__id2").as("id_2"), col("dist"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.expressions.native
 
@@ -73,5 +73,36 @@ object Html {
       regexp_replace(decoded, "[ \\t\\x0B\\f\\r\\u00A0]+", " "),
       " ?\\n[ \\n]*", "\n")
     trim(collapsed, " \n")
+  }
+
+  /** `<a href="…">anchor</a>` pattern: group 1 = the double-quoted href
+    * value, group 2 = the inner HTML. Same regex class (and limits) as
+    * [[htmlToText]]; single-quoted/unquoted hrefs and `<a>` without an
+    * href (anchors, JS handlers) deliberately don't match. */
+  private val LinkPattern =
+    "(?is)<a\\b[^>]*?href\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a\\s*>"
+
+  /** Hyperlink extraction — the crawl-frontier / link-graph feed: one row
+    * per `<a href>` link, `(idCol, link_pos, href, anchor)` with
+    * `link_pos` the 0-based in-document position, `href` the raw
+    * attribute value (canonicalize downstream with [[Urls.canonicalize]])
+    * and `anchor` the link text with inner tags stripped and whitespace
+    * collapsed. Linkless documents emit nothing; null html drops.
+    *
+    * Map-only: two `regexp_extract_all` passes (href group, anchor
+    * group — identical pattern, so the arrays align) zipped and
+    * posexploded. Zero shuffles at any corpus size; feeds
+    * [[Graphs.pageRank]] directly. */
+  def extractLinks(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val h = col(htmlCol)
+    df.filter(h.isNotNull)
+      .select(col(idCol),
+        posexplode(arrays_zip(
+          regexp_extract_all(h, lit(LinkPattern), lit(1)),
+          regexp_extract_all(h, lit(LinkPattern), lit(2)))).as(Seq("link_pos", "__z")))
+      .select(col(idCol), col("link_pos"),
+        col("__z.0").as("href"),
+        trim(regexp_replace(regexp_replace(col("__z.1"), "<[^>]*>", " "),
+          "\\s+", " ")).as("anchor"))
   }
 }

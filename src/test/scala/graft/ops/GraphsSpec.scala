@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.SparkSuite
+
+/** PageRank and degrees ([[Graphs]]): hand-checkable graphs, a local
+  * iterative reference on random graphs, dangling-node semantics, and
+  * link extraction ([[Html.extractLinks]]) vectors. */
+class GraphsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("two-node cycle converges to uniform; ranks sum to 1") {
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = Graphs.pageRank(e, "src", "dst", iterations = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(r(1L) - 0.5) < 1e-9 && math.abs(r(2L) - 0.5) < 1e-9)
+  }
+
+  test("random graphs match a local iterative reference") {
+    val rnd = new scala.util.Random(23)
+    val edges = (0 until 400).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    for (iters <- Seq(1, 3)) {
+      val got = Graphs.pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
+        .as[(Long, Double)].collect().toMap
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      val nn = nodes.length
+      val outdeg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+      var r = nodes.map(_ -> 1.0 / nn).toMap
+      for (_ <- 1 to iters) {
+        val in = edges.groupBy(_._2).view.mapValues(
+          _.map(e => r(e._1) / outdeg(e._1)).sum).toMap
+        r = nodes.map(v => v -> (0.15 / nn + 0.85 * in.getOrElse(v, 0.0))).toMap
+      }
+      assert(got.keySet == r.keySet)
+      got.foreach { case (v, x) =>
+        assert(math.abs(x - r(v)) < 1e-9, s"iters=$iters node=$v got=$x want=${r(v)}")
+      }
+    }
+  }
+
+  test("dangling nodes absorb mass (documented simple-iteration variant)") {
+    // 1→2, 2 has no out-edges: after enough iterations total mass < 1
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val r = Graphs.pageRank(e, "src", "dst", iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(r.values.sum < 1.0)
+    assert(r(2L) > r(1L)) // 2 receives, 1 only leaks
+  }
+
+  test("degrees fills zeros over the full node universe") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val d = Graphs.degrees(e, "src", "dst").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(d == Set((1L, 2L, 0L), (2L, 1L, 1L), (3L, 0L, 2L)))
+  }
+
+  test("extractLinks: positions, href parsing, anchor tag-strip, non-matches") {
+    val html =
+      """<p>intro <a href="https://a.example/x">First <b>bold</b>  link</a>
+        |<a name="no-href">not a link</a>
+        |<A HREF="/rel path">second</A>
+        |<a href='single-quoted'>skipped</a>
+        |<a href="">empty</a></p>""".stripMargin
+    val out = Html.extractLinks(Seq((7L, html)).toDF("doc_id", "html"),
+        "doc_id", "html")
+      .as[(Long, Int, String, String)].collect().sortBy(_._2).toSeq
+    assert(out == Seq(
+      (7L, 0, "https://a.example/x", "First bold link"),
+      (7L, 1, "/rel path", "second"),
+      (7L, 2, "", "empty")))
+  }
+
+  test("extractLinks is map-only; linkless and null docs emit nothing") {
+    val d = Seq((1L, Some("<p>no links</p>")), (2L, None)).toDF("doc_id", "html")
+    val res = Html.extractLinks(d, "doc_id", "html")
+    assert(res.count() == 0)
+    assert(!res.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+}
