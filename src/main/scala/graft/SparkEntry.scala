@@ -544,6 +544,35 @@ object SparkEntry {
       graft.ops.FuzzyJoin.editDistanceJoin(strs, "doc_id", "s", maxDist = 2)
         .orderBy("id_1", "id_2")
     }),
+    "q_quality_score" -> ((s, dir) => {
+      // fixed-weight linear quality model over interpretable signals —
+      // the score a trained fastText-style filter would assign, stated
+      // in closed form so the oracle is plain arithmetic
+      val d = T(s, dir, "documents").filter(col("text").isNotNull)
+      graft.ops.Classifier.scoreLinear(d, Seq(
+          least(col("n_chars") / 500.0, lit(2.0)) -> 0.8,
+          (size(split(col("text"), " ")) / 100.0) -> 0.6,
+          (length(regexp_replace(col("text"), "[a-z ]", ""))
+            / greatest(length(col("text")), lit(1))) -> -2.0),
+          bias = -0.5)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+    }),
+    "q_logit_fit" -> ((s, dir) => {
+      // train the quality model IN the engine: 3 grid-quantized GD
+      // iterations against the weak lang=='en' label; the oracle unrolls
+      // the identical iterations in SQL
+      val d = T(s, dir, "documents")
+        .filter(col("text").isNotNull && col("lang").isNotNull && col("n_chars").isNotNull)
+        .withColumn("y", when(col("lang") === "en", 1.0).otherwise(0.0))
+      graft.ops.Classifier.fitLogistic(d, Seq(
+          least(col("n_chars") / 500.0, lit(2.0)),
+          length(regexp_replace(col("text"), "[a-z ]", ""))
+            / greatest(length(col("text")), lit(1))),
+          "y", learningRate = 2.0, iterations = 3)
+        .select(round(col("bias"), 6).as("bias"), round(col("w_1"), 6).as("w_1"),
+          round(col("w_2"), 6).as("w_2"), col("n"))
+    }),
     "q_links" -> ((s, dir) => {
       // synthesized per-doc markup: two unconditional links (one with
       // inner tags + messy whitespace in the anchor), a third on doc_id%3,
@@ -1578,6 +1607,36 @@ object SparkEntry {
         "SELECT a.doc_id AS id_1, b.doc_id AS id_2, CAST(levenshtein(a.p, b.p) AS INTEGER) AS dist " +
         "FROM s a JOIN s b ON a.doc_id < b.doc_id AND abs(length(a.p) - length(b.p)) <= 2 " +
         "AND levenshtein(a.p, b.p) <= 2 ORDER BY id_1, id_2"),
+    "q_quality_score" ->
+      ("SELECT doc_id, round(1.0/(1.0 + exp(-(-0.5 + 0.8*least(n_chars/500.0, 2.0) " +
+        "+ 0.6*(len(string_split(text, ' '))/100.0) " +
+        "- 2.0*(length(regexp_replace(text, '[a-z ]', '', 'g'))/greatest(length(text), 1))))), 6) AS score " +
+        "FROM documents WHERE text IS NOT NULL ORDER BY doc_id"),
+    "q_logit_fit" ->
+      // three unrolled GD iterations, every gradient component and weight
+      // snapped to the 1e-9 grid exactly as the engine does — the weights
+      // that come out must agree float-for-float at 6dp
+      ("WITH d AS (SELECT least(n_chars/500.0, 2.0) AS f1, " +
+        "length(regexp_replace(text, '[a-z ]', '', 'g'))/greatest(length(text), 1) AS f2, " +
+        "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents " +
+        "WHERE text IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL), " +
+        "nn AS (SELECT count(*) AS n FROM d), " +
+        "i1 AS (SELECT floor(sum(0.5 - y)/1e-9 + 0.5)*1e-9 AS g0, " +
+        "floor(sum((0.5 - y)*f1)/1e-9 + 0.5)*1e-9 AS g1, floor(sum((0.5 - y)*f2)/1e-9 + 0.5)*1e-9 AS g2 FROM d), " +
+        "w1 AS (SELECT floor((0 - 2.0*g0/n)/1e-9 + 0.5)*1e-9 AS b, floor((0 - 2.0*g1/n)/1e-9 + 0.5)*1e-9 AS wa, " +
+        "floor((0 - 2.0*g2/n)/1e-9 + 0.5)*1e-9 AS wb FROM i1, nn), " +
+        "i2 AS (SELECT floor(sum(1.0/(1.0 + exp(-(b + wa*f1 + wb*f2))) - y)/1e-9 + 0.5)*1e-9 AS g0, " +
+        "floor(sum((1.0/(1.0 + exp(-(b + wa*f1 + wb*f2))) - y)*f1)/1e-9 + 0.5)*1e-9 AS g1, " +
+        "floor(sum((1.0/(1.0 + exp(-(b + wa*f1 + wb*f2))) - y)*f2)/1e-9 + 0.5)*1e-9 AS g2 FROM d, w1), " +
+        "w2 AS (SELECT floor((b - 2.0*g0/n)/1e-9 + 0.5)*1e-9 AS b2, floor((wa - 2.0*g1/n)/1e-9 + 0.5)*1e-9 AS wa2, " +
+        "floor((wb - 2.0*g2/n)/1e-9 + 0.5)*1e-9 AS wb2 FROM i2, w1, nn), " +
+        "i3 AS (SELECT floor(sum(1.0/(1.0 + exp(-(b2 + wa2*f1 + wb2*f2))) - y)/1e-9 + 0.5)*1e-9 AS g0, " +
+        "floor(sum((1.0/(1.0 + exp(-(b2 + wa2*f1 + wb2*f2))) - y)*f1)/1e-9 + 0.5)*1e-9 AS g1, " +
+        "floor(sum((1.0/(1.0 + exp(-(b2 + wa2*f1 + wb2*f2))) - y)*f2)/1e-9 + 0.5)*1e-9 AS g2 FROM d, w2), " +
+        "w3 AS (SELECT floor((b2 - 2.0*g0/n)/1e-9 + 0.5)*1e-9 AS b3, floor((wa2 - 2.0*g1/n)/1e-9 + 0.5)*1e-9 AS wa3, " +
+        "floor((wb2 - 2.0*g2/n)/1e-9 + 0.5)*1e-9 AS wb3 FROM i3, w2, nn) " +
+        "SELECT round(b3, 6) AS bias, round(wa3, 6) AS w_1, round(wb3, 6) AS w_2, " +
+        "CAST(nn.n AS BIGINT) AS n FROM w3, nn"),
     "q_links" ->
       // closed-form expected rows (not an extractor mirror): the href-less
       // anchor contributes nothing; anchor 0's inner tags/whitespace are
@@ -2357,6 +2416,17 @@ object SparkEntry {
       // and this keeps the full-corpus timing series going round-over-round
       Dedup.ngramNearDups(T(s, dir, "documents"), "doc_id", "text",
         ngram = 5, numHashes = 64, threshold = 0.95)
+    }),
+    "b_hashed_score" -> ((s, dir) => {
+      // fastText-style hashed-bigram scoring wall-clock: a 2^14-bucket
+      // deterministic weight table through the map-only aggregate fold
+      // (murmur3 bucketing isn't SQL-portable, so its correctness home is
+      // ClassifierSpec's engine-hash closed form; this keeps a timing row)
+      val weights = Array.tabulate(1 << 14)(i => ((i * 2654435761L >>> 18) % 17).toDouble / 8.0 - 1.0)
+      graft.ops.Classifier.hashedNgramScore(
+        T(s, dir, "documents").filter(col("text").isNotNull),
+        "text", weights, bias = -0.2)
+        .filter(col("score") > 0.5)
     }),
     "b_multimodal_decode" -> ((s, _) => {
       // REAL ImageIO decode under timing: 256 deterministic in-process

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality scoring (SURVEY.md §2.6 extension): the
+  * classifier step of a curation pipeline — a linear scorer over
+  * engineered signal columns, a fastText-style hashed bag-of-n-grams
+  * scorer for text, and a fixed-iteration logistic trainer so the
+  * weights can be FIT in the engine against weak labels (the
+  * CCNet/fastText quality-filter recipe: label a seed corpus, train a
+  * cheap linear model, score the crawl).
+  *
+  * Execution shape: scoring is MAP-ONLY Column arithmetic (zero
+  * shuffles, whole-stage codegen; the hashed variant keeps its weight
+  * table as a broadcast array literal and folds grams with
+  * `aggregate`, never exploding rows). Training is batch gradient
+  * descent: each iteration is ONE partial-aggregable gradient sum over
+  * the corpus; the weight vector is a handful of scalars on the driver
+  * (model-state class, like the k-means centroids in
+  * [[Similarity.kmeansRefine]]).
+  */
+object Classifier {
+
+  /** σ(bias + Σ wᵢ·fᵢ) appended as `scoreCol` — `features` are
+    * (column, weight) pairs; any numeric Column works (raw signals,
+    * [[TextAnalysis]] outputs, upstream model scores). */
+  def scoreLinear(df: DataFrame, features: Seq[(Column, Double)],
+                  bias: Double, scoreCol: String = "score"): DataFrame = {
+    val z = features.foldLeft(lit(bias)) { case (acc, (c, w)) =>
+      acc + c.cast("double") * lit(w)
+    }
+    df.withColumn(scoreCol, lit(1.0) / (lit(1.0) + exp(-z)))
+  }
+
+  /** fastText-style text score: whitespace tokens plus adjacent-token
+    * bigrams, each hashed (Murmur3, Spark's `hash`) into
+    * `weights.length` buckets; the score is σ(bias + mean over grams of
+    * w[bucket(gram)]). The weight table rides into the plan as ONE
+    * array literal (broadcast with the task binary — keep it
+    * model-sized, e.g. 2^12–2^20 buckets); gram folding is an
+    * `aggregate` over the in-row gram array, so the whole thing is one
+    * codegen'd projection. Empty/null text scores σ(bias). */
+  def hashedNgramScore(df: DataFrame, textCol: String,
+                       weights: Array[Double], bias: Double,
+                       scoreCol: String = "score"): DataFrame = {
+    require(weights.nonEmpty)
+    val b = weights.length
+    val toks = split(trim(col(textCol)), "\\s+")
+    val unigrams = when(col(textCol).isNull || trim(col(textCol)) === "",
+      array().cast("array<string>")).otherwise(toks)
+    // zip_with pads the shorter side with null; the null-right pair must
+    // yield null (not a concat_ws-skipped unigram echo) so filter drops it
+    val bigrams = filter(
+      zip_with(unigrams, slice(unigrams, lit(2), size(unigrams)),
+        (a, bb) => when(bb.isNull, lit(null)).otherwise(concat(a, lit(" "), bb))),
+      g => g.isNotNull)
+    val grams = concat(unigrams, bigrams)
+    val wArr = lit(weights)
+    val total = aggregate(grams, lit(0.0),
+      (acc, g) => acc + element_at(wArr, (pmod(hash(g), lit(b)) + 1).cast("int")))
+    val z = lit(bias) +
+      when(size(grams) > 0, total / size(grams)).otherwise(lit(0.0))
+    df.withColumn(scoreCol, lit(1.0) / (lit(1.0) + exp(-z)))
+  }
+
+  /** Batch-gradient-descent logistic regression over feature columns:
+    * minimizes mean log-loss of σ(w₀ + Σ wⱼ·fⱼ) against the 0/1
+    * `labelCol` for a FIXED `iterations` count (the curation use wants
+    * a calibrated linear ranker after a few sweeps, not convergence
+    * machinery). Returns one row: `(bias, w_1 … w_k, n)`.
+    *
+    * Each iteration aggregates the full gradient in one
+    * map-side-combined pass (`k+1` sums — nothing is collected but the
+    * gradient itself); the weight update happens on the driver, and the
+    * new weights re-enter the plan as literals. `quantum` > 0 snaps
+    * each gradient component and weight to that grid, making the fit
+    * bit-reproducible across plans/partitionings (summation noise
+    * ~1e-16 relative cannot survive a 1e-9 grid). Rows with any null
+    * feature or label drop. */
+  def fitLogistic(df: DataFrame, features: Seq[Column], labelCol: String,
+                  learningRate: Double = 1.0, iterations: Int = 5,
+                  quantum: Double = 1e-9): DataFrame = {
+    require(iterations >= 1 && learningRate > 0)
+    val k = features.size
+    def snap(x: Double) = if (quantum > 0) math.floor(x / quantum + 0.5) * quantum else x
+    val cols = features.zipWithIndex.map { case (c, i) => c.cast("double").as(s"f_$i") }
+    val base = df.select(cols :+ col(labelCol).cast("double").as("y"): _*)
+      .na.drop()
+    var w = Array.fill(k + 1)(0.0) // w(0) = bias
+    var n = 0L
+    for (_ <- 1 to iterations) {
+      val z = (1 to k).foldLeft(lit(w(0))) { (acc, j) =>
+        acc + col(s"f_${j - 1}") * lit(w(j))
+      }
+      val err = (lit(1.0) / (lit(1.0) + exp(-z))) - col("y")
+      val aggs = sum(err).as("g_0") +:
+        (1 to k).map(j => sum(err * col(s"f_${j - 1}")).as(s"g_$j")) :+
+        count(lit(1)).as("n")
+      val row = base.agg(aggs.head, aggs.tail: _*).head()
+      n = row.getAs[Long]("n")
+      require(n > 0, "fitLogistic: no complete rows to fit on")
+      w = w.zipWithIndex.map { case (wj, j) =>
+        snap(wj - learningRate * snap(row.getAs[Double](s"g_$j")) / n)
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = Seq((w(0), w.drop(1).toSeq, n)).toDF("bias", "w", "n")
+    out.select(col("bias") +:
+      (1 to k).map(j => col("w").getItem(j - 1).as(s"w_$j")) :+ col("n"): _*)
+  }
+}
