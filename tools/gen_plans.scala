@@ -31,7 +31,9 @@ for (name <- Seq("flagship_valid_split", "q_required", "q_min", "q_topk_similar"
     "q_bm25_topk", "q_shard_assign", "q_stream_session", "q_bigram_ll",
     "q_robots", "q_semdedup", "q_collocations", "q_script_mix",
     "q_perplexity_buckets", "q_ngram_jaccard",
-    "q_kmv_overlap", "q_winsorize", "q_gopher_rules", "q_bpe_tokens", "q_mean_pool")) {
+    "q_kmv_overlap", "q_winsorize", "q_gopher_rules", "q_bpe_tokens", "q_mean_pool",
+    "q_funnel", "q_rolling", "q_ewma", "q_fuzzy_join", "q_pagerank",
+    "q_quality_score", "q_logit_fit")) {
   val df = if (name == "flagship_valid_split") flagship
            else graft.SparkEntry.queries(name)(spark, dir)
   out.println()
