@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{Validate, ValidationResult}
 import graft.{filters => F}
 import graft.filters.{Emptiness, FilterMapper, FilterMapperDynamic, FilterRepeater, FilterRepeaterMap, FilterSwitch}
-import graft.ops.{Boilerplate, Dedup, Html, Joins, Layout, QualityRules, Retrieval, Sampling, Sequences, Similarity, Sketches, TextAnalysis, TimeSeries, Urls}
+import graft.ops.{Boilerplate, Cdc, Dedup, Html, Joins, Layout, QualityRules, Retrieval, Rollups, Sampling, Sequences, Similarity, Sketches, TextAnalysis, TimeSeries, Urls}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2.7), each hash-checked against the DuckDB `oracleSql`. */
@@ -1001,6 +1001,99 @@ object SparkEntry {
           "event_id", alpha = 0.1, blockSize = 64)
         .select(col("event_id"), round(col("ewma"), 6).as("ewma"))
         .orderBy("event_id")
+    }),
+    "q_cdc_apply" -> ((s, dir) => {
+      // CDC merge over orders with a synthesized changelog: %10==0
+      // deletes, %10==1 upserts (price doubled), %10==2 gets an update
+      // THEN a delete (the later seq must win), %10==3 additionally
+      // INSERTS a new key (+10M). The oracle states the surviving
+      // snapshot in closed form.
+      val base = T(s, dir, "orders")
+      val k = col("o_orderkey")
+      def tag(df: DataFrame, op: String, seq: Long) =
+        df.withColumn("__op", lit(op)).withColumn("__seq", lit(seq))
+      val changes = tag(base.filter(k % 10 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") * 2), "U", 1L)
+        .unionByName(tag(base.filter(k % 10 === 0), "D", 1L))
+        .unionByName(tag(base.filter(k % 10 === 2), "U", 1L))
+        .unionByName(tag(base.filter(k % 10 === 2), "D", 2L))
+        .unionByName(tag(base.filter(k % 10 === 3)
+          .withColumn("o_orderkey", k + 10000000L), "I", 1L))
+      Cdc.applyChangelog(base, changes, Seq("o_orderkey"), "__seq", "__op")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+    "q_snapshot_diff" -> ((s, dir) => {
+      // snapshot diff: after = before minus %7 keys, %5 keys' n_chars
+      // bumped, %11 keys re-added under new ids — added/removed/changed
+      // stated in closed form by the oracle
+      val before = T(s, dir, "documents")
+      val after = before.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("n_chars", when(col("doc_id") % 5 === 0,
+          col("n_chars") + 1).otherwise(col("n_chars")))
+        .unionByName(before.filter(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+      Cdc.snapshotDiff(before, after, Seq("doc_id"), Seq("n_chars"))
+        .orderBy("doc_id")
+    }),
+    "q_topk_group" -> ((s, dir) => {
+      // WindowGroupLimit-planned per-group top-k (map-side pre-prune)
+      Rollups.topKPerGroup(T(s, dir, "orders"), Seq("o_orderpriority"),
+          "o_totalprice", k = 3, tieCol = "o_orderkey")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"), col("rank").cast("long").as("rank"))
+        .orderBy(col("o_orderpriority").asc_nulls_first, col("rank"))
+    }),
+    "q_pivot_counts" -> ((s, dir) => {
+      // explicit-value pivot: one partial-agg pass, stable schema
+      Rollups.pivotCounts(T(s, dir, "documents"), "lang", "source",
+          Seq("src1", "src6", "src7"))
+        .orderBy(col("lang").asc_nulls_first)
+    }),
+    "q_histogram" -> ((s, dir) => {
+      // 20 equi-width price bins over [0, 60000); out-of-range drops,
+      // empty bins emitted with n=0
+      Rollups.equiWidthHistogram(T(s, dir, "lineitem"), "l_extendedprice",
+          min = 0.0, max = 60000.0, bins = 20)
+        .orderBy("bin")
+    }),
+    "q_mad_outliers" -> ((s, dir) => {
+      // robust modified z-score per event_type (median/MAD, Iglewicz &
+      // Hoaglin) — exact interpolated percentiles mirror quantile_cont
+      Sketches.madOutliers(T(s, dir, "events"), "value", "event_type")
+        .select(col("event_id"), col("value_rz"), col("value_outlier"))
+        .orderBy("event_id")
+    }),
+    "q_kl_divergence" -> ((s, dir) => {
+      // unigram-distribution drift between the en slice and the rest:
+      // KL both ways + JS over a shared smoothed top-50 vocab; per-token
+      // terms floor-rounded to 1e-9 and summed as DECIMAL so the result
+      // is addition-order-free and exactly SQL-mirrorable
+      val docs = T(s, dir, "documents")
+      graft.ops.LmScore.corpusDivergence(
+        docs.filter(col("lang") === "en"),
+        docs.filter(!(col("lang") <=> "en")), "text", k = 50)
+    }),
+    "q_stream_enrich" -> ((s, dir) => {
+      // TRUE streaming stream-static enrichment: file-source events
+      // stream joined to the static customer dimension (broadcast hash
+      // join — no stream state for the dim), aggregated per market
+      // segment under complete mode in a bounded AvailableNow run. The
+      // value sum goes through DECIMAL so float addition order cannot
+      // break the cross-engine hash.
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev = graft.streaming.StreamingValidate.ensureEventTime(raw, "ts")
+      val cust = broadcast(T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val agg = ev.join(cust, ev("user_id") === cust("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      graft.streaming.StreamingValidate.runBounded(agg, "complete")
+        .orderBy(col("c_mktsegment").asc_nulls_first)
     }),
     "q_range_join" -> ((s, dir) => {
       // interval containment as a bin-overlap EQUI-join (never a nested
@@ -2175,6 +2268,100 @@ object SparkEntry {
         "s AS (SELECT event_id, user_id, rn, power(0.9, -rn) * (CASE WHEN rn = 0 THEN value ELSE 0.1 * value END) AS zb FROM e), " +
         "p AS (SELECT event_id, user_id, rn, sum(zb) OVER (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING) AS pref FROM s) " +
         "SELECT event_id, round(power(0.9, rn) * pref, 6) AS ewma FROM p ORDER BY event_id"),
+    "q_cdc_apply" ->
+      // the surviving snapshot in closed form: %10==0 deleted, %10==1
+      // price-doubled, %10==2 deleted (U at seq 1 loses to D at seq 2),
+      // %10==3 present twice — untouched original + inserted +10M copy
+      ("SELECT o_orderkey, o_orderstatus, o_totalprice FROM (" +
+        "SELECT o_orderkey, o_orderstatus, " +
+        "CAST(CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice * 2 ELSE o_totalprice END AS DECIMAL(12,2)) AS o_totalprice " +
+        "FROM orders WHERE o_orderkey % 10 NOT IN (0, 2) " +
+        "UNION ALL " +
+        "SELECT o_orderkey + 10000000, o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) " +
+        "FROM orders WHERE o_orderkey % 10 = 3) ORDER BY o_orderkey"),
+    "q_snapshot_diff" ->
+      // added/removed/changed in closed form; a null n_chars bump stays
+      // null and is therefore NOT a change (null-safe compare)
+      ("SELECT * FROM (" +
+        "SELECT doc_id, 'removed' AS change, n_chars AS n_chars_before, CAST(NULL AS BIGINT) AS n_chars_after " +
+        "FROM documents WHERE doc_id % 7 = 0 " +
+        "UNION ALL " +
+        "SELECT doc_id, 'changed', n_chars, n_chars + 1 " +
+        "FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 5 = 0 AND n_chars IS NOT NULL " +
+        "UNION ALL " +
+        "SELECT doc_id + 10000000, 'added', CAST(NULL AS BIGINT), n_chars " +
+        "FROM documents WHERE doc_id % 11 = 0) ORDER BY doc_id"),
+    "q_topk_group" ->
+      ("SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (" +
+        "SELECT o_orderpriority, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_orderpriority " +
+        "ORDER BY o_totalprice DESC NULLS LAST, o_orderkey) AS rank FROM orders) " +
+        "WHERE rank <= 3 ORDER BY o_orderpriority NULLS FIRST, rank"),
+    "q_pivot_counts" ->
+      ("SELECT lang, " +
+        "CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS n_src1, " +
+        "CAST(sum(CASE WHEN source = 'src6' THEN 1 ELSE 0 END) AS BIGINT) AS n_src6, " +
+        "CAST(sum(CASE WHEN source = 'src7' THEN 1 ELSE 0 END) AS BIGINT) AS n_src7, " +
+        "CAST(sum(CASE WHEN source IS NULL OR source NOT IN ('src1','src6','src7') THEN 1 ELSE 0 END) AS BIGINT) AS n_other " +
+        "FROM documents GROUP BY lang ORDER BY lang NULLS FIRST"),
+    "q_histogram" ->
+      ("WITH c AS (SELECT CAST(floor(l_extendedprice / 3000.0) AS BIGINT) AS bin, count(*) AS n " +
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL " +
+        "AND l_extendedprice >= 0 AND l_extendedprice < 60000 GROUP BY 1) " +
+        "SELECT r.range AS bin, r.range * 3000.0 AS lo, (r.range + 1) * 3000.0 AS hi, " +
+        "CAST(coalesce(c.n, 0) AS BIGINT) AS n " +
+        "FROM range(0, 20) r LEFT JOIN c ON r.range = c.bin ORDER BY bin"),
+    "q_mad_outliers" ->
+      // modified z-score mirror: quantile_cont medians ≡ Spark's exact
+      // interpolated percentile (the q_winsorize-proven equivalence),
+      // identical 1e-6 floor-rounds on median, MAD, and score
+      ("WITH med AS (SELECT event_type AS g, floor(quantile_cont(value, 0.5) * 1e6 + 0.5) / 1e6 AS m " +
+        "FROM events WHERE value IS NOT NULL GROUP BY 1), " +
+        "mad AS (SELECT e.event_type AS g, floor(quantile_cont(abs(e.value - med.m), 0.5) * 1e6 + 0.5) / 1e6 AS d " +
+        "FROM events e JOIN med ON e.event_type IS NOT DISTINCT FROM med.g " +
+        "WHERE e.value IS NOT NULL GROUP BY 1), " +
+        "rz AS (SELECT e.event_id, CASE WHEN mad.d > 0 THEN " +
+        "floor(0.6745 * (e.value - med.m) / mad.d * 1e6 + 0.5) / 1e6 END AS value_rz " +
+        "FROM events e " +
+        "LEFT JOIN med ON e.event_type IS NOT DISTINCT FROM med.g " +
+        "LEFT JOIN mad ON e.event_type IS NOT DISTINCT FROM mad.g) " +
+        "SELECT event_id, value_rz, coalesce(abs(value_rz) > 3.5, false) AS value_outlier " +
+        "FROM rz ORDER BY event_id"),
+    "q_kl_divergence" ->
+      // full mirror of corpusDivergence: same tokenization, same shared
+      // smoothed top-50 vocab (combined-count desc, token tiebreak), the
+      // same 1e-9 floor-round per term summed as DECIMAL (exact,
+      // order-free), same 1e-6 final rounds
+      ("WITH ta AS (SELECT token, count(*) AS n_a FROM (" +
+        "SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token " +
+        "FROM documents WHERE lang = 'en' AND text IS NOT NULL) WHERE len(token) > 0 GROUP BY 1), " +
+        "tb AS (SELECT token, count(*) AS n_b FROM (" +
+        "SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token " +
+        "FROM documents WHERE lang IS DISTINCT FROM 'en' AND text IS NOT NULL) WHERE len(token) > 0 GROUP BY 1), " +
+        "v AS (SELECT coalesce(ta.token, tb.token) AS token, " +
+        "coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b " +
+        "FROM ta FULL JOIN tb ON ta.token = tb.token " +
+        "ORDER BY coalesce(n_a, 0) + coalesce(n_b, 0) DESC, 1 LIMIT 50), " +
+        "tot AS (SELECT sum(n_a) AS tta, sum(n_b) AS ttb, count(*) AS vv FROM v), " +
+        "terms AS (SELECT vv, " +
+        "CAST(floor((n_a+1)/(tta+vv) * ln(((n_a+1)/(tta+vv)) / ((n_b+1)/(ttb+vv))) * 1e9 + 0.5) / 1e9 AS DECIMAL(28,9)) AS t_pq, " +
+        "CAST(floor((n_b+1)/(ttb+vv) * ln(((n_b+1)/(ttb+vv)) / ((n_a+1)/(tta+vv))) * 1e9 + 0.5) / 1e9 AS DECIMAL(28,9)) AS t_qp, " +
+        "CAST(floor((n_a+1)/(tta+vv) * ln(((n_a+1)/(tta+vv)) / (((n_a+1)/(tta+vv) + (n_b+1)/(ttb+vv)) / 2)) * 1e9 + 0.5) / 1e9 AS DECIMAL(28,9)) AS t_pm, " +
+        "CAST(floor((n_b+1)/(ttb+vv) * ln(((n_b+1)/(ttb+vv)) / (((n_a+1)/(tta+vv) + (n_b+1)/(ttb+vv)) / 2)) * 1e9 + 0.5) / 1e9 AS DECIMAL(28,9)) AS t_qm " +
+        "FROM v, tot) " +
+        "SELECT CAST(vv AS BIGINT) AS n_vocab, " +
+        "floor(CAST(sum(t_pq) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS kl_pq, " +
+        "floor(CAST(sum(t_qp) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS kl_qp, " +
+        "floor(CAST((sum(t_pm) + sum(t_qm)) / 2 AS DOUBLE) * 1e6 + 0.5) / 1e6 AS js " +
+        "FROM terms GROUP BY vv"),
+    "q_stream_enrich" ->
+      // the bounded single-batch stream-static run ≡ the batch join:
+      // nothing is stateful or watermark-dropped in an enrichment join,
+      // and complete-mode aggregation emits every group
+      ("SELECT c_mktsegment, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+        "FROM events JOIN customer ON user_id = c_custkey " +
+        "GROUP BY 1 ORDER BY 1 NULLS FIRST"),
     "q_range_join" ->
       ("WITH r AS (SELECT o_orderkey AS rid, o_totalprice * 0.5 AS lo, o_totalprice * 0.5 + 1000.0 AS hi " +
         "FROM orders WHERE o_orderkey < 50) " +

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -263,5 +263,67 @@ object LmScore {
         (floor(avg(coalesce(col("__lb"),
           when(col("w1").isNull, uniPath)
             .otherwise(lit(math.log(backoff)) + uniPath))) * 1e6 + 0.5) / 1e6).as("ll"))
+  }
+
+  /** Distribution drift between two corpus slices: KL(P‖Q), KL(Q‖P) and
+    * the Jensen–Shannon divergence between their unigram distributions
+    * over a shared top-`k` vocabulary (by combined count, ties on token)
+    * with add-one smoothing — the monitoring signal for "did this week's
+    * crawl shift", "does the deduped corpus still match the raw mix",
+    * "how far is slice X from slice Y" (JS is symmetric, bounded by
+    * ln 2, and zero-safe; the two KLs attribute the direction).
+    *
+    * Every probability is a ratio of integer counts (smoothed within the
+    * vocab, so both distributions normalize over it exactly); each
+    * per-token term is floor-rounded to 1e-9 and summed as DECIMAL —
+    * the sum is EXACT and addition-order-free, so the result is
+    * bit-stable across partitionings and mirrors in SQL. Output: one row
+    * `(n_vocab, kl_pq, kl_qp, js)`, 1e-6 floor-rounded.
+    *
+    * Execution shape: two partial-aggregable token-count passes, top-k
+    * via TakeOrderedAndProject, scalar totals broadcast, then #vocab-row
+    * arithmetic — the corpus is read once per slice, everything after is
+    * model-state-sized. */
+  def corpusDivergence(a: DataFrame, b: DataFrame, textCol: String,
+                       k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.filter(col(textCol).isNotNull)
+        .select(explode(split(lower(col(textCol)), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as(out))
+    val ca = counts(a, "n_a")
+    val cb = counts(b, "n_b")
+    val vocab = ca.join(cb, Seq("token"), "full")
+      .select(col("token"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .orderBy((col("n_a") + col("n_b")).desc, col("token"))
+      .limit(k)
+    val totals = vocab.agg(sum("n_a").as("__ta"), sum("n_b").as("__tb"))
+    // smoothed in-vocab distributions: p = (n+1)/(total+|V|). |V| is the
+    // REALIZED vocab size (≤ k on small corpora) so both sides normalize.
+    val withT = vocab.crossJoin(broadcast(totals))
+      .crossJoin(broadcast(vocab.agg(count(lit(1)).as("__v"))))
+    def term(num: Column, den: Column): Column =
+      (floor(num * log(num / den) * 1e9 + 0.5) / 1e9).cast("decimal(28,9)")
+    val scored = withT.select(
+      col("__v"),
+      term((col("n_a") + 1) / (col("__ta") + col("__v")),
+        (col("n_b") + 1) / (col("__tb") + col("__v"))).as("__t_pq"),
+      term((col("n_b") + 1) / (col("__tb") + col("__v")),
+        (col("n_a") + 1) / (col("__ta") + col("__v"))).as("__t_qp"),
+      term((col("n_a") + 1) / (col("__ta") + col("__v")),
+        ((col("n_a") + 1) / (col("__ta") + col("__v")) +
+          (col("n_b") + 1) / (col("__tb") + col("__v"))) / 2).as("__t_pm"),
+      term((col("n_b") + 1) / (col("__tb") + col("__v")),
+        ((col("n_a") + 1) / (col("__ta") + col("__v")) +
+          (col("n_b") + 1) / (col("__tb") + col("__v"))) / 2).as("__t_qm"))
+    def r6(c: Column): Column = floor(c.cast("double") * 1e6 + 0.5) / 1e6
+    scored.groupBy(col("__v").as("n_vocab"))
+      .agg(sum(col("__t_pq")).as("__kl_pq"), sum(col("__t_qp")).as("__kl_qp"),
+        sum(col("__t_pm")).as("__kl_pm"), sum(col("__t_qm")).as("__kl_qm"))
+      .select(col("n_vocab").cast("long").as("n_vocab"),
+        r6(col("__kl_pq")).as("kl_pq"), r6(col("__kl_qp")).as("kl_qp"),
+        r6((col("__kl_pm") + col("__kl_qm")) / 2).as("js"))
   }
 }

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reporting rollups over curated corpora (SURVEY.md §2.6 extension):
+  * per-group top-k, fixed-schema pivot counts, and equi-width histograms
+  * — the summary shapes every corpus dashboard asks for, each in its one
+  * scale-correct plan.
+  *
+  * Execution shape: [[topKPerGroup]] is a rank-≤-k window that Spark
+  * plans with `WindowGroupLimit` — each map task pre-prunes to its local
+  * top-k BEFORE the exchange, so a group with a billion rows ships
+  * k·partitions rows, not its whole history. [[pivotCounts]] uses an
+  * EXPLICIT pivot-value list: one partial-aggregable pass, no
+  * distinct-values pre-query, stable output schema (the two-pass
+  * `pivot(col)` without values is the documented anti-pattern — it runs
+  * an extra corpus scan and its schema drifts with the data).
+  * [[equiWidthHistogram]] is map-only bin assignment + one count
+  * aggregate over #bins rows.
+  */
+object Rollups {
+
+  /** Top `k` rows per group by `orderCol` (descending by default; ties
+    * broken by `tieCol` ascending for determinism). Output = input
+    * columns + `rank` (1-based). Null order values sort last and null
+    * groups are kept as their own group (SQL GROUP BY semantics). */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                   k: Int, tieCol: String, descending: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(groupCols.nonEmpty, "topKPerGroup needs at least one group column")
+    val ord = if (descending) col(orderCol).desc_nulls_last else col(orderCol).asc_nulls_last
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(ord, col(tieCol).asc)
+    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Count matrix `rowCol × values(pivotCol)`: one output row per
+    * distinct `rowCol`, one `n_<value>` column per pivot value (the
+    * explicit list pins the schema; values absent from the data produce
+    * zeros, rows whose pivot value is outside the list count only toward
+    * `n_other`). One partial-aggregable pass. */
+  def pivotCounts(df: DataFrame, rowCol: String, pivotCol: String,
+                  values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "pivotCounts needs an explicit pivot-value list")
+    val counts = values.map(v =>
+      sum(when(col(pivotCol) === v, 1L).otherwise(0L)).as(s"n_$v"))
+    val other = sum(when(col(pivotCol).isNull ||
+      !col(pivotCol).isInCollection(values), 1L).otherwise(0L)).as("n_other")
+    df.groupBy(col(rowCol)).agg(counts.head, counts.tail :+ other: _*)
+  }
+
+  /** Equi-width histogram of `valueCol` over `[min, max)` in `bins`
+    * buckets: `(bin, lo, hi, n)` with underflow in bin 0's count only if
+    * `clamp` (default: out-of-range and null values are DROPPED — the
+    * profiling default; pass clamp = true to fold under/overflow into
+    * the edge bins). Empty bins are emitted with n = 0 (the output is
+    * always exactly `bins` rows — chart-ready). Map-only assignment +
+    * one #bins-row count aggregate + a broadcast fill join. */
+  def equiWidthHistogram(df: DataFrame, valueCol: String, min: Double,
+                         max: Double, bins: Int,
+                         clamp: Boolean = false): DataFrame = {
+    require(bins >= 1 && max > min, s"need bins >= 1 and max > min")
+    val width = (max - min) / bins
+    val v = col(valueCol).cast("double")
+    val raw = floor((v - min) / width).cast("long")
+    val bin = if (clamp) least(greatest(raw, lit(0L)), lit(bins - 1L))
+              else when(raw >= 0 && raw < bins, raw)
+    val counts = df.filter(v.isNotNull).withColumn("bin", bin)
+      .filter(col("bin").isNotNull)
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val spark = df.sparkSession
+    val frame = spark.range(bins).select(col("id").as("bin"))
+    frame.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        (lit(min) + col("bin") * width).as("lo"),
+        (lit(min) + (col("bin") + 1) * width).as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+}

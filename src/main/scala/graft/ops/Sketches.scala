@@ -122,4 +122,39 @@ object Sketches {
     val cut = least(kmvCutoff(a, k), kmvCutoff(b, k))
     size(filter(array_intersect(a, b), h => h < cut)).cast("double") / thetaFrac(cut)
   }
+
+  /** Robust per-stratum outlier score: the modified z-score
+    * `0.6745·(x − median) / MAD` (Iglewicz & Hoaglin 1993 — the
+    * median/MAD form that a handful of corrupted documents cannot drag
+    * the way they drag a mean/stddev z-score). Appends `<valueCol>_rz`
+    * and a boolean `<valueCol>_outlier` at the standard |rz| > threshold
+    * (3.5). Two group-sized aggregates (median, then MAD of the residual)
+    * broadcast back — row-preserving, no corpus re-shuffle; `exact =
+    * false` swaps `percentile_approx` into both passes (bounded state,
+    * the 100 TB path, identical plan shape). A stratum with MAD = 0
+    * (over half its values identical) yields null scores and `false`
+    * flags — the documented degenerate case (fall back to a coarser
+    * stratum or a different signal). Medians and scores are
+    * floor-rounded to 6 dp, the library's cross-engine formula. */
+  def madOutliers(df: DataFrame, valueCol: String, byCol: String,
+                  threshold: Double = 3.5, exact: Boolean = true): DataFrame = {
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    def med(c: Column): Column =
+      if (exact) percentile(c, lit(0.5))
+      else percentile_approx(c, lit(0.5), lit(10000))
+    def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    val v = col(valueCol).cast("double")
+    val medians = df.filter(v.isNotNull)
+      .groupBy(col(byCol).as("__g")).agg(r6(med(v)).as("__med"))
+    val withMed = df.join(broadcast(medians), col(byCol) <=> col("__g"), "left")
+    val mads = withMed.filter(v.isNotNull)
+      .groupBy(col("__g").as("__g2"))
+      .agg(r6(med(abs(v - col("__med")))).as("__mad"))
+    val rz = r6(lit(0.6745) * (v - col("__med")) / col("__mad"))
+    withMed.join(broadcast(mads), col("__g") <=> col("__g2"), "left")
+      .withColumn(valueCol + "_rz", when(col("__mad") > 0, rz))
+      .withColumn(valueCol + "_outlier",
+        coalesce(abs(col(valueCol + "_rz")) > threshold, lit(false)))
+      .drop("__g", "__g2", "__med", "__mad")
+  }
 }

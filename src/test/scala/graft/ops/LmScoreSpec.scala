@@ -165,4 +165,53 @@ class LmScoreSpec extends SparkSuite {
     val lls = scored.select("ll").as[Double].collect()
     assert(lls.nonEmpty && lls.forall(_ > -10.0))
   }
+
+  test("corpusDivergence: identical slices diverge by zero") {
+    val a = Seq("the cat", "a dog", "the end").toDF("text")
+    val out = LmScore.corpusDivergence(a, a, "text", k = 10).head()
+    assert(out.getAs[Double]("kl_pq") == 0.0 &&
+      out.getAs[Double]("kl_qp") == 0.0 && out.getAs[Double]("js") == 0.0)
+  }
+
+  test("corpusDivergence: hand-computed two-token case") {
+    // A = {x:3, y:1}, B = {x:1, y:3}; vocab = {x, y}; smoothed
+    // P = (4/6, 2/6), Q = (2/6, 4/6)
+    val a = Seq("x x x y").toDF("text")
+    val b = Seq("x y y y").toDF("text")
+    val out = LmScore.corpusDivergence(a, b, "text", k = 10).head()
+    val p = Seq(4.0 / 6, 2.0 / 6); val q = Seq(2.0 / 6, 4.0 / 6)
+    def t(x: Double, y: Double) =
+      math.floor(x * math.log(x / y) * 1e9 + 0.5) / 1e9
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val kl = r6(t(p(0), q(0)) + t(p(1), q(1)))
+    val js = r6((t(p(0), (p(0) + q(0)) / 2) + t(p(1), (p(1) + q(1)) / 2) +
+      t(q(0), (p(0) + q(0)) / 2) + t(q(1), (p(1) + q(1)) / 2)) / 2)
+    assert(out.getAs[Long]("n_vocab") == 2L)
+    assert(out.getAs[Double]("kl_pq") == kl && out.getAs[Double]("kl_qp") == kl)
+    assert(out.getAs[Double]("js") == js && js > 0 && js <= math.log(2))
+  }
+
+  test("corpusDivergence: asymmetric slices, direction attributes") {
+    // B concentrates on one token A spreads over many -> KL(P||Q) with P
+    // the spread side exceeds... both positive; JS symmetric and bounded
+    val a = Seq("a b c d e f g h").toDF("text")
+    val b = Seq("a a a a a a a a").toDF("text")
+    val out = LmScore.corpusDivergence(a, b, "text", k = 20).head()
+    val ab = LmScore.corpusDivergence(b, a, "text", k = 20).head()
+    assert(out.getAs[Double]("kl_pq") > 0 && out.getAs[Double]("kl_qp") > 0)
+    assert(out.getAs[Double]("js") == ab.getAs[Double]("js")) // symmetric
+    assert(out.getAs[Double]("js") < math.log(2) + 1e-9)
+    // swapping the arguments swaps the two KLs exactly
+    assert(out.getAs[Double]("kl_pq") == ab.getAs[Double]("kl_qp"))
+  }
+
+  test("corpusDivergence is partitioning-invariant (decimal term sums)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = docs.filter(col("lang") === "en")
+    val b = docs.filter(!(col("lang") <=> "en"))
+    val one = LmScore.corpusDivergence(a.coalesce(1), b.coalesce(1), "text", 30).head()
+    val many = LmScore.corpusDivergence(a.repartition(7), b.repartition(5), "text", 30).head()
+    assert(one.getAs[Double]("kl_pq") == many.getAs[Double]("kl_pq"))
+    assert(one.getAs[Double]("js") == many.getAs[Double]("js"))
+  }
 }

@@ -52,10 +52,19 @@ object R11Smoke2 {
     def ewmaRun(d: DataFrame): Long =
       TimeSeries.ewma(d, "user_id", "ts", "value", "event_id", alpha = 0.1,
         blockSize = 64).agg(count(lit(1))).head().getLong(0)
+    // replicas take DIFFERENT 16-char windows of the text: duplicating a
+    // corpus verbatim makes the pair OUTPUT quadratic in the copy count
+    // (every copy pairs with every other at distance 0 — the scaladoc's
+    // exact-dedup-first caveat), which would measure output size, not
+    // blocking cost
+    def fuzzyStrs(n: Int): DataFrame =
+      (0 until n).map(i => docs
+        .withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+        .select(col("doc_id"), substring(col("text"), 1 + 17 * i, 16).as("s"))
+        .filter(length(col("s")) === 16))
+        .reduce(_ unionByName _)
     def fuzzyRun(d: DataFrame): Long =
-      FuzzyJoin.editDistanceJoin(
-        d.select(col("doc_id"), substring(col("text"), 1, 16).as("s")),
-        "doc_id", "s", maxDist = 2).count()
+      FuzzyJoin.editDistanceJoin(d, "doc_id", "s", maxDist = 2).count()
     def prRun(d: DataFrame): Long = {
       val edges = d.select(col("doc_id").as("src"),
         (col("doc_id") % 1000 + expr("doc_id div 100000000") * 100000000L).as("dst"))
@@ -76,8 +85,10 @@ object R11Smoke2 {
       val n10 = time(s"$label 10x")(run(repEvents(10)))
       require(n10 == 10 * n1, s"$label: 10x rows $n10 != 10 * $n1")
     }
+    fuzzyRun(fuzzyStrs(1)) // warm
+    time("fuzzy join 1x")(fuzzyRun(fuzzyStrs(1)))
+    time("fuzzy join 10x")(fuzzyRun(fuzzyStrs(10)))
     val docRuns = Seq[(String, DataFrame => Long)](
-      "fuzzy join (output grows)" -> fuzzyRun,
       "pagerank 3 iters" -> prRun,
       "logit fit 3 iters" -> fitRun)
     for ((label, run) <- docRuns) {

@@ -33,7 +33,9 @@ for (name <- Seq("flagship_valid_split", "q_required", "q_min", "q_topk_similar"
     "q_perplexity_buckets", "q_ngram_jaccard",
     "q_kmv_overlap", "q_winsorize", "q_gopher_rules", "q_bpe_tokens", "q_mean_pool",
     "q_funnel", "q_rolling", "q_ewma", "q_fuzzy_join", "q_pagerank",
-    "q_quality_score", "q_logit_fit")) {
+    "q_quality_score", "q_logit_fit",
+    "q_cdc_apply", "q_snapshot_diff", "q_topk_group", "q_mad_outliers",
+    "q_kl_divergence")) {
   val df = if (name == "flagship_valid_split") flagship
            else graft.SparkEntry.queries(name)(spark, dir)
   out.println()
