@@ -1002,6 +1002,64 @@ object SparkEntry {
         .select(col("event_id"), round(col("ewma"), 6).as("ewma"))
         .orderBy("event_id")
     }),
+    "q_stream_join" -> ((s, dir) => {
+      // TRUE stream-stream inner join (view→purchase attribution within
+      // one hour): two file-source streams, both watermarked — the shape
+      // Spark requires for state cleanup in an unbounded run — joined on
+      // the key plus an event-time range condition. The bounded
+      // AvailableNow run ingests one microbatch, where inner-join
+      // matches emit regardless of the (epoch-0) watermark, so the
+      // streaming result == the batch self-join the oracle states.
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val views = graft.streaming.StreamingValidate.ensureEventTime(src, "ts")
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+          col("event_id").as("view_id"))
+        .withWatermark("view_ts", "1 hour")
+      val purchases = graft.streaming.StreamingValidate.ensureEventTime(src, "ts")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("view_ts") &&
+          col("p_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      graft.streaming.StreamingValidate.runBounded(
+          joined.select(col("view_id"), col("purchase_id")))
+        .orderBy("view_id", "purchase_id")
+    }),
+    "q_dedup_weighted" -> ((s, dir) => {
+      // dedup-but-upweight: min-id representative per fingerprint with
+      // the collapsed multiplicity and weight mass preserved
+      val d = T(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("fp", Dedup.fingerprint(col("text")))
+      Dedup.exactWithMultiplicity(d, Seq("fp"), "doc_id", Some("n_chars"))
+        .select(col("doc_id"), col("n_dups"),
+          col("weight").cast("decimal(18,1)").cast("double").as("weight"))
+        .orderBy("doc_id")
+    }),
+    "q_impute_median" -> ((s, dir) => {
+      // per-event-type median fill of a synthesized null pattern (every
+      // %7 value nulled) — the oracle recomputes the same medians from
+      // the same non-null set
+      val ev = T(s, dir, "events").withColumn("v",
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+      Sketches.imputeMedian(ev, "v", "event_type")
+        .select(col("event_id"), col("v_filled")).orderBy("event_id")
+    }),
+    "q_salted_join" -> ((s, dir) => {
+      // skew-mitigated join must equal the plain join bit-for-bit: fact
+      // events (hot key universe user_id%5) x dim nation, salt=8
+      val fact = T(s, dir, "events")
+        .select(col("event_id"), (col("user_id") % 5).as("nk"))
+      val dim = T(s, dir, "nation")
+        .select(col("n_nationkey").as("nk"), col("n_name"))
+      Layout.saltedJoin(fact, dim, Seq("nk"), "event_id", saltBuckets = 8)
+        .select(col("event_id"), col("n_name")).orderBy("event_id")
+    }),
     "q_cdc_apply" -> ((s, dir) => {
       // CDC merge over orders with a synthesized changelog: %10==0
       // deletes, %10==1 upserts (price doubled), %10==2 gets an update
@@ -2268,6 +2326,29 @@ object SparkEntry {
         "s AS (SELECT event_id, user_id, rn, power(0.9, -rn) * (CASE WHEN rn = 0 THEN value ELSE 0.1 * value END) AS zb FROM e), " +
         "p AS (SELECT event_id, user_id, rn, sum(zb) OVER (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING) AS pref FROM s) " +
         "SELECT event_id, round(power(0.9, rn) * pref, 6) AS ewma FROM p ORDER BY event_id"),
+    "q_stream_join" ->
+      // single-microbatch stream-stream inner join == the batch self-join
+      ("SELECT v.event_id AS view_id, p.event_id AS purchase_id " +
+        "FROM events v JOIN events p ON v.event_type = 'view' " +
+        "AND p.event_type = 'purchase' AND v.user_id = p.user_id " +
+        "AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR " +
+        "ORDER BY view_id, purchase_id"),
+    "q_dedup_weighted" ->
+      ("SELECT min(doc_id) AS doc_id, count(*) AS n_dups, " +
+        "CAST(CAST(sum(coalesce(n_chars, 0)) AS DECIMAL(18,1)) AS DOUBLE) AS weight " +
+        "FROM documents WHERE text IS NOT NULL " +
+        "GROUP BY md5(text) ORDER BY doc_id"),
+    "q_impute_median" ->
+      ("WITH v AS (SELECT event_id, event_type, " +
+        "CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v FROM events), " +
+        "m AS (SELECT event_type AS g, floor(quantile_cont(v, 0.5) * 1e6 + 0.5) / 1e6 AS med " +
+        "FROM v WHERE v IS NOT NULL GROUP BY 1) " +
+        "SELECT event_id, coalesce(v, m.med) AS v_filled FROM v " +
+        "LEFT JOIN m ON v.event_type IS NOT DISTINCT FROM m.g ORDER BY event_id"),
+    "q_salted_join" ->
+      // the salted plan must produce EXACTLY the plain join's rows
+      ("SELECT event_id, n_name FROM events JOIN nation " +
+        "ON user_id % 5 = n_nationkey ORDER BY event_id"),
     "q_cdc_apply" ->
       // the surviving snapshot in closed form: %10==0 deleted, %10==1
       // price-doubled, %10==2 deleted (U at seq 1 loses to D at seq 2),

@@ -21,6 +21,24 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
   }
 
+  /** [[exact]] that PRESERVES multiplicity: one representative (min id)
+    * per key group plus `n_dups` (group size) and, when `weightCol` is
+    * given, `weight` (the group's weight sum; null weights count 0) —
+    * the "dedup but upweight" form. Published dedup studies deduplicate
+    * then REWEIGHT so the corpus distribution is preserved while the
+    * redundant bytes are not; dropping multiplicity at dedup time makes
+    * that impossible downstream ([[graft.ops.Sampling.temperatureWeights]]
+    * and loss-weighting both consume `n_dups`/`weight` directly).
+    * Same single partial-aggregable exchange as [[exact]]. */
+  def exactWithMultiplicity(df: DataFrame, keyCols: Seq[String], idCol: String,
+                            weightCol: Option[String] = None): DataFrame = {
+    val keys = keyCols.map(col)
+    val aggs = min(col(idCol)).as(idCol) +: count(lit(1)).as("n_dups") +:
+      weightCol.map(w =>
+        sum(coalesce(col(w).cast("double"), lit(0.0))).as("weight")).toSeq
+    df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Distinct key combinations (pure dropDuplicates shape). */
   def distinctKeys(df: DataFrame, keyCols: Seq[String]): DataFrame =
     df.select(keyCols.map(col): _*).dropDuplicates()

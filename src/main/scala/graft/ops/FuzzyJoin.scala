@@ -83,19 +83,25 @@ object FuzzyJoin {
       .select(col("__id"), explode(array(
         concat(lit("#s:"), band),
         concat(lit("#s:"), band - 1))).as("__tok"))
+    // tokens carry their string: the candidate join then verifies INLINE
+    // in the join stage, so raw candidate pairs (quadratic in the block
+    // size on low-vocabulary corpora) never cross an exchange — only
+    // verified true pairs reach the final distinct. The alternative
+    // (distinct the id pairs, then join strings back twice) shuffles the
+    // full candidate set three times; a duplicate candidate here costs
+    // one extra bounded-DP verification instead, the far cheaper side at
+    // every scale. `levenshtein(s1, s2, k)` early-exits at k+1.
     val tokens = ranked.unionByName(shorts)
-    val cands = tokens.as("a").join(tokens.as("b"),
-        col("a.__tok") === col("b.__tok") && col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("__id1"), col("b.__id").as("__id2"))
-      .distinct()
-    cands
-      .join(strs.select(col("__id").as("__id1"), col("__s").as("__s1"),
-        col("__len").as("__l1")), "__id1")
-      .join(strs.select(col("__id").as("__id2"), col("__s").as("__s2"),
-        col("__len").as("__l2")), "__id2")
-      .filter(abs(col("__l1") - col("__l2")) <= maxDist)
+      .join(strs, "__id")
+      .select(col("__tok"), col("__id"), col("__s"), col("__len"))
+    val a = tokens.toDF("__tok", "__id1", "__s1", "__l1")
+    val b = tokens.toDF("__tok", "__id2", "__s2", "__l2")
+    a.join(b, Seq("__tok"))
+      .filter(col("__id1") < col("__id2") &&
+        abs(col("__l1") - col("__l2")) <= maxDist)
       .withColumn("dist", expr(s"levenshtein(__s1, __s2, $maxDist)"))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("__id1").as("id_1"), col("__id2").as("id_2"), col("dist"))
+      .distinct()
   }
 }

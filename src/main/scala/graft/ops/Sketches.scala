@@ -123,6 +123,30 @@ object Sketches {
     size(filter(array_intersect(a, b), h => h < cut)).cast("double") / thetaFrac(cut)
   }
 
+  /** Per-stratum median imputation: fill null `valueCol` with the
+    * stratum's median over its NON-null values (floor-rounded to 6 dp,
+    * the cross-engine formula) — the standard numeric-feature repair
+    * before training. One group-sized percentile aggregate broadcast
+    * back, row-preserving; `exact = false` swaps `percentile_approx`
+    * in (bounded state, the 100 TB path, identical plan shape). A
+    * stratum with no non-null values (including the null stratum, which
+    * imputes within its own band) leaves its nulls in place — impute
+    * from a coarser stratum or a constant upstream. */
+  def imputeMedian(df: DataFrame, valueCol: String, byCol: String,
+                   outCol: String = "", exact: Boolean = true): DataFrame = {
+    val out = if (outCol.isEmpty) valueCol + "_filled" else outCol
+    val v = col(valueCol).cast("double")
+    def med(c: Column): Column =
+      if (exact) percentile(c, lit(0.5))
+      else percentile_approx(c, lit(0.5), lit(10000))
+    val medians = df.filter(v.isNotNull)
+      .groupBy(col(byCol).as("__g"))
+      .agg((floor(med(v) * 1e6 + 0.5) / 1e6).as("__med"))
+    df.join(broadcast(medians), col(byCol) <=> col("__g"), "left")
+      .withColumn(out, coalesce(v, col("__med")))
+      .drop("__g", "__med")
+  }
+
   /** Robust per-stratum outlier score: the modified z-score
     * `0.6745·(x − median) / MAD` (Iglewicz & Hoaglin 1993 — the
     * median/MAD form that a handful of corrupted documents cannot drag

@@ -67,6 +67,32 @@ class RollupsSpec extends SparkSuite {
     assert(!out.head._2 && out.last._2) // 100 flags, 1 does not
   }
 
+  test("imputeMedian: fills per-stratum, leaves all-null strata alone") {
+    val df = Seq(("a", 1L, Some(1.0)), ("a", 2L, Some(3.0)),
+      ("a", 3L, None), ("b", 4L, None)).toDF("g", "id", "v")
+    val out = Sketches.imputeMedian(df, "v", "g")
+      .orderBy("id").select("v_filled").as[Option[Double]].collect().toSeq
+    assert(out == Seq(Some(1.0), Some(3.0), Some(2.0), None))
+  }
+
+  test("imputeMedian: null stratum imputes within its own band") {
+    val df = Seq((Option.empty[String], 1L, Some(5.0)),
+      (Option.empty[String], 2L, None)).toDF("g", "id", "v")
+    val out = Sketches.imputeMedian(df, "v", "g")
+      .orderBy("id").select("v_filled").as[Option[Double]].collect().toSeq
+    assert(out == Seq(Some(5.0), Some(5.0)))
+  }
+
+  test("exactWithMultiplicity preserves group size and weight mass") {
+    val df = Seq((1L, "x", 10.0), (2L, "x", 5.0), (3L, "y", 1.0),
+      (4L, "x", Double.NaN)).toDF("id", "k", "w")
+      .withColumn("w", when(col("id") === 4, lit(null)).otherwise(col("w")))
+    val out = Dedup.exactWithMultiplicity(df, Seq("k"), "id", Some("w"))
+      .orderBy("k").select("id", "n_dups", "weight")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 3L, 15.0), (3L, 1L, 1.0))) // null weight counts 0
+  }
+
   test("madOutliers: zero-MAD stratum yields null scores, false flags") {
     val df = Seq(("g", 1L, 7.0), ("g", 2L, 7.0), ("g", 3L, 7.0),
       ("g", 4L, 999.0)).toDF("g", "id", "v")
