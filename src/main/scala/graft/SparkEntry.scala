@@ -1002,6 +1002,46 @@ object SparkEntry {
         .select(col("event_id"), round(col("ewma"), 6).as("ewma"))
         .orderBy("event_id")
     }),
+    "q_fk_orphans" -> ((s, dir) => {
+      // referential-integrity check over a synthesized violation pattern:
+      // every %97 orderkey bumped out of the parent's key space
+      val child = T(s, dir, "lineitem").withColumn("l_orderkey",
+        when(col("l_orderkey") % 97 === 0, col("l_orderkey") + 1000000000L)
+          .otherwise(col("l_orderkey")))
+      graft.ops.Integrity.fkOrphans(child, T(s, dir, "orders"),
+          Seq("l_orderkey"), Seq("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q_integrity" -> ((s, dir) => {
+      // one-row integrity dashboard: %97 keys nulled so every counter is
+      // exercised (null keys, distinct keys, dup groups, orphans)
+      val child = T(s, dir, "lineitem").withColumn("l_orderkey",
+        when(col("l_orderkey") % 97 === 0, lit(null)).otherwise(col("l_orderkey")))
+      graft.ops.Integrity.summary(child, T(s, dir, "orders"),
+        Seq("l_orderkey"), Seq("o_orderkey"))
+    }),
+    "q_scd_history" -> ((s, dir) => {
+      // SCD-2 validity intervals from a changelog: %10==0 insert-only
+      // (open interval), %10==1 insert+update (closed + open), %10==2
+      // insert then a same-seq U/D race the delete must win (closed
+      // interval, no current row)
+      val base = T(s, dir, "orders").filter(col("o_orderkey") % 10 <= 2)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val k = col("o_orderkey")
+      def tag(df: DataFrame, op: String, seq: Long) =
+        df.withColumn("__op", lit(op)).withColumn("__seq", lit(seq))
+      val changes = tag(base, "I", 1L)
+        .unionByName(tag(base.filter(k % 10 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") * 2), "U", 2L))
+        .unionByName(tag(base.filter(k % 10 === 2), "D", 2L))
+        .unionByName(tag(base.filter(k % 10 === 2), "U", 2L))
+      graft.ops.Cdc.scdHistory(changes, Seq("o_orderkey"), "__seq", "__op")
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy("o_orderkey", "valid_from")
+    }),
     "q_stream_join" -> ((s, dir) => {
       // TRUE stream-stream inner join (view→purchase attribution within
       // one hour): two file-source streams, both watermarked — the shape
@@ -2326,6 +2366,36 @@ object SparkEntry {
         "s AS (SELECT event_id, user_id, rn, power(0.9, -rn) * (CASE WHEN rn = 0 THEN value ELSE 0.1 * value END) AS zb FROM e), " +
         "p AS (SELECT event_id, user_id, rn, sum(zb) OVER (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING) AS pref FROM s) " +
         "SELECT event_id, round(power(0.9, rn) * pref, 6) AS ewma FROM p ORDER BY event_id"),
+    "q_fk_orphans" ->
+      ("SELECT l_orderkey, l_linenumber FROM (" +
+        "SELECT CASE WHEN l_orderkey % 97 = 0 THEN l_orderkey + 1000000000 " +
+        "ELSE l_orderkey END AS l_orderkey, l_linenumber FROM lineitem) c " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = c.l_orderkey) " +
+        "ORDER BY l_orderkey, l_linenumber"),
+    "q_integrity" ->
+      ("WITH c AS (SELECT CASE WHEN l_orderkey % 97 = 0 THEN NULL " +
+        "ELSE l_orderkey END AS k FROM lineitem) " +
+        "SELECT (SELECT count(*) FROM c) AS n_rows, " +
+        "(SELECT count(DISTINCT k) FROM c) AS n_distinct_keys, " +
+        "(SELECT count(*) FROM c WHERE k IS NULL) AS n_null_keys, " +
+        "(SELECT count(*) FROM c WHERE k IS NOT NULL AND NOT EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_orderkey = c.k)) AS n_orphans, " +
+        "(SELECT count(*) FROM (SELECT k FROM c GROUP BY k HAVING count(*) > 1)) AS n_dup_keys"),
+    "q_scd_history" ->
+      // the interval table in closed form: seq-1 rows close at 2 exactly
+      // when a seq-2 change exists; the %10==2 same-seq race resolves to
+      // the delete, so no seq-2 row opens for it
+      ("SELECT * FROM (" +
+        "SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice, " +
+        "CAST(1 AS BIGINT) AS valid_from, " +
+        "CAST(CASE WHEN o_orderkey % 10 IN (1, 2) THEN 2 END AS BIGINT) AS valid_to, " +
+        "o_orderkey % 10 NOT IN (1, 2) AS is_current " +
+        "FROM orders WHERE o_orderkey % 10 <= 2 " +
+        "UNION ALL " +
+        "SELECT o_orderkey, CAST(o_totalprice * 2 AS DECIMAL(12,2)), " +
+        "CAST(2 AS BIGINT), CAST(NULL AS BIGINT), true " +
+        "FROM orders WHERE o_orderkey % 10 = 1) " +
+        "ORDER BY o_orderkey, valid_from"),
     "q_stream_join" ->
       // single-microbatch stream-stream inner join == the batch self-join
       ("SELECT v.event_id AS view_id, p.event_id AS purchase_id " +

@@ -65,6 +65,42 @@ object Cdc {
     survivors.unionByName(upserts)
   }
 
+  /** Build an SCD-2 history table from a changelog: one validity
+    * interval per change, `(keyCols..., payload..., valid_from,
+    * valid_to, is_current)` — `valid_to` is the NEXT change's sequence
+    * value (exclusive) or null on the key's latest row. A "D" change
+    * closes the previous interval without opening one (the key has no
+    * current row after a delete). Same-seq duplicates keep the
+    * winning-op row only (D > U > I, the [[applyChangelog]] tie rule).
+    *
+    * Execution shape: one window over the CHANGELOG (delta-sized, never
+    * the corpus) partitioned by key ordered by seq — `lead(seq)` closes
+    * each interval; the same-seq winner pre-pass is the
+    * [[applyChangelog]] map-side-combined aggregate. */
+  def scdHistory(changes: DataFrame, keyCols: Seq[String], seqCol: String,
+                 opCol: String): DataFrame = {
+    require(keyCols.nonEmpty)
+    val payload = changes.columns.toSeq.filterNot(c =>
+      keyCols.contains(c) || c == seqCol || c == opCol)
+    val opRank = when(col(opCol) === "D", 2).when(col(opCol) === "U", 1)
+      .when(col(opCol) === "I", 0)
+    val keyNotNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
+    // winner per (key, seq): the applyChangelog tie rule, one partial agg
+    val perSeq = changes
+      .filter(keyNotNull && col(seqCol).isNotNull && opRank.isNotNull)
+      .groupBy((keyCols :+ seqCol).map(col): _*)
+      .agg(max(struct(opRank.as("__op_rank"),
+        struct(payload.map(col): _*).as("__row"))).as("__w"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(seqCol))
+    perSeq
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .filter(col("__w.__op_rank") < 2) // deletes close intervals, open none
+      .select(keyCols.map(col) ++ payload.map(c => col(s"__w.__row.$c").as(c)) ++
+        Seq(col(seqCol).as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current")): _*)
+  }
+
   /** Diff two snapshots keyed by `keyCols`, comparing `compareCols`
     * value-wise (null-safe). Output: key columns + `change` in
     * {"added","removed","changed"} + each compared column's before/after

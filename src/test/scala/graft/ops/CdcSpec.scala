@@ -48,6 +48,29 @@ class CdcSpec extends SparkSuite {
     assert(out.count() == 4)
   }
 
+  test("scdHistory: intervals close at the next change; deletes open none") {
+    val ch = changes(
+      (1L, "a", 10.0, "I", 1L), (1L, "a2", 11.0, "U", 3L), // two intervals
+      (2L, "b", 20.0, "I", 1L), (2L, "b", 20.0, "D", 2L),  // closed by delete
+      (3L, "c", 30.0, "I", 5L))                            // open only
+    val out = Cdc.scdHistory(ch, Seq("k"), "__seq", "__op")
+      .orderBy("k", "valid_from").collect().toSeq.map(r =>
+        (r.getAs[Long]("k"), r.getAs[String]("s"), r.getAs[Long]("valid_from"),
+          Option(r.getAs[Any]("valid_to")), r.getAs[Boolean]("is_current")))
+    assert(out == Seq(
+      (1L, "a", 1L, Some(3L), false), (1L, "a2", 3L, None, true),
+      (2L, "b", 1L, Some(2L), false),
+      (3L, "c", 5L, None, true)))
+  }
+
+  test("scdHistory: same-seq U/D race resolves to the delete") {
+    val ch = changes((1L, "a", 1.0, "I", 1L),
+      (1L, "x", 9.0, "U", 2L), (1L, "a", 1.0, "D", 2L))
+    val out = Cdc.scdHistory(ch, Seq("k"), "__seq", "__op").collect()
+    assert(out.length == 1 && out.head.getAs[Long]("valid_from") == 1L &&
+      out.head.getAs[Long]("valid_to") == 2L && !out.head.getAs[Boolean]("is_current"))
+  }
+
   test("snapshotDiff: added / removed / changed; unchanged not emitted") {
     val before = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val after = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("k", "v")

@@ -35,7 +35,8 @@ for (name <- Seq("flagship_valid_split", "q_required", "q_min", "q_topk_similar"
     "q_funnel", "q_rolling", "q_ewma", "q_fuzzy_join", "q_pagerank",
     "q_quality_score", "q_logit_fit",
     "q_cdc_apply", "q_snapshot_diff", "q_topk_group", "q_mad_outliers",
-    "q_kl_divergence")) {
+    "q_kl_divergence", "q_fk_orphans", "q_scd_history", "q_salted_join",
+    "q_dedup_weighted")) {
   val df = if (name == "flagship_valid_split") flagship
            else graft.SparkEntry.queries(name)(spark, dir)
   out.println()
