@@ -1002,6 +1002,53 @@ object SparkEntry {
         .select(col("event_id"), round(col("ewma"), 6).as("ewma"))
         .orderBy("event_id")
     }),
+    "q_binary_sniff" -> ((s, dir) => {
+      // multimodal triage over a REAL binary column: payloads synthesized
+      // with genuine magic bytes (PNG/JPEG/GIF89a/RIFF-WAVE + junk) ahead
+      // of the text bytes; sniffFormat reads hex(substring(bin)) map-only.
+      // The oracle states the expected format in closed form from the id
+      // and the byte length as magic-length + octet_length(text).
+      val d = T(s, dir, "documents").filter(col("text").isNotNull)
+      val magic = when(col("doc_id") % 5 === 0, unhex(lit("89504E470D0A1A0A")))
+        .when(col("doc_id") % 5 === 1, unhex(lit("FFD8FFE000104A46")))
+        .when(col("doc_id") % 5 === 2, unhex(lit("474946383961")))
+        .when(col("doc_id") % 5 === 3, unhex(lit("52494646DEADBEEF57415645")))
+        .otherwise(unhex(lit("0BAD")))
+      val payload = concat(magic, col("text").cast("binary"))
+      d.select(col("doc_id"),
+          graft.ops.Multimodal.sniffFormat(payload).as("format"),
+          length(payload).cast("long").as("n_bytes"))
+        .orderBy("doc_id")
+    }),
+    "q_rollup" -> ((s, dir) => {
+      // grouping-sets subtotals: (priority, status), (priority), ()
+      T(s, dir, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)
+    }),
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      // validated-source roundtrip: events → JSON lines on disk + a
+      // planted malformed shard → PERMISSIVE schema read →
+      // corrupt-record quarantine via the Empty() validator → the valid
+      // split must equal the parquet original exactly
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_jsonl_roundtrip").getAbsolutePath
+      T(s, dir, "events").select(col("event_id"), col("user_id"), col("event_type"))
+        .coalesce(2).write.mode("overwrite").json(tmp)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "part-zzz-garbage.json"),
+        ("{\"event_id\": \"not-a-number\", \"user_id\": 1}\n" +
+          "this line is not json\n").getBytes("UTF-8"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, user_id BIGINT, event_type STRING, _corrupt_record STRING")
+      graft.sources.ValidatedIO.json(s, tmp, schema)(
+          "_corrupt_record" -> F.Empty())
+        .valid.select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id").asc_nulls_first, col("user_id").asc_nulls_first,
+          col("event_type").asc_nulls_first)
+    }),
     "q_fk_orphans" -> ((s, dir) => {
       // referential-integrity check over a synthesized violation pattern:
       // every %97 orderkey bumped out of the parent's key space
@@ -2366,6 +2413,24 @@ object SparkEntry {
         "s AS (SELECT event_id, user_id, rn, power(0.9, -rn) * (CASE WHEN rn = 0 THEN value ELSE 0.1 * value END) AS zb FROM e), " +
         "p AS (SELECT event_id, user_id, rn, sum(zb) OVER (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING) AS pref FROM s) " +
         "SELECT event_id, round(power(0.9, rn) * pref, 6) AS ewma FROM p ORDER BY event_id"),
+    "q_binary_sniff" ->
+      // closed-form expected formats from the id pattern; byte length =
+      // magic length + utf8 octet length of the text
+      ("SELECT doc_id, CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' " +
+        "WHEN 2 THEN 'gif' WHEN 3 THEN 'wav' ELSE 'unknown' END AS format, " +
+        "CAST(CASE doc_id % 5 WHEN 0 THEN 8 WHEN 1 THEN 8 WHEN 2 THEN 6 " +
+        "WHEN 3 THEN 12 ELSE 2 END + octet_length(encode(text)) AS BIGINT) AS n_bytes " +
+        "FROM documents WHERE text IS NOT NULL ORDER BY doc_id"),
+    "q_rollup" ->
+      ("SELECT o_orderpriority, o_orderstatus, count(*) AS n, " +
+        "CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid " +
+        "FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus) " +
+        "ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"),
+    "q_jsonl_roundtrip" ->
+      // the planted malformed shard quarantines; bigint/string fields
+      // roundtrip JSON exactly, so valid == the parquet original
+      ("SELECT event_id, user_id, event_type FROM events " +
+        "ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, event_type NULLS FIRST"),
     "q_fk_orphans" ->
       ("SELECT l_orderkey, l_linenumber FROM (" +
         "SELECT CASE WHEN l_orderkey % 97 = 0 THEN l_orderkey + 1000000000 " +

@@ -376,4 +376,22 @@ object Multimodal {
     * (documents.text stands in for undecoded media in this harness). */
   def asBinaryPayload(df: DataFrame, textCol: String, out: String = "payload"): DataFrame =
     df.withColumn(out, col(textCol).cast(BinaryType))
+
+  /** Container-format sniffing from magic bytes — the first triage step
+    * over an opaque media column (route to the right decoder, drop
+    * mislabeled payloads) BEFORE any expensive decode. Pure Column
+    * expression over `hex(substring(bin, 1, 12))`: map-only, codegen'd,
+    * no UDF, no decode. Recognizes PNG, JPEG, GIF(87a/89a), RIFF/WAVE,
+    * PDF; anything else (including payloads shorter than the magic) is
+    * `"unknown"`; null stays null. */
+  def sniffFormat(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = hex(substring(bin, 1, 12)) // Spark hex() emits uppercase
+    when(bin.isNull, lit(null).cast("string"))
+      .when(h.startsWith("89504E470D0A1A0A"), lit("png"))
+      .when(h.startsWith("FFD8FF"), lit("jpeg"))
+      .when(h.startsWith("474946383761") || h.startsWith("474946383961"), lit("gif"))
+      .when(h.startsWith("52494646") && substring(h, 17, 8) === "57415645", lit("wav"))
+      .when(h.startsWith("255044462D"), lit("pdf"))
+      .otherwise(lit("unknown"))
+  }
 }

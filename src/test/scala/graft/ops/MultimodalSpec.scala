@@ -218,4 +218,32 @@ class MultimodalSpec extends SparkSuite {
     val topk = Similarity.bruteForceTopK(featDf, featDf.limit(2), "id", "features", 2)
     assert(topk.count() == 4)
   }
+
+  test("sniffFormat recognizes magic bytes, unknowns, nulls, real encoders") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vectors = Seq(
+      1L -> "89504E470D0A1A0A0000",      // png
+      2L -> "FFD8FFE000104A464946",      // jpeg/JFIF
+      3L -> "474946383961AAAA",          // gif89a
+      4L -> "474946383761AAAA",          // gif87a
+      5L -> "52494646AAAAAAAA57415645",  // riff/wave
+      6L -> "52494646AAAAAAAA41564920",  // riff but AVI -> unknown
+      7L -> "255044462D312E34",          // pdf
+      8L -> "89504E",                    // truncated magic -> unknown
+      9L -> "00112233445566778899")      // junk -> unknown
+    val df = vectors.toDF("id", "hex")
+      .withColumn("bin", unhex(col("hex")))
+      .withColumn("f", Multimodal.sniffFormat(col("bin")))
+    val got = df.select("id", "f").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "png", 2L -> "jpeg", 3L -> "gif", 4L -> "gif",
+      5L -> "wav", 6L -> "unknown", 7L -> "pdf", 8L -> "unknown", 9L -> "unknown"))
+    // null propagates; a REAL ImageIO-encoded png sniffs as png
+    val nullRow = Seq((1L, null.asInstanceOf[Array[Byte]])).toDF("id", "bin")
+      .select(Multimodal.sniffFormat(col("bin"))).head()
+    assert(nullRow.isNullAt(0))
+    val real = imageDf(Seq(1L -> imageBytes(8, 8, "png", seed = 1)))
+      .select(Multimodal.sniffFormat(col("payload"))).head().getString(0)
+    assert(real == "png")
+  }
 }
