@@ -1089,6 +1089,67 @@ object SparkEntry {
           col("valid_from"), col("valid_to"), col("is_current"))
         .orderBy("o_orderkey", "valid_from")
     }),
+    "q_interval_merge" -> ((s, dir) => {
+      // gaps-and-islands interval coalescing over epoch-second intervals
+      // synthesized from events (duration varies with event_id so islands
+      // mix singletons and long chains; user_id%50 densifies overlap);
+      // the oracle mirrors the same running-max + cumulative-flag windows
+      val sec = unix_timestamp(col("ts"))
+      val iv = T(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_id").isNotNull)
+        .select((col("user_id") % 50).as("k"), sec.as("s"),
+          (sec + lit(300L) + col("event_id") % 7200).as("e"))
+      TimeSeries.mergeIntervals(iv, "k", "s", "e").orderBy("k", "island")
+    }),
+    "q_sessionize" -> ((s, dir) => {
+      // batch row-level sessionization (30-min gap, event_id tiebreak)
+      // rolled up to per-session stats; session identity is order-
+      // independent within an equal-second run (gap 0), so the oracle's
+      // (sec, event_id) ordering and the engine's (ts, event_id) ordering
+      // assign identical sessions
+      val sess = TimeSeries.sessionize(T(s, dir, "events"), "user_id", "ts",
+        "event_id", gapSeconds = 1800)
+      sess.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_timestamp(col("ts"))).as("t_start"),
+          max(unix_timestamp(col("ts"))).as("t_end"))
+        .orderBy("user_id", "session_id")
+    }),
+    "q_tfidf" -> ((s, dir) => {
+      // smooth-idf TF-IDF keyword profile, top 3 terms per document;
+      // scores floor-rounded to 1e-6 BEFORE ranking (the bm25 idiom) with
+      // term-asc tiebreak so cross-engine ulp drift cannot reorder
+      Retrieval.tfidfTopK(T(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rk")
+    }),
+    "q_compaction_plan" -> ((s, dir) => {
+      // offset-bin compaction plan over a synthesized file inventory (one
+      // "file" per order: group = priority, order = key, size = exact
+      // price cents); floor(x*100+0.5) keeps the double→long conversion
+      // identical across engines
+      val inv = T(s, dir, "orders").select(
+        col("o_orderpriority").as("grp"), col("o_orderkey").as("fname"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("bytes"))
+      Layout.planCompaction(inv, "grp", "fname", "bytes",
+          targetBytes = 50000000L)
+        .orderBy("grp", "bin")
+    }),
+    "q_zonemap" -> ((s, dir) => {
+      // data-skipping zone map: per-1000-key zone min/max/null stats on
+      // the price column — the tiny index a reader prunes scans with
+      val li = T(s, dir, "lineitem")
+        .withColumn("zone", expr("l_orderkey div 1000"))
+      Layout.zoneMap(li, "zone", "l_extendedprice").orderBy("zone")
+    }),
+    "q_anchor_profile" -> ((s, dir) => {
+      // inbound anchor-text aggregation per link target over the q_links
+      // fixture: hrefs collide across docs (mod 500), anchors carry three
+      // fixed texts, so targets accumulate multi-doc multi-anchor profiles
+      val links = Html.extractLinks(T(s, dir, "documents")
+        .withColumn("html", linkFixtureHtml), "doc_id", "html")
+      Html.anchorProfile(links).orderBy("href")
+    }),
     "q_stream_join" -> ((s, dir) => {
       // TRUE stream-stream inner join (view→purchase attribution within
       // one hour): two file-source streams, both watermarked — the shape
@@ -2461,6 +2522,83 @@ object SparkEntry {
         "CAST(2 AS BIGINT), CAST(NULL AS BIGINT), true " +
         "FROM orders WHERE o_orderkey % 10 = 1) " +
         "ORDER BY o_orderkey, valid_from"),
+    "q_interval_merge" ->
+      // identical gaps-and-islands: running max end over strictly-preceding
+      // rows, new island on start STRICTLY past it (touch merges), island
+      // ordinal by cumulative flag; per-island roll-up
+      ("WITH iv AS (SELECT user_id % 50 AS k, " +
+        "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s, " +
+        "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) + 300 + event_id % 7200 AS e " +
+        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL), " +
+        "m AS (SELECT k, s, e, max(e) OVER (PARTITION BY k ORDER BY s, e " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv WHERE e >= s), " +
+        "g AS (SELECT k, s, e, sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY k ORDER BY s, e ROWS UNBOUNDED PRECEDING) - 1 AS island FROM m) " +
+        "SELECT k, CAST(island AS BIGINT) AS island, min(s) AS s, max(e) AS e, " +
+        "count(*) AS n_merged FROM g GROUP BY k, island ORDER BY k, island"),
+    "q_sessionize" ->
+      // the q_session_window island form on FLOORED epoch seconds (the
+      // engine's unix_timestamp gap base), keeping per-row session ids;
+      // equal-second runs share a session whatever their internal order,
+      // so the (sec, event_id) ordering here matches the engine's
+      // (ts, event_id)
+      ("WITH e AS (SELECT event_id, user_id, " +
+        "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec " +
+        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+        "m AS (SELECT user_id, event_id, sec, CASE WHEN lag(sec) OVER " +
+        "(PARTITION BY user_id ORDER BY sec, event_id) IS NULL OR " +
+        "sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800 " +
+        "THEN 1 ELSE 0 END AS new_s FROM e), " +
+        "s AS (SELECT user_id, sec, sum(new_s) OVER (PARTITION BY user_id " +
+        "ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) - 1 AS sid FROM m) " +
+        "SELECT user_id, CAST(sid AS BIGINT) AS session_id, count(*) AS n_events, " +
+        "min(sec) AS t_start, max(sec) AS t_end FROM s " +
+        "GROUP BY user_id, sid ORDER BY user_id, session_id"),
+    "q_tfidf" ->
+      // identical term extraction, smooth idf ln((1+N)/(1+df))+1, identical
+      // 1e-6 floor-rounding BEFORE ranking, term-asc tiebreak
+      ("WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2), " +
+        "nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf), " +
+        "dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), " +
+        "sc AS (SELECT tf.doc_id, tf.term, tf.tf, " +
+        "tf.tf * (ln((1.0 + n) / (1.0 + df)) + 1.0) AS raw " +
+        "FROM tf JOIN dfreq USING (term) CROSS JOIN nn) " +
+        "SELECT doc_id, term, tf, floor(raw * 1000000.0 + 0.5) / 1000000.0 AS tfidf, " +
+        "CAST(row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY floor(raw * 1000000.0 + 0.5) / 1000000.0 DESC, term) AS INTEGER) AS rk " +
+        "FROM sc QUALIFY rk <= 3 ORDER BY doc_id, rk"),
+    "q_compaction_plan" ->
+      // offset-bin: bin = (cumulative end offset − own size) div target,
+      // rolled up per (group, bin)
+      ("WITH inv AS (SELECT o_orderpriority AS grp, o_orderkey AS fname, " +
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS bytes FROM orders " +
+        "WHERE o_orderpriority IS NOT NULL AND o_orderkey IS NOT NULL AND o_totalprice > 0), " +
+        "o AS (SELECT grp, bytes, sum(bytes) OVER (PARTITION BY grp ORDER BY fname " +
+        "ROWS UNBOUNDED PRECEDING) AS endoff FROM inv), " +
+        "b AS (SELECT grp, bytes, CAST(floor((endoff - bytes) / 50000000.0) AS BIGINT) AS bin FROM o) " +
+        "SELECT grp, bin, count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bytes " +
+        "FROM b GROUP BY grp, bin ORDER BY grp, bin"),
+    "q_zonemap" ->
+      ("SELECT l_orderkey // 1000 AS zone, count(*) AS n_rows, " +
+        "CAST(coalesce(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nulls, " +
+        "min(l_extendedprice) AS vmin, max(l_extendedprice) AS vmax " +
+        "FROM lineitem GROUP BY zone ORDER BY zone"),
+    "q_anchor_profile" ->
+      // aggregate the q_links closed-form rows: per-href totals, distinct
+      // linking docs, anchor variety, most-frequent anchor (anchor-asc tie)
+      ("WITH l AS (SELECT doc_id, 'https://ex.org/p' || CAST((doc_id*31+7)%500 AS VARCHAR) AS href, 'to page A' AS anchor FROM documents " +
+        "UNION ALL SELECT doc_id, 'https://ex.org/p' || CAST((doc_id*31+13)%500 AS VARCHAR), 'B' FROM documents " +
+        "UNION ALL SELECT doc_id, 'https://ex.org/p' || CAST((doc_id*31+29)%500 AS VARCHAR), 'C' FROM documents WHERE doc_id%3 = 0), " +
+        "ba AS (SELECT href, anchor, count(*) AS cnt FROM l GROUP BY 1, 2), " +
+        "t AS (SELECT href, anchor, cnt, sum(cnt) OVER (PARTITION BY href) AS n_links, " +
+        "count(*) OVER (PARTITION BY href) AS n_anchors, " +
+        "row_number() OVER (PARTITION BY href ORDER BY cnt DESC, anchor) AS rk FROM ba), " +
+        "d AS (SELECT href, count(DISTINCT doc_id) AS n_docs FROM l GROUP BY 1) " +
+        "SELECT t.href, CAST(n_links AS BIGINT) AS n_links, n_docs, n_anchors, " +
+        "anchor AS top_anchor, cnt AS top_anchor_n " +
+        "FROM t JOIN d ON t.href = d.href WHERE rk = 1 ORDER BY t.href"),
     "q_stream_join" ->
       // single-microbatch stream-stream inner join == the batch self-join
       ("SELECT v.event_id AS view_id, p.event_id AS purchase_id " +

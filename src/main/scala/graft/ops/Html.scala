@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.expressions.native
 
@@ -104,5 +105,40 @@ object Html {
         col("__z.0").as("href"),
         trim(regexp_replace(regexp_replace(col("__z.1"), "<[^>]*>", " "),
           "\\s+", " ")).as("anchor"))
+  }
+
+  /** Anchor-text profile per link target — the inbound-signal aggregation
+    * a crawl ranks and labels pages by (anchor text is the classic
+    * off-page description of what a target IS): over an [[extractLinks]]
+    * edge list, emit one row per `href` with
+    * `(n_links, n_docs, n_anchors, top_anchor, top_anchor_n)` — total
+    * inbound links, distinct linking documents, distinct anchor strings,
+    * and the most frequent anchor (ties by anchor asc).
+    *
+    * Scale: the heavy reduction is the FIRST `groupBy(href, anchor)` —
+    * partial-aggregable, so a target with a billion identical-anchor
+    * inlinks ships one row per partition. Everything after runs on the
+    * (href, anchor)-distinct table, bounded by anchor VARIETY, not link
+    * volume; the top-anchor `row_number ≤ 1` is WindowGroupLimit-pruned
+    * map-side. The distinct-doc count is its own partial-agg pass
+    * (count-distinct over (href, doc) — swap in `approx_count_distinct`
+    * upstream if exactness isn't worth the second exchange). */
+  def anchorProfile(links: DataFrame, hrefCol: String = "href",
+                    docCol: String = "doc_id",
+                    anchorCol: String = "anchor"): DataFrame = {
+    val byAnchor = links.filter(col(hrefCol).isNotNull)
+      .groupBy(col(hrefCol), col(anchorCol)).agg(count(lit(1)).as("__cnt"))
+    val wH = Window.partitionBy(col(hrefCol))
+    val top = byAnchor
+      .withColumn("n_links", sum(col("__cnt")).over(wH))
+      .withColumn("n_anchors", count(lit(1)).over(wH))
+      .withColumn("__rk", row_number().over(
+        wH.orderBy(col("__cnt").desc, col(anchorCol))))
+      .filter(col("__rk") === 1)
+    val docs = links.filter(col(hrefCol).isNotNull)
+      .groupBy(col(hrefCol)).agg(countDistinct(col(docCol)).as("n_docs"))
+    top.join(docs, Seq(hrefCol))
+      .select(col(hrefCol), col("n_links"), col("n_docs"), col("n_anchors"),
+        col(anchorCol).as("top_anchor"), col("__cnt").as("top_anchor_n"))
   }
 }

@@ -145,4 +145,59 @@ object Layout {
     assignShards(df, idCol, nShards, shardCol, orderCol, seed)
       .repartition(nShards, col(shardCol))
       .sortWithinPartitions(col(shardCol), col(orderCol))
+
+  /** Small-file compaction planner — the table-maintenance step a 100 TB
+    * lake runs continuously: given a file inventory `(groupCol, orderCol,
+    * sizeCol)` (one row per data file; `groupCol` is the partition
+    * directory, `orderCol` a deterministic within-partition order such as
+    * file name), assign each file the compaction bin covering its start
+    * byte offset at `targetBytes` granularity — contiguous runs of small
+    * files coalesce into ~target-sized rewrite tasks while a file already
+    * larger than the target spans its own bin(s). Returns the plan rolled
+    * up per bin: `(groupCol, bin, n_files, bytes)`.
+    *
+    * This is the offset-bin form (bin = startOffset div target) rather
+    * than first-fit-decreasing: it preserves the within-partition file
+    * order (required when files are range-sorted and min/max skipping
+    * must survive compaction), is one-pass, and is exactly mirrorable in
+    * SQL — which is what lets `q_compaction_plan` oracle it.
+    *
+    * Scale: the inventory is metadata (one row per FILE, not per record) —
+    * a million-file table is a million rows. One exchange on the group;
+    * the running offset is an O(1)-state unbounded-preceding ROWS frame;
+    * the roll-up is partial-aggregable. Rows with a null group/order or
+    * non-positive size drop. */
+  def planCompaction(files: DataFrame, groupCol: String, orderCol: String,
+                     sizeCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(orderCol))
+    val endOff = sum(col(sizeCol)).over(
+      w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+    files.filter(col(groupCol).isNotNull && col(orderCol).isNotNull &&
+        col(sizeCol).isNotNull && col(sizeCol) > 0)
+      .withColumn("bin",
+        floor((endOff - col(sizeCol)) / targetBytes).cast("long"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col(sizeCol)).as("bytes"))
+  }
+
+  /** Zone-map statistics — per-zone min/max/null-count for a column, the
+    * data-skipping index behind predicate-driven file pruning: a reader
+    * filtering `valueCol BETWEEN a AND b` consults this (tiny) table and
+    * skips every zone whose `[vmin, vmax]` misses the range. `zoneCol`
+    * identifies the physical unit (file path, row-group ordinal, or an
+    * id-range bucket). Emits `(zoneCol, n_rows, n_nulls, vmin, vmax)`.
+    *
+    * Scale: ONE partial-aggregable exchange on the zone id — min/max/count
+    * all combine map-side, so the shuffle carries one row per zone
+    * regardless of corpus size. Pair with [[clusterByZ]]: z-clustered
+    * writes are exactly what make these bounds tight on two columns at
+    * once. */
+  def zoneMap(df: DataFrame, zoneCol: String, valueCol: String): DataFrame =
+    df.filter(col(zoneCol).isNotNull)
+      .groupBy(col(zoneCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col(valueCol).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        min(col(valueCol)).as("vmin"), max(col(valueCol)).as("vmax"))
 }

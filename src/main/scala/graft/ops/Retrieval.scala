@@ -97,4 +97,44 @@ object Retrieval {
       .filter(col("rk") <= k)
       .select(col(qidCol), col(idCol), col("score"), col("rk").cast("integer").as("rk"))
   }
+
+  /** TF-IDF top-`k` terms per document — the keyword-profile step behind
+    * topic tagging, per-domain vocabulary drift, and "what is this doc
+    * about" eval slices. Standard smooth idf `ln((1+N)/(1+df)) + 1`
+    * (never negative, defined for df=N), score `tf · idf` rounded to 1e-6
+    * BEFORE ranking (the [[bm25TopK]] rounding form) so cross-engine ulp
+    * drift cannot reorder ranks; residual ties break by term asc.
+    *
+    * Output: `(idCol, term, tf, tfidf, rk)` with `rk` 1-based, ≤ `k`.
+    *
+    * Scale: ONE exploded pass builds `(doc, term, tf)` (partial-agg
+    * exchange); `N` rides along as a broadcast single-row aggregate (no
+    * driver action — the plan stays lazy end to end); document frequency
+    * is a vocabulary-sized roll-up of the already-unique `(doc, term)`
+    * rows, rejoined on `term` — web-corpus vocabularies are NOT
+    * model-sized, so that join is deliberately left to AQE/sort-merge
+    * (the `q_collocations` rationale), never a forced broadcast. Final
+    * ranking is `row_number ≤ k` per doc: WindowGroupLimit prunes to
+    * k·partitions rows map-side, bounded by the doc's distinct-term
+    * count. */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tf = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(terms(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val nDocs = broadcast(
+      tf.select(col(idCol)).distinct().agg(count(lit(1)).as("__n")))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(nDocs)
+      .withColumn("__raw", col("tf") *
+        (log((lit(1.0) + col("__n")) / (lit(1.0) + col("__df"))) + lit(1.0)))
+      .withColumn("tfidf", floor(col("__raw") * 1e6 + lit(0.5)) / 1e6)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("tfidf"),
+        col("rk").cast("integer").as("rk"))
+  }
 }

@@ -125,4 +125,60 @@ object TimeSeries {
         pow(lit(beta), col("__off")) * (col("__pref") + coalesce(col("__carry"), lit(0.0))))
       .drop("__k", "__b", "__carry", "__pref", "__z", "__rn", "__blk", "__off")
   }
+
+  /** Merge overlapping (or touching) `[start, end]` intervals per key —
+    * the gaps-and-islands normalization behind availability windows,
+    * crawl-visit coalescing, and per-document span-set compaction. Output:
+    * one row per merged island `(keyCol, island, startCol, endCol,
+    * n_merged)` with `island` the key's 0-based island ordinal.
+    *
+    * Islands form where an interval starts strictly after the running max
+    * end of everything before it; `start <= prevMax` (touch or overlap)
+    * merges. Columns may be numeric or timestamp — only `>`/`max` order
+    * semantics are used. Rows with a null key/bound, or `end < start`,
+    * drop (an unordered interval has no extent).
+    *
+    * Scale: ONE exchange on the key; the running max is an
+    * unbounded-preceding ROWS frame (O(1) incremental state per row, never
+    * a buffered partition) and the island roll-up is a partial-aggregable
+    * `groupBy` — a key with a billion intervals costs its sort, nothing
+    * quadratic. */
+  def mergeIntervals(df: DataFrame, keyCol: String,
+                     startCol: String, endCol: String): DataFrame = {
+    val (s, e) = (col(startCol), col(endCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(s, e)
+    val prevMax = max(e).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    df.filter(col(keyCol).isNotNull && s.isNotNull && e.isNotNull && e >= s)
+      .withColumn("__new", when(prevMax.isNull || s > prevMax, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+      .groupBy(col(keyCol), col("island"))
+      .agg(min(s).as(startCol), max(e).as(endCol), count(lit(1)).as("n_merged"))
+  }
+
+  /** Batch sessionization — assign every event its key's 0-based
+    * `session_id`, a new session opening where the gap to the previous
+    * event exceeds `gapSeconds` (the batch twin of the streaming
+    * `StreamingValidate.sessionCounts`; this row-level form feeds
+    * per-event features — position-in-session, time-since-session-start —
+    * that the aggregate-only streaming shape cannot). Ties on `timeCol`
+    * break by `tieCol` for a deterministic recurrence. Rows with a null
+    * key or time drop.
+    *
+    * Scale: gaps-and-islands over ONE key exchange — `lag` + running sum
+    * are O(1)-state ROWS frames; no per-session buffering, no second
+    * shuffle. Session-level stats are one further partial-aggregable
+    * `groupBy(key, session_id)` away (see `q_sessionize`). */
+  def sessionize(events: DataFrame, keyCol: String, timeCol: String,
+                 tieCol: String, gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(timeCol), col(tieCol))
+    val ts = unix_timestamp(col(timeCol))
+    val gap = ts - lag(ts, 1).over(w)
+    events.filter(col(keyCol).isNotNull && col(timeCol).isNotNull)
+      .withColumn("__new", when(gap.isNull || gap > gapSeconds, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+      .drop("__new")
+  }
 }

@@ -101,4 +101,32 @@ class HtmlSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"extraction must be map-only:\n$plan")
     assert(plan.contains("*(1)"), s"fell out of codegen:\n$plan")
   }
+
+  test("anchorProfile: totals, distinct docs, anchor variety, top anchor with asc tie") {
+    val links = Seq(
+      (1L, "u1", "home"), (2L, "u1", "home"), (2L, "u1", "start page"),
+      (3L, "u1", "home"), (3L, "u1", "aaa"),
+      // u2: two anchors at count 1 each — tie breaks to the asc-first
+      (1L, "u2", "zed"), (4L, "u2", "alpha"),
+      (5L, null, "dropped")
+    ).toDF("doc_id", "href", "anchor")
+    val out = Html.anchorProfile(links).orderBy("href")
+      .as[(String, Long, Long, Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      ("u1", 5L, 3L, 3L, "home", 3L),
+      ("u2", 2L, 2L, 2L, "alpha", 1L)))
+  }
+
+  test("anchorProfile composes with extractLinks end to end") {
+    val docs = Seq(
+      (1L, """<a href="https://t/x">click here</a> <a href="https://t/x">click here</a>"""),
+      (2L, """<a href="https://t/x">other</a> <a href="https://t/y">solo</a>"""))
+      .toDF("doc_id", "html")
+    val out = Html.anchorProfile(Html.extractLinks(docs, "doc_id", "html"))
+      .orderBy("href")
+      .as[(String, Long, Long, Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      ("https://t/x", 3L, 2L, 2L, "click here", 2L),
+      ("https://t/y", 1L, 1L, 1L, "solo", 1L)))
+  }
 }

@@ -178,4 +178,50 @@ class LayoutSpec extends SparkSuite {
       .collect()
     perPart.foreach { p => assert(p == p.sorted, "partition not sorted") }
   }
+
+  test("planCompaction: offset bins coalesce small files, oversize files span bins") {
+    import spark.implicits._
+    val files = Seq(
+      // group a: 4×30 then 1×30 → bins at target 100: [0,100) holds 3
+      // files (offsets 0,30,60), the 4th starts at 90 → bin 0 too, the
+      // 5th starts at 120 → bin 1
+      ("a", "f1", 30L), ("a", "f2", 30L), ("a", "f3", 30L),
+      ("a", "f4", 30L), ("a", "f5", 30L),
+      // group b: an oversize 250-byte file occupies bin 0 alone (its
+      // start offset), the next file starts at 250 → bin 2
+      ("b", "g1", 250L), ("b", "g2", 10L),
+      // dropped rows
+      ("c", "h1", 0L), ("c", null, 10L), (null, "h2", 10L)
+    ).toDF("grp", "fname", "bytes")
+    val out = Layout.planCompaction(files, "grp", "fname", "bytes", targetBytes = 100L)
+      .orderBy("grp", "bin")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", 0L, 4L, 120L), ("a", 1L, 1L, 30L),
+      ("b", 0L, 1L, 250L), ("b", 2L, 1L, 10L)))
+  }
+
+  test("planCompaction plan: one key exchange + partial-agg rollup, no global sort") {
+    import spark.implicits._
+    val files = (0 until 500).map(i => (s"p${i % 7}", f"f$i%04d", 1000L + i))
+      .toDF("grp", "fname", "bytes")
+    val plan = Layout.planCompaction(files, "grp", "fname", "bytes", 50000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"), "must not global-sort")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"bin rollup must partial-aggregate:\n${plan.take(2000)}")
+  }
+
+  test("zoneMap: per-zone min/max/null stats match direct computation") {
+    import spark.implicits._
+    val d = Seq((0L, Some(5.0)), (0L, None), (0L, Some(-2.0)),
+      (1L, Some(7.5)), (-1L, Some(1.0)))
+      .toDF("zone", "v")
+    val out = Layout.zoneMap(d, "zone", "v").orderBy("zone")
+      .as[(Long, Long, Long, Option[Double], Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (-1L, 1L, 0L, Some(1.0), Some(1.0)),
+      (0L, 3L, 1L, Some(-2.0), Some(5.0)),
+      (1L, 1L, 0L, Some(7.5), Some(7.5))))
+  }
 }

@@ -78,6 +78,41 @@ class RetrievalSpec extends SparkSuite {
     assert(run(docs) == run(docs.repartition(13)))
   }
 
+  test("tfidfTopK: closed-form smooth-idf scores, k cutoff, term-asc ties") {
+    val out = Retrieval.tfidfTopK(corpus, "doc_id", "text", k = 2)
+      .collect().map(r => ((r.getLong(0), r.getInt(4)), (r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    // N=3; df: apple=2, banana=2, cherry=2 → idf = ln(4/3)+1 for every term
+    val idf = math.log(4.0 / 3.0) + 1.0
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // doc 1: apple tf=2 (rank 1), banana tf=1 (rank 2)
+    assert(out((1L, 1)) == (("apple", 2L, r6(2 * idf))))
+    assert(out((1L, 2)) == (("banana", 1L, r6(idf))))
+    // doc 2: equal tf=1 → term-asc tie → apple before cherry
+    assert(out((2L, 1))._1 == "apple" && out((2L, 2))._1 == "cherry")
+    // doc 3: banana tf=3 dominates
+    assert(out((3L, 1)) == (("banana", 3L, r6(3 * idf))))
+    assert(out.size == 6, "k=2 caps every doc")
+  }
+
+  test("tfidfTopK: rare terms outrank frequent ones at equal tf") {
+    val docs = Seq((1L, "common rare"), (2L, "common x"), (3L, "common y"))
+      .toDF("doc_id", "text")
+    val top = Retrieval.tfidfTopK(docs, "doc_id", "text", k = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(top == Map(1L -> "rare", 2L -> "x", 3L -> "y"),
+      "df=3 'common' must lose to each doc's df=1 term")
+  }
+
+  test("tfidfTopK plan: lazy corpus-count broadcast, WindowGroupLimit ranking") {
+    val docs = (0L until 100L).map(i => (i, s"a${i % 5} b${i % 7} c")).toDF("doc_id", "text")
+    val plan = Retrieval.tfidfTopK(docs, "doc_id", "text", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-doc top-k must pre-prune map-side:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the single-row N aggregate must broadcast:\n$plan")
+  }
+
   test("termStats: one row per (doc, term) with tf and shared dl") {
     val st = Retrieval.termStats(corpus, "doc_id", "text")
       .collect().map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap

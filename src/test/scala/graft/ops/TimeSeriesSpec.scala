@@ -78,6 +78,57 @@ class TimeSeriesSpec extends SparkSuite {
     assert(out == Seq((1L, 42.0)))
   }
 
+  test("mergeIntervals: overlap and touch merge, strict gaps split; invalid rows drop") {
+    val d = Seq(
+      // key 1: [0,10] + [5,20] overlap, [20,30] touches (merges), [31,40] strict gap
+      (Some(1L), Some(0L), Some(10L)), (Some(1L), Some(5L), Some(20L)),
+      (Some(1L), Some(20L), Some(30L)), (Some(1L), Some(31L), Some(40L)),
+      // key 2: containment [0,100] ⊇ [10,20] — running max must carry past
+      // the contained interval's smaller end
+      (Some(2L), Some(0L), Some(100L)), (Some(2L), Some(10L), Some(20L)),
+      (Some(2L), Some(150L), Some(160L)),
+      // invalid: null key / null bound / inverted
+      (None, Some(0L), Some(1L)), (Some(3L), None, Some(1L)),
+      (Some(3L), Some(5L), Some(4L))
+    ).toDF("k", "s", "e")
+    val out = TimeSeries.mergeIntervals(d, "k", "s", "e")
+      .orderBy("k", "island")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, 30L, 3L), (1L, 1L, 31L, 40L, 1L),
+      (2L, 0L, 0L, 100L, 2L), (2L, 1L, 150L, 160L, 1L)))
+  }
+
+  test("mergeIntervals works on timestamp bounds") {
+    val d = Seq((1L, ts(0), ts(100)), (1L, ts(50), ts(200)), (1L, ts(300), ts(301)))
+      .toDF("k", "s", "e")
+    val out = TimeSeries.mergeIntervals(d, "k", "s", "e")
+      .orderBy("island").select("s", "e", "n_merged")
+      .as[(Timestamp, Timestamp, Long)].collect().toSeq
+    assert(out == Seq((ts(0), ts(200), 2L), (ts(300), ts(301), 1L)))
+  }
+
+  test("sessionize: strict gap threshold, 0-based ids, ties by tieCol") {
+    val d = Seq(
+      (1L, ts(0), 1L), (1L, ts(1800), 2L),   // exactly the gap — same session
+      (1L, ts(3601), 3L),                     // 1801s after — new session
+      (1L, ts(3601), 4L),                     // duplicate second — same session
+      (2L, ts(0), 5L)
+    ).toDF("k", "t", "id")
+    val out = TimeSeries.sessionize(d, "k", "t", "id", gapSeconds = 1800)
+      .select("id", "session_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("sessionize drops null keys/times and rejects non-positive gaps") {
+    val d = Seq((Option.empty[Long], Some(ts(0)), 1L), (Some(1L), None, 2L),
+      (Some(1L), Some(ts(0)), 3L)).toDF("k", "t", "id")
+    assert(TimeSeries.sessionize(d, "k", "t", "id", 60).count() == 1)
+    intercept[IllegalArgumentException] {
+      TimeSeries.sessionize(d, "k", "t", "id", 0)
+    }
+  }
+
   test("plan shape: one exchange on the key feeds the rolling frames") {
     val d = Seq((1L, ts(0), 1.0, 1L)).toDF("k", "t", "v", "id")
     val plan = TimeSeries.rollingFeatures(d, "k", "t", "v", "id")
