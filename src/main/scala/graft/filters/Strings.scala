@@ -214,9 +214,12 @@ object Uuid {
   * English month-name formats in any case (long and abbreviated, with
   * optional ordinal day suffixes, abbreviation periods, a leading weekday
   * name, and 12-hour clocks in am/a.m./PM spellings), RFC-2822 tails
-  * (numeric offset or GMT/UTC name), US-order slash and dotted dates
-  * (`M/d/yyyy`, `M.d.yyyy` — a documented divergence from dateutil's
-  * locale sensitivity), `yyyy/M/d`, `yyyy.M.d`, month-year and bare-year
+  * (numeric offset or GMT/UTC name), slash and dotted dates in dateutil's
+  * two-tier order — `dayFirst = false` (the dateutil default) tries
+  * `M/d/yyyy` first and falls back to `d/M/yyyy` exactly when the
+  * month-first read is invalid (so `25/12/2024` parses under either
+  * setting, like dateutil's swap-on-invalid rule), `dayFirst = true`
+  * reverses the preference — `yyyy/M/d`, `yyyy.M.d`, month-year and bare-year
   * shapes (filled to the period's first instant, dateutil's default), and
   * pure-digit detection: epoch seconds (9-10 digits), epoch millis
   * (12-13), compact `yyyyMMdd` (8), bare year (4). Full dateutil fuzz
@@ -229,7 +232,8 @@ object Uuid {
   * strings in the session zone, and the naive-input correction below
   * assumes that zone is UTC. */
 class Datetime(val timezone: String = "UTC", val formats: Seq[String] = Nil,
-               val lenient: Boolean = false) extends ScalarFilter {
+               val lenient: Boolean = false, val dayFirst: Boolean = false)
+    extends ScalarFilter {
   val name = "Datetime"
   override def heavy = true
   val code = "not_datetime"
@@ -249,10 +253,18 @@ class Datetime(val timezone: String = "UTC", val formats: Seq[String] = Nil,
     // RFC-2822 tail (weekday already stripped; GMT/UTC names normalize to
     // +0000 so one numeric-offset pattern covers both)
     "d MMM yyyy HH:mm:ss Z",
-    "d MMM yyyy HH:mm:ss", "d MMM yyyy",
-    "M/d/yyyy h:mm a", "M/d/yyyy H:mm", "M/d/yyyy", "yyyy/M/d",
-    "yyyy.M.d", "M.d.yyyy",
-    "MMMM yyyy", "MMM yyyy")
+    "d MMM yyyy HH:mm:ss", "d MMM yyyy") ++
+    // dateutil's two-tier ambiguous-date rule: the dayFirst-preferred
+    // order is tried first; the swapped order runs only when the preferred
+    // read is invalid (try_to_timestamp → null), so "25/12/2024" parses
+    // under either setting while "10/09/2024" follows the preference.
+    (if (dayFirst)
+       Seq("d/M/yyyy h:mm a", "d/M/yyyy H:mm", "d/M/yyyy", "d.M.yyyy",
+           "M/d/yyyy h:mm a", "M/d/yyyy H:mm", "M/d/yyyy", "M.d.yyyy")
+     else
+       Seq("M/d/yyyy h:mm a", "M/d/yyyy H:mm", "M/d/yyyy", "M.d.yyyy",
+           "d/M/yyyy h:mm a", "d/M/yyyy H:mm", "d/M/yyyy", "d.M.yyyy")) ++
+    Seq("yyyy/M/d", "yyyy.M.d", "MMMM yyyy", "MMM yyyy")
 
   protected def parsed(v: Column): Column = {
     val attempts = try_to_timestamp(v) +: formats.map(f => try_to_timestamp(v, lit(f)))
@@ -322,20 +334,20 @@ class Datetime(val timezone: String = "UTC", val formats: Seq[String] = Nil,
 
 object Datetime {
   def apply(timezone: String = "UTC", formats: Seq[String] = Nil,
-            lenient: Boolean = false): Datetime =
-    new Datetime(timezone, formats, lenient)
+            lenient: Boolean = false, dayFirst: Boolean = false): Datetime =
+    new Datetime(timezone, formats, lenient, dayFirst)
 }
 
 /** Datetime then calendar date (UTC). Reference: `filters/simple.py::Date`. */
 class Date(timezone: String = "UTC", formats: Seq[String] = Nil,
-           lenient: Boolean = false)
-    extends Datetime(timezone, formats, lenient) {
+           lenient: Boolean = false, dayFirst: Boolean = false)
+    extends Datetime(timezone, formats, lenient, dayFirst) {
   override val name = "Date"
   override val code = "not_date"
   override protected def clean(v: Column) = parsed(v).cast(DateType)
 }
 object Date {
   def apply(timezone: String = "UTC", formats: Seq[String] = Nil,
-            lenient: Boolean = false): Date =
-    new Date(timezone, formats, lenient)
+            lenient: Boolean = false, dayFirst: Boolean = false): Date =
+    new Date(timezone, formats, lenient, dayFirst)
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => fn, DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 import graft.core.{Validate, ValidationResult, Validator}
 
@@ -42,12 +42,35 @@ object ValidatedIO {
     Validate.columns(
       spark.read.options(options).schema(schema).csv(path), specs: _*)
 
-  /** JSON-lines with an explicit schema. */
+  /** JSON-lines with an explicit schema. When the schema carries a
+    * corrupt-record column (default `_corrupt_record`), parsing runs as
+    * `from_json` over a text scan instead of the JSON file source: the
+    * file source's internal corrupt column is query-restricted — Spark
+    * raises `QUERY_ONLY_CORRUPT_RECORD_COLUMN` when a pruned plan (e.g. a
+    * bare `count()` over either split) ends up referencing only that
+    * column — while the `from_json` column is an ordinary expression with
+    * identical PERMISSIVE semantics (same `JacksonParser` under both). */
   def json(spark: SparkSession, path: String, schema: StructType,
            options: Map[String, String] = Map.empty)(
-           specs: (String, Validator)*): ValidationResult =
-    Validate.columns(
-      spark.read.options(options).schema(schema).json(path), specs: _*)
+           specs: (String, Validator)*): ValidationResult = {
+    val corruptCol = options.getOrElse("columnNameOfCorruptRecord",
+      spark.conf.getOption("spark.sql.columnNameOfCorruptRecord")
+        .getOrElse("_corrupt_record"))
+    val df =
+      if (!schema.fieldNames.contains(corruptCol))
+        spark.read.options(options).schema(schema).json(path)
+      else {
+        val opts = options ++ Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> corruptCol)
+        spark.read.text(path)
+          // the JSON file source skips blank lines; the text source does not
+          .where(fn.length(fn.trim(fn.col("value"))) > 0)
+          .select(fn.from_json(fn.col("value"), schema, opts).as("r"))
+          .select(schema.fieldNames.toSeq
+            .map(n => fn.col("r").getField(n).as(n)): _*)
+      }
+    Validate.columns(df, specs: _*)
+  }
 
   /** Opaque media files as binary rows (path, modificationTime, length,
     * content) — the multimodal ingest source (SURVEY.md §2.6). Pair with

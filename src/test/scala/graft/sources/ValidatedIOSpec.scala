@@ -35,6 +35,36 @@ class ValidatedIOSpec extends SparkSuite {
     assert(res.invalid.count() == 1)
   }
 
+  test("json corrupt-record quarantine survives count-only pruning") {
+    // regression: the JSON file source raises
+    // QUERY_ONLY_CORRUPT_RECORD_COLUMN when a pruned plan (a bare count()
+    // over either split) references only the corrupt column — the bench
+    // harness does exactly that, so corrupt-schema reads route through
+    // from_json over a text scan instead
+    val dir = tmpDir()
+    Files.writeString(java.nio.file.Paths.get(dir, "in.json"),
+      """{"id": 1, "v": "ok"}
+        |
+        |{"id": "not-a-number", "v": "cast failure"}
+        |this line is not json
+        |{"id": 3, "v": null}
+        |""".stripMargin)
+    val schema = StructType.fromDDL("id BIGINT, v STRING, _corrupt_record STRING")
+    val res = ValidatedIO.json(spark, s"$dir/in.json", schema)(
+      "_corrupt_record" -> F.Empty())
+    // count() on both splits: the exact shape the file source rejects
+    assert(res.valid.count() == 2)   // blank line skipped like the file source
+    assert(res.invalid.count() == 2) // cast failure + malformed line
+    assert(res.valid.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // the cleaned frame nulls the flagged value (filter protocol), so the
+    // quarantine evidence lives in _errors, not the cleaned column
+    val errs = res.invalid.selectExpr("to_json(_errors)").collect().map(_.getString(0))
+    assert(errs.forall(_.contains("\"code\":\"not_empty\"")))
+    // the cast-failure row keeps its parseable sibling fields (PERMISSIVE)
+    assert(res.invalid.select("v").collect().map(_.getString(0))
+      .contains("cast failure"))
+  }
+
   test("quarantine sink splits valid/invalid with serialized errors") {
     val dir = tmpDir()
     import spark.implicits._
