@@ -11,6 +11,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // per-run warehouse: managed-table locations from a previous process
+      // must not leak into (or fail) this run's bucketed-write entries
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_bench_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up session machinery (codegen, parquet reader) so the first

@@ -1175,8 +1175,13 @@ object SparkEntry {
         col("v_user") === col("p_user") &&
           col("p_ts") >= col("view_ts") &&
           col("p_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      // statePartitions = 8: a stream-stream join commits FOUR state
+      // stores per partition per batch; at this key cardinality 32 stores
+      // is pure commit overhead (measured 3×) — an unbounded
+      // high-throughput deploy sizes UP instead (runBounded scaladoc)
       graft.streaming.StreamingValidate.runBounded(
-          joined.select(col("view_id"), col("purchase_id")))
+          joined.select(col("view_id"), col("purchase_id")),
+          statePartitions = Some(8))
         .orderBy("view_id", "purchase_id")
     }),
     "q_dedup_weighted" -> ((s, dir) => {

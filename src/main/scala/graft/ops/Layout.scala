@@ -22,6 +22,22 @@ object Layout {
     * WITHOUT any shuffle — the scale path for repeated fact↔fact joins. */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
                     keys: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    // A managed table's LOCATION can outlive its catalog entry (previous
+    // process exited; in-memory catalog reset) — saveAsTable(Overwrite) on
+    // the then-uncataloged name fails LOCATION_ALREADY_EXISTS instead of
+    // overwriting. Drop the entry AND any stale directory first.
+    val parts = table.split("\\.")
+    val (db, name) =
+      if (parts.length == 2) (parts(0), parts(1))
+      else (spark.catalog.currentDatabase, table)
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`$name`")
+    val loc = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(new java.net.URI(
+        spark.catalog.getDatabase(db).locationUri)),
+      name.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)

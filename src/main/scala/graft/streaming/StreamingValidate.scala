@@ -123,16 +123,34 @@ object StreamingValidate {
     * is driver-memory: bound the stream (validate → dedup → keys/aggregates)
     * before sinking, exactly as a production job would bound what it
     * collects. */
-  def runBounded(stream: DataFrame, outputMode: String = "append"): DataFrame = {
+  def runBounded(stream: DataFrame, outputMode: String = "append",
+                 statePartitions: Option[Int] = None): DataFrame = {
     require(stream.isStreaming, "runBounded needs a streaming frame")
     val name = "graft_bounded_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = stream.writeStream.format("memory").queryName(name)
-      .outputMode(outputMode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    // A stateful query PINS its state-store partition count to
+    // spark.sql.shuffle.partitions at first start — and every microbatch
+    // then pays one store commit PER partition PER stateful operator
+    // (a stream-stream join keeps four stores per partition). Size it to
+    // key cardinality/throughput, not to the batch shuffle default: a
+    // bounded replay over a modest key space runs ~3× faster at 8 than at
+    // 32 here, while an unbounded high-cardinality deploy sizes UP. The
+    // session conf is restored after start (the running query keeps the
+    // pinned value).
+    val spark = stream.sparkSession
+    val prev = statePartitions.map { n =>
+      val p = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      p
+    }
+    val q =
+      try stream.writeStream.format("memory").queryName(name)
+        .outputMode(outputMode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      finally prev.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
     q.awaitTermination()
-    stream.sparkSession.table(name)
+    spark.table(name)
   }
 
   /** `foreachBatch` handler that validates each micro-batch and routes the

@@ -13,16 +13,15 @@ class LayoutSpec extends SparkSuite {
   test("bucketed tables equi-join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
-    // a killed prior run can leave the warehouse dirs without catalog entries
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete()
-    }
-    for (t <- Seq("li_b", "ord_b")) {
-      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:"), t)
-      if (loc.exists()) rmrf(loc)
-    }
+    // plant a stale UNCATALOGED location (what a killed prior run leaves
+    // behind): writeBucketed must clear it rather than fail
+    // LOCATION_ALREADY_EXISTS — the regression that intermittently broke
+    // b_layout_bucketed across bench JVMs
+    val stale = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), "li_b")
+    stale.mkdirs()
+    java.nio.file.Files.writeString(
+      stale.toPath.resolve("stale-part.parquet"), "not really parquet")
     Layout.writeBucketed(lineitem.select("l_orderkey", "l_quantity"), "li_b", 4,
       Seq("l_orderkey"))
     Layout.writeBucketed(orders.select("o_orderkey", "o_totalprice"), "ord_b", 4,

@@ -36,7 +36,9 @@ for (name <- Seq("flagship_valid_split", "q_required", "q_min", "q_topk_similar"
     "q_quality_score", "q_logit_fit",
     "q_cdc_apply", "q_snapshot_diff", "q_topk_group", "q_mad_outliers",
     "q_kl_divergence", "q_fk_orphans", "q_scd_history", "q_salted_join",
-    "q_dedup_weighted")) {
+    "q_dedup_weighted",
+    "q_interval_merge", "q_sessionize", "q_tfidf", "q_compaction_plan",
+    "q_zonemap", "q_anchor_profile")) {
   val df = if (name == "flagship_valid_split") flagship
            else graft.SparkEntry.queries(name)(spark, dir)
   out.println()
