@@ -697,6 +697,24 @@ object SparkEntry {
         .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
         .orderBy("doc_id")
     }),
+    "q_dedup_keep_best" -> ((s, dir) => {
+      // keep-BEST cluster resolution (the RefinedWeb keep-longest recipe):
+      // same exact-Jaccard oracle-able pair source as q_dedup_clusters,
+      // but each transitive cluster keeps its longest member (ties → min
+      // id) instead of the min-id representative
+      val docs = T(s, dir, "documents")
+        .filter(col("doc_id") < 200 && col("text").isNotNull)
+      val tokSet = array_distinct(filter(
+        split(lower(col("text")), "\\s+"), t => length(t) > 0))
+      val sh = docs.select(col("doc_id"), tokSet.as("tok"))
+      val a = sh.select(col("doc_id").as("id_a"), col("tok").as("tok_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("tok").as("tok_b"))
+      val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .filter(Dedup.jaccard(col("tok_a"), col("tok_b")) >= 0.9)
+        .select(col("id_a"), col("id_b"))
+      graft.ops.Clusters.keepBestInClusters(docs, pairs, "doc_id", "n_chars")
+        .select(col("doc_id"), col("n_chars")).orderBy("doc_id")
+    }),
     "q_approx_distinct" -> ((s, dir) => {
       T(s, dir, "events").agg(count_distinct(col("user_id")).as("n"))
     }),
@@ -1410,6 +1428,18 @@ object SparkEntry {
         "vec_id", "embedding", k = 3)
         .orderBy("q_id", "rk")
     }),
+    "q_pq_topk" -> ((s, dir) => {
+      // product-quantization ADC search over the deterministic synthetic
+      // codebook (8 subspaces × 16 centroids × 8 dims): encode, per-query
+      // LUT, integer asymmetric distances — every step on the 1e-9 grid,
+      // so the full ranking mirrors bitwise in SQL (the oracle regrows
+      // the same codebook from its closed form via generate_series)
+      val emb = T(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3), "vec_id",
+          "embedding", Similarity.pqSyntheticCodebook(8, 16, 8),
+          m = 8, k = 16, topK = 5)
+        .orderBy("q_id", "rk")
+    }),
     "q_quantize" -> ((s, dir) => {
       // int8 embedding quantization — IEEE-exact formula, bitwise oracle
       // (scale + every code); DuckDB mirrors with list_transform
@@ -2054,6 +2084,23 @@ object SparkEntry {
         "r(u, v) AS (SELECT u, v FROM e UNION SELECT r.u, e2.v FROM r JOIN e e2 ON r.v = e2.u), " +
         "m AS (SELECT u AS doc_id, least(u, min(v)) AS rep FROM r GROUP BY u) " +
         "SELECT s.doc_id, coalesce(m.rep, s.doc_id) AS rep FROM s LEFT JOIN m USING (doc_id) ORDER BY doc_id"),
+    "q_dedup_keep_best" ->
+      // same recursive closure as q_dedup_clusters; each cluster keeps its
+      // max-n_chars member (ties -> min id), singletons keep themselves
+      ("WITH RECURSIVE s AS (SELECT doc_id, list_distinct(list_filter(" +
+        "regexp_split_to_array(lower(text), '\\s+'), t -> length(t) > 0)) AS tok " +
+        "FROM documents WHERE doc_id < 200 AND text IS NOT NULL), " +
+        "p AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM s a, s b WHERE a.doc_id < b.doc_id " +
+        "AND (CASE WHEN len(list_distinct(list_concat(a.tok, b.tok))) = 0 THEN 1.0 " +
+        "ELSE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) / len(list_distinct(list_concat(a.tok, b.tok))) END) >= 0.9), " +
+        "e AS (SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p), " +
+        "r(u, v) AS (SELECT u, v FROM e UNION SELECT r.u, e2.v FROM r JOIN e e2 ON r.v = e2.u), " +
+        "m AS (SELECT u AS doc_id, least(u, min(v)) AS rep FROM r GROUP BY u), " +
+        "asg AS (SELECT s.doc_id, coalesce(m.rep, s.doc_id) AS rep FROM s LEFT JOIN m USING (doc_id)), " +
+        "j AS (SELECT asg.doc_id, asg.rep, d.n_chars FROM asg JOIN documents d USING (doc_id)) " +
+        "SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars, " +
+        "row_number() OVER (PARTITION BY rep ORDER BY n_chars DESC, doc_id) AS rn FROM j) " +
+        "WHERE rn = 1 ORDER BY doc_id"),
     "q_semdedup" ->
       // full SemDeDup mirror: argmax-cosine cell assignment (ties to the
       // lowest centroid_id, mirroring ivfAssign's max_by), within-cell
@@ -2797,6 +2844,26 @@ object SparkEntry {
         "FROM n, qs WHERE n.vec_id <> qs.q_id) " +
         "SELECT q_id, cand_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS INTEGER) AS rk " +
         "FROM scored QUALIFY rk <= 3 ORDER BY q_id, rk"),
+    "q_pq_topk" ->
+      // the codebook regrows from its closed form; every squared-diff
+      // term is bit-identical double arithmetic (float widening exact,
+      // centroids on the 1/8 grid), floor'd onto a 1e-9 integer grid and
+      // summed as BIGINT — order-free, so encode argmin and ADC ranking
+      // mirror exactly
+      ("WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
+        "cb AS (SELECT j.j, i.i, d.d, CAST(((i.i*31 + d.d*7 + j.j*13) % 17) - 8 AS DOUBLE)/8.0 AS c " +
+        "FROM generate_series(0,7) j(j) CROSS JOIN generate_series(0,15) i(i) CROSS JOIN generate_series(0,7) d(d)), " +
+        "dist AS (SELECT v.vec_id, cb.j, cb.i, " +
+        "SUM(CAST(floor((v.e[cb.j*8 + cb.d + 1] - cb.c) * (v.e[cb.j*8 + cb.d + 1] - cb.c) * 1e9) AS BIGINT)) AS d9 " +
+        "FROM v CROSS JOIN cb GROUP BY 1, 2, 3), " +
+        "code AS (SELECT vec_id, j, i AS code FROM (SELECT vec_id, j, i, " +
+        "row_number() OVER (PARTITION BY vec_id, j ORDER BY d9, i) AS rn FROM dist) WHERE rn = 1), " +
+        "qd AS (SELECT vec_id AS q_id, j, i, d9 FROM dist WHERE vec_id < 3), " +
+        "adc AS (SELECT qd.q_id, c.vec_id AS cand_id, CAST(SUM(qd.d9) AS BIGINT) AS dist9 " +
+        "FROM code c JOIN qd ON qd.j = c.j AND qd.i = c.code AND c.vec_id <> qd.q_id " +
+        "GROUP BY 1, 2) " +
+        "SELECT q_id, cand_id, dist9, CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist9, cand_id) AS INTEGER) AS rk " +
+        "FROM adc QUALIFY rk <= 5 ORDER BY q_id, rk"),
     "q_quantize" ->
       // same left-to-right arithmetic as Kernels.quantizeI8D; CAST to
       // DOUBLE first (float32 widening is exact)

@@ -430,6 +430,99 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Product-quantization encode (Jégou, Douze, Schmid — "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011, public
+    * method): split `v` (length m·subDim) into `m` subvectors; each code
+    * is the index of the nearest of `k` centroids from the flat
+    * `codebook` (layout `codebook[((j·k)+i)·subDim + d]`). The subspace
+    * distance is Σ_d floor((x−c)²·1e9) summed as LONG — integer adds are
+    * order-free and each term is bit-identical in any IEEE engine (the
+    * q_kl_divergence exactness pattern), so the argmin (ties → smallest
+    * index) is deterministic across partitionings AND mirrorable in SQL.
+    * NULL on a length mismatch (a mis-dimensioned vector must surface). */
+  def pqEncode(v: org.apache.spark.sql.catalyst.util.ArrayData,
+               codebook: org.apache.spark.sql.catalyst.util.ArrayData,
+               m: Int, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = v.numElements()
+    if (m <= 0 || n % m != 0) return null
+    val subDim = n / m
+    if (codebook.numElements() != m * k * subDim) return null
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = Long.MaxValue
+      var bestI = 0
+      var i = 0
+      while (i < k) {
+        var acc = 0L
+        var d = 0
+        while (d < subDim) {
+          val x = v.getDouble(j * subDim + d)
+          val c = codebook.getDouble((j * k + i) * subDim + d)
+          val t = (x - c) * (x - c)
+          acc += math.floor(t * 1e9).toLong
+          d += 1
+        }
+        if (acc < best) { best = acc; bestI = i }
+        i += 1
+      }
+      out(j) = bestI
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Per-query PQ lookup table: entry `j·k + i` is the floor'd integer
+    * distance (same 1e-9-grid form as [[pqEncode]]) between query
+    * subvector `j` and centroid `(j, i)`. m·k longs per query — the
+    * asymmetric-distance (ADC) table each candidate's codes index into. */
+  def pqLut(q: org.apache.spark.sql.catalyst.util.ArrayData,
+            codebook: org.apache.spark.sql.catalyst.util.ArrayData,
+            m: Int, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = q.numElements()
+    if (m <= 0 || n % m != 0) return null
+    val subDim = n / m
+    if (codebook.numElements() != m * k * subDim) return null
+    val out = new Array[Long](m * k)
+    var j = 0
+    while (j < m) {
+      var i = 0
+      while (i < k) {
+        var acc = 0L
+        var d = 0
+        while (d < subDim) {
+          val x = q.getDouble(j * subDim + d)
+          val c = codebook.getDouble((j * k + i) * subDim + d)
+          val t = (x - c) * (x - c)
+          acc += math.floor(t * 1e9).toLong
+          d += 1
+        }
+        out(j * k + i) = acc
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** ADC scan step: approximate distance `Σ_j lut[j·k + codes_j]` —
+    * integer adds, exact and order-free. NULL on shape mismatch. */
+  def pqAdc(codes: org.apache.spark.sql.catalyst.util.ArrayData,
+            lut: org.apache.spark.sql.catalyst.util.ArrayData,
+            k: Int): java.lang.Long = {
+    val m = codes.numElements()
+    if (lut.numElements() != m * k) return null
+    var s = 0L
+    var j = 0
+    while (j < m) {
+      val c = codes.getInt(j)
+      if (c < 0 || c >= k) return null
+      s += lut.getLong(j * k + c)
+      j += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
   /** Integer dot product of two int arrays (NULL on length mismatch — a
     * dimension-mismatched embedding is a data error that must surface,
     * not silently rank as orthogonal/last) — the quantized-search scorer:

@@ -115,6 +115,20 @@ object native {
     invoke(LongType, "dotI", Seq(e(a), e(b)),
       Seq(ArrayType(IntegerType), ArrayType(IntegerType)))
 
+  def pqEncode(v: Column, codebook: Column, m: Int, k: Int): Column =
+    invoke(ArrayType(IntegerType, containsNull = false), "pqEncode",
+      Seq(e(v), e(codebook), Literal(m), Literal(k)),
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType), IntegerType, IntegerType))
+
+  def pqLut(q: Column, codebook: Column, m: Int, k: Int): Column =
+    invoke(ArrayType(LongType, containsNull = false), "pqLut",
+      Seq(e(q), e(codebook), Literal(m), Literal(k)),
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType), IntegerType, IntegerType))
+
+  def pqAdc(codes: Column, lut: Column, k: Int): Column =
+    invoke(LongType, "pqAdc", Seq(e(codes), e(lut), Literal(k)),
+      Seq(ArrayType(IntegerType), ArrayType(LongType), IntegerType))
+
   def maxAbsD(a: Column): Column =
     invoke(DoubleType, "maxAbsD", Seq(e(a)), Seq(ArrayType(DoubleType)))
 

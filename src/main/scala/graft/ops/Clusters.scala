@@ -216,4 +216,33 @@ object Clusters {
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Cluster-resolved dedup, keep-BEST policy: among each transitive
+    * near-dup cluster keep the highest-`scoreCol` member (ties → smallest
+    * id) — the RefinedWeb/FineWeb recipe of keeping the longest or
+    * highest-quality duplicate, where [[dropNearDupClusters]]' min-id
+    * policy keeps an arbitrary-but-stable one. Null scores rank last.
+    *
+    * Scale: winner selection is ONE map-side-combined `min(struct(-score,
+    * id))` per cluster — a cluster with a million members ships one row
+    * per partition to the exchange, never a window over the cluster; the
+    * survivor filter is an anti-join on the loser ids (pair-bounded, AQE
+    * broadcasts a day-sized loser set). Docs in no pair survive untouched. */
+  def keepBestInClusters(df: DataFrame, pairs: DataFrame, idCol: String,
+                         scoreCol: String,
+                         localSolveMax: Long = 500000L): DataFrame = {
+    val cc = connectedComponents(pairs, localSolveMax = localSolveMax)
+    val member = df
+      .select(col(idCol).cast("long").as("id"),
+        coalesce(-col(scoreCol).cast("double"),
+          lit(Double.MaxValue)).as("__neg_score"))
+      .join(cc, Seq("id"))
+    val winners = member.groupBy(col("rep"))
+      .agg(min(struct(col("__neg_score"), col("id"))).as("__w"))
+      .select(col("__w.id").as("id"))
+    val losers = member.select(col("id"))
+      .join(winners, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -303,6 +303,104 @@ object Similarity {
       .select(col(idCol), coalesce(col("rep"), col(idCol)).as("rep"))
   }
 
+  /** Deterministic data-independent PQ codebook (flat layout
+    * `cb[((j·k)+i)·subDim + d]`, values on the exact 1/8 grid) — the
+    * harness/oracle codebook: a SQL engine regenerates it from the same
+    * closed form, so encode + ADC are cross-engine mirrorable end to end.
+    * Real deployments train with [[trainPqCodebook]] instead. */
+  def pqSyntheticCodebook(m: Int, k: Int, subDim: Int): Array[Double] =
+    Array.tabulate(m * k * subDim) { idx =>
+      val j = idx / (k * subDim)
+      val r = idx % (k * subDim)
+      val i = r / subDim
+      val d = r % subDim
+      ((i * 31 + d * 7 + j * 13) % 17 - 8) / 8.0
+    }
+
+  /** Product-quantization encode (Jégou et al. TPAMI 2011 — public
+    * method): adds `codesCol` (`array<int>`, length m, each in [0, k)) —
+    * the m·log₂k-bit compressed form of the embedding. MAP-ONLY: the
+    * codebook (m·k·subDim doubles — model state, ~8 KB at 8×16×8) rides
+    * as one array literal inside the codegen'd [[native.pqEncode]]
+    * kernel, exactly the [[Classifier]] hashed-weight-table shape. At
+    * 100 TB this is the storage/scan win: 64-dim float vectors (256 B)
+    * become 8 bytes of codes, and the ADC scan reads ONLY the codes
+    * column. Distances use the floor'd-integer-grid form, so codes are
+    * bit-stable across partitionings and engines. */
+  def pqEncode(df: DataFrame, vecCol: String, codebook: Array[Double],
+               m: Int, k: Int, codesCol: String = "pq_codes"): DataFrame = {
+    require(codebook.length % (m * k) == 0,
+      s"codebook length ${codebook.length} not divisible by m*k = ${m * k}")
+    df.withColumn(codesCol, graft.expressions.native.pqEncode(
+      col(vecCol).cast("array<double>"), lit(codebook), m, k))
+  }
+
+  /** PQ asymmetric-distance top-k (ADC): each query precomputes its m·k
+    * lookup table ONCE (codegen kernel, map-only over the query side),
+    * then every candidate is scored by m integer table lookups over its
+    * codes — no per-pair float math at scan time. The query side
+    * (id + LUT) broadcasts; the corpus side streams through map-only
+    * scoring + a WindowGroupLimit top-k. Approximate by construction
+    * (distance to the RECONSTRUCTED candidate): recall is a codebook-
+    * quality story, exactness of the ranking arithmetic is integer.
+    * Output: `(q_id, cand_id, dist9, rk)` — `dist9` the 1e-9-grid
+    * integer distance, ascending = nearest. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, codebook: Array[Double], m: Int, k: Int,
+             topK: Int): DataFrame = {
+    val enc = pqEncode(corpus, vecCol, codebook, m, k)
+      .select(col(idCol).as("cand_id"), col("pq_codes"))
+    val q = queries.select(col(idCol).as("q_id"),
+      graft.expressions.native.pqLut(
+        col(vecCol).cast("array<double>"), lit(codebook), m, k).as("__lut"))
+    val w = Window.partitionBy("q_id").orderBy(col("dist9"), col("cand_id"))
+    enc.join(broadcast(q), col("cand_id") =!= col("q_id"))
+      .withColumn("dist9",
+        graft.expressions.native.pqAdc(col("pq_codes"), col("__lut"), k))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("cand_id"), col("dist9"),
+        col("rk").cast("integer").as("rk"))
+  }
+
+  /** Train a PQ codebook: per-subspace Lloyd iterations (k-means under
+    * plain L2, the paper's objective). Assignment is the SAME codegen
+    * [[native.pqEncode]] kernel the serving path uses (one map-only pass,
+    * no subvector explode before the aggregate); the update is a
+    * partial-aggregable per-(subspace, code, dim) mean whose exchange
+    * carries m·k·subDim rows regardless of corpus size. Means grid-snap
+    * to 1e-6 per iteration (the [[kmeansRefine]]/`fitLogistic` quantum
+    * pattern) so the fit is bit-reproducible across partitionings. The
+    * codebook is driver model-state (m·k·subDim doubles), seeded from
+    * [[pqSyntheticCodebook]]; empty cells keep their previous centroid. */
+  def trainPqCodebook(df: DataFrame, vecCol: String, m: Int, k: Int,
+                      subDim: Int, iters: Int = 3): Array[Double] = {
+    var cb = pqSyntheticCodebook(m, k, subDim)
+    val vecs = df.select(col(vecCol).cast("array<double>").as("__v"))
+      .filter(col("__v").isNotNull && size(col("__v")) === m * subDim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try for (_ <- 1 to iters) {
+      val means = vecs
+        .withColumn("__codes",
+          graft.expressions.native.pqEncode(col("__v"), lit(cb), m, k))
+        .select(posexplode(col("__v")).as(Seq("pos", "x")), col("__codes"))
+        .withColumn("j", (col("pos") / subDim).cast("int"))
+        .withColumn("d", col("pos") % subDim)
+        .withColumn("i", element_at(col("__codes"), col("j") + 1))
+        .groupBy("j", "i", "d").agg(avg(col("x")).as("mean"))
+        .select(col("j"), col("i"), col("d"),
+          (floor(col("mean") * 1e6 + lit(0.5)) / 1e6).as("mean"))
+        .collect()
+      val next = cb.clone()
+      means.foreach { r =>
+        val (j, i, d) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        next((j * k + i) * subDim + d) = r.getDouble(3)
+      }
+      cb = next
+    } finally vecs.unpersist()
+    cb
+  }
+
   /** Mean-pooled embedding per group (chunk → document pooling, cluster
     * centroids, per-domain embedding profiles): element-wise mean of an
     * `array`-typed vector column. Built on the partial-aggregable

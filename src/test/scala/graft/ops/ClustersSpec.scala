@@ -125,6 +125,26 @@ class ClustersSpec extends SparkSuite {
     assert(kept == Set(1L, 4L, 5L))
   }
 
+  test("keepBestInClusters keeps the max-score member, ties to min id, null scores last") {
+    def jd(v: Double): java.lang.Double = java.lang.Double.valueOf(v)
+    val df = Seq[(Long, java.lang.Double)](
+      (1L, jd(5.0)), (2L, jd(9.0)), (3L, jd(9.0)), // {1,2,3}: max 9.0, tie 2<3 → keep 2
+      (4L, jd(1.0)),                               // singleton, survives
+      (5L, null), (6L, jd(2.0))                    // {5,6}: null last → keep 6
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Clusters.keepBestInClusters(df, pairs, "doc_id", "score")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 6L))
+    // an all-null-score cluster still keeps exactly one member (min id)
+    val dfn = Seq[(Long, java.lang.Double)]((7L, null), (8L, null))
+      .toDF("doc_id", "score")
+    val keptN = Clusters.keepBestInClusters(dfn,
+        Seq((7L, 8L)).toDF("id_a", "id_b"), "doc_id", "score")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptN == Set(7L))
+  }
+
   test("mergeIncremental: assignment + new pairs == full recompute (bridges, stability)") {
     // existing clusters {1,2,3} and {10,11}; new pairs bridge 3–10 and
     // introduce a brand-new cluster {20,21}
