@@ -829,6 +829,25 @@ object SparkEntry {
       Sampling.hashSplit(T(s, dir, "documents"), "doc_id", HashSplits)
         .select(col("doc_id"), col("split")).orderBy("doc_id")
     }),
+    "q_split_decontam" -> ((s, dir) => {
+      // GPT-3-style decontaminated split: hash split, then train docs
+      // sharing ANY 8-char shingle with the eval side drop (id clamp
+      // bounds the oracle's shingle self-join)
+      val d = T(s, dir, "documents")
+        .filter(col("doc_id") < 300 && col("text").isNotNull)
+      Dedup.decontaminatedSplit(d, "doc_id", "text",
+          trainFrac = 0.9, k = 8, salt = "dc")
+        .select(col("doc_id"), col("split")).orderBy("doc_id")
+    }),
+    "q_manifest" -> ((s, dir) => {
+      // publishing manifest: per-shard row count + order-free mod-prime
+      // content checksum (portable: nothing but md5 + integer arithmetic)
+      val d = T(s, dir, "documents")
+        .withColumn("shard", pmod(col("doc_id"), lit(13)).cast("long"))
+      graft.ops.Layout.datasetManifest(d, "shard",
+          Seq("doc_id", "lang", "n_chars"))
+        .orderBy("shard")
+    }),
     "q_char_entropy" -> ((s, dir) => {
       T(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.charEntropy(col("text")).as("entropy"))
@@ -2228,6 +2247,32 @@ object SparkEntry {
         s"WHEN substr(md5('split:' || doc_id), 1, 8) < " +
         s"'${Sampling.fractionThreshold(HashSplitCums(1))}' THEN 'val' " +
         "ELSE 'test' END AS split FROM documents ORDER BY doc_id"),
+    "q_split_decontam" ->
+      // same md5 draw as q_hash_split, same substr shingling as
+      // q_contamination; a train doc sharing any shingle with eval drops
+      (s"WITH d AS (SELECT doc_id, lower(text) AS lt, " +
+        s"CASE WHEN substr(md5('dc:' || doc_id), 1, 8) < '${Sampling.fractionThreshold(0.9)}' " +
+        "THEN 'train' ELSE 'eval' END AS split " +
+        "FROM documents WHERE doc_id < 300 AND text IS NOT NULL), " +
+        "sh AS (SELECT doc_id, split, unnest(list_distinct(list_transform(" +
+        "range(1, greatest(length(lt) - 8, 0) + 2), i -> substr(lt, CAST(i AS INTEGER), 8)))) AS sh FROM d), " +
+        "ev AS (SELECT DISTINCT sh FROM sh WHERE split = 'eval'), " +
+        "dirty AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (sh) WHERE s.split = 'train') " +
+        "SELECT doc_id, split FROM d WHERE split = 'eval' " +
+        "OR doc_id NOT IN (SELECT doc_id FROM dirty) ORDER BY doc_id"),
+    "q_manifest" -> {
+      // 60-bit hex parse unrolled as a Horner chain (DuckDB has no conv());
+      // the mod-prime sum is exact integer arithmetic in both engines
+      val horner = (1 to 15).map(i =>
+          s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)")
+        .reduceLeft((acc, h) => s"($acc * 16 + $h)")
+      ("WITH r AS (SELECT doc_id % 13 AS shard, " +
+        "md5(concat_ws('|', CAST(doc_id AS VARCHAR), lang, CAST(n_chars AS VARCHAR))) AS m FROM documents), " +
+        s"v AS (SELECT shard, CAST($horner AS HUGEINT) AS v FROM r) " +
+        "SELECT shard, COUNT(*) AS n_rows, " +
+        "CAST(SUM(v) % 2305843009213693951 AS BIGINT) AS checksum " +
+        "FROM v GROUP BY shard ORDER BY shard")
+    },
     "q_char_entropy" ->
       // list_reduce over a prepended 0.0 accumulator replicates Spark's
       // aggregate() LEFT-FOLD order bitwise; distinct chars sorted on both

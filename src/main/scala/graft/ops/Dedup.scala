@@ -676,6 +676,40 @@ object Dedup {
     * shingle map-side, the broadcast left-semi-style join marks hits with
     * no shuffle, and the per-doc fraction is one partial-aggregated
     * exchange keyed by id. The corpus itself never shuffles its text. */
+  /** Decontaminated train/eval split — the GPT-3 appendix-C recipe as one
+    * operator: a deterministic [[Sampling.hashSplit]] into `train`/`eval`,
+    * then every train-side document sharing at least one character
+    * k-shingle with ANY eval-side document is DROPPED from train. Eval
+    * keeps priority: eval sets are small and fixed, dropping train rows
+    * costs nothing at corpus scale, while one leaked eval document poisons
+    * every benchmark number downstream. Output: the input rows +
+    * `splitCol`, minus contaminated train rows.
+    *
+    * Scale: unlike [[contamination]] (whose benchmark shingle set is
+    * MB-sized and broadcasts), the eval side here is a hash-fraction OF
+    * THE CORPUS — its shingle set is corpus-scale, so the overlap test is
+    * a shuffle left-semi join on the 8-char shingle key (AQE broadcasts
+    * when a small evalFrac makes it dimension-sized). Three passes over
+    * (id, text) with column pruning: two shingle explodes + the output
+    * pass; nothing corpus-sized shuffles except the shingle keys. */
+  def decontaminatedSplit(df: DataFrame, idCol: String, textCol: String,
+                          trainFrac: Double, k: Int = 8,
+                          salt: String = "split",
+                          splitCol: String = "split"): DataFrame = {
+    val split = Sampling.hashSplit(df, idCol,
+      Seq("train" -> trainFrac, "eval" -> (1.0 - trainFrac)), salt, splitCol)
+    val evalSh = split.filter(col(splitCol) === "eval")
+      .select(explode(shingles(col(textCol), k)).as("sh")).distinct()
+    val dirty = split.filter(col(splitCol) === "train")
+      .select(col(idCol), explode(shingles(col(textCol), k)).as("sh"))
+      .join(evalSh, Seq("sh"), "left_semi")
+      .select(col(idCol)).distinct()
+      .withColumn("__dirty", lit(1))
+    split.join(dirty, Seq(idCol), "left")
+      .filter(!(col(splitCol) === "train" && col("__dirty").isNotNull))
+      .drop("__dirty")
+  }
+
   def contamination(df: DataFrame, idCol: String, textCol: String,
                     benchmark: DataFrame, benchTextCol: String,
                     k: Int = 8): DataFrame = {

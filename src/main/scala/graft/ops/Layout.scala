@@ -216,4 +216,31 @@ object Layout {
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col(valueCol).isNull, 1L).otherwise(0L)).as("n_nulls"),
         min(col(valueCol)).as("vmin"), max(col(valueCol)).as("vmax"))
+
+  /** 2^61 − 1, the Mersenne prime the manifest checksum reduces by. */
+  private[graft] val ManifestPrime = 2305843009213693951L
+
+  /** Per-shard publishing manifest `(shardCol, n_rows, checksum)` — the
+    * verification record a reproducible dataset release ships next to its
+    * shards. The checksum is a COMMUTATIVE mod-prime sum of per-row 60-bit
+    * md5 values (first 15 hex chars of `md5(concat_ws("|", keyCols))`,
+    * summed exactly as DECIMAL, reduced mod 2^61−1): addition order never
+    * matters, so the same rows yield the same checksum under ANY
+    * partitioning, task order, or engine — a reader re-derives it with
+    * nothing but md5 — and ONE partial-aggregable exchange carries a row
+    * per shard regardless of corpus size. Insert/delete/modify of any row
+    * moves the checksum (collisions need md5 preimages or an exact mod-p
+    * cancellation). Caveats: `concat_ws` skips nulls (null and absent
+    * collide — include an explicit null marker column if that matters) and
+    * float columns should be formatted/rounded first (engines differ in
+    * float→string rendering; integers and strings are portable). */
+  def datasetManifest(df: DataFrame, shardCol: String,
+                      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "datasetManifest needs at least one key column")
+    val payload = concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
+    val v = conv(substring(md5(payload), 1, 15), 16, 10).cast("decimal(38,0)")
+    df.groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(v) % lit(ManifestPrime)).cast("long").as("checksum"))
+  }
 }

@@ -513,4 +513,47 @@ class OpsSpec extends SparkSuite {
     assert(out == Map(1L -> 1L, 2L -> 2L),
       "different cells never compare — documented approximation")
   }
+
+  test("decontaminatedSplit: eval intact, overlapping train dropped, clean train kept") {
+    // the split is a deterministic md5 draw — recompute it JVM-side to
+    // pick ids that land on the sides the scenario needs
+    def draw(id: Long): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s"t:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    val thr = graft.ops.Sampling.fractionThreshold(0.5)
+    val ids = (1L to 200L)
+    val trainIds = ids.filter(draw(_) < thr)
+    val evalIds = ids.filter(draw(_) >= thr)
+    assert(trainIds.size >= 2 && evalIds.nonEmpty)
+    val (tDirty, tClean, ev) = (trainIds(0), trainIds(1), evalIds(0))
+    val df = Seq(
+      (tDirty, "the quick brown fox jumps"),     // shares shingles with ev
+      (tClean, "zqxjkvw bnmpl hgfds trewq"),     // unique text
+      (ev, "the quick brown fox sleeps")
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminatedSplit(df, "doc_id", "text",
+        trainFrac = 0.5, k = 8, salt = "t")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out.get(ev).contains("eval"))
+    assert(out.get(tClean).contains("train"))
+    assert(!out.contains(tDirty), "overlapping train doc must drop")
+  }
+
+  test("datasetManifest: partitioning-invariant checksum that moves on any row change") {
+    val df = (1L to 100L).map(i => (i, s"lang${i % 3}", i * 7))
+      .toDF("doc_id", "lang", "n_chars")
+      .withColumn("shard", col("doc_id") % 4)
+    def m(d: org.apache.spark.sql.DataFrame) =
+      Layout.datasetManifest(d, "shard", Seq("doc_id", "lang", "n_chars"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val base = m(df)
+    assert(base.map(_._2).sum == 100)
+    assert(m(df.repartition(13)) == base, "order/partitioning must not matter")
+    // one modified row moves exactly its shard's checksum, counts unchanged
+    val tweaked = m(df.withColumn("n_chars",
+      when(col("doc_id") === 8, lit(999L)).otherwise(col("n_chars"))))
+    assert(tweaked.map(_._2) == base.map(_._2))
+    assert(tweaked.count(t => !base.contains(t)) == 1)
+    assert(tweaked.filter(t => !base.contains(t)).head._1 == 0L) // 8 % 4
+  }
 }
