@@ -38,7 +38,8 @@ for (name <- Seq("flagship_valid_split", "q_required", "q_min", "q_topk_similar"
     "q_kl_divergence", "q_fk_orphans", "q_scd_history", "q_salted_join",
     "q_dedup_weighted",
     "q_interval_merge", "q_sessionize", "q_tfidf", "q_compaction_plan",
-    "q_zonemap", "q_anchor_profile")) {
+    "q_zonemap", "q_anchor_profile",
+    "q_pq_topk", "q_dedup_keep_best", "q_split_decontam", "q_manifest")) {
   val df = if (name == "flagship_valid_split") flagship
            else graft.SparkEntry.queries(name)(spark, dir)
   out.println()
