@@ -1097,6 +1097,22 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    "q_quantile_buckets" -> ((s, dir) => {
+      // 4-bucket length curriculum over n_chars: exact quantile
+      // boundaries (DuckDB quantile_cont ≡ Spark percentile, the
+      // q_winsorize-proven equivalence), map-only assignment
+      Sketches.quantileBuckets(T(s, dir, "documents"), "n_chars", 4)
+        .select(col("doc_id"), col("bucket").cast("integer").as("bucket"))
+        .orderBy("doc_id")
+    }),
+    "q_skew_report" -> ((s, dir) => {
+      // pre-join skew diagnosis over a synthesized hot key (every %7
+      // orderkey folds onto key 0 — ~14% of the corpus on one reducer)
+      val d = T(s, dir, "lineitem").withColumn("k",
+        when(col("l_orderkey") % 7 === 0, lit(0L))
+          .otherwise(col("l_orderkey") % 500))
+      graft.ops.Integrity.skewReport(d.select(col("k")), Seq("k"), topN = 10)
+    }),
     "q_integrity" -> ((s, dir) => {
       // one-row integrity dashboard: %97 keys nulled so every counter is
       // exercised (null keys, distinct keys, dup groups, orphans)
@@ -2595,6 +2611,22 @@ object SparkEntry {
         "ELSE l_orderkey END AS l_orderkey, l_linenumber FROM lineitem) c " +
         "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = c.l_orderkey) " +
         "ORDER BY l_orderkey, l_linenumber"),
+    "q_quantile_buckets" ->
+      ("WITH b AS (SELECT floor(quantile_cont(n_chars, 0.25) * 1e6 + 0.5) / 1e6 AS b1, " +
+        "floor(quantile_cont(n_chars, 0.5) * 1e6 + 0.5) / 1e6 AS b2, " +
+        "floor(quantile_cont(n_chars, 0.75) * 1e6 + 0.5) / 1e6 AS b3 FROM documents) " +
+        "SELECT doc_id, CAST(CASE WHEN n_chars IS NULL THEN NULL ELSE " +
+        "(CASE WHEN n_chars > b1 THEN 1 ELSE 0 END + CASE WHEN n_chars > b2 THEN 1 ELSE 0 END + " +
+        "CASE WHEN n_chars > b3 THEN 1 ELSE 0 END) END AS INTEGER) AS bucket " +
+        "FROM documents, b ORDER BY doc_id"),
+    "q_skew_report" ->
+      // BIGINT/BIGINT division is float division in both engines; the
+      // 1e-6 floor pins the share, (cnt desc, k) pins the top-10 cut
+      ("WITH c AS (SELECT CASE WHEN l_orderkey % 7 = 0 THEN 0 ELSE l_orderkey % 500 END AS k, " +
+        "COUNT(*) AS cnt FROM lineitem GROUP BY 1), " +
+        "t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM c) " +
+        "SELECT k, cnt, floor(cnt / tot * 1e6) / 1e6 AS share " +
+        "FROM c, t ORDER BY cnt DESC, k LIMIT 10"),
     "q_integrity" ->
       ("WITH c AS (SELECT CASE WHEN l_orderkey % 97 = 0 THEN NULL " +
         "ELSE l_orderkey END AS k FROM lineitem) " +

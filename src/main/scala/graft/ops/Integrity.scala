@@ -63,7 +63,31 @@ object Integrity {
       sum(when(keyNull, 1L).otherwise(0L)).as("n_null_keys"))
     val orphans = fkOrphans(child, parent, keys, parentKeys, ignoreNullKeys = true)
       .agg(count(lit(1)).as("n_orphans"))
-    val dups = dupKeys(child, keys).agg(count(lit(1)).as("n_dup_keys"))
+    val dups = dupKeys(df = child, keys = keys).agg(count(lit(1)).as("n_dup_keys"))
     base.crossJoin(orphans).crossJoin(dups)
+  }
+
+  /** Join-skew diagnosis: the `topN` heaviest keys with their row count
+    * and corpus share (1e-6 floor-rounded) — the report you run BEFORE a
+    * big join to decide between plain, salted ([[Layout.saltedJoin]]), or
+    * AQE-skew-trusted execution, and the evidence row a pipeline logs when
+    * a stage straggles. Null keys count as a key (they hash to one reducer
+    * too — the most common skew culprit).
+    *
+    * Scale: ONE partial-aggregable count exchange keyed by the key
+    * columns, then a GLOBAL top-N — Spark plans `orderBy.limit` as
+    * `TakeOrderedAndProject`, each map task keeping only its local top-N
+    * (no window, no second full shuffle); the total-row count rides as a
+    * broadcast single-row aggregate off the same counted frame. */
+  def skewReport(df: DataFrame, keys: Seq[String], topN: Int = 10): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+    val total = broadcast(counts.agg(sum(col("cnt")).as("__total")))
+    counts.crossJoin(total)
+      .withColumn("share",
+        floor(col("cnt") / col("__total") * 1e6) / 1e6)
+      .drop("__total")
+      .orderBy(col("cnt").desc +: keys.map(k => col(k).asc_nulls_first): _*)
+      .limit(topN)
   }
 }

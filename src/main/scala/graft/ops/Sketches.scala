@@ -69,6 +69,39 @@ object Sketches {
       .drop("__g", "__lo", "__hi")
   }
 
+  /** Quantile-bucket assignment — the length-curriculum / balanced-
+    * batching primitive: adds `bucketCol` ∈ [0, nBuckets) where bucket
+    * boundaries are the value column's 1/n, 2/n, … quantiles (1e-6
+    * grid-snapped, the [[winsorize]] form). A row's bucket is the count
+    * of boundaries strictly below its value — so buckets are
+    * approximately equal-sized, monotone in the value, and STABLE: two
+    * equal values always land in the same bucket regardless of
+    * partitioning (an `ntile` over a global sort gives neither stability
+    * nor a scalable plan).
+    *
+    * Scale: boundaries are one aggregate (n−1 doubles) broadcast back;
+    * assignment is a MAP-ONLY fold over the boundary array literal-sized
+    * frame — no global sort, no window. `exact = false` swaps
+    * `percentile_approx` into the boundary pass (bounded state, the
+    * 100 TB path, same plan shape). Null values get a null bucket. */
+  def quantileBuckets(df: DataFrame, valueCol: String, nBuckets: Int,
+                      bucketCol: String = "bucket",
+                      exact: Boolean = true): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    def pct(p: Double): Column =
+      if (exact) percentile(col(valueCol), lit(p))
+      else percentile_approx(col(valueCol), lit(p), lit(10000))
+    val bounds = df.agg(array(ps.map(p =>
+      floor(pct(p) * 1e6 + 0.5) / 1e6): _*).as("__bs"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(bucketCol,
+        when(col(valueCol).isNotNull, aggregate(col("__bs"), lit(0),
+          (acc, b) => acc + when(col(valueCol).cast("double") > b, 1)
+            .otherwise(0))))
+      .drop("__bs")
+  }
+
   // ------------------------------------------------ KMV theta sketches
   //
   // HLL answers "how many distinct"; the KMV/theta family additionally

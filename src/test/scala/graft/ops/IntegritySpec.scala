@@ -43,4 +43,22 @@ class IntegritySpec extends SparkSuite {
     assert(row.getAs[Long]("n_null_keys") == 1 && row.getAs[Long]("n_orphans") == 1)
     assert(row.getAs[Long]("n_dup_keys") == 1)
   }
+
+  test("skewReport: heaviest first, null key counted, share floored, top-N cut, no window") {
+    // key 1 × 6, null × 3, key 2 × 1 — 10 rows total
+    val df = (Seq.fill(6)(Option(1L)) ++ Seq.fill(3)(Option.empty[Long]) ++
+      Seq(Option(2L))).toDF("k")
+    val got = Integrity.skewReport(df, Seq("k"), topN = 2)
+      .collect().map(r => (Option(r.get(0)), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 2)
+    assert(got(0) == (Some(1L), 6L, 0.6) && got(1) == (None, 3L, 0.3))
+    // global top-N plans as TakeOrderedAndProject (map-side local top-N),
+    // never a window over the key-count table
+    val plan = Integrity.skewReport(
+      spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select(col("l_orderkey").as("k")), Seq("k"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
 }

@@ -86,4 +86,28 @@ class SketchesSpec extends SparkSuite {
     assert(row.getInt(1) == 700)
     assert(row.getDouble(2) == 100.0)
   }
+
+  test("quantileBuckets: monotone, stable for equal values, nulls null, ~equal sizes") {
+    val df = spark.range(1, 101).select(col("id"), col("id").as("v"))
+      .unionByName(spark.range(101, 102)
+        .select(col("id"), lit(null).cast("long").as("v")))
+    val out = Sketches.quantileBuckets(df, "v", 4)
+      .select("v", "bucket").collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]), Option(r.get(1))))
+    assert(out.find(_._1.isEmpty).get._2.isEmpty, "null value -> null bucket")
+    val vb = out.collect { case (Some(v), Some(b)) => v -> b.asInstanceOf[Int] }
+    // monotone in v; 4 buckets of 25 on the uniform 1..100 column
+    assert(vb.sortBy(_._1).map(_._2).sliding(2).forall(p => p(0) <= p(1)))
+    assert(vb.groupBy(_._2).view.mapValues(_.length).toMap ==
+      Map(0 -> 25, 1 -> 25, 2 -> 25, 3 -> 25))
+    // stability: equal values share a bucket under any partitioning
+    val rep = Sketches.quantileBuckets(df.repartition(7), "v", 4)
+      .select("v", "bucket").collect()
+      .collect { case r if !r.isNullAt(0) => r.getLong(0) -> r.getInt(1) }.toMap
+    assert(vb.toMap == rep)
+    // approx path keeps the plan shape and the [0, n) range
+    val approx = Sketches.quantileBuckets(df, "v", 4, exact = false)
+      .filter(col("v").isNotNull).select("bucket").collect().map(_.getInt(0))
+    assert(approx.forall(b => b >= 0 && b < 4))
+  }
 }
