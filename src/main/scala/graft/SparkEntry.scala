@@ -1097,6 +1097,24 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    "q_manifest_verify" -> ((s, dir) => {
+      // verification against a published manifest over a tampered copy:
+      // doc 3 dropped (count_mismatch on shard 3), doc 5's n_chars bumped
+      // (checksum_mismatch on shard 5 — counts still equal), shard 7
+      // dropped wholesale (missing), shard 99 injected (unexpected).
+      // Clean shards produce NO row.
+      val keys = Seq("doc_id", "lang", "n_chars")
+      val base = T(s, dir, "documents")
+        .withColumn("shard", pmod(col("doc_id"), lit(13)).cast("long"))
+      val manifest = graft.ops.Layout.datasetManifest(base, "shard", keys)
+      val tampered = base
+        .filter(col("shard") =!= 7 && col("doc_id") =!= 3)
+        .withColumn("n_chars",
+          when(col("doc_id") === 5, col("n_chars") + 1).otherwise(col("n_chars")))
+        .unionByName(base.filter(col("doc_id") === 1).withColumn("shard", lit(99L)))
+      graft.ops.Layout.verifyManifest(tampered, manifest, "shard", keys)
+        .orderBy("shard")
+    }),
     "q_quantile_buckets" -> ((s, dir) => {
       // 4-bucket length curriculum over n_chars: exact quantile
       // boundaries (DuckDB quantile_cont ≡ Spark percentile, the
@@ -2611,6 +2629,31 @@ object SparkEntry {
         "ELSE l_orderkey END AS l_orderkey, l_linenumber FROM lineitem) c " +
         "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = c.l_orderkey) " +
         "ORDER BY l_orderkey, l_linenumber"),
+    "q_manifest_verify" -> {
+      // both manifests regrow from the same generated Horner chain as
+      // q_manifest; the tamper pattern mirrors the Spark side exactly
+      val horner = (1 to 15).map(i =>
+          s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)")
+        .reduceLeft((acc, h) => s"($acc * 16 + $h)")
+      def man(alias: String, src: String) =
+        s"$alias AS (SELECT shard, COUNT(*) AS n, " +
+          s"CAST(SUM(CAST($horner AS HUGEINT)) % 2305843009213693951 AS BIGINT) AS c FROM " +
+          s"(SELECT shard, md5(concat_ws('|', CAST(doc_id AS VARCHAR), lang, CAST(n_chars AS VARCHAR))) AS m FROM $src) GROUP BY shard)"
+      ("WITH r AS (SELECT doc_id % 13 AS shard, doc_id, lang, n_chars FROM documents), " +
+        "tamp AS (SELECT shard, doc_id, lang, " +
+        "CASE WHEN doc_id = 5 THEN n_chars + 1 ELSE n_chars END AS n_chars " +
+        "FROM r WHERE shard <> 7 AND doc_id <> 3 " +
+        "UNION ALL SELECT 99 AS shard, doc_id, lang, n_chars FROM r WHERE doc_id = 1), " +
+        man("want", "r") + ", " + man("got", "tamp") + ", " +
+        "j AS (SELECT coalesce(want.shard, got.shard) AS shard, " +
+        "want.n AS want_rows, got.n AS got_rows, want.c AS want_checksum, got.c AS got_checksum, " +
+        "CASE WHEN got.n IS NULL THEN 'missing' WHEN want.n IS NULL THEN 'unexpected' " +
+        "WHEN got.n <> want.n THEN 'count_mismatch' " +
+        "WHEN got.c <> want.c THEN 'checksum_mismatch' END AS status " +
+        "FROM want FULL OUTER JOIN got ON want.shard = got.shard) " +
+        "SELECT shard, status, want_rows, got_rows, want_checksum, got_checksum " +
+        "FROM j WHERE status IS NOT NULL ORDER BY shard")
+    },
     "q_quantile_buckets" ->
       ("WITH b AS (SELECT floor(quantile_cont(n_chars, 0.25) * 1e6 + 0.5) / 1e6 AS b1, " +
         "floor(quantile_cont(n_chars, 0.5) * 1e6 + 0.5) / 1e6 AS b2, " +
@@ -3160,6 +3203,19 @@ object SparkEntry {
         .join(s.table("bench_orders_bucketed"), Seq("o_orderkey"))
         .groupBy(col("o_orderkey"))
         .agg(sum(col("l_extendedprice")).as("rev"), max(col("o_totalprice")).as("tp"))
+    }),
+    "b_layout_rangesorted" -> ((s, dir) => {
+      // range-sorted write (disjoint per-file min/max) + a range-predicate
+      // read-back that prunes at file/row-group granularity — the timed
+      // 1-D layout row next to bucketing's join row
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_rangesorted").getAbsolutePath
+      graft.ops.Layout.writeRangeSorted(
+        T(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice")),
+        tmp, numFiles = 8, Seq("l_orderkey"))
+      s.read.parquet(tmp)
+        .filter(col("l_orderkey").between(1000, 2000))
+        .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("rev"))
     })
   )
 }

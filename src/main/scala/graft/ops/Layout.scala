@@ -243,4 +243,50 @@ object Layout {
       .agg(count(lit(1)).as("n_rows"),
         (sum(v) % lit(ManifestPrime)).cast("long").as("checksum"))
   }
+
+  /** Verify received data against a published manifest: recompute
+    * [[datasetManifest]] over `df` and full-outer-join it to the expected
+    * manifest, emitting ONE ROW PER DISCREPANT SHARD with a `status` of
+    * `missing` (in the manifest, absent from the data), `unexpected`
+    * (present in the data, absent from the manifest), `count_mismatch`,
+    * or `checksum_mismatch` (counts equal, content differs — a silently
+    * corrupted or substituted row). Clean verification = empty result.
+    * Same scale shape as the manifest itself: one partial-agg exchange
+    * over the data + a shard-count-sized join. */
+  def verifyManifest(df: DataFrame, manifest: DataFrame, shardCol: String,
+                     keyCols: Seq[String]): DataFrame = {
+    val got = datasetManifest(df, shardCol, keyCols)
+      .withColumnRenamed("n_rows", "got_rows")
+      .withColumnRenamed("checksum", "got_checksum")
+    manifest
+      .select(col(shardCol), col("n_rows").as("want_rows"),
+        col("checksum").as("want_checksum"))
+      .join(got, Seq(shardCol), "full_outer")
+      .withColumn("status",
+        when(col("got_rows").isNull, "missing")
+          .when(col("want_rows").isNull, "unexpected")
+          .when(col("got_rows") =!= col("want_rows"), "count_mismatch")
+          .when(col("got_checksum") =!= col("want_checksum"), "checksum_mismatch"))
+      .filter(col("status").isNotNull)
+      .select(col(shardCol), col("status"), col("want_rows"), col("got_rows"),
+        col("want_checksum"), col("got_checksum"))
+  }
+
+  /** Range-sorted write: repartition by range on `sortCols` then sort
+    * within partitions before writing — the ONE-dimensional physical
+    * layout whose per-file min/max bounds are disjoint and tight, so a
+    * reader's range predicate prunes at FILE granularity (parquet
+    * row-group stats prune within files for free; pair with [[zoneMap]]
+    * for the explicit skipping table, and prefer [[clusterByZ]] when TWO
+    * columns must both stay tight). The range exchange samples boundaries
+    * (Spark's RangePartitioner), so output files are approximately
+    * equal-sized even under value skew — the property a naive
+    * `sortWithinPartitions`-only write lacks. */
+  def writeRangeSorted(df: DataFrame, path: String, numFiles: Int,
+                       sortCols: Seq[String]): Unit = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -37,6 +37,45 @@ class LayoutSpec extends SparkSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("writeRangeSorted: disjoint per-file ranges, sorted within, range exchange planned") {
+    val dir = java.nio.file.Files.createTempDirectory("rangesorted").toString
+    val df = lineitem.select(col("l_orderkey"), col("l_quantity"))
+    // the write plan must carry a RANGE exchange (sampled boundaries →
+    // ~equal files), not hash or coalesce
+    val planned = df.repartitionByRange(4, col("l_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(planned.contains("rangepartitioning"), planned.take(1500))
+    Layout.writeRangeSorted(df, dir, numFiles = 4, Seq("l_orderkey"))
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(perFile.length == 4)
+    // disjoint, ordered file ranges — the property that makes min/max
+    // skipping prune at file granularity
+    assert(perFile.sliding(2).forall(p => p(0)._2 <= p(1)._1))
+    assert(spark.read.parquet(dir).count() == df.count())
+  }
+
+  test("verifyManifest: clean data verifies empty; each tamper class surfaces") {
+    val base = lineitem.select(col("l_orderkey"), col("l_quantity"))
+      .withColumn("shard", col("l_orderkey") % 5)
+    val keys = Seq("l_orderkey", "l_quantity")
+    val manifest = Layout.datasetManifest(base, "shard", keys)
+    assert(Layout.verifyManifest(base, manifest, "shard", keys).count() == 0)
+    val tampered = base.filter(col("shard") =!= 2)
+      .withColumn("l_quantity",
+        when(col("shard") === 1 && col("l_orderkey") === 1, col("l_quantity") + 1)
+          .otherwise(col("l_quantity")))
+    val bad = Layout.verifyManifest(tampered, manifest, "shard", keys)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bad(2L) == "missing")
+    assert(bad(1L) == "checksum_mismatch")
+    assert(bad.size == 2, bad.toString)
+  }
+
   test("salted join returns exactly the plain join result") {
     val plain = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
       .select("l_orderkey", "l_linenumber", "o_totalprice")
