@@ -1481,6 +1481,16 @@ object SparkEntry {
         "vec_id", "embedding", k = 3)
         .orderBy("q_id", "rk")
     }),
+    "q_knn_join" -> ((s, dir) => {
+      // corpus×corpus kNN join at FULL probe (nprobe = #centroids), which
+      // is exactly brute force — the oracle-able setting; production runs
+      // lower nprobe for the IVF recall/cost trade (spec-pinned subset)
+      val emb = T(s, dir, "embeddings")
+      val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 4)
+      Similarity.knnJoin(emb.filter(col("vec_id") < 40), emb, cents,
+          "vec_id", "vec_id", "embedding", k = 3, nprobe = 4)
+        .orderBy("left_id", "rk")
+    }),
     "q_pq_topk" -> ((s, dir) => {
       // product-quantization ADC search over the deterministic synthetic
       // codebook (8 subspaces × 16 centroids × 8 dims): encode, per-query
@@ -2964,6 +2974,17 @@ object SparkEntry {
         "FROM n, qs WHERE n.vec_id <> qs.q_id) " +
         "SELECT q_id, cand_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS INTEGER) AS rk " +
         "FROM scored QUALIFY rk <= 3 ORDER BY q_id, rk"),
+    "q_knn_join" ->
+      // full probe == brute force: the q_ann_cosine double-accumulation
+      // mirror over a left id clamp
+      ("WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings), " +
+        "l AS (SELECT vec_id AS left_id, vec AS l_vec FROM v WHERE vec_id < 40), " +
+        "pairs AS (SELECT l.left_id, v.vec_id AS right_id, " +
+        "CASE WHEN sqrt(list_dot_product(l.l_vec, l.l_vec)) * sqrt(list_dot_product(v.vec, v.vec)) = 0 THEN 0.0 " +
+        "ELSE list_dot_product(l.l_vec, v.vec) / (sqrt(list_dot_product(l.l_vec, l.l_vec)) * sqrt(list_dot_product(v.vec, v.vec))) END AS sim " +
+        "FROM v, l WHERE v.vec_id <> l.left_id) " +
+        "SELECT left_id, right_id, sim, CAST(row_number() OVER (PARTITION BY left_id ORDER BY sim DESC, right_id) AS INTEGER) AS rk " +
+        "FROM pairs QUALIFY rk <= 3 ORDER BY left_id, rk"),
     "q_pq_topk" ->
       // the codebook regrows from its closed form; every squared-diff
       // term is bit-identical double arithmetic (float widening exact,

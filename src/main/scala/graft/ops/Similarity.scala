@@ -303,6 +303,62 @@ object Similarity {
       .select(col(idCol), coalesce(col("rep"), col(idCol)).as("rep"))
   }
 
+  /** Corpus×corpus k-NN JOIN — for EVERY left row, its `k` nearest right
+    * rows by cosine. This is the shape [[ivfTopK]] cannot serve: there the
+    * query side broadcasts (fine for a query batch), here BOTH sides are
+    * corpus-scale (link every document to its neighbors — retrieval
+    * augmentation, graph building, SemDeDup-style analysis across sets).
+    *
+    * Mechanism: the right side pre-assigns to its nearest centroid
+    * ([[ivfAssign]], map-side argmax). The left side picks its `nprobe`
+    * nearest CELLS entirely map-side — the centroid table (model state,
+    * k×dim) inlines as one array-of-structs literal, per-row cell ranking
+    * is an `array_sort` + `slice` over that literal, NO exchange and no
+    * per-row window. Candidates then meet in ONE centroid_id equi-join
+    * (the only corpus-scale shuffle; AQE skew-splits fat cells) and each
+    * left row keeps its top-k via WindowGroupLimit. Recall follows the
+    * IVF story: `nprobe` = number of cells probed; nprobe = #centroids
+    * degenerates to exact brute force (spec-pinned). Self-matches on a
+    * shared id space are excluded.
+    *
+    * Output: `(left_id, right_id, sim, rk)`. */
+  def knnJoin(left: DataFrame, right: DataFrame, centroids: DataFrame,
+              leftIdCol: String, rightIdCol: String, vecCol: String,
+              k: Int, nprobe: Int = 2): DataFrame = {
+    require(k > 0 && nprobe > 0, s"k and nprobe must be positive: $k, $nprobe")
+    val centRows = centroids
+      .select(col("centroid_id").cast("long"),
+        col("centroid_vec").cast("array<double>"))
+      .collect()
+    val centLit = array(centRows.toIndexedSeq.map { r =>
+      struct(lit(r.getLong(0)).as("cid"),
+        array(r.getSeq[Double](1).map(lit(_)): _*).as("cvec"))
+    }: _*)
+    val probed = left
+      .select(col(leftIdCol).as("left_id"),
+        col(vecCol).cast("array<double>").as("__lv"))
+      .withColumn("__cells", slice(array_sort(transform(centLit, c =>
+        // ascending sort ⇒ encode preference as (-sim, cid): best first
+        struct((-graft.expressions.native.cosineD(col("__lv"), c.getField("cvec")))
+          .as("ns"), c.getField("cid").as("cid")))), 1, nprobe))
+      .select(col("left_id"), col("__lv"),
+        explode(col("__cells").getField("cid")).as("centroid_id"))
+    val cand = ivfAssign(right.select(col(rightIdCol).as("right_id"),
+        col(vecCol).cast("array<double>").as("__rv")), centroids,
+        "right_id", "__rv")
+      .select(col("right_id"), col("__rv"), col("centroid_id"))
+    val w = Window.partitionBy("left_id")
+      .orderBy(col("sim").desc, col("right_id"))
+    probed.join(cand, Seq("centroid_id"))
+      .filter(col("left_id") =!= col("right_id"))
+      .withColumn("sim",
+        graft.expressions.native.cosineD(col("__lv"), col("__rv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("left_id"), col("right_id"), col("sim"),
+        col("rk").cast("integer").as("rk"))
+  }
+
   /** Deterministic data-independent PQ codebook (flat layout
     * `cb[((j·k)+i)·subDim + d]`, values on the exact 1/8 grid) — the
     * harness/oracle codebook: a SQL engine regenerates it from the same

@@ -75,6 +75,29 @@ class PqSpec extends SparkSuite {
     assert(a == run())
   }
 
+  test("knnJoin at full probe equals brute force; nprobe=1 stays within the best cell") {
+    val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 4)
+    val left = emb.filter($"vec_id" < 10)
+    val full = Similarity.knnJoin(left, emb, cents, "vec_id", "vec_id",
+        "embedding", k = 3, nprobe = 4)
+      .select("left_id", "right_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force: top-3 cosine over all candidates, same tie rule
+    val brute = Similarity.bruteForceTopK(emb, left, "vec_id", "embedding", k = 3)
+      .select($"q_id", $"cand_id", $"rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == brute)
+    // nprobe=1: every returned right sits in its left's nearest cell
+    val p1 = Similarity.knnJoin(left, emb, cents, "vec_id", "vec_id",
+        "embedding", k = 3, nprobe = 1)
+      .select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cell = Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
+      .select($"vec_id", $"centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1.nonEmpty && p1.forall { case (l, r) => cell(l) == cell(r) })
+  }
+
   test("trainPqCodebook: quantization error non-increasing; partitioning-invariant") {
     val m = 4; val k = 4; val subDim = 16
     val sample = emb.limit(200)
