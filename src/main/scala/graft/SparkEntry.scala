@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{Validate, ValidationResult}
 import graft.{filters => F}
 import graft.filters.{Emptiness, FilterMapper, FilterMapperDynamic, FilterRepeater, FilterRepeaterMap, FilterSwitch}
-import graft.ops.{Boilerplate, Cdc, Dedup, Html, Joins, Layout, QualityRules, Retrieval, Rollups, Sampling, Sequences, Similarity, Sketches, TextAnalysis, TimeSeries, Urls}
+import graft.ops.{Boilerplate, Cdc, Dedup, FuzzyJoin, Html, Joins, Layout, QualityRules, Retrieval, Rollups, Sampling, Sequences, Similarity, Sketches, TextAnalysis, TimeSeries, Urls}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2.7), each hash-checked against the DuckDB `oracleSql`. */
@@ -1122,6 +1122,22 @@ object SparkEntry {
       Sketches.quantileBuckets(T(s, dir, "documents"), "n_chars", 4)
         .select(col("doc_id"), col("bucket").cast("integer").as("bucket"))
         .orderBy("doc_id")
+    }),
+    "q_global_rank" -> ((s, dir) => {
+      // global row_number over (o_totalprice, o_orderkey) WITHOUT the
+      // single-reducer window: quantile buckets + offsets + per-bucket
+      // windows, exact-equal to the global sort by construction
+      Sketches.globalRank(T(s, dir, "orders"), "o_totalprice", "o_orderkey",
+          nBuckets = 8, rankCol = "rn")
+        .select(col("o_orderkey"), col("rn"))
+        .orderBy("rn")
+    }),
+    "q_jaccard_join" -> ((s, dir) => {
+      // EXACT prefix-filtered token-set similarity join (AllPairs) on a
+      // clamped id range — lossless vs the oracle's all-pairs grid
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 200)
+      FuzzyJoin.jaccardJoin(docs, "doc_id", "text", 0.8)
+        .orderBy("id_1", "id_2")
     }),
     "q_skew_report" -> ((s, dir) => {
       // pre-join skew diagnosis over a synthesized hot key (every %7
@@ -2672,6 +2688,23 @@ object SparkEntry {
         "(CASE WHEN n_chars > b1 THEN 1 ELSE 0 END + CASE WHEN n_chars > b2 THEN 1 ELSE 0 END + " +
         "CASE WHEN n_chars > b3 THEN 1 ELSE 0 END) END AS INTEGER) AS bucket " +
         "FROM documents, b ORDER BY doc_id"),
+    "q_global_rank" ->
+      // the oracle IS the single-window form the operator avoids; equal
+      // by construction because (o_totalprice, o_orderkey) totally orders
+      ("SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn " +
+        "FROM orders ORDER BY rn"),
+    "q_jaccard_join" ->
+      // exact all-pairs grid over the clamped id range; same tokenization
+      // as q_dedup_clusters (lower, \s+ split, nonempty, set semantics)
+      ("WITH s AS (SELECT doc_id, list_distinct(list_filter(" +
+        "regexp_split_to_array(lower(text), '\\s+'), t -> length(t) > 0)) AS tok " +
+        "FROM documents WHERE doc_id < 200 AND text IS NOT NULL), " +
+        "s2 AS (SELECT * FROM s WHERE len(tok) > 0), " +
+        "p AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2, " +
+        "CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(a.tok, b.tok))) AS j " +
+        "FROM s2 a, s2 b WHERE a.doc_id < b.doc_id) " +
+        "SELECT id_1, id_2, j FROM p WHERE j >= 0.8 ORDER BY id_1, id_2"),
     "q_skew_report" ->
       // BIGINT/BIGINT division is float division in both engines; the
       // 1e-6 floor pins the share, (cnt desc, k) pins the top-10 cut

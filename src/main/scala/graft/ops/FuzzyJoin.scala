@@ -104,4 +104,64 @@ object FuzzyJoin {
       .select(col("__id1").as("id_1"), col("__id2").as("id_2"), col("dist"))
       .distinct()
   }
+
+  /** EXACT token-set Jaccard similarity join (AllPairs/PPJoin family,
+    * Bayardo et al., WWW 2007): all pairs `(id_1, id_2, j)` with
+    * `id_1 < id_2` and Jaccard(tokens₁, tokens₂) = j ≥ `threshold` —
+    * the lossless counterpart of MinHash near-dup (no probabilistic
+    * recall shed; use this when missing a true pair is not acceptable,
+    * MinHash when the corpus is too hot for exact verification).
+    *
+    * Never all-pairs. For J(x,y) ≥ t the overlap i satisfies
+    * i ≥ t·(|x|+|y|)/(1+t) ≥ t·max(|x|,|y|) (since t ≤ 1), so with one
+    * fixed global token order, the (s − ⌈t·s⌉ + 1)-prefix of EACH set
+    * must contribute at least one shared token (prefix-filter lemma) —
+    * candidates are an equi-join on prefix tokens only. Ordering tokens
+    * by ascending document frequency makes prefixes prefer RARE tokens
+    * (small blocks); correctness needs only a fixed order. Candidates
+    * then pass the size filter (⌈t·s₁⌉ ≤ s₂ when s₁ ≤ s₂) and exact
+    * `array_intersect` verification INLINE in the join stage — raw
+    * candidates never cross an exchange (the editDistanceJoin argument).
+    *
+    * Tokens are lowercased whitespace words, set semantics. Docs with
+    * zero tokens drop (Jaccard over an empty set is undefined here —
+    * run [[graft.ops.Dedup.distinctKeys]]-style exact dedup for those).
+    *
+    * Scale: DF counts are partial-aggregable and AQE-joined (web vocab
+    * is corpus-sized — no driver collect); the per-doc rank window is
+    * bounded by the doc's own token count; verification is per-pair
+    * intersection on two already-present arrays. */
+  def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
+                  threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val sets = df.select(col(idCol).cast("long").as("__id"),
+        filter(array_distinct(split(lower(col(textCol)), "\\s+")),
+          t => length(t) > 0).as("__tok"))
+      .filter(col("__id").isNotNull && size(col("__tok")) > 0)
+      .withColumn("__sz", size(col("__tok")))
+    val toks = sets.select(col("__id"), col("__sz"),
+      explode(col("__tok")).as("__t"))
+    val dfCounts = toks.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    // prefix length s − ⌈t·s⌉ + 1 in ascending-DF order
+    val prefix = toks.join(dfCounts, "__t")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__id")).orderBy(col("__df"), col("__t"))))
+      .filter(col("__rk") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
+      .select(col("__id"), col("__t"))
+    val carrying = prefix.join(sets, "__id")
+    val a = carrying.toDF("__id1", "__t", "__tok1", "__s1")
+    val b = carrying.toDF("__id2", "__t", "__tok2", "__s2")
+    a.join(b, Seq("__t"))
+      .filter(col("__id1") < col("__id2") &&
+        // size filter: t·max ≤ i ≤ min ⇒ ⌈t·smax⌉ ≤ smin
+        ceil(lit(threshold) * greatest(col("__s1"), col("__s2"))) <=
+          least(col("__s1"), col("__s2")))
+      .withColumn("__i", size(array_intersect(col("__tok1"), col("__tok2"))))
+      .withColumn("j", col("__i").cast("double") /
+        (col("__s1") + col("__s2") - col("__i")))
+      .filter(col("j") >= threshold)
+      .select(col("__id1").as("id_1"), col("__id2").as("id_2"), col("j"))
+      .distinct()
+  }
 }

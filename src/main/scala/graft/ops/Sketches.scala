@@ -102,6 +102,44 @@ object Sketches {
       .drop("__bs")
   }
 
+  /** Global row number over `ORDER BY valueCol, idCol` WITHOUT the
+    * single-reducer window `row_number().over(Window.orderBy(...))`
+    * collapses to: [[quantileBuckets]] splits the value domain into
+    * `nBuckets` approximately equal slices (equal values always
+    * co-bucket, so bucket order respects value order exactly), bucket
+    * sizes roll up in one partial-aggregable exchange, cumulative
+    * offsets come from a window over that `nBuckets`-row table (bounded,
+    * never the corpus), and the final rank is the broadcast-joined
+    * bucket offset plus a row_number whose window partitions BY BUCKET —
+    * every reducer sorts ~N/nBuckets rows instead of one reducer sorting
+    * N. The result equals the global window bit-for-bit because
+    * (value, id) is a total order: `idCol` must be unique and both
+    * columns non-null (violating rows drop).
+    *
+    * Scale: size `nBuckets` ≈ cluster cores so each in-bucket sort fits
+    * an executor; `exact = false` uses `percentile_approx` boundaries
+    * (bounded state — buckets then balance only approximately, the RANK
+    * is still exact). The curriculum-ordering / global-percentile
+    * primitive at corpus scale. */
+  def globalRank(df: DataFrame, valueCol: String, idCol: String,
+                 nBuckets: Int = 64, rankCol: String = "rank",
+                 exact: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+    val bucketed = quantileBuckets(rows, valueCol, nBuckets, "__b", exact)
+    val counts = bucketed.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+    // nBuckets rows: the one place a single-partition window is FINE
+    val offsets = counts.withColumn("__off",
+      coalesce(sum(col("__n")).over(
+        Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    bucketed.join(broadcast(offsets.select(col("__b"), col("__off"))), "__b")
+      .withColumn(rankCol, (col("__off") + row_number().over(
+        Window.partitionBy(col("__b"))
+          .orderBy(col(valueCol), col(idCol)))).cast("long"))
+      .drop("__b", "__off")
+  }
+
   // ------------------------------------------------ KMV theta sketches
   //
   // HLL answers "how many distinct"; the KMV/theta family additionally

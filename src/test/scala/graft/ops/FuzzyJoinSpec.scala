@@ -80,4 +80,57 @@ class FuzzyJoinSpec extends SparkSuite {
       .as[(Long, Long, Int)].collect().toSet
     assert(got == Set((1L, 2L, 2)))
   }
+
+  // ------------------------------------------------------- jaccardJoin
+
+  private def jac(a: Set[String], b: Set[String]): Double =
+    (a & b).size.toDouble / (a | b).size
+
+  private def tokenRows(seed: Int, n: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = (0 until 30).map(i => s"w$i") // small vocab → dense overlap
+    (0 until n).map { i =>
+      val sz = 1 + rnd.nextInt(8)
+      (i.toLong, (0 until sz).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+  }
+
+  test("jaccardJoin is lossless vs exhaustive exact Jaccard across thresholds") {
+    for (seed <- Seq(7, 21); t <- Seq(0.4, 0.7, 1.0)) {
+      val rows = tokenRows(seed, 60)
+      val sets = rows.map { case (i, s) =>
+        (i, s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet)
+      }.filter(_._2.nonEmpty)
+      val want = (for {
+        (i1, s1) <- sets; (i2, s2) <- sets
+        if i1 < i2
+        j = jac(s1, s2) if j >= t
+      } yield (i1, i2)).toSet
+      val got = FuzzyJoin.jaccardJoin(rows.toDF("id", "text"), "id", "text", t)
+        .as[(Long, Long, Double)].collect()
+      assert(got.map(p => (p._1, p._2)).toSet == want, s"seed=$seed t=$t")
+      got.foreach { case (i1, i2, j) =>
+        val exact = jac(sets.find(_._1 == i1).get._2, sets.find(_._1 == i2).get._2)
+        assert(math.abs(j - exact) < 1e-12)
+      }
+    }
+  }
+
+  test("jaccardJoin drops empty/null docs and is set-semantic on repeats") {
+    val rows = Seq((Some(1L), Some("a b c")), (Some(2L), Some("a a b b c c")),
+      (Some(3L), None), (Some(4L), Some("   ")), (Some(5L), Some("x y")))
+      .toDF("id", "text")
+    val got = FuzzyJoin.jaccardJoin(rows, "id", "text", 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 1.0))) // duplicate tokens collapse; 3/4 drop
+  }
+
+  test("jaccardJoin threshold 1.0 finds only identical token sets") {
+    val rows = Seq((1L, "the quick fox"), (2L, "fox quick the"),
+      (3L, "the quick fix"))
+      .toDF("id", "text")
+    val got = FuzzyJoin.jaccardJoin(rows, "id", "text", 1.0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 1.0)))
+  }
 }

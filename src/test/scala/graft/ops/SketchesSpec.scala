@@ -110,4 +110,30 @@ class SketchesSpec extends SparkSuite {
       .filter(col("v").isNotNull).select("bucket").collect().map(_.getInt(0))
     assert(approx.forall(b => b >= 0 && b < 4))
   }
+
+  test("globalRank equals the single-window row_number, incl. ties and approx path") {
+    import org.apache.spark.sql.expressions.Window
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey").as("id"),
+        (col("o_totalprice") % 1000).as("v")) // % forces tie groups
+    val want = o.withColumn("rank",
+        row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .select("id", "rank").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (exact <- Seq(true, false)) {
+      val got = Sketches.globalRank(o.repartition(9), "v", "id", nBuckets = 8,
+          exact = exact)
+        .select("id", "rank").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"exact=$exact")
+    }
+  }
+
+  test("globalRank drops null values/ids and ranks 1..n") {
+    val df = spark.range(1, 51).select(col("id"), (col("id") * 2).as("v"))
+      .unionByName(spark.range(51, 53)
+        .select(col("id"), lit(null).cast("long").as("v")))
+    val got = Sketches.globalRank(df, "v", "id", nBuckets = 4)
+      .select("id", "rank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._2).sorted.toSeq == (1L to 50L).toSeq)
+    assert(!got.map(_._1).exists(i => i >= 51))
+  }
 }
