@@ -1132,6 +1132,15 @@ object SparkEntry {
         .select(col("o_orderkey"), col("rn"))
         .orderBy("rn")
     }),
+    "q_coverage_cut" -> ((s, dir) => {
+      // minimal head of part keys covering 60% of lineitem rows — the
+      // domain-allowlist primitive; decimal mass, bucketed running sum
+      Sketches.coverageCut(T(s, dir, "lineitem"), "l_partkey", 0.6,
+          nBuckets = 8)
+        .select(col("l_partkey"), col("weight").cast("double").as("weight"),
+          col("cum_weight").cast("double").as("cum_weight"))
+        .orderBy("l_partkey")
+    }),
     "q_jaccard_join" -> ((s, dir) => {
       // EXACT prefix-filtered token-set similarity join (AllPairs) on a
       // clamped id range — lossless vs the oracle's all-pairs grid
@@ -2693,6 +2702,17 @@ object SparkEntry {
       // by construction because (o_totalprice, o_orderkey) totally orders
       ("SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn " +
         "FROM orders ORDER BY rn"),
+    "q_coverage_cut" ->
+      // decimal mass end-to-end (addition-order-free), one double cast at
+      // the edge; explicit ROWS frame (RANGE would merge ties)
+      ("WITH kw AS (SELECT l_partkey, CAST(COUNT(*) AS DECIMAL(38,6)) AS w " +
+        "FROM lineitem GROUP BY 1), " +
+        "t AS (SELECT SUM(w) AS tot FROM kw), " +
+        "c AS (SELECT l_partkey, w, SUM(w) OVER (ORDER BY w DESC, l_partkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM kw) " +
+        "SELECT l_partkey, CAST(w AS DOUBLE) AS weight, CAST(cum AS DOUBLE) AS cum_weight " +
+        "FROM c, t WHERE CAST(cum - w AS DOUBLE) < 0.6 * CAST(tot AS DOUBLE) " +
+        "ORDER BY l_partkey"),
     "q_jaccard_join" ->
       // exact all-pairs grid over the clamped id range; same tokenization
       // as q_dedup_clusters (lower, \s+ split, nonempty, set semantics)

@@ -140,6 +140,60 @@ object Sketches {
       .drop("__b", "__off")
   }
 
+  /** Head-coverage cut — "which heaviest keys cover fraction `p` of the
+    * total mass": aggregates weight per key, ranks keys by descending
+    * weight, and keeps the minimal prefix whose cumulative mass reaches
+    * `p` (the crossing key included). The domain-allowlist / head-vocab
+    * / cache-sizing primitive: "the domains carrying 95 % of the crawl",
+    * "the tokens covering 99 % of the corpus".
+    *
+    * Emits `(keyCol, weight, cum_weight)` for kept keys — `weight` is
+    * the key's mass and `cum_weight` the running total through it, both
+    * DECIMAL: all mass arithmetic runs in decimal so addition order can
+    * never perturb the cut (float running sums differ between partial
+    * -agg grouping orders; integer/decimal weights are exact, double
+    * weights inherit 1e-6 grid semantics from the cast).
+    *
+    * Scale: the per-key aggregate is one partial-aggregable exchange;
+    * the global descending running sum then reuses the [[globalRank]]
+    * decomposition — per-key mass quantile-buckets, bucket masses roll
+    * up to an `nBuckets`-row table whose offsets come from a bounded
+    * window, and each per-bucket running-sum window sorts ~K/nBuckets
+    * keys. No corpus-scale single-reducer window anywhere. */
+  def coverageCut(df: DataFrame, keyCol: String, p: Double,
+                  weightCol: Option[String] = None, nBuckets: Int = 32,
+                  exact: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(p > 0.0 && p <= 1.0, s"p must be in (0, 1], got $p")
+    val mass = weightCol.map(c => sum(col(c))).getOrElse(count(lit(1)))
+    val kw = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("__k"))
+      .agg(mass.cast("decimal(38,6)").as("__w"))
+      .filter(col("__w").isNotNull)
+    val bucketed = quantileBuckets(kw, "__w", nBuckets, "__b", exact)
+    val bsums = bucketed.groupBy(col("__b")).agg(sum(col("__w")).as("__bw"))
+    // nBuckets rows: offsets = mass in buckets ABOVE (descending walk)
+    val offs = bsums.withColumn("__off", coalesce(
+      sum(col("__bw")).over(Window.orderBy(col("__b").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0).cast("decimal(38,6)")))
+    val tot = bsums.agg(sum(col("__bw")).as("__tot"))
+    bucketed.join(broadcast(offs.select(col("__b"), col("__off"))), "__b")
+      .withColumn("__run", sum(col("__w")).over(
+        Window.partitionBy(col("__b"))
+          .orderBy(col("__w").desc, col("__k"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_weight", (col("__off") + col("__run"))
+        .cast("decimal(38,6)"))
+      .crossJoin(broadcast(tot))
+      // keep while the mass BEFORE this key is still under p·total —
+      // the crossing key is kept, everything after drops
+      .filter((col("cum_weight") - col("__w")).cast("double") <
+        lit(p) * col("__tot").cast("double"))
+      .select(col("__k").as(keyCol), col("__w").as("weight"),
+        col("cum_weight"))
+  }
+
   // ------------------------------------------------ KMV theta sketches
   //
   // HLL answers "how many distinct"; the KMV/theta family additionally

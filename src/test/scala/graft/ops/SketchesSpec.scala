@@ -136,4 +136,38 @@ class SketchesSpec extends SparkSuite {
     assert(got.map(_._2).sorted.toSeq == (1L to 50L).toSeq)
     assert(!got.map(_._1).exists(i => i >= 51))
   }
+
+  test("coverageCut keeps the minimal head covering p, crossing key included") {
+    import spark.implicits._
+    // masses 40, 30, 20, 10 (total 100)
+    val rows = Seq.fill(40)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c") ++
+      Seq.fill(10)("d")
+    val df = rows.toDF("k").repartition(5)
+    def keys(p: Double) =
+      Sketches.coverageCut(df, "k", p).collect().map(_.getString(0)).toSet
+    assert(keys(0.3) == Set("a"))              // 40 crosses 30
+    assert(keys(0.4) == Set("a"))              // exactly covered by a
+    assert(keys(0.41) == Set("a", "b"))
+    assert(keys(0.95) == Set("a", "b", "c", "d")) // 90 < 95 -> d kept
+    assert(keys(1.0) == Set("a", "b", "c", "d"))
+    // explicit weight column + tie-break by key: b and c tie at 25
+    val wdf = Seq(("a", 50L), ("b", 25L), ("c", 25L)).toDF("k", "w")
+    val cut = Sketches.coverageCut(wdf, "k", 0.75, weightCol = Some("w"))
+      .collect().map(r => (r.getString(0), r.getDecimal(2).longValue()))
+    assert(cut.map(_._1).toSet == Set("a", "b")) // ties walk in key order
+    assert(cut.toMap == Map("a" -> 50L, "b" -> 75L))
+  }
+
+  test("coverageCut matches an exhaustive reference on real data") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val counts = li.groupBy("l_partkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val total = counts.map(_._2).sum.toDouble
+    val sorted = counts.sortBy { case (k, n) => (-n, k) }
+    val want = sorted.scanLeft(0L)(_ + _._2).init.zip(sorted)
+      .collect { case (before, (k, _)) if before < 0.6 * total => k }.toSet
+    val got = Sketches.coverageCut(li, "l_partkey", 0.6, nBuckets = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want)
+  }
 }

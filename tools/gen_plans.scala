@@ -39,7 +39,9 @@ for (name <- Seq("flagship_valid_split", "q_required", "q_min", "q_topk_similar"
     "q_dedup_weighted",
     "q_interval_merge", "q_sessionize", "q_tfidf", "q_compaction_plan",
     "q_zonemap", "q_anchor_profile",
-    "q_pq_topk", "q_dedup_keep_best", "q_split_decontam", "q_manifest")) {
+    "q_pq_topk", "q_dedup_keep_best", "q_split_decontam", "q_manifest",
+    "q_quantile_buckets", "q_skew_report", "q_manifest_verify", "q_knn_join",
+    "q_jaccard_join", "q_global_rank", "q_coverage_cut")) {
   val df = if (name == "flagship_valid_split") flagship
            else graft.SparkEntry.queries(name)(spark, dir)
   out.println()
