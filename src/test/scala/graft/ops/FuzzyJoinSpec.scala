@@ -125,6 +125,14 @@ class FuzzyJoinSpec extends SparkSuite {
     assert(got == Set((1L, 2L, 1.0))) // duplicate tokens collapse; 3/4 drop
   }
 
+  test("plan: jaccardJoin is equi-joins only — no cartesian, no nested loop") {
+    val rows = tokenRows(3, 40)
+    val plan = FuzzyJoin.jaccardJoin(rows.toDF("id", "text"), "id", "text", 0.6)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"prefix-filter blocking must stay on hash joins:\n${plan.take(2000)}")
+  }
+
   test("jaccardJoin threshold 1.0 finds only identical token sets") {
     val rows = Seq((1L, "the quick fox"), (2L, "fox quick the"),
       (3L, "the quick fix"))

@@ -137,6 +137,30 @@ class SketchesSpec extends SparkSuite {
     assert(!got.map(_._1).exists(i => i >= 51))
   }
 
+  test("plan: globalRank/coverageCut windows are per-bucket, never corpus-global") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    // the scale hazard both operators exist to avoid: a row_number /
+    // running sum whose windowspec has NO partition column ships the
+    // corpus to one reducer. Every window over row data must partition
+    // by the bucket; the only unpartitioned windows allowed are the ones
+    // over the nBuckets-row counts table (which sort AFTER a groupBy on
+    // the bucket — asserted by their input being an aggregate, which the
+    // full-plan string check below approximates by requiring the
+    // row-data window functions to name __b as a partition key).
+    val rankPlan = Sketches.globalRank(li, "l_extendedprice", "l_orderkey",
+        nBuckets = 4).queryExecution.executedPlan.toString
+    assert(rankPlan.contains("row_number() windowspecdefinition(__b"),
+      s"rank window must partition by bucket:\n${rankPlan.take(2000)}")
+    assert(!rankPlan.contains("CartesianProduct"), rankPlan.take(2000))
+    val cutPlan = Sketches.coverageCut(li, "l_partkey", 0.5, nBuckets = 4)
+      .queryExecution.executedPlan.toString
+    // the per-key running sum partitions by bucket; sum windows without
+    // a partition only appear over the post-aggregate bucket tables
+    assert(cutPlan.contains("windowspecdefinition(__b"),
+      s"running-sum window must partition by bucket:\n${cutPlan.take(2000)}")
+    assert(!cutPlan.contains("CartesianProduct"), cutPlan.take(2000))
+  }
+
   test("coverageCut keeps the minimal head covering p, crossing key included") {
     import spark.implicits._
     // masses 40, 30, 20, 10 (total 100)
