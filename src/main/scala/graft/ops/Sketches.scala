@@ -119,13 +119,22 @@ object Sketches {
     * Scale: size `nBuckets` ≈ cluster cores so each in-bucket sort fits
     * an executor; `exact = false` uses `percentile_approx` boundaries
     * (bounded state — buckets then balance only approximately, the RANK
-    * is still exact). The curriculum-ordering / global-percentile
-    * primitive at corpus scale. */
+    * is still exact). The filtered input is pinned internally
+    * ([[Checkpoints.pinned]], skipped when the caller already cached
+    * it), so the boundary/count/rank passes read ONE materialization —
+    * consistent even over a nondeterministic source. The
+    * curriculum-ordering / global-percentile primitive at corpus
+    * scale. */
   def globalRank(df: DataFrame, valueCol: String, idCol: String,
                  nBuckets: Int = 64, rankCol: String = "rank",
                  exact: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val rows = df.filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+    // pin the input: boundaries, bucket counts, and the final pass all
+    // re-read it, and a nondeterministic source recomputed per pass
+    // could disagree with itself (the interleaveByWeight hazard); the
+    // pin also collapses three source scans into one materialization
+    val rows = Checkpoints.pinned(
+      df.filter(col(valueCol).isNotNull && col(idCol).isNotNull))
     val bucketed = quantileBuckets(rows, valueCol, nBuckets, "__b", exact)
     val counts = bucketed.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
     // nBuckets rows: the one place a single-partition window is FINE
@@ -159,17 +168,23 @@ object Sketches {
     * decomposition — per-key mass quantile-buckets, bucket masses roll
     * up to an `nBuckets`-row table whose offsets come from a bounded
     * window, and each per-bucket running-sum window sorts ~K/nBuckets
-    * keys. No corpus-scale single-reducer window anywhere. */
+    * keys. No corpus-scale single-reducer window anywhere; the per-key
+    * mass table (not the corpus) is pinned internally so every pass
+    * reads one consistent materialization. */
   def coverageCut(df: DataFrame, keyCol: String, p: Double,
                   weightCol: Option[String] = None, nBuckets: Int = 32,
                   exact: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(p > 0.0 && p <= 1.0, s"p must be in (0, 1], got $p")
     val mass = weightCol.map(c => sum(col(c))).getOrElse(count(lit(1)))
-    val kw = df.filter(col(keyCol).isNotNull)
+    // pin the per-key mass table (NOT the corpus — one scan builds it):
+    // quantile boundaries, bucket sums, and the final walk all re-read
+    // it, and pinning makes those reads consistent even over a
+    // nondeterministic source
+    val kw = Checkpoints.pinned(df.filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol).as("__k"))
       .agg(mass.cast("decimal(38,6)").as("__w"))
-      .filter(col("__w").isNotNull)
+      .filter(col("__w").isNotNull))
     val bucketed = quantileBuckets(kw, "__w", nBuckets, "__b", exact)
     val bsums = bucketed.groupBy(col("__b")).agg(sum(col("__w")).as("__bw"))
     // nBuckets rows: offsets = mass in buckets ABOVE (descending walk)
