@@ -1141,6 +1141,18 @@ object SparkEntry {
           col("cum_weight").cast("double").as("cum_weight"))
         .orderBy("l_partkey")
     }),
+    "q_select_budget" -> ((s, dir) => {
+      // greedy corpus selection: longest documents first until a 5000-
+      // token budget is spent (crossing doc kept); decimal cum cost
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("toks", size(filter(split(col("text"), "\\s+"),
+          t => length(t) > 0)).cast("long"))
+      Sketches.selectByBudget(docs, "doc_id", "n_chars", "toks", 5000.0,
+          nBuckets = 8)
+        .select(col("doc_id"), col("toks"),
+          col("cum_cost").cast("double").as("cum_cost"))
+        .orderBy("doc_id")
+    }),
     "q_jaccard_join" -> ((s, dir) => {
       // EXACT prefix-filtered token-set similarity join (AllPairs) on a
       // clamped id range — lossless vs the oracle's all-pairs grid
@@ -2713,6 +2725,16 @@ object SparkEntry {
         "SELECT l_partkey, CAST(w AS DOUBLE) AS weight, CAST(cum AS DOUBLE) AS cum_weight " +
         "FROM c, t WHERE CAST(cum - w AS DOUBLE) < 0.6 * CAST(tot AS DOUBLE) " +
         "ORDER BY l_partkey"),
+    "q_select_budget" ->
+      // same walk as the operator: (n_chars DESC, doc_id) order, decimal
+      // token mass, crossing row kept; explicit ROWS frame
+      ("WITH d AS (SELECT doc_id, n_chars, CAST(len(list_filter(" +
+        "regexp_split_to_array(text, '\\s+'), t -> length(t) > 0)) AS DECIMAL(38,6)) AS c " +
+        "FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL AND n_chars IS NOT NULL), " +
+        "w AS (SELECT doc_id, n_chars, c, SUM(c) OVER (ORDER BY n_chars DESC, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d) " +
+        "SELECT doc_id, CAST(c AS BIGINT) AS toks, CAST(cum AS DOUBLE) AS cum_cost " +
+        "FROM w WHERE CAST(cum - c AS DOUBLE) < 5000.0 ORDER BY doc_id"),
     "q_jaccard_join" ->
       // exact all-pairs grid over the clamped id range; same tokenization
       // as q_dedup_clusters (lower, \s+ split, nonempty, set semantics)

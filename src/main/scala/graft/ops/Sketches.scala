@@ -174,7 +174,6 @@ object Sketches {
   def coverageCut(df: DataFrame, keyCol: String, p: Double,
                   weightCol: Option[String] = None, nBuckets: Int = 32,
                   exact: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(p > 0.0 && p <= 1.0, s"p must be in (0, 1], got $p")
     val mass = weightCol.map(c => sum(col(c))).getOrElse(count(lit(1)))
     // pin the per-key mass table (NOT the corpus — one scan builds it):
@@ -185,21 +184,8 @@ object Sketches {
       .groupBy(col(keyCol).as("__k"))
       .agg(mass.cast("decimal(38,6)").as("__w"))
       .filter(col("__w").isNotNull))
-    val bucketed = quantileBuckets(kw, "__w", nBuckets, "__b", exact)
-    val bsums = bucketed.groupBy(col("__b")).agg(sum(col("__w")).as("__bw"))
-    // nBuckets rows: offsets = mass in buckets ABOVE (descending walk)
-    val offs = bsums.withColumn("__off", coalesce(
-      sum(col("__bw")).over(Window.orderBy(col("__b").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)),
-      lit(0).cast("decimal(38,6)")))
-    val tot = bsums.agg(sum(col("__bw")).as("__tot"))
-    bucketed.join(broadcast(offs.select(col("__b"), col("__off"))), "__b")
-      .withColumn("__run", sum(col("__w")).over(
-        Window.partitionBy(col("__b"))
-          .orderBy(col("__w").desc, col("__k"))
-          .rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("cum_weight", (col("__off") + col("__run"))
-        .cast("decimal(38,6)"))
+    val tot = kw.agg(sum(col("__w")).as("__tot"))
+    descendingCumSum(kw, "__w", "__k", "__w", "cum_weight", nBuckets, exact)
       .crossJoin(broadcast(tot))
       // keep while the mass BEFORE this key is still under p·total —
       // the crossing key is kept, everything after drops
@@ -207,6 +193,64 @@ object Sketches {
         lit(p) * col("__tot").cast("double"))
       .select(col("__k").as(keyCol), col("__w").as("weight"),
         col("cum_weight"))
+  }
+
+  /** Budget-constrained selection — "take the BEST documents until the
+    * token budget is spent": walks rows in `(scoreCol DESC, idCol ASC)`
+    * order accumulating `costCol`, keeping every row whose cumulative
+    * cost BEFORE it is still under `budget` (the crossing row is kept,
+    * everything after drops). The greedy corpus-selection primitive:
+    * quality-ranked documents until 1 T tokens, freshest snapshots until
+    * the storage cap.
+    *
+    * Emits the input columns plus `cum_cost` (DECIMAL — the same
+    * addition-order-free mass arithmetic as [[coverageCut]], so the kept
+    * set is identical under any partitioning). `idCol` must be unique
+    * and all three columns non-null (violating rows drop).
+    *
+    * Scale: the [[globalRank]] decomposition over the score column —
+    * score quantile-buckets, an nBuckets-row offsets window, per-bucket
+    * running-sum windows of ~N/nBuckets rows; the filtered input is
+    * pinned so the boundary/bucket-sum/final passes read one
+    * materialization. No global sort, no corpus-scale window. */
+  def selectByBudget(df: DataFrame, idCol: String, scoreCol: String,
+                     costCol: String, budget: Double, nBuckets: Int = 32,
+                     exact: Boolean = true): DataFrame = {
+    require(budget > 0.0, s"budget must be positive, got $budget")
+    val rows = Checkpoints.pinned(df
+      .filter(col(idCol).isNotNull && col(scoreCol).isNotNull &&
+        col(costCol).isNotNull)
+      .withColumn("__cost", col(costCol).cast("decimal(38,6)")))
+    descendingCumSum(rows, scoreCol, idCol, "__cost", "cum_cost",
+        nBuckets, exact)
+      .filter((col("cum_cost") - col("__cost")).cast("double") < budget)
+      .drop("__cost")
+  }
+
+  /** Shared decomposition behind [[coverageCut]] and [[selectByBudget]]:
+    * adds `cumCol` = running sum of `weightCol` (decimal) over the total
+    * order `(orderCol DESC, tieCol ASC)` WITHOUT a global window —
+    * quantile buckets on `orderCol` (equal values co-bucket, so bucket
+    * order respects the walk), bucket sums to an nBuckets-row table,
+    * offsets from a bounded window over it, per-bucket running-sum
+    * windows for the rest. */
+  private def descendingCumSum(df: DataFrame, orderCol: String,
+      tieCol: String, weightCol: String, cumCol: String,
+      nBuckets: Int, exact: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = quantileBuckets(df, orderCol, nBuckets, "__b", exact)
+    val bsums = bucketed.groupBy(col("__b")).agg(sum(col(weightCol)).as("__bw"))
+    val offs = bsums.withColumn("__off", coalesce(
+      sum(col("__bw")).over(Window.orderBy(col("__b").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0).cast("decimal(38,6)")))
+    bucketed.join(broadcast(offs.select(col("__b"), col("__off"))), "__b")
+      .withColumn("__run", sum(col(weightCol)).over(
+        Window.partitionBy(col("__b"))
+          .orderBy(col(orderCol).desc, col(tieCol))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn(cumCol, (col("__off") + col("__run")).cast("decimal(38,6)"))
+      .drop("__b", "__off", "__run")
   }
 
   // ------------------------------------------------ KMV theta sketches

@@ -182,6 +182,41 @@ class SketchesSpec extends SparkSuite {
     assert(cut.toMap == Map("a" -> 50L, "b" -> 75L))
   }
 
+  test("selectByBudget takes the best rows until the budget crosses") {
+    import spark.implicits._
+    // (id, score, cost): walk b(9,5) -> a(7,10) -> d(5,4) -> c(2,100)
+    val df = Seq((1L, 7.0, 10L), (2L, 9.0, 5L), (3L, 2.0, 100L),
+      (4L, 5.0, 4L)).toDF("id", "score", "cost")
+    def ids(b: Double) =
+      Sketches.selectByBudget(df, "id", "score", "cost", b, nBuckets = 2)
+        .collect().map(_.getLong(0)).toSet
+    assert(ids(5.0) == Set(2L))              // b alone crosses
+    assert(ids(5.1) == Set(2L, 1L))          // cum-before a = 5 < 5.1
+    assert(ids(16.0) == Set(2L, 1L, 4L))     // d's cum-before = 15 < 16
+    assert(ids(1000.0) == Set(1L, 2L, 3L, 4L))
+    // emits the original columns plus cum_cost
+    val row = Sketches.selectByBudget(df, "id", "score", "cost", 5.0, 2)
+      .select("id", "score", "cost", "cum_cost").head()
+    assert(row.getLong(0) == 2L && row.getDecimal(3).longValue() == 5L)
+  }
+
+  test("selectByBudget matches an exhaustive reference on real data") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull)
+      .withColumn("toks",
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0)).cast("long"))
+    val rows = docs.select("doc_id", "n_chars", "toks").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val budget = 5000.0
+    val sorted = rows.sortBy { case (id, s, _) => (-s, id) }
+    val want = sorted.scanLeft(0L)(_ + _._3).init.zip(sorted)
+      .collect { case (before, (id, _, _)) if before < budget => id }.toSet
+    val got = Sketches.selectByBudget(docs, "doc_id", "n_chars", "toks",
+        budget, nBuckets = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("coverageCut matches an exhaustive reference on real data") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val counts = li.groupBy("l_partkey").count()
