@@ -1153,6 +1153,18 @@ object SparkEntry {
           col("cum_cost").cast("double").as("cum_cost"))
         .orderBy("doc_id")
     }),
+    "q_budget_per_lang" -> ((s, dir) => {
+      // per-language token caps: the many-strata regime where a window
+      // PARTITIONED BY the stratum is the right plan
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("toks", size(filter(split(col("text"), "\\s+"),
+          t => length(t) > 0)).cast("long"))
+      Sketches.selectByBudgetPerGroup(docs, "lang", "doc_id", "n_chars",
+          "toks", 2000.0)
+        .select(col("lang"), col("doc_id"), col("toks"),
+          col("cum_cost").cast("double").as("cum_cost"))
+        .orderBy("lang", "doc_id")
+    }),
     "q_jaccard_join" -> ((s, dir) => {
       // EXACT prefix-filtered token-set similarity join (AllPairs) on a
       // clamped id range — lossless vs the oracle's all-pairs grid
@@ -2735,6 +2747,14 @@ object SparkEntry {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d) " +
         "SELECT doc_id, CAST(c AS BIGINT) AS toks, CAST(cum AS DOUBLE) AS cum_cost " +
         "FROM w WHERE CAST(cum - c AS DOUBLE) < 5000.0 ORDER BY doc_id"),
+    "q_budget_per_lang" ->
+      ("WITH d AS (SELECT lang, doc_id, n_chars, CAST(len(list_filter(" +
+        "regexp_split_to_array(text, '\\s+'), t -> length(t) > 0)) AS DECIMAL(38,6)) AS c " +
+        "FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL AND doc_id IS NOT NULL AND n_chars IS NOT NULL), " +
+        "w AS (SELECT lang, doc_id, c, SUM(c) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d) " +
+        "SELECT lang, doc_id, CAST(c AS BIGINT) AS toks, CAST(cum AS DOUBLE) AS cum_cost " +
+        "FROM w WHERE CAST(cum - c AS DOUBLE) < 2000.0 ORDER BY lang, doc_id"),
     "q_jaccard_join" ->
       // exact all-pairs grid over the clamped id range; same tokenization
       // as q_dedup_clusters (lower, \s+ split, nonempty, set semantics)

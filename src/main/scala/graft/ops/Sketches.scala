@@ -227,6 +227,31 @@ object Sketches {
       .drop("__cost")
   }
 
+  /** Per-stratum [[selectByBudget]] — the same greedy walk run
+    * independently inside every `groupCol` value (per-language token
+    * caps, per-source storage quotas). Here a window PARTITIONED BY the
+    * stratum is the right plan at any corpus size: each group sorts only
+    * its own rows, and groups spread across reducers. The bucketed
+    * decomposition is for the opposite regime (ONE global walk); a
+    * corpus where a single stratum IS the corpus should slice and run
+    * [[selectByBudget]] instead. Same decimal-mass determinism, same
+    * crossing-row rule, same null-drop contract (plus non-null group). */
+  def selectByBudgetPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                             scoreCol: String, costCol: String,
+                             budget: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0.0, s"budget must be positive, got $budget")
+    df.filter(col(groupCol).isNotNull && col(idCol).isNotNull &&
+        col(scoreCol).isNotNull && col(costCol).isNotNull)
+      .withColumn("__cost", col(costCol).cast("decimal(38,6)"))
+      .withColumn("cum_cost", sum(col("__cost")).over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col(scoreCol).desc, col(idCol))
+          .rowsBetween(Window.unboundedPreceding, 0)).cast("decimal(38,6)"))
+      .filter((col("cum_cost") - col("__cost")).cast("double") < budget)
+      .drop("__cost")
+  }
+
   /** Shared decomposition behind [[coverageCut]] and [[selectByBudget]]:
     * adds `cumCol` = running sum of `weightCol` (decimal) over the total
     * order `(orderCol DESC, tieCol ASC)` WITHOUT a global window —

@@ -217,6 +217,19 @@ class SketchesSpec extends SparkSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("selectByBudgetPerGroup walks each stratum independently") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", 1L, 9.0, 6L), ("en", 2L, 7.0, 6L), ("en", 3L, 5.0, 6L),
+      ("fr", 4L, 4.0, 3L), ("fr", 5L, 3.0, 3L), ("fr", 6L, 2.0, 3L),
+      ("de", 7L, 1.0, 100L)).toDF("lang", "id", "score", "cost")
+    val got = Sketches.selectByBudgetPerGroup(df, "lang", "id", "score",
+        "cost", 8.0).collect().map(_.getLong(1)).toSet
+    // en: 1 (cum-before 0), 2 (6 < 8), not 3 (12); fr: 4,5,6 (0,3,6 < 8);
+    // de: crossing row kept even though its cost alone exceeds the budget
+    assert(got == Set(1L, 2L, 4L, 5L, 6L, 7L))
+  }
+
   test("coverageCut matches an exhaustive reference on real data") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val counts = li.groupBy("l_partkey").count()
