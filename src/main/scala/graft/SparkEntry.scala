@@ -1153,6 +1153,13 @@ object SparkEntry {
           col("cum_cost").cast("double").as("cum_cost"))
         .orderBy("doc_id")
     }),
+    "q_release_e2e" -> ((s, dir) => {
+      // the full release chain oracled END TO END: word-count gate →
+      // budget-greedy selection → deterministic shards → manifest
+      graft.examples.DatasetRelease.release(T(s, dir, "documents"),
+          minWords = 30, tokenBudget = 20000.0, nShards = 8)
+        .orderBy("shard")
+    }),
     "q_budget_per_lang" -> ((s, dir) => {
       // per-language token caps: the many-strata regime where a window
       // PARTITIONED BY the stratum is the right plan
@@ -2747,6 +2754,26 @@ object SparkEntry {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d) " +
         "SELECT doc_id, CAST(c AS BIGINT) AS toks, CAST(cum AS DOUBLE) AS cum_cost " +
         "FROM w WHERE CAST(cum - c AS DOUBLE) < 5000.0 ORDER BY doc_id"),
+    "q_release_e2e" -> {
+      // the four proven mirrors chained: token gate, decimal budget walk,
+      // md5 shard hash, Horner 60-bit parse + mod-prime checksum
+      val horner = (1 to 15).map(i =>
+          s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)")
+        .reduceLeft((acc, h) => s"($acc * 16 + $h)")
+      ("WITH d AS (SELECT doc_id, lang, n_chars, CAST(len(list_filter(" +
+        "regexp_split_to_array(text, '\\s+'), t -> length(t) > 0)) AS DECIMAL(38,6)) AS c " +
+        "FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL AND n_chars IS NOT NULL), " +
+        "g AS (SELECT * FROM d WHERE CAST(c AS BIGINT) >= 30), " +
+        "w AS (SELECT doc_id, lang, n_chars, c, SUM(c) OVER (ORDER BY n_chars DESC, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM g), " +
+        "sel AS (SELECT doc_id, lang, n_chars FROM w WHERE CAST(cum - c AS DOUBLE) < 20000.0), " +
+        "sh AS (SELECT doc_id, lang, n_chars, " +
+        "CAST(('0x' || substr(md5('graftshard:' || doc_id), 1, 8))::UBIGINT % 8 AS INTEGER) AS shard FROM sel), " +
+        "r AS (SELECT shard, md5(concat_ws('|', CAST(doc_id AS VARCHAR), lang, CAST(n_chars AS VARCHAR))) AS m FROM sh), " +
+        s"v AS (SELECT shard, CAST($horner AS HUGEINT) AS v FROM r) " +
+        "SELECT shard, COUNT(*) AS n_rows, CAST(SUM(v) % 2305843009213693951 AS BIGINT) AS checksum " +
+        "FROM v GROUP BY shard ORDER BY shard")
+    },
     "q_budget_per_lang" ->
       ("WITH d AS (SELECT lang, doc_id, n_chars, CAST(len(list_filter(" +
         "regexp_split_to_array(text, '\\s+'), t -> length(t) > 0)) AS DECIMAL(38,6)) AS c " +
