@@ -1153,6 +1153,28 @@ object SparkEntry {
           col("cum_cost").cast("double").as("cum_cost"))
         .orderBy("doc_id")
     }),
+    "q_rollup_refresh" -> ((s, dir) => {
+      // materialized-rollup maintenance: the q_cdc_apply changelog drives
+      // an INCREMENTAL refresh (changed-key-sized work), oracled against
+      // the from-scratch recompute over the closed-form survivor set
+      val base = T(s, dir, "orders")
+      val k = col("o_orderkey")
+      def tag(df: DataFrame, op: String, seq: Long) =
+        df.withColumn("__op", lit(op)).withColumn("__seq", lit(seq))
+      val changes = tag(base.filter(k % 10 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") * 2), "U", 1L)
+        .unionByName(tag(base.filter(k % 10 === 0), "D", 1L))
+        .unionByName(tag(base.filter(k % 10 === 2), "U", 1L))
+        .unionByName(tag(base.filter(k % 10 === 2), "D", 2L))
+        .unionByName(tag(base.filter(k % 10 === 3)
+          .withColumn("o_orderkey", k + 10000000L), "I", 1L))
+      val oldAgg = Cdc.rollupOf(base, Seq("o_orderstatus"), "o_totalprice")
+      Cdc.incrementalRollup(oldAgg, base, changes, Seq("o_orderkey"),
+          Seq("o_orderstatus"), "o_totalprice", "__seq", "__op")
+        .select(col("o_orderstatus"), col("n_rows"), col("n_vals"),
+          col("total").cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    }),
     "q_release_e2e" -> ((s, dir) => {
       // the full release chain oracled END TO END: word-count gate →
       // budget-greedy selection → deterministic shards → manifest
@@ -2754,6 +2776,16 @@ object SparkEntry {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d) " +
         "SELECT doc_id, CAST(c AS BIGINT) AS toks, CAST(cum AS DOUBLE) AS cum_cost " +
         "FROM w WHERE CAST(cum - c AS DOUBLE) < 5000.0 ORDER BY doc_id"),
+    "q_rollup_refresh" ->
+      // recompute over the q_cdc_apply survivor set in closed form;
+      // decimal sum, one double cast at the edge
+      ("WITH s AS (SELECT o_orderstatus, " +
+        "CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice * 2 ELSE o_totalprice END AS p " +
+        "FROM orders WHERE o_orderkey % 10 NOT IN (0, 2) " +
+        "UNION ALL SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 10 = 3) " +
+        "SELECT o_orderstatus, COUNT(*) AS n_rows, COUNT(p) AS n_vals, " +
+        "CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE) AS total " +
+        "FROM s GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "q_release_e2e" -> {
       // the four proven mirrors chained: token gate, decimal budget walk,
       // md5 shard hash, Horner 60-bit parse + mod-prime checksum

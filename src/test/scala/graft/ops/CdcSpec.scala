@@ -89,4 +89,57 @@ class CdcSpec extends SparkSuite {
     assert(out.length == 1 && out.head.getLong(0) == 2L &&
       out.head.getString(1) == "changed")
   }
+
+  // -------------------------------------------- incremental rollup
+
+  private def rollupKey(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (Option(r.get(0)).map(_.toString),
+      r.getLong(1), r.getLong(2),
+      Option(r.getDecimal(3)).map(_.stripTrailingZeros))).toSet
+
+  test("incrementalRollup equals the from-scratch recompute on real data") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val k = col("o_orderkey")
+    def tag(df: org.apache.spark.sql.DataFrame, op: String, seq: Long) =
+      df.withColumn("__op", lit(op)).withColumn("__seq", lit(seq))
+    val ch = tag(orders.filter(k % 10 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") * 2), "U", 1L)
+      .unionByName(tag(orders.filter(k % 10 === 0), "D", 1L))
+      .unionByName(tag(orders.filter(k % 10 === 2), "U", 1L))
+      .unionByName(tag(orders.filter(k % 10 === 2), "D", 2L))
+      .unionByName(tag(orders.filter(k % 10 === 3)
+        .withColumn("o_orderkey", k + 10000000L), "I", 1L))
+    val oldAgg = Cdc.rollupOf(orders, Seq("o_orderstatus"), "o_totalprice")
+    val inc = Cdc.incrementalRollup(oldAgg, orders, ch, Seq("o_orderkey"),
+      Seq("o_orderstatus"), "o_totalprice", "__seq", "__op")
+    val want = Cdc.rollupOf(
+      Cdc.applyChangelog(orders, ch, Seq("o_orderkey"), "__seq", "__op"),
+      Seq("o_orderstatus"), "o_totalprice")
+    assert(rollupKey(inc) == rollupKey(want))
+  }
+
+  test("incrementalRollup: vanishing group, new group, null dim, all-null values") {
+    val b = Seq((1L, Option("x"), Option(1.0)), (2L, Option("x"), Option(2.0)),
+      (3L, None: Option[String], Option(3.0)),
+      (4L, Option("z"), None: Option[Double])).toDF("k", "g", "v")
+    val ch = Seq(
+      (1L, Option("x"), Option(1.0), "D", 1L),   // shrink group x
+      (2L, Option("x"), Option(2.0), "D", 1L),   // ...to zero -> vanishes
+      (5L, Option("w"), Option(5.0), "I", 1L),   // brand-new group w
+      (6L, None: Option[String], Option(6.0), "I", 1L), // grow the null group
+      (7L, Option("z"), None: Option[Double], "I", 1L)  // z stays all-null
+    ).toDF("k", "g", "v", "__op", "__seq")
+    val oldAgg = Cdc.rollupOf(b, Seq("g"), "v")
+    val inc = Cdc.incrementalRollup(oldAgg, b, ch, Seq("k"), Seq("g"), "v",
+      "__seq", "__op")
+    val want = Cdc.rollupOf(
+      Cdc.applyChangelog(b, ch, Seq("k"), "__seq", "__op"), Seq("g"), "v")
+    assert(rollupKey(inc) == rollupKey(want))
+    val m = inc.collect().map(r => Option(r.get(0)).map(_.toString) ->
+      ((r.getLong(1), Option(r.getDecimal(3))))).toMap
+    assert(!m.contains(Some("x")))                       // vanished
+    assert(m(Some("w"))._1 == 1L)                        // appeared
+    assert(m(None)._1 == 2L)                             // null dim merged
+    assert(m(Some("z"))._1 == 2L && m(Some("z"))._2.isEmpty) // null total kept
+  }
 }
