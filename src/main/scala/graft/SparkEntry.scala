@@ -899,6 +899,22 @@ object SparkEntry {
       Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 10)
         .orderBy("qid", "rk")
     }),
+    "q_bm25_indexed" -> ((s, dir) => {
+      // the SAME retrieval through the persisted index path: write the
+      // term-bucketed inverted index, read it back, score over it —
+      // identical output to q_bm25_topk (and the identical oracle), with
+      // the df roll-up exchange-free on the bucketed read
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      Retrieval.writeIndex(docs, "doc_id", "text", "graft_bm25_idx",
+        buckets = 8)
+      val qs = Seq((1L, "fast hash join"), (2L, "window group query"),
+        (3L, "slow table scan"), (4L, "customer order line part"),
+        (5L, "stream batch data")).toDF("qid", "qtext")
+      Retrieval.bm25OverIndex(s.table("graft_bm25_idx"), "doc_id",
+          qs, "qid", "qtext", k = 10)
+        .orderBy("qid", "rk")
+    }),
     "q_shard_assign" -> ((s, dir) => {
       // deterministic training-serving shuffle: md5-derived shard +
       // intra-shard order key, bit-for-bit reproducible anywhere
@@ -1858,6 +1874,27 @@ object SparkEntry {
     })
   )
 
+  /** Shared by q_bm25_topk and q_bm25_indexed — the two plans (live
+    * tokenization vs persisted bucketed index) must score identically. */
+  private val bm25OracleSql: String =
+    "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2), " +
+      "dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1), " +
+      "st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl), " +
+      "q(qid, qtext) AS (VALUES (1, 'fast hash join'), (2, 'window group query'), " +
+      "(3, 'slow table scan'), (4, 'customer order line part'), (5, 'stream batch data')), " +
+      "qt AS (SELECT CAST(qid AS BIGINT) AS qid, unnest(list_distinct(regexp_extract_all(lower(qtext), '[a-z0-9]+'))) AS term FROM q), " +
+      "dfreq AS (SELECT term, COUNT(*) AS df FROM tf WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1), " +
+      "sc AS (SELECT qt.qid, tf.doc_id, " +
+      "SUM(ln(1.0 + (CAST(st.n AS DOUBLE) - df + 0.5) / (df + 0.5)) " +
+      "* (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS raw " +
+      "FROM tf JOIN qt USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN st " +
+      "GROUP BY 1, 2) " +
+      "SELECT qid, doc_id, floor(raw * 1000000.0 + 0.5) / 1000000.0 AS score, " +
+      "CAST(row_number() OVER (PARTITION BY qid ORDER BY floor(raw * 1000000.0 + 0.5) / 1000000.0 DESC, doc_id) AS INTEGER) AS rk " +
+      "FROM sc QUALIFY rk <= 10 ORDER BY qid, rk"
+
   def oracleSql: Map[String, String] = Map(
     "q_required" ->
       "SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND length(text) > 0 ORDER BY doc_id",
@@ -2429,23 +2466,10 @@ object SparkEntry {
       // full BM25 mirror (k1=1.2, b=0.75, Lucene idf): identical term
       // extraction ([a-z0-9]+ over lower), identical per-term formula,
       // identical 1e-6 floor-rounding BEFORE ranking, doc_id tiebreak
-      ("WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term " +
-        "FROM documents WHERE text IS NOT NULL), " +
-        "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2), " +
-        "dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1), " +
-        "st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl), " +
-        "q(qid, qtext) AS (VALUES (1, 'fast hash join'), (2, 'window group query'), " +
-        "(3, 'slow table scan'), (4, 'customer order line part'), (5, 'stream batch data')), " +
-        "qt AS (SELECT CAST(qid AS BIGINT) AS qid, unnest(list_distinct(regexp_extract_all(lower(qtext), '[a-z0-9]+'))) AS term FROM q), " +
-        "dfreq AS (SELECT term, COUNT(*) AS df FROM tf WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1), " +
-        "sc AS (SELECT qt.qid, tf.doc_id, " +
-        "SUM(ln(1.0 + (CAST(st.n AS DOUBLE) - df + 0.5) / (df + 0.5)) " +
-        "* (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS raw " +
-        "FROM tf JOIN qt USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN st " +
-        "GROUP BY 1, 2) " +
-        "SELECT qid, doc_id, floor(raw * 1000000.0 + 0.5) / 1000000.0 AS score, " +
-        "CAST(row_number() OVER (PARTITION BY qid ORDER BY floor(raw * 1000000.0 + 0.5) / 1000000.0 DESC, doc_id) AS INTEGER) AS rk " +
-        "FROM sc QUALIFY rk <= 10 ORDER BY qid, rk"),
+      bm25OracleSql,
+    "q_bm25_indexed" ->
+      // the indexed path scores IDENTICALLY — one oracle, two plans
+      bm25OracleSql,
     "q_shard_assign" ->
       ("SELECT doc_id, CAST(('0x' || substr(md5('graftshard:' || doc_id), 1, 8))::UBIGINT % 16 AS INTEGER) AS shard, " +
         "md5('graftorder:' || doc_id) AS shard_order FROM documents ORDER BY doc_id"),

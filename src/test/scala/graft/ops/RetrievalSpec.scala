@@ -113,6 +113,27 @@ class RetrievalSpec extends SparkSuite {
       s"the single-row N aggregate must broadcast:\n$plan")
   }
 
+  test("indexed path scores identically to the live path; df roll-up is exchange-free") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val qs = Seq((1L, "fast hash join"), (2L, "slow table scan"))
+      .toDF("qid", "qtext")
+    val live = Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    Retrieval.writeIndex(docs, "doc_id", "text", "graft_test_idx", buckets = 4)
+    val idx = spark.table("graft_test_idx")
+    val indexed = Retrieval.bm25OverIndex(idx, "doc_id", qs, "qid", "qtext", 5)
+    assert(indexed.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet == live)
+    // the bucketed-by-term read satisfies the df aggregate's distribution:
+    // no exchange may sit between the scan and the term roll-up
+    val dfPlan = idx.join(broadcast(Seq("fast", "scan").toDF("term")), Seq("term"))
+      .groupBy("term").count().queryExecution.executedPlan.toString
+    assert(!dfPlan.contains("Exchange hashpartitioning(term"),
+      s"term-bucketed scan must feed the roll-up shuffle-free:\n$dfPlan")
+    spark.sql("DROP TABLE IF EXISTS graft_test_idx")
+  }
+
   test("termStats: one row per (doc, term) with tf and shared dl") {
     val st = Retrieval.termStats(corpus, "doc_id", "text")
       .collect().map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
