@@ -1191,6 +1191,31 @@ object SparkEntry {
           col("total").cast("double").as("total"))
         .orderBy("o_orderstatus")
     }),
+    "q_stream_rollup" -> ((s, dir) => {
+      // TRUE streaming rollup maintenance: the q_cdc_apply changelog as a
+      // file-source stream, applied batch-by-batch via foreachBatch
+      // (incrementalRollup + applyChangelog, one pinned generation of
+      // state) — final rollup ≡ the batch refresh, same oracle
+      val schema = s.read.parquet(s"$dir/orders.parquet").schema
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet").parquet(dir)
+      val k = col("o_orderkey")
+      def tag(df: DataFrame, op: String, seq: Long) =
+        df.withColumn("__op", lit(op)).withColumn("__seq", lit(seq))
+      val changes = tag(raw.filter(k % 10 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") * 2), "U", 1L)
+        .unionByName(tag(raw.filter(k % 10 === 0), "D", 1L))
+        .unionByName(tag(raw.filter(k % 10 === 2), "U", 1L))
+        .unionByName(tag(raw.filter(k % 10 === 2), "D", 2L))
+        .unionByName(tag(raw.filter(k % 10 === 3)
+          .withColumn("o_orderkey", k + 10000000L), "I", 1L))
+      graft.streaming.StreamingValidate.maintainRollup(changes,
+          T(s, dir, "orders"), Seq("o_orderkey"), Seq("o_orderstatus"),
+          "o_totalprice", "__seq", "__op")
+        .select(col("o_orderstatus"), col("n_rows"), col("n_vals"),
+          col("total").cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    }),
     "q_release_e2e" -> ((s, dir) => {
       // the full release chain oracled END TO END: word-count gate →
       // budget-greedy selection → deterministic shards → manifest
@@ -1873,6 +1898,19 @@ object SparkEntry {
         .orderBy("q_id", "rk")
     })
   )
+
+  /** Shared by q_rollup_refresh and q_stream_rollup — the incremental
+    * batch refresh and the foreachBatch streaming maintenance must land
+    * on the same final rollup (the from-scratch recompute over the
+    * closed-form q_cdc_apply survivor set). */
+  private val rollupRefreshOracleSql: String =
+    "WITH s AS (SELECT o_orderstatus, " +
+      "CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice * 2 ELSE o_totalprice END AS p " +
+      "FROM orders WHERE o_orderkey % 10 NOT IN (0, 2) " +
+      "UNION ALL SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 10 = 3) " +
+      "SELECT o_orderstatus, COUNT(*) AS n_rows, COUNT(p) AS n_vals, " +
+      "CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE) AS total " +
+      "FROM s GROUP BY o_orderstatus ORDER BY o_orderstatus"
 
   /** Shared by q_bm25_topk and q_bm25_indexed — the two plans (live
     * tokenization vs persisted bucketed index) must score identically. */
@@ -2803,13 +2841,11 @@ object SparkEntry {
     "q_rollup_refresh" ->
       // recompute over the q_cdc_apply survivor set in closed form;
       // decimal sum, one double cast at the edge
-      ("WITH s AS (SELECT o_orderstatus, " +
-        "CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice * 2 ELSE o_totalprice END AS p " +
-        "FROM orders WHERE o_orderkey % 10 NOT IN (0, 2) " +
-        "UNION ALL SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 10 = 3) " +
-        "SELECT o_orderstatus, COUNT(*) AS n_rows, COUNT(p) AS n_vals, " +
-        "CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE) AS total " +
-        "FROM s GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+      rollupRefreshOracleSql,
+    "q_stream_rollup" ->
+      // the streaming foreachBatch maintenance lands on the SAME final
+      // rollup — one oracle, batch and streaming plans
+      rollupRefreshOracleSql,
     "q_release_e2e" -> {
       // the four proven mirrors chained: token gate, decimal budget walk,
       // md5 shard hash, Horner 60-bit parse + mod-prime checksum

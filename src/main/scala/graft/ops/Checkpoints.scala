@@ -52,6 +52,17 @@ private[graft] object Checkpoints {
     if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
     else pin(df).df
 
+  /** Release the RDD storage behind a LOCAL-checkpoint pin once every
+    * reader has been superseded — the iterative-maintenance counterpart
+    * of [[Pinned.delete]] for the no-checkpoint-dir deployment. No-op
+    * when the frame's root is not a [[LogicalRDD]] (reliable checkpoints
+    * clean through `delete`; plain frames have nothing pinned). The
+    * frame is unreadable afterwards. */
+  def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+    case _             => ()
+  }
+
   /** Checkpoint `df` eagerly and return it with its backing path. The path
     * is recovered from the checkpointed plan's [[LogicalRDD]]; if a future
     * Spark changes that internal shape we degrade to `None` (no cleanup,

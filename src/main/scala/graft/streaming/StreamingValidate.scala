@@ -153,6 +153,57 @@ object StreamingValidate {
     spark.table(name)
   }
 
+  /** Maintain a [[graft.ops.Cdc.rollupOf]] aggregate from a STREAMING
+    * changelog: each micro-batch incrementally refreshes the rollup
+    * ([[graft.ops.Cdc.incrementalRollup]] — changed-key-sized work) and
+    * rolls the base snapshot forward ([[graft.ops.Cdc.applyChangelog]]),
+    * via `foreachBatch` under `Trigger.AvailableNow`; returns the final
+    * rollup once the bounded stream drains.
+    *
+    * Batch-split contract: per-key changes must arrive in sequence order
+    * ACROSS batches (the standard CDC delivery guarantee — within a
+    * batch any order is fine, the winner aggregate handles it); a
+    * later-delivered lower-seq change would re-win against an
+    * already-applied higher-seq one, because the applied base no longer
+    * carries sequence numbers.
+    *
+    * Scale honesty: this helper keeps base and rollup as LOCAL-
+    * checkpoint pins, releasing each superseded generation after its
+    * successor materializes ([[graft.ops.Checkpoints.release]]) — lineage
+    * stays truncated over any number of batches, storage holds exactly
+    * one generation. That is the in-memory demo/test form; a production
+    * deployment externalizes both as storage tables (the foreachBatch
+    * body then MERGEs the same two delta-sized computations) so state
+    * survives restarts. The semantics — what `q_stream_rollup` oracles —
+    * are identical. */
+  def maintainRollup(changes: DataFrame, base0: DataFrame,
+      keyCols: Seq[String], dims: Seq[String], sumCol: String,
+      seqCol: String, opCol: String): DataFrame = {
+    require(changes.isStreaming, "maintainRollup needs a streaming changelog")
+    import graft.ops.{Cdc, Checkpoints}
+    var base = base0.localCheckpoint()
+    var rollup = Cdc.rollupOf(base, dims, sumCol).localCheckpoint()
+    val q = changes.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // the batch frame is only valid inside this call — pin it so both
+        // delta computations read one materialization
+        val b = batch.localCheckpoint()
+        val nextRollup = Cdc.incrementalRollup(rollup, base, b, keyCols,
+          dims, sumCol, seqCol, opCol).localCheckpoint()
+        val nextBase = Cdc.applyChangelog(base, b, keyCols, seqCol, opCol)
+          .localCheckpoint()
+        Seq(rollup, base, b).foreach(Checkpoints.release)
+        rollup = nextRollup
+        base = nextBase
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Checkpoints.release(base) // the rollup pin lives with the returned frame
+    rollup
+  }
+
   /** `foreachBatch` handler that validates each micro-batch and routes the
     * valid/invalid splits to separate sinks — the streaming form of the
     * invalid-value handler policy (reference `filters/handlers.py`):

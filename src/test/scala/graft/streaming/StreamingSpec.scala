@@ -372,4 +372,36 @@ class StreamingSpec extends SparkSuite {
       .toDF("ts", "user")
     assert(StreamingValidate.sessionCounts(batch2, "ts", "user", "5 minutes").count() == 2)
   }
+
+  test("maintainRollup over a multi-batch changelog equals the recompute, no pin leak") {
+    import graft.ops.{Cdc, Checkpoints}
+    val base = Seq((1L, "x", 10.0), (2L, "x", 20.0), (3L, "y", 30.0),
+      (4L, "y", 40.0)).toDF("k", "g", "v")
+    // two change files with DISJOINT keys, so the two micro-batches
+    // commute (the batch-split contract needs per-key seq order only)
+    val chA = Seq((2L, "x", 25.0, "U", 1L), (4L, "y", 40.0, "D", 1L))
+      .toDF("k", "g", "v", "__op", "__seq")
+    val chB = Seq((5L, "z", 50.0, "I", 1L), (3L, "y", 33.0, "U", 1L))
+      .toDF("k", "g", "v", "__op", "__seq")
+    val dir = java.nio.file.Files.createTempDirectory("graft_chg").toString
+    chA.coalesce(1).write.parquet(s"$dir/f1")
+    chB.coalesce(1).write.parquet(s"$dir/f2")
+    val schema = chA.schema
+    val pinsBefore = spark.sparkContext.getPersistentRDDs.size
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/f*")
+    val got = StreamingValidate.maintainRollup(stream, base, Seq("k"),
+      Seq("g"), "v", "__seq", "__op")
+    val want = Cdc.rollupOf(
+      Cdc.applyChangelog(base, chA.unionByName(chB), Seq("k"), "__seq", "__op"),
+      Seq("g"), "v")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).stripTrailingZeros)).toSet
+    assert(key(got) == key(want))
+    // exactly one generation of state survives (the returned rollup pin)
+    Checkpoints.release(got)
+    assert(spark.sparkContext.getPersistentRDDs.size <= pinsBefore,
+      "maintainRollup must release every superseded pin")
+  }
 }
