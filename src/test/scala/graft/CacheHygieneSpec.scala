@@ -32,7 +32,12 @@ class CacheHygieneSpec extends SparkSuite {
     "q_pack_sequences",// Sampling.packSequences: pinned order input
     "q_curation_e2e",  // WebCrawlCuration: byUrl intermediate
     "q_pipeline_e2e",  // TrainingDataPipeline: exactDeduped intermediate
-    "q_twopass")       // both pipelines composed
+    "q_twopass",       // both pipelines composed
+    "q_global_rank",   // Sketches.globalRank: pinned filtered input
+    "q_select_budget", // Sketches.selectByBudget: pinned gated slice
+    "q_release_e2e",   // DatasetRelease: selection pin + manifest
+    "q_bm25_indexed",  // writeIndex + bm25OverIndex over the read-back
+    "q_stream_rollup") // maintainRollup: one released generation per batch
 
   for (name <- leakProne)
     test(s"$name leaves no cacheManager entry after materialization") {
