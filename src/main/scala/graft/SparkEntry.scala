@@ -1191,6 +1191,20 @@ object SparkEntry {
           col("total").cast("double").as("total"))
         .orderBy("o_orderstatus")
     }),
+    "q_wap_publish" -> ((s, dir) => {
+      // write-audit-publish roundtrip: stage, audit (count + key
+      // uniqueness over the STAGED bytes), swap into place, read back —
+      // published data ≡ the source slice in closed form
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 500)
+        .select("doc_id", "lang", "n_chars")
+      val path = "/tmp/graft_wap_publish"
+      val rep = graft.sources.ValidatedIO.writeAudited(docs, path, Seq(
+        graft.sources.ValidatedIO.Expect.rowCountBetween(1),
+        graft.sources.ValidatedIO.Expect.noNulls("doc_id"),
+        graft.sources.ValidatedIO.Expect.unique("doc_id")))
+      require(rep.published, s"audit failed: ${rep.failures}")
+      s.read.parquet(path).orderBy("doc_id")
+    }),
     "q_stream_rollup" -> ((s, dir) => {
       // TRUE streaming rollup maintenance: the q_cdc_apply changelog as a
       // file-source stream, applied batch-by-batch via foreachBatch
@@ -2838,6 +2852,8 @@ object SparkEntry {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d) " +
         "SELECT doc_id, CAST(c AS BIGINT) AS toks, CAST(cum AS DOUBLE) AS cum_cost " +
         "FROM w WHERE CAST(cum - c AS DOUBLE) < 5000.0 ORDER BY doc_id"),
+    "q_wap_publish" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 500 ORDER BY doc_id",
     "q_rollup_refresh" ->
       // recompute over the q_cdc_apply survivor set in closed form;
       // decimal sum, one double cast at the edge

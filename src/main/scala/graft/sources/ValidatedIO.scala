@@ -87,6 +87,80 @@ object ValidatedIO {
     Validate.columns(
       spark.readStream.schema(schema).parquet(path), specs: _*)
 
+  /** [[writeAudited]] outcome: `published` tells whether the staged data
+    * replaced `path`; `failures` carries one message per violated
+    * expectation (empty on publish). */
+  final case class AuditReport(published: Boolean, nRows: Long,
+                               failures: Seq[String])
+
+  /** Standard expectations for [[writeAudited]] — each is a bounded
+    * aggregate over the STAGED data (one row crosses the driver), compose
+    * with `++`. */
+  object Expect {
+    type E = DataFrame => Seq[String]
+    def rowCountBetween(lo: Long, hi: Long = Long.MaxValue): E = df => {
+      val n = df.count()
+      if (n < lo || n > hi) Seq(s"row count $n outside [$lo, $hi]") else Nil
+    }
+    def noNulls(cols: String*): E = df => {
+      val row = df.select(cols.map(c =>
+        fn.sum(fn.when(fn.col(c).isNull, 1L).otherwise(0L)).as(c)): _*).head()
+      cols.zipWithIndex.collect {
+        case (c, i) if row.getLong(i) > 0 => s"column $c has ${row.getLong(i)} nulls"
+      }
+    }
+    def unique(cols: String*): E = df => {
+      val dups = df.groupBy(cols.map(fn.col): _*).count()
+        .filter(fn.col("count") > 1).count()
+      if (dups > 0) Seq(s"${cols.mkString("(", ",", ")")} has $dups duplicated keys")
+      else Nil
+    }
+  }
+
+  /** Write-audit-publish — the sink discipline that keeps a bad batch
+    * from ever becoming visible: write `df` to a STAGING directory next
+    * to `path`, audit the staged files (the bytes readers would actually
+    * see — a re-read, so serialization bugs fail the audit too), and only
+    * then swap staging into place; any failed expectation deletes staging
+    * and leaves the CURRENT `path` untouched.
+    *
+    * The swap is two filesystem renames (old → trash, staging → final,
+    * delete trash) — atomic per rename on HDFS-like filesystems; the
+    * non-atomic window is between the two renames, the standard WAP
+    * trade without a table format's metadata commit. Concurrent writers
+    * need external coordination (as with any directory-output job).
+    *
+    * Scale: the audit expectations are partial-aggregable scans of the
+    * staged output (each one row to the driver); nothing else is added
+    * on top of the write itself. */
+  def writeAudited(df: DataFrame, path: String,
+                   expectations: Seq[DataFrame => Seq[String]],
+                   format: String = "parquet",
+                   partitionBy: Seq[String] = Nil): AuditReport = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val finalPath = new org.apache.hadoop.fs.Path(path)
+    val fs = finalPath.getFileSystem(hconf)
+    val stamp = java.util.UUID.randomUUID().toString.replace("-", "")
+    val staging = new org.apache.hadoop.fs.Path(path + s".__staging_$stamp")
+    val trash = new org.apache.hadoop.fs.Path(path + s".__trash_$stamp")
+    val w = df.write.mode("overwrite").format(format)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .save(staging.toString)
+    val staged = spark.read.format(format).load(staging.toString)
+    val failures = expectations.flatMap(_(staged))
+    val nRows = staged.count()
+    if (failures.isEmpty) {
+      if (fs.exists(finalPath)) fs.rename(finalPath, trash)
+      fs.rename(staging, finalPath)
+      fs.delete(trash, true)
+      AuditReport(published = true, nRows, Nil)
+    } else {
+      fs.delete(staging, true)
+      AuditReport(published = false, nRows, failures)
+    }
+  }
+
   /** Quarantine sink: valid rows to `validPath`, invalid rows (with their
     * `_errors` column) to `invalidPath`. Partition both by any key columns
     * that downstream reads filter on. */

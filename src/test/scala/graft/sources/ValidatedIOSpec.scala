@@ -100,4 +100,38 @@ class ValidatedIOSpec extends SparkSuite {
     q.stop()
     assert(n == 500)
   }
+
+  test("writeAudited publishes only when every expectation passes") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val path = s"$dir/table"
+    val good = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val r1 = ValidatedIO.writeAudited(good, path, Seq(
+      ValidatedIO.Expect.rowCountBetween(1),
+      ValidatedIO.Expect.noNulls("id", "v"),
+      ValidatedIO.Expect.unique("id")))
+    assert(r1.published && r1.nRows == 3 && r1.failures.isEmpty)
+    assert(spark.read.parquet(path).count() == 3)
+    // a failing batch must NOT replace the published data, and must
+    // clean its staging directory
+    val bad = Seq((1L, "x"), (1L, null: String)).toDF("id", "v")
+    val r2 = ValidatedIO.writeAudited(bad, path, Seq(
+      ValidatedIO.Expect.noNulls("v"),
+      ValidatedIO.Expect.unique("id"),
+      ValidatedIO.Expect.rowCountBetween(3)))
+    assert(!r2.published && r2.failures.size == 3)
+    assert(spark.read.parquet(path).count() == 3, "old publish must survive")
+    assert(spark.read.parquet(path).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    val leftovers = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("table."))
+    assert(leftovers.isEmpty, s"staging/trash must be cleaned: ${leftovers.toSeq}")
+    // republish over an existing table swaps contents
+    val next = Seq((9L, "z")).toDF("id", "v")
+    val r3 = ValidatedIO.writeAudited(next, path, Seq(
+      ValidatedIO.Expect.rowCountBetween(1, 1)))
+    assert(r3.published)
+    assert(spark.read.parquet(path).as[(Long, String)].collect().toSeq ==
+      Seq((9L, "z")))
+  }
 }
