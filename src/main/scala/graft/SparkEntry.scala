@@ -1857,6 +1857,18 @@ object SparkEntry {
           TextAnalysis.fingerprintRolling(col("text")).as("rh"))
         .orderBy("doc_id")
     }),
+    "q_hamming_pairs" -> ((s, dir) => {
+      // the LOSSLESS Hamming-banded blocking (Dedup.hammingPairs — the
+      // engine behind simhash/dHash near-dup) over the proven simhash
+      // kernel on a clamped grid; the oracle brute-forces the same pairs
+      val docs = T(s, dir, "documents")
+        .filter(col("doc_id") < 300 &&
+          octet_length(col("text")) === length(col("text")))
+        .select(col("doc_id"), TextAnalysis.fingerprintSimhash(col("text")).as("sh"))
+      Dedup.hammingPairs(docs, "doc_id", "sh", maxDist = 16)
+        .select(col("id_1"), col("id_2"), col("dist").cast("integer").as("dist"))
+        .orderBy("id_1", "id_2")
+    }),
     "q_lang_id" -> ((s, dir) => {
       T(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("guess"))
@@ -2649,6 +2661,34 @@ object SparkEntry {
         s"CAST(CASE WHEN coalesce(sh.sval, 0) >= CAST('$two63' AS HUGEINT) THEN coalesce(sh.sval, 0) - CAST('$two64' AS HUGEINT) ELSE coalesce(sh.sval, 0) END AS BIGINT) AS sh, " +
         s"CAST(CASE WHEN coalesce(rh.rval, 1125899906842597) >= CAST('$two63' AS HUGEINT) THEN coalesce(rh.rval, 1125899906842597) - CAST('$two64' AS HUGEINT) ELSE coalesce(rh.rval, 1125899906842597) END AS BIGINT) AS rh " +
         "FROM t LEFT JOIN sh USING (doc_id) LEFT JOIN rh USING (doc_id) ORDER BY doc_id"
+    },
+    "q_hamming_pairs" -> {
+      // the q_simhash HUGEINT kernel mirror (clamped to doc_id < 300)
+      // feeding a brute-force pair grid: banded blocking is LOSSLESS, so
+      // the engine's equi-join candidates + bit_count verify must equal
+      // the grid exactly
+      val two64 = BigInt(1) << 64
+      val two63 = BigInt(1) << 63
+      val fnvSeed = BigInt("cbf29ce484222325", 16)
+      val bitSums = (0 until 64).map(b =>
+        s"SUM(CASE WHEN (h // CAST('${BigInt(1) << b}' AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")
+      val recompose = (0 until 64).map(b =>
+        s"CASE WHEN v$b > 0 THEN CAST('${BigInt(1) << b}' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END").mkString(" + ")
+      s"WITH t AS (SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0) AS toks " +
+        "FROM documents WHERE doc_id < 300 AND octet_length(encode(text)) = length(text)), " +
+        "th AS (SELECT doc_id, unnest(toks) AS tok FROM t), " +
+        s"hh AS (SELECT doc_id, list_reduce(list_prepend(CAST('$fnvSeed' AS HUGEINT), " +
+        "list_transform(range(1, length(tok)+1), i -> CAST(unicode(substr(tok, i, 1)) AS HUGEINT))), " +
+        "(h, c) -> ((xor(CAST(h % 65536 AS BIGINT), CAST(c AS BIGINT)) + (h - h % 65536)) * 1099511628211) " +
+        s"% CAST('$two64' AS HUGEINT)) AS h FROM th), " +
+        s"votes AS (SELECT doc_id, $bitSums FROM hh GROUP BY doc_id), " +
+        s"sh0 AS (SELECT doc_id, $recompose AS sval FROM votes), " +
+        "s AS (SELECT t.doc_id, " +
+        s"CAST(CASE WHEN coalesce(sh0.sval, 0) >= CAST('$two63' AS HUGEINT) THEN coalesce(sh0.sval, 0) - CAST('$two64' AS HUGEINT) ELSE coalesce(sh0.sval, 0) END AS BIGINT) AS sh " +
+        "FROM t LEFT JOIN sh0 USING (doc_id)) " +
+        "SELECT a.doc_id AS id_1, b.doc_id AS id_2, CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS dist " +
+        "FROM s a, s b WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 16 " +
+        "ORDER BY id_1, id_2"
     },
     "q_ngram_jaccard" -> {
       // Exact integer mirror of the full guarded ngram-LSH path

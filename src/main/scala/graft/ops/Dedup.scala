@@ -503,6 +503,41 @@ object Dedup {
     * between fingerprints approximates token-set distance). */
   def simhash(text: Column): Column = native.simHash(text)
 
+  /** All pairs `(id_1, id_2, dist)` of 64-bit hashes within Hamming
+    * distance `maxDist` — LOSSLESS banded blocking for ANY 64-bit
+    * fingerprint ([[simhash]], [[graft.ops.Multimodal.withDHash]]):
+    * split the hash into `maxDist + 1` bit bands; two hashes within
+    * `maxDist` differ in at most `maxDist` bands, so by pigeonhole they
+    * AGREE on at least one band — candidates are an equi-join on
+    * (band index, band bits), verified by exact `bit_count(xor)`. Never
+    * all-pairs; a fully duplicated corpus degrades to the true pair
+    * set, which is the output's own size. Null hashes drop. */
+  def hammingPairs(hashed: DataFrame, idCol: String,
+                   hashCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist must be in [0, 64), got $maxDist")
+    val b = maxDist + 1
+    val widths = Array.tabulate(b)(i => 64 / b + (if (i < 64 % b) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val h = col("__h")
+    val bandCols = (0 until b).map { i =>
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1
+      struct(lit(i).as("bi"),
+        shiftright(h, offsets(i)).bitwiseAND(lit(mask)).as("bv"))
+    }
+    val toks = hashed
+      .select(col(idCol).cast("long").as("__id"), col(hashCol).as("__h"))
+      .filter(col("__h").isNotNull)
+      .select(col("__id"), col("__h"), explode(array(bandCols: _*)).as("__band"))
+    val a = toks.toDF("__id1", "__h1", "__band")
+    val bb = toks.toDF("__id2", "__h2", "__band")
+    a.join(bb, Seq("__band"))
+      .filter(col("__id1") < col("__id2"))
+      .withColumn("dist", bit_count(col("__h1").bitwiseXOR(col("__h2"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("__id1").as("id_1"), col("__id2").as("id_2"), col("dist"))
+      .distinct()
+  }
+
   /** n-gram Jaccard similarity between two token arrays — exact, for
     * verifying candidate pairs. */
   def jaccard(a: Column, b: Column): Column = {

@@ -377,6 +377,64 @@ object Multimodal {
   def asBinaryPayload(df: DataFrame, textCol: String, out: String = "payload"): DataFrame =
     df.withColumn(out, col(textCol).cast(BinaryType))
 
+  /** Perceptual difference hash (dHash, 64-bit): decode → 9×8 grayscale
+    * bilinear downscale → one bit per horizontal luminance gradient.
+    * Survives re-encoding, resizing, and mild compression noise — the
+    * standard cheap perceptual fingerprint for image-level near-dup
+    * (Hamming distance ≲ 10 of 64 ≈ same picture). None for
+    * undecodable payloads. */
+  private[graft] def dHashOf(bytes: Array[Byte]): Option[Long] =
+    decodeImage(bytes).map { img =>
+      val target = new BufferedImage(9, 8, BufferedImage.TYPE_BYTE_GRAY)
+      val g = target.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 9, 8, null)
+      g.dispose()
+      val raster = target.getRaster
+      var bits = 0L
+      var i = 0
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (raster.getSample(x + 1, y, 0) > raster.getSample(x, y, 0))
+            bits |= (1L << i)
+          i += 1; x += 1
+        }
+        y += 1
+      }
+      bits
+    }
+
+  /** Add the [[dHashOf]] perceptual hash as a long column (null for
+    * undecodable payloads). Map-only pixel decode — the
+    * [[imageHistogramFeatures]] partition-budget note applies. */
+  def withDHash(df: DataFrame, binCol: String,
+                outCol: String = "dhash"): DataFrame = {
+    val outSchema = df.schema.add(outCol, LongType)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        Row.fromSeq(r.toSeq :+ dHashOf(bytes).map(Long.box).orNull)
+      }
+    }(enc)
+  }
+
+  /** Image-level near-duplicate pairs: [[withDHash]] then lossless
+    * Hamming-banded blocking ([[graft.ops.Dedup.hammingPairs]]).
+    * `maxDist` ≈ 10 finds re-encoded/resized copies; 0 is exact
+    * perceptual identity. Undecodable payloads drop (no hash, no
+    * pair). */
+  def imageNearDups(df: DataFrame, idCol: String, binCol: String,
+                    maxDist: Int = 10): DataFrame =
+    Dedup.hammingPairs(
+      withDHash(df.select(col(idCol), col(binCol)), binCol),
+      idCol, "dhash", maxDist)
+
   /** Container-format sniffing from magic bytes — the first triage step
     * over an opaque media column (route to the right decoder, drop
     * mislabeled payloads) BEFORE any expensive decode. Pure Column

@@ -246,4 +246,69 @@ class MultimodalSpec extends SparkSuite {
       .select(Multimodal.sniffFormat(col("payload"))).head().getString(0)
     assert(real == "png")
   }
+
+  test("dHash is stable under re-encode + upscale; distinct images diverge") {
+    // gradient image so downscaled luminance gradients are well-defined
+    def gradient(w: Int, h: Int, format: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 255) / w
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, format, bos)
+      bos.toByteArray
+    }
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = Multimodal.dHashOf(gradient(64, 48, "png")).get
+    val reenc = Multimodal.dHashOf(gradient(64, 48, "bmp")).get
+    val upscaled = Multimodal.dHashOf(gradient(128, 96, "png")).get
+    assert(dist(base, reenc) <= 2, s"re-encode moved ${dist(base, reenc)} bits")
+    assert(dist(base, upscaled) <= 10, s"upscale moved ${dist(base, upscaled)} bits")
+    val noise = Multimodal.dHashOf(imageBytes(64, 48, "png", seed = 99)).get
+    assert(dist(base, noise) > 10, s"unrelated image only ${dist(base, noise)} bits away")
+    assert(Multimodal.dHashOf("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("imageNearDups pairs perceptual copies, not unrelated images") {
+    def gradient(w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 255) / w
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val df = imageDf(Seq(
+      1L -> gradient(64, 48),
+      2L -> gradient(128, 96),            // perceptual copy (upscaled)
+      3L -> imageBytes(64, 48, "png", 5), // unrelated
+      4L -> "garbage".getBytes("UTF-8"))) // undecodable -> drops
+    val pairs = Multimodal.imageNearDups(df, "id", "payload", maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("Dedup.hammingPairs banded blocking is lossless vs brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    val hashes = (0 until 80).map { i =>
+      // half are mutations of a few base hashes -> dense near pairs
+      val base = Array(0x0123456789abcdefL, -1L, 0L)(i % 3)
+      val flips = rnd.nextInt(12)
+      (i.toLong, (0 until flips).foldLeft(base)((h, _) => h ^ (1L << rnd.nextInt(64))))
+    }
+    for (maxDist <- Seq(0, 3, 10)) {
+      val want = (for {
+        (i1, h1) <- hashes; (i2, h2) <- hashes
+        if i1 < i2
+        d = java.lang.Long.bitCount(h1 ^ h2) if d <= maxDist
+      } yield (i1, i2, d)).toSet
+      val got = Dedup.hammingPairs(hashes.toDF("id", "h"), "id", "h", maxDist)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == want, s"maxDist=$maxDist")
+    }
+  }
 }
