@@ -3478,6 +3478,75 @@ object SparkEntry {
           .select(col("id"), col("features")), Seq("id"))
         .select(col("id"), col("image_meta.width").as("w"), col("features"))
     }),
+    "b_audio_decode" -> ((s, _) => {
+      // REAL javax.sound WAV decode under timing: 256 in-process PCM
+      // tones (seeded freq/amp) through header decode + windowed
+      // RMS/ZCR feature extraction + a join — the audio counterpart of
+      // b_multimodal_decode
+      val wavs = (0 until 256).map { i =>
+        val sr = 8000f
+        val n = 4000
+        val freq = 200.0 + (i % 17) * 50.0
+        val amp = 0.2 + (i % 5) * 0.15
+        val fmt = new javax.sound.sampled.AudioFormat(sr, 16, 1, true, false)
+        val data = new Array[Byte](n * 2)
+        var j = 0
+        while (j < n) {
+          val v = (amp * math.sin(2 * math.Pi * freq * j / sr) * 32767).toInt.toShort
+          data(2 * j) = (v & 0xff).toByte
+          data(2 * j + 1) = ((v >> 8) & 0xff).toByte
+          j += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(data), fmt, n),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        org.apache.spark.sql.Row(i.toLong, bos.toByteArray)
+      }
+      val df = s.createDataFrame(s.sparkContext.parallelize(wavs, 32),
+        org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, payload BINARY"))
+      graft.ops.Multimodal.withAudioMeta(df, "payload")
+        .join(graft.ops.Multimodal.audioFeatures(df, "payload", windows = 8)
+          .select(col("id"), col("features")), Seq("id"))
+        .select(col("id"), col("audio_meta.duration_s").as("dur"), col("features"))
+    }),
+    "b_image_neardup" -> ((s, _) => {
+      // perceptual dedup under timing: 128 base images + a resized copy
+      // of each (the dHash-stable transform) -> imageNearDups must pair
+      // every (base, copy) through decode + banding + popcount verify
+      def png(w: Int, h: Int, seed: Int): Array[Byte] = {
+        // seed-dependent 2-D sinusoid FREQUENCIES — dHash is gradient-
+        // based, so distinct images must differ in gradient structure,
+        // not just constant offsets
+        val fx = 1.0 + (seed % 11) * 0.7
+        val fy = 0.5 + (seed % 13) * 0.9
+        val ph = seed * 0.37
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = (128 + 120 * math.sin(
+              fx * x * 2 * math.Pi / w + fy * y * 2 * math.Pi / h + ph)).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val rows = (0 until 128).flatMap { i =>
+        Seq(org.apache.spark.sql.Row(2L * i, png(64, 48, i)),
+          org.apache.spark.sql.Row(2L * i + 1, png(128, 96, i)))
+      }
+      val df = s.createDataFrame(s.sparkContext.parallelize(rows, 32),
+        org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, payload BINARY"))
+      graft.ops.Multimodal.imageNearDups(df, "id", "payload", maxDist = 10)
+    }),
     "b_layout_bucketed" -> ((s, dir) => {
       // bucketed write + SHUFFLE-FREE bucketed join read-back: both sides
       // bucketed on the join key with the same bucket count, so the timed

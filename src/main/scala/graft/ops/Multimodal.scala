@@ -435,6 +435,124 @@ object Multimodal {
       withDHash(df.select(col(idCol), col(binCol)), binCol),
       idCol, "dhash", maxDist)
 
+  // ------------------------------------------------------- audio (WAV)
+  //
+  // REAL decode via the JDK's javax.sound.sampled (WAV/AU/AIFF PCM — the
+  // codecs that ship with the JRE, mirroring the ImageIO stance: no
+  // external library, undecodable payloads → null, never a job failure).
+
+  val audioMetaSchema: StructType = StructType.fromDDL(
+    "sample_rate FLOAT, channels INT, bits INT, n_frames BIGINT, duration_s DOUBLE")
+
+  private val nullAudioMeta = Row(null, null, null, null, null)
+
+  /** Real audio header decode: sample rate / channels / bit depth /
+    * frame count / duration. Header-only (the stream is opened, not
+    * drained). */
+  private[ops] def decodeAudioMeta(bytes: Array[Byte]): Row = {
+    if (bytes == null || bytes.length == 0) return nullAudioMeta
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        val frames = in.getFrameLength
+        val dur = if (frames >= 0 && f.getFrameRate > 0)
+          frames.toDouble / f.getFrameRate else null
+        Row(f.getSampleRate, f.getChannels, f.getSampleSizeInBits,
+          if (frames >= 0) frames else null, dur)
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => nullAudioMeta }
+  }
+
+  /** Add typed audio metadata (null struct fields for non-audio bytes) —
+    * the [[withImageMeta]] counterpart for the audio column. */
+  def withAudioMeta(df: DataFrame, binCol: String,
+                    metaCol: String = "audio_meta"): DataFrame = {
+    val outSchema = df.schema.add(metaCol, audioMetaSchema)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        Row.fromSeq(r.toSeq :+ decodeAudioMeta(bytes))
+      }
+    }(enc)
+  }
+
+  /** Real windowed audio features over decoded PCM: for each of
+    * `windows` equal time slices of the (mono-mixed) signal, RMS energy
+    * and zero-crossing rate — `2 * windows` floats, the classic cheap
+    * audio descriptor (silence/speech/music triage, energy-profile
+    * near-dup via the similarity operators). 16/8-bit PCM decode is
+    * exact integer arithmetic; other encodings are converted by the JDK
+    * where a converter exists, else null. Undecodable payloads → null. */
+  private[graft] def audioFeature(bytes: Array[Byte], windows: Int): Seq[Float] = {
+    if (bytes == null || bytes.length == 0) return null
+    try {
+      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      val f0 = raw.getFormat
+      val target = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        f0.getSampleRate, 16, f0.getChannels,
+        2 * f0.getChannels, f0.getSampleRate, false)
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(target, raw)
+      try {
+        val all = in.readAllBytes()
+        val ch = target.getChannels
+        val n = all.length / (2 * ch)
+        if (n == 0) return Seq.fill(2 * windows)(0f)
+        // mono mix into [-1, 1]
+        val mono = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          var s = 0.0
+          var c = 0
+          while (c < ch) {
+            val off = (i * ch + c) * 2
+            s += ((all(off) & 0xff) | (all(off + 1) << 8)).toShort / 32768.0
+            c += 1
+          }
+          mono(i) = s / ch
+          i += 1
+        }
+        (0 until windows).flatMap { w =>
+          val lo = (w.toLong * n / windows).toInt
+          val hi = ((w + 1).toLong * n / windows).toInt.max(lo + 1).min(n)
+          var sumSq = 0.0
+          var zc = 0
+          var j = lo
+          while (j < hi) {
+            sumSq += mono(j) * mono(j)
+            if (j > lo && (mono(j) >= 0) != (mono(j - 1) >= 0)) zc += 1
+            j += 1
+          }
+          val len = hi - lo
+          Seq(math.sqrt(sumSq / len).toFloat,
+            if (len > 1) zc.toFloat / (len - 1) else 0f)
+        }
+      } finally { in.close(); raw.close() }
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** [[audioFeature]] as a column — output shape composes with the
+    * similarity operators (`Array[Float]`, fixed length), exactly like
+    * [[imageHistogramFeatures]] does for images. */
+  def audioFeatures(df: DataFrame, binCol: String, windows: Int = 8,
+                    outCol: String = "features"): DataFrame = {
+    require(windows > 0, s"windows must be positive, got $windows")
+    val outSchema = df.schema.add(outCol, ArrayType(FloatType, containsNull = false))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        Row.fromSeq(r.toSeq :+ audioFeature(bytes, windows))
+      }
+    }(enc)
+  }
+
   /** Container-format sniffing from magic bytes — the first triage step
     * over an opaque media column (route to the right decoder, drop
     * mislabeled payloads) BEFORE any expensive decode. Pure Column

@@ -247,6 +247,62 @@ class MultimodalSpec extends SparkSuite {
     assert(real == "png")
   }
 
+  /** Encode 16-bit little-endian PCM WAV from a sample function. */
+  private def wavBytes(n: Int, sampleRate: Float = 8000f, channels: Int = 1)(
+      sample: Int => Double): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(sampleRate, 16, channels, true, false)
+    val data = new Array[Byte](n * 2 * channels)
+    for (i <- 0 until n) {
+      val v = (sample(i).max(-1.0).min(1.0) * 32767).toInt.toShort
+      for (c <- 0 until channels) {
+        val off = (i * channels + c) * 2
+        data(off) = (v & 0xff).toByte
+        data(off + 1) = ((v >> 8) & 0xff).toByte
+      }
+    }
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, n),
+      AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("withAudioMeta decodes real WAV headers; non-audio yields nulls") {
+    val tone = wavBytes(8000, 8000f)(i => 0.5 * math.sin(2 * math.Pi * 440 * i / 8000))
+    val stereo = wavBytes(4000, 16000f, channels = 2)(_ => 0.1)
+    val df = imageDf(Seq(1L -> tone, 2L -> stereo,
+      3L -> "not audio".getBytes("UTF-8"), 4L -> null))
+    val m = Multimodal.withAudioMeta(df, "payload")
+      .select("id", "audio_meta.sample_rate", "audio_meta.channels",
+        "audio_meta.n_frames", "audio_meta.duration_s")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getFloat(1) == 8000f && m(1L).getInt(2) == 1 &&
+      m(1L).getLong(3) == 8000L && math.abs(m(1L).getDouble(4) - 1.0) < 1e-6)
+    assert(m(2L).getFloat(1) == 16000f && m(2L).getInt(2) == 2 &&
+      math.abs(m(2L).getDouble(4) - 0.25) < 1e-6)
+    assert(m(3L).isNullAt(1) && m(4L).isNullAt(1))
+  }
+
+  test("audioFeatures: RMS and zero-crossing rate match the signal's physics") {
+    val sr = 8000f
+    // first half silence, second half a 0.8-amplitude 400 Hz tone
+    val mixed = wavBytes(8000, sr)(i =>
+      if (i < 4000) 0.0 else 0.8 * math.sin(2 * math.Pi * 400 * i / sr))
+    val df = imageDf(Seq(1L -> mixed, 2L -> "junk".getBytes("UTF-8")))
+    val rows = Multimodal.audioFeatures(df, "payload", windows = 4)
+      .select("id", "features").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Float](1))).toMap
+    val f = rows(1L)
+    assert(f.length == 8)
+    // silent windows: ~0 RMS and ~0 ZCR; tone windows: RMS ≈ 0.8/√2,
+    // ZCR ≈ 2·400/8000 = 0.1 crossings per sample
+    assert(f(0) < 0.01 && f(2) < 0.01, s"silence RMS: ${f(0)}, ${f(2)}")
+    assert(math.abs(f(4) - 0.8 / math.sqrt(2)) < 0.05, s"tone RMS: ${f(4)}")
+    assert(math.abs(f(5) - 0.1) < 0.02, s"tone ZCR: ${f(5)}")
+    assert(rows(2L) == null)
+  }
+
   test("dHash is stable under re-encode + upscale; distinct images diverge") {
     // gradient image so downscaled luminance gradients are well-defined
     def gradient(w: Int, h: Int, format: String): Array[Byte] = {
