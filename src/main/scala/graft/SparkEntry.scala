@@ -1191,6 +1191,13 @@ object SparkEntry {
           col("total").cast("double").as("total"))
         .orderBy("o_orderstatus")
     }),
+    "q_corr_matrix" -> ((s, dir) => {
+      // one-pass pairwise Pearson matrix over exact decimal moments —
+      // partitioning-proof and closed-form mirrorable
+      Sketches.correlationMatrix(T(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_x", "col_y")
+    }),
     "q_wap_publish" -> ((s, dir) => {
       // write-audit-publish roundtrip: stage, audit (count + key
       // uniqueness over the STAGED bytes), swap into place, read back —
@@ -2892,6 +2899,34 @@ object SparkEntry {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d) " +
         "SELECT doc_id, CAST(c AS BIGINT) AS toks, CAST(cum AS DOUBLE) AS cum_cost " +
         "FROM w WHERE CAST(cum - c AS DOUBLE) < 5000.0 ORDER BY doc_id"),
+    "q_corr_matrix" -> {
+      // per-pair exact decimal moments then the IDENTICAL fixed double
+      // arithmetic (num/den order, sqrt, 1e-9 floor) as the operator
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val selects = for { i <- cs.indices; j <- i until cs.size } yield {
+        val (cx, cy) = (cs(i), cs(j))
+        val both = s"$cx IS NOT NULL AND $cy IS NOT NULL"
+        def D(e: String) = s"CAST($e AS DOUBLE)"
+        val num = s"(${D("n")} * ${D("sxy")} - ${D("sx")} * ${D("sy")})"
+        val denx = s"(${D("n")} * ${D("sxx")} - ${D("sx")} * ${D("sx")})"
+        val deny = s"(${D("n")} * ${D("syy")} - ${D("sy")} * ${D("sy")})"
+        s"SELECT '$cx' AS col_x, '$cy' AS col_y, CAST(coalesce(n, 0) AS BIGINT) AS n, " +
+          s"CASE WHEN coalesce(${D("n")}, 0) >= 2 AND $denx > 0 AND $deny > 0 " +
+          s"THEN floor($num / sqrt($denx * $deny) * 1e9 + 0.5) / 1e9 END AS corr " +
+          // left operand DECIMAL(19,6): forces DuckDB's INT128 multiply
+          // (int64-width decimal products overflow on this data); the
+          // VALUES are identical to the operator's (18,6) grid
+          s"FROM (SELECT SUM(CASE WHEN $both THEN 1 END) AS n, " +
+          s"SUM(CASE WHEN $both THEN CAST($cx AS DECIMAL(18,6)) END) AS sx, " +
+          s"SUM(CASE WHEN $both THEN CAST($cy AS DECIMAL(18,6)) END) AS sy, " +
+          s"SUM(CASE WHEN $both THEN CAST($cx AS DECIMAL(19,6)) * CAST($cy AS DECIMAL(12,6)) END) AS sxy, " +
+          s"SUM(CASE WHEN $both THEN CAST($cx AS DECIMAL(19,6)) * CAST($cx AS DECIMAL(12,6)) END) AS sxx, " +
+          s"SUM(CASE WHEN $both THEN CAST($cy AS DECIMAL(19,6)) * CAST($cy AS DECIMAL(12,6)) END) AS syy " +
+          "FROM lineitem)"
+      }
+      selects.mkString("SELECT col_x, col_y, n, corr FROM (",
+        " UNION ALL ", ") ORDER BY col_x, col_y")
+    },
     "q_wap_publish" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 500 ORDER BY doc_id",
     "q_rollup_refresh" ->

@@ -252,6 +252,54 @@ object Sketches {
       .drop("__cost")
   }
 
+  /** Pairwise Pearson correlation matrix over `cols` in ONE
+    * partial-aggregable pass — the feature-redundancy / signal-audit
+    * profile ("are these two quality scores measuring the same thing").
+    * Emits `(col_x, col_y, n, corr)` for every i ≤ j pair with
+    * PAIRWISE-complete semantics (n counts rows where both are
+    * non-null, matching SQL `corr`); `corr` is null when n < 2 or
+    * either variance is 0.
+    *
+    * Determinism: the five moment sums (Σx, Σy, Σxy, Σx², Σy²) run in
+    * DECIMAL on values grid-snapped to 1e-6 (`DECIMAL(18,6)` — inputs
+    * must fit 12 integer digits), so partial-agg addition order cannot
+    * move them; the closed-form corr is then fixed double arithmetic
+    * over exact components, floor-rounded at 1e-9 — bit-identical on
+    * any partitioning and exactly mirrorable in a second engine
+    * (`q_corr_matrix`). A float covariance accumulator has neither
+    * property. k(k+1)/2 pairs × 6 sums ride ONE exchange as a single
+    * aggregate row; nothing scales with corpus size after the scan. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns, got ${cols.size}")
+    val pairs = for { i <- cols.indices; j <- i until cols.size } yield (i, j)
+    def dcol(c: String) = col(c).cast("decimal(18,6)")
+    val aggs = pairs.flatMap { case (i, j) =>
+      val x = dcol(cols(i)); val y = dcol(cols(j))
+      val both = col(cols(i)).isNotNull && col(cols(j)).isNotNull
+      Seq(
+        sum(when(both, lit(1L))).as(s"n_${i}_$j"),
+        sum(when(both, x)).as(s"sx_${i}_$j"),
+        sum(when(both, y)).as(s"sy_${i}_$j"),
+        sum(when(both, x * y)).as(s"sxy_${i}_$j"),
+        sum(when(both, x * x)).as(s"sxx_${i}_$j"),
+        sum(when(both, y * y)).as(s"syy_${i}_$j"))
+    }
+    val pairStructs = pairs.map { case (i, j) =>
+      val n = coalesce(col(s"n_${i}_$j"), lit(0L)).cast("double")
+      def d(p: String) = coalesce(col(s"${p}_${i}_$j").cast("double"), lit(0.0))
+      val num = n * d("sxy") - d("sx") * d("sy")
+      val denx = n * d("sxx") - d("sx") * d("sx")
+      val deny = n * d("syy") - d("sy") * d("sy")
+      struct(lit(cols(i)).as("col_x"), lit(cols(j)).as("col_y"),
+        coalesce(col(s"n_${i}_$j"), lit(0L)).as("n"),
+        when(n >= 2 && denx > 0 && deny > 0,
+          floor(num / sqrt(denx * deny) * 1e9 + lit(0.5)) / 1e9).as("corr"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairStructs: _*)).as("p"))
+      .select("p.*")
+  }
+
   /** Shared decomposition behind [[coverageCut]] and [[selectByBudget]]:
     * adds `cumCol` = running sum of `weightCol` (decimal) over the total
     * order `(orderCol DESC, tieCol ASC)` WITHOUT a global window —

@@ -230,6 +230,43 @@ class SketchesSpec extends SparkSuite {
     assert(got == Set(1L, 2L, 4L, 5L, 6L, 7L))
   }
 
+  test("correlationMatrix: reference values, nulls pairwise, constant col null") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1.0), Some(2.0), Some(5.0)),
+      (Some(2.0), Some(4.0), Some(5.0)),
+      (Some(3.0), Some(6.0), Some(5.0)),
+      (Some(4.0), None: Option[Double], Some(5.0)),
+      (None: Option[Double], Some(9.0), Some(5.0))
+    ).toDF("a", "b", "c")
+    val m = Sketches.correlationMatrix(df, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(m(("a", "a"))._2.contains(1.0))
+    assert(m(("a", "b")) == ((3L, Some(1.0))), "b = 2a exactly on shared rows")
+    assert(m(("a", "c"))._2.isEmpty, "constant column has zero variance")
+    assert(m(("b", "c"))._1 == 4L, "pairwise n excludes only the null rows")
+    // partitioning invariance: decimal moments make the matrix bitwise
+    // identical however the rows are split
+    val again = Sketches.correlationMatrix(df.repartition(7), Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(m.view.mapValues(_._2).toMap == again)
+  }
+
+  test("correlationMatrix matches Spark's own corr on real data") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val got = Sketches.correlationMatrix(li,
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    for ((x, y) <- Seq(("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"), ("l_extendedprice", "l_discount"))) {
+      val want = li.agg(corr(col(x), col(y))).head().getDouble(0)
+      // 1e-6 value grid + exact moments vs float accumulation: close, not equal
+      assert(math.abs(got((x, y)) - want) < 1e-4, s"$x vs $y: ${got((x, y))} vs $want")
+    }
+  }
+
   test("coverageCut matches an exhaustive reference on real data") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val counts = li.groupBy("l_partkey").count()
