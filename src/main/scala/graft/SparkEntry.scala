@@ -1191,6 +1191,12 @@ object SparkEntry {
           col("total").cast("double").as("total"))
         .orderBy("o_orderstatus")
     }),
+    "q_retention" -> ((s, dir) => {
+      // first-active-month cohorts × return offsets over the event
+      // stream; months-since-epoch integer index on both engines
+      Rollups.retentionCohorts(T(s, dir, "events"), "user_id", "ts")
+        .orderBy("cohort_month", "offset_m")
+    }),
     "q_corr_matrix" -> ((s, dir) => {
       // one-pass pairwise Pearson matrix over exact decimal moments —
       // partitioning-proof and closed-form mirrorable
@@ -2899,6 +2905,12 @@ object SparkEntry {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d) " +
         "SELECT doc_id, CAST(c AS BIGINT) AS toks, CAST(cum AS DOUBLE) AS cum_cost " +
         "FROM w WHERE CAST(cum - c AS DOUBLE) < 5000.0 ORDER BY doc_id"),
+    "q_retention" ->
+      ("WITH um AS (SELECT DISTINCT user_id AS u, CAST(year(ts) * 12 + month(ts) AS INTEGER) AS m " +
+        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+        "c AS (SELECT u, MIN(m) AS cm FROM um GROUP BY 1) " +
+        "SELECT cm AS cohort_month, m - cm AS offset_m, COUNT(*) AS n_users " +
+        "FROM um JOIN c USING (u) GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_corr_matrix" -> {
       // per-pair exact decimal moments then the IDENTICAL fixed double
       // arithmetic (num/den order, sqrt, 1e-9 floor) as the operator

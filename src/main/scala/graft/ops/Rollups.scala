@@ -77,4 +77,30 @@ object Rollups {
         (lit(min) + (col("bin") + 1) * width).as("hi"),
         coalesce(col("n"), lit(0L)).as("n"))
   }
+
+  /** Retention cohorts — the activity-over-time report every event
+    * stream ends up needing: users grouped by FIRST-active month
+    * (`cohort_month` as a months-since-epoch index, engine-portable
+    * integer arithmetic), counted in every later month they return
+    * (`offset_m` months after the cohort month, 0 = the cohort month
+    * itself). Emits `(cohort_month, offset_m, n_users)`.
+    *
+    * Scale: per-(user, month) activity dedups in one partial-aggregable
+    * exchange (the corpus collapses to user-month granularity before
+    * anything else happens); first-active month is a map-side-combined
+    * `min` per user; the cohort join is user-keyed; the final count is
+    * a cohort×offset-sized aggregate. No windows, no distinct-count
+    * over the raw stream. Null users/timestamps drop. */
+  def retentionCohorts(df: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val monthIdx = (year(col(tsCol)) * 12 + month(col(tsCol))).cast("int")
+    val um = df.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), monthIdx.as("__m"))
+      .distinct()
+    val cohorts = um.groupBy(col("__u")).agg(min(col("__m")).as("__cm"))
+    um.join(cohorts, "__u")
+      .groupBy(col("__cm").as("cohort_month"),
+        (col("__m") - col("__cm")).as("offset_m"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -100,4 +100,25 @@ class RollupsSpec extends SparkSuite {
       .select("v_rz", "v_outlier").as[(Option[Double], Boolean)].collect()
     assert(out.forall(r => r._1.isEmpty && !r._2))
   }
+
+  test("retentionCohorts: first-active cohorts, return offsets, dedup within month") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-05 00:00:00")), (1L, t("2024-01-20 00:00:00")), // dedup
+      (1L, t("2024-03-01 00:00:00")),                                 // returns +2
+      (2L, t("2024-01-02 00:00:00")), (2L, t("2024-02-02 00:00:00")), // +1
+      (3L, t("2024-02-15 00:00:00")),                                 // feb cohort
+      (4L, null.asInstanceOf[java.sql.Timestamp])                     // drops
+    ).toDF("user_id", "ts")
+    val got = Rollups.retentionCohorts(ev, "user_id", "ts")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val jan = 2024 * 12 + 1
+    val feb = jan + 1
+    assert(got == Map(
+      (jan, 0) -> 2L, // users 1, 2 first active in jan (one row each)
+      (jan, 1) -> 1L, // user 2 back in feb
+      (jan, 2) -> 1L, // user 1 back in mar
+      (feb, 0) -> 1L  // user 3's own cohort
+    ))
+  }
 }
