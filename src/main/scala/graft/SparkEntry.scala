@@ -1191,6 +1191,13 @@ object SparkEntry {
           col("total").cast("double").as("total"))
         .orderBy("o_orderstatus")
     }),
+    "q_transitions" -> ((s, dir) => {
+      // corpus-wide event-transition counts per user session order,
+      // event_id breaking timestamp ties
+      Sequences.transitionCounts(T(s, dir, "events"), "user_id", "ts",
+          "event_type", "event_id")
+        .orderBy("from_event", "to_event")
+    }),
     "q_retention" -> ((s, dir) => {
       // first-active-month cohorts × return offsets over the event
       // stream; months-since-epoch integer index on both engines
@@ -2905,6 +2912,12 @@ object SparkEntry {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d) " +
         "SELECT doc_id, CAST(c AS BIGINT) AS toks, CAST(cum AS DOUBLE) AS cum_cost " +
         "FROM w WHERE CAST(cum - c AS DOUBLE) < 5000.0 ORDER BY doc_id"),
+    "q_transitions" ->
+      ("WITH o AS (SELECT user_id, event_type, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev " +
+        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL) " +
+        "SELECT prev AS from_event, event_type AS to_event, COUNT(*) AS n " +
+        "FROM o WHERE prev IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_retention" ->
       ("WITH um AS (SELECT DISTINCT user_id AS u, CAST(year(ts) * 12 + month(ts) AS INTEGER) AS m " +
         "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +

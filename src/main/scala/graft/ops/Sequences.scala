@@ -99,4 +99,31 @@ object Sequences {
         col(s"__n_${i + 1}").as("n_keys"))): _*))
     wide.select(stacked.as("s")).select(col("s.step"), col("s.step_type"), col("s.n_keys"))
   }
+
+  /** First-order transition counts over per-key event sequences —
+    * the Markov/path-analysis primitive behind "what do users do after
+    * X" and session-flow graphs: for every key, events order by
+    * `(timeCol, tieCol)` and each consecutive `(previous, current)`
+    * pair counts once; emits `(from_event, to_event, n)` corpus-wide.
+    * `tieCol` must break timestamp ties (an event id) or the sequence —
+    * and therefore the counts — is not well-defined.
+    *
+    * Scale: ONE window partitioned by key (bounded by each key's own
+    * event count — the [[funnel]]/rolling-features class, with the same
+    * hot-key caveat: a single key owning a corpus-scale history is a
+    * salting/slicing story), then a partial-aggregable count over the
+    * (from, to) vocabulary. Null keys/times drop; each key's first
+    * event has no predecessor and feeds no pair. */
+  def transitionCounts(events: DataFrame, keyCol: String, timeCol: String,
+                       eventCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(timeCol), col(tieCol))
+    events
+      .filter(col(keyCol).isNotNull && col(timeCol).isNotNull &&
+        col(eventCol).isNotNull)
+      .withColumn("__prev", lag(col(eventCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_event"), col(eventCol).as("to_event"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

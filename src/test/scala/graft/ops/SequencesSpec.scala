@@ -103,4 +103,16 @@ class SequencesSpec extends SparkSuite {
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("Window"), s"funnel must not window raw events:\n$plan")
   }
+
+  test("transitionCounts: consecutive pairs per key, ties broken, firsts skipped") {
+    val ev = Seq(
+      (1L, ts(1), 10L, "a"), (1L, ts(2), 11L, "b"), (1L, ts(3), 12L, "a"),
+      (2L, ts(1), 20L, "a"), (2L, ts(1), 21L, "c"), // same ts -> id order
+      (3L, ts(5), 30L, "z"),                        // lone event, no pair
+      (4L, null.asInstanceOf[java.sql.Timestamp], 40L, "a")
+    ).toDF("user_id", "t", "event_id", "et")
+    val got = Sequences.transitionCounts(ev, "user_id", "t", "et", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("a", "b") -> 1L, ("b", "a") -> 1L, ("a", "c") -> 1L))
+  }
 }
