@@ -119,23 +119,23 @@ object Sketches {
     * Scale: size `nBuckets` ≈ cluster cores so each in-bucket sort fits
     * an executor; `exact = false` uses `percentile_approx` boundaries
     * (bounded state — buckets then balance only approximately, the RANK
-    * is still exact). The filtered input is pinned internally
-    * ([[Checkpoints.pinned]], skipped when the caller already cached
-    * it), so the boundary/count/rank passes read ONE materialization —
-    * consistent even over a nondeterministic source. The
-    * curriculum-ordering / global-percentile primitive at corpus
-    * scale. */
+    * is still exact). The bucketed frame is pinned internally
+    * ([[Checkpoints.pinned]]), so the count/rank passes read ONE
+    * materialization — consistent even over a nondeterministic source —
+    * and the boundary aggregate runs once. The curriculum-ordering /
+    * global-percentile primitive at corpus scale. */
   def globalRank(df: DataFrame, valueCol: String, idCol: String,
                  nBuckets: Int = 64, rankCol: String = "rank",
                  exact: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // pin the input: boundaries, bucket counts, and the final pass all
-    // re-read it, and a nondeterministic source recomputed per pass
-    // could disagree with itself (the interleaveByWeight hazard); the
-    // pin also collapses three source scans into one materialization
-    val rows = Checkpoints.pinned(
-      df.filter(col(valueCol).isNotNull && col(idCol).isNotNull))
-    val bucketed = quantileBuckets(rows, valueCol, nBuckets, "__b", exact)
+    val rows = df.filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+    // pin ABOVE the bucket assignment: the count and rank passes then
+    // read one materialization (consistent even over a nondeterministic
+    // source — any monotone boundary set ranks correctly, so bounds
+    // drift below the pin is harmless), and the exact-percentile
+    // boundary aggregate runs ONCE instead of once per consumer
+    val bucketed = Checkpoints.pinned(
+      quantileBuckets(rows, valueCol, nBuckets, "__b", exact))
     val counts = bucketed.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
     // nBuckets rows: the one place a single-partition window is FINE
     val offsets = counts.withColumn("__off",
@@ -210,17 +210,19 @@ object Sketches {
     *
     * Scale: the [[globalRank]] decomposition over the score column —
     * score quantile-buckets, an nBuckets-row offsets window, per-bucket
-    * running-sum windows of ~N/nBuckets rows; the filtered input is
-    * pinned so the boundary/bucket-sum/final passes read one
-    * materialization. No global sort, no corpus-scale window. */
+    * running-sum windows of ~N/nBuckets rows; the bucketed frame is
+    * pinned so the bucket-sum/walk passes read one materialization. No
+    * global sort, no corpus-scale window. */
   def selectByBudget(df: DataFrame, idCol: String, scoreCol: String,
                      costCol: String, budget: Double, nBuckets: Int = 32,
                      exact: Boolean = true): DataFrame = {
     require(budget > 0.0, s"budget must be positive, got $budget")
-    val rows = Checkpoints.pinned(df
+    // descendingCumSum pins its bucketed frame — the walk's consumers
+    // read one materialization; no second pin of the raw slice needed
+    val rows = df
       .filter(col(idCol).isNotNull && col(scoreCol).isNotNull &&
         col(costCol).isNotNull)
-      .withColumn("__cost", col(costCol).cast("decimal(38,6)")))
+      .withColumn("__cost", col(costCol).cast("decimal(38,6)"))
     descendingCumSum(rows, scoreCol, idCol, "__cost", "cum_cost",
         nBuckets, exact)
       .filter((col("cum_cost") - col("__cost")).cast("double") < budget)
@@ -311,7 +313,10 @@ object Sketches {
       tieCol: String, weightCol: String, cumCol: String,
       nBuckets: Int, exact: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bucketed = quantileBuckets(df, orderCol, nBuckets, "__b", exact)
+    // pinned for the globalRank reason: one materialization feeds the
+    // bucket-sum and walk passes, boundaries compute once
+    val bucketed = Checkpoints.pinned(
+      quantileBuckets(df, orderCol, nBuckets, "__b", exact))
     val bsums = bucketed.groupBy(col("__b")).agg(sum(col(weightCol)).as("__bw"))
     val offs = bsums.withColumn("__off", coalesce(
       sum(col("__bw")).over(Window.orderBy(col("__b").desc)
