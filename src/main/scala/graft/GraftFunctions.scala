@@ -41,7 +41,9 @@ object GraftFunctions {
       Seq(ArrayType(DoubleType), DoubleType)),
     ("dot_i", LongType, "dotI",
       Seq(ArrayType(IntegerType), ArrayType(IntegerType))),
-    ("robots_match", BooleanType, "robotsMatch", Seq(StringType, StringType)))
+    ("robots_match", BooleanType, "robotsMatch", Seq(StringType, StringType)),
+    ("latin1_misdecode", StringType, "latin1Misdecode", Seq(StringType)),
+    ("fix_mojibake", StringType, "fixMojibake", Seq(StringType, IntegerType)))
 
   def builder(dt: DataType, kernel: String,
               paramTypes: Seq[DataType]): Seq[Expression] => Expression =

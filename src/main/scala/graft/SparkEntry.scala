@@ -232,6 +232,20 @@ object SparkEntry {
       Validate(docs, "mixed" -> F.CaseFold()).valid
         .select(col("doc_id"), col("mixed").as("folded")).orderBy("doc_id")
     }),
+    "q_mojibake" -> ((s, dir) => {
+      // encoding repair (the ftfy fix_encoding core case): corrupt every
+      // document with the classic UTF-8-bytes-as-Latin-1 misdecode, then
+      // repair. latin1Misdecode is lossless and fixMojibake its exact
+      // inverse, so the repaired column must equal the untouched text —
+      // which is exactly what the oracle asserts. Map-only, zero shuffle;
+      // both kernels are codegen-resident StaticInvokes.
+      import graft.expressions.native
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      docs.select(col("doc_id"),
+          native.fixMojibake(native.latin1Misdecode(col("text"))).as("repaired"),
+          (native.latin1Misdecode(col("text")) =!= col("text")).as("was_corrupted"))
+        .orderBy("doc_id")
+    }),
     "q_json" -> ((s, dir) => {
       val ev = T(s, dir, "events")
       Validate(ev, "props" -> F.JsonDecode("k BIGINT")).valid
@@ -2014,6 +2028,12 @@ object SparkEntry {
       // this construction (fixture langs are ASCII; the suffix adds the
       // one full-fold divergence)
       "SELECT doc_id, replace(lower(lang || '-Straße'), 'ß', 'ss') AS folded FROM documents ORDER BY doc_id",
+    "q_mojibake" ->
+      // repair(misdecode(t)) == t for ANY t (misdecode is lossless), and
+      // a doc "was corrupted" iff its text has any non-ASCII char — in
+      // DuckDB, iff UTF-8 byte length exceeds char length
+      ("SELECT doc_id, text AS repaired, strlen(text) > length(text) AS was_corrupted " +
+        "FROM documents WHERE text IS NOT NULL ORDER BY doc_id"),
     "q_unicode" ->
       // full Unicode() twin: \r\n and \r -> \n, strip ISO controls (keeping
       // \n \t) and FORMAT chars, THEN NFC -- same order as the kernel

@@ -26,7 +26,7 @@ object Kernels {
     "minhashSig", "minhashSigShingles", "sigAgreement", "dotD", "cosineD",
     "lshBucketD", "simHash", "uuidVersion",
     "zValue2", "zValue3", "maxAbsD", "quantizeI8D", "htmlEntityDecode",
-    "percentNormalize")
+    "percentNormalize", "latin1Misdecode", "fixMojibake")
 
   /** NFC normalization (reference `filters/string.py::Unicode` normalize step). */
   def nfc(s: UTF8String): UTF8String =
@@ -713,5 +713,89 @@ object Kernels {
     // unanchored: pattern is a prefix-with-wildcards — already satisfied;
     // anchored single-segment (no '*') must end exactly at path end
     if (anchored && segs.length == 1) p.length == pos else true
+  }
+
+  /** The classic encoding corruption: a string's UTF-8 bytes re-decoded as
+    * ISO-8859-1 ("café" → "cafÃ©"). Total and lossless — every byte maps
+    * to exactly the Latin-1 char of its value, so [[fixMojibake]] inverts
+    * it EXACTLY for any input. Exists as a kernel (not just a test helper)
+    * because pipelines use it to synthesize corruption fixtures and to
+    * round-trip-audit a repair pass. */
+  def latin1Misdecode(s: UTF8String): UTF8String =
+    // UTF8String.getBytes IS the UTF-8 encoding — no transcode needed
+    UTF8String.fromString(
+      new String(s.getBytes, java.nio.charset.StandardCharsets.ISO_8859_1))
+
+  /** Repair UTF-8-misdecoded-as-Latin-1/Windows-1252 mojibake (the ftfy
+    * `fix_encoding` core case, public method): map each char back to the
+    * byte it misdecoded from — identity for U+0000–U+00FF, the inverse
+    * Windows-1252 table for the 27 specials (€ ‚ ƒ „ … † ‡ ˆ ‰ Š ‹ Œ Ž
+    * ‘ ’ “ ” • – — ˜ ™ š › œ ž Ÿ at 0x80–0x9F) — and strictly re-decode
+    * as UTF-8. Repairs only when the whole string byte-maps AND decodes
+    * cleanly AND the result differs; otherwise returns the input verbatim
+    * (a lone "é" maps to byte E9, an invalid UTF-8 sequence — healthy
+    * accented text is never touched). `passes` bounds iterative repair of
+    * doubly-corrupted text ("cafÃƒÂ©" needs 2); each pass stops at the
+    * first non-repair. Inherent heuristic limit (documented, same as
+    * ftfy's): text that GENUINELY discusses mojibake ("the bytes Ã©…")
+    * is indistinguishable from corruption and gets "repaired". Total:
+    * never throws, never null for non-null input. */
+  def fixMojibake(s: UTF8String, passes: Int): UTF8String = {
+    var cur = s.toString
+    var changed = false
+    var p = 0
+    var stop = false
+    while (p < passes && !stop) {
+      val next = mojibakeRepairOnce(cur)
+      if (next == null) stop = true
+      else { cur = next; changed = true }
+      p += 1
+    }
+    if (changed) UTF8String.fromString(cur) else s
+  }
+
+  /** One repair pass; null = "not mojibake, leave alone". */
+  private def mojibakeRepairOnce(t: String): String = {
+    val n = t.length
+    if (n == 0) return null
+    val bytes = new Array[Byte](n)
+    var hasHigh = false
+    var i = 0
+    while (i < n) {
+      val c = t.charAt(i)
+      if (c <= 0xFF) {
+        if (c > 0x7F) hasHigh = true
+        bytes(i) = c.toByte
+      } else {
+        val b = cp1252Reverse(c)
+        if (b < 0) return null // not byte-representable — genuine text
+        hasHigh = true
+        bytes(i) = b.toByte
+      }
+      i += 1
+    }
+    if (!hasHigh) return null // pure ASCII — nothing to repair
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try {
+      val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      if (out == t) null else out
+    } catch { case _: java.nio.charset.CharacterCodingException => null }
+  }
+
+  /** Inverse Windows-1252 mapping for the 0x80–0x9F specials (the cp1252
+    * chars that are NOT Latin-1 identity); -1 = not a cp1252 byte. */
+  private def cp1252Reverse(c: Char): Int = (c: @annotation.switch) match {
+    case '€' => 0x80; case '‚' => 0x82; case 'ƒ' => 0x83
+    case '„' => 0x84; case '…' => 0x85; case '†' => 0x86
+    case '‡' => 0x87; case 'ˆ' => 0x88; case '‰' => 0x89
+    case 'Š' => 0x8A; case '‹' => 0x8B; case 'Œ' => 0x8C
+    case 'Ž' => 0x8E; case '‘' => 0x91; case '’' => 0x92
+    case '“' => 0x93; case '”' => 0x94; case '•' => 0x95
+    case '–' => 0x96; case '—' => 0x97; case '˜' => 0x98
+    case '™' => 0x99; case 'š' => 0x9A; case '›' => 0x9B
+    case 'œ' => 0x9C; case 'ž' => 0x9E; case 'Ÿ' => 0x9F
+    case _ => -1
   }
 }

@@ -62,6 +62,13 @@ object native {
   def dedupNormalize(c: Column): Column =
     invoke(StringType, "dedupNormalize", Seq(e(c)), Seq(StringType))
 
+  def latin1Misdecode(c: Column): Column =
+    invoke(StringType, "latin1Misdecode", Seq(e(c)), Seq(StringType))
+
+  def fixMojibake(c: Column, passes: Int = 1): Column =
+    invoke(StringType, "fixMojibake", Seq(e(c), Literal(passes)),
+      Seq(StringType, IntegerType))
+
   def robotsMatch(path: Column, pattern: Column): Column =
     invoke(BooleanType, "robotsMatch", Seq(e(path), e(pattern)),
       Seq(StringType, StringType))

@@ -103,4 +103,16 @@ class GraftFunctionsSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("UDF"), plan)
   }
+
+  test("encoding repair reachable from SQL: latin1_misdecode/fix_mojibake") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT latin1_misdecode('café') AS bad, " +
+        "fix_mojibake('cafÃ©', 1) AS fixed, " +
+        "fix_mojibake(latin1_misdecode(t), 1) AS roundtrip " +
+        "FROM VALUES ('“smart” — naïve 中文') v(t)").collect()(0)
+    assert(r.getString(0) == "cafÃ©")
+    assert(r.getString(1) == "café")
+    assert(r.getString(2) == "“smart” — naïve 中文")
+  }
 }

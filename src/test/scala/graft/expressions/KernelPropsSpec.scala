@@ -156,4 +156,32 @@ class KernelPropsSpec extends AnyFunSuite {
         !once.contains("  ") && once.trim == once
     })
   }
+
+  test("mojibake: classic vectors — latin-1, windows-1252, double corruption") {
+    def fix(s: String, p: Int = 1) = Kernels.fixMojibake(u(s), p).toString
+    assert(fix("cafÃ©") == "café") // latin-1 misdecode of é
+    assert(fix("â") == "’") // latin-1 misdecode of ’
+    assert(fix("â€™") == "’") // windows-1252 misdecode of ’ (the web's favorite)
+    assert(fix("He said â€œhiâ€ â€” naÃ¯vely") == "He said “hi” — naïvely")
+    // double corruption needs a second pass; one pass peels one layer
+    assert(fix("cafÃƒÂ©", 2) == "café")
+    assert(fix("cafÃƒÂ©", 1) == "cafÃ©")
+  }
+
+  test("mojibake: healthy text is never touched") {
+    def fix(s: String) = Kernels.fixMojibake(u(s), 1).toString
+    assert(fix("plain ascii") == "plain ascii")
+    assert(fix("café") == "café") // lone é: E9 is invalid UTF-8 — kept
+    assert(fix("naïve résumé ß") == "naïve résumé ß")
+    assert(fix("中文 and 𝄞") == "中文 and 𝄞") // >0xFF non-cp1252: kept
+    assert(fix("") == "")
+  }
+
+  test("mojibake: fixMojibake exactly inverts latin1Misdecode for ANY string") {
+    def corrupt(s: String) = Kernels.latin1Misdecode(u(s)).toString
+    assert(corrupt("café") == "cafÃ©")
+    check(Prop.forAll(unicodeStr) { s =>
+      Kernels.fixMojibake(u(corrupt(s)), 1).toString == s
+    })
+  }
 }
