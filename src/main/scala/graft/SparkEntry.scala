@@ -1219,9 +1219,11 @@ object SparkEntry {
         .orderBy("cohort_month", "offset_m")
     }),
     "q_corr_matrix" -> ((s, dir) => {
-      // one-pass pairwise Pearson matrix over exact decimal moments —
-      // partitioning-proof and closed-form mirrorable
-      Sketches.correlationMatrix(T(s, dir, "lineitem"),
+      // one-pass complete-rows Pearson matrix over exact decimal moments —
+      // partitioning-proof, closed-form mirrorable, and per-column moments
+      // shared across pairs (15 un-branched aggregates, not 60 guarded
+      // ones; listwise ≡ pairwise on this null-free fixture)
+      Sketches.correlationMatrixComplete(T(s, dir, "lineitem"),
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_x", "col_y")
     }),
@@ -2950,7 +2952,9 @@ object SparkEntry {
       val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val selects = for { i <- cs.indices; j <- i until cs.size } yield {
         val (cx, cy) = (cs(i), cs(j))
-        val both = s"$cx IS NOT NULL AND $cy IS NOT NULL"
+        // LISTWISE deletion to mirror correlationMatrixComplete: every
+        // pair conditions on the same all-columns-non-null row set
+        val both = cs.map(c => s"$c IS NOT NULL").mkString(" AND ")
         def D(e: String) = s"CAST($e AS DOUBLE)"
         val num = s"(${D("n")} * ${D("sxy")} - ${D("sx")} * ${D("sy")})"
         val denx = s"(${D("n")} * ${D("sxx")} - ${D("sx")} * ${D("sx")})"

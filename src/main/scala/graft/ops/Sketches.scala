@@ -302,6 +302,45 @@ object Sketches {
       .select("p.*")
   }
 
+  /** [[correlationMatrix]] under LISTWISE deletion (complete-rows
+    * correlation, the other standard missing-data mode): rows with a null
+    * in ANY of `cols` drop once up front, so every pair shares the same
+    * row set and the per-column moments (sum, sum-of-squares) are shared
+    * across pairs instead of recomputed per pair. k columns cost
+    * 1 + 2k + k(k−1)/2 un-branched decimal aggregates where the pairwise
+    * form pays 6·k(k+1)/2 branch-guarded ones — 4× fewer at k=4, and the
+    * hot map-side loop loses its per-value CASE. Identical output schema,
+    * grid, and closed-form double arithmetic; on null-free data the two
+    * forms return bit-identical matrices. Same scale shape: one exchange
+    * carrying ONE aggregate row. */
+  def correlationMatrixComplete(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns, got ${cols.size}")
+    val dense = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    def dcol(c: String) = col(c).cast("decimal(18,6)")
+    val pairs = for { i <- cols.indices; j <- i until cols.size } yield (i, j)
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      cols.indices.flatMap { i =>
+        Seq(sum(dcol(cols(i))).as(s"s_$i"),
+          sum(dcol(cols(i)) * dcol(cols(i))).as(s"ss_$i")) } ++
+      pairs.collect { case (i, j) if i != j =>
+        sum(dcol(cols(i)) * dcol(cols(j))).as(s"sxy_${i}_$j") }
+    val pairStructs = pairs.map { case (i, j) =>
+      val n = coalesce(col("n"), lit(0L)).cast("double")
+      def d(c: String) = coalesce(col(c).cast("double"), lit(0.0))
+      val sxy = if (i == j) d(s"ss_$i") else d(s"sxy_${i}_$j")
+      val num = n * sxy - d(s"s_$i") * d(s"s_$j")
+      val denx = n * d(s"ss_$i") - d(s"s_$i") * d(s"s_$i")
+      val deny = n * d(s"ss_$j") - d(s"s_$j") * d(s"s_$j")
+      struct(lit(cols(i)).as("col_x"), lit(cols(j)).as("col_y"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        when(n >= 2 && denx > 0 && deny > 0,
+          floor(num / sqrt(denx * deny) * 1e9 + lit(0.5)) / 1e9).as("corr"))
+    }
+    dense.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairStructs: _*)).as("p"))
+      .select("p.*")
+  }
+
   /** Shared decomposition behind [[coverageCut]] and [[selectByBudget]]:
     * adds `cumCol` = running sum of `weightCol` (decimal) over the total
     * order `(orderCol DESC, tieCol ASC)` WITHOUT a global window —

@@ -254,6 +254,33 @@ class SketchesSpec extends SparkSuite {
     assert(m.view.mapValues(_._2).toMap == again)
   }
 
+  test("correlationMatrixComplete: listwise semantics; ≡ pairwise on null-free data") {
+    import spark.implicits._
+    val withNulls = Seq(
+      (Some(1.0), Some(2.0), Some(5.0)),
+      (Some(2.0), Some(4.0), Some(6.0)),
+      (Some(3.0), Some(6.0), Some(4.0)),
+      (Some(4.0), None: Option[Double], Some(5.0)),
+      (None: Option[Double], Some(9.0), Some(5.0))
+    ).toDF("a", "b", "c")
+    // listwise: every pair sees ONLY the 3 complete rows
+    val m = Sketches.correlationMatrixComplete(withNulls, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(m.values.forall(_._1 == 3L), "all pairs share the complete-row count")
+    assert(m(("a", "b"))._2.contains(1.0), "b = 2a on complete rows")
+    // null-free data: complete-rows and pairwise matrices are bit-identical,
+    // under any partitioning (shared vs per-pair moments sum the same grid)
+    val dense = withNulls.na.drop()
+    val pw = Sketches.correlationMatrix(dense, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val cm = Sketches.correlationMatrixComplete(dense.repartition(7), Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(pw == cm)
+  }
+
   test("correlationMatrix matches Spark's own corr on real data") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val got = Sketches.correlationMatrix(li,
