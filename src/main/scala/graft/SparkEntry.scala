@@ -941,6 +941,17 @@ object SparkEntry {
       docs.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")
     }),
+    "q_readability" -> ((s, dir) => {
+      // Flesch reading ease + FK grade from three regex run counts and
+      // fixed 1e-6-grid double arithmetic — map-only, mirrored verbatim
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      docs.select(col("doc_id"), TextAnalysis.readability(col("text")).as("r"))
+        .filter(col("r").isNotNull)
+        .select(col("doc_id"), col("r.words").as("words"),
+          col("r.sentences").as("sentences"), col("r.syllables").as("syllables"),
+          col("r.flesch").as("flesch"), col("r.fk_grade").as("fk_grade"))
+        .orderBy("doc_id")
+    }),
     "q_gopher_rules" -> ((s, dir) => {
       // documents.parquet text is single-line word soup, so the query first
       // gives it deterministic structure (lines, punctuation, bullets,
@@ -2589,6 +2600,20 @@ object SparkEntry {
         "+ 0.2 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
         "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END)) * 1000000.0 + 0.5) / 1000000.0 AS quality " +
         "FROM documents ORDER BY doc_id"),
+    "q_readability" ->
+      // identical run counts (words/sentences/syllables) and the identical
+      // fixed double expression on the 1e-6 grid as TextAnalysis.readability
+      ("SELECT doc_id, CAST(wi AS BIGINT) AS words, CAST(ti AS BIGINT) AS sentences, " +
+        "CAST(si AS BIGINT) AS syllables, " +
+        "floor((206.835 - 1.015 * (CAST(wi AS DOUBLE) / CAST(ti AS DOUBLE)) " +
+        "- 84.6 * (CAST(si AS DOUBLE) / CAST(wi AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS flesch, " +
+        "floor((0.39 * (CAST(wi AS DOUBLE) / CAST(ti AS DOUBLE)) " +
+        "+ 11.8 * (CAST(si AS DOUBLE) / CAST(wi AS DOUBLE)) - 15.59) * 1000000.0 + 0.5) / 1000000.0 AS fk_grade " +
+        "FROM (SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+')) AS wi, " +
+        "greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS ti, " +
+        "greatest(len(regexp_extract_all(text, '[AEIOUYaeiouy]+')), " +
+        "len(regexp_extract_all(text, '[A-Za-z]+'))) AS si " +
+        "FROM documents WHERE text IS NOT NULL) WHERE wi > 0 ORDER BY doc_id"),
     "q_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
     "q_gopher_rules" ->

@@ -72,6 +72,33 @@ object TextAnalysis {
     floor(blend * 1e6 + 0.5) / 1e6
   }
 
+  /** Flesch reading ease + Flesch–Kincaid grade (Flesch 1948 / Kincaid
+    * et al. 1975 — the published formulas) over deterministic run-count
+    * heuristics: words = `[A-Za-z]+` runs, sentences = `[.!?]+` runs
+    * (floored at 1), syllables = vowel-group runs `[AEIOUYaeiouy]+`
+    * floored at the word count (every word carries ≥1 syllable — applied
+    * as a corpus-portable GLOBAL floor rather than per-word, documented
+    * divergence from dictionary syllabification, same spirit as every
+    * regex syllable counter). Three `regexp_extract_all` counts + fixed
+    * double arithmetic on the 1e-6 grid — map-only, zero shuffle,
+    * mirrored verbatim by a SQL oracle. Null text or zero words → null
+    * struct. Returns `struct(words, sentences, syllables, flesch,
+    * fk_grade)`. */
+  def readability(text: Column): Column = {
+    val w = size(regexp_extract_all(text, lit("[A-Za-z]+"), lit(0))).cast("double")
+    val t = greatest(
+      size(regexp_extract_all(text, lit("[.!?]+"), lit(0))).cast("double"), lit(1.0))
+    val s = greatest(
+      size(regexp_extract_all(text, lit("[AEIOUYaeiouy]+"), lit(0))).cast("double"), w)
+    def r6(c: Column) = floor(c * 1e6 + lit(0.5)) / 1e6
+    when(text.isNotNull && w > 0, struct(
+      w.cast("long").as("words"),
+      t.cast("long").as("sentences"),
+      s.cast("long").as("syllables"),
+      r6(lit(206.835) - lit(1.015) * (w / t) - lit(84.6) * (s / w)).as("flesch"),
+      r6(lit(0.39) * (w / t) + lit(11.8) * (s / w) - lit(15.59)).as("fk_grade")))
+  }
+
   /** Gopher-style repetition signals (public Gopher/RefinedWeb quality
     * rules): fraction of duplicate lines and of duplicate tokens. High
     * values flag boilerplate/templated documents. Map-only array math —

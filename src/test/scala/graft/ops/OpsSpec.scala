@@ -374,6 +374,29 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("readability: pinned Flesch counts/scores; guards and null behavior") {
+    import spark.implicits._
+    val df = Seq(
+      "The cat sat. It was happy!", // 6 words, 2 sentences, 7 vowel groups
+      "no punctuation here",        // sentence floor: max(0,1) = 1
+      "tv bbc xyz.",                // vowel-poor: syllables floored at words... xyz has y
+      "12345 !!!",                  // zero words -> null struct
+      null.asInstanceOf[String]
+    ).toDF("t")
+    val out = df.select(TextAnalysis.readability(col("t")).as("r")).collect()
+    val r0 = out(0).getStruct(0)
+    assert(r0.getLong(0) == 6 && r0.getLong(1) == 2 && r0.getLong(2) == 7)
+    // flesch = 206.835 - 1.015*(6/2) - 84.6*(7/6), on the 1e-6 grid
+    val flesch = math.floor((206.835 - 1.015 * 3.0 - 84.6 * (7.0 / 6.0)) * 1e6 + 0.5) / 1e6
+    assert(r0.getDouble(3) == flesch)
+    val grade = math.floor((0.39 * 3.0 + 11.8 * (7.0 / 6.0) - 15.59) * 1e6 + 0.5) / 1e6
+    assert(r0.getDouble(4) == grade)
+    assert(out(1).getStruct(0).getLong(1) == 1, "sentence count floors at 1")
+    val r2 = out(2).getStruct(0)
+    assert(r2.getLong(2) >= r2.getLong(0), "syllables floored at word count")
+    assert(out(3).isNullAt(0) && out(4).isNullAt(0))
+  }
+
   test("containment: asymmetric signal where Jaccard stays low; estimator identity on true J") {
     import spark.implicits._
     val sets = Seq(
