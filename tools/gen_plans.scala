@@ -43,7 +43,9 @@ for (name <- Seq("flagship_valid_split", "q_required", "q_min", "q_topk_similar"
     "q_quantile_buckets", "q_skew_report", "q_manifest_verify", "q_knn_join",
     "q_jaccard_join", "q_global_rank", "q_coverage_cut", "q_select_budget",
     "q_budget_per_lang", "q_release_e2e", "q_rollup_refresh",
-    "q_bm25_indexed", "q_wap_publish", "q_hamming_pairs")) {
+    "q_bm25_indexed", "q_wap_publish", "q_hamming_pairs",
+    "q_corr_matrix", "q_retention", "q_transitions", "q_mojibake",
+    "q_readability")) {
   val df = if (name == "flagship_valid_split") flagship
            else graft.SparkEntry.queries(name)(spark, dir)
   out.println()
