@@ -1238,6 +1238,12 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_x", "col_y")
     }),
+    "q_gini" -> ((s, dir) => {
+      // corpus-concentration audit: Gini index of order mass across
+      // customers — ranks via the bucketed globalRank decomposition (no
+      // global window), exact decimal rank-weighted sums, one output row
+      Sketches.giniConcentration(T(s, dir, "orders"), "o_custkey", lit(1L))
+    }),
     "q_wap_publish" -> ((s, dir) => {
       // write-audit-publish roundtrip: stage, audit (count + key
       // uniqueness over the STAGED bytes), swap into place, read back —
@@ -3001,6 +3007,17 @@ object SparkEntry {
       selects.mkString("SELECT col_x, col_y, n, corr FROM (",
         " UNION ALL ", ") ORDER BY col_x, col_y")
     },
+    "q_gini" ->
+      // identical decomposition: ascending (mass, key) ranks, exact decimal
+      // rank-weighted sums, the identical fixed double closed form
+      ("WITH m AS (SELECT o_custkey AS k, COUNT(*) AS mm FROM orders GROUP BY 1), " +
+        "r AS (SELECT mm, ROW_NUMBER() OVER (ORDER BY mm, k) AS rk FROM m), " +
+        "a AS (SELECT COUNT(*) AS n, SUM(CAST(mm AS DECIMAL(19,0))) AS s0, " +
+        "SUM(CAST(rk AS DECIMAL(19,0)) * CAST(mm AS DECIMAL(19,0))) AS s1 FROM r) " +
+        "SELECT CAST(n AS BIGINT) AS n_keys, CAST(s0 AS BIGINT) AS total, " +
+        "CASE WHEN n >= 1 AND s0 > 0 THEN " +
+        "floor((2.0 * CAST(s1 AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(s0 AS DOUBLE)) " +
+        "/ (CAST(n AS DOUBLE) * CAST(s0 AS DOUBLE)) * 1e9 + 0.5) / 1e9 END AS gini FROM a"),
     "q_wap_publish" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 500 ORDER BY doc_id",
     "q_rollup_refresh" ->

@@ -149,6 +149,38 @@ object Sketches {
       .drop("__b", "__off")
   }
 
+  /** Gini concentration index of a weight's distribution across keys —
+    * the corpus-diversity audit ("is the corpus dominated by a handful of
+    * domains?"): 0 = perfectly even, → 1 = all mass on one key. Standard
+    * sorted-sequence closed form G = (2·Σ rkᵢ·mᵢ − (n+1)·Σ mᵢ) / (n·Σ mᵢ)
+    * with ranks ascending by (mass, key). Scale shape: one partial-agg
+    * exchange to the per-key mass table, then ranks via [[globalRank]]
+    * (per-bucket windows + an nBuckets-row offset table — NO corpus-scale
+    * single-reducer window even at 100M keys), then one aggregate row.
+    * The rank-weighted sums run in exact decimal (the order-sensitive
+    * part — partitioning-proof); only the fixed-order closed form runs in
+    * doubles, floor-rounded on the 1e-9 grid, identically on both
+    * engines. Returns one row `(n_keys, total, gini)`; gini null when
+    * n < 1 or total ≤ 0. */
+  def giniConcentration(df: DataFrame, keyCol: String, weight: Column,
+                        nBuckets: Int = 64): DataFrame = {
+    val mass = df.groupBy(col(keyCol).as("__k"))
+      .agg(sum(weight).cast("long").as("__m"))
+    val ranked = globalRank(mass, "__m", "__k", nBuckets, "__rk")
+    val agg = ranked.agg(
+      count(lit(1)).as("__n"),
+      sum(col("__m").cast("decimal(19,0)")).as("__s0"),
+      sum(col("__rk").cast("decimal(19,0)") * col("__m").cast("decimal(19,0)"))
+        .as("__s1"))
+    val n = col("__n").cast("double")
+    val s0 = col("__s0").cast("double")
+    val s1 = col("__s1").cast("double")
+    agg.select(col("__n").as("n_keys"), col("__s0").cast("long").as("total"),
+      when(col("__n") >= 1 && col("__s0") > 0,
+        floor((lit(2.0) * s1 - (n + lit(1.0)) * s0) / (n * s0) * 1e9 + lit(0.5))
+          / 1e9).as("gini"))
+  }
+
   /** Head-coverage cut — "which heaviest keys cover fraction `p` of the
     * total mass": aggregates weight per key, ranks keys by descending
     * weight, and keeps the minimal prefix whose cumulative mass reaches

@@ -294,6 +294,32 @@ class SketchesSpec extends SparkSuite {
     }
   }
 
+  test("giniConcentration: closed-form pins, invariances, exhaustive reference") {
+    import spark.implicits._
+    def gini(df: org.apache.spark.sql.DataFrame): (Long, Long, Double) = {
+      val r = Sketches.giniConcentration(df, "k", lit(1L)).head()
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    // perfectly even: 4 keys x 5 rows each -> G = 0
+    val even = (1 to 4).flatMap(k => Seq.fill(5)(k)).toDF("k")
+    assert(gini(even) == ((4L, 20L, 0.0)))
+    // hand-computed skew: masses (1,1,1,97) -> G = (2*394 - 5*100)/(4*100)
+    val skew = (Seq(1, 2, 3) ++ Seq.fill(97)(4)).toDF("k")
+    assert(gini(skew) == ((4L, 100L, 0.72)))
+    assert(gini(skew.repartition(13)) == ((4L, 100L, 0.72)), "partitioning-proof")
+    // exhaustive reference on real data
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_custkey").as("k"))
+    val counts = orders.groupBy("k").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(x => (x._2, x._1))
+    val n = counts.length.toDouble
+    val s0 = counts.map(_._2).sum.toDouble
+    val s1 = counts.zipWithIndex.map { case ((_, m), i) => (i + 1).toDouble * m }.sum
+    val want = math.floor((2.0 * s1 - (n + 1.0) * s0) / (n * s0) * 1e9 + 0.5) / 1e9
+    val (gn, gt, gg) = gini(orders)
+    assert(gn == counts.length && gt == s0.toLong && gg == want)
+  }
+
   test("coverageCut matches an exhaustive reference on real data") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val counts = li.groupBy("l_partkey").count()

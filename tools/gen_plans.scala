@@ -45,7 +45,7 @@ for (name <- Seq("flagship_valid_split", "q_required", "q_min", "q_topk_similar"
     "q_budget_per_lang", "q_release_e2e", "q_rollup_refresh",
     "q_bm25_indexed", "q_wap_publish", "q_hamming_pairs",
     "q_corr_matrix", "q_retention", "q_transitions", "q_mojibake",
-    "q_readability")) {
+    "q_readability", "q_gini")) {
   val df = if (name == "flagship_valid_split") flagship
            else graft.SparkEntry.queries(name)(spark, dir)
   out.println()
