@@ -472,10 +472,15 @@ object SparkEntry {
           .otherwise(when(col("doc_id") % 4 === 1, lit("?id=7&utm_campaign=x&fbclid=abc"))
             .otherwise(when(col("doc_id") % 4 === 2, lit("?")).otherwise(lit("")))),
         when(col("doc_id") % 5 === 0, lit("#section-2")).otherwise(lit("")))
-      docs.select(col("doc_id"),
-        Urls.canonicalizeUrl(url).as("url_canonical"),
-        Urls.urlHost(url).as("host"),
-        Urls.registrableDomain(url).as("domain"))
+      // parse ONCE: the synthesized when/concat URL tree materializes
+      // into a single parseUrl struct projection; the three outputs
+      // derive from the struct, so the tree codegens once, not 3×
+      // (subexpression elimination cannot reach into when-branches)
+      docs.select(col("doc_id"), Urls.parseUrl(url).as("__p"))
+        .select(col("doc_id"),
+          Urls.canonicalizeUrlParsed(col("__p")).as("url_canonical"),
+          Urls.urlHostParsed(col("__p")).as("host"),
+          Urls.registrableDomainParsed(col("__p")).as("domain"))
         .orderBy("doc_id")
     }),
     "q_robots" -> ((s, dir) => {
@@ -522,10 +527,12 @@ object SparkEntry {
           .when(col("doc_id") % 8 === 5, lit("http://[2001:DB8::1]:80/v6"))
           .when(col("doc_id") % 8 === 6, lit("https://192.168.0.1/ip"))
           .otherwise(lit("https://co.uk/self"))
-      docs.select(col("doc_id"),
-        Urls.canonicalizeUrl(url).as("url_canonical"),
-        Urls.urlHost(url).as("host"),
-        Urls.registrableDomain(url).as("domain"))
+      // parse-once struct — q_url_canon's rationale
+      docs.select(col("doc_id"), Urls.parseUrl(url).as("__p"))
+        .select(col("doc_id"),
+          Urls.canonicalizeUrlParsed(col("__p")).as("url_canonical"),
+          Urls.urlHostParsed(col("__p")).as("host"),
+          Urls.registrableDomainParsed(col("__p")).as("domain"))
         .orderBy("doc_id")
     }),
     "q_html_text" -> ((s, dir) => {
@@ -1098,6 +1105,27 @@ object SparkEntry {
           length(payload).cast("long").as("n_bytes"))
         .orderBy("doc_id")
     }),
+    "q_image_dhash" -> ((s, dir) => {
+      // ORACLE-CHECKED real image decode (r12): two committed 9×8
+      // grayscale PNGs whose dHash is CLOSED-FORM because the decode is
+      // lossless and the 9×8→9×8 "resize" is a raster copy (same size,
+      // same TYPE_BYTE_GRAY — no resampling), so sample(x,y) equals the
+      // generating formula and bit i=y*8+x sets iff v(x+1,y) > v(x,y).
+      // Image A: v=(37x+11y)%256; image B: v=255−((53x+29y)%256). The
+      // expected 64-bit hashes in the oracle are derived BY HAND from
+      // those inequalities (tools/GenDhash regenerates the fixtures and
+      // re-proves hash==closed-form against the real ImageIO path). A
+      // third undecodable payload pins the null contract.
+      import s.implicits._
+      val pngA = "89504e470d0a1a0a0000000d49484452000000090000000808000000000ea68a690000005b49444154785e015000afff0000254a6f94b9de0328000b30557a9fc4e90e3300163b6085aacff4193e0021466b90b5daff2449002c51769bc0e50a2f5400375c81a6cbf0153a5f0042678cb1d6fb20456a004d7297bce1062b5075b6e01f75b38690000000000049454e44ae426082"
+      val pngB = "89504e470d0a1a0a0000000d49484452000000090000000808000000000ea68a690000005549444154785e63f87f6a6a82f6b7833de10c8fd65638f3dd5c926fc5707442b4dac73ded41b20c2b8aed38afcccf326560e80e537cb3bdc957e231439e25cbf959a906bf8f3104ca3cdf54eb217c6f258309cc1800bd0f248da758ca4a0000000049454e44ae426082"
+      val df = Seq((0L, pngA), (1L, pngB), (2L, "deadbeef"))
+        .toDF("img_id", "hex")
+        .select(col("img_id"), unhex(col("hex")).as("payload"))
+      graft.ops.Multimodal.withDHash(df, "payload")
+        .select(col("img_id"), col("dhash"))
+        .orderBy("img_id")
+    }),
     "q_rollup" -> ((s, dir) => {
       // grouping-sets subtotals: (priority, status), (priority), ()
       T(s, dir, "orders")
@@ -1340,9 +1368,12 @@ object SparkEntry {
           .withColumn("o_totalprice", col("o_totalprice") * 2), "U", 2L))
         .unionByName(tag(base.filter(k % 10 === 2), "D", 2L))
         .unionByName(tag(base.filter(k % 10 === 2), "U", 2L))
+      // o_totalprice stays DOUBLE end-to-end (×2 is IEEE-exact): a
+      // double→DECIMAL output cast rounds differently across engines
+      // (the q_decimal hazard; r11 driver hash-fail), so neither side
+      // casts.
       graft.ops.Cdc.scdHistory(changes, Seq("o_orderkey"), "__seq", "__op")
-        .select(col("o_orderkey"),
-          col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"),
+        .select(col("o_orderkey"), col("o_totalprice"),
           col("valid_from"), col("valid_to"), col("is_current"))
         .orderBy("o_orderkey", "valid_from")
     }),
@@ -1487,9 +1518,11 @@ object SparkEntry {
         .unionByName(tag(base.filter(k % 10 === 2), "D", 2L))
         .unionByName(tag(base.filter(k % 10 === 3)
           .withColumn("o_orderkey", k + 10000000L), "I", 1L))
+      // DOUBLE output, no decimal cast — see q_scd_history's note on the
+      // cross-engine double→DECIMAL rounding hazard (r11 driver red).
       Cdc.applyChangelog(base, changes, Seq("o_orderkey"), "__seq", "__op")
         .select(col("o_orderkey"), col("o_orderstatus"),
-          col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"))
+          col("o_totalprice"))
         .orderBy("o_orderkey")
     }),
     "q_snapshot_diff" -> ((s, dir) => {
@@ -2402,6 +2435,36 @@ object SparkEntry {
         "SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars, " +
         "row_number() OVER (PARTITION BY rep ORDER BY n_chars DESC, doc_id) AS rn FROM j) " +
         "WHERE rn = 1 ORDER BY doc_id"),
+    "q_dedup_embedding" -> {
+      // the FULL embeddingNearDups path mirrored bitwise (r12 — the last
+      // LSH rows-only query with a mirrorable kernel): lshBucketD's
+      // hyperplanes are ±1 signs drawn from splitmix64, so the sign
+      // matrix REGENERATES here (same formula as Kernels.lshBucketD) and
+      // embeds as 4 literal 64-dim planes; each projection is then a
+      // left-to-right double dot product (±1 multiplies are exact), which
+      // DuckDB's list_dot_product reproduces bit-for-bit (the
+      // q_ann_cosine-proven equivalence), so bucket bits, the bucket
+      // equi-join, and the cosine verify all mirror exactly.
+      def sm64(seed: Long): Long = {
+        var z = seed + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      val planes = (0 until 4).map(b => (0 until 64).map(i =>
+        if ((sm64(b.toLong * 0x517cc1b7L + i) & 1L) == 0L) "1.0" else "-1.0")
+        .mkString("[", ",", "]"))
+      val bucket = planes.zipWithIndex.map { case (p, b) =>
+        s"(CASE WHEN list_dot_product(vec, $p) >= 0 THEN ${1 << b} ELSE 0 END)"
+      }.mkString(" + ")
+      "WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings), " +
+        s"b AS (SELECT vec_id, vec, $bucket AS bucket FROM v), " +
+        "p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b, " +
+        "CASE WHEN sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(c.vec, c.vec)) = 0 THEN 0.0 " +
+        "ELSE list_dot_product(a.vec, c.vec) / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(c.vec, c.vec))) END AS sim " +
+        "FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id) " +
+        "SELECT id_a, id_b, sim FROM p WHERE sim >= 0.3 ORDER BY id_a, id_b"
+    },
     "q_semdedup" ->
       // full SemDeDup mirror: argmax-cosine cell assignment (ties to the
       // lowest centroid_id, mirroring ivfAssign's max_by), within-cell
@@ -2890,6 +2953,16 @@ object SparkEntry {
         "CAST(CASE doc_id % 5 WHEN 0 THEN 8 WHEN 1 THEN 8 WHEN 2 THEN 6 " +
         "WHEN 3 THEN 12 ELSE 2 END + octet_length(encode(text)) AS BIGINT) AS n_bytes " +
         "FROM documents WHERE text IS NOT NULL ORDER BY doc_id"),
+    "q_image_dhash" ->
+      // hand-derived from the generating formulas (see the query's
+      // comment): A bit i=y*8+x ⇔ (37(x+1)+11y)%256 > (37x+11y)%256;
+      // B ⇔ 255−(53(x+1)+29y)%256 > 255−(53x+29y)%256; bits little-
+      // endian into a signed 64-bit. Undecodable payload → NULL.
+      ("SELECT * FROM (VALUES " +
+        "(CAST(0 AS BIGINT), CAST(-1161964026750582849 AS BIGINT)), " +
+        "(CAST(1 AS BIGINT), CAST(2396553285575643152 AS BIGINT)), " +
+        "(CAST(2 AS BIGINT), CAST(NULL AS BIGINT))) AS t(img_id, dhash) " +
+        "ORDER BY img_id"),
     "q_rollup" ->
       ("SELECT o_orderpriority, o_orderstatus, count(*) AS n, " +
         "CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid " +
@@ -3090,13 +3163,13 @@ object SparkEntry {
       // when a seq-2 change exists; the %10==2 same-seq race resolves to
       // the delete, so no seq-2 row opens for it
       ("SELECT * FROM (" +
-        "SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice, " +
+        "SELECT o_orderkey, o_totalprice, " +
         "CAST(1 AS BIGINT) AS valid_from, " +
         "CAST(CASE WHEN o_orderkey % 10 IN (1, 2) THEN 2 END AS BIGINT) AS valid_to, " +
         "o_orderkey % 10 NOT IN (1, 2) AS is_current " +
         "FROM orders WHERE o_orderkey % 10 <= 2 " +
         "UNION ALL " +
-        "SELECT o_orderkey, CAST(o_totalprice * 2 AS DECIMAL(12,2)), " +
+        "SELECT o_orderkey, o_totalprice * 2, " +
         "CAST(2 AS BIGINT), CAST(NULL AS BIGINT), true " +
         "FROM orders WHERE o_orderkey % 10 = 1) " +
         "ORDER BY o_orderkey, valid_from"),
@@ -3206,10 +3279,10 @@ object SparkEntry {
       // %10==3 present twice — untouched original + inserted +10M copy
       ("SELECT o_orderkey, o_orderstatus, o_totalprice FROM (" +
         "SELECT o_orderkey, o_orderstatus, " +
-        "CAST(CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice * 2 ELSE o_totalprice END AS DECIMAL(12,2)) AS o_totalprice " +
+        "CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice " +
         "FROM orders WHERE o_orderkey % 10 NOT IN (0, 2) " +
         "UNION ALL " +
-        "SELECT o_orderkey + 10000000, o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) " +
+        "SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice " +
         "FROM orders WHERE o_orderkey % 10 = 3) ORDER BY o_orderkey"),
     "q_snapshot_diff" ->
       // added/removed/changed in closed form; a null n_chars bump stays

@@ -231,6 +231,16 @@ object Clusters {
   def keepBestInClusters(df: DataFrame, pairs: DataFrame, idCol: String,
                          scoreCol: String,
                          localSolveMax: Long = 500000L): DataFrame = {
+    // connectedComponents' min-id union is defined over LONG ids; a
+    // silent cast would null non-numeric ids and drop their rows, so
+    // fail fast instead (hash string ids to long upstream if needed)
+    require({
+        import org.apache.spark.sql.types._
+        Seq(ByteType, ShortType, IntegerType, LongType)
+          .contains(df.schema(idCol).dataType)
+      },
+      s"keepBestInClusters needs an integral id column, got " +
+        s"${df.schema(idCol).dataType.simpleString} for '$idCol'")
     val cc = connectedComponents(pairs, localSolveMax = localSolveMax)
     val member = df
       .select(col(idCol).cast("long").as("id"),

@@ -524,9 +524,11 @@ object Dedup {
       struct(lit(i).as("bi"),
         shiftright(h, offsets(i)).bitwiseAND(lit(mask)).as("bv"))
     }
+    // the id keeps its input type (only < and = are used): a long cast
+    // would null string/UUID ids and silently drop their pairs
     val toks = hashed
-      .select(col(idCol).cast("long").as("__id"), col(hashCol).as("__h"))
-      .filter(col("__h").isNotNull)
+      .select(col(idCol).as("__id"), col(hashCol).as("__h"))
+      .filter(col("__h").isNotNull && col("__id").isNotNull)
       .select(col("__id"), col("__h"), explode(array(bandCols: _*)).as("__band"))
     val a = toks.toDF("__id1", "__h1", "__band")
     val bb = toks.toDF("__id2", "__h2", "__band")

@@ -58,9 +58,11 @@ object FuzzyJoin {
     require(maxDist >= 0, s"maxDist must be ≥ 0, got $maxDist")
     require(q >= 2, s"q must be ≥ 2, got $q")
     val sigLen = q * maxDist + 1
-    val strs = df.select(col(idCol).cast("long").as("__id"),
+    // id keeps its input type (only < / = / join-key use — see
+    // jaccardJoin's note on the silent-drop hazard of a long cast)
+    val strs = df.select(col(idCol).as("__id"),
         col(strCol).as("__s"))
-      .filter(col("__s").isNotNull)
+      .filter(col("__s").isNotNull && col("__id").isNotNull)
       .withColumn("__len", length(col("__s")))
     // distinct positional-content q-grams per string (set semantics — the
     // prefix theorem is stated over gram sets)
@@ -135,7 +137,9 @@ object FuzzyJoin {
                   threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val sets = df.select(col(idCol).cast("long").as("__id"),
+    // id keeps its input type (only < / = / join-key use): a long cast
+    // would null non-numeric ids and silently drop their rows
+    val sets = df.select(col(idCol).as("__id"),
         filter(array_distinct(split(lower(col(textCol)), "\\s+")),
           t => length(t) > 0).as("__tok"))
       .filter(col("__id").isNotNull && size(col("__tok")) > 0)

@@ -170,7 +170,16 @@ object Similarity {
     * shuffle), so it scales to any corpus size. Real deployments would
     * k-means-refine these seeds; IVF only needs a roughly even partition
     * of the space. */
-  def seedCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+  def seedCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    // the centroid id is hashed and re-joined as a long downstream; a
+    // silent cast would null non-numeric ids — fail fast instead
+    require({
+        import org.apache.spark.sql.types._
+        Seq(ByteType, ShortType, IntegerType, LongType)
+          .contains(df.schema(idCol).dataType)
+      },
+      s"seedCentroids needs an integral id column, got " +
+        s"${df.schema(idCol).dataType.simpleString} for '$idCol'")
     df.select(col(idCol).cast("long").as("centroid_id"),
         col(vecCol).cast("array<double>").as("centroid_vec"))
       // id as the secondary key: a (rare) xxhash64 collision under
@@ -178,6 +187,7 @@ object Similarity {
       // physical row order
       .orderBy(xxhash64(col("centroid_id")), col("centroid_id"))
       .limit(k)
+  }
 
   /** Lloyd-iteration refinement of IVF centroids, expressed as DataFrame
     * aggregations (2 shuffles per iteration — assignment exchange +

@@ -164,18 +164,36 @@ object Sketches {
     * n < 1 or total ≤ 0. */
   def giniConcentration(df: DataFrame, keyCol: String, weight: Column,
                         nBuckets: Int = 64): DataFrame = {
+    // mass accumulates in DECIMAL(38,6), never a long cast: a fractional
+    // weight column (double scores) would otherwise truncate silently,
+    // skewing both the ranks and the index. Integral weights are exact
+    // in either representation, so `total` stays BIGINT for them
+    // (bit-identical to the long path); fractional weights emit `total`
+    // as DOUBLE instead of lying by truncation.
+    val wType = df.select(weight.as("__w")).schema.head.dataType
+    val integralW = wType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case d: org.apache.spark.sql.types.DecimalType => d.scale == 0
+      case _ => false
+    }
     val mass = df.groupBy(col(keyCol).as("__k"))
-      .agg(sum(weight).cast("long").as("__m"))
+      .agg(sum(weight.cast("decimal(38,6)")).as("__m"))
     val ranked = globalRank(mass, "__m", "__k", nBuckets, "__rk")
+    // rank ≤ n_keys fits DECIMAL(12,0); (12,0)×(38,6) keeps scale 6 under
+    // Spark's precision-loss rule, so the rank-weighted sum stays exact
     val agg = ranked.agg(
       count(lit(1)).as("__n"),
-      sum(col("__m").cast("decimal(19,0)")).as("__s0"),
-      sum(col("__rk").cast("decimal(19,0)") * col("__m").cast("decimal(19,0)"))
-        .as("__s1"))
+      sum(col("__m")).as("__s0"),
+      sum(col("__rk").cast("decimal(12,0)") * col("__m")).as("__s1"))
     val n = col("__n").cast("double")
     val s0 = col("__s0").cast("double")
     val s1 = col("__s1").cast("double")
-    agg.select(col("__n").as("n_keys"), col("__s0").cast("long").as("total"),
+    val total = if (integralW) col("__s0").cast("long").as("total")
+                else col("__s0").cast("double").as("total")
+    agg.select(col("__n").as("n_keys"), total,
       when(col("__n") >= 1 && col("__s0") > 0,
         floor((lit(2.0) * s1 - (n + lit(1.0)) * s0) / (n * s0) * 1e9 + lit(0.5))
           / 1e9).as("gini"))
@@ -320,13 +338,19 @@ object Sketches {
     }
     val pairStructs = pairs.map { case (i, j) =>
       val n = coalesce(col(s"n_${i}_$j"), lit(0L)).cast("double")
-      def d(p: String) = coalesce(col(s"${p}_${i}_$j").cast("double"), lit(0.0))
+      def d(p: String) = col(s"${p}_${i}_$j").cast("double")
+      // moments stay nullable (no coalesce-to-0): a decimal sum that
+      // overflows nulls only SOME moments, and a zero substituted there
+      // would yield a silently wrong corr — emit null instead. n = 0
+      // legitimately nulls every sum, which the n >= 2 guard absorbs.
+      val allPresent = Seq("sx", "sy", "sxy", "sxx", "syy")
+        .map(p => col(s"${p}_${i}_$j").isNotNull).reduce(_ && _)
       val num = n * d("sxy") - d("sx") * d("sy")
       val denx = n * d("sxx") - d("sx") * d("sx")
       val deny = n * d("syy") - d("sy") * d("sy")
       struct(lit(cols(i)).as("col_x"), lit(cols(j)).as("col_y"),
         coalesce(col(s"n_${i}_$j"), lit(0L)).as("n"),
-        when(n >= 2 && denx > 0 && deny > 0,
+        when(n >= 2 && allPresent && denx > 0 && deny > 0,
           floor(num / sqrt(denx * deny) * 1e9 + lit(0.5)) / 1e9).as("corr"))
     }
     df.agg(aggs.head, aggs.tail: _*)
@@ -358,14 +382,19 @@ object Sketches {
         sum(dcol(cols(i)) * dcol(cols(j))).as(s"sxy_${i}_$j") }
     val pairStructs = pairs.map { case (i, j) =>
       val n = coalesce(col("n"), lit(0L)).cast("double")
-      def d(c: String) = coalesce(col(c).cast("double"), lit(0.0))
+      def d(c: String) = col(c).cast("double")
+      // same null-moment discipline as correlationMatrix: a partial
+      // decimal-overflow null must surface as null corr, not a 0.0 moment
+      val needed = Seq(s"s_$i", s"ss_$i", s"s_$j", s"ss_$j") ++
+        (if (i == j) Nil else Seq(s"sxy_${i}_$j"))
+      val allPresent = needed.map(col(_).isNotNull).reduce(_ && _)
       val sxy = if (i == j) d(s"ss_$i") else d(s"sxy_${i}_$j")
       val num = n * sxy - d(s"s_$i") * d(s"s_$j")
       val denx = n * d(s"ss_$i") - d(s"s_$i") * d(s"s_$i")
       val deny = n * d(s"ss_$j") - d(s"s_$j") * d(s"s_$j")
       struct(lit(cols(i)).as("col_x"), lit(cols(j)).as("col_y"),
         coalesce(col("n"), lit(0L)).as("n"),
-        when(n >= 2 && denx > 0 && deny > 0,
+        when(n >= 2 && allPresent && denx > 0 && deny > 0,
           floor(num / sqrt(denx * deny) * 1e9 + lit(0.5)) / 1e9).as("corr"))
     }
     dense.agg(aggs.head, aggs.tail: _*)

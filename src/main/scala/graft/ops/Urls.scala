@@ -90,9 +90,40 @@ object Urls {
   /** Lowercased host of an absolute URL, with userinfo and port
     * stripped; IPv6 bracket literals kept whole; NULL when the input
     * has no `scheme://` prefix. */
-  def urlHost(u: Column): Column = {
-    val host = hostOf(hostportOf(u))
-    when(regexp_extract(u, SchemeRe, 1) === "" || host === "",
+  def urlHost(u: Column): Column = urlHostParsed(parseUrl(u))
+
+  /** One-pass structural parse of an absolute URL:
+    * `struct(scheme, host, port, pq)` — scheme lowercased (empty when
+    * the input has no `scheme://` prefix), host per [[urlHost]]'s rules
+    * but EMPTY (not null) when absent, port digits ("" when absent),
+    * `pq` the raw path+query substring (percent-encoding untouched —
+    * [[canonicalizeUrlParsed]] normalizes it).
+    *
+    * The parse-once form of [[canonicalizeUrl]] / [[urlHost]] /
+    * [[registrableDomain]] for queries deriving SEVERAL outputs from
+    * one URL expression: materialize this struct in its own projection
+    * and feed the `*Parsed` variants. Each single-column convenience
+    * wrapper re-inlines its input into every regexp — harmless on a
+    * plain column, but a synthesized `when`/`concat` URL tree then
+    * codegens once PER OUTPUT (conditional branches and lambda bodies
+    * block Spark's subexpression elimination), which tripled
+    * `q_url_canon`-shaped queries' generated code and their cold-JIT
+    * cost. Catalyst does not collapse the two projections because the
+    * struct is non-cheap and multiply-referenced, so the parse is
+    * emitted exactly once. */
+  def parseUrl(u: Column): Column = {
+    val hostport = hostportOf(u)
+    struct(
+      lower(regexp_extract(u, SchemeRe, 1)).as("scheme"),
+      hostOf(hostport).as("host"),
+      portOf(hostport).as("port"),
+      regexp_extract(u, PathQueryRe, 1).as("pq"))
+  }
+
+  /** [[urlHost]] over a [[parseUrl]] struct. */
+  def urlHostParsed(p: Column): Column = {
+    val host = p.getField("host")
+    when(p.getField("scheme") === "" || host === "",
       lit(null).cast("string")).otherwise(host)
   }
 
@@ -192,8 +223,16 @@ object Urls {
     * PSL pushes it to ~50k compares/row — still map-only, but callers
     * at that size on 100 TB should use [[registrableDomainViaTable]],
     * the broadcast join of [[hostSuffixes]] against a rules table. */
-  def registrableDomain(u: Column, pslRules: Seq[String]): Column = {
-    val host = urlHost(u)
+  def registrableDomain(u: Column, pslRules: Seq[String]): Column =
+    registrableDomainOfHost(urlHost(u), pslRules)
+
+  /** [[registrableDomain]] over a [[parseUrl]] struct. */
+  def registrableDomainParsed(p: Column,
+      pslRules: Seq[String] = DefaultPublicSuffixRules): Column =
+    registrableDomainOfHost(urlHostParsed(p), pslRules)
+
+  private def registrableDomainOfHost(host: Column,
+                                      pslRules: Seq[String]): Column = {
     val exacts = pslRules.filterNot(r => r.startsWith("*.") || r.startsWith("!"))
       .map(_.toLowerCase)
     val wilds = pslRules.filter(_.startsWith("*.")).map(_.drop(2).toLowerCase)
@@ -319,15 +358,17 @@ object Urls {
     *
     * Two URLs canonicalizing equal are the same resource under RFC 3986
     * §6 comparison minus the documented approximations. */
-  def canonicalizeUrl(u: Column): Column = {
-    val scheme = lower(regexp_extract(u, SchemeRe, 1))
-    val hostport = hostportOf(u)
-    val host = hostOf(hostport)
-    val port = portOf(hostport)
+  def canonicalizeUrl(u: Column): Column = canonicalizeUrlParsed(parseUrl(u))
+
+  /** [[canonicalizeUrl]] over a [[parseUrl]] struct. */
+  def canonicalizeUrlParsed(p: Column): Column = {
+    val scheme = p.getField("scheme")
+    val host = p.getField("host")
+    val port = p.getField("port")
     // normalize escapes over path+query as one string: decoding an
     // unreserved octet can never create or destroy a '/', '?', or '&'
     // (all reserved), so the later structural splits are unaffected
-    val pq = normalizePercent(regexp_extract(u, PathQueryRe, 1))
+    val pq = normalizePercent(p.getField("pq"))
     val rawPath = regexp_extract(pq, "^([^?]*)", 1)
     val rawQuery = regexp_extract(pq, "\\?(.*)$", 1)
     val strippedPath = regexp_replace(rawPath, "/+$", "")

@@ -103,8 +103,11 @@ object ValidatedIO {
       if (n < lo || n > hi) Seq(s"row count $n outside [$lo, $hi]") else Nil
     }
     def noNulls(cols: String*): E = df => {
+      // coalesce: sum() over an EMPTY staged frame is null — an empty
+      // write must audit as "zero nulls", not NPE and strand staging
       val row = df.select(cols.map(c =>
-        fn.sum(fn.when(fn.col(c).isNull, 1L).otherwise(0L)).as(c)): _*).head()
+        fn.coalesce(fn.sum(fn.when(fn.col(c).isNull, 1L).otherwise(0L)),
+          fn.lit(0L)).as(c)): _*).head()
       cols.zipWithIndex.collect {
         case (c, i) if row.getLong(i) > 0 => s"column $c has ${row.getLong(i)} nulls"
       }
@@ -151,8 +154,22 @@ object ValidatedIO {
     val failures = expectations.flatMap(_(staged))
     val nRows = staged.count()
     if (failures.isEmpty) {
-      if (fs.exists(finalPath)) fs.rename(finalPath, trash)
-      fs.rename(staging, finalPath)
+      // Hadoop rename signals failure by RETURNING FALSE (cross-fs,
+      // permissions, dest-exists — where a rename onto an existing dir
+      // would otherwise nest staging INSIDE it and mix old and new
+      // data). A false here must never become published=true.
+      val trashed = fs.exists(finalPath)
+      if (trashed && !fs.rename(finalPath, trash))
+        return AuditReport(published = false, nRows,
+          Seq(s"publish aborted: rename $finalPath -> $trash returned false"))
+      if (!fs.rename(staging, finalPath)) {
+        // restore the prior data before reporting failure
+        val restored = !trashed || fs.rename(trash, finalPath)
+        return AuditReport(published = false, nRows,
+          Seq(s"publish aborted: rename $staging -> $finalPath returned false" +
+            (if (restored) " (prior data restored)"
+             else s" (RESTORE FAILED: prior data left at $trash)")))
+      }
       fs.delete(trash, true)
       AuditReport(published = true, nRows, Nil)
     } else {
