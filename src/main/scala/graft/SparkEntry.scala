@@ -1438,6 +1438,33 @@ object SparkEntry {
         .withColumn("html", linkFixtureHtml), "doc_id", "html")
       Html.anchorProfile(links).orderBy("href")
     }),
+    "q_stream_keystats" -> ((s, dir) => {
+      // TRUE streaming CUSTOM STATE (flatMapGroupsWithState — the
+      // stateful-quarantine shape SURVEY §7 deferred, now oracled): a
+      // synthesized per-user invalid pattern (event_id nulled when
+      // (id%3==0 AND user%5==0) OR id%11==0 — %5 users run ~39% bad,
+      // the rest ~9%) streams through the Required validator into
+      // keyErrorStats, whose per-key running (seen, invalid) state emits
+      // one stat row per key per microbatch. The bounded AvailableNow
+      // run ingests the single events file in ONE microbatch, so each
+      // key emits exactly one row carrying its final counts — the plain
+      // grouped aggregate the oracle states, alert = rate ≥ 0.3 with
+      // ≥ 10 seen (both engines compare the identical double division).
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev = graft.streaming.StreamingValidate.ensureEventTime(raw, "ts")
+      val dirty = ev.withColumn("event_id",
+        when((col("event_id") % 3 === 0 && col("user_id") % 5 === 0) ||
+          col("event_id") % 11 === 0, lit(null)).otherwise(col("event_id")))
+      val validated = graft.streaming.StreamingValidate(dirty,
+        "event_id" -> F.Required()).df
+      val stats = graft.streaming.StreamingValidate.keyErrorStats(
+        validated, "user_id", alertRate = 0.3, minSeen = 10)
+      graft.streaming.StreamingValidate.runBounded(stats.toDF(),
+          statePartitions = Some(8))
+        .orderBy("key")
+    }),
     "q_stream_join" -> ((s, dir) => {
       // TRUE stream-stream inner join (view→purchase attribution within
       // one hour): two file-source streams, both watermarked — the shape
@@ -3250,6 +3277,17 @@ object SparkEntry {
         "SELECT t.href, CAST(n_links AS BIGINT) AS n_links, n_docs, n_anchors, " +
         "anchor AS top_anchor, cnt AS top_anchor_n " +
         "FROM t JOIN d ON t.href = d.href WHERE rk = 1 ORDER BY t.href"),
+    "q_stream_keystats" ->
+      // one microbatch → one emitted row per key with final counts; the
+      // invalid predicate restates the synthesized null pattern; SUM cast
+      // to BIGINT (DuckDB widens to HUGEINT otherwise — the r6 lesson)
+      ("WITH v AS (SELECT CAST(user_id AS VARCHAR) AS key, " +
+        "((event_id % 3 = 0 AND user_id % 5 = 0) OR event_id % 11 = 0) AS bad " +
+        "FROM events) " +
+        "SELECT key, COUNT(*) AS seen, " +
+        "CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS invalid, " +
+        "(COUNT(*) >= 10 AND SUM(CASE WHEN bad THEN 1 ELSE 0 END) * 1.0 / COUNT(*) >= 0.3) AS alert " +
+        "FROM v GROUP BY key ORDER BY key"),
     "q_stream_join" ->
       // single-microbatch stream-stream inner join == the batch self-join
       ("SELECT v.event_id AS view_id, p.event_id AS purchase_id " +
