@@ -232,6 +232,33 @@ object SparkEntry {
       Validate(docs, "mixed" -> F.CaseFold()).valid
         .select(col("doc_id"), col("mixed").as("folded")).orderBy("doc_id")
     }),
+    "q_pii_redact" -> ((s, dir) => {
+      // PII scrub (r12): deterministic PII synthesized onto every doc —
+      // an email always, a NANP phone on %3, a dotted-quad IP on %4, a
+      // 9-digit account run on %5 — then Pii.scrub redacts in the fixed
+      // email→ip→phone→id order and counts against the original. The
+      // oracle rebuilds the same text and applies the IDENTICAL pattern
+      // strings (shared programmatically from Pii.Detectors) with
+      // RE2's 'g' flag — the patterns live in the Java∩RE2 subset by
+      // construction, so replace sites and counts mirror exactly.
+      val d = T(s, dir, "documents").filter(col("text").isNotNull)
+      val syn = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.org"),
+        when(col("doc_id") % 3 === 0, lit(" call 555-867-5309 now"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, concat(lit(" from 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".77")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit(" acct "),
+          lpad(((col("doc_id") * 37) % 1000000000L).cast("string"), 9, "0")))
+          .otherwise(lit("")))
+      graft.ops.Pii.scrub(d.select(col("doc_id"), syn.as("text")), "text")
+        .select(col("doc_id"), col("text").as("redacted"),
+          col("pii_counts.n_email"), col("pii_counts.n_ipv4"),
+          col("pii_counts.n_phone"), col("pii_counts.n_id"))
+        .orderBy("doc_id")
+    }),
     "q_mojibake" -> ((s, dir) => {
       // encoding repair (the ftfy fix_encoding core case): corrupt every
       // document with the classic UTF-8-bytes-as-Latin-1 misdecode, then
@@ -1150,6 +1177,30 @@ object SparkEntry {
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "event_id BIGINT, user_id BIGINT, event_type STRING, _corrupt_record STRING")
       graft.sources.ValidatedIO.json(s, tmp, schema)(
+          "_corrupt_record" -> F.Empty())
+        .valid.select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id").asc_nulls_first, col("user_id").asc_nulls_first,
+          col("event_type").asc_nulls_first)
+    }),
+    "q_csv_roundtrip" -> ((s, dir) => {
+      // CSV validated-source roundtrip (r12 — the csv reader's oracle
+      // twin of q_jsonl_roundtrip): events → headerless CSV + a planted
+      // type-malformed shard → PERMISSIVE schema read with a
+      // _corrupt_record column → Empty() quarantine → valid == original.
+      // Both garbage lines fail BIGINT parses, the unambiguous malformed
+      // class (token-count mismatches are version-sensitive; types are
+      // not).
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_csv_roundtrip").getAbsolutePath
+      T(s, dir, "events").select(col("event_id"), col("user_id"), col("event_type"))
+        .coalesce(2).write.mode("overwrite")
+        .option("header", "false").csv(tmp)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "part-zzz-garbage.csv"),
+        ("not-a-number,1,signup\nx,y,z\n").getBytes("UTF-8"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, user_id BIGINT, event_type STRING, _corrupt_record STRING")
+      graft.sources.ValidatedIO.csv(s, tmp, schema, Map("header" -> "false"))(
           "_corrupt_record" -> F.Empty())
         .valid.select(col("event_id"), col("user_id"), col("event_type"))
         .orderBy(col("event_id").asc_nulls_first, col("user_id").asc_nulls_first,
@@ -2107,6 +2158,24 @@ object SparkEntry {
       // this construction (fixture langs are ASCII; the suffix adds the
       // one full-fold divergence)
       "SELECT doc_id, replace(lower(lang || '-Straße'), 'ß', 'ss') AS folded FROM documents ORDER BY doc_id",
+    "q_pii_redact" -> {
+      // the pattern strings come FROM Pii.Detectors (one source of
+      // truth); DuckDB needs the explicit 'g' flag Java implies
+      def lit1(s: String) = "'" + s.replace("'", "''") + "'"
+      val syn = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@mail.example.org' || " +
+        "CASE WHEN doc_id % 3 = 0 THEN ' call 555-867-5309 now' ELSE '' END || " +
+        "CASE WHEN doc_id % 4 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77' ELSE '' END || " +
+        "CASE WHEN doc_id % 5 = 0 THEN ' acct ' || lpad(CAST((doc_id * 37) % 1000000000 AS VARCHAR), 9, '0') ELSE '' END"
+      val red = graft.ops.Pii.Detectors.foldLeft("t") { case (acc, (_, re, repl)) =>
+        s"regexp_replace($acc, ${lit1(re)}, ${lit1(repl)}, 'g')"
+      }
+      val cnts = graft.ops.Pii.Detectors.map { case (name, re, _) =>
+        s"CAST(len(regexp_extract_all(t, ${lit1(re)})) AS BIGINT) AS n_$name"
+      }.mkString(", ")
+      s"WITH s AS (SELECT doc_id, $syn AS t FROM documents WHERE text IS NOT NULL) " +
+        s"SELECT doc_id, $red AS redacted, $cnts FROM s ORDER BY doc_id"
+    },
     "q_mojibake" ->
       // repair(misdecode(t)) == t for ANY t (misdecode is lossless), and
       // a doc "was corrupted" iff its text has any non-ASCII char — in
@@ -2998,6 +3067,11 @@ object SparkEntry {
     "q_jsonl_roundtrip" ->
       // the planted malformed shard quarantines; bigint/string fields
       // roundtrip JSON exactly, so valid == the parquet original
+      ("SELECT event_id, user_id, event_type FROM events " +
+        "ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, event_type NULLS FIRST"),
+    "q_csv_roundtrip" ->
+      // bigint/string fields roundtrip headerless CSV exactly; the
+      // planted type-malformed shard quarantines wholesale
       ("SELECT event_id, user_id, event_type FROM events " +
         "ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, event_type NULLS FIRST"),
     "q_fk_orphans" ->
