@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Validate, ValidationResult}
 import graft.{filters => F}
-import graft.filters.{Emptiness, FilterMapper, FilterMapperDynamic, FilterRepeater, FilterRepeaterMap, FilterSwitch}
+import graft.filters.{Emptiness, FilterMapper, FilterMapperDynamic, FilterMapperVariant, FilterRepeater, FilterRepeaterMap, FilterSwitch}
 import graft.ops.{Boilerplate, Cdc, Dedup, FuzzyJoin, Html, Joins, Layout, QualityRules, Retrieval, Rollups, Sampling, Sequences, Similarity, Sketches, TextAnalysis, TimeSeries, Urls}
 
 /** Driver contract — one `queries` entry per implemented operator
@@ -396,6 +396,41 @@ object SparkEntry {
         Seq("k" -> F.MinLength(2), "v" -> F.Choice(Seq("ok", "meh"))),
         allowExtraKeys = false, allowMissingKeys = false)
       Validate(ev2, "m" -> dyn).errorCodes.orderBy("key", "code")
+    }),
+    "q_mapper_variant" -> ((s, dir) => {
+      // HETEROGENEOUS dynamic-dict mapper (r12 — closes the SURVEY §7
+      // heterogeneous-values divergence): five deterministic JSON shapes
+      // exercise every policy branch — valid typed values (with a chain
+      // error on small qty), a string where bigint is expected
+      // (invalid_type), an undeclared key (extra_key), a JSON null
+      // (None-passthrough), and a missing key + number→string coercion
+      // feeding a chain error. The oracle mirrors the OUTCOME from the
+      // same generator columns (the established synthesized-fixture
+      // pattern — DuckDB has no variant type to parse).
+      val ev = T(s, dir, "events")
+      val m5 = col("event_id") % 5
+      val z = (col("event_id") % 10).cast("string")
+      val q100 = (col("event_id") % 100).cast("string")
+      val js = when(m5 === 0, concat(lit("{\"qty\": "), q100,
+          lit(", \"tag\": \"t"), z, lit("\", \"score\": 12.5}")))
+        .when(m5 === 1, concat(lit("{\"qty\": \"oops\", \"tag\": \"t"), z,
+          lit("\", \"score\": 3.5}")))
+        .when(m5 === 2, concat(lit("{\"qty\": 7, \"tag\": \"t"), z,
+          lit("\", \"score\": 1.5, \"x\": true}")))
+        .when(m5 === 3, concat(lit("{\"qty\": null, \"tag\": \"t"), z,
+          lit("\", \"score\": 2.0}")))
+        .otherwise(lit("{\"tag\": 9, \"score\": 0.5}"))
+      val vm = FilterMapperVariant(Seq(
+        ("qty", "bigint", F.Min(5.0)),
+        ("tag", "string", F.MinLength(2)),
+        ("score", "double", F.Max(100.0))), allowExtraKeys = false)
+      val res = Validate(ev.withColumn("doc", parse_json(js)), "doc" -> vm)
+      res.df.select(col("event_id"),
+        col("doc.qty").as("qty"), col("doc.tag").as("tag"),
+        col("doc.score").as("score"),
+        array_join(transform(col("_errors"), e => e.getField("key")), ",").as("err_keys"),
+        array_join(transform(col("_errors"), e => e.getField("code")), ",").as("err_codes"))
+        .orderBy("event_id")
     }),
     "q_repeater" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
@@ -2253,6 +2288,25 @@ object SparkEntry {
         "UNION ALL SELECT 'm.v', 'missing_key', COUNT(*) FROM events WHERE event_id % 4 = 1 " +
         "UNION ALL SELECT 'm.z', 'extra_key', COUNT(*) FROM events WHERE event_id % 4 = 2" +
         ") t WHERE n > 0 ORDER BY key, code"),
+    "q_mapper_variant" ->
+      // outcome mirror from the generator columns: the five m5 shapes'
+      // typed values, nulled-on-error fields, and pinned-order error
+      // key/code strings (declared order qty,tag,score then extras)
+      ("SELECT event_id, " +
+        "CAST(CASE WHEN event_id % 5 = 0 AND event_id % 100 >= 5 THEN event_id % 100 " +
+        "WHEN event_id % 5 = 2 THEN 7 END AS BIGINT) AS qty, " +
+        "CASE WHEN event_id % 5 <= 3 THEN 't' || CAST(event_id % 10 AS VARCHAR) END AS tag, " +
+        "CAST(CASE event_id % 5 WHEN 0 THEN 12.5 WHEN 1 THEN 3.5 WHEN 2 THEN 1.5 " +
+        "WHEN 3 THEN 2.0 ELSE 0.5 END AS DOUBLE) AS score, " +
+        "CASE WHEN event_id % 5 = 0 AND event_id % 100 < 5 THEN 'doc.qty' " +
+        "WHEN event_id % 5 = 1 THEN 'doc.qty' " +
+        "WHEN event_id % 5 = 2 THEN 'doc.x' " +
+        "WHEN event_id % 5 = 4 THEN 'doc.qty,doc.tag' ELSE '' END AS err_keys, " +
+        "CASE WHEN event_id % 5 = 0 AND event_id % 100 < 5 THEN 'too_small' " +
+        "WHEN event_id % 5 = 1 THEN 'invalid_type' " +
+        "WHEN event_id % 5 = 2 THEN 'extra_key' " +
+        "WHEN event_id % 5 = 4 THEN 'missing_key,too_short' ELSE '' END AS err_codes " +
+        "FROM events ORDER BY event_id"),
     "q_repeater" ->
       // null array passes (None-passthrough -> ok TRUE), mirrored explicitly:
       // bare len(list_filter(NULL,..)) = 0 would yield NULL not TRUE

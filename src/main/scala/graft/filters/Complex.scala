@@ -202,3 +202,85 @@ case class FilterSwitch(getter: Column => Column, cases: Seq[(Any, Validator)],
     }
   }
 }
+
+/** Per-field validation of a HETEROGENEOUS dynamic document — the
+  * reference `FilterMapper`'s runtime-dict form when the dict's VALUES
+  * mix types per key (`filters/complex.py::FilterMapper` over an untyped
+  * JSON payload). [[FilterMapperDynamic]] covers dynamic KEY SETS but
+  * requires one Spark map value type; this closes the documented
+  * heterogeneous-values divergence (SURVEY §7 risk register) using Spark
+  * 4's `variant` type: each declared field extracts from the variant at
+  * ITS OWN target type, runs its chain on the typed value, and the output
+  * is a typed struct of the declared fields.
+  *
+  * Per-field semantics (verified against Spark 4.1 variant behavior):
+  *  - key absent (`try_variant_get(v, path, "variant")` is SQL-null) →
+  *    `missing_key` error unless `allowMissingKeys`; output field null;
+  *  - key present as JSON null (`is_variant_null`) → the chain sees a
+  *    typed null: None-passthrough, exactly like a null struct field in
+  *    [[FilterMapper]];
+  *  - key present but not castable to the field's type (typed get is
+  *    null while the raw value is neither absent nor JSON-null) →
+  *    `invalid_type` error; output field null. Casts follow variant
+  *    coercion (JSON `"123"` → bigint 123, number 7 → string "7" — the
+  *    lenient reading a dynamic-payload pipeline wants);
+  *  - otherwise the chain runs, errors keyed `"parent.field"` with
+  *    field-level short-circuit;
+  *  - undeclared keys (from `json_object_keys(to_json(v))`, evaluated
+  *    once) → `extra_key` errors unless `allowExtraKeys`.
+  *
+  * Error order pinned: declared fields in `fieldMap` order, then extra
+  * keys in document order. A null variant passes through. All map-only,
+  * one expression, zero shuffles at any corpus size. */
+case class FilterMapperVariant(fieldMap: Seq[(String, String, Validator)],
+                               allowExtraKeys: Boolean = true,
+                               allowMissingKeys: Boolean = false) extends Validator {
+  require(fieldMap.nonEmpty, "FilterMapperVariant needs at least one field")
+  val name = "FilterMapperVariant"
+
+  def step(value: Column, errors: Column, key: Column): (Column, Column) = {
+    val noPrior = size(errors) === 0
+
+    val results = fieldMap.map { case (f, typ, fv) =>
+      val subKey = concat(key, lit("." + f))
+      val raw = try_variant_get(value, s"$$.$f", "variant")
+      val typed = try_variant_get(value, s"$$.$f", typ)
+      val present = raw.isNotNull
+      val jsonNull = is_variant_null(raw)
+      val castFail = present && !jsonNull && typed.isNull
+      val (cv, ce) = fv.step(typed, Errs.none, subKey)
+      val fieldValue = when(present && !castFail, cv)
+      val fieldErrs =
+        when(!present,
+          if (allowMissingKeys) Errs.none
+          else array(Errs.one(subKey, "missing_key", lit("This key is required."))))
+        .when(castFail,
+          array(Errs.one(subKey, "invalid_type",
+            lit("Value is not coercible to " + typ + "."))))
+        .otherwise(ce)
+      (f, fieldValue, fieldErrs)
+    }
+
+    val extraErrs =
+      if (allowExtraKeys) Errs.none
+      else {
+        val declared = typedLit(fieldMap.map(_._1))
+        transform(
+          filter(json_object_keys(to_json(value)), k => !array_contains(declared, k)),
+          k => Errs.one(concat(key, lit("."), k), "extra_key",
+            lit("This key is not expected.")))
+      }
+
+    val rebuilt = struct(results.map { case (f, cv, _) => cv.as(f) }: _*)
+    val allErrs = concat(results.map(_._3) :+ extraErrs: _*)
+    val newValue = when(noPrior && value.isNotNull, rebuilt)
+    val newErrors = when(!noPrior, errors)
+      .when(value.isNotNull, allErrs)
+      .otherwise(Errs.none)
+    (newValue, newErrors)
+  }
+}
+object FilterMapperVariant {
+  def of(fields: (String, String, Validator)*): FilterMapperVariant =
+    FilterMapperVariant(fields)
+}

@@ -152,4 +152,77 @@ class ComplexFiltersSpec extends SparkSuite {
     val out2 = Validate.column(df, "arr", FilterRepeater(F.Min(0.0)))
     assert(errPairs(out2).isEmpty)
   }
+
+  // ---- FilterMapperVariant: heterogeneous dynamic documents --------------
+
+  private def varDf(jsons: Seq[String]) = {
+    import spark.implicits._
+    jsons.toDF("js").select(parse_json(col("js")).as("doc"))
+  }
+
+  test("FilterMapperVariant extracts each field at its own type and runs chains") {
+    val vm = FilterMapperVariant(Seq(
+      ("n", "bigint", F.Min(5.0)), ("s", "string", F.MinLength(2))))
+    val out = Validate.column(varDf(Seq("""{"n": 7, "s": "ab"}""")), "doc", vm)
+    assert(errPairs(out).isEmpty)
+    val rec = out.collect()(0).getStruct(0)
+    assert(rec.getLong(0) == 7L && rec.getString(1) == "ab")
+  }
+
+  test("FilterMapperVariant: uncastable value → invalid_type, field nulled") {
+    val vm = FilterMapperVariant(Seq(("n", "bigint", F.NoOp())))
+    val out = Validate.column(varDf(Seq("""{"n": "oops"}""")), "doc", vm)
+    assert(errPairs(out) == Seq(("doc.n", "invalid_type")))
+    assert(out.collect()(0).getStruct(0).isNullAt(0))
+  }
+
+  test("FilterMapperVariant: variant coercions are the lenient ones") {
+    // JSON "123" → bigint 123, number 9 → string "9" (verified Spark 4.1
+    // variant-cast behavior the class contract documents)
+    val vm = FilterMapperVariant(Seq(
+      ("n", "bigint", F.NoOp()), ("s", "string", F.NoOp())))
+    val out = Validate.column(varDf(Seq("""{"n": "123", "s": 9}""")), "doc", vm)
+    assert(errPairs(out).isEmpty)
+    val rec = out.collect()(0).getStruct(0)
+    assert(rec.getLong(0) == 123L && rec.getString(1) == "9")
+  }
+
+  test("FilterMapperVariant: JSON null is present — None-passthrough, no error") {
+    // even under a Required-style absence policy: the KEY is there
+    val vm = FilterMapperVariant(Seq(("n", "bigint", F.Min(0.0))),
+      allowMissingKeys = false)
+    val out = Validate.column(varDf(Seq("""{"n": null}""")), "doc", vm)
+    assert(errPairs(out).isEmpty)
+    assert(out.collect()(0).getStruct(0).isNullAt(0))
+  }
+
+  test("FilterMapperVariant key policies: missing_key and extra_key") {
+    val strict = FilterMapperVariant(Seq(("n", "bigint", F.NoOp())),
+      allowExtraKeys = false, allowMissingKeys = false)
+    val out = Validate.column(varDf(Seq("""{"z": 1}""")), "doc", strict)
+    assert(errPairs(out).sorted == Seq(("doc.n", "missing_key"), ("doc.z", "extra_key")))
+    val lenient = FilterMapperVariant(Seq(("n", "bigint", F.NoOp())),
+      allowExtraKeys = true, allowMissingKeys = true)
+    assert(errPairs(Validate.column(varDf(Seq("""{"z": 1}""")), "doc", lenient)).isEmpty)
+  }
+
+  test("FilterMapperVariant: chain error nulls only its own field") {
+    val vm = FilterMapperVariant(Seq(
+      ("n", "bigint", F.Min(100.0)), ("s", "string", F.Strip())))
+    val out = Validate.column(varDf(Seq("""{"n": 3, "s": " x "}""")), "doc", vm)
+    assert(errPairs(out) == Seq(("doc.n", "too_small")))
+    val rec = out.collect()(0).getStruct(0)
+    assert(rec.isNullAt(0) && rec.getString(1) == "x")
+  }
+
+  test("FilterMapperVariant: null variant passes through (None-passthrough)") {
+    val vm = FilterMapperVariant(Seq(("n", "bigint", F.NoOp())),
+      allowExtraKeys = false, allowMissingKeys = false)
+    import spark.implicits._
+    val df = Seq(Option.empty[String]).toDF("js")
+      .select(try_parse_json(col("js")).as("doc"))
+    val out = Validate.column(df, "doc", vm)
+    assert(errPairs(out).isEmpty)
+    assert(out.collect()(0).isNullAt(0))
+  }
 }
