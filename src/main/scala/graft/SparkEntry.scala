@@ -982,6 +982,20 @@ object SparkEntry {
       Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 10)
         .orderBy("qid", "rk")
     }),
+    "q_phrase_search" -> ((s, dir) => {
+      // exact phrase search (r12): four literal phrases — a 3-gram, a
+      // 2-gram through the tokenizer's case/punctuation folding, a
+      // never-matching 3-gram (absent from the output), and a 1-gram
+      // (occurrence count = plain term frequency). Overlap-counted
+      // occurrences; oracle scans the same token lists positionally.
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val ps = Seq((1L, "table value part"), (2L, "Fast, JOIN!"),
+        (3L, "spark zz never"), (4L, "value")).toDF("pid", "phrase")
+      Retrieval.phraseSearch(docs, "doc_id", "text", ps, "pid", "phrase")
+        .select(col("pid"), col("doc_id"), col("n_occ").cast("bigint").as("n_occ"))
+        .orderBy("pid", "doc_id")
+    }),
     "q_bm25_indexed" -> ((s, dir) => {
       // the SAME retrieval through the persisted index path: write the
       // term-bucketed inverted index, read it back, score over it —
@@ -2806,6 +2820,23 @@ object SparkEntry {
     "q_bm25_indexed" ->
       // the indexed path scores IDENTICALLY — one oracle, two plans
       bm25OracleSql,
+    "q_phrase_search" ->
+      // positional scan over the SAME [a-z0-9]+ token lists: count
+      // starting positions where every phrase token matches (overlaps
+      // count); generate_series(1, n<1) is [] in DuckDB so short docs
+      // need no guard here (Spark's sequence() does — see phraseSearch)
+      ("WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "occ AS (" +
+        "SELECT 1 AS pid, doc_id, len(list_filter(generate_series(1, len(t)-2), " +
+        "i -> t[i] = 'table' AND t[i+1] = 'value' AND t[i+2] = 'part')) AS n_occ FROM d " +
+        "UNION ALL SELECT 2, doc_id, len(list_filter(generate_series(1, len(t)-1), " +
+        "i -> t[i] = 'fast' AND t[i+1] = 'join')) FROM d " +
+        "UNION ALL SELECT 3, doc_id, len(list_filter(generate_series(1, len(t)-2), " +
+        "i -> t[i] = 'spark' AND t[i+1] = 'zz' AND t[i+2] = 'never')) FROM d " +
+        "UNION ALL SELECT 4, doc_id, len(list_filter(t, x -> x = 'value')) FROM d) " +
+        "SELECT CAST(pid AS BIGINT) AS pid, doc_id, CAST(n_occ AS BIGINT) AS n_occ " +
+        "FROM occ WHERE n_occ >= 1 ORDER BY pid, doc_id"),
     "q_shard_assign" ->
       ("SELECT doc_id, CAST(('0x' || substr(md5('graftshard:' || doc_id), 1, 8))::UBIGINT % 16 AS INTEGER) AS shard, " +
         "md5('graftorder:' || doc_id) AS shard_order FROM documents ORDER BY doc_id"),

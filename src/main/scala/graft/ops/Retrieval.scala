@@ -160,4 +160,61 @@ object Retrieval {
       .select(col(idCol), col("term"), col("tf"), col("tfidf"),
         col("rk").cast("integer").as("rk"))
   }
+
+  /** Exact phrase search: documents containing a query's tokens as a
+    * CONTIGUOUS sequence (the positional-query half every lexical engine
+    * pairs with BM25 — benchmark-prompt contamination triage and "this
+    * exact quote" slicing want adjacency, not bag-of-words overlap).
+    *
+    * Two stages, both standard IR shapes:
+    *  1. candidate prune — the `(doc, term)` posting pairs are joined to
+    *     the phrase vocabulary (model-sized → BROADCAST) and a doc
+    *     qualifies for a phrase only if it contains ALL its distinct
+    *     terms (`count(distinct matched) == phrase vocabulary size`, a
+    *     partial-aggregable roll-up). At corpus scale this is the whole
+    *     point: adjacency is only verified on the usually-tiny
+    *     conjunctive-match set, never the corpus.
+    *  2. positional verify — candidates re-join their token arrays
+    *     (id-keyed equi-join, AQE-sized: the candidate side is
+    *     selectivity-bounded) and ONE codegen expression counts starting
+    *     positions where all `L` tokens match (overlapping occurrences
+    *     count — the published convention for positional postings
+    *     intersection, which this expression evaluates doc-locally
+    *     without materializing per-position rows).
+    *
+    * Tokenization is [[terms]], shared with BM25/TF-IDF, so "phrase"
+    * means adjacency in the SAME term stream the other retrieval ops
+    * score. Phrases with no alphanumeric tokens are dropped; docs with
+    * null text never match. Output: `(pidCol, idCol, n_occ)`, matches
+    * only (`n_occ ≥ 1`). */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrases: DataFrame, pidCol: String, phraseCol: String): DataFrame = {
+    val ptoks = phrases.select(col(pidCol), terms(col(phraseCol)).as("__ptoks"))
+      .filter(size(col("__ptoks")) > 0)
+    val pterms = ptoks.select(col(pidCol),
+        size(array_distinct(col("__ptoks"))).as("__need"),
+        explode(array_distinct(col("__ptoks"))).as("term"))
+    val postings = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(array_distinct(terms(col(textCol)))).as("term"))
+    val cand = postings.join(broadcast(pterms), Seq("term"))
+      .groupBy(col(pidCol), col(idCol), col("__need"))
+      .agg(count(lit(1)).as("__have"))
+      .filter(col("__have") === col("__need"))
+      .select(col(pidCol), col(idCol))
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), terms(col(textCol)).as("__toks"))
+    val L = size(col("__ptoks"))
+    // sequence() generates DESCENDING when start > stop — an over-long
+    // phrase must yield an empty start set, not [1, 0]; guard explicitly
+    val starts = when(size(col("__toks")) >= L,
+      sequence(lit(1), size(col("__toks")) - L + 1)).otherwise(array())
+    cand.join(toks, Seq(idCol))
+      .join(broadcast(ptoks), Seq(pidCol))
+      .withColumn("n_occ", size(filter(starts, i =>
+        size(filter(sequence(lit(1), L), j =>
+          element_at(col("__toks"), (i + j - 1).cast("integer")) ===
+            element_at(col("__ptoks"), j.cast("integer")))) === L)))
+      .filter(col("n_occ") >= 1)
+      .select(col(pidCol), col(idCol), col("n_occ"))
+  }
 }

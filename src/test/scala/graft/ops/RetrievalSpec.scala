@@ -143,4 +143,48 @@ class RetrievalSpec extends SparkSuite {
     assert(st((3L, "cherry")) == ((1L, 4L)))
     assert(st.size == 6)
   }
+
+  // ---- phraseSearch ------------------------------------------------------
+
+  private def phrase(docs: org.apache.spark.sql.DataFrame,
+                     ps: Seq[(Long, String)]): Map[(Long, Long), Int] =
+    Retrieval.phraseSearch(docs, "doc_id", "text",
+        ps.toDF("pid", "phrase"), "pid", "phrase")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+
+  test("phraseSearch: adjacency required, occurrences counted with overlap") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "quick the brown quick brown end"),
+      (3L, "a a a b")).toDF("doc_id", "text")
+    val hits = phrase(docs, Seq((1L, "quick brown"), (2L, "a a")))
+    // doc 1: one hit; doc 2: "quick brown" at position 4 only (terms
+    // adjacent there, NOT at 1-3 though both terms appear earlier)
+    assert(hits((1L, 1L)) == 1 && hits((1L, 2L)) == 1)
+    // overlapping starts both count: "a a a" has "a a" at 1 and 2
+    assert(hits((2L, 3L)) == 2)
+    assert(hits.size == 3)
+  }
+
+  test("phraseSearch: all-terms-present but non-adjacent docs are dropped") {
+    val docs = Seq((1L, "alpha filler beta"), (2L, "alpha beta")).toDF("doc_id", "text")
+    val hits = phrase(docs, Seq((1L, "alpha beta")))
+    assert(hits == Map((1L, 2L) -> 1))
+  }
+
+  test("phraseSearch: tokenizer folding, token-free phrases drop, null text never matches") {
+    val docs = Seq((1L, "Fast JOIN ahead"), (2L, null)).toDF("doc_id", "text")
+    val hits = phrase(docs, Seq((1L, "fast, Join!!"), (2L, "!!!"), (3L, "fast")))
+    assert(hits == Map((1L, 1L) -> 1, (3L, 1L) -> 1))
+  }
+
+  test("phraseSearch: phrase longer than the document cannot match (sequence guard)") {
+    val docs = Seq((1L, "one two")).toDF("doc_id", "text")
+    assert(phrase(docs, Seq((1L, "one two three four"))).isEmpty)
+  }
+
+  test("phraseSearch: repeated-token phrase needs the full run, not just the vocabulary") {
+    val docs = Seq((1L, "go go stop"), (2L, "go stop go")).toDF("doc_id", "text")
+    assert(phrase(docs, Seq((1L, "go go"))) == Map((1L, 1L) -> 1))
+  }
 }
