@@ -627,6 +627,35 @@ object SparkEntry {
       graft.ops.FuzzyJoin.editDistanceJoin(strs, "doc_id", "s", maxDist = 2)
         .orderBy("id_1", "id_2")
     }),
+    "q_entity_resolution" -> ((s, dir) => {
+      // golden-record entity resolution (r12): every even customer gets a
+      // typo'd duplicate record (distinct md5-derived keys, so distinct
+      // customers never false-match; the duplicate drops the key's last
+      // char and flips its case = normalized distance 1) with
+      // COMPLEMENTARY attributes — survivorship must stitch segment from
+      // the base record and nation from the duplicate, and when %3 kills
+      // the base's bal the duplicate (then the more complete member)
+      // supplies bal+100 AND the canonical key. Odd customers stay
+      // singletons. The oracle replays pairing, closure, and per-attr
+      // survivorship in full.
+      val c = T(s, dir, "customer")
+        .filter(col("c_custkey").isNotNull && col("c_custkey") <= 600)
+      val base = c.select(col("c_custkey").as("rid"),
+        concat(lit("Entity "), md5(col("c_custkey").cast("string"))).as("name"),
+        col("c_mktsegment").as("segment"),
+        when(col("c_custkey") % 3 =!= 0, col("c_acctbal")).as("bal"),
+        lit(null).cast("int").as("nation"))
+      val dup = c.filter(col("c_custkey") % 2 === 0).select(
+        (col("c_custkey") + 1000000L).as("rid"),
+        concat(lit("entity "),
+          substring(md5(col("c_custkey").cast("string")), 1, 31)).as("name"),
+        lit(null).cast("string").as("segment"),
+        when(col("c_custkey") % 3 === 0, col("c_acctbal") + 100.0).as("bal"),
+        col("c_nationkey").as("nation"))
+      graft.ops.EntityResolution.resolve(base.unionByName(dup), "rid", "name",
+          Seq("segment", "bal", "nation"), maxDist = 1)
+        .orderBy("entity_id")
+    }),
     "q_quality_score" -> ((s, dir) => {
       // fixed-weight linear quality model over interpretable signals —
       // the score a trained fastText-style filter would assign, stated
@@ -2439,6 +2468,35 @@ object SparkEntry {
         "SELECT a.doc_id AS id_1, b.doc_id AS id_2, CAST(levenshtein(a.p, b.p) AS INTEGER) AS dist " +
         "FROM s a JOIN s b ON a.doc_id < b.doc_id AND abs(length(a.p) - length(b.p)) <= 2 " +
         "AND levenshtein(a.p, b.p) <= 2 ORDER BY id_1, id_2"),
+    "q_entity_resolution" ->
+      // full mirror: identical key normalization, exhaustive
+      // length-filtered levenshtein pairing (the blocking's lossless
+      // claim), recursive transitive closure, min-id entity, and
+      // per-attribute most-complete-member survivorship (ties by rid)
+      ("WITH RECURSIVE c AS (SELECT * FROM customer WHERE c_custkey IS NOT NULL AND c_custkey <= 600), " +
+        "r AS (SELECT c_custkey AS rid, 'Entity ' || md5(CAST(c_custkey AS VARCHAR)) AS name, " +
+        "c_mktsegment AS segment, CASE WHEN c_custkey % 3 <> 0 THEN c_acctbal END AS bal, " +
+        "CAST(NULL AS INTEGER) AS nation FROM c " +
+        "UNION ALL SELECT c_custkey + 1000000, " +
+        "'entity ' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 31), " +
+        "NULL, CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0 END, c_nationkey " +
+        "FROM c WHERE c_custkey % 2 = 0), " +
+        "k AS (SELECT rid, name, lower(trim(regexp_replace(name, '\\s+', ' ', 'g'))) AS nk, " +
+        "segment, bal, nation FROM r), " +
+        "p AS (SELECT a.rid AS u, b.rid AS v FROM k a JOIN k b ON a.rid < b.rid " +
+        "AND abs(length(a.nk) - length(b.nk)) <= 1 AND levenshtein(a.nk, b.nk) <= 1), " +
+        "e AS (SELECT u, v FROM p UNION SELECT v, u FROM p), " +
+        "cc(u, v) AS (SELECT u, v FROM e UNION SELECT cc.u, e2.v FROM cc JOIN e e2 ON cc.v = e2.u), " +
+        "m AS (SELECT u AS rid, least(u, min(v)) AS rep FROM cc GROUP BY u), " +
+        "asg AS (SELECT k.*, coalesce(m.rep, k.rid) AS entity_id, " +
+        "(CASE WHEN segment IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN bal IS NOT NULL THEN 1 ELSE 0 END " +
+        "+ CASE WHEN nation IS NOT NULL THEN 1 ELSE 0 END) AS comp FROM k LEFT JOIN m USING (rid)) " +
+        "SELECT entity_id, count(*) AS n_members, " +
+        "(list(name ORDER BY comp DESC, rid) FILTER (WHERE name IS NOT NULL))[1] AS name, " +
+        "(list(segment ORDER BY comp DESC, rid) FILTER (WHERE segment IS NOT NULL))[1] AS segment, " +
+        "(list(bal ORDER BY comp DESC, rid) FILTER (WHERE bal IS NOT NULL))[1] AS bal, " +
+        "(list(nation ORDER BY comp DESC, rid) FILTER (WHERE nation IS NOT NULL))[1] AS nation " +
+        "FROM asg GROUP BY entity_id ORDER BY entity_id"),
     "q_quality_score" ->
       ("SELECT doc_id, round(1.0/(1.0 + exp(-(-0.5 + 0.8*least(n_chars/500.0, 2.0) " +
         "+ 0.6*(len(string_split(text, ' '))/100.0) " +

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Golden-record entity resolution (SURVEY.md §2.6 extension) — the
+  * record-linkage pipeline a curation run applies to registry-shaped data
+  * (authors, domains, organizations, user accounts) before joining it to
+  * a corpus: fuzzy-match records that denote the same real-world entity,
+  * resolve matches transitively, and merge each cluster into ONE canonical
+  * record by attribute-level survivorship (the Fellegi–Sunter /
+  * "merge/purge" shape every MDM system implements).
+  *
+  * Composition of this library's oracled parts, each already scale-audited:
+  *  1. candidate pairs — [[FuzzyJoin.editDistanceJoin]] on a normalized
+  *     key (lossless q-gram prefix blocking; never all-pairs);
+  *  2. transitive clusters — [[Clusters.connectedComponents]] (star
+  *     contraction, size-gated local solve);
+  *  3. survivorship — ONE partial-aggregable exchange on `entity_id`:
+  *     each attribute independently takes its value from the most
+  *     COMPLETE member that has it non-null (completeness = count of
+  *     non-null attributes; ties break by id asc). Attribute-level — two
+  *     half-filled records merge into one fuller record, which is the
+  *     point of the merge step.
+  *
+  * The canonical key is survivorship-merged like any attribute (from the
+  * most complete member overall, since keys are non-null). Records in no
+  * pair pass through as singleton entities. `entity_id` = the cluster's
+  * min member id — stable under re-runs and corpus growth that only adds
+  * higher ids.
+  *
+  * Scale: the pair step is the only super-linear risk and it is blocked
+  * (see [[FuzzyJoin]]); the cluster map is pair-bounded (AQE broadcasts a
+  * day-sized one); the merge is a map-side-combined aggregate — a
+  * million-member cluster ships one partial row per partition per
+  * attribute, never a cluster-wide window. */
+object EntityResolution {
+
+  /** Normalization applied to the match key before edit-distance pairing:
+    * case fold + whitespace collapse + trim — the standard blocking-key
+    * cleanup. Matching is on the normalized key; the OUTPUT key is the
+    * surviving member's raw key. */
+  def normalizeKey(key: Column): Column =
+    lower(trim(regexp_replace(key, "\\s+", " ")))
+
+  /** Resolve `records` into golden records.
+    *
+    * Output: `(entity_id, n_members, keyCol, attrCols*)` — one row per
+    * entity, attributes survivorship-merged. `idCol` must be integral
+    * (the component union is defined over longs; hash string ids upstream
+    * if needed — the [[Clusters.keepBestInClusters]] contract). */
+  def resolve(records: DataFrame, idCol: String, keyCol: String,
+              attrCols: Seq[String], maxDist: Int = 1,
+              localSolveMax: Long = 500000L): DataFrame = {
+    require(attrCols.nonEmpty, "resolve needs at least one attribute column")
+    require({
+        import org.apache.spark.sql.types._
+        Seq(ByteType, ShortType, IntegerType, LongType)
+          .contains(records.schema(idCol).dataType)
+      },
+      s"resolve needs an integral id column, got " +
+        s"${records.schema(idCol).dataType.simpleString} for '$idCol'")
+    val keyed = records.withColumn("__key", normalizeKey(col(keyCol)))
+    val pairs = FuzzyJoin.editDistanceJoin(
+      keyed.select(col(idCol), col("__key")), idCol, "__key", maxDist)
+    val cc = Clusters.connectedComponents(pairs, "id_1", "id_2",
+      localSolveMax = localSolveMax)
+    val withEntity = keyed
+      .join(cc.select(col("id").as("__ccid"), col("rep")),
+        col(idCol).cast("long") === col("__ccid"), "left")
+      .withColumn("entity_id", coalesce(col("rep"), col(idCol).cast("long")))
+    // completeness of the whole record, shared by every attribute's pick
+    val comp = attrCols.map(a => when(col(a).isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    val ranked = withEntity
+      .withColumn("__nc", -comp)
+      .withColumn("__mid", col(idCol).cast("long"))
+    // per-attribute survivorship: min over (neg-completeness, id) among
+    // members where the attribute is present — null structs are skipped
+    // by min, so an attribute nobody has stays null
+    val merged = (keyCol +: attrCols).map { a =>
+      min(when(col(a).isNotNull,
+        struct(col("__nc").as("nc"), col("__mid").as("id"), col(a).as("v"))))
+        .getField("v").as(a)
+    }
+    ranked.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_members"), merged: _*)
+  }
+}
