@@ -627,6 +627,26 @@ object SparkEntry {
       graft.ops.FuzzyJoin.editDistanceJoin(strs, "doc_id", "s", maxDist = 2)
         .orderBy("id_1", "id_2")
     }),
+    "q_profile_drift" -> ((s, dir) => {
+      // snapshot profile drift (r12): today's orders vs a planted
+      // tomorrow — 10% of rows gone, o_orderstatus nulled on %7,
+      // o_totalprice rescaled, o_custkey re-typed to string,
+      // o_orderpriority dropped, o_channel added. The report must flag
+      // exactly the schema changes + the null-rate drift and leave the
+      // benign columns unflagged; the oracle recomputes every metric
+      // and the flag rule per column.
+      val before = T(s, dir, "orders")
+      val after = before.filter(col("o_orderkey") % 10 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderstatus")))
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        .withColumn("o_custkey", col("o_custkey").cast("string"))
+        .drop("o_orderpriority")
+        .withColumn("o_channel",
+          when(col("o_orderkey") % 2 === 0, lit("web")).otherwise(lit("app")))
+      Sketches.profileDrift(before, after, exact = true).orderBy("col_name")
+    }),
     "q_entity_resolution" -> ((s, dir) => {
       // golden-record entity resolution (r12): every even customer gets a
       // typo'd duplicate record (distinct md5-derived keys, so distinct
@@ -2468,6 +2488,68 @@ object SparkEntry {
         "SELECT a.doc_id AS id_1, b.doc_id AS id_2, CAST(levenshtein(a.p, b.p) AS INTEGER) AS dist " +
         "FROM s a JOIN s b ON a.doc_id < b.doc_id AND abs(length(a.p) - length(b.p)) <= 2 " +
         "AND levenshtein(a.p, b.p) <= 2 ORDER BY id_1, id_2"),
+    "q_profile_drift" -> {
+      // per-column metric mirror: the same planted after-snapshot, the
+      // same exact aggregates, and the same flag rule, one UNION ALL
+      // branch per column (generated — the rule lives once below)
+      val bCols = Seq(("o_orderkey", "bigint", true), ("o_custkey", "bigint", true),
+        ("o_orderstatus", "string", false), ("o_totalprice", "double", true),
+        ("o_orderdate", "timestamp_ntz", false), ("o_orderpriority", "string", false))
+      val aCols = Seq(("o_orderkey", "bigint", true), ("o_custkey", "string", false),
+        ("o_orderstatus", "string", false), ("o_totalprice", "double", true),
+        ("o_orderdate", "timestamp_ntz", false), ("o_channel", "string", false))
+      def aggSql(src: String, cols: Seq[(String, String, Boolean)]) =
+        "SELECT CAST(count(*) AS BIGINT) AS n, " + cols.map { case (c, _, num) =>
+          s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_$c, " +
+            s"CAST(count(DISTINCT $c) AS BIGINT) AS nd_$c" +
+            (if (num) s", CAST(min($c) AS DOUBLE) AS mn_$c, CAST(max($c) AS DOUBLE) AS mx_$c"
+             else "")
+        }.mkString(", ") + s" FROM $src"
+      val bMap = bCols.map(c => c._1 -> c).toMap
+      val aMap = aCols.map(c => c._1 -> c).toMap
+      val rows = (bCols.map(_._1) ++ aCols.map(_._1)).distinct.sorted.map { c =>
+        val b = bMap.get(c); val a = aMap.get(c)
+        val status = (b, a) match {
+          case (Some(_), None) => "removed"
+          case (None, Some(_)) => "added"
+          case (Some(x), Some(y)) if x._2 != y._2 => "type_changed"
+          case _ => "common"
+        }
+        val tb = b.map(x => s"'${x._2}'").getOrElse("CAST(NULL AS VARCHAR)")
+        val ta = a.map(x => s"'${x._2}'").getOrElse("CAST(NULL AS VARCHAR)")
+        val nB = if (b.isDefined) "bp.n" else "CAST(NULL AS BIGINT)"
+        val nA = if (a.isDefined) "ap.n" else "CAST(NULL AS BIGINT)"
+        val nnB = if (b.isDefined) s"bp.nn_$c" else "CAST(NULL AS BIGINT)"
+        val nnA = if (a.isDefined) s"ap.nn_$c" else "CAST(NULL AS BIGINT)"
+        val ndB = if (b.isDefined) s"bp.nd_$c" else "CAST(NULL AS BIGINT)"
+        val ndA = if (a.isDefined) s"ap.nd_$c" else "CAST(NULL AS BIGINT)"
+        val mnB = if (b.exists(_._3)) s"bp.mn_$c" else "CAST(NULL AS DOUBLE)"
+        val mxB = if (b.exists(_._3)) s"bp.mx_$c" else "CAST(NULL AS DOUBLE)"
+        val mnA = if (a.exists(_._3)) s"ap.mn_$c" else "CAST(NULL AS DOUBLE)"
+        val mxA = if (a.exists(_._3)) s"ap.mx_$c" else "CAST(NULL AS DOUBLE)"
+        val delta = if (b.isDefined && a.isDefined)
+          s"floor((CAST($nnA AS DOUBLE)/$nA - CAST($nnB AS DOUBLE)/$nB) * 1e6 + 0.5)/1e6"
+        else "CAST(NULL AS DOUBLE)"
+        val drifted = if (status != "common") "TRUE" else
+          s"(abs($delta) > 0.01 OR (CASE WHEN least($ndB, $ndA) = 0 " +
+            s"THEN greatest($ndB, $ndA) > 0 " +
+            s"ELSE CAST(greatest($ndB, $ndA) AS DOUBLE) > CAST(least($ndB, $ndA) AS DOUBLE) * 2.0 END))"
+        s"SELECT '$c' AS col_name, '$status' AS status, $tb AS type_before, " +
+          s"$ta AS type_after, $nB AS n_before, $nA AS n_after, " +
+          s"$nnB AS n_null_before, $nnA AS n_null_after, " +
+          s"$delta AS null_rate_delta, $ndB AS distinct_before, $ndA AS distinct_after, " +
+          s"$mnB AS min_before, $mxB AS max_before, $mnA AS min_after, $mxA AS max_after, " +
+          s"$drifted AS drifted FROM bp, ap"
+      }
+      "WITH b AS (SELECT * FROM orders), " +
+        "a AS (SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS o_custkey, " +
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS o_orderstatus, " +
+        "o_totalprice * 1.1 AS o_totalprice, o_orderdate, " +
+        "CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'app' END AS o_channel " +
+        "FROM orders WHERE o_orderkey % 10 <> 0), " +
+        s"bp AS (${aggSql("b", bCols)}), ap AS (${aggSql("a", aCols)}) " +
+        rows.mkString(" UNION ALL ") + " ORDER BY col_name"
+    },
     "q_entity_resolution" ->
       // full mirror: identical key normalization, exhaustive
       // length-filtered levenshtein pairing (the blocking's lossless

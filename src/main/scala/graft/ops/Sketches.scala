@@ -543,4 +543,109 @@ object Sketches {
         coalesce(abs(col(valueCol + "_rz")) > threshold, lit(false)))
       .drop("__g", "__g2", "__med", "__mad")
   }
+
+  /** One side of [[profileDrift]]: per-column `(column, dtype, n_rows,
+    * n_null, n_distinct, min_num, max_num)` in ONE aggregation pass over
+    * the frame (numeric min/max as doubles; null for non-numerics — no
+    * engine-sensitive value-to-string formatting anywhere). `exact`
+    * toggles `count(distinct)` (oracle-able; plans an Expand) vs
+    * `approx_count_distinct` (single-pass HLL, the corpus-scale path —
+    * same output schema). The reshape to per-column rows explodes a
+    * one-row frame: driver-free, trivially sized. */
+  def profileAll(df: DataFrame, exact: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.NumericType
+    val fields = df.schema.fields
+    def isNum(f: org.apache.spark.sql.types.StructField) =
+      f.dataType.isInstanceOf[NumericType]
+    val aggs = fields.flatMap { f =>
+      val c = col(s"`${f.name}`")
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nn_${f.name}"),
+        (if (exact) count_distinct(c)
+         else approx_count_distinct(c)).as(s"__nd_${f.name}")) ++
+      (if (isNum(f))
+        Seq(min(c.cast("double")).as(s"__mn_${f.name}"),
+            max(c.cast("double")).as(s"__mx_${f.name}"))
+       else Nil)
+    }
+    val prof = df.agg(count(lit(1)).as("__n"), aggs.toSeq: _*)
+    val entries = array(fields.map { f =>
+      struct(lit(f.name).as("column"),
+        lit(f.dataType.simpleString).as("dtype"),
+        coalesce(col(s"__nn_${f.name}"), lit(0L)).as("n_null"),
+        coalesce(col(s"__nd_${f.name}"), lit(0L)).as("n_distinct"),
+        (if (isNum(f)) col(s"__mn_${f.name}")
+         else lit(null).cast("double")).as("min_num"),
+        (if (isNum(f)) col(s"__mx_${f.name}")
+         else lit(null).cast("double")).as("max_num"))
+    }.toSeq: _*)
+    prof.select(col("__n").as("n_rows"), explode(entries).as("m"))
+      .select(col("m.column").as("column"), col("m.dtype").as("dtype"),
+        col("n_rows"), col("m.n_null").as("n_null"),
+        col("m.n_distinct").as("n_distinct"),
+        col("m.min_num").as("min_num"), col("m.max_num").as("max_num"))
+  }
+
+  /** Snapshot-to-snapshot profile drift — the data-contract check a
+    * pipeline runs between yesterday's and today's version of a table
+    * before publishing (the Deequ/Great-Expectations "anomaly on
+    * metrics" shape, stated as one declarative report).
+    *
+    * Schema diff (added / removed / type_changed / common) comes from
+    * the frames' StructTypes — metadata, no scan. Distribution metrics
+    * come from one [[profileAll]] pass per side, full-outer-joined per
+    * column (column-count-sized frames). `drifted` flags a column when
+    *  - its status isn't `common`, or
+    *  - |null-rate delta| (1e-6 floor grid — the cross-engine formula)
+    *    exceeds `nullRateTol`, or
+    *  - the distinct-count ratio exceeds `distinctRatioTol` (one side
+    *    zero and the other not counts as drift).
+    * Numeric min/max before/after ride along as informational doubles
+    * (range drift is usually legitimate growth — flag policy belongs to
+    * the caller).
+    *
+    * Scale: two single-pass aggregates (with `exact = false`, both
+    * HLL-based and Expand-free) + a column-count-sized join. */
+  def profileDrift(before: DataFrame, after: DataFrame,
+                   nullRateTol: Double = 0.01,
+                   distinctRatioTol: Double = 2.0,
+                   exact: Boolean = false): DataFrame = {
+    val pb = profileAll(before, exact)
+    val pa = profileAll(after, exact)
+    def side(p: DataFrame, suffix: String): DataFrame =
+      p.select(col("column"),
+        col("dtype").as(s"type_$suffix"), col("n_rows").as(s"n_$suffix"),
+        col("n_null").as(s"n_null_$suffix"),
+        col("n_distinct").as(s"distinct_$suffix"),
+        col("min_num").as(s"min_$suffix"), col("max_num").as(s"max_$suffix"))
+    val j = side(pb, "before").join(side(pa, "after"), Seq("column"), "full_outer")
+    val status = when(col("type_before").isNull, lit("added"))
+      .when(col("type_after").isNull, lit("removed"))
+      .when(col("type_before") =!= col("type_after"), lit("type_changed"))
+      .otherwise(lit("common"))
+    def rate(nn: Column, n: Column): Column =
+      when(n === 0, 0.0).otherwise(nn.cast("double") / n.cast("double"))
+    val delta = when(col("type_before").isNotNull && col("type_after").isNotNull,
+      floor((rate(col("n_null_after"), col("n_after")) -
+        rate(col("n_null_before"), col("n_before"))) * 1e6 + lit(0.5)) / 1e6)
+    val lo = least(col("distinct_before"), col("distinct_after"))
+    val hi = greatest(col("distinct_before"), col("distinct_after"))
+    val ratioDrift = col("distinct_before").isNotNull &&
+      col("distinct_after").isNotNull &&
+      when(lo === 0, hi > 0)
+        .otherwise(hi.cast("double") > lo.cast("double") * distinctRatioTol)
+    // "column" is a reserved word downstream (DuckDB, several SQL
+    // dialects) — emit the report under a quote-free name
+    j.withColumn("status", status)
+      .withColumn("null_rate_delta", delta)
+      .withColumn("drifted", status =!= "common" ||
+        coalesce(abs(col("null_rate_delta")) > nullRateTol, lit(false)) ||
+        coalesce(ratioDrift, lit(false)))
+      .select(col("column").as("col_name"), col("status"), col("type_before"),
+        col("type_after"), col("n_before"), col("n_after"),
+        col("n_null_before"), col("n_null_after"), col("null_rate_delta"),
+        col("distinct_before"), col("distinct_after"),
+        col("min_before"), col("max_before"), col("min_after"),
+        col("max_after"), col("drifted"))
+  }
 }

@@ -332,4 +332,76 @@ class SketchesSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSet
     assert(got == want)
   }
+
+  // ---- profileDrift ------------------------------------------------------
+
+  private def driftMap(before: org.apache.spark.sql.DataFrame,
+                       after: org.apache.spark.sql.DataFrame) =
+    Sketches.profileDrift(before, after, exact = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+
+  test("profileDrift: schema changes are flagged with the right status") {
+    import spark.implicits._
+    val before = Seq((1L, "a", 1.0)).toDF("id", "gone", "num")
+    val after = Seq((1L, true, "1.0")).toDF("id", "fresh", "num")
+    val m = driftMap(before, after)
+    assert(m("gone").getString(1) == "removed" && m("gone").getBoolean(15))
+    assert(m("fresh").getString(1) == "added" && m("fresh").getBoolean(15))
+    assert(m("num").getString(1) == "type_changed" &&
+      m("num").getString(2) == "double" && m("num").getString(3) == "string" &&
+      m("num").getBoolean(15))
+    assert(m("id").getString(1) == "common" && !m("id").getBoolean(15))
+  }
+
+  test("profileDrift: null-rate drift fires over tolerance, not under") {
+    import spark.implicits._
+    val before = (1 to 100).map(i => Some(i)).toDF("v")
+    val afterSmall = (1 to 100).map(i => if (i == 1) None else Some(i)).toDF("v")
+    val afterBig = (1 to 100).map(i => if (i <= 70) None else Some(i)).toDF("v")
+    // 1% exactly is NOT > tol; 70% is — and the 1e-6 grid keeps both exact
+    assert(!driftMap(before, afterSmall)("v").getBoolean(15))
+    val hit = driftMap(before, afterBig)("v")
+    assert(hit.getBoolean(15) && hit.getDouble(8) == 0.7)
+  }
+
+  test("profileDrift: distinct-ratio drift, including the zero side") {
+    import spark.implicits._
+    val before = (1 to 100).map(i => i % 50).toDF("v")
+    val collapsed = (1 to 100).map(i => i % 10).toDF("v")
+    assert(driftMap(before, collapsed)("v").getBoolean(15))
+    val similar = (1 to 100).map(i => i % 40).toDF("v")
+    assert(!driftMap(before, similar)("v").getBoolean(15))
+    // all-null after: distinct 50 -> 0 is drift (and rate drift too)
+    val allNull = (1 to 100).map(_ => Option.empty[Int]).toDF("v")
+    assert(driftMap(before, allNull)("v").getBoolean(15))
+  }
+
+  test("profileDrift: numeric min/max ride along as doubles, strings stay null") {
+    import spark.implicits._
+    val before = Seq((1L, "x"), (9L, "y")).toDF("n", "s")
+    val after = Seq((3L, "z"), (12L, "w")).toDF("n", "s")
+    val m = driftMap(before, after)
+    assert(m("n").getDouble(11) == 1.0 && m("n").getDouble(12) == 9.0)
+    assert(m("n").getDouble(13) == 3.0 && m("n").getDouble(14) == 12.0)
+    assert(m("s").isNullAt(11) && m("s").isNullAt(14))
+  }
+
+  test("profileDrift: empty side yields zero rates, no division blowup") {
+    import spark.implicits._
+    val before = Seq((1L, "a")).toDF("id", "s")
+    val after = before.filter(col("id") < 0)
+    val m = driftMap(before, after)
+    assert(m("id").getLong(5) == 0L && m("id").getDouble(8) == -0.0 ||
+      m("id").getDouble(8) == 0.0)
+  }
+
+  test("profileDrift: approx path keeps the schema and statuses") {
+    import spark.implicits._
+    val before = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+    val after = before.drop("s").withColumn("t", lit(1))
+    val out = Sketches.profileDrift(before, after, exact = false)
+    assert(out.columns.toSeq == Sketches.profileDrift(before, after, exact = true).columns.toSeq)
+    val m = out.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m == Map("id" -> "common", "s" -> "removed", "t" -> "added"))
+  }
 }
