@@ -1031,6 +1031,20 @@ object SparkEntry {
       Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 10)
         .orderBy("qid", "rk")
     }),
+    "q_tag_keywords" -> ((s, dir) => {
+      // dictionary topic tagging (r12): two real tags whose term lists
+      // overlap the corpus vocabulary (minHits=2 so single-term docs
+      // don't tag), one never-matching tag (absent from the output), and
+      // a case/tokenizer-folding check on the dictionary side
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val dict = Seq(("perf", "Fast"), ("perf", "slow"), ("perf", "quick"),
+        ("storage", "table"), ("storage", "ROW"), ("storage", "column"),
+        ("ghost", "zzzqqq")).toDF("tag", "term")
+      TextAnalysis.tagKeywords(docs, "doc_id", "text", dict, "tag", "term",
+          minHits = 2)
+        .orderBy("doc_id", "tag")
+    }),
     "q_phrase_search" -> ((s, dir) => {
       // exact phrase search (r12): four literal phrases — a 3-gram, a
       // 2-gram through the tokenizer's case/punctuation folding, a
@@ -2960,6 +2974,16 @@ object SparkEntry {
     "q_bm25_indexed" ->
       // the indexed path scores IDENTICALLY — one oracle, two plans
       bm25OracleSql,
+    "q_tag_keywords" ->
+      // per-tag distinct-token intersection over the same [a-z0-9]+
+      // token lists; the dictionary folds to lowercase on both sides
+      ("WITH d AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "m AS (" +
+        "SELECT doc_id, 'perf' AS tag, CAST(len(list_intersect(t, ['fast', 'slow', 'quick'])) AS BIGINT) AS n_matched FROM d " +
+        "UNION ALL SELECT doc_id, 'storage', CAST(len(list_intersect(t, ['table', 'row', 'column'])) AS BIGINT) FROM d " +
+        "UNION ALL SELECT doc_id, 'ghost', CAST(len(list_intersect(t, ['zzzqqq'])) AS BIGINT) FROM d) " +
+        "SELECT doc_id, tag, n_matched FROM m WHERE n_matched >= 2 ORDER BY doc_id, tag"),
     "q_phrase_search" ->
       // positional scan over the SAME [a-z0-9]+ token lists: count
       // starting positions where every phrase token matches (overlaps

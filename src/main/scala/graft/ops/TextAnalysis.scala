@@ -228,4 +228,43 @@ object TextAnalysis {
     * [[scriptCounts]] once in a `withColumn` and pass the column instead. */
   def dominantScript(text: Column): Column =
     dominantScriptFromCounts(scriptCounts(text))
+
+  /** Dictionary-driven topic tagging — the taxonomy-labeling pass a
+    * curation run uses to slice a corpus by subject, route documents to
+    * domain pipelines, or enforce topic blocklists: a document gets tag
+    * `T` when at least `minHits` DISTINCT terms from `T`'s keyword list
+    * occur in it.
+    *
+    * Tokenization is [[Retrieval.terms]] (`[a-z0-9]+` over lowercase) and
+    * dictionary terms are folded through the same normalization, so
+    * matching is exact-token, case-insensitive, and consistent with the
+    * retrieval operators. Multi-word keywords belong in
+    * [[Retrieval.phraseSearch]] — this operator is deliberately
+    * bag-of-terms.
+    *
+    * Scale: one exploded distinct-token pass over the corpus (the
+    * [[Retrieval.termStats]] shape), an equi-join against the dictionary —
+    * model-sized dictionaries broadcast; a genuinely huge one (every
+    * Wikipedia title) falls back to a shuffle join on `term`, which AQE
+    * sizes — and ONE partial-aggregable `(doc, tag)` count. No window, no
+    * per-doc dictionary scan.
+    *
+    * Output: `(idCol, tagCol, n_matched)` for pairs with
+    * `n_matched >= minHits`. */
+  def tagKeywords(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String,
+                  dict: org.apache.spark.sql.DataFrame, tagCol: String,
+                  termCol: String, minHits: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(array_distinct(Retrieval.terms(col(textCol)))).as("term"))
+    val terms = dict
+      .select(col(tagCol), explode(Retrieval.terms(col(termCol))).as("term"))
+      .distinct()
+    toks.join(broadcast(terms), Seq("term"))
+      .groupBy(col(idCol), col(tagCol))
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= minHits)
+  }
 }

@@ -579,4 +579,29 @@ class OpsSpec extends SparkSuite {
     assert(tweaked.count(t => !base.contains(t)) == 1)
     assert(tweaked.filter(t => !base.contains(t)).head._1 == 0L) // 8 % 4
   }
+
+  test("tagKeywords: distinct-term hits per tag, minHits gate, folding both sides") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Fast cars go fast; slow cars go slow"), // fast+slow distinct=2
+      (2L, "only fast here"),                       // 1 < minHits
+      (3L, "TABLE row COLUMN table"),               // storage 3
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val dict = Seq(("perf", "FAST"), ("perf", "slow"), ("perf", "quick"),
+      ("storage", "table"), ("storage", "row"), ("storage", "column"))
+      .toDF("tag", "term")
+    val out = TextAnalysis.tagKeywords(docs, "doc_id", "text", dict, "tag",
+        "term", minHits = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, "perf") -> 2L, (3L, "storage") -> 3L))
+  }
+
+  test("tagKeywords: duplicate dictionary rows don't double-count; minHits=1 tags singles") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val dict = Seq(("t", "alpha"), ("t", "Alpha"), ("t", "ALPHA")).toDF("tag", "term")
+    val out = TextAnalysis.tagKeywords(docs, "doc_id", "text", dict, "tag", "term")
+      .collect()
+    assert(out.length == 1 && out(0).getLong(2) == 1L)
+  }
 }
