@@ -1031,6 +1031,23 @@ object SparkEntry {
       Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 10)
         .orderBy("qid", "rk")
     }),
+    "q_confusables" -> ((s, dir) => {
+      // homoglyph skeleton (r12): %2 docs get Cyrillic-а/Greek-ο
+      // laundering, %3 docs a fullwidth suffix; the skeleton must undo
+      // exactly the covered classes and the spoof flag must fire on
+      // precisely the rows whose text changed. The oracle's translate
+      // mapping is generated from Confusables.pairs — one source of truth.
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val corrupt = concat(
+        when(col("doc_id") % 2 === 0,
+          translate(col("text"), "ao", "аο")).otherwise(col("text")),
+        when(col("doc_id") % 3 === 0,
+          lit("　ｈｅｌｌｏ！")).otherwise(lit("")))
+      docs.select(col("doc_id"),
+          graft.ops.Confusables.skeleton(corrupt).as("skeleton"),
+          graft.ops.Confusables.isSpoofed(corrupt).as("spoofed"))
+        .orderBy("doc_id")
+    }),
     "q_tag_keywords" -> ((s, dir) => {
       // dictionary topic tagging (r12): two real tags whose term lists
       // overlap the corpus vocabulary (minHits=2 so single-term docs
@@ -2974,6 +2991,20 @@ object SparkEntry {
     "q_bm25_indexed" ->
       // the indexed path scores IDENTICALLY — one oracle, two plans
       bm25OracleSql,
+    "q_confusables" -> {
+      // identical unicode-aware translate, mapping strings generated
+      // from Confusables.pairs (apostrophe/backslash land in toChars via
+      // the fullwidth block — escape for the SQL literal)
+      def lit1(s: String) = "'" + s.replace("'", "''") + "'"
+      val from = lit1(graft.ops.Confusables.fromChars)
+      val to = lit1(graft.ops.Confusables.toChars)
+      "WITH d AS (SELECT doc_id, " +
+        "(CASE WHEN doc_id % 2 = 0 THEN translate(text, 'ao', 'аο') ELSE text END) || " +
+        "(CASE WHEN doc_id % 3 = 0 THEN '　ｈｅｌｌｏ！' ELSE '' END) AS t " +
+        "FROM documents WHERE text IS NOT NULL) " +
+        s"SELECT doc_id, translate(t, $from, $to) AS skeleton, " +
+        s"translate(t, $from, $to) <> t AS spoofed FROM d ORDER BY doc_id"
+    },
     "q_tag_keywords" ->
       // per-tag distinct-token intersection over the same [a-z0-9]+
       // token lists; the dictionary folds to lowercase on both sides
