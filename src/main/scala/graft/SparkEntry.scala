@@ -2014,6 +2014,14 @@ object SparkEntry {
       graft.ops.LmScore.collocations(T(s, dir, "documents"), "text",
         k = 40, minCount = 5L)
     }),
+    "q_kn_bigram" -> ((s, dir) => {
+      // interpolated Kneser–Ney bigram model (r12): top-150 bigrams,
+      // D = 0.75; context totals, successor/predecessor type counts and
+      // the type total all mirror as SQL aggregates, p_kn on the 1e-6
+      // grid after the identical double expression
+      graft.ops.LmScore.knBigramModel(T(s, dir, "documents"), "text",
+        k = 150)
+    }),
     "q_chunk" -> ((s, dir) => {
       // context-window segmentation: 32-token chunks with 8-token overlap
       // (stride 24) — map-only, no shuffle (plan-asserted in ChunkingSpec)
@@ -3975,6 +3983,20 @@ object SparkEntry {
         "FROM bi JOIN uni u1 ON bi.w1 = u1.token JOIN uni u2 ON bi.w2 = u2.token " +
         "CROSS JOIN ut CROSS JOIN bt " +
         "ORDER BY pmi DESC, bi.w1, bi.w2 LIMIT 40"),
+    "q_kn_bigram" ->
+      // KN mirror: max(n−D,0)/ctx + D·nsucc/ctx·(npred/types), the same
+      // operand order, then the 1e-6 floor and the (n, w1, w2) total order
+      ("WITH d AS (SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0) AS a " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "pos AS (SELECT unnest(generate_series(1, len(a) - 1)) AS i, a FROM d WHERE len(a) >= 2), " +
+        "bi AS (SELECT a[i] AS w1, a[i+1] AS w2, COUNT(*) AS n FROM pos GROUP BY 1, 2), " +
+        "tt AS (SELECT COUNT(*) AS t FROM bi), " +
+        "st AS (SELECT w1, w2, n, SUM(n) OVER (PARTITION BY w1) AS ctx, " +
+        "COUNT(*) OVER (PARTITION BY w1) AS nsucc, " +
+        "COUNT(*) OVER (PARTITION BY w2) AS npred FROM bi) " +
+        "SELECT w1, w2, n, floor((greatest(CAST(n AS DOUBLE) - 0.75, 0.0) / ctx " +
+        "+ 0.75 * CAST(nsucc AS DOUBLE) / ctx * (CAST(npred AS DOUBLE) / t)) * 1e6 + 0.5) / 1e6 AS p_kn " +
+        "FROM st CROSS JOIN tt ORDER BY n DESC, w1, w2 LIMIT 150"),
     "q_chunk" ->
       // stride 24 = 32 − 8; chunk count in exact integer arithmetic with
       // the clamped dividend (greatest 0) so // and div agree

@@ -222,6 +222,60 @@ object LmScore {
       .limit(k)
   }
 
+  /** Top-`k` interpolated Kneser–Ney bigram model (Kneser & Ney 1995;
+    * the Chen & Goodman 1998 interpolated form with one fixed discount) —
+    * the standard smoothing when a CALIBRATED probability is wanted
+    * (perplexity comparisons, mixture weighting), where [[bigramLogLikelihood]]'s
+    * stupid backoff only ranks:
+    * {{{
+    *   P_kn(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+    *               + D · N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+    * }}}
+    * with `N1+(w1·)` = distinct successors of `w1`, `N1+(·w2)` = distinct
+    * predecessors of `w2` (the continuation count — "how many contexts
+    * does w2 complete", the insight that makes KN beat Good-Turing on
+    * burst-prone corpora), `N1+(··)` = distinct bigram types.
+    *
+    * Every quantity is an aggregate of the bigram-count table: context
+    * totals and successor counts are windows over `w1`, predecessor
+    * counts a window over `w2` — all bounded by a word's distinct
+    * neighbor count (vocabulary-, never corpus-sized); the type total
+    * rides along as a broadcast single-row aggregate (lazy, no driver
+    * action). `p_kn` is floor-rounded to 1e-6 AFTER the fixed-shape
+    * double expression, so a SQL mirror reproduces it bitwise.
+    *
+    * Output: `(w1, w2, n, p_kn)`, top-`k` by `(n desc, w1, w2)`. Rows
+    * sum to ≤ 1 per context by construction (exactly 1 with k = ∞). */
+  def knBigramModel(df: DataFrame, textCol: String, k: Int,
+                    discount: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
+    val a = tokArray(textCol)
+    val bi = df.filter(col(textCol).isNotNull)
+      .select(a.as("__a"))
+      .filter(size(col("__a")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__a")) - 1),
+        i => struct(element_at(col("__a"), i).as("w1"),
+          element_at(col("__a"), i + 1).as("w2")))).as("__b"))
+      .select(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val types = broadcast(bi.agg(count(lit(1)).as("__tt")))
+    val withStats = bi
+      .withColumn("__ctx", sum(col("n")).over(Window.partitionBy(col("w1"))))
+      .withColumn("__nsucc", count(lit(1)).over(Window.partitionBy(col("w1"))))
+      .withColumn("__npred", count(lit(1)).over(Window.partitionBy(col("w2"))))
+      .crossJoin(types)
+    val d = lit(discount)
+    val p = greatest(col("n").cast("double") - d, lit(0.0)) / col("__ctx") +
+      d * col("__nsucc").cast("double") / col("__ctx") *
+        (col("__npred").cast("double") / col("__tt"))
+    withStats
+      .withColumn("p_kn", floor(p * 1e6 + lit(0.5)) / 1e6)
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("n"), col("p_kn"))
+  }
+
   /** Per-document mean token log-probability under a bigram model with
     * STUPID BACKOFF (Brants et al., "Large Language Models in Machine
     * Translation", EMNLP'07 — the smoothing designed FOR distributed

@@ -214,4 +214,55 @@ class LmScoreSpec extends SparkSuite {
     assert(one.getAs[Double]("kl_pq") == many.getAs[Double]("kl_pq"))
     assert(one.getAs[Double]("js") == many.getAs[Double]("js"))
   }
+
+  test("knBigramModel: hand-computed interpolated KN on a tiny corpus") {
+    import spark.implicits._
+    // corpus "a b a b a c" → bigrams: (a,b)×2, (b,a)×2, (a,c)×1
+    // ctx(a)=3, ctx(b)=2; nsucc(a)=2, nsucc(b)=1; npred(a)=1, npred(b)=1,
+    // npred(c)=1; types=3; D=0.75
+    val df = Seq("a b a b a c").toDF("text")
+    val m = LmScore.knBigramModel(df, "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    def kn(n: Long, ctx: Long, nsucc: Long, npred: Long) =
+      math.floor((math.max(n - 0.75, 0.0) / ctx +
+        0.75 * nsucc.toDouble / ctx * (npred.toDouble / 3.0)) * 1e6 + 0.5) / 1e6
+    assert(m(("a", "b")) == ((2L, kn(2, 3, 2, 1))))
+    assert(m(("b", "a")) == ((2L, kn(2, 2, 1, 1))))
+    assert(m(("a", "c")) == ((1L, kn(1, 3, 2, 1))))
+    assert(m.size == 3)
+  }
+
+  test("knBigramModel: observed + reserved-for-unseen mass is 1 per context") {
+    // interpolated KN normalizes over the FULL vocabulary: the observed
+    // rows sum to 1 − λ(w1)·(1 − Σ_seen P_cont), with λ(w1) = D·N1+(w1·)/c(w1·)
+    // covering every unseen successor — verify the identity numerically
+    import spark.implicits._
+    val df = Seq("x y x z x y y z", "z x y q").toDF("text")
+    val d = 0.5
+    val toks = "x y x z x y y z".split(" ") ++ Array("§") ++ "z x y q".split(" ")
+    val bigrams = Seq("x y x z x y y z".split(" "), "z x y q".split(" "))
+      .flatMap(a => a.sliding(2).map(p => (p(0), p(1))).toSeq)
+    val counts = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val types = counts.size.toDouble
+    val ctx = counts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nsucc = counts.groupBy(_._1._1).view.mapValues(_.size).toMap
+    val npred = counts.groupBy(_._1._2).view.mapValues(_.size).toMap
+    val model = LmScore.knBigramModel(df, "text", k = 1000, discount = d)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    for (w1 <- ctx.keys) {
+      val seen = counts.keys.filter(_._1 == w1).map(_._2).toSeq
+      val observedSum = seen.map(w2 => model((w1, w2))).sum
+      val lambda = d * nsucc(w1) / ctx(w1)
+      val seenCont = seen.map(w2 => npred(w2) / types).sum
+      assert(math.abs(observedSum + lambda * (1.0 - seenCont) - 1.0) < 1e-4,
+        s"context $w1")
+    }
+  }
+
+  test("knBigramModel: discount and k validated") {
+    import spark.implicits._
+    val df = Seq("a b").toDF("text")
+    intercept[IllegalArgumentException](LmScore.knBigramModel(df, "text", 0))
+    intercept[IllegalArgumentException](LmScore.knBigramModel(df, "text", 5, discount = 1.0))
+  }
 }
