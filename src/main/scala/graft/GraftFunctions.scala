@@ -43,7 +43,8 @@ object GraftFunctions {
       Seq(ArrayType(IntegerType), ArrayType(IntegerType))),
     ("robots_match", BooleanType, "robotsMatch", Seq(StringType, StringType)),
     ("latin1_misdecode", StringType, "latin1Misdecode", Seq(StringType)),
-    ("fix_mojibake", StringType, "fixMojibake", Seq(StringType, IntegerType)))
+    ("fix_mojibake", StringType, "fixMojibake", Seq(StringType, IntegerType)),
+    ("deflate_ratio", DoubleType, "deflateRatio", Seq(StringType, IntegerType)))
 
   def builder(dt: DataType, kernel: String,
               paramTypes: Seq[DataType]): Seq[Expression] => Expression =

@@ -4047,6 +4047,16 @@ object SparkEntry {
     * `queries` alone — these rows are covered by ScalaTest instead
     * (MultimodalSpec, LayoutSpec, OpsSpec). */
   def benchExtra: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b_deflate_ratio" -> ((s, dir) => {
+      // compression-ratio quality gate under timing: whole-corpus deflate
+      // (level 6) + the standard keep-band filter. No SQL engine can
+      // replay deflate, so correctness lives in KernelPropsSpec's
+      // invariants; this row keeps the wall-clock series
+      T(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.expressions.native.deflateRatio(col("text")).as("ratio"))
+        .filter(col("ratio") >= 0.25 && col("ratio") <= 0.95)
+    }),
     "b_dedup_ngram_full" -> ((s, dir) => {
       // full-corpus char-shingle LSH — the former q_dedup_ngram body; its
       // correctness home is now the oracle-checked q_ngram_jaccard clamp,

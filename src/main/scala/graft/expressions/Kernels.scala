@@ -754,6 +754,32 @@ object Kernels {
     if (changed) UTF8String.fromString(cur) else s
   }
 
+  /** Deflate compression ratio of the text's UTF-8 bytes — the
+    * information-density quality signal the public curation stacks ship
+    * (Dolma/RedPajama-class rules drop documents whose text compresses
+    * too well: boilerplate, keyword stuffing, generated spam — and too
+    * poorly: binary junk in a text field). Raw deflate (nowrap, fixed
+    * `level`, default strategy) over one whole-string pass; ratio =
+    * compressed/raw bytes, empty → 1.0. Deterministic for a given input
+    * and level on a given zlib build (java.util.zip everywhere this
+    * library runs); cross-ENGINE replay is not claimed — no SQL oracle
+    * exists, so its correctness home is the spec's invariants
+    * (repetitive ≪ high-entropy, determinism, bounds) — the
+    * [[Multimodal]] audio/image precedent. */
+  def deflateRatio(s: UTF8String, level: Int): Double = {
+    val bytes = s.getBytes
+    if (bytes.length == 0) return 1.0
+    val d = new java.util.zip.Deflater(level, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / bytes.length
+    } finally d.end()
+  }
+
   /** One repair pass; null = "not mojibake, leave alone". */
   private def mojibakeRepairOnce(t: String): String = {
     val n = t.length

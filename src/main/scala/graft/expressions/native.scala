@@ -69,6 +69,10 @@ object native {
     invoke(StringType, "fixMojibake", Seq(e(c), Literal(passes)),
       Seq(StringType, IntegerType))
 
+  def deflateRatio(c: Column, level: Int = 6): Column =
+    invoke(DoubleType, "deflateRatio", Seq(e(c), Literal(level)),
+      Seq(StringType, IntegerType))
+
   def robotsMatch(path: Column, pattern: Column): Column =
     invoke(BooleanType, "robotsMatch", Seq(e(path), e(pattern)),
       Seq(StringType, StringType))

@@ -184,4 +184,25 @@ class KernelPropsSpec extends AnyFunSuite {
       Kernels.fixMojibake(u(corrupt(s)), 1).toString == s
     })
   }
+
+  test("deflateRatio: repetition compresses, entropy doesn't, bounds hold") {
+    def r(s: String) = Kernels.deflateRatio(u(s), 6)
+    val boiler = "click here to subscribe now! " * 200
+    // deterministic pseudo-noise: splitmix over printable ASCII
+    var x = 0x9E3779B97F4A7C15L
+    val noise = (0 until 5000).map { _ =>
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      (33 + ((x >>> 40) % 94)).toChar
+    }.mkString
+    assert(r(boiler) < 0.05, s"boilerplate ratio ${r(boiler)}")
+    assert(r(noise) > 0.5, s"noise ratio ${r(noise)}")
+    assert(r("") == 1.0)
+    // determinism and positivity on arbitrary unicode
+    check(Prop.forAll(unicodeStr) { s =>
+      val a = Kernels.deflateRatio(u(s), 6)
+      a == Kernels.deflateRatio(u(s), 6) && a > 0.0
+    })
+    // higher level never compresses worse on the repetitive input
+    assert(Kernels.deflateRatio(u(boiler), 9) <= Kernels.deflateRatio(u(boiler), 1))
+  }
 }
