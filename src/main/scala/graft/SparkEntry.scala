@@ -1282,6 +1282,45 @@ object SparkEntry {
         .select(col("img_id"), col("dhash"))
         .orderBy("img_id")
     }),
+    "q_audio_features" -> ((s, dir) => {
+      // ORACLE-CHECKED real audio decode (r12, the q_image_dhash pattern
+      // for the WAV path): 16-bit PCM fixtures whose windowed RMS/ZCR are
+      // CLOSED-FORM in exactly-representable floats — a ±16384 square
+      // wave (mono = ±0.5 exactly; per 65-sample window rms = √0.25 =
+      // 0.5, 12 sign changes / 64 = 0.1875), a DC clip (rms 0.5, zcr 0),
+      // a STEREO clip with opposite channels (mono mix = 0 exactly →
+      // rms 0, zcr 0 — pins the channel mixer), and an undecodable
+      // payload pinning the null contract.
+      import s.implicits._
+      def wav(samples: Array[Short], channels: Int): Array[Byte] = {
+        val dataLen = samples.length * 2
+        val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(channels.toShort).putInt(8000)
+          .putInt(8000 * 2 * channels).putShort((2 * channels).toShort)
+          .putShort(16)
+          .put("data".getBytes("US-ASCII")).putInt(dataLen)
+        samples.foreach(bb.putShort)
+        bb.array()
+      }
+      val sq = Array.tabulate(130)(i =>
+        if (i % 10 < 5) 16384.toShort else (-16384).toShort)
+      val dc = Array.fill(130)(16384.toShort)
+      val stereo = Array.tabulate(260)(i =>
+        if (i % 2 == 0) 16384.toShort else (-16384).toShort)
+      val df = Seq((0L, wav(sq, 1)), (1L, wav(dc, 1)), (2L, wav(stereo, 2)),
+        (3L, Array[Byte](1, 2, 3))).toDF("clip_id", "payload")
+      graft.ops.Multimodal.audioFeatures(df, "payload", windows = 2)
+        .select(col("clip_id"),
+          element_at(col("features"), 1).as("rms_1"),
+          element_at(col("features"), 2).as("zcr_1"),
+          element_at(col("features"), 3).as("rms_2"),
+          element_at(col("features"), 4).as("zcr_2"))
+        .orderBy("clip_id")
+    }),
     "q_rollup" -> ((s, dir) => {
       // grouping-sets subtotals: (priority, status), (priority), ()
       T(s, dir, "orders")
@@ -3347,6 +3386,15 @@ object SparkEntry {
         "(CAST(1 AS BIGINT), CAST(2396553285575643152 AS BIGINT)), " +
         "(CAST(2 AS BIGINT), CAST(NULL AS BIGINT))) AS t(img_id, dhash) " +
         "ORDER BY img_id"),
+    "q_audio_features" ->
+      // closed-form expectations (see the query's comment): every value
+      // is an exactly-representable float, so literals suffice
+      ("SELECT * FROM (VALUES " +
+        "(CAST(0 AS BIGINT), CAST(0.5 AS FLOAT), CAST(0.1875 AS FLOAT), CAST(0.5 AS FLOAT), CAST(0.1875 AS FLOAT)), " +
+        "(CAST(1 AS BIGINT), CAST(0.5 AS FLOAT), CAST(0.0 AS FLOAT), CAST(0.5 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "(CAST(2 AS BIGINT), CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "(CAST(3 AS BIGINT), CAST(NULL AS FLOAT), CAST(NULL AS FLOAT), CAST(NULL AS FLOAT), CAST(NULL AS FLOAT))" +
+        ") AS t(clip_id, rms_1, zcr_1, rms_2, zcr_2) ORDER BY clip_id"),
     "q_rollup" ->
       ("SELECT o_orderpriority, o_orderstatus, count(*) AS n, " +
         "CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid " +
