@@ -1350,6 +1350,24 @@ object SparkEntry {
         .orderBy(col("event_id").asc_nulls_first, col("user_id").asc_nulls_first,
           col("event_type").asc_nulls_first)
     }),
+    "q_schema_evolution" -> ((s, dir) => {
+      // schema-evolution merge read (r12): generation 1 wrote only
+      // (event_id, user_id); generation 2 added event_type and value. A
+      // mergeSchema read must union both generations under the evolved
+      // schema with nulls backfilled for gen-1 rows — the
+      // append-new-columns contract every long-lived dataset depends on.
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_schema_evo").getAbsolutePath
+      val ev = T(s, dir, "events")
+      ev.select(col("event_id"), col("user_id"))
+        .coalesce(2).write.mode("overwrite").parquet(tmp + "/g1")
+      ev.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .coalesce(2).write.mode("overwrite").parquet(tmp + "/g2")
+      s.read.option("mergeSchema", "true").parquet(tmp + "/g1", tmp + "/g2")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id").asc_nulls_first, col("user_id").asc_nulls_first,
+          col("event_type").asc_nulls_first, col("value").asc_nulls_first)
+    }),
     "q_csv_roundtrip" -> ((s, dir) => {
       // CSV validated-source roundtrip (r12 — the csv reader's oracle
       // twin of q_jsonl_roundtrip): events → headerless CSV + a planted
@@ -3410,6 +3428,14 @@ object SparkEntry {
       // planted type-malformed shard quarantines wholesale
       ("SELECT event_id, user_id, event_type FROM events " +
         "ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, event_type NULLS FIRST"),
+    "q_schema_evolution" ->
+      // gen-1 rows resurface with nulls in the added columns; gen-2 rows
+      // carry their values — the union, under one total order
+      ("SELECT event_id, user_id, CAST(NULL AS VARCHAR) AS event_type, " +
+        "CAST(NULL AS DOUBLE) AS value FROM events " +
+        "UNION ALL SELECT event_id, user_id, event_type, value FROM events " +
+        "ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, " +
+        "event_type NULLS FIRST, value NULLS FIRST"),
     "q_fk_orphans" ->
       ("SELECT l_orderkey, l_linenumber FROM (" +
         "SELECT CASE WHEN l_orderkey % 97 = 0 THEN l_orderkey + 1000000000 " +
