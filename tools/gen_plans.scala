@@ -45,7 +45,10 @@ for (name <- Seq("flagship_valid_split", "q_required", "q_min", "q_topk_similar"
     "q_budget_per_lang", "q_release_e2e", "q_rollup_refresh",
     "q_bm25_indexed", "q_wap_publish", "q_hamming_pairs",
     "q_corr_matrix", "q_retention", "q_transitions", "q_mojibake",
-    "q_readability", "q_gini")) {
+    "q_readability", "q_gini",
+    "q_pii_redact", "q_mapper_variant", "q_phrase_search", "q_tag_keywords",
+    "q_entity_resolution", "q_profile_drift", "q_confusables",
+    "q_kn_bigram", "q_stream_keystats")) {
   val df = if (name == "flagship_valid_split") flagship
            else graft.SparkEntry.queries(name)(spark, dir)
   out.println()
