@@ -1350,6 +1350,22 @@ object SparkEntry {
         .orderBy(col("event_id").asc_nulls_first, col("user_id").asc_nulls_first,
           col("event_type").asc_nulls_first)
     }),
+    "q_orc_roundtrip" -> ((s, dir) => {
+      // ORC roundtrip (r12): the second columnar format Spark ships
+      // natively — write events as ORC, read back through the same
+      // Required validation the parquet path gets, equality with the
+      // original. (No planted-corruption variant: ORC's PERMISSIVE
+      // corrupt-record column does not exist — a torn ORC file fails at
+      // the stripe level, which is the format's own integrity story.)
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_orc_roundtrip").getAbsolutePath
+      T(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .coalesce(2).write.mode("overwrite").orc(tmp)
+      Validate(s.read.orc(tmp), "event_type" -> F.Optional("unknown")).valid
+        .orderBy(col("event_id").asc_nulls_first, col("user_id").asc_nulls_first,
+          col("event_type").asc_nulls_first, col("value").asc_nulls_first)
+    }),
     "q_schema_evolution" -> ((s, dir) => {
       // schema-evolution merge read (r12): generation 1 wrote only
       // (event_id, user_id); generation 2 added event_type and value. A
@@ -3428,6 +3444,12 @@ object SparkEntry {
       // planted type-malformed shard quarantines wholesale
       ("SELECT event_id, user_id, event_type FROM events " +
         "ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, event_type NULLS FIRST"),
+    "q_orc_roundtrip" ->
+      // all four field types roundtrip ORC exactly; Optional fills null
+      // event_type with the default
+      ("SELECT event_id, user_id, coalesce(event_type, 'unknown') AS event_type, value " +
+        "FROM events ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, " +
+        "event_type NULLS FIRST, value NULLS FIRST"),
     "q_schema_evolution" ->
       // gen-1 rows resurface with nulls in the added columns; gen-2 rows
       // carry their values — the union, under one total order
