@@ -557,26 +557,29 @@ object Sketches {
     val fields = df.schema.fields
     def isNum(f: org.apache.spark.sql.types.StructField) =
       f.dataType.isInstanceOf[NumericType]
-    val aggs = fields.flatMap { f =>
+    // aliases index by POSITION, not by embedding f.name: a source
+    // column named "a.b" (legal in parquet) would make a name-derived
+    // alias unresolvable without backtick discipline at every reference
+    val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
       val c = col(s"`${f.name}`")
       Seq(
-        sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nn_${f.name}"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nn_$i"),
         (if (exact) count_distinct(c)
-         else approx_count_distinct(c)).as(s"__nd_${f.name}")) ++
+         else approx_count_distinct(c)).as(s"__nd_$i")) ++
       (if (isNum(f))
-        Seq(min(c.cast("double")).as(s"__mn_${f.name}"),
-            max(c.cast("double")).as(s"__mx_${f.name}"))
+        Seq(min(c.cast("double")).as(s"__mn_$i"),
+            max(c.cast("double")).as(s"__mx_$i"))
        else Nil)
     }
     val prof = df.agg(count(lit(1)).as("__n"), aggs.toSeq: _*)
-    val entries = array(fields.map { f =>
+    val entries = array(fields.zipWithIndex.map { case (f, i) =>
       struct(lit(f.name).as("column"),
         lit(f.dataType.simpleString).as("dtype"),
-        coalesce(col(s"__nn_${f.name}"), lit(0L)).as("n_null"),
-        coalesce(col(s"__nd_${f.name}"), lit(0L)).as("n_distinct"),
-        (if (isNum(f)) col(s"__mn_${f.name}")
+        coalesce(col(s"__nn_$i"), lit(0L)).as("n_null"),
+        coalesce(col(s"__nd_$i"), lit(0L)).as("n_distinct"),
+        (if (isNum(f)) col(s"__mn_$i")
          else lit(null).cast("double")).as("min_num"),
-        (if (isNum(f)) col(s"__mx_${f.name}")
+        (if (isNum(f)) col(s"__mx_$i")
          else lit(null).cast("double")).as("max_num"))
     }.toSeq: _*)
     prof.select(col("__n").as("n_rows"), explode(entries).as("m"))

@@ -395,6 +395,17 @@ class SketchesSpec extends SparkSuite {
       m("id").getDouble(8) == 0.0)
   }
 
+  test("profileDrift: dotted column names survive (aliases index by position)") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(StructField("a.b", LongType), StructField("c", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "x"), Row(2L, null)), 1), schema)
+    val m = driftMap(df, df)
+    assert(m("a.b").getString(1) == "common" && m("a.b").getLong(10) == 2L)
+    assert(m("c").getLong(7) == 1L && !m("c").getBoolean(15))
+  }
+
   test("profileDrift: approx path keeps the schema and statuses") {
     import spark.implicits._
     val before = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "s")
