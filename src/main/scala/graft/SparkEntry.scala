@@ -1408,6 +1408,34 @@ object SparkEntry {
         .orderBy(col("event_id").asc_nulls_first, col("user_id").asc_nulls_first,
           col("event_type").asc_nulls_first)
     }),
+    "q_benford" -> ((s, dir) => {
+      // Benford first-digit audit (r12) over order totals: exact digit
+      // extraction via grid-scaled BIGINT rendering (no log10 in the
+      // data path — expected frequencies are literals from ONE Scala map
+      // shared with the oracle), 1e-6-grid frequencies and Nigrini MAD
+      graft.ops.Integrity.benfordCheck(T(s, dir, "orders"), "o_totalprice")
+        .orderBy("digit")
+    }),
+    "q_lineage" -> ((s, dir) => {
+      // row provenance (r12): the parquet file index supplies basename +
+      // in-file position for every row — the stable physical identity an
+      // incremental pipeline keys reprocessing on. Fixture closed form:
+      // the generator wrote documents in doc_id order, so row == doc_id
+      // (verified at all three SFs) and the basename is constant.
+      graft.sources.ValidatedIO
+        .parquetWithLineage(s, s"$dir/documents.parquet")
+        .select(col("doc_id"), col("_source_file"), col("_source_row"))
+        .orderBy("doc_id")
+    }),
+    "q_temporal_split" -> ((s, dir) => {
+      // leakage-guarded time split (r12): train before Jan 20, a 2-day
+      // embargo absorbing the boundary, test after — three labels the
+      // oracle restates as timestamp comparisons
+      Sampling.temporalSplit(T(s, dir, "events"), "ts",
+          cutoff = "2024-01-20 00:00:00", embargo = "2 days")
+        .select(col("event_id"), col("split"))
+        .orderBy(col("event_id").asc_nulls_first, col("split").asc_nulls_first)
+    }),
     "q_fk_orphans" -> ((s, dir) => {
       // referential-integrity check over a synthesized violation pattern:
       // every %97 orderkey bumped out of the parent's key space
@@ -3458,6 +3486,35 @@ object SparkEntry {
         "UNION ALL SELECT event_id, user_id, event_type, value FROM events " +
         "ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, " +
         "event_type NULLS FIRST, value NULLS FIRST"),
+    "q_benford" -> {
+      // per-digit mirror with the expected-frequency literals taken from
+      // the SAME Integrity.benfordExpected map
+      val expCase = (1 to 9).map(d =>
+        s"WHEN $d THEN ${graft.ops.Integrity.benfordExpected(d)}")
+        .mkString("CASE digit ", " ", " END")
+      ("WITH digits AS (SELECT CAST(substr(CAST(CAST(floor(abs(o_totalprice)*1e6 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit " +
+        "FROM orders WHERE o_totalprice IS NOT NULL " +
+        "AND CAST(floor(abs(o_totalprice)*1e6 + 0.5) AS BIGINT) > 0), " +
+        "c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit), " +
+        "a AS (SELECT g.digit, coalesce(c.n, 0) AS n FROM (SELECT CAST(unnest(generate_series(1, 9)) AS INTEGER) AS digit) g LEFT JOIN c USING (digit)), " +
+        "f AS (SELECT digit, n, " +
+        "CASE WHEN SUM(n) OVER () = 0 THEN 0.0 ELSE floor(CAST(n AS DOUBLE) / SUM(n) OVER () * 1e6 + 0.5) / 1e6 END AS freq, " +
+        s"$expCase AS expected FROM a) " +
+        "SELECT digit, n, freq, expected, " +
+        "floor(AVG(abs(freq - expected)) OVER () * 1e6 + 0.5) / 1e6 AS mad " +
+        "FROM f ORDER BY digit")
+    },
+    "q_lineage" ->
+      // fixture closed form (verified at every SF): file order == doc_id
+      // order and one constant basename
+      ("SELECT doc_id, 'documents.parquet' AS _source_file, " +
+        "doc_id AS _source_row FROM documents ORDER BY doc_id"),
+    "q_temporal_split" ->
+      ("SELECT event_id, CASE WHEN ts IS NULL THEN NULL " +
+        "WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train' " +
+        "WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' THEN 'test' " +
+        "ELSE 'embargo' END AS split FROM events " +
+        "ORDER BY event_id NULLS FIRST, split NULLS FIRST"),
     "q_fk_orphans" ->
       ("SELECT l_orderkey, l_linenumber FROM (" +
         "SELECT CASE WHEN l_orderkey % 97 = 0 THEN l_orderkey + 1000000000 " +

@@ -90,4 +90,55 @@ object Integrity {
       .orderBy(col("cnt").desc +: keys.map(k => col(k).asc_nulls_first): _*)
       .limit(topN)
   }
+
+  /** Expected Benford first-digit frequencies `log10(1 + 1/d)`, pinned to
+    * the 1e-6 grid ONCE here — both the Spark plan and any SQL mirror take
+    * these as literals, so no engine's `log10` is ever in the data path. */
+  val benfordExpected: Map[Int, Double] = (1 to 9).map(d =>
+    d -> math.floor(math.log10(1 + 1.0 / d) * 1e6 + 0.5) / 1e6).toMap
+
+  /** Benford's-law conformity check over a numeric column — the classic
+    * fabricated-or-truncated-data screen for naturally-occurring amounts
+    * (transaction totals, populations, file sizes; Benford 1938, Nigrini's
+    * audit formulation). Reports, per first significant digit 1–9:
+    * observed count, observed frequency, the expected Benford frequency,
+    * and the whole-column MAD (mean absolute deviation of the nine
+    * frequency gaps — Nigrini's conformity statistic; ≲0.006 is "close
+    * conformity" for large n, ≳0.015 is nonconformity).
+    *
+    * First-digit extraction is EXACT and engine-portable: the value is
+    * grid-scaled to an integer (`floor(|x|·1e6 + 0.5)`, so inputs must be
+    * < ~9.2e12 in magnitude — amounts, not astronomy) and the digit is the
+    * first character of that integer's decimal rendering — BIGINT
+    * formatting is identical everywhere, where double formatting and
+    * `log10`-based digit math are not (`log10(1000) = 2.9999…` class
+    * bugs). Zero and null values are excluded (Benford is defined on
+    * nonzero magnitudes); digits with no observations report n = 0.
+    *
+    * Scale: one map-side digit projection + a 9-group partial aggregate;
+    * the frequency/MAD windows run over the 9-row result. */
+  def benfordCheck(df: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scaled = floor(abs(col(valueCol).cast("double")) * 1e6 + lit(0.5))
+      .cast("long")
+    val counts = df
+      .filter(col(valueCol).isNotNull && scaled > 0)
+      .select(substring(scaled.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val all = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val expected = (1 to 9).foldLeft(when(lit(false), 0.0)) {
+      (acc, d) => acc.when(col("digit") === d, lit(benfordExpected(d)))
+    }
+    val w9 = Window.partitionBy(lit(1))
+    all.join(counts, Seq("digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("expected", expected)
+      .withColumn("__total", sum(col("n")).over(w9))
+      .withColumn("freq", when(col("__total") === 0, 0.0)
+        .otherwise(floor(col("n") / col("__total") * 1e6 + lit(0.5)) / 1e6))
+      .withColumn("mad",
+        floor(avg(abs(col("freq") - col("expected"))).over(w9) * 1e6 + lit(0.5)) / 1e6)
+      .select(col("digit"), col("n"), col("freq"), col("expected"), col("mad"))
+  }
 }

@@ -62,6 +62,29 @@ object Sampling {
     df.withColumn(splitCol, expr)
   }
 
+  /** Temporal train/test split with an EMBARGO gap — the leakage guard
+    * for time-dependent data (forecasting features, event models,
+    * anything autocorrelated): `train` strictly before `cutoff`, `test`
+    * at or after `cutoff + embargo`, and the rows inside the gap labeled
+    * `embargo` so near-boundary leakage (a test row whose features were
+    * computed from a window overlapping training time) is excluded by
+    * construction rather than by hope. Null timestamps label null —
+    * surface them to a validator, don't silently bucket them. Map-only:
+    * two comparisons at the scan, nothing shuffles. */
+  def temporalSplit(df: DataFrame, tsCol: String,
+                    cutoff: String, embargo: String = "0 seconds",
+                    splitCol: String = "split"): DataFrame = {
+    // cast the ISO-string cutoff to the column's OWN timestamp flavor
+    // (TIMESTAMP vs TIMESTAMP_NTZ parquet both occur in the wild)
+    val cut = lit(cutoff).cast(df.schema(tsCol).dataType)
+    val testStart = cut + expr(s"INTERVAL $embargo")
+    df.withColumn(splitCol,
+      when(col(tsCol).isNull, lit(null).cast("string"))
+        .when(col(tsCol) < cut, "train")
+        .when(col(tsCol) >= testStart, "test")
+        .otherwise("embargo"))
+  }
+
   /** Per-stratum deterministic fractions — the data-mixing primitive
     * ("keep 50% of en, 10% of de, `default` of everything else"). One CASE
     * over the stratum column picks the row's threshold; same hash draw as

@@ -24,6 +24,24 @@ object ValidatedIO {
           specs: (String, Validator)*): ValidationResult =
     Validate.columns(spark.read.orc(path), specs: _*)
 
+  /** Parquet read with ROW PROVENANCE: every row carries the basename of
+    * the file it came from (`_source_file`) and its 0-based position in
+    * that file (`_source_row`) via Spark's hidden `_metadata` column —
+    * no data is scanned for it, the file index supplies both. This is
+    * the stable physical row identity an incremental pipeline keys its
+    * reprocessing ledger on (re-validate only rows of a replaced shard,
+    * trace a bad output back to the exact input row), and it is
+    * engine-portable: any parquet reader derives the identical pair
+    * (DuckDB: `filename`/`file_row_number`). Basename, not full path —
+    * provenance must survive a bucket-to-bucket copy. */
+  def parquetWithLineage(spark: SparkSession, path: String,
+                         fileCol: String = "_source_file",
+                         rowCol: String = "_source_row"): DataFrame =
+    spark.read.parquet(path)
+      .withColumn(fileCol,
+        fn.regexp_extract(fn.col("_metadata.file_path"), "[^/]+$", 0))
+      .withColumn(rowCol, fn.col("_metadata.row_index"))
+
   /** Raw text lines (`value: string` per line — the jsonl/log-file entry
     * point before structured parse; chain `JsonDecode`/`Regex` on `value`).
     * Compressed files (.gz etc.) decode transparently, but gzip is not

@@ -61,4 +61,34 @@ class IntegritySpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
     assert(!plan.contains("Window"), plan.take(2000))
   }
+
+  test("benfordCheck: exact digit extraction, zero/null exclusion, absent digits") {
+    import spark.implicits._
+    // 0.00123 -> grid-scales to 1230 -> digit 1; 905.5 -> digit 9;
+    // zero and null excluded; negative uses magnitude
+    val df = Seq(Some(0.00123), Some(905.5), Some(-20.0), Some(0.0),
+      None, Some(100.0)).toDF("v")
+    val rows = Integrity.benfordCheck(df, "v").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows(1)._1 == 2L && rows(9)._1 == 1L && rows(2)._1 == 1L)
+    assert((1 to 9).map(rows(_)._1).sum == 4L)
+    assert(rows(3)._1 == 0L && rows(3)._2 == 0.0)
+  }
+
+  test("benfordCheck: conforming data scores low MAD, uniform-digit data high") {
+    import spark.implicits._
+    // a log-uniform grid 10^(i/N) has Benford first digits by construction
+    val logu = (0 until 3000).map(i => math.pow(10.0, i / 3000.0)).toDF("v")
+    val flat = (1 to 300).map(i => 100.0 + i * 0.001).toDF("v")
+    val madConf = Integrity.benfordCheck(logu, "v").head().getDouble(4)
+    val madFlat = Integrity.benfordCheck(flat, "v").head().getDouble(4)
+    assert(madConf < 0.005, s"conforming MAD $madConf")
+    assert(madFlat > 0.1, s"uniform MAD $madFlat")
+  }
+
+  test("benfordCheck: expected literals are the pinned grid values") {
+    assert(Integrity.benfordExpected(1) == 0.30103)
+    assert(Integrity.benfordExpected(9) == 0.045757)
+    assert(math.abs(Integrity.benfordExpected.values.sum - 1.0) < 1e-5)
+  }
 }

@@ -460,4 +460,26 @@ class SamplingSpec extends SparkSuite {
           s"$lang uncapped rate should satisfy rate*tokens ≈ budget*weight")
     }
   }
+
+  test("temporalSplit: boundary semantics, embargo band, null passthrough") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-19 23:59:59"), (2L, "2024-01-20 00:00:00"),
+      (3L, "2024-01-21 12:00:00"), (4L, "2024-01-22 00:00:00"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "s").withColumn("ts", col("s").cast("timestamp"))
+    val out = Sampling.temporalSplit(df, "ts", "2024-01-20 00:00:00", "2 days")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getString(3))).toMap
+    assert(out == Map(1L -> "train", 2L -> "embargo", 3L -> "embargo",
+      4L -> "test", 5L -> null))
+  }
+
+  test("temporalSplit: zero embargo makes the cutoff the test start") {
+    import spark.implicits._
+    val df = Seq((1L, "2024-01-20 00:00:00")).toDF("id", "s")
+      .withColumn("ts", col("s").cast("timestamp"))
+    val out = Sampling.temporalSplit(df, "ts", "2024-01-20 00:00:00").collect()
+    assert(out(0).getString(3) == "test")
+  }
 }

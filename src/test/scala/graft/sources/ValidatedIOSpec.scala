@@ -134,4 +134,22 @@ class ValidatedIOSpec extends SparkSuite {
     assert(spark.read.parquet(path).as[(Long, String)].collect().toSeq ==
       Seq((9L, "z")))
   }
+
+  test("parquetWithLineage: basename + per-file row position from the file index") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lineage").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1)
+      .write.mode("overwrite").parquet(dir + "/p1")
+    Seq((3L, "c")).toDF("id", "s").coalesce(1)
+      .write.mode("overwrite").parquet(dir + "/p2")
+    // read both subdirs as one dataset
+    val out = ValidatedIO.parquetWithLineage(spark, dir + "/p*")
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    assert(out.length == 3)
+    // every basename is a real part file, row positions restart per file
+    assert(out.forall { case (_, f, _) => f.startsWith("part-") && f.endsWith(".parquet") })
+    val byFile = out.groupBy(_._2)
+    assert(byFile.size == 2)
+    assert(byFile.values.forall(rows => rows.map(_._3).sorted.sameElements(0L until rows.length)))
+  }
 }
