@@ -53,12 +53,48 @@ object ValidatedIO {
   /** CSV with an explicit schema (malformed lines land in
     * `_corrupt_record` under PERMISSIVE mode and can be routed with an
     * `Empty()` validator on that column — null/empty passes, a populated
-    * corrupt record quarantines the row). */
+    * corrupt record quarantines the row).
+    *
+    * When the schema carries the corrupt-record column, parsing runs as
+    * `from_csv` over a text scan instead of the CSV file source, for the
+    * same reason as [[json]]: the file source's internal corrupt column is
+    * query-restricted — a pruned plan that references only that column
+    * (e.g. a bare `count()` over the valid split, whose filter is on
+    * `_corrupt_record` alone) raises `QUERY_ONLY_CORRUPT_RECORD_COLUMN` —
+    * while the `from_csv` column is an ordinary expression with identical
+    * PERMISSIVE semantics (same `UnivocityParser` under both). With
+    * `header=true` on this path, header lines are dropped by exact match
+    * against the schema-derived header (field names joined by the
+    * delimiter — the header Spark itself writes); files with a different
+    * header text need `header=false` plus a caller-side pre-filter. */
   def csv(spark: SparkSession, path: String, schema: StructType,
           options: Map[String, String] = Map("header" -> "true"))(
-          specs: (String, Validator)*): ValidationResult =
-    Validate.columns(
-      spark.read.options(options).schema(schema).csv(path), specs: _*)
+          specs: (String, Validator)*): ValidationResult = {
+    val corruptCol = options.getOrElse("columnNameOfCorruptRecord",
+      spark.conf.getOption("spark.sql.columnNameOfCorruptRecord")
+        .getOrElse("_corrupt_record"))
+    val df =
+      if (!schema.fieldNames.contains(corruptCol))
+        spark.read.options(options).schema(schema).csv(path)
+      else {
+        val opts = options ++ Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> corruptCol)
+        val lines = spark.read.text(path)
+          // the CSV file source skips blank lines; the text source does not
+          .where(fn.length(fn.trim(fn.col("value"))) > 0)
+        val body =
+          if (options.getOrElse("header", "false").toBoolean) {
+            val sep = options.getOrElse("sep", options.getOrElse("delimiter", ","))
+            val header = schema.fieldNames.filterNot(_ == corruptCol).mkString(sep)
+            lines.where(fn.col("value") =!= fn.lit(header))
+          } else lines
+        body.select(fn.from_csv(fn.col("value"), schema,
+            collection.immutable.Map(opts.toSeq: _*)).as("r"))
+          .select(schema.fieldNames.toSeq
+            .map(n => fn.col("r").getField(n).as(n)): _*)
+      }
+    Validate.columns(df, specs: _*)
+  }
 
   /** JSON-lines with an explicit schema. When the schema carries a
     * corrupt-record column (default `_corrupt_record`), parsing runs as

@@ -65,6 +65,26 @@ class ValidatedIOSpec extends SparkSuite {
       .contains("cast failure"))
   }
 
+  test("csv corrupt-record quarantine survives count-only pruning") {
+    // regression (r12 bench n_failed=1): the CSV file source raises the
+    // same QUERY_ONLY_CORRUPT_RECORD_COLUMN as JSON when a pruned plan
+    // (the bench's bare count() over the valid split, whose filter is on
+    // _corrupt_record alone) references only the corrupt column — so
+    // corrupt-schema CSV reads route through from_csv over a text scan
+    val dir = tmpDir()
+    Files.writeString(java.nio.file.Paths.get(dir, "in.csv"),
+      "id,name\n1,alice\n\nnot-a-number,bob\n3,carol\n")
+    val schema = StructType.fromDDL("id BIGINT, name STRING, _corrupt_record STRING")
+    val res = ValidatedIO.csv(spark, s"$dir/in.csv", schema,
+      Map("header" -> "true"))("_corrupt_record" -> F.Empty())
+    // count() on both splits: the exact shape the file source rejects
+    assert(res.valid.count() == 2)   // header + blank line both dropped
+    assert(res.invalid.count() == 1) // the BIGINT cast failure
+    assert(res.valid.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // PERMISSIVE keeps the parseable sibling field on the quarantined row
+    assert(res.invalid.select("name").collect().map(_.getString(0)).toSeq == Seq("bob"))
+  }
+
   test("quarantine sink splits valid/invalid with serialized errors") {
     val dir = tmpDir()
     import spark.implicits._
