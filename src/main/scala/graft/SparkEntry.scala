@@ -705,6 +705,44 @@ object SparkEntry {
         .select(round(col("bias"), 6).as("bias"), round(col("w_1"), 6).as("w_1"),
           round(col("w_2"), 6).as("w_2"), col("n"))
     }),
+    "q_auc" -> ((s, dir) => {
+      // tie-correct ROC-AUC of the q_quality_score model against the weak
+      // lang=='en' label — the eval loop of classifier filtering. The
+      // score is round(σ, 6) (the proven q_quality_score 6dp-exp mirror),
+      // so both engines rank the identical discrete values; rank sums run
+      // integral/decimal (partitioning-proof) and the one-row ratio
+      // floor-rounds on the 1e-9 grid.
+      val d = T(s, dir, "documents")
+        .filter(col("text").isNotNull && col("lang").isNotNull)
+      val scored = graft.ops.Classifier.scoreLinear(d, Seq(
+          least(col("n_chars") / 500.0, lit(2.0)) -> 0.8,
+          (size(split(col("text"), " ")) / 100.0) -> 0.6,
+          (length(regexp_replace(col("text"), "[a-z ]", ""))
+            / greatest(length(col("text")), lit(1))) -> -2.0),
+          bias = -0.5)
+        .withColumn("score", round(col("score"), 6))
+        .withColumn("y", when(col("lang") === "en", 1.0).otherwise(0.0))
+      graft.ops.Classifier.aucROC(scored, "score", "y")
+    }),
+    "q_calibration" -> ((s, dir) => {
+      // reliability table of the same model/label: 10 probability bins ×
+      // (volume, positives, empirical rate, mean score). Mean score
+      // accumulates as a LONG sum of 2^-20-snapped values (the
+      // q_mean_pool idiom) — exact at any row count — and both means
+      // floor-round on the 1e-6 grid.
+      val d = T(s, dir, "documents")
+        .filter(col("text").isNotNull && col("lang").isNotNull)
+      val scored = graft.ops.Classifier.scoreLinear(d, Seq(
+          least(col("n_chars") / 500.0, lit(2.0)) -> 0.8,
+          (size(split(col("text"), " ")) / 100.0) -> 0.6,
+          (length(regexp_replace(col("text"), "[a-z ]", ""))
+            / greatest(length(col("text")), lit(1))) -> -2.0),
+          bias = -0.5)
+        .withColumn("score", round(col("score"), 6))
+        .withColumn("y", when(col("lang") === "en", 1.0).otherwise(0.0))
+      graft.ops.Classifier.calibrationTable(scored, "score", "y")
+        .orderBy("bin")
+    }),
     "q_links" -> ((s, dir) => {
       // synthesized per-doc markup: two unconditional links (one with
       // inner tags + messy whitespace in the anchor), a third on doc_id%3,
@@ -2749,6 +2787,35 @@ object SparkEntry {
         "floor((wb2 - 2.0*g2/n)/1e-9 + 0.5)*1e-9 AS wb3 FROM i3, w2, nn) " +
         "SELECT round(b3, 6) AS bias, round(wa3, 6) AS w_1, round(wb3, 6) AS w_2, " +
         "CAST(nn.n AS BIGINT) AS n FROM w3, nn"),
+    "q_auc" ->
+      // identical tie-corrected Mann–Whitney over the same 6dp scores:
+      // per-distinct-score tallies, doubled average ranks (integral), the
+      // final ratio floor-rounded on the 1e-9 grid
+      ("WITH d AS (SELECT round(1.0/(1.0 + exp(-(-0.5 + 0.8*least(n_chars/500.0, 2.0) " +
+        "+ 0.6*(len(string_split(text, ' '))/100.0) " +
+        "- 2.0*(length(regexp_replace(text, '[a-z ]', '', 'g'))/greatest(length(text), 1))))), 6) AS s, " +
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents " +
+        "WHERE text IS NOT NULL AND lang IS NOT NULL), " +
+        "g AS (SELECT s, count(*) AS cnt, sum(y) AS pos FROM d GROUP BY s), " +
+        "r AS (SELECT cnt, pos, coalesce(sum(cnt) OVER (ORDER BY s " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)*2 + cnt + 1 AS r2 FROM g), " +
+        "a AS (SELECT sum(pos) AS np, sum(cnt - pos) AS nn, sum(pos*r2) AS r2p FROM r) " +
+        "SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg, " +
+        "CASE WHEN np > 0 AND nn > 0 THEN " +
+        "floor((r2p/2.0 - np*(np + 1.0)/2.0)/(np*1.0*nn)*1e9)/1e9 END AS auc FROM a"),
+    "q_calibration" ->
+      // same bins, same 2^-20 long-sum mean arithmetic, same 1e-6 floors
+      ("WITH d AS (SELECT round(1.0/(1.0 + exp(-(-0.5 + 0.8*least(n_chars/500.0, 2.0) " +
+        "+ 0.6*(len(string_split(text, ' '))/100.0) " +
+        "- 2.0*(length(regexp_replace(text, '[a-z ]', '', 'g'))/greatest(length(text), 1))))), 6) AS s, " +
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents " +
+        "WHERE text IS NOT NULL AND lang IS NOT NULL), " +
+        "b AS (SELECT least(CAST(floor(least(greatest(s, 0), 1)*10) AS BIGINT), 9) AS bin, " +
+        "CAST(floor(least(greatest(s, 0), 1)*1048576.0 + 0.5) AS BIGINT) AS s20, y FROM d) " +
+        "SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos, " +
+        "floor(sum(y)*1.0/count(*)*1e6)/1e6 AS pos_rate, " +
+        "floor(sum(s20)*1.0/count(*)/1048576.0*1e6)/1e6 AS mean_score " +
+        "FROM b GROUP BY bin ORDER BY bin"),
     "q_links" ->
       // closed-form expected rows (not an extractor mirror): the href-less
       // anchor contributes nothing; anchor 0's inner tags/whitespace are

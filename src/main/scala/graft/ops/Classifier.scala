@@ -110,4 +110,102 @@ object Classifier {
     out.select(col("bias") +:
       (1 to k).map(j => col("w").getItem(j - 1).as(s"w_$j")) :+ col("n"): _*)
   }
+
+  /** Exact ROC-AUC of a score against a 0/1 label — the evaluation loop
+    * of classifier-based filtering ("did retraining the quality model
+    * actually rank good documents higher?"). Tie-correct Mann–Whitney
+    * form: AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) where R⁺ sums the AVERAGE
+    * ascending rank of the positives (tied scores share their tie
+    * group's mean rank — the standard trapezoidal-ROC value).
+    *
+    * Scale shape: one partial-aggregable exchange collapses the corpus
+    * to a per-DISTINCT-score tally `(score, n, n_pos)`; cumulative
+    * counts over that table use the [[Sketches.globalRank]] bucketed
+    * decomposition (score quantile-buckets, an nBuckets-row offset
+    * window, per-bucket running sums — no corpus-scale single-reducer
+    * window even when every score is distinct). All rank arithmetic is
+    * integral (average ranks ride DOUBLED, so `.5` ties stay exact) and
+    * sums run in DECIMAL(38,0) — addition-order-free, identical under
+    * any partitioning; only the final one-row ratio runs in doubles,
+    * floor-rounded on the 1e-9 grid. Pre-round the score (e.g.
+    * `round(σ, 6)`) when a second engine must replay the ranking.
+    *
+    * Returns one row `(n_pos, n_neg, auc)`; auc null when either class
+    * is empty. Rows with null score/label or a label outside {0,1} drop. */
+  def aucROC(df: DataFrame, scoreCol: String, labelCol: String,
+             nBuckets: Int = 64, exact: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("double").as("__y"))
+      .filter(col("__y") === 0.0 || col("__y") === 1.0)
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__y")).cast("long").as("__pos"))
+    // bucketed ascending cumulative count: pinned so the bucket-size and
+    // rank passes read one materialization (the globalRank contract)
+    val bucketed = Checkpoints.pinned(
+      Sketches.quantileBuckets(g, "__s", nBuckets, "__b", exact))
+    val offs = bucketed.groupBy(col("__b")).agg(sum(col("__cnt")).as("__bn"))
+      .withColumn("__off", coalesce(
+        sum(col("__bn")).over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val ranked = bucketed
+      .join(broadcast(offs.select(col("__b"), col("__off"))), "__b")
+      .withColumn("__run", sum(col("__cnt")).over(
+        Window.partitionBy(col("__b")).orderBy(col("__s"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      // doubled average 1-based rank of the tie group: rows strictly
+      // before it ×2, plus (cnt + 1) — integral, so decimal sums are exact
+      .withColumn("__r2",
+        (col("__off") + col("__run") - col("__cnt")) * 2 + col("__cnt") + 1)
+    ranked.agg(
+        sum(col("__pos")).as("__np"),
+        sum(col("__cnt") - col("__pos")).as("__nn"),
+        sum((col("__pos") * col("__r2")).cast("decimal(38,0)")).as("__r2p"))
+      .select(
+        coalesce(col("__np"), lit(0L)).as("n_pos"),
+        coalesce(col("__nn"), lit(0L)).as("n_neg"),
+        when(col("__np") > 0 && col("__nn") > 0,
+          floor((col("__r2p").cast("double") / 2.0
+              - col("__np").cast("double") * (col("__np").cast("double") + 1.0) / 2.0)
+            / (col("__np").cast("double") * col("__nn").cast("double")) * 1e9) / 1e9)
+          .as("auc"))
+  }
+
+  /** Calibration / reliability table of a [0, 1] score against a 0/1
+    * label: `nBins` equal-width probability bins, each reporting volume,
+    * positive count, empirical positive rate, and mean predicted score —
+    * the "does score 0.8 mean 80%?" audit behind every
+    * threshold-at-a-probability curation rule. Bins with no rows are
+    * absent (a corpus-stats consumer left-joins a bin spine if it needs
+    * zeros).
+    *
+    * Scale shape: MAP-ONLY bin assignment + one partial-aggregable
+    * `nBins`-group exchange. The mean score accumulates as a LONG sum of
+    * 2^-20-grid-snapped values (the `q_mean_pool` idiom) — exact at any
+    * row count and addition-order-free — and both means emit
+    * floor-rounded on the 1e-6 grid, so a second engine replays them
+    * bit-for-bit. Null score/label and labels outside {0,1} drop;
+    * scores clamp into [0, 1]. */
+  def calibrationTable(df: DataFrame, scoreCol: String, labelCol: String,
+                       nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val s = least(greatest(col(scoreCol).cast("double"), lit(0.0)), lit(1.0))
+    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .filter(col(labelCol).cast("double") === 0.0 ||
+        col(labelCol).cast("double") === 1.0)
+      .select(
+        least(floor(s * nBins).cast("long"), lit(nBins - 1L)).as("bin"),
+        floor(s * 1048576.0 + 0.5).cast("long").as("__s20"),
+        col(labelCol).cast("long").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        sum(col("__s20")).as("__ssum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (floor(col("n_pos").cast("double") / col("n") * 1e6) / 1e6)
+          .as("pos_rate"),
+        (floor(col("__ssum").cast("double") / col("n") / 1048576.0 * 1e6) / 1e6)
+          .as("mean_score"))
+  }
 }

@@ -93,4 +93,74 @@ class ClassifierSpec extends SparkSuite {
       Classifier.fitLogistic(empty, Seq(col("f1")), "y", iterations = 1)
     }
   }
+
+  test("aucROC matches the brute-force pairwise definition, ties averaged") {
+    // AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻) over all (+,−) pairs
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 400).map { i =>
+      val s = math.floor(rnd.nextDouble() * 20) / 20.0 // coarse grid → many ties
+      val y = if (rnd.nextDouble() < s * 0.8 + 0.1) 1.0 else 0.0
+      (i.toLong, s, y)
+    }
+    val pos = rows.filter(_._3 == 1.0).map(_._2)
+    val neg = rows.filter(_._3 == 0.0).map(_._2)
+    val want = pos.map(p => neg.map(n =>
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum).sum / (pos.size * neg.size)
+    val got = Classifier.aucROC(rows.toDF("id", "s", "y"), "s", "y", nBuckets = 4)
+      .select("n_pos", "n_neg", "auc").as[(Long, Long, Double)].head()
+    assert(got._1 == pos.size && got._2 == neg.size)
+    assert(math.abs(got._3 - want) < 2e-9, s"got ${got._3}, want $want")
+  }
+
+  test("aucROC edges: perfect separation, reversal, single class, bad labels") {
+    val d = Seq((1L, 0.9, 1.0), (2L, 0.8, 1.0), (3L, 0.2, 0.0), (4L, 0.1, 0.0))
+      .toDF("id", "s", "y")
+    assert(Classifier.aucROC(d, "s", "y").select("auc").as[Double].head() == 1.0)
+    val rev = d.withColumn("s", lit(1.0) - col("s"))
+    assert(Classifier.aucROC(rev, "s", "y").select("auc").as[Double].head() == 0.0)
+    val onlyPos = d.filter(col("y") === 1.0)
+    val r = Classifier.aucROC(onlyPos, "s", "y")
+      .select("n_pos", "n_neg").as[(Long, Long)].head()
+    assert(r == ((2L, 0L)))
+    assert(Classifier.aucROC(onlyPos, "s", "y").filter(col("auc").isNull).count() == 1)
+    // labels outside {0,1} and nulls drop, not poison
+    val dirty = d.unionByName(Seq((5L, 0.5, 2.0)).toDF("id", "s", "y"))
+    assert(Classifier.aucROC(dirty, "s", "y")
+      .select("n_pos", "n_neg").as[(Long, Long)].head() == ((2L, 2L)))
+  }
+
+  test("calibrationTable bins, rates, and exact grid means") {
+    val d = Seq(
+      (1L, 0.05, 0.0), (2L, 0.08, 1.0),            // bin 0
+      (3L, 0.95, 1.0), (4L, 1.0, 1.0),             // bin 9 (1.0 clamps into top)
+      (5L, 0.55, 0.0), (6L, 0.55, 1.0), (7L, 0.59, 1.0)) // bin 5
+      .toDF("id", "s", "y")
+    val out = Classifier.calibrationTable(d, "s", "y")
+      .orderBy("bin")
+      .select("bin", "n", "n_pos", "pos_rate", "mean_score")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((0L, 2L, 1L), (5L, 3L, 2L), (9L, 2L, 2L)))
+    def gridMean(vs: Seq[Double]) = {
+      val s = vs.map(v => math.floor(v * 1048576.0 + 0.5).toLong).sum
+      math.floor(s.toDouble / vs.size / 1048576.0 * 1e6) / 1e6
+    }
+    assert(out(0)._4 == 0.5 && out(0)._5 == gridMean(Seq(0.05, 0.08)))
+    assert(out(1)._4 == math.floor(2.0 / 3 * 1e6) / 1e6 &&
+      out(1)._5 == gridMean(Seq(0.55, 0.55, 0.59)))
+    assert(out(2)._4 == 1.0 && out(2)._5 == gridMean(Seq(0.95, 1.0)))
+  }
+
+  test("aucROC plan: no corpus-scale single-reducer window") {
+    val d = (0 until 100).map(i => (i.toLong, i / 100.0, (i % 2).toDouble))
+      .toDF("id", "s", "y")
+    val plan = Classifier.aucROC(d, "s", "y", nBuckets = 4)
+      .queryExecution.executedPlan.toString
+    // the running-count window must partition BY BUCKET (attribute ids
+    // vary, hence the regex); the only unpartitioned window left is the
+    // nBuckets-row offset table
+    assert("windowspecdefinition\\(__b#\\d+, __s#\\d+".r
+        .findFirstIn(plan.toLowerCase).isDefined,
+      s"expected the per-bucket running-count window:\n$plan")
+  }
 }
