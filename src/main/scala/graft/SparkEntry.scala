@@ -1404,6 +1404,45 @@ object SparkEntry {
         .orderBy(col("event_id").asc_nulls_first, col("user_id").asc_nulls_first,
           col("event_type").asc_nulls_first, col("value").asc_nulls_first)
     }),
+    "q_avro_roundtrip" -> ((s, dir) => {
+      // Avro roundtrip (r12): the row-oriented interchange format —
+      // write events as Avro (by implementation class; the shortname is
+      // unregistered in this distribution), read back through the same
+      // validation, equality with the original. Doubles roundtrip
+      // bit-exactly (Avro stores IEEE doubles natively, not text).
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_avro_roundtrip").getAbsolutePath
+      T(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .coalesce(2).write.mode("overwrite")
+        .format(graft.sources.ValidatedIO.AvroFormat).save(tmp)
+      Validate(s.read.format(graft.sources.ValidatedIO.AvroFormat).load(tmp),
+          "event_type" -> F.Optional("unknown")).valid
+        .orderBy(col("event_id").asc_nulls_first, col("user_id").asc_nulls_first,
+          col("event_type").asc_nulls_first, col("value").asc_nulls_first)
+    }),
+    "q_xml_roundtrip" -> ((s, dir) => {
+      // XML roundtrip (r12): the feed/dump ingest format — write events
+      // as XML (one <event> element per row; the writer omits null
+      // fields), read back with an EXPLICIT schema (absent elements →
+      // null), same validation, equality with the original. Doubles
+      // survive the text roundtrip because Spark renders the
+      // shortest-exact decimal and the reader parses it back to the
+      // identical IEEE value.
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_xml_roundtrip").getAbsolutePath
+      T(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .coalesce(2).write.mode("overwrite")
+        .option("rootTag", "events").option("rowTag", "event")
+        .format("xml").save(tmp)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+      graft.sources.ValidatedIO.xml(s, tmp, "event", schema)(
+          "event_type" -> F.Optional("unknown")).valid
+        .orderBy(col("event_id").asc_nulls_first, col("user_id").asc_nulls_first,
+          col("event_type").asc_nulls_first, col("value").asc_nulls_first)
+    }),
     "q_schema_evolution" -> ((s, dir) => {
       // schema-evolution merge read (r12): generation 1 wrote only
       // (event_id, user_id); generation 2 added event_type and value. A
@@ -3542,6 +3581,18 @@ object SparkEntry {
     "q_orc_roundtrip" ->
       // all four field types roundtrip ORC exactly; Optional fills null
       // event_type with the default
+      ("SELECT event_id, user_id, coalesce(event_type, 'unknown') AS event_type, value " +
+        "FROM events ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, " +
+        "event_type NULLS FIRST, value NULLS FIRST"),
+    "q_avro_roundtrip" ->
+      // same contract as the ORC mirror: all four field types roundtrip
+      // exactly; Optional fills null event_type with the default
+      ("SELECT event_id, user_id, coalesce(event_type, 'unknown') AS event_type, value " +
+        "FROM events ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, " +
+        "event_type NULLS FIRST, value NULLS FIRST"),
+    "q_xml_roundtrip" ->
+      // the text roundtrip is exact: longs render losslessly, doubles via
+      // shortest-exact decimal, absent elements read back as null
       ("SELECT event_id, user_id, coalesce(event_type, 'unknown') AS event_type, value " +
         "FROM events ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, " +
         "event_type NULLS FIRST, value NULLS FIRST"),

@@ -24,6 +24,31 @@ object ValidatedIO {
           specs: (String, Validator)*): ValidationResult =
     Validate.columns(spark.read.orc(path), specs: _*)
 
+  /** The Avro file format's implementation class. Spark 4.1 ships the
+    * Avro source inside spark-sql, but it is NOT service-registered
+    * under the `avro` shortname (historically an external module), so
+    * reads/writes address it by class name. */
+  val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  /** Avro (row-oriented — the interchange format of Kafka/registry
+    * pipelines; use parquet/ORC for analytics-at-rest). Splittable, so
+    * large files parallelize like the columnar sources. */
+  def avro(spark: SparkSession, path: String,
+           specs: (String, Validator)*): ValidationResult =
+    Validate.columns(spark.read.format(AvroFormat).load(path), specs: _*)
+
+  /** XML with an explicit schema (the feed/sitemap/dump ingest format;
+    * schema inference would be a full extra scan — never pay it
+    * silently). One row per `rowTag` element; absent elements read as
+    * null. */
+  def xml(spark: SparkSession, path: String, rowTag: String,
+          schema: StructType,
+          options: Map[String, String] = Map.empty)(
+          specs: (String, Validator)*): ValidationResult =
+    Validate.columns(
+      spark.read.options(options).option("rowTag", rowTag)
+        .schema(schema).format("xml").load(path), specs: _*)
+
   /** Parquet read with ROW PROVENANCE: every row carries the basename of
     * the file it came from (`_source_file`) and its 0-based position in
     * that file (`_source_row`) via Spark's hidden `_metadata` column —

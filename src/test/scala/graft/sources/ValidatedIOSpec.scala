@@ -85,6 +85,34 @@ class ValidatedIOSpec extends SparkSuite {
     assert(res.invalid.select("name").collect().map(_.getString(0)).toSeq == Seq("bob"))
   }
 
+  test("avro ingest roundtrips types and validates at the boundary") {
+    val dir = tmpDir()
+    import spark.implicits._
+    Seq((1L, Some("ok"), 1.5), (2L, None, -0.25), (3L, Some("x"), 0.0))
+      .toDF("id", "v", "d")
+      .write.mode("overwrite").format(ValidatedIO.AvroFormat).save(s"$dir/a")
+    val res = ValidatedIO.avro(spark, s"$dir/a", "v" -> F.Required())
+    assert(res.valid.count() == 2 && res.invalid.count() == 1)
+    // doubles roundtrip bit-exactly (Avro stores IEEE natively)
+    assert(res.valid.select("d").as[Double].collect().sorted.toSeq == Seq(0.0, 1.5))
+  }
+
+  test("xml ingest: explicit schema, absent elements null, validation") {
+    val dir = tmpDir()
+    import spark.implicits._
+    Seq((1L, Some("ok"), Some(2.5)), (2L, None, None))
+      .toDF("id", "v", "d")
+      .write.mode("overwrite").option("rootTag", "rows").option("rowTag", "r")
+      .format("xml").save(s"$dir/x")
+    val schema = StructType.fromDDL("id BIGINT, v STRING, d DOUBLE")
+    val res = ValidatedIO.xml(spark, s"$dir/x", "r", schema)("v" -> F.Required())
+    assert(res.valid.count() == 1 && res.invalid.count() == 1)
+    val row = res.valid.select("id", "v", "d").as[(Long, String, Double)].head()
+    assert(row == ((1L, "ok", 2.5)))
+    // the writer omitted row 2's null fields; the schema read nulls them
+    assert(res.invalid.select("d").filter(col("d").isNull).count() == 1)
+  }
+
   test("quarantine sink splits valid/invalid with serialized errors") {
     val dir = tmpDir()
     import spark.implicits._
