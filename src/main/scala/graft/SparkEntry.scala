@@ -1043,6 +1043,26 @@ object SparkEntry {
           / Sketches.kmvEstimate(Sketches.kmvUnion(col("ska"), col("skb"), k), k)
           * 1e6 + 0.5) / 1e6).as("jaccard"))
     }),
+    "q_cms_freq" -> ((s, dir) => {
+      // count-min frequency estimates (the fixed-size frequency table
+      // when a per-key groupBy is itself the problem): 4×64 sketch over
+      // event user_ids — width 64 against 150 distinct keys FORCES
+      // collisions, so the min-over-rows estimate and its ≥-exact bound
+      // are both exercised, not vacuous. The oracle replays the affine
+      // hashes in HUGEINT with the same splitmix64-derived constants and
+      // states (key, exact, estimate) side by side.
+      val ev = T(s, dir, "events").filter(col("user_id").isNotNull)
+      val cms = Sketches.cmsBuild(ev, "user_id", depth = 4, width = 64)
+      val cands = s.range(0, 50).select(col("id").as("user_id"))
+      val est = Sketches.cmsEstimate(cms, cands, "user_id",
+        depth = 4, width = 64)
+      val exact = ev.filter(col("user_id") < 50)
+        .groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      est.join(exact, Seq("user_id"), "left")
+        .na.fill(0L, Seq("n_exact"))
+        .select(col("user_id"), col("n_exact"), col("est"))
+        .orderBy("user_id")
+    }),
     "q_text_stats" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       docs.groupBy(col("lang"))
@@ -3192,6 +3212,31 @@ object SparkEntry {
         "(SELECT count(*) FROM u) AS n_union, " +
         "floor(CAST((SELECT count(*) FROM a JOIN b USING (doc_id)) AS DOUBLE) " +
         "/ CAST((SELECT count(*) FROM u) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS jaccard"),
+    "q_cms_freq" -> {
+      // identical 4×64 count-min in HUGEINT: the same splitmix64-derived
+      // (A_i, B_i) as literals, (A·k + B) mod 2^64 then the low 6 bits
+      // (width 64 is a power of two, so signed pmod == unsigned residue).
+      // A·k fits HUGEINT directly because the fixture's keys are < 2^8;
+      // a general mirror would split A 32/32 like q_ngram_jaccard.
+      def u(l: Long) = java.lang.Long.toUnsignedString(l)
+      val seeds = (0 until 4).map { i =>
+        val (a, b) = Sketches.cmsSeeds(i)
+        s"($i, CAST('${u(a)}' AS HUGEINT), CAST('${u(b)}' AS HUGEINT))"
+      }.mkString(", ")
+      val T64 = s"CAST('${BigInt(1) << 64}' AS HUGEINT)"
+      "WITH seeds(i, a, b) AS (VALUES " + seeds + "), " +
+        "src AS (SELECT user_id AS k FROM events WHERE user_id IS NOT NULL), " +
+        s"cms AS (SELECT i, CAST((a*k + b) % $T64 % 64 AS BIGINT) AS bucket, " +
+        "count(*) AS cnt FROM src, seeds GROUP BY 1, 2), " +
+        "cand AS (SELECT unnest(range(0, 50)) AS key), " +
+        s"cb AS (SELECT key, i, CAST((a*key + b) % $T64 % 64 AS BIGINT) AS bucket " +
+        "FROM cand, seeds), " +
+        "est AS (SELECT key, min(coalesce(cnt, 0)) AS est FROM cb " +
+        "LEFT JOIN cms USING (i, bucket) GROUP BY key), " +
+        "ex AS (SELECT k AS key, count(*) AS n_exact FROM src WHERE k < 50 GROUP BY k) " +
+        "SELECT key AS user_id, CAST(coalesce(n_exact, 0) AS BIGINT) AS n_exact, " +
+        "CAST(est AS BIGINT) AS est FROM est LEFT JOIN ex USING (key) ORDER BY user_id"
+    },
     "q_text_stats" ->
       "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS n_tokens FROM documents GROUP BY lang ORDER BY lang NULLS FIRST",
     "q_token_count" ->

@@ -240,6 +240,14 @@ object Kernels {
     h
   }
 
+  /** Count-min bucket `(a·k + b) mod 2^64, low bits` — Java long
+    * arithmetic wraps mod 2^64 natively, which ANSI-mode Column `*`
+    * refuses (it throws on overflow); `mask` = width − 1 for a
+    * power-of-two width, so the signed result equals the unsigned
+    * residue a second engine computes in 128-bit arithmetic. */
+  def cmsAffineBucket(k: Long, a: Long, b: Long, mask: Long): Long =
+    (a * k + b) & mask
+
   /** MinHash signature over whitespace tokens in ONE tight pass — the
     * Column-HOF formulation (`transform`+`array_min` per hash) evaluates
     * interpreted lambdas per element; this kernel runs JIT'd inside codegen.

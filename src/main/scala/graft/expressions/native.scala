@@ -62,6 +62,11 @@ object native {
   def dedupNormalize(c: Column): Column =
     invoke(StringType, "dedupNormalize", Seq(e(c)), Seq(StringType))
 
+  def cmsBucket(k: Column, a: Long, b: Long, width: Int): Column =
+    invoke(LongType, "cmsAffineBucket",
+      Seq(e(k), Literal(a), Literal(b), Literal(width.toLong - 1)),
+      Seq(LongType, LongType, LongType, LongType))
+
   def latin1Misdecode(c: Column): Column =
     invoke(StringType, "latin1Misdecode", Seq(e(c)), Seq(StringType))
 

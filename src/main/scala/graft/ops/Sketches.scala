@@ -651,4 +651,85 @@ object Sketches {
         col("min_before"), col("max_before"), col("min_after"),
         col("max_after"), col("drifted"))
   }
+
+  // ------------------------------------------------ count-min sketch
+  //
+  // HLL answers "how many distinct", KMV adds set algebra; count-min
+  // answers "how often does THIS key occur" from a table whose size is
+  // depth×width REGARDLESS of key cardinality — the frequency story when
+  // a per-key groupBy is itself the problem (n-gram/URL frequency over
+  // 100 TB: trillions of keys, but the sketch stays a few thousand rows,
+  // merges across corpora by cell-wise addition, and maintains
+  // incrementally by building a sketch of the delta and adding it).
+  // Estimates NEVER undercount (each cell is a sum over a superset of
+  // the key's occurrences); overcounts shrink as width grows.
+
+  /** Hash-to-bucket of row i for the count-min family: the splitmix64-
+    * derived affine map `(A_i·k + B_i) mod 2^64` followed by the low
+    * log2(width) bits. Runs as the `cmsAffineBucket` native kernel —
+    * Java long arithmetic wraps mod 2^64, where ANSI-mode Column `*`
+    * would throw on overflow. `width` must be a POWER OF TWO so the
+    * masked signed result equals the unsigned residue — which is what
+    * makes the whole sketch replayable by a second engine in plain
+    * unsigned (HUGEINT) arithmetic. Integral keys only: a string key
+    * must be pre-hashed by a kernel both engines can replay (the FNV-1a
+    * mirror `q_ngram_jaccard` uses). */
+  private def cmsBucket(key: Column, i: Int, width: Int): Column = {
+    val (a, b) = cmsSeeds(i)
+    graft.expressions.native.cmsBucket(key.cast("long"), a, b, width)
+  }
+
+  /** The seed constants of sketch row i, for oracle mirrors. */
+  def cmsSeeds(i: Int): (Long, Long) =
+    (splitmix64Local(2L * i + 101) | 1L, splitmix64Local(2L * i + 102))
+
+  private def splitmix64Local(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Build a count-min sketch of an integral key column: `depth` hash
+    * rows × `width` buckets (width a power of two), returned as the
+    * sparse cell table `(i, bucket, cnt)` — at most depth×width rows.
+    *
+    * Scale shape: ONE partial-aggregable exchange whose map-side output
+    * is bounded by depth×width per task no matter how many rows or
+    * distinct keys flow in (the explode multiplies rows by `depth`, but
+    * the partial agg collapses them before anything moves). Merge two
+    * sketches by unioning the cell tables and summing per (i, bucket);
+    * null keys drop. */
+  def cmsBuild(df: DataFrame, keyCol: String,
+               depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2 && (width & (width - 1)) == 0,
+      s"width must be a power of two, got $width")
+    val k = col(keyCol)
+    df.filter(k.isNotNull)
+      .select(posexplode(array((0 until depth).map(i =>
+        cmsBucket(k, i, width)): _*)).as(Seq("i", "bucket")))
+      .groupBy(col("i"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Frequency estimates for a candidate key set from a [[cmsBuild]]
+    * table: `est = min over i of cell(i, hash_i(key))`, the classic
+    * count-min upper-bound estimate (`est ≥ true count`, always).
+    *
+    * Scale shape: the SKETCH broadcasts (≤ depth×width rows — model
+    * state); candidates stay distributed, fan out `depth` rows each,
+    * and collapse back with one partial-aggregable min — so estimating
+    * a billion candidates is one map + one bounded exchange. */
+  def cmsEstimate(cms: DataFrame, candidates: DataFrame, keyCol: String,
+                  depth: Int = 4, width: Int = 1024): DataFrame = {
+    val k = col(keyCol)
+    candidates.filter(k.isNotNull)
+      .select(k.as(keyCol),
+        posexplode(array((0 until depth).map(i =>
+          cmsBucket(k, i, width)): _*)).as(Seq("i", "bucket")))
+      .join(broadcast(cms), Seq("i", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

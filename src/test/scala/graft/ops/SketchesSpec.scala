@@ -415,4 +415,58 @@ class SketchesSpec extends SparkSuite {
     val m = out.collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(m == Map("id" -> "common", "s" -> "removed", "t" -> "added"))
   }
+
+  test("count-min: estimates never undercount, exact at generous width") {
+    import spark.implicits._
+    // skewed multiplicities: key k occurs k times
+    val rows = (1 to 40).flatMap(k => Seq.fill(k)(k.toLong)).toDF("k")
+    val exact = (1 to 40).map(k => k.toLong -> k.toLong).toMap
+    val cands = (1 to 40).map(_.toLong).toDF("k")
+    // tight width (16 buckets, 40 keys): collisions guaranteed, bound holds
+    val tight = Sketches.cmsEstimate(
+        Sketches.cmsBuild(rows, "k", depth = 4, width = 16),
+        cands, "k", depth = 4, width = 16)
+      .as[(Long, Long)].collect().toMap
+    (1 to 40).foreach(k => assert(tight(k.toLong) >= exact(k.toLong),
+      s"key $k: est ${tight(k.toLong)} < exact ${exact(k.toLong)}"))
+    assert(tight.values.sum > exact.values.sum) // collisions DID overcount
+    // generous width: 4 independent rows of 4096 buckets vs 40 keys — a
+    // collision in ALL FOUR rows would be needed to overcount
+    val wide = Sketches.cmsEstimate(
+        Sketches.cmsBuild(rows, "k", depth = 4, width = 4096),
+        cands, "k", depth = 4, width = 4096)
+      .as[(Long, Long)].collect().toMap
+    assert(wide == exact)
+  }
+
+  test("count-min: cell table bounded, merges by cell-wise addition") {
+    import spark.implicits._
+    val a = (1 to 500).map(i => (i % 60).toLong).toDF("k")
+    val b = (1 to 300).map(i => (i % 37).toLong).toDF("k")
+    val d = 4; val w = 32
+    val ca = Sketches.cmsBuild(a, "k", d, w)
+    val cb = Sketches.cmsBuild(b, "k", d, w)
+    assert(ca.count() <= d * w && cb.count() <= d * w)
+    // merged sketch = union + per-cell sum; estimates must equal the
+    // sketch built over the concatenated corpus
+    val merged = ca.unionByName(cb).groupBy("i", "bucket")
+      .agg(sum("cnt").as("cnt"))
+    val whole = Sketches.cmsBuild(a.unionByName(b), "k", d, w)
+    val cands = (0 until 60).map(_.toLong).toDF("k")
+    val em = Sketches.cmsEstimate(merged, cands, "k", d, w)
+      .as[(Long, Long)].collect().toMap
+    val ew = Sketches.cmsEstimate(whole, cands, "k", d, w)
+      .as[(Long, Long)].collect().toMap
+    assert(em == ew)
+  }
+
+  test("count-min: null keys drop; width must be a power of two") {
+    import spark.implicits._
+    val d = Seq(Some(1L), None, Some(1L)).toDF("k")
+    val cms = Sketches.cmsBuild(d, "k", depth = 2, width = 8)
+    assert(cms.agg(sum("cnt")).as[Long].head() == 2 * 2) // 2 rows × depth
+    intercept[IllegalArgumentException] {
+      Sketches.cmsBuild(d, "k", depth = 2, width = 100)
+    }
+  }
 }
