@@ -713,7 +713,8 @@ object SparkEntry {
       // integral/decimal (partitioning-proof) and the one-row ratio
       // floor-rounds on the 1e-9 grid.
       val d = T(s, dir, "documents")
-        .filter(col("text").isNotNull && col("lang").isNotNull)
+        .filter(col("text").isNotNull && col("lang").isNotNull &&
+          col("n_chars").isNotNull)
       val scored = graft.ops.Classifier.scoreLinear(d, Seq(
           least(col("n_chars") / 500.0, lit(2.0)) -> 0.8,
           (size(split(col("text"), " ")) / 100.0) -> 0.6,
@@ -724,6 +725,26 @@ object SparkEntry {
         .withColumn("y", when(col("lang") === "en", 1.0).otherwise(0.0))
       graft.ops.Classifier.aucROC(scored, "score", "y")
     }),
+    "q_auc_by_lang" -> ((s, dir) => {
+      // per-stratum model evaluation: AUC of the quality score against
+      // the n_chars >= 500 label WITHIN each language — the label leans
+      // on a model feature, so every stratum's AUC is high but distinct.
+      // Ranks are per-group over GLOBAL score buckets (one boundary
+      // aggregate; the offsets table is |langs|×nBuckets and broadcasts).
+      val d = T(s, dir, "documents")
+        .filter(col("text").isNotNull && col("lang").isNotNull &&
+          col("n_chars").isNotNull)
+      val scored = graft.ops.Classifier.scoreLinear(d, Seq(
+          least(col("n_chars") / 500.0, lit(2.0)) -> 0.8,
+          (size(split(col("text"), " ")) / 100.0) -> 0.6,
+          (length(regexp_replace(col("text"), "[a-z ]", ""))
+            / greatest(length(col("text")), lit(1))) -> -2.0),
+          bias = -0.5)
+        .withColumn("score", round(col("score"), 6))
+        .withColumn("y", when(col("n_chars") >= 500, 1.0).otherwise(0.0))
+      graft.ops.Classifier.aucROCBy(scored, Seq("lang"), "score", "y")
+        .orderBy("lang")
+    }),
     "q_calibration" -> ((s, dir) => {
       // reliability table of the same model/label: 10 probability bins ×
       // (volume, positives, empirical rate, mean score). Mean score
@@ -731,7 +752,8 @@ object SparkEntry {
       // q_mean_pool idiom) — exact at any row count — and both means
       // floor-round on the 1e-6 grid.
       val d = T(s, dir, "documents")
-        .filter(col("text").isNotNull && col("lang").isNotNull)
+        .filter(col("text").isNotNull && col("lang").isNotNull &&
+          col("n_chars").isNotNull)
       val scored = graft.ops.Classifier.scoreLinear(d, Seq(
           least(col("n_chars") / 500.0, lit(2.0)) -> 0.8,
           (size(split(col("text"), " ")) / 100.0) -> 0.6,
@@ -2854,7 +2876,7 @@ object SparkEntry {
         "+ 0.6*(len(string_split(text, ' '))/100.0) " +
         "- 2.0*(length(regexp_replace(text, '[a-z ]', '', 'g'))/greatest(length(text), 1))))), 6) AS s, " +
         "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents " +
-        "WHERE text IS NOT NULL AND lang IS NOT NULL), " +
+        "WHERE text IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL), " +
         "g AS (SELECT s, count(*) AS cnt, sum(y) AS pos FROM d GROUP BY s), " +
         "r AS (SELECT cnt, pos, coalesce(sum(cnt) OVER (ORDER BY s " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)*2 + cnt + 1 AS r2 FROM g), " +
@@ -2862,13 +2884,29 @@ object SparkEntry {
         "SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg, " +
         "CASE WHEN np > 0 AND nn > 0 THEN " +
         "floor((r2p/2.0 - np*(np + 1.0)/2.0)/(np*1.0*nn)*1e9)/1e9 END AS auc FROM a"),
+    "q_auc_by_lang" ->
+      // the q_auc mirror with every window/aggregate partitioned by lang
+      ("WITH d AS (SELECT lang, round(1.0/(1.0 + exp(-(-0.5 + 0.8*least(n_chars/500.0, 2.0) " +
+        "+ 0.6*(len(string_split(text, ' '))/100.0) " +
+        "- 2.0*(length(regexp_replace(text, '[a-z ]', '', 'g'))/greatest(length(text), 1))))), 6) AS s, " +
+        "CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS y FROM documents " +
+        "WHERE text IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL), " +
+        "g AS (SELECT lang, s, count(*) AS cnt, sum(y) AS pos FROM d GROUP BY lang, s), " +
+        "r AS (SELECT lang, cnt, pos, coalesce(sum(cnt) OVER (PARTITION BY lang ORDER BY s " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)*2 + cnt + 1 AS r2 FROM g), " +
+        "a AS (SELECT lang, sum(pos) AS np, sum(cnt - pos) AS nn, sum(pos*r2) AS r2p " +
+        "FROM r GROUP BY lang) " +
+        "SELECT lang, CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg, " +
+        "CASE WHEN np > 0 AND nn > 0 THEN " +
+        "floor((r2p/2.0 - np*(np + 1.0)/2.0)/(np*1.0*nn)*1e9)/1e9 END AS auc " +
+        "FROM a ORDER BY lang"),
     "q_calibration" ->
       // same bins, same 2^-20 long-sum mean arithmetic, same 1e-6 floors
       ("WITH d AS (SELECT round(1.0/(1.0 + exp(-(-0.5 + 0.8*least(n_chars/500.0, 2.0) " +
         "+ 0.6*(len(string_split(text, ' '))/100.0) " +
         "- 2.0*(length(regexp_replace(text, '[a-z ]', '', 'g'))/greatest(length(text), 1))))), 6) AS s, " +
         "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents " +
-        "WHERE text IS NOT NULL AND lang IS NOT NULL), " +
+        "WHERE text IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL), " +
         "b AS (SELECT least(CAST(floor(least(greatest(s, 0), 1)*10) AS BIGINT), 9) AS bin, " +
         "CAST(floor(least(greatest(s, 0), 1)*1048576.0 + 0.5) AS BIGINT) AS s20, y FROM d) " +
         "SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos, " +

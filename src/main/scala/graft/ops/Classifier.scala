@@ -133,44 +133,61 @@ object Classifier {
     * Returns one row `(n_pos, n_neg, auc)`; auc null when either class
     * is empty. Rows with null score/label or a label outside {0,1} drop. */
   def aucROC(df: DataFrame, scoreCol: String, labelCol: String,
-             nBuckets: Int = 64, exact: Boolean = true): DataFrame = {
+             nBuckets: Int = 64, exact: Boolean = true): DataFrame =
+    aucROCBy(df, Nil, scoreCol, labelCol, nBuckets, exact)
+
+  /** [[aucROC]] per stratum — one AUC row per distinct `groupCols`
+    * combination (per-language / per-source model evaluation). Ranks are
+    * computed WITHIN each group, but the quantile boundaries stay global
+    * (one boundary aggregate; bucket order respects score order inside
+    * every group, so within-group ranks are still exact). The offsets
+    * table grows to |groups|×nBuckets rows and broadcasts — keep the
+    * stratum count model-sized (languages, sources), not corpus-sized.
+    * Groups whose rows all carry one class emit a null AUC. */
+  def aucROCBy(df: DataFrame, groupCols: Seq[String],
+               scoreCol: String, labelCol: String,
+               nBuckets: Int = 64, exact: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val gcols = groupCols.map(col)
     val g = df
-      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
-      .select(col(scoreCol).cast("double").as("__s"),
-        col(labelCol).cast("double").as("__y"))
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull &&
+        groupCols.map(col(_).isNotNull).foldLeft(lit(true))(_ && _))
+      .select(gcols ++ Seq(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("double").as("__y")): _*)
       .filter(col("__y") === 0.0 || col("__y") === 1.0)
-      .groupBy(col("__s"))
+      .groupBy(gcols :+ col("__s"): _*)
       .agg(count(lit(1)).as("__cnt"), sum(col("__y")).cast("long").as("__pos"))
     // bucketed ascending cumulative count: pinned so the bucket-size and
     // rank passes read one materialization (the globalRank contract)
     val bucketed = Checkpoints.pinned(
       Sketches.quantileBuckets(g, "__s", nBuckets, "__b", exact))
-    val offs = bucketed.groupBy(col("__b")).agg(sum(col("__cnt")).as("__bn"))
+    val offs = bucketed.groupBy(gcols :+ col("__b"): _*)
+      .agg(sum(col("__cnt")).as("__bn"))
       .withColumn("__off", coalesce(
-        sum(col("__bn")).over(Window.orderBy(col("__b"))
+        sum(col("__bn")).over(Window.partitionBy(gcols: _*).orderBy(col("__b"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     val ranked = bucketed
-      .join(broadcast(offs.select(col("__b"), col("__off"))), "__b")
+      .join(broadcast(offs.select(gcols ++ Seq(col("__b"), col("__off")): _*)),
+        groupCols :+ "__b")
       .withColumn("__run", sum(col("__cnt")).over(
-        Window.partitionBy(col("__b")).orderBy(col("__s"))
+        Window.partitionBy(gcols :+ col("__b"): _*).orderBy(col("__s"))
           .rowsBetween(Window.unboundedPreceding, 0)))
       // doubled average 1-based rank of the tie group: rows strictly
       // before it ×2, plus (cnt + 1) — integral, so decimal sums are exact
       .withColumn("__r2",
         (col("__off") + col("__run") - col("__cnt")) * 2 + col("__cnt") + 1)
-    ranked.agg(
-        sum(col("__pos")).as("__np"),
-        sum(col("__cnt") - col("__pos")).as("__nn"),
-        sum((col("__pos") * col("__r2")).cast("decimal(38,0)")).as("__r2p"))
-      .select(
-        coalesce(col("__np"), lit(0L)).as("n_pos"),
-        coalesce(col("__nn"), lit(0L)).as("n_neg"),
-        when(col("__np") > 0 && col("__nn") > 0,
-          floor((col("__r2p").cast("double") / 2.0
-              - col("__np").cast("double") * (col("__np").cast("double") + 1.0) / 2.0)
-            / (col("__np").cast("double") * col("__nn").cast("double")) * 1e9) / 1e9)
-          .as("auc"))
+    val agg = ranked.groupBy(gcols: _*).agg(
+      sum(col("__pos")).as("__np"),
+      sum(col("__cnt") - col("__pos")).as("__nn"),
+      sum((col("__pos") * col("__r2")).cast("decimal(38,0)")).as("__r2p"))
+    agg.select(gcols ++ Seq(
+      coalesce(col("__np"), lit(0L)).as("n_pos"),
+      coalesce(col("__nn"), lit(0L)).as("n_neg"),
+      when(col("__np") > 0 && col("__nn") > 0,
+        floor((col("__r2p").cast("double") / 2.0
+            - col("__np").cast("double") * (col("__np").cast("double") + 1.0) / 2.0)
+          / (col("__np").cast("double") * col("__nn").cast("double")) * 1e9) / 1e9)
+        .as("auc")): _*)
   }
 
   /** Calibration / reliability table of a [0, 1] score against a 0/1

@@ -151,6 +151,33 @@ class ClassifierSpec extends SparkSuite {
     assert(out(2)._4 == 1.0 && out(2)._5 == gridMean(Seq(0.95, 1.0)))
   }
 
+  test("aucROCBy: each stratum equals its own standalone aucROC") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 300).map { i =>
+      val g = s"g${i % 3}"
+      val s = math.floor(rnd.nextDouble() * 10) / 10.0
+      val y = if (rnd.nextDouble() < s) 1.0 else 0.0
+      (i.toLong, g, s, y)
+    }
+    val df = rows.toDF("id", "g", "s", "y")
+    val byGroup = Classifier.aucROCBy(df, Seq("g"), "s", "y", nBuckets = 4)
+      .select("g", "n_pos", "n_neg", "auc")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = Classifier.aucROC(df.filter(col("g") === g), "s", "y",
+          nBuckets = 4)
+        .select("n_pos", "n_neg", "auc").as[(Long, Long, Double)].head()
+      assert(byGroup(g) == ((solo._1, solo._2, solo._3)), s"stratum $g")
+    }
+    // a single-class stratum reports null AUC, not a crash
+    val oneClass = df.withColumn("y",
+      when(col("g") === "g0", 1.0).otherwise(col("y")))
+    val r = Classifier.aucROCBy(oneClass, Seq("g"), "s", "y", nBuckets = 4)
+      .filter(col("g") === "g0").select("auc").collect().head
+    assert(r.isNullAt(0))
+  }
+
   test("aucROC plan: no corpus-scale single-reducer window") {
     val d = (0 until 100).map(i => (i.toLong, i / 100.0, (i % 2).toDouble))
       .toDF("id", "s", "y")
