@@ -1065,6 +1065,19 @@ object SparkEntry {
           / Sketches.kmvEstimate(Sketches.kmvUnion(col("ska"), col("skb"), k), k)
           * 1e6 + 0.5) / 1e6).as("jaccard"))
     }),
+    "q_psi" -> ((s, dir) => {
+      // population-stability drift between two order-price snapshots:
+      // baseline excludes %10 keys, the "after" snapshot doubles every
+      // %3 price (×2 is IEEE-exact) — real mass leaves the baseline
+      // deciles. Boundaries are BEFORE-side exact deciles on the 1e-6
+      // grid; each PSI term rounds on the 1e-9 grid (the ln idiom).
+      val o = T(s, dir, "orders").filter(col("o_totalprice").isNotNull)
+      val before = o.filter(col("o_orderkey") % 10 =!= 0)
+        .select(col("o_totalprice").as("v"))
+      val after = o.select(when(col("o_orderkey") % 3 === 0,
+          col("o_totalprice") * 2).otherwise(col("o_totalprice")).as("v"))
+      Sketches.scorePsi(before, after, "v", nBins = 10).orderBy("bin")
+    }),
     "q_cms_freq" -> ((s, dir) => {
       // count-min frequency estimates (the fixed-size frequency table
       // when a per-key groupBy is itself the problem): 4×64 sketch over
@@ -3250,6 +3263,33 @@ object SparkEntry {
         "(SELECT count(*) FROM u) AS n_union, " +
         "floor(CAST((SELECT count(*) FROM a JOIN b USING (doc_id)) AS DOUBLE) " +
         "/ CAST((SELECT count(*) FROM u) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS jaccard"),
+    "q_psi" -> {
+      // identical decile grid from the BEFORE side (quantile_cont mirrors
+      // the engine's exact percentile — the q_quantile_buckets precedent),
+      // identical Laplace smoothing and 1e-9 term rounding
+      val bs = (1 to 9).map(i =>
+        s"floor(quantile_cont(v, 0.$i)*1e6+0.5)/1e6 AS b$i").mkString(", ")
+      val assign = (1 to 9).map(i =>
+        s"(CASE WHEN v > b$i THEN 1 ELSE 0 END)").mkString(" + ")
+      "WITH bef AS (SELECT o_totalprice AS v FROM orders " +
+        "WHERE o_totalprice IS NOT NULL AND o_orderkey % 10 <> 0), " +
+        "aft AS (SELECT CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice*2 " +
+        "ELSE o_totalprice END AS v FROM orders WHERE o_totalprice IS NOT NULL), " +
+        s"bs AS (SELECT $bs FROM bef), " +
+        s"ca AS (SELECT CAST($assign AS BIGINT) AS bin, count(*) AS cnt FROM bef, bs GROUP BY 1), " +
+        s"cb AS (SELECT CAST($assign AS BIGINT) AS bin, count(*) AS cnt FROM aft, bs GROUP BY 1), " +
+        "spine AS (SELECT unnest(range(0, 10)) AS bin), " +
+        "j AS (SELECT bin, CAST(coalesce(ca.cnt, 0) AS BIGINT) AS n_before, " +
+        "CAST(coalesce(cb.cnt, 0) AS BIGINT) AS n_after " +
+        "FROM spine LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)), " +
+        "t AS (SELECT sum(n_before) AS ta, sum(n_after) AS tb FROM j) " +
+        "SELECT bin, n_before, n_after, " +
+        "floor((n_before+1.0)/(ta+10.0)*1e6)/1e6 AS p_before, " +
+        "floor((n_after+1.0)/(tb+10.0)*1e6)/1e6 AS p_after, " +
+        "floor(((n_before+1.0)/(ta+10.0) - (n_after+1.0)/(tb+10.0)) " +
+        "* ln(((n_before+1.0)/(ta+10.0)) / ((n_after+1.0)/(tb+10.0))) * 1e9 + 0.5)/1e9 AS psi_term " +
+        "FROM j, t ORDER BY bin"
+    },
     "q_cms_freq" -> {
       // identical 4×64 count-min in HUGEINT: the same splitmix64-derived
       // (A_i, B_i) as literals, (A·k + B) mod 2^64 then the low 6 bits

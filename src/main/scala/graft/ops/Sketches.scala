@@ -652,6 +652,60 @@ object Sketches {
         col("max_after"), col("drifted"))
   }
 
+  /** Population stability index of a score/metric between two snapshots
+    * — the standard "did the scoring distribution drift since the model
+    * shipped?" monitor (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    * retrain). Bins are `nBins` quantiles of the BEFORE snapshot (the
+    * production convention: the baseline defines the grid; drift shows
+    * up as mass leaving baseline bins), boundaries 1e-6-grid-rounded so
+    * a second engine replays the assignment. Per-bin Laplace smoothing
+    * `(cnt + 1) / (n + nBins)` keeps empty bins finite, and each PSI
+    * term rounds on the 1e-9 grid (the `q_kl_divergence` ln idiom) —
+    * sum the `psi_term` column for the headline index.
+    *
+    * Scale shape: one boundary aggregate over BEFORE (nBins − 1 doubles,
+    * broadcast), map-only bin assignment on both snapshots, two
+    * nBins-group partial-agg exchanges, and an nBins-row spine join —
+    * nothing corpus-sized moves. Null values drop.
+    *
+    * Returns one row per bin: `(bin, n_before, n_after, p_before,
+    * p_after, psi_term)` (shares smoothed, 1e-6-floored for display;
+    * the term is computed from the unrounded shares). */
+  def scorePsi(before: DataFrame, after: DataFrame, valueCol: String,
+               nBins: Int = 10, exact: Boolean = true): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val v = col(valueCol)
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    def pct(p: Double): Column =
+      if (exact) percentile(v, lit(p))
+      else percentile_approx(v, lit(p), lit(10000))
+    val bounds = before.filter(v.isNotNull)
+      .agg(array(ps.map(p => floor(pct(p) * 1e6 + 0.5) / 1e6): _*).as("__bs"))
+    def binned(df: DataFrame): DataFrame = df.filter(v.isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(aggregate(col("__bs"), lit(0L),
+        (acc, b) => acc + when(v.cast("double") > b, 1L).otherwise(0L))
+        .as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val spine = before.sparkSession.range(0, nBins)
+      .select(col("id").as("bin"))
+    val a = binned(before).withColumnRenamed("cnt", "n_before")
+    val b = binned(after).withColumnRenamed("cnt", "n_after")
+    val joined = spine
+      .join(broadcast(a), Seq("bin"), "left")
+      .join(broadcast(b), Seq("bin"), "left")
+      .na.fill(0L, Seq("n_before", "n_after"))
+    val tots = joined.agg(sum(col("n_before")).as("__ta"),
+      sum(col("n_after")).as("__tb"))
+    val pa = (col("n_before") + 1.0) / (col("__ta") + lit(nBins.toDouble))
+    val pb = (col("n_after") + 1.0) / (col("__tb") + lit(nBins.toDouble))
+    joined.crossJoin(broadcast(tots))
+      .select(col("bin"), col("n_before"), col("n_after"),
+        (floor(pa * 1e6) / 1e6).as("p_before"),
+        (floor(pb * 1e6) / 1e6).as("p_after"),
+        (floor((pa - pb) * log(pa / pb) * 1e9 + 0.5) / 1e9).as("psi_term"))
+  }
+
   // ------------------------------------------------ count-min sketch
   //
   // HLL answers "how many distinct", KMV adds set algebra; count-min

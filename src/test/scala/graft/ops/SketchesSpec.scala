@@ -416,6 +416,34 @@ class SketchesSpec extends SparkSuite {
     assert(m == Map("id" -> "common", "s" -> "removed", "t" -> "added"))
   }
 
+  test("scorePsi: identical snapshots → all-zero terms; a shift is flagged") {
+    import spark.implicits._
+    val base = (1 to 1000).map(_.toDouble / 10).toDF("v")
+    val same = Sketches.scorePsi(base, base, "v", nBins = 10)
+      .select("psi_term").as[Double].collect()
+    assert(same.forall(_ == 0.0), same.toSeq.toString) // pa == pb exactly
+    // after-shift: top half doubled — mass leaves the lower baseline bins
+    val shifted = base.select((when(col("v") > 50.0, col("v") * 2)
+      .otherwise(col("v"))).as("v"))
+    val psi = Sketches.scorePsi(base, shifted, "v", nBins = 10)
+      .select("psi_term").as[Double].collect().sum
+    assert(psi > 0.25, s"expected a retrain-grade PSI, got $psi")
+  }
+
+  test("scorePsi: empty bins smoothed finite, nulls drop, full spine") {
+    import spark.implicits._
+    val before = (1 to 100).map(_.toDouble).toDF("v")
+    // after-snapshot collapses onto one value: 9 of 10 bins empty
+    val after = Seq.fill(50)(Some(1.0)).toDF("v")
+      .unionByName(Seq[Option[Double]](None).toDF("v"))
+    val out = Sketches.scorePsi(before, after, "v", nBins = 10)
+      .select("bin", "n_after", "psi_term")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0L until 10L).toSeq) // every bin present
+    assert(out.map(_._2).sum == 50L)                    // the null dropped
+    assert(out.forall(r => !r._3.isNaN && !r._3.isInfinite))
+  }
+
   test("count-min: estimates never undercount, exact at generous width") {
     import spark.implicits._
     // skewed multiplicities: key k occurs k times
