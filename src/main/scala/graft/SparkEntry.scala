@@ -2016,6 +2016,18 @@ object SparkEntry {
         docs.filter(col("lang") === "en"),
         docs.filter(!(col("lang") <=> "en")), "text", k = 50)
     }),
+    "q_log_odds" -> ((s, dir) => {
+      // WHERE two corpora differ (the token-level complement to q_kl's
+      // how-much): Dirichlet-prior log-odds z-scores between the en
+      // slice and the rest, 15 most-distinctive tokens each side,
+      // z on the 1e-6 grid BEFORE ranking with a token tiebreak
+      val docs = T(s, dir, "documents")
+      graft.ops.LmScore.logOddsDiff(
+          docs.filter(col("lang") === "en"),
+          docs.filter(!(col("lang") <=> "en")), "text",
+          k = 15, alpha = 0.01, minCount = 5L)
+        .orderBy("side", "token")
+    }),
     "q_stream_enrich" -> ((s, dir) => {
       // TRUE streaming stream-static enrichment: file-source events
       // stream joined to the static customer dimension (broadcast hash
@@ -4126,6 +4138,29 @@ object SparkEntry {
         "LEFT JOIN mad ON e.event_type IS NOT DISTINCT FROM mad.g) " +
         "SELECT event_id, value_rz, coalesce(abs(value_rz) > 3.5, false) AS value_outlier " +
         "FROM rz ORDER BY event_id"),
+    "q_log_odds" ->
+      // identical Dirichlet log-odds arithmetic over the q_kl token split:
+      // same tokenization, same α=0.01 prior, same 1e-6 z floor BEFORE the
+      // two top-15 rankings, token tiebreak, final (side, token) order
+      ("WITH ta AS (SELECT token, count(*) AS y_a FROM (" +
+        "SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token " +
+        "FROM documents WHERE lang = 'en' AND text IS NOT NULL) WHERE len(token) > 0 GROUP BY 1), " +
+        "tb AS (SELECT token, count(*) AS y_b FROM (" +
+        "SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token " +
+        "FROM documents WHERE lang IS DISTINCT FROM 'en' AND text IS NOT NULL) WHERE len(token) > 0 GROUP BY 1), " +
+        "v AS (SELECT coalesce(ta.token, tb.token) AS token, " +
+        "CAST(coalesce(y_a, 0) AS BIGINT) AS y_a, CAST(coalesce(y_b, 0) AS BIGINT) AS y_b " +
+        "FROM ta FULL JOIN tb ON ta.token = tb.token " +
+        "WHERE coalesce(y_a, 0) + coalesce(y_b, 0) >= 5), " +
+        "t AS (SELECT sum(y_a) AS na, sum(y_b) AS nb, count(*) AS vv FROM v), " +
+        "s AS (SELECT token, y_a, y_b, floor(" +
+        "(ln((y_a + 0.01)/(na + 0.01*vv - y_a - 0.01)) - ln((y_b + 0.01)/(nb + 0.01*vv - y_b - 0.01))) " +
+        "/ sqrt(1.0/(y_a + 0.01) + 1.0/(y_b + 0.01)) * 1e6 + 0.5)/1e6 AS z FROM v, t) " +
+        "SELECT * FROM (" +
+        "SELECT * FROM (SELECT token, y_a, y_b, z, 'a' AS side FROM s ORDER BY z DESC, token LIMIT 15) " +
+        "UNION ALL " +
+        "SELECT * FROM (SELECT token, y_a, y_b, z, 'b' AS side FROM s ORDER BY z ASC, token LIMIT 15)) " +
+        "ORDER BY side, token"),
     "q_kl_divergence" ->
       // full mirror of corpusDivergence: same tokenization, same shared
       // smoothed top-50 vocab (combined-count desc, token tiebreak), the

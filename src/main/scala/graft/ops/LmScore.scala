@@ -380,4 +380,52 @@ object LmScore {
         r6(col("__kl_pq")).as("kl_pq"), r6(col("__kl_qp")).as("kl_qp"),
         r6((col("__kl_pm") + col("__kl_qm")) / 2).as("js"))
   }
+
+  /** Token-level corpus comparison by log-odds ratio with a Dirichlet
+    * prior (Monroe/Colaresi/Quinn "Fightin' Words", 2008) — WHERE two
+    * corpora differ, the complement to [[corpusDivergence]]'s
+    * how-much. For token w with counts `y_a`, `y_b`, totals `n_a`,
+    * `n_b`, prior `α` per token (`α₀ = α·|V|`):
+    * `δ = ln((y_a+α)/(n_a+α₀−y_a−α)) − ln((y_b+α)/(n_b+α₀−y_b−α))`,
+    * `z = δ / sqrt(1/(y_a+α) + 1/(y_b+α))`. Emits the `k` most
+    * A-distinctive and `k` most B-distinctive tokens among those with
+    * combined count ≥ `minCount`, z floor-rounded on the 1e-6 grid
+    * BEFORE ranking with a token tiebreak (the bm25 idiom), labeled
+    * `side` ('a' / 'b').
+    *
+    * Execution shape: two partial-aggregable token-count passes, one
+    * vocab-sized full join, scalar totals broadcast, map-only z
+    * arithmetic, two TakeOrdered top-ks — the corpora are read once
+    * each; nothing after the counts is corpus-sized. */
+  def logOddsDiff(a: DataFrame, b: DataFrame, textCol: String,
+                  k: Int = 20, alpha: Double = 0.01,
+                  minCount: Long = 5L): DataFrame = {
+    require(k > 0 && alpha > 0 && minCount >= 0)
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.filter(col(textCol).isNotNull)
+        .select(explode(split(lower(col(textCol)), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as(out))
+    val vocab = counts(a, "y_a").join(counts(b, "y_b"), Seq("token"), "full")
+      .select(col("token"), coalesce(col("y_a"), lit(0L)).as("y_a"),
+        coalesce(col("y_b"), lit(0L)).as("y_b"))
+      .filter(col("y_a") + col("y_b") >= minCount)
+    val withT = vocab
+      .crossJoin(broadcast(vocab.agg(sum("y_a").as("__na"),
+        sum("y_b").as("__nb"), count(lit(1)).as("__v"))))
+    val a0 = lit(alpha) * col("__v")
+    def lo(y: Column, n: Column): Column =
+      log((y + alpha) / (n + a0 - y - lit(alpha)))
+    val delta = lo(col("y_a"), col("__na")) - lo(col("y_b"), col("__nb"))
+    val sigma = sqrt(lit(1.0) / (col("y_a") + alpha) +
+      lit(1.0) / (col("y_b") + alpha))
+    val scored = withT
+      .select(col("token"), col("y_a"), col("y_b"),
+        (floor(delta / sigma * 1e6 + 0.5) / 1e6).as("z"))
+    val topA = scored.orderBy(col("z").desc, col("token")).limit(k)
+      .withColumn("side", lit("a"))
+    val topB = scored.orderBy(col("z").asc, col("token")).limit(k)
+      .withColumn("side", lit("b"))
+    topA.unionByName(topB)
+  }
 }

@@ -265,4 +265,29 @@ class LmScoreSpec extends SparkSuite {
     intercept[IllegalArgumentException](LmScore.knBigramModel(df, "text", 0))
     intercept[IllegalArgumentException](LmScore.knBigramModel(df, "text", 5, discount = 1.0))
   }
+test("logOddsDiff: distinctive tokens surface, swap negates z") {
+    // corpus A says "alpha" often and "beta" rarely; B is the reverse;
+    // "common" is balanced and should score near zero
+    val a = (Seq.fill(30)("alpha common") ++ Seq.fill(3)("beta common")).toDF("text")
+    val b = (Seq.fill(3)("alpha common") ++ Seq.fill(30)("beta common")).toDF("text")
+    val out = LmScore.logOddsDiff(a, b, "text", k = 2, minCount = 1L)
+      .select("token", "z", "side").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2)))
+    val aSide = out.filter(_._3 == "a").map(t => t._1 -> t._2).toMap
+    val bSide = out.filter(_._3 == "b").map(t => t._1 -> t._2).toMap
+    assert(aSide.maxBy(_._2)._1 == "alpha" && bSide.minBy(_._2)._1 == "beta")
+    assert(aSide("alpha") > 2.0 && bSide("beta") < -2.0)
+    // antisymmetry: swapping the corpora negates every z
+    val swapped = LmScore.logOddsDiff(b, a, "text", k = 2, minCount = 1L)
+      .select("token", "z").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(swapped("alpha") + aSide("alpha")) < 2e-6)
+  }
+
+  test("logOddsDiff: minCount prunes rare tokens; null text drops") {
+    val a = (Seq.fill(10)("kept") :+ "rare").map(Option(_)).toDF("text")
+    val b = (Seq.fill(10)("kept") :+ (null: String)).map(Option(_)).toDF("text")
+    val toks = LmScore.logOddsDiff(a, b, "text", k = 5, minCount = 5L)
+      .select("token").collect().map(_.getString(0)).toSet
+    assert(toks == Set("kept")) // "rare" (count 1) pruned, null row ignored
+  }
 }
