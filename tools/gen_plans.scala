@@ -48,7 +48,9 @@ for (name <- Seq("flagship_valid_split", "q_required", "q_min", "q_topk_similar"
     "q_readability", "q_gini",
     "q_pii_redact", "q_mapper_variant", "q_phrase_search", "q_tag_keywords",
     "q_entity_resolution", "q_profile_drift", "q_confusables",
-    "q_kn_bigram", "q_stream_keystats")) {
+    "q_kn_bigram", "q_stream_keystats",
+    "q_auc", "q_auc_by_lang", "q_calibration", "q_cms_freq", "q_psi",
+    "q_log_odds")) {
   val df = if (name == "flagship_valid_split") flagship
            else graft.SparkEntry.queries(name)(spark, dir)
   out.println()
