@@ -1065,6 +1065,13 @@ object SparkEntry {
           / Sketches.kmvEstimate(Sketches.kmvUnion(col("ska"), col("skb"), k), k)
           * 1e6 + 0.5) / 1e6).as("jaccard"))
     }),
+    "q_chi_square" -> ((s, dir) => {
+      // categorical association audit: is lang independent of source?
+      // (a skewed lang×source table is how a scraper outage or sampling
+      // bug surfaces). Per-cell terms on the 1e-9 grid summed as
+      // DECIMAL; chi2 + Cramér's V on the 1e-6 grid.
+      graft.ops.Integrity.chiSquare(T(s, dir, "documents"), "lang", "source")
+    }),
     "q_psi" -> ((s, dir) => {
       // population-stability drift between two order-price snapshots:
       // baseline excludes %10 keys, the "after" snapshot doubles every
@@ -3275,6 +3282,23 @@ object SparkEntry {
         "(SELECT count(*) FROM u) AS n_union, " +
         "floor(CAST((SELECT count(*) FROM a JOIN b USING (doc_id)) AS DOUBLE) " +
         "/ CAST((SELECT count(*) FROM u) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS jaccard"),
+    "q_chi_square" ->
+      // identical contingency/margin arithmetic, same grids, same
+      // left-to-right expected-count expression
+      ("WITH c AS (SELECT lang AS a, source AS b, count(*) AS o FROM documents " +
+        "WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2), " +
+        "ma AS (SELECT a, sum(o) AS ra FROM c GROUP BY a), " +
+        "mb AS (SELECT b, sum(o) AS rb FROM c GROUP BY b), " +
+        "t AS (SELECT sum(o) AS n, count(DISTINCT a) AS ka, count(DISTINCT b) AS kb FROM c), " +
+        "terms AS (SELECT n, ka, kb, CAST(floor(" +
+        "(o - ra*1.0*rb/n)*(o - ra*1.0*rb/n)/(ra*1.0*rb/n)*1e9 + 0.5)/1e9 AS DECIMAL(28,9)) AS tm " +
+        "FROM c JOIN ma USING (a) JOIN mb USING (b), t) " +
+        "SELECT CAST(n AS BIGINT) AS n, CAST(ka AS BIGINT) AS r_a, CAST(kb AS BIGINT) AS r_b, " +
+        "CAST((ka-1)*(kb-1) AS BIGINT) AS dof, " +
+        "floor(CAST(sum(tm) AS DOUBLE)*1e6 + 0.5)/1e6 AS chi2, " +
+        "CASE WHEN ka > 1 AND kb > 1 THEN " +
+        "floor(sqrt(CAST(sum(tm) AS DOUBLE)/(n*least(ka-1, kb-1)))*1e6 + 0.5)/1e6 END AS cramers_v " +
+        "FROM terms GROUP BY n, ka, kb"),
     "q_psi" -> {
       // identical decile grid from the BEFORE side (quantile_cont mirrors
       // the engine's exact percentile — the q_quantile_buckets precedent),

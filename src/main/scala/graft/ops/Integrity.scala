@@ -141,4 +141,45 @@ object Integrity {
         floor(avg(abs(col("freq") - col("expected"))).over(w9) * 1e6 + lit(0.5)) / 1e6)
       .select(col("digit"), col("n"), col("freq"), col("expected"), col("mad"))
   }
+
+  /** Chi-square independence audit between two categorical columns —
+    * "is `lang` independent of `source`?" (a skewed association is how
+    * a sampling bug or a scraper outage shows up in corpus audits).
+    * One row: `(n, r_a, r_b, dof, chi2, cramers_v)` with
+    * `chi2 = Σ (observed − expected)² / expected` over the contingency
+    * cells and Cramér's V `sqrt(chi2 / (n·min(r_a−1, r_b−1)))` as the
+    * 0–1 effect size. Per-cell terms floor-round on the 1e-9 grid and
+    * sum as DECIMAL (addition-order-free, second-engine-replayable);
+    * the headline columns round on the 1e-6 grid. Null categories drop.
+    *
+    * Scale shape: ONE partial-aggregable contingency exchange (cells
+    * bounded by |A|×|B| — categorical audits, not id columns); margins
+    * are two aggregates OVER THE CELL TABLE (never the corpus) joined
+    * back broadcast, so the corpus is read exactly once. */
+  def chiSquare(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).as("__a"), col(colB).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val ma = cells.groupBy("__a").agg(sum("__o").as("__ra"))
+    val mb = cells.groupBy("__b").agg(sum("__o").as("__rb"))
+    val tot = cells.agg(sum(col("__o")).as("__n"),
+      countDistinct(col("__a")).as("__ka"), countDistinct(col("__b")).as("__kb"))
+    val e = col("__ra").cast("double") * col("__rb") / col("__n")
+    val term = (col("__o") - e) * (col("__o") - e) / e
+    val terms = cells
+      .join(broadcast(ma), "__a").join(broadcast(mb), "__b")
+      .crossJoin(broadcast(tot))
+      .select(col("__n"), col("__ka"), col("__kb"),
+        (floor(term * 1e9 + 0.5) / 1e9).cast("decimal(28,9)").as("__t"))
+    terms.groupBy(col("__n"), col("__ka"), col("__kb"))
+      .agg(sum(col("__t")).as("__chi2"))
+      .select(col("__n").as("n"),
+        col("__ka").as("r_a"), col("__kb").as("r_b"),
+        ((col("__ka") - 1) * (col("__kb") - 1)).as("dof"),
+        (floor(col("__chi2").cast("double") * 1e6 + 0.5) / 1e6).as("chi2"),
+        when(col("__ka") > 1 && col("__kb") > 1,
+          floor(sqrt(col("__chi2").cast("double") /
+            (col("__n") * least(col("__ka") - 1, col("__kb") - 1))) * 1e6 + 0.5)
+            / 1e6).as("cramers_v"))
+  }
 }

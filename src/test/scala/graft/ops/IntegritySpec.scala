@@ -91,4 +91,26 @@ class IntegritySpec extends SparkSuite {
     assert(Integrity.benfordExpected(9) == 0.045757)
     assert(math.abs(Integrity.benfordExpected.values.sum - 1.0) < 1e-5)
   }
+test("chiSquare: hand-computed 2x2 table, independence -> 0, null drop") {
+    // observed: (x,p)=30 (x,q)=10 (y,p)=10 (y,q)=30; margins 40/40, n=80
+    // expected: every cell 20; chi2 = 4 * (10^2/20) = 20; V = sqrt(20/80) = 0.5
+    val rows = Seq.fill(30)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(30)(("y", "q"))
+    val out = Integrity.chiSquare(rows.toDF("a", "b"), "a", "b")
+      .select("n", "r_a", "r_b", "dof", "chi2", "cramers_v")
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(out == ((80L, 2L, 2L, 1L, 20.0, 0.5)))
+    // exact independence: uniform cross product -> chi2 = 0
+    val indep = (for { a <- Seq("x", "y", "z"); b <- Seq("p", "q"); _ <- 1 to 5 }
+      yield (a, b)).toDF("a", "b")
+    val z = Integrity.chiSquare(indep, "a", "b")
+      .select("chi2", "dof").as[(Double, Long)].head()
+    assert(z == ((0.0, 2L)))
+    // null categories drop before counting
+    val withNull = rows.map { case (a, b) => (Option(a), Option(b)) }
+      .toDF("a", "b")
+      .unionByName(Seq((Option.empty[String], Option("p"))).toDF("a", "b"))
+    assert(Integrity.chiSquare(withNull, "a", "b")
+      .select("n").as[Long].head() == 80L)
+  }
 }
