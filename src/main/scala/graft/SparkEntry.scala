@@ -1065,6 +1065,39 @@ object SparkEntry {
           / Sketches.kmvEstimate(Sketches.kmvUnion(col("ska"), col("skb"), k), k)
           * 1e6 + 0.5) / 1e6).as("jaccard"))
     }),
+    "q_pct_norm" -> ((s, dir) => {
+      // within-stratum percentile normalization: each document's
+      // n_chars mapped to its percentile INSIDE its language — the
+      // cross-model score alignment before a single global cut. The
+      // oracle replays the per-lang rank window; the engine never runs
+      // a corpus-scale window (stratified globalRank decomposition).
+      graft.ops.Sketches.percentileNormalize(
+          T(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          "n_chars", "doc_id", Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("pct"))
+        .orderBy("doc_id")
+    }),
+    "q_cdc_asof" -> ((s, dir) => {
+      // snapshot AS-OF reconstruction (time travel from the changelog):
+      // the q_cdc_apply changelog replayed only through seq 1 — the
+      // %10==2 delete at seq 2 has NOT happened yet, so those keys
+      // survive with their seq-1 state. Closed-form oracle.
+      val base = T(s, dir, "orders")
+      val k = col("o_orderkey")
+      def tag(df: DataFrame, op: String, seq: Long) =
+        df.withColumn("__op", lit(op)).withColumn("__seq", lit(seq))
+      val changes = tag(base.filter(k % 10 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") * 2), "U", 1L)
+        .unionByName(tag(base.filter(k % 10 === 0), "D", 1L))
+        .unionByName(tag(base.filter(k % 10 === 2), "U", 1L))
+        .unionByName(tag(base.filter(k % 10 === 2), "D", 2L))
+        .unionByName(tag(base.filter(k % 10 === 3)
+          .withColumn("o_orderkey", k + 10000000L), "I", 1L))
+      Cdc.applyChangelog(base, changes.filter(col("__seq") <= 1),
+          Seq("o_orderkey"), "__seq", "__op")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
     "q_chi_square" -> ((s, dir) => {
       // categorical association audit: is lang independent of source?
       // (a skewed lang×source table is how a scraper outage or sampling
@@ -3282,6 +3315,26 @@ object SparkEntry {
         "(SELECT count(*) FROM u) AS n_union, " +
         "floor(CAST((SELECT count(*) FROM a JOIN b USING (doc_id)) AS DOUBLE) " +
         "/ CAST((SELECT count(*) FROM u) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS jaccard"),
+    "q_pct_norm" ->
+      // the plain per-stratum rank window the engine's bucketed
+      // decomposition must equal bit-for-bit
+      ("SELECT doc_id, lang, n_chars, floor(CAST(rn AS DOUBLE)/cnt*1e6)/1e6 AS pct FROM (" +
+        "SELECT doc_id, lang, n_chars, " +
+        "row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn, " +
+        "count(*) OVER (PARTITION BY lang) AS cnt FROM documents " +
+        "WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL AND lang IS NOT NULL) " +
+        "ORDER BY doc_id"),
+    "q_cdc_asof" ->
+      // the surviving snapshot one sequence number earlier: %10==0 gone,
+      // %10==1 doubled, %10==2 STILL PRESENT (its delete is at seq 2),
+      // %10==3 present twice
+      ("SELECT o_orderkey, o_orderstatus, o_totalprice FROM (" +
+        "SELECT o_orderkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice " +
+        "FROM orders WHERE o_orderkey % 10 <> 0 " +
+        "UNION ALL " +
+        "SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice " +
+        "FROM orders WHERE o_orderkey % 10 = 3) ORDER BY o_orderkey"),
     "q_chi_square" ->
       // identical contingency/margin arithmetic, same grids, same
       // left-to-right expected-count expression

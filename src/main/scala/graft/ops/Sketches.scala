@@ -652,6 +652,48 @@ object Sketches {
         col("max_after"), col("drifted"))
   }
 
+  /** Within-stratum percentile normalization — map each row's value to
+    * its empirical percentile `rank / n` INSIDE its stratum, so scores
+    * produced by different models (one quality classifier per language)
+    * become comparable before a single global cut ("keep every
+    * document above the 80th percentile of ITS OWN language"). Emits
+    * the input columns plus `pct` (1-based ascending rank over
+    * `(value, id)` divided by the stratum size, 1e-6-floor-rounded).
+    *
+    * Scale shape: the [[globalRank]] decomposition stratified — GLOBAL
+    * quantile boundaries (one aggregate; bucket order respects value
+    * order inside every stratum), per-(stratum, bucket) running
+    * windows, a |strata|×nBuckets broadcast offsets table, and a
+    * |strata|-row broadcast count table. No corpus-scale window; keep
+    * the stratum count model-sized. `idCol` must be unique; null
+    * value/id/stratum rows drop. */
+  def percentileNormalize(df: DataFrame, valueCol: String, idCol: String,
+                          strataCols: Seq[String], nBuckets: Int = 64,
+                          exact: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gcols = strataCols.map(col)
+    val rows = df.filter(col(valueCol).isNotNull && col(idCol).isNotNull &&
+      strataCols.map(col(_).isNotNull).foldLeft(lit(true))(_ && _))
+    val bucketed = Checkpoints.pinned(
+      quantileBuckets(rows, valueCol, nBuckets, "__b", exact))
+    val counts = bucketed.groupBy(gcols :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__n"))
+    val offs = counts.withColumn("__off", coalesce(
+      sum(col("__n")).over(Window.partitionBy(gcols: _*).orderBy(col("__b"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tots = counts.groupBy(gcols: _*).agg(sum(col("__n")).as("__tot"))
+    bucketed
+      .join(broadcast(offs.select(gcols ++ Seq(col("__b"), col("__off")): _*)),
+        strataCols :+ "__b")
+      .join(broadcast(tots), strataCols)
+      .withColumn("__rk", col("__off") + row_number().over(
+        Window.partitionBy(gcols :+ col("__b"): _*)
+          .orderBy(col(valueCol), col(idCol))))
+      .withColumn("pct",
+        floor(col("__rk").cast("double") / col("__tot") * 1e6) / 1e6)
+      .drop("__b", "__off", "__tot", "__rk")
+  }
+
   /** Population stability index of a score/metric between two snapshots
     * — the standard "did the scoring distribution drift since the model
     * shipped?" monitor (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25

@@ -416,6 +416,31 @@ class SketchesSpec extends SparkSuite {
     assert(m == Map("id" -> "common", "s" -> "removed", "t" -> "added"))
   }
 
+  test("percentileNormalize equals the per-stratum rank window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 500).map(i =>
+      (i.toLong, s"g${i % 4}", rnd.nextInt(50).toDouble)).toDF("id", "g", "v")
+    val want = df.withColumn("rn",
+        row_number().over(Window.partitionBy(col("g")).orderBy(col("v"), col("id"))))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .select(col("id"),
+        (floor(col("rn").cast("double") / col("cnt") * 1e6) / 1e6).as("pct"))
+      .as[(Long, Double)].collect().toMap
+    val got = Sketches.percentileNormalize(df.repartition(7), "v", "id",
+        Seq("g"), nBuckets = 8)
+      .select("id", "pct").as[(Long, Double)].collect().toMap
+    assert(got == want)
+    // each stratum's max percentile is exactly 1.0; nulls drop
+    val withNull = df.unionByName(Seq((999L, null.asInstanceOf[String], 1.0))
+      .toDF("id", "g", "v"))
+    val out = Sketches.percentileNormalize(withNull, "v", "id", Seq("g"))
+    assert(!out.select("id").as[Long].collect().contains(999L))
+    assert(out.groupBy("g").agg(max("pct")).as[(String, Double)]
+      .collect().forall(_._2 == 1.0))
+  }
+
   test("scorePsi: identical snapshots → all-zero terms; a shift is flagged") {
     import spark.implicits._
     val base = (1 to 1000).map(_.toDouble / 10).toDF("v")
