@@ -1098,6 +1098,22 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .orderBy("o_orderkey")
     }),
+    "q_cluster_labels" -> ((s, dir) => {
+      // c-TF-IDF cluster naming (BERTopic class-based TF-IDF): the 5
+      // most DISTINCTIVE terms per language-cluster — how a near-dup /
+      // topic cluster gets a readable label. Same tokenizer and 1e-6
+      // floor-before-rank idiom as q_tfidf.
+      Retrieval.clusterLabels(T(s, dir, "documents"), "lang", "text", k = 5)
+        .orderBy("lang", "rk")
+    }),
+    "q_null_patterns" -> ((s, dir) => {
+      // missingness-pattern audit over the four nullable document
+      // columns: which null COMBINATIONS occur ("text only drops with
+      // n_chars" vs "lang drops alone" are different bugs)
+      graft.ops.Integrity.nullPatterns(T(s, dir, "documents"),
+          Seq("text", "lang", "source", "n_chars"))
+        .orderBy("pattern")
+    }),
     "q_chi_square" -> ((s, dir) => {
       // categorical association audit: is lang independent of source?
       // (a skewed lang×source table is how a scraper outage or sampling
@@ -3335,6 +3351,31 @@ object SparkEntry {
         "UNION ALL " +
         "SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice " +
         "FROM orders WHERE o_orderkey % 10 = 3) ORDER BY o_orderkey"),
+    "q_cluster_labels" ->
+      // identical tokenization, identical c-TF-IDF left-to-right
+      // arithmetic, identical floor-before-rank and term tiebreak
+      ("WITH toks AS (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term " +
+        "FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL), " +
+        "tf AS (SELECT lang, term, count(*) AS tf FROM toks GROUP BY 1, 2), " +
+        "tot AS (SELECT lang, sum(tf) AS total FROM tf GROUP BY lang), " +
+        "ft AS (SELECT term, sum(tf) AS ft FROM tf GROUP BY term), " +
+        "sc AS (SELECT sum(tf)*1.0/count(DISTINCT lang) AS a FROM tf), " +
+        "s AS (SELECT tf.lang, tf.term, tf.tf, " +
+        "floor(CAST(tf.tf AS DOUBLE)/total * ln(1.0 + a/ft) * 1e6 + 0.5)/1e6 AS score " +
+        "FROM tf JOIN tot USING (lang) JOIN ft USING (term), sc) " +
+        "SELECT lang, term, tf, score, CAST(row_number() OVER (PARTITION BY lang " +
+        "ORDER BY score DESC, term) AS INTEGER) AS rk FROM s " +
+        "QUALIFY rk <= 5 ORDER BY lang, rk"),
+    "q_null_patterns" ->
+      ("WITH p AS (SELECT (CASE WHEN text IS NULL THEN '0' ELSE '1' END) || " +
+        "(CASE WHEN lang IS NULL THEN '0' ELSE '1' END) || " +
+        "(CASE WHEN source IS NULL THEN '0' ELSE '1' END) || " +
+        "(CASE WHEN n_chars IS NULL THEN '0' ELSE '1' END) AS pattern " +
+        "FROM documents), " +
+        "c AS (SELECT pattern, count(*) AS n FROM p GROUP BY pattern), " +
+        "t AS (SELECT sum(n) AS tot FROM c) " +
+        "SELECT pattern, n, floor(CAST(n AS DOUBLE)/tot*1e6)/1e6 AS share " +
+        "FROM c, t ORDER BY pattern"),
     "q_chi_square" ->
       // identical contingency/margin arithmetic, same grids, same
       // left-to-right expected-count expression

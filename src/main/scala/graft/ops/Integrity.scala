@@ -142,6 +142,25 @@ object Integrity {
       .select(col("digit"), col("n"), col("freq"), col("expected"), col("mad"))
   }
 
+  /** Missingness-pattern miner — which COMBINATIONS of nulls occur, and
+    * how often ("text is only ever null together with n_chars" vs
+    * "lang drops independently" are different bugs). One row per
+    * realized pattern: a '1'/'0' presence mask over `cols` (in the
+    * given order), its row count, and the share on the 1e-6 grid.
+    * At most 2^|cols| rows exist; realized patterns are usually far
+    * fewer — ONE partial-aggregable exchange over a map-only mask. */
+  def nullPatterns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.size <= 20, s"1..20 columns, got ${cols.size}")
+    val mask = concat(cols.map(c =>
+      when(col(c).isNull, lit("0")).otherwise(lit("1"))): _*)
+    val counts = df.select(mask.as("pattern"))
+      .groupBy("pattern").agg(count(lit(1)).as("n"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("n")).as("__tot"))))
+      .select(col("pattern"), col("n"),
+        (floor(col("n").cast("double") / col("__tot") * 1e6) / 1e6).as("share"))
+  }
+
   /** Chi-square independence audit between two categorical columns —
     * "is `lang` independent of `source`?" (a skewed association is how
     * a sampling bug or a scraper outage shows up in corpus audits).

@@ -161,6 +161,45 @@ object Retrieval {
         col("rk").cast("integer").as("rk"))
   }
 
+  /** c-TF-IDF cluster labels (the BERTopic class-based TF-IDF): the `k`
+    * most DISTINCTIVE terms of each cluster, treating every cluster as
+    * one concatenated document — how a near-dup/SemDeDup/topic cluster
+    * gets a human-readable name. `score = (tf_c / total_c) ·
+    * ln(1 + A / f_t)` with `tf_c` the term's count in the cluster,
+    * `total_c` the cluster's token count, `A` the mean tokens per
+    * cluster, and `f_t` the term's count across ALL clusters. Scores
+    * floor-round on the 1e-6 grid BEFORE ranking, term-asc tiebreak
+    * (the tfidf idiom).
+    *
+    * Scale shape: one exploded partial-agg exchange to the
+    * (cluster, term) table, a term-total aggregate over THAT table, a
+    * 2-scalar broadcast, and a per-cluster top-k window
+    * (WindowGroupLimit pre-prunes map-side). Null cluster/text drops. */
+  def clusterLabels(df: DataFrame, clusterCol: String, textCol: String,
+                    k: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tf = df.filter(col(clusterCol).isNotNull && col(textCol).isNotNull)
+      .select(col(clusterCol), explode(terms(col(textCol))).as("term"))
+      .groupBy(col(clusterCol), col("term")).agg(count(lit(1)).as("tf"))
+    val ft = tf.groupBy(col("term")).agg(sum(col("tf")).as("__ft"))
+    val scalars = broadcast(tf.agg(
+      (sum(col("tf")).cast("double") /
+        countDistinct(col(clusterCol))).as("__avg")))
+    val w = Window.partitionBy(col(clusterCol))
+      .orderBy(col("score").desc, col("term"))
+    tf.withColumn("__total", sum(col("tf")).over(
+        Window.partitionBy(col(clusterCol))))
+      .join(ft, Seq("term"))
+      .crossJoin(scalars)
+      .withColumn("score", floor(
+        col("tf").cast("double") / col("__total") *
+          log(lit(1.0) + col("__avg") / col("__ft")) * 1e6 + lit(0.5)) / 1e6)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(clusterCol), col("term"), col("tf"), col("score"),
+        col("rk").cast("integer").as("rk"))
+  }
+
   /** Exact phrase search: documents containing a query's tokens as a
     * CONTIGUOUS sequence (the positional-query half every lexical engine
     * pairs with BM25 — benchmark-prompt contamination triage and "this

@@ -113,4 +113,18 @@ test("chiSquare: hand-computed 2x2 table, independence -> 0, null drop") {
     assert(Integrity.chiSquare(withNull, "a", "b")
       .select("n").as[Long].head() == 80L)
   }
+test("nullPatterns: realized masks, counts, shares") {
+    val df = Seq(
+      (Some("a"), Some(1)), (Some("b"), Some(2)),       // "11" x2
+      (None: Option[String], Some(3)),                   // "01"
+      (Some("c"), None: Option[Int])                     // "10"
+    ).toDF("s", "n")
+    val out = Integrity.nullPatterns(df, Seq("s", "n"))
+      .select("pattern", "n", "share")
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2)).toSeq ==
+      Seq(("01", 1L), ("10", 1L), ("11", 2L)))
+    assert(out.find(_._1 == "11").get._3 == 0.5)
+    intercept[IllegalArgumentException](Integrity.nullPatterns(df, Nil))
+  }
 }

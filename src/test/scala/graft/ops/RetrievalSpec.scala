@@ -187,4 +187,22 @@ class RetrievalSpec extends SparkSuite {
     val docs = Seq((1L, "go go stop"), (2L, "go stop go")).toDF("doc_id", "text")
     assert(phrase(docs, Seq((1L, "go go"))) == Map((1L, 1L) -> 1))
   }
+test("clusterLabels: distinctive terms rank above shared terms") {
+    import spark.implicits._
+    // "shared" appears in every cluster; each cluster has its own marker
+    val df = Seq(
+      (1L, "shared alpha alpha"), (1L, "shared alpha"),
+      (2L, "shared beta beta"), (2L, "shared beta"),
+      (3L, "shared gamma")).toDF("c", "text")
+    val out = Retrieval.clusterLabels(df, "c", "text", k = 1)
+      .select("c", "term").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+    // null cluster/text drop; rk caps at k
+    val withNull = df.unionByName(
+      Seq((Option.empty[Long], Option("x")), (Some(4L), Option.empty[String]))
+        .toDF("c", "text"))
+    val full = Retrieval.clusterLabels(withNull, "c", "text", k = 2)
+    assert(!full.select("c").as[Long].collect().contains(4L))
+    assert(full.groupBy("c").count().select("count").as[Long].collect().forall(_ <= 2))
+  }
 }
