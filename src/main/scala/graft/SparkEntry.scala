@@ -1098,6 +1098,20 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .orderBy("o_orderkey")
     }),
+    "q_url_templates" -> ((s, dir) => {
+      // crawl-structure map: synthesized product/item URLs per source
+      // host — %5 docs carry an md5 path segment (collapses to {hex}),
+      // the rest a numeric id (collapses to {n}); counts + distinct
+      // concrete paths per (host, template)
+      val docs = T(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("source").isNotNull)
+      val url = concat(lit("https://"), col("source"), lit(".shop.com"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("/item/"), md5(col("doc_id").cast("string")), lit("/view")))
+        .otherwise(concat(lit("/p/"), (col("doc_id") % 1000).cast("string"))))
+      Urls.urlTemplates(docs.select(url.as("url")), "url")
+        .orderBy("host", "template")
+    }),
     "q_cluster_labels" -> ((s, dir) => {
       // c-TF-IDF cluster naming (BERTopic class-based TF-IDF): the 5
       // most DISTINCTIVE terms per language-cluster — how a near-dup /
@@ -3351,6 +3365,18 @@ object SparkEntry {
         "UNION ALL " +
         "SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice " +
         "FROM orders WHERE o_orderkey % 10 = 3) ORDER BY o_orderkey"),
+    "q_url_templates" ->
+      // same synthesized URLs (md5 agrees across engines), same two
+      // placeholder regexes (Java∩RE2, 'g' flag for replace-all)
+      ("WITH u AS (SELECT source || '.shop.com' AS host, " +
+        "CASE WHEN doc_id % 5 = 0 THEN '/item/' || md5(CAST(doc_id AS VARCHAR)) || '/view' " +
+        "ELSE '/p/' || CAST(doc_id % 1000 AS VARCHAR) END AS path " +
+        "FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL), " +
+        "t AS (SELECT host, regexp_replace(regexp_replace(path, '[0-9a-f]{8,}', '{hex}', 'g'), " +
+        "'[0-9]+', '{n}', 'g') AS template, path FROM u) " +
+        "SELECT host, template, count(*) AS n_urls, " +
+        "CAST(count(DISTINCT path) AS BIGINT) AS n_ids " +
+        "FROM t GROUP BY 1, 2 ORDER BY host, template"),
     "q_cluster_labels" ->
       // identical tokenization, identical c-TF-IDF left-to-right
       // arithmetic, identical floor-before-rank and term tiebreak

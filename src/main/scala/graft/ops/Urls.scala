@@ -465,4 +465,36 @@ object Urls {
       .filter(col("__rk") === 1)
       .drop("__rk")
   }
+
+  /** URL path-template mining — collapse id-bearing path segments to
+    * placeholders and count URLs per `(host, template)`: the crawl
+    * STRUCTURE map ("this host is 4M product pages and 200 category
+    * pages") that drives per-template sampling caps and detects crawler
+    * traps (one template exploding in count). Hex runs of 8+ (UUIDs,
+    * content hashes) collapse to `{hex}` first, then digit runs to
+    * `{n}` — both patterns in the Java∩RE2 subset so a second engine
+    * replays them. Query strings are ignored (template identity is the
+    * path); hostless/null URLs drop.
+    *
+    * Output: `(host, template, n_urls, n_ids)` — total URLs and
+    * distinct concrete paths per template. One map-only projection +
+    * one partial-agg exchange on (host, template); distinct paths via
+    * HLL when `exact = false` (the 100 TB default-off switch). */
+  def urlTemplates(df: DataFrame, urlCol: String,
+                   exact: Boolean = true): DataFrame = {
+    val p = parseUrl(col(urlCol))
+    val host = urlHostParsed(p)
+    val path = regexp_extract(p.getField("pq"), "^[^?#]*", 0)
+    val tmpl = regexp_replace(
+      regexp_replace(path, "[0-9a-f]{8,}", "{hex}"),
+      "[0-9]+", "{n}")
+    val nIds =
+      if (exact) countDistinct(col("__path"))
+      else approx_count_distinct(col("__path"))
+    df.filter(col(urlCol).isNotNull)
+      .select(host.as("host"), tmpl.as("template"), path.as("__path"))
+      .filter(col("host").isNotNull)
+      .groupBy(col("host"), col("template"))
+      .agg(count(lit(1)).as("n_urls"), nIds.cast("long").as("n_ids"))
+  }
 }

@@ -314,4 +314,25 @@ class UrlsSpec extends SparkSuite {
     assert(plan.contains("WindowGroupLimit"),
       s"expected WindowGroupLimit pre-prune in plan:\n$plan")
   }
+test("urlTemplates: hex and digit runs collapse, counts per template") {
+    import spark.implicits._
+    val urls = Seq(
+      "https://a.com/p/1", "https://a.com/p/2", "https://a.com/p/2",  // dup URL
+      "https://a.com/item/deadbeefcafe1234/view",
+      "https://a.com/item/0123456789abcdef/view",
+      "https://b.com/about",
+      "not a url").toDF("url")
+    val out = Urls.urlTemplates(urls, "url")
+      .select("host", "template", "n_urls", "n_ids")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out(("a.com", "/p/{n}")) == ((3L, 2L)))          // 3 urls, 2 ids
+    assert(out(("a.com", "/item/{hex}/view")) == ((2L, 2L)))
+    assert(out(("b.com", "/about")) == ((1L, 1L)))
+    assert(out.size == 3) // the unparseable row dropped
+    // short hex-looking runs are NOT collapsed to {hex} (8+ only)
+    val short = Urls.urlTemplates(Seq("https://c.com/tag/abc123").toDF("url"), "url")
+      .select("template").as[String].head()
+    assert(short == "/tag/abc{n}")
+  }
 }
