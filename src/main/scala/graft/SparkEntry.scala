@@ -1098,6 +1098,21 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .orderBy("o_orderkey")
     }),
+    "q_fd_violations" -> ((s, dir) => {
+      // functional-dependency audit: does k → status hold? The %1000
+      // key collision manufactures genuine violations (one collided key
+      // sees several statuses) — the merge-bug signature
+      graft.ops.Integrity.fdViolations(
+          T(s, dir, "orders").select((col("o_orderkey") % 1000).as("k"),
+            col("o_orderstatus")),
+          Seq("k"), Seq("o_orderstatus"))
+        .orderBy("k")
+    }),
+    "q_lexical" -> ((s, dir) => {
+      // corpus vocabulary audit: tokens/types/hapax + TTR + hapax share
+      // (a template-heavy corpus runs unnaturally low on hapax)
+      graft.ops.TextAnalysis.lexicalDiversity(T(s, dir, "documents"), "text")
+    }),
     "q_url_templates" -> ((s, dir) => {
       // crawl-structure map: synthesized product/item URLs per source
       // host — %5 docs carry an md5 path segment (collapses to {hex}),
@@ -3365,6 +3380,22 @@ object SparkEntry {
         "UNION ALL " +
         "SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice " +
         "FROM orders WHERE o_orderkey % 10 = 3) ORDER BY o_orderkey"),
+    "q_fd_violations" ->
+      ("WITH p AS (SELECT o_orderkey % 1000 AS k, o_orderstatus AS s, count(*) AS n " +
+        "FROM orders GROUP BY 1, 2) " +
+        "SELECT k, CAST(count(*) AS BIGINT) AS n_distinct_rhs, " +
+        "CAST(sum(n) AS BIGINT) AS n_rows FROM p GROUP BY k " +
+        "HAVING count(*) > 1 ORDER BY k"),
+    "q_lexical" ->
+      // same tokenizer, same type-table aggregate, same 1e-6 floors
+      ("WITH t AS (SELECT term, count(*) AS n FROM (" +
+        "SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term " +
+        "FROM documents WHERE text IS NOT NULL) GROUP BY term) " +
+        "SELECT CAST(sum(n) AS BIGINT) AS n_tokens, count(*) AS n_types, " +
+        "CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, " +
+        "floor(CAST(count(*) AS DOUBLE)/sum(n)*1e6)/1e6 AS ttr, " +
+        "floor(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)/count(*)*1e6)/1e6 AS hapax_ratio " +
+        "FROM t"),
     "q_url_templates" ->
       // same synthesized URLs (md5 agrees across engines), same two
       // placeholder regexes (Java∩RE2, 'g' flag for replace-all)

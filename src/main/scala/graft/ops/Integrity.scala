@@ -142,6 +142,29 @@ object Integrity {
       .select(col("digit"), col("n"), col("freq"), col("expected"), col("mad"))
   }
 
+  /** Functional-dependency violation checker — LHS values that map to
+    * MORE THAN ONE distinct RHS ("one order key, two order dates" is a
+    * merge bug; "one canonical URL, two domains" is a parser bug).
+    * Emits one row per violating LHS group: the LHS columns,
+    * `n_distinct_rhs`, and `n_rows`. Null RHS counts as a value of its
+    * own (a key mapping to both X and NULL IS two versions); null LHS
+    * rows drop (no key to check).
+    *
+    * Scale shape: one partial-aggregable exchange on (LHS ++ RHS) to
+    * collapse duplicates, then one on LHS — both map-side combined;
+    * output is violation-sized. */
+  def fdViolations(df: DataFrame, lhs: Seq[String],
+                   rhs: Seq[String]): DataFrame = {
+    require(lhs.nonEmpty && rhs.nonEmpty, "lhs and rhs must be non-empty")
+    val pairs = df
+      .filter(lhs.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy((lhs ++ rhs).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    pairs.groupBy(lhs.map(col): _*)
+      .agg(count(lit(1)).as("n_distinct_rhs"), sum(col("__n")).as("n_rows"))
+      .filter(col("n_distinct_rhs") > 1)
+  }
+
   /** Missingness-pattern miner — which COMBINATIONS of nulls occur, and
     * how often ("text is only ever null together with n_chars" vs
     * "lang drops independently" are different bugs). One row per

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.expressions.native
 
@@ -266,5 +266,30 @@ object TextAnalysis {
       .groupBy(col(idCol), col(tagCol))
       .agg(count(lit(1)).as("n_matched"))
       .filter(col("n_matched") >= minHits)
+  }
+
+  /** Corpus lexical-diversity audit — one row of vocabulary statistics:
+    * token count, type (distinct-token) count, hapax legomena (types
+    * seen exactly once), type/token ratio, and hapax share of the
+    * vocabulary. A synthetic or template-heavy corpus shows an
+    * unnaturally LOW hapax ratio (natural language runs ~40–60% by
+    * Zipf); a boilerplate-stripping regression shows up as a TTR jump.
+    * Uses the shared retrieval tokenizer; ratios on the 1e-6 grid.
+    *
+    * Scale shape: one exploded partial-agg exchange to the per-type
+    * count table, then ONE aggregate over that table. Nothing after
+    * the type table is corpus-sized. */
+  def lexicalDiversity(df: DataFrame, textCol: String): DataFrame = {
+    val types = df.filter(col(textCol).isNotNull)
+      .select(explode(Retrieval.terms(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("__n"))
+    types.agg(sum(col("__n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("n_tokens"), col("n_types"), col("n_hapax"),
+        (floor(col("n_types").cast("double") / col("n_tokens") * 1e6) / 1e6)
+          .as("ttr"),
+        (floor(col("n_hapax").cast("double") / col("n_types") * 1e6) / 1e6)
+          .as("hapax_ratio"))
   }
 }

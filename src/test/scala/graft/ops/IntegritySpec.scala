@@ -127,4 +127,19 @@ test("nullPatterns: realized masks, counts, shares") {
     assert(out.find(_._1 == "11").get._3 == 0.5)
     intercept[IllegalArgumentException](Integrity.nullPatterns(df, Nil))
   }
+test("fdViolations: only multi-RHS keys emit; null RHS is a version") {
+    val df = Seq(
+      (1L, Some("x")), (1L, Some("x")),                 // clean: one rhs
+      (2L, Some("x")), (2L, Some("y")), (2L, Some("y")), // violation: 2 rhs
+      (3L, Some("x")), (3L, None: Option[String])        // null IS a second version
+    ).toDF("k", "v")
+    val out = Integrity.fdViolations(df, Seq("k"), Seq("v"))
+      .select("k", "n_distinct_rhs", "n_rows")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((2L, 2L, 3L), (3L, 2L, 2L)))
+    // null LHS rows drop (no key to check)
+    val withNullKey = df.unionByName(
+      Seq((Option.empty[Long], Option("z"))).toDF("k", "v"))
+    assert(Integrity.fdViolations(withNullKey, Seq("k"), Seq("v")).count() == 2)
+  }
 }

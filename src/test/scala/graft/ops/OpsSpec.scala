@@ -604,4 +604,15 @@ class OpsSpec extends SparkSuite {
       .collect()
     assert(out.length == 1 && out(0).getLong(2) == 1L)
   }
+test("lexicalDiversity: hand-computed tokens/types/hapax") {
+    import spark.implicits._
+    // tokens: the(3) cat(2) sat(1) mat(1) -> 7 tokens, 4 types, 2 hapax
+    val df = Seq("The cat sat", "the MAT", "the cat").map(Option(_)).toDF("text")
+      .unionByName(Seq(Option.empty[String]).toDF("text"))
+    val out = TextAnalysis.lexicalDiversity(df, "text")
+      .select("n_tokens", "n_types", "n_hapax", "ttr", "hapax_ratio")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(out._1 == 7L && out._2 == 4L && out._3 == 2L)
+    assert(out._4 == math.floor(4.0 / 7 * 1e6) / 1e6 && out._5 == 0.5)
+  }
 }
