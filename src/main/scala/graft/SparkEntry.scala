@@ -1098,6 +1098,22 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .orderBy("o_orderkey")
     }),
+    "q_reject_reasons" -> ((s, dir) => {
+      // quarantine triage dashboard: WHY rows failed validation, by
+      // (field, error code) — the first chart an ingest operator looks
+      // at. Planted %7 nulls fail Required ("empty"); user_id > 100
+      // fails Max ("too_big"); a row can contribute both.
+      val dirty = T(s, dir, "events").withColumn("event_type",
+        when(col("event_id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("event_type")))
+      val res = Validate.columns(dirty,
+        "event_type" -> F.Required(), "user_id" -> F.Max(100L))
+      res.invalid
+        .select(explode(col("_errors")).as("e"))
+        .groupBy(col("e.key").as("field"), col("e.code").as("code"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("field", "code")
+    }),
     "q_fd_violations" -> ((s, dir) => {
       // functional-dependency audit: does k → status hold? The %1000
       // key collision manufactures genuine violations (one collided key
@@ -3380,6 +3396,16 @@ object SparkEntry {
         "UNION ALL " +
         "SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice " +
         "FROM orders WHERE o_orderkey % 10 = 3) ORDER BY o_orderkey"),
+    "q_reject_reasons" ->
+      // the reasons in closed form: Required fails on the planted %7
+      // nulls plus any originally-null/empty value; Max(100) fails on
+      // user_id > 100 (nulls skip non-Required filters)
+      ("SELECT * FROM (" +
+        "SELECT 'event_type' AS field, 'empty' AS code, count(*) AS n FROM events " +
+        "WHERE event_id % 7 = 0 OR event_type IS NULL OR event_type = '' " +
+        "UNION ALL " +
+        "SELECT 'user_id', 'too_big', count(*) FROM events WHERE user_id > 100) " +
+        "WHERE n > 0 ORDER BY field, code"),
     "q_fd_violations" ->
       ("WITH p AS (SELECT o_orderkey % 1000 AS k, o_orderstatus AS s, count(*) AS n " +
         "FROM orders GROUP BY 1, 2) " +
