@@ -1800,6 +1800,22 @@ object SparkEntry {
       require(rep.published, s"audit failed: ${rep.failures}")
       s.read.parquet(path).orderBy("doc_id")
     }),
+    "q_stream_drift" -> ((s, dir) => {
+      // TRUE streaming PSI drift monitor: baseline = the static events
+      // value column; the stream replays the same file with every %3
+      // value doubled (×2 exact) — real mass leaves the baseline
+      // deciles. foreachBatch accumulates nBins-row state per batch;
+      // the final table ≡ the batch PSI the oracle states (the q_psi
+      // arithmetic, same grids).
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val baseline = T(s, dir, "events").select(col("value").as("v"))
+      val shifted = raw.select(when(col("event_id") % 3 === 0,
+          col("value") * 2).otherwise(col("value")).as("v"))
+      graft.streaming.StreamingValidate.monitorDrift(shifted, baseline, "v")
+        .orderBy("bin")
+    }),
     "q_stream_rollup" -> ((s, dir) => {
       // TRUE streaming rollup maintenance: the q_cdc_apply changelog as a
       // file-source stream, applied batch-by-batch via foreachBatch
@@ -3476,6 +3492,31 @@ object SparkEntry {
         "CASE WHEN ka > 1 AND kb > 1 THEN " +
         "floor(sqrt(CAST(sum(tm) AS DOUBLE)/(n*least(ka-1, kb-1)))*1e6 + 0.5)/1e6 END AS cramers_v " +
         "FROM terms GROUP BY n, ka, kb"),
+    "q_stream_drift" -> {
+      // the q_psi mirror over the streaming fixture: baseline = all
+      // event values, after = the %3-doubled replay
+      val bs = (1 to 9).map(i =>
+        s"floor(quantile_cont(v, 0.$i)*1e6+0.5)/1e6 AS b$i").mkString(", ")
+      val assign = (1 to 9).map(i =>
+        s"(CASE WHEN v > b$i THEN 1 ELSE 0 END)").mkString(" + ")
+      "WITH bef AS (SELECT value AS v FROM events WHERE value IS NOT NULL), " +
+        "aft AS (SELECT CASE WHEN event_id % 3 = 0 THEN value*2 " +
+        "ELSE value END AS v FROM events WHERE value IS NOT NULL), " +
+        s"bs AS (SELECT $bs FROM bef), " +
+        s"ca AS (SELECT CAST($assign AS BIGINT) AS bin, count(*) AS cnt FROM bef, bs GROUP BY 1), " +
+        s"cb AS (SELECT CAST($assign AS BIGINT) AS bin, count(*) AS cnt FROM aft, bs GROUP BY 1), " +
+        "spine AS (SELECT unnest(range(0, 10)) AS bin), " +
+        "j AS (SELECT bin, CAST(coalesce(ca.cnt, 0) AS BIGINT) AS n_before, " +
+        "CAST(coalesce(cb.cnt, 0) AS BIGINT) AS n_after " +
+        "FROM spine LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)), " +
+        "t AS (SELECT sum(n_before) AS ta, sum(n_after) AS tb FROM j) " +
+        "SELECT bin, n_before, n_after, " +
+        "floor((n_before+1.0)/(ta+10.0)*1e6)/1e6 AS p_before, " +
+        "floor((n_after+1.0)/(tb+10.0)*1e6)/1e6 AS p_after, " +
+        "floor(((n_before+1.0)/(ta+10.0) - (n_after+1.0)/(tb+10.0)) " +
+        "* ln(((n_before+1.0)/(ta+10.0)) / ((n_after+1.0)/(tb+10.0))) * 1e9 + 0.5)/1e9 AS psi_term " +
+        "FROM j, t ORDER BY bin"
+    },
     "q_psi" -> {
       // identical decile grid from the BEFORE side (quantile_cont mirrors
       // the engine's exact percentile — the q_quantile_buckets precedent),

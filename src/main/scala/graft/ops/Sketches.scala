@@ -715,24 +715,47 @@ object Sketches {
     * the term is computed from the unrounded shares). */
   def scorePsi(before: DataFrame, after: DataFrame, valueCol: String,
                nBins: Int = 10, exact: Boolean = true): DataFrame = {
+    val bounds = psiBounds(before, valueCol, nBins, exact)
+    psiOf(psiBinCounts(before, valueCol, bounds),
+      psiBinCounts(after, valueCol, bounds), before.sparkSession, nBins)
+  }
+
+  /** The BEFORE snapshot's 1e-6-grid quantile boundaries as a one-row
+    * array frame — computed once, reused for every assignment (the
+    * streaming drift monitor bins each micro-batch against it). */
+  private[graft] def psiBounds(before: DataFrame, valueCol: String,
+                               nBins: Int, exact: Boolean): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     val v = col(valueCol)
     val ps = (1 until nBins).map(_.toDouble / nBins)
     def pct(p: Double): Column =
       if (exact) percentile(v, lit(p))
       else percentile_approx(v, lit(p), lit(10000))
-    val bounds = before.filter(v.isNotNull)
+    before.filter(v.isNotNull)
       .agg(array(ps.map(p => floor(pct(p) * 1e6 + 0.5) / 1e6): _*).as("__bs"))
-    def binned(df: DataFrame): DataFrame = df.filter(v.isNotNull)
+  }
+
+  /** Map-only bin assignment against broadcast boundaries + one
+    * nBins-group partial agg → `(bin, cnt)`. Null values drop. */
+  private[graft] def psiBinCounts(df: DataFrame, valueCol: String,
+                                  bounds: DataFrame): DataFrame = {
+    val v = col(valueCol)
+    df.filter(v.isNotNull)
       .crossJoin(broadcast(bounds))
       .select(aggregate(col("__bs"), lit(0L),
         (acc, b) => acc + when(v.cast("double") > b, 1L).otherwise(0L))
         .as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
-    val spine = before.sparkSession.range(0, nBins)
-      .select(col("id").as("bin"))
-    val a = binned(before).withColumnRenamed("cnt", "n_before")
-    val b = binned(after).withColumnRenamed("cnt", "n_after")
+  }
+
+  /** PSI table from two pre-binned count frames (the arithmetic half of
+    * [[scorePsi]], shared with the streaming monitor). */
+  private[graft] def psiOf(beforeCounts: DataFrame, afterCounts: DataFrame,
+                           spark: org.apache.spark.sql.SparkSession,
+                           nBins: Int): DataFrame = {
+    val spine = spark.range(0, nBins).select(col("id").as("bin"))
+    val a = beforeCounts.withColumnRenamed("cnt", "n_before")
+    val b = afterCounts.withColumnRenamed("cnt", "n_after")
     val joined = spine
       .join(broadcast(a), Seq("bin"), "left")
       .join(broadcast(b), Seq("bin"), "left")

@@ -204,6 +204,48 @@ object StreamingValidate {
     rollup
   }
 
+  /** Streaming drift monitor — maintain the AFTER side of a PSI check
+    * from a STREAMING metric column, against a static baseline snapshot
+    * ("alert when production scores drift from the training
+    * distribution"). The baseline's quantile boundaries compute ONCE
+    * (an nBins−1 array, broadcast into every micro-batch's map-only bin
+    * assignment); per-batch bin counts accumulate by cell-wise addition
+    * in one pinned generation of nBins-row state (the [[maintainRollup]]
+    * discipline — bounded driver-side state, never the stream). Returns
+    * the final per-bin PSI table, ≡ the batch [[graft.ops.Sketches
+    * .scorePsi]] of everything ingested — which is what the oracle
+    * checks. Unbounded deployments read the same accumulator each batch
+    * and alert on `sum(psi_term)`. */
+  def monitorDrift(stream: DataFrame, baseline: DataFrame, valueCol: String,
+                   nBins: Int = 10, exact: Boolean = true): DataFrame = {
+    require(stream.isStreaming, "monitorDrift needs a streaming frame")
+    import graft.ops.{Checkpoints, Sketches}
+    val bounds = Sketches.psiBounds(baseline, valueCol, nBins, exact)
+      .localCheckpoint()
+    var acc = Sketches.psiBinCounts(baseline.limit(0), valueCol, bounds)
+      .localCheckpoint() // empty (bin, cnt) accumulator, schema-stable
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // the batch frame is read exactly once into next's materialization
+        val b = Sketches.psiBinCounts(batch.toDF(), valueCol, bounds)
+        val next = acc.unionByName(b)
+          .groupBy("bin").agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+          .localCheckpoint()
+        Checkpoints.release(acc)
+        acc = next
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // materialize BEFORE releasing: the PSI plan reads bounds and acc
+    val out = Sketches.psiOf(
+      Sketches.psiBinCounts(baseline, valueCol, bounds), acc,
+      baseline.sparkSession, nBins).localCheckpoint()
+    Seq(bounds, acc).foreach(Checkpoints.release)
+    out // this pin lives with the returned frame (per-query clearState)
+  }
+
   /** `foreachBatch` handler that validates each micro-batch and routes the
     * valid/invalid splits to separate sinks — the streaming form of the
     * invalid-value handler policy (reference `filters/handlers.py`):

@@ -404,4 +404,32 @@ class StreamingSpec extends SparkSuite {
     assert(spark.sparkContext.getPersistentRDDs.size <= pinsBefore,
       "maintainRollup must release every superseded pin")
   }
+
+  test("monitorDrift over multi-batch stream equals the batch PSI, no pin leak") {
+    import graft.ops.{Checkpoints, Sketches}
+    val rnd = new scala.util.Random(17)
+    val baseline = (0 until 400).map(_ => rnd.nextDouble() * 100).toDF("v")
+    // two stream files with different distributions (the second shifted)
+    val sA = (0 until 150).map(_ => rnd.nextDouble() * 100).toDF("v")
+    val sB = (0 until 150).map(_ => rnd.nextDouble() * 100 + 50).toDF("v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    sA.coalesce(1).write.parquet(s"$dir/f1")
+    sB.coalesce(1).write.parquet(s"$dir/f2")
+    val pinsBefore = spark.sparkContext.getPersistentRDDs.size
+    val stream = spark.readStream.schema(sA.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/f*")
+    val got = StreamingValidate.monitorDrift(stream, baseline, "v", nBins = 10)
+    val want = Sketches.scorePsi(baseline, sA.unionByName(sB), "v", nBins = 10)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(key(got) == key(want))
+    // the shifted second batch must register as drift
+    val psi = got.agg(org.apache.spark.sql.functions.sum("psi_term"))
+      .head().getDouble(0)
+    assert(psi > 0.1, s"expected visible drift, got $psi")
+    Checkpoints.release(got)
+    assert(spark.sparkContext.getPersistentRDDs.size <= pinsBefore,
+      "monitorDrift must release every superseded pin")
+  }
 }
