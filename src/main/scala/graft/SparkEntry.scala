@@ -1455,6 +1455,39 @@ object SparkEntry {
           length(payload).cast("long").as("n_bytes"))
         .orderBy("doc_id")
     }),
+    "q_image_dims" -> ((s, dir) => {
+      // header-only dimension triage (no decode): synthesized PNG/GIF/BMP
+      // headers carrying doc_id-derived dims — w = id%300+1, h = id%200+1
+      // — plus junk rows that must yield nulls. The oracle states the
+      // parsed fields in closed form from the id (the q_binary_sniff
+      // pattern); the engine actually builds the bytes and parses them
+      // back with fixed-offset arithmetic.
+      val d = T(s, dir, "documents")
+      val w = (col("doc_id") % 300 + 1).cast("long")
+      val h = (col("doc_id") % 200 + 1).cast("long")
+      def hex2(c: Column) = lpad(hex(c % 256), 2, "0")
+      val wBE4 = unhex(lpad(hex(w), 8, "0"))
+      val hBE4 = unhex(lpad(hex(h), 8, "0"))
+      val wLE2 = unhex(concat(hex2(w), hex2(floor(w / 256).cast("long"))))
+      val hLE2 = unhex(concat(hex2(h), hex2(floor(h / 256).cast("long"))))
+      val wLE4 = unhex(concat(hex2(w), hex2(floor(w / 256).cast("long")),
+        lit("0000")))
+      val hLE4 = unhex(concat(hex2(h), hex2(floor(h / 256).cast("long")),
+        lit("0000")))
+      val payload = when(col("doc_id") % 4 === 0,
+          concat(unhex(lit("89504E470D0A1A0A0000000D49484452")), wBE4, hBE4))
+        .when(col("doc_id") % 4 === 1,
+          concat(unhex(lit("474946383961")), wLE2, hLE2))
+        .when(col("doc_id") % 4 === 2,
+          // 16 filler bytes put the DIB width field at byte offset 18
+          concat(unhex(lit("424D")), unhex(lit("00" * 16)), wLE4, hLE4))
+        .otherwise(unhex(lit("0BAD")))
+      d.select(col("doc_id"),
+          graft.ops.Multimodal.imageDimsFromHeader(payload).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.width").as("width"), col("m.height").as("height"))
+        .orderBy("doc_id")
+    }),
     "q_image_dhash" -> ((s, dir) => {
       // ORACLE-CHECKED real image decode (r12): two committed 9×8
       // grayscale PNGs whose dHash is CLOSED-FORM because the decode is
@@ -3921,6 +3954,13 @@ object SparkEntry {
         "CAST(CASE doc_id % 5 WHEN 0 THEN 8 WHEN 1 THEN 8 WHEN 2 THEN 6 " +
         "WHEN 3 THEN 12 ELSE 2 END + octet_length(encode(text)) AS BIGINT) AS n_bytes " +
         "FROM documents WHERE text IS NOT NULL ORDER BY doc_id"),
+    "q_image_dims" ->
+      // the parsed fields in closed form from the id; junk rows null
+      ("SELECT doc_id, " +
+        "CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp' END AS format, " +
+        "CASE WHEN doc_id % 4 <= 2 THEN CAST(doc_id % 300 + 1 AS BIGINT) END AS width, " +
+        "CASE WHEN doc_id % 4 <= 2 THEN CAST(doc_id % 200 + 1 AS BIGINT) END AS height " +
+        "FROM documents ORDER BY doc_id"),
     "q_image_dhash" ->
       // hand-derived from the generating formulas (see the query's
       // comment): A bit i=y*8+x ⇔ (37(x+1)+11y)%256 > (37x+11y)%256;

@@ -570,4 +570,41 @@ object Multimodal {
       .when(h.startsWith("255044462D"), lit("pdf"))
       .otherwise(lit("unknown"))
   }
+
+  /** Image dimensions parsed from the HEADER BYTES alone — pure Column
+    * byte arithmetic over fixed-offset fields (PNG IHDR big-endian,
+    * GIF87a/89a logical-screen little-endian, BMP DIB little-endian
+    * int32), NO decode: the 100 TB triage path reads tens of bytes per
+    * payload where [[withImageMeta]] decodes megapixels ("drop
+    * thumbnails below 64×64" should never decode the keepers). JPEG
+    * needs a marker scan (variable offsets) and reports null here —
+    * route jpegs through the decode path. BMP's signed height (top-down
+    * DIB) converts to its magnitude-less raw signed value. Returns a
+    * struct `(format, width, height)`; unknown/short/null payloads →
+    * null struct. */
+  def imageDimsFromHeader(bin: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    def b(pos: Int) = conv(hex(substring(bin, pos, 1)), 16, 10).cast("long")
+    def be4(pos: Int) = conv(hex(substring(bin, pos, 4)), 16, 10).cast("long")
+    def le2(pos: Int) = b(pos) + b(pos + 1) * 256L
+    def le4(pos: Int) = b(pos) + b(pos + 1) * 256L +
+      b(pos + 2) * 65536L + b(pos + 3) * 16777216L
+    val h = hex(substring(bin, 1, 8))
+    // BMP height is a SIGNED int32 (negative = top-down row order)
+    val bmpH = {
+      val raw = le4(23)
+      when(raw >= 2147483648L, raw - 4294967296L).otherwise(raw)
+    }
+    def out(f: String, w: org.apache.spark.sql.Column,
+            ht: org.apache.spark.sql.Column) =
+      struct(lit(f).as("format"), w.as("width"), ht.as("height"))
+    when(h === "89504E470D0A1A0A" &&
+        hex(substring(bin, 13, 4)) === "49484452",
+        out("png", be4(17), be4(21)))
+      .when(hex(substring(bin, 1, 6)) === "474946383761" ||
+        hex(substring(bin, 1, 6)) === "474946383961",
+        out("gif", le2(7), le2(9)))
+      .when(hex(substring(bin, 1, 2)) === "424D",
+        out("bmp", le4(19), bmpH))
+  }
 }

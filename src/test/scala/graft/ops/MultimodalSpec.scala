@@ -367,4 +367,35 @@ class MultimodalSpec extends SparkSuite {
       assert(got == want, s"maxDist=$maxDist")
     }
   }
+test("imageDimsFromHeader: real encoded images parse without decoding") {
+    // genuine ImageIO-encoded PNG/GIF/BMP: header arithmetic must agree
+    // with the decoder's ground truth
+    val rows = Seq(
+      1L -> imageBytes(37, 21, "png"),
+      2L -> imageBytes(300, 2, "gif"),
+      3L -> imageBytes(64, 48, "bmp"),
+      4L -> imageBytes(16, 16, "jpg"),          // marker scan → null here
+      5L -> Array[Byte](0x0B, 0xAD.toByte))     // junk → null
+    val out = imageDf(rows)
+      .select(col("id"), Multimodal.imageDimsFromHeader(col("payload")).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else (r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == (("png", 37L, 21L)))
+    assert(out(2L) == (("gif", 300L, 2L)))
+    assert(out(3L) == (("bmp", 64L, 48L)))
+    assert(out(4L) == null && out(5L) == null)
+    // signed BMP height: a hand-built top-down DIB (height = -48)
+    val topDown = {
+      val b = imageBytes(64, 48, "bmp")
+      val neg = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-48).array()
+      System.arraycopy(neg, 0, b, 22, 4); b
+    }
+    val td = imageDf(Seq(9L -> topDown))
+      .select(Multimodal.imageDimsFromHeader(col("payload")).as("m"))
+      .select(col("m.height")).head().getLong(0)
+    assert(td == -48L)
+  }
 }
