@@ -79,4 +79,103 @@ object Graphs {
       .select(col("node"), coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
+
+  /** Per-node triangle counts over the UNDIRECTED simple graph induced by
+    * the edge list (direction dropped, self-loops and parallel edges
+    * collapsed). Returns `(node, n_triangles)` for nodes in ≥ 1 triangle —
+    * the local-clustering signal (link farms and mirror rings are
+    * triangle-dense; genuine editorial link graphs are sparse).
+    *
+    * Execution shape: the classic degree-ordered wedge join. Each
+    * undirected edge is oriented from its lower-(degree, id) endpoint to
+    * the higher one, so every triangle is enumerated EXACTLY once as
+    * a≺b≺c (wedge a→b, b→c closed by a→c), and — the 100 TB property —
+    * the wedge-join fan-out per node is bounded by its ORIENTED
+    * out-degree ≤ O(√|E|) on any graph (arboricity bound): the
+    * quadratic blow-up a naive src-join suffers on a 10⁸-follower hub
+    * never materializes because the hub sits on the RIGHT of the
+    * orientation and contributes no wedges. Three hash joins + one
+    * partial-aggregable count; no window, no driver state. */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+    // undirected degree over the simple graph, then the total order
+    // (deg, id): orientation by rank keeps wedge fan-out ≤ O(√E)
+    val deg = und.select(col("u").as("node"))
+      .unionByName(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("lo"), col("v").as("hi")))
+        .otherwise(struct(col("v").as("lo"), col("u").as("hi"))).as("e"))
+      .select(col("e.lo").as("a"), col("e.hi").as("b"))
+    // wedges a→b, b→c (a ≠ c by the strict total order) closed by a→c
+    val bc = oriented.select(col("a").as("b2"), col("b").as("c"))
+    val wedges = oriented.join(bc, col("b") === col("b2")).drop("b2")
+    val closing = oriented.select(col("a").as("a3"), col("b").as("c3"))
+    val tris = wedges.join(closing,
+      col("a") === col("a3") && col("c") === col("c3"))
+      .select(col("a"), col("b"), col("c"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Fixed-iteration HITS (hubs & authorities) over a directed edge list —
+    * the complementary crawl prior to [[pageRank]]: a page can be a weak
+    * authority but a strong hub (directory/index pages), and
+    * authority-weighted sampling wants both scores.
+    *
+    * Semantics: `h_0 = a_0 = 1/N`; each iteration computes
+    * `a'(v) = Σ_{u→v} h(u)` then L1-normalizes, then
+    * `h'(u) = Σ_{u→v} a(v)` and L1-normalizes. L1 (not L2) so the
+    * normalizer is a plain sum — exactly mirrorable in SQL without a
+    * cross-engine sqrt. `quantum` snaps scores after every normalize
+    * (same determinism rationale as [[pageRank]]); parallel edges count
+    * double, nodes with no in/out edges hold score 0 after one step.
+    *
+    * Execution shape: per iteration, two edge⋈vector hash joins and two
+    * partial-aggregable sums; the normalizing total is ONE scalar row
+    * broadcast back (the established one-row crossJoin pattern). Vectors
+    * are #nodes rows; nothing scales with |E| beyond the joins. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int = 3, quantum: Double = 1e-12): DataFrame = {
+    require(iterations >= 1, s"iterations must be ≥ 1, got $iterations")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .filter(col("__src").isNotNull && col("__dst").isNotNull)
+    val nodes = e.select(col("__src").as("node"))
+      .unionByName(e.select(col("__dst").as("node"))).distinct()
+    val n = nodes.count() // one scalar, model-state class
+    def snap(c: org.apache.spark.sql.Column) =
+      if (quantum > 0) floor(c / quantum + 0.5) * quantum else c
+    def l1normalize(v: DataFrame, c: String): DataFrame = {
+      val tot = v.agg(sum(col(c)).as("__tot"))
+      v.crossJoin(broadcast(tot))
+        .select(col("node"),
+          snap(when(col("__tot") > 0, col(c) / col("__tot")).otherwise(0.0)).as(c))
+    }
+    var hub = nodes.withColumn("hub", snap(lit(1.0 / n)))
+    var auth = nodes.withColumn("auth", snap(lit(1.0 / n)))
+    for (_ <- 1 to iterations) {
+      val aRaw = e.join(hub.withColumnRenamed("node", "__src"), "__src")
+        .groupBy(col("__dst").as("node")).agg(sum(col("hub")).as("auth"))
+      auth = l1normalize(
+        nodes.join(aRaw, Seq("node"), "left")
+          .select(col("node"), coalesce(col("auth"), lit(0.0)).as("auth")), "auth")
+      val hRaw = e.join(auth.withColumnRenamed("node", "__dst"), "__dst")
+        .groupBy(col("__src").as("node")).agg(sum(col("auth")).as("hub"))
+      hub = l1normalize(
+        nodes.join(hRaw, Seq("node"), "left")
+          .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub")), "hub")
+    }
+    auth.join(hub, Seq("node"), "full")
+      .select(col("node"), coalesce(col("auth"), lit(0.0)).as("auth"),
+        coalesce(col("hub"), lit(0.0)).as("hub"))
+  }
 }

@@ -275,4 +275,62 @@ object Joins {
       hiInclusive = false, broadcastRanges = broadcastRanges)
       .drop("__pus", "__lous", "__hius")
   }
+
+  /** Interval × interval OVERLAP join — the two-sided generalization of
+    * [[rangeJoin]] (point-in-interval): pairs every left interval
+    * `[lLo, lHi)` with every right interval `[rLo, rHi)` that overlaps it
+    * (`lLo < rHi ∧ rLo < lHi`, the half-open convention — touching
+    * endpoints do NOT overlap). The shape behind embargo-window × session
+    * alignment, promo-period attribution, and any two event-span tables.
+    *
+    * Execution: both sides explode to the `binWidth`-wide bins they
+    * cover and equi-join on the bin — but a pair overlapping k shared
+    * bins must emit ONCE, and a `distinct` dedup would be a second
+    * full-width exchange. Instead each joined row keeps only the
+    * CANONICAL bin — the one containing `greatest(lLo, rLo)`, the
+    * overlap's left edge, which both sides necessarily cover — so every
+    * true pair survives in exactly one bin and duplicates never
+    * materialize at all. Degenerate (empty) intervals `lo ≥ hi` drop,
+    * matching the strict-overlap predicate.
+    *
+    * Scale: the exchange is on the bin key — fan-out per interval is its
+    * span/binWidth (capped like [[rangeJoin]]), so pick `binWidth` near
+    * the TYPICAL interval length: long intervals pay their span, short
+    * ones land in 1–2 bins. Bin hotspots (rush-hour pileups) are
+    * AQE-skew-split equi-join work, never a cartesian. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   lLoCol: String, lHiCol: String,
+                   rLoCol: String, rHiCol: String, binWidth: Double,
+                   maxBinsPerRange: Int = 100000): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val collisions = left.columns.toSet intersect right.columns.toSet
+    require(collisions.isEmpty,
+      s"left/right column names collide: $collisions — rename before joining")
+    def binned(df: DataFrame, loC: String, hiC: String): DataFrame = {
+      val loBin = floor(col(loC) / binWidth)
+      // hi is EXCLUSIVE: an interval ending exactly on a boundary does not
+      // occupy that bin — but a zero-residue hi needs its own bin when the
+      // interval is shorter than one bin; including hi's bin is always
+      // safe (the overlap predicate discards the non-pairs) and keeps
+      // correctness off floating-point edge subtraction (rangeJoin note).
+      val hiBin = floor(col(hiC) / binWidth)
+      val capMsg = concat(
+        lit(s"intervalJoin: an interval spans more than $maxBinsPerRange bins " +
+          s"at binWidth $binWidth (lo="), col(loC).cast("string"),
+        lit(", hi="), col(hiC).cast("string"),
+        lit(") — widen binWidth, raise maxBinsPerRange, or clean the outlier"))
+      val bins = when(hiBin - loBin < maxBinsPerRange, sequence(loBin, hiBin))
+        .otherwise(raise_error(capMsg).cast("array<bigint>"))
+      df.filter(col(loC).isNotNull && col(hiC).isNotNull && col(loC) < col(hiC))
+        .withColumn("__bin", explode(bins))
+    }
+    val l = binned(left, lLoCol, lHiCol)
+    val r = binned(right, rLoCol, rHiCol)
+    l.join(r, Seq("__bin"))
+      .filter(col(lLoCol) < col(rHiCol) && col(rLoCol) < col(lHiCol))
+      // canonical-bin dedup: keep the pair only in the bin holding the
+      // overlap's left edge — exactly one surviving row per true pair
+      .filter(col("__bin") === floor(greatest(col(lLoCol), col(rLoCol)) / binWidth))
+      .drop("__bin")
+  }
 }

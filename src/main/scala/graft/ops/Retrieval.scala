@@ -256,4 +256,72 @@ object Retrieval {
       .filter(col("n_occ") >= 1)
       .select(col(pidCol), col(idCol), col("n_occ"))
   }
+
+  /** Coordination-level (boolean term-overlap) top-`k`: rank documents by
+    * HOW MANY distinct query terms they contain — the classic cheap
+    * recall-oriented ranker, and the standard lexical partner fed to
+    * [[rrfFusion]] alongside a precision-oriented scorer like BM25.
+    * Ties (coordination scores are small integers, so they are the norm)
+    * break by document id. Documents matching zero terms are absent.
+    *
+    * Output: `(qidCol, idCol, n_overlap, rk)` — `rk` 1-based, ≤ `k`.
+    *
+    * Scale: one exploded distinct-term pass over the corpus joined to the
+    * broadcast query-term list, a partial-aggregable count, and a
+    * WindowGroupLimit-pruned per-query top-k — candidates per query are
+    * bounded by the posting lists of its terms, never the corpus. */
+  def coordinationTopK(docs: DataFrame, idCol: String, textCol: String,
+                       queries: DataFrame, qidCol: String, qtextCol: String,
+                       k: Int = 10): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val qterms = queries.select(col(qidCol),
+      explode(array_distinct(terms(col(qtextCol)))).as("term"))
+    val postings = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(array_distinct(terms(col(textCol)))).as("term"))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("n_overlap").desc, col(idCol))
+    postings.join(broadcast(qterms), Seq("term"))
+      .groupBy(col(qidCol), col(idCol)).agg(count(lit(1)).as("n_overlap"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(qidCol), col(idCol), col("n_overlap"),
+        col("rk").cast("integer").as("rk"))
+  }
+
+  /** Reciprocal-rank fusion over N rankings — the standard hybrid-retrieval
+    * combiner (lexical BM25 + dense ANN, or any mix): each system
+    * contributes `1/(kRrf + rank)` per (query, doc) it returned, summed
+    * across systems; missing from a system contributes 0. RRF needs no
+    * score calibration between systems — only ranks — which is exactly why
+    * it is the default fusion in hybrid search stacks.
+    *
+    * Each input frame must carry `(qidCol, docCol, rankCol)` with 1-based
+    * ranks. Fused scores are snapped to the 1e-12 grid before re-ranking
+    * (the [[Graphs.pageRank]] quantum rationale: 1/(k+r) sums are tiny and
+    * ulp drift must not reorder), residual ties break by doc id.
+    *
+    * Output: `(qidCol, docCol, rrf_score, rk)` — `rk` 1-based, ≤ `topN`.
+    *
+    * Scale: the inputs are already per-query top-k lists, so the unioned
+    * candidate set is ≤ systems × k rows per query — the groupBy and the
+    * per-query window both run on bounded groups regardless of corpus
+    * size. */
+  def rrfFusion(rankings: Seq[DataFrame], qidCol: String, docCol: String,
+                rankCol: String = "rk", kRrf: Int = 60,
+                topN: Int = 10): DataFrame = {
+    require(rankings.size >= 2, s"need ≥ 2 rankings to fuse, got ${rankings.size}")
+    require(kRrf > 0 && topN > 0, s"kRrf/topN must be positive")
+    val tagged = rankings.map(_.select(col(qidCol), col(docCol),
+      col(rankCol).cast("double").as("__rk")))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("rrf_score").desc, col(docCol))
+    tagged.reduce(_ unionByName _)
+      .groupBy(col(qidCol), col(docCol))
+      .agg(sum(lit(1.0) / (lit(kRrf.toDouble) + col("__rk"))).as("__raw"))
+      .withColumn("rrf_score", floor(col("__raw") / 1e-12 + lit(0.5)) * 1e-12)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topN)
+      .select(col(qidCol), col(docCol), col("rrf_score"),
+        col("rk").cast("integer").as("rk"))
+  }
 }

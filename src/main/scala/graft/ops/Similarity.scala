@@ -486,4 +486,114 @@ object Similarity {
       transform(col("__as.sum"), x => x / col("__as.n").cast("double")).as(meanCol),
       coalesce(col("__as.n"), lit(0L)).as(nCol)): _*)
   }
+
+  /** Covariance matrix of the first `dims` embedding coordinates — the
+    * statistics pass behind PCA whitening, anisotropy diagnosis ("is the
+    * embedding space collapsing"), and [[pcaComponents]]. Emits one row
+    * per `i ≤ j` pair: `(i, j, n, cov)` (population covariance, i.e.
+    * divide by n).
+    *
+    * Numeric discipline = [[Sketches.correlationMatrix]]: coordinates are
+    * snapped to the 1e-6 grid in double (exactly reproducible arithmetic
+    * on any engine), summed as DECIMAL so partial-agg order cannot move
+    * the moments, and the closed form `Σxy/n − (Σx/n)(Σy/n)` runs in
+    * double over the exact sums, floor-rounded at 1e-9. Rows with a null
+    * or short vector drop (listwise: every pair sees the same rows —
+    * required for the matrix to be positive semidefinite).
+    *
+    * Scale: dims(dims+1)/2 branch-free decimal aggregates riding ONE
+    * exchange as a single aggregate row — the corpus is read once,
+    * nothing downstream scales with it. `dims` is capped at 32 here
+    * (528 pairs ≈ the practical single-row-aggregate ceiling); whiten
+    * wider spaces on a pooled/truncated view first. */
+  def embeddingCovariance(df: DataFrame, vecCol: String, dims: Int): DataFrame = {
+    require(dims >= 2 && dims <= 32, s"dims must be in [2, 32], got $dims")
+    val ok = df.filter(col(vecCol).isNotNull && size(col(vecCol)) >= dims)
+    def coord(i: Int): Column =
+      (floor(element_at(col(vecCol), i + 1).cast("double") * 1e6 + lit(0.5)) / 1e6)
+        .cast("decimal(18,6)")
+    val pairs = for { i <- 0 until dims; j <- i until dims } yield (i, j)
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      (0 until dims).map(i => sum(coord(i)).as(s"s_$i")) ++
+      pairs.map { case (i, j) => sum(coord(i) * coord(j)).as(s"sp_${i}_$j") }
+    val outs = pairs.map { case (i, j) =>
+      val n = col("n").cast("double")
+      val needed = Seq(s"s_$i", s"s_$j", s"sp_${i}_$j")
+      val allPresent = needed.map(col(_).isNotNull).reduce(_ && _)
+      val c = col(s"sp_${i}_$j").cast("double") / n -
+        (col(s"s_$i").cast("double") / n) * (col(s"s_$j").cast("double") / n)
+      struct(lit(i).as("i"), lit(j).as("j"), col("n").as("n"),
+        when(col("n") >= 1 && allPresent,
+          floor(c * 1e9 + lit(0.5)) / 1e9).as("cov"))
+    }
+    ok.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(outs: _*)).as("p"))
+      .select("p.*")
+  }
+
+  /** Top-`k` principal components of [[embeddingCovariance]] output via
+    * the cyclic Jacobi eigensolver — deterministic (fixed sweep order, no
+    * randomized init), exact to double precision in a few sweeps on the
+    * small matrices this is for. The covariance matrix is MODEL-sized
+    * (dims ≤ 32 → ≤ 528 numbers), so solving on the driver is the same
+    * bounded-collect class as k-means centroids or PQ codebooks — the
+    * corpus never moves.
+    *
+    * Returns `(eigenvalue, component)` pairs sorted by eigenvalue desc,
+    * each component a unit vector with a sign convention (largest-|coord|
+    * entry positive) so results are reproducible run to run. */
+  def pcaComponents(cov: DataFrame, k: Int): Seq[(Double, Array[Double])] = {
+    val cells = cov.select(col("i"), col("j"), col("cov")).collect()
+    val d = cells.map(_.getInt(0)).max + 1
+    require(k >= 1 && k <= d, s"k must be in [1, $d], got $k")
+    val a = Array.ofDim[Double](d, d)
+    cells.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), if (r.isNullAt(2)) 0.0 else r.getDouble(2))
+      a(i)(j) = c; a(j)(i) = c
+    }
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    // cyclic Jacobi: fixed (p,q) sweep order → deterministic rotations
+    for (_ <- 0 until 12; p <- 0 until d; q <- p + 1 until d
+         if math.abs(a(p)(q)) > 1e-14) {
+      val theta = 0.5 * math.atan2(2.0 * a(p)(q), a(q)(q) - a(p)(p))
+      val (c, s) = (math.cos(theta), math.sin(theta))
+      for (i <- 0 until d) {
+        val (aip, aiq) = (a(i)(p), a(i)(q))
+        a(i)(p) = c * aip - s * aiq; a(i)(q) = s * aip + c * aiq
+      }
+      for (i <- 0 until d) {
+        val (api, aqi) = (a(p)(i), a(q)(i))
+        a(p)(i) = c * api - s * aqi; a(q)(i) = s * api + c * aqi
+      }
+      for (i <- 0 until d) {
+        val (vip, viq) = (v(i)(p), v(i)(q))
+        v(i)(p) = c * vip - s * viq; v(i)(q) = s * vip + c * viq
+      }
+    }
+    val eig = (0 until d).map(i => (a(i)(i), (0 until d).map(v(_)(i)).toArray))
+      .sortBy(-_._1).take(k)
+    eig.map { case (lam, vec) =>
+      val m = vec.indices.maxBy(i => (math.abs(vec(i)), -i))
+      (lam, if (vec(m) < 0) vec.map(-_) else vec)
+    }
+  }
+
+  /** Project embeddings onto precomputed principal `components` (a
+    * [[pcaComponents]] result or any fixed orthonormal basis): adds
+    * `outCol` = `array<double>` of `components.size` scores, centered on
+    * `means` (the per-coordinate averages, also model-sized literals).
+    * The basis ships as a LITERAL array column — pure map-side codegen'd
+    * arithmetic, no join, no UDF; a billion-row projection is one scan. */
+  def pcaProject(df: DataFrame, vecCol: String, means: Array[Double],
+                 components: Seq[Array[Double]], outCol: String = "pca"): DataFrame = {
+    require(components.nonEmpty, "need at least one component")
+    val d = means.length
+    require(components.forall(_.length == d), "component/means dims differ")
+    val comps = components.map(cv =>
+      array(cv.zipWithIndex.map { case (w, i) =>
+        (element_at(col(vecCol), i + 1).cast("double") - lit(means(i))) * lit(w)
+      }: _*))
+    df.withColumn(outCol, array(comps.map(terms =>
+      aggregate(terms, lit(0.0), (acc, x) => acc + x)): _*))
+  }
 }

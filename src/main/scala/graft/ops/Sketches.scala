@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sketch/summary aggregates for profiling large tables (SURVEY.md §2.6
@@ -850,5 +851,94 @@ object Sketches {
       .join(broadcast(cms), Seq("i", "bucket"), "left")
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the `valueCol`
+    * distributions of two slices — the nonparametric drift test that
+    * complements [[correlationMatrix]]/PSI: `D = max_x |F₁(x) − F₂(x)|`
+    * over the empirical CDFs, sensitive to ANY distributional change
+    * (location, scale, shape), not just binned mass shifts.
+    *
+    * Values are snapped to the `grid` FIRST (`floor(v/grid + 0.5)·grid`)
+    * — that is what makes the op scale: the per-cell aggregation
+    * `groupBy(gridded value)` is partial-aggregable and the subsequent
+    * cumulative pass runs over the GRID-CELL table (bounded by
+    * value-range/grid — model-sized state, the `q_histogram` class), not
+    * the corpus. The cumulative window over that bounded table is
+    * single-partition by construction and documented as such; for an
+    * unbounded-range column pick a grid that bounds the cell count.
+    * Rows where the predicate columns or value are null drop (both
+    * engines agree). D is floor-rounded at 1e-9; `at_value` is the
+    * smallest gridded value attaining D (deterministic tiebreak).
+    *
+    * Returns ONE row: `(n_a, n_b, d_stat, at_value)`. */
+  def ksStatistic(df: DataFrame, valueCol: String,
+                  inA: Column, inB: Column, grid: Double): DataFrame = {
+    require(grid > 0, s"grid must be positive, got $grid")
+    val v = floor(col(valueCol) / grid + lit(0.5)) * grid
+    val cells = df.filter(col(valueCol).isNotNull && (inA || inB))
+      .select(v.as("v"), when(inA, 1L).otherwise(0L).as("a"),
+        when(inB, 1L).otherwise(0L).as("b"))
+      .groupBy(col("v"))
+      .agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    // cumulative ECDF over the bounded grid-cell table (see scaladoc)
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = cells.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    val diffs = cells.crossJoin(broadcast(tot))
+      .withColumn("gap", abs(
+        sum(col("na")).over(w).cast("double") / col("ta") -
+          sum(col("nb")).over(w).cast("double") / col("tb")))
+      .withColumn("gap", floor(col("gap") * 1e9 + lit(0.5)) / 1e9)
+    diffs.orderBy(col("gap").desc, col("v").asc).limit(1)
+      .select(col("ta").as("n_a"), col("tb").as("n_b"),
+        col("gap").as("d_stat"), col("v").as("at_value"))
+  }
+
+  /** Mutual information (nats) between two categorical columns — the
+    * dependence audit that pairs with the chi-square test: χ² answers
+    * "is there dependence", MI answers "how many bits of one does the
+    * other carry" (feature-leak and redundant-label detection). Null
+    * categories are kept as their own level (SQL `GROUP BY` semantics).
+    *
+    * `MI = Σ_{x,y} p(x,y) · ln( p(x,y) / (p(x)·p(y)) )`, with the joint
+    * counts from ONE partial-aggregable pass and the marginals from
+    * window sums over the contingency table (bounded by |X|·|Y| cells —
+    * model-sized, the [[chiSquare]] shape). Each cell term is
+    * floor-rounded at 1e-12 and summed as DECIMAL so the total is
+    * addition-order-free and exactly SQL-mirrorable; the final MI and the
+    * normalized variant round at 1e-9.
+    *
+    * Returns ONE row: `(n, n_cells, mi_nats, mi_normalized)` where the
+    * normalizer is `min(H(X), H(Y))` (0 when either entropy is 0). */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val joint = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("nxy"))
+    // marginals + grand total as window sums over the CONTINGENCY TABLE
+    // (|X|·|Y| cells — model-sized), never over the corpus
+    val cells = joint
+      .withColumn("nx", sum(col("nxy")).over(Window.partitionBy(col("x"))))
+      .withColumn("ny", sum(col("nxy")).over(Window.partitionBy(col("y"))))
+      .withColumn("n", sum(col("nxy")).over(Window.partitionBy()))
+    def term(c: Column): Column =
+      (floor(c * 1e12 + lit(0.5)) / 1e12).cast("decimal(28,12)")
+    val p = col("nxy").cast("double") / col("n").cast("double")
+    val px = col("nx").cast("double") / col("n").cast("double")
+    val py = col("ny").cast("double") / col("n").cast("double")
+    // H(X) = −Σ_{x,y} p(x,y)·ln p(x): the marginal entropies as PER-CELL
+    // terms (Σ_y p(x,y) = p(x)), so one aggregate pass yields MI + both
+    // normalizer entropies from the same decimal-summed cell grid
+    val agg = cells.agg(
+      max(col("n")).as("n"),
+      count(lit(1)).as("n_cells"),
+      sum(term(p * log(p / (px * py)))).as("__mi"),
+      sum(term(lit(-1.0) * p * log(px))).as("__hx"),
+      sum(term(lit(-1.0) * p * log(py))).as("__hy"))
+    def r9(c: Column): Column = floor(c * 1e9 + lit(0.5)) / 1e9
+    agg.select(col("n"), col("n_cells"),
+      r9(col("__mi").cast("double")).as("mi_nats"),
+      when(least(col("__hx"), col("__hy")) > 0,
+        r9(col("__mi").cast("double") /
+          least(col("__hx"), col("__hy")).cast("double"))).as("mi_normalized"))
   }
 }

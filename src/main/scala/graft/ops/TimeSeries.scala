@@ -181,4 +181,94 @@ object TimeSeries {
         sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
       .drop("__new")
   }
+
+  /** One-sided (positive) CUSUM changepoint scores per key — the
+    * sequential drift detector for per-slice volume/score series
+    * ("did this source's daily document count shift upward, and when").
+    * For deviations `d_t = x_t − target − slack`, the standard recurrence
+    * `S_t = max(0, S_{t−1} + d_t)` is NOT a window aggregate — but its
+    * closed form is: `S_t = C_t − min(0, min_{j≤t} C_j)` with `C` the
+    * plain prefix sum of `d`. Two cumulative window passes over ONE key
+    * exchange therefore compute the exact recurrence with no iterator,
+    * no recursion, and no per-key serialization beyond the sort every
+    * window op already pays.
+    *
+    * `df` is the (already aggregated) series `(keyCol, timeCol,
+    * valueCol)`; `targets` maps each key to its in-control mean
+    * `(keyCol, targetCol)` — model-sized (one row per key) and
+    * broadcast. Deviations are snapped through DECIMAL(18,6) so the
+    * prefix sums are addition-order-free; `s_pos` rounds at 1e-6.
+    * Output: input rows + `s_pos` (the CUSUM score) + `alarm`
+    * (`s_pos > threshold`). Null key/time/value rows drop.
+    *
+    * Scale: one hash exchange on the key + one sort feeding both
+    * cumulative frames; per-row state is O(1). Keys are independent —
+    * a million series parallelize freely. */
+  def cusum(df: DataFrame, keyCol: String, timeCol: String, valueCol: String,
+            targets: DataFrame, targetCol: String,
+            slack: Double, threshold: Double): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(timeCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dev = (col(valueCol).cast("decimal(18,6)") -
+      col(targetCol).cast("decimal(18,6)") -
+      lit(slack).cast("decimal(18,6)"))
+    df.filter(col(keyCol).isNotNull && col(timeCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .join(broadcast(targets.select(col(keyCol), col(targetCol))), Seq(keyCol))
+      .withColumn("__c", sum(dev).over(w))
+      .withColumn("__m", least(min(col("__c")).over(w), lit(0).cast("decimal(18,6)")))
+      .withColumn("s_pos",
+        floor((col("__c") - col("__m")).cast("double") * 1e6 + lit(0.5)) / 1e6)
+      .withColumn("alarm", col("s_pos") > threshold)
+      .drop("__c", "__m", targetCol)
+  }
+
+  /** Autocorrelation function per key: Pearson correlation of the series
+    * with itself at lags `1..maxLag` — the seasonality/persistence audit
+    * for event-volume and score series (a strong lag-7 on daily counts is
+    * weekly rhythm; near-zero everywhere says the metric is noise).
+    *
+    * Each lag pairs `(x_t, x_{t−lag})` via a `lag` window (rows with no
+    * lagged partner drop, matching the textbook "overlapping pairs" ACF
+    * estimator), then reuses the [[Sketches.correlationMatrix]] numeric
+    * discipline: moment sums in DECIMAL over 1e-6-snapped values (exact,
+    * addition-order-free), closed-form corr in double, floor-rounded at
+    * 1e-9, null when n < 2 or either variance is 0.
+    *
+    * Output: `(keyCol, lag, n, acf)` — one row per key × lag.
+    *
+    * Scale: ONE key exchange + sort feeds all `maxLag` lag columns (same
+    * window), and the moment aggregation is partial-aggregable per
+    * (key, lag); nothing is ever single-partition. */
+  def autocorrelation(df: DataFrame, keyCol: String, timeCol: String,
+                      valueCol: String, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be ≥ 1, got $maxLag")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(timeCol))
+    def dec(c: Column) = c.cast("decimal(18,6)")
+    val base = df.filter(col(keyCol).isNotNull && col(timeCol).isNotNull &&
+      col(valueCol).isNotNull)
+    val lagged = (1 to maxLag).foldLeft(base) { (acc, l) =>
+      acc.withColumn(s"__lag_$l", lag(col(valueCol), l).over(w))
+    }
+    val pairs = lagged.select(col(keyCol),
+      posexplode(array((1 to maxLag).map(l => col(s"__lag_$l")): _*))
+        .as(Seq("__l0", "y")), col(valueCol).as("x"))
+      .withColumn("lag", col("__l0") + 1)
+      .filter(col("y").isNotNull)
+    val m = pairs.groupBy(col(keyCol), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = nD * d("sxy") - d("sx") * d("sy")
+    val denx = nD * d("sxx") - d("sx") * d("sx")
+    val deny = nD * d("syy") - d("sy") * d("sy")
+    m.select(col(keyCol), col("lag").cast("integer").as("lag"), col("n"),
+      when(col("n") >= 2 && denx > 0 && deny > 0,
+        floor(num / sqrt(denx * deny) * 1e9 + lit(0.5)) / 1e9).as("acf"))
+  }
 }

@@ -75,4 +75,75 @@ class GraphsSpec extends SparkSuite {
     assert(res.count() == 0)
     assert(!res.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("triangles: K4 has 4 triangles, each node in 3") {
+    val k4 = (for { i <- 1L to 4L; j <- (i + 1) to 4L } yield (i, j)).toDF("src", "dst")
+    val t = Graphs.triangles(k4, "src", "dst").as[(Long, Long)].collect().toMap
+    assert(t == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangles: direction, parallel edges, and self-loops collapse; triangle-free is empty") {
+    // the same triangle stated three redundant ways + noise
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L), (2L, 3L))
+      .toDF("src", "dst")
+    val t = Graphs.triangles(e, "src", "dst").as[(Long, Long)].collect().toMap
+    assert(t == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    assert(Graphs.triangles(star, "src", "dst").count() == 0)
+  }
+
+  test("triangles match a brute-force reference on random graphs") {
+    val rnd = new scala.util.Random(31)
+    val edges = (0 until 300).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+    val got = Graphs.triangles(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val und = edges.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val want = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for { a <- nodes; b <- nodes if a < b && und((a, b))
+          c <- nodes if b < c && und((b, c)) && und((a, c)) } {
+      want(a) += 1; want(b) += 1; want(c) += 1
+    }
+    assert(got == want.toMap)
+  }
+
+  test("hits: hub/authority separation on a bipartite pattern") {
+    // 1 and 2 point at 3 and 4: 1,2 are pure hubs, 3,4 pure authorities
+    val e = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val r = Graphs.hits(e, "src", "dst", iterations = 3)
+      .as[(Long, Double, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(math.abs(r(1L)._2 - 0.5) < 1e-9 && math.abs(r(2L)._2 - 0.5) < 1e-9)
+    assert(math.abs(r(3L)._1 - 0.5) < 1e-9 && math.abs(r(4L)._1 - 0.5) < 1e-9)
+    assert(r(1L)._1 == 0.0 && r(3L)._2 == 0.0) // no in-edges → no authority
+    assert(math.abs(r.values.map(_._1).sum - 1.0) < 1e-9) // L1-normalized
+    assert(math.abs(r.values.map(_._2).sum - 1.0) < 1e-9)
+  }
+
+  test("hits matches a local iterative reference on random graphs") {
+    val rnd = new scala.util.Random(47)
+    val edges = (0 until 250).map(_ => (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+    val got = Graphs.hits(edges.toDF("src", "dst"), "src", "dst", iterations = 3)
+      .as[(Long, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    def snap(x: Double) = math.floor(x / 1e-12 + 0.5) * 1e-12
+    def l1(v: Map[Long, Double]) = {
+      val s = v.values.sum
+      v.view.mapValues(x => if (s > 0) snap(x / s) else 0.0).toMap
+    }
+    var hub = nodes.map(_ -> snap(1.0 / nodes.size)).toMap
+    var auth = hub
+    for (_ <- 1 to 3) {
+      auth = l1(nodes.map(v => v ->
+        edges.collect { case (s, d) if d == v => hub(s) }.sum).toMap)
+      hub = l1(nodes.map(v => v ->
+        edges.collect { case (s, d) if s == v => auth(d) }.sum).toMap)
+    }
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach { v =>
+      assert(math.abs(got(v)._1 - auth(v)) < 1e-9, s"auth($v)")
+      assert(math.abs(got(v)._2 - hub(v)) < 1e-9, s"hub($v)")
+    }
+  }
 }

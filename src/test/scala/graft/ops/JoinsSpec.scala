@@ -312,4 +312,54 @@ class JoinsSpec extends SparkSuite {
       .select("pid", "rid").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 10L), (2L, 11L)))
   }
+
+  test("intervalJoin: strict half-open overlap, touching endpoints excluded") {
+    import spark.implicits._
+    val l = Seq((1L, 0.0, 10.0), (2L, 20.0, 30.0), (3L, 40.0, 40.0))
+      .toDF("lid", "ls", "le") // lid 3 is empty → dropped
+    val r = Seq((10L, 5.0, 15.0),  // overlaps lid 1
+      (11L, 10.0, 20.0),           // touches lid 1 at 10, lid 2 at 20 → neither
+      (12L, 25.0, 26.0),           // inside lid 2
+      (13L, 39.0, 41.0)).toDF("rid", "rs", "re")
+    val got = Joins.intervalJoin(l, r, "ls", "le", "rs", "re", binWidth = 4.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 12L)))
+  }
+
+  test("intervalJoin: one row per overlapping pair despite many shared bins") {
+    import spark.implicits._
+    val l = Seq((1L, 0.0, 100.0)).toDF("lid", "ls", "le")
+    val r = Seq((9L, 1.0, 99.0), (8L, 50.0, 200.0)).toDF("rid", "rs", "re")
+    // binWidth 2 → dozens of shared bins; each pair must emit exactly once
+    val got = Joins.intervalJoin(l, r, "ls", "le", "rs", "re", binWidth = 2.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, 8L), (1L, 9L)))
+  }
+
+  test("intervalJoin matches a brute-force reference on random intervals") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val ls = (0 until 80).map { i =>
+      val s = rnd.nextInt(500).toDouble; (i.toLong, s, s + 1 + rnd.nextInt(40)) }
+    val rs = (0 until 60).map { i =>
+      val s = rnd.nextInt(500).toDouble; (i.toLong, s, s + 1 + rnd.nextInt(40)) }
+    val got = Joins.intervalJoin(ls.toDF("lid", "ls", "le"),
+        rs.toDF("rid", "rs", "re"), "ls", "le", "rs", "re", binWidth = 16.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    val want = for { (li, la, lb) <- ls; (ri, ra, rb) <- rs
+                     if la < rb && ra < lb } yield (li, ri)
+    assert(got.sorted == want.sorted) // sorted ALSO catches duplicate emission
+    assert(got.size == got.toSet.size)
+  }
+
+  test("intervalJoin: column collisions and bad binWidth are rejected") {
+    import spark.implicits._
+    val l = Seq((1L, 0.0, 1.0)).toDF("id", "s", "e")
+    intercept[IllegalArgumentException] {
+      Joins.intervalJoin(l, l, "s", "e", "s", "e", binWidth = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Joins.intervalJoin(l, l.toDF("id2", "s2", "e2"), "s", "e", "s2", "e2", 0.0)
+    }
+  }
 }

@@ -205,4 +205,36 @@ test("clusterLabels: distinctive terms rank above shared terms") {
     assert(!full.select("c").as[Long].collect().contains(4L))
     assert(full.groupBy("c").count().select("count").as[Long].collect().forall(_ <= 2))
   }
+
+  test("coordinationTopK: distinct-term overlap counts, doc-id tiebreak, zero-match absent") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha alpha beta"),   // duplicate terms count once
+      (3L, "alpha"),
+      (4L, "delta epsilon")).toDF("doc_id", "text")
+    val qs = Seq((10L, "alpha beta zeta")).toDF("qid", "qtext")
+    val out = Retrieval.coordinationTopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 10)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4).toSeq
+    // doc 1 and 2 both match {alpha, beta} → tie broken by doc_id; doc 4 absent
+    assert(out == Seq((10L, 1L, 2L, 1), (10L, 2L, 2L, 2), (10L, 3L, 1L, 3)))
+  }
+
+  test("rrfFusion: hand-computed scores, missing-system docs, tiebreak") {
+    val sysA = Seq((1L, 100L, 1), (1L, 200L, 2), (1L, 300L, 3)).toDF("qid", "doc_id", "rk")
+    val sysB = Seq((1L, 200L, 1), (1L, 400L, 2)).toDF("qid", "doc_id", "rk")
+    val out = Retrieval.rrfFusion(Seq(sysA, sysB), "qid", "doc_id", kRrf = 60, topN = 10)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4).toSeq
+    def s(rs: Double*) = math.floor(rs.map(r => 1.0 / (60.0 + r)).sum / 1e-12 + 0.5) * 1e-12
+    // 200 in both systems wins; 100 (rank 1 in A) beats 400 (rank 2 in B)
+    assert(out.map(t => (t._2, t._4)) == Seq((200L, 1), (100L, 2), (400L, 3), (300L, 4)))
+    assert(out.map(_._3) == Seq(s(2, 1), s(1), s(2), s(3)))
+  }
+
+  test("rrfFusion: exact-tie breaks by doc id; topN truncates") {
+    val sysA = Seq((1L, 9L, 1), (1L, 5L, 2)).toDF("qid", "doc_id", "rk")
+    val sysB = Seq((1L, 5L, 1), (1L, 9L, 2)).toDF("qid", "doc_id", "rk")
+    val out = Retrieval.rrfFusion(Seq(sysA, sysB), "qid", "doc_id", topN = 1)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(out.map(_._2) == Seq(5L)) // same fused score → lower doc id first
+  }
 }

@@ -522,4 +522,68 @@ class SketchesSpec extends SparkSuite {
       Sketches.cmsBuild(d, "k", depth = 2, width = 100)
     }
   }
+
+  test("ksStatistic: hand-computed D, identical slices → 0, grid snapping") {
+    import spark.implicits._
+    // A = {1,2,3,4}, B = {3,4,5,6}: CDFs diverge most at v=2 (1/2 vs 0)
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 3.0), ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val r = Sketches.ksStatistic(df, "v", col("g") === "a", col("g") === "b", 1.0)
+      .as[(Long, Long, Double, Double)].head()
+    assert(r == ((4L, 4L, 0.5, 2.0)))
+    val same = Sketches.ksStatistic(df, "v", col("g").isNotNull, col("g").isNotNull, 1.0)
+      .as[(Long, Long, Double, Double)].head()
+    assert(same._3 == 0.0)
+    // grid 100 folds everything into one cell → D = 0
+    val coarse = Sketches.ksStatistic(df, "v", col("g") === "a", col("g") === "b", 100.0)
+      .as[(Long, Long, Double, Double)].head()
+    assert(coarse._3 == 0.0)
+  }
+
+  test("ksStatistic matches a local reference on random samples") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val xs = (0 until 400).map(_ => ("a", rnd.nextInt(50).toDouble))
+    val ys = (0 until 300).map(_ => ("b", (rnd.nextInt(50) + rnd.nextInt(10)).toDouble))
+    val df = (xs ++ ys).toDF("g", "v")
+    val got = Sketches.ksStatistic(df, "v", col("g") === "a", col("g") === "b", 1.0)
+      .as[(Long, Long, Double, Double)].head()
+    val va = xs.map(_._2).sorted; val vb = ys.map(_._2).sorted
+    val support = (va ++ vb).distinct.sorted
+    val dRef = support.map { x =>
+      math.abs(va.count(_ <= x).toDouble / va.size - vb.count(_ <= x).toDouble / vb.size)
+    }.max
+    assert(math.abs(got._3 - dRef) < 1e-8, s"got ${got._3}, want $dRef")
+  }
+
+  test("mutualInfo: independence → 0, determinism → H(X), hand 2×2") {
+    import spark.implicits._
+    // perfectly independent 2×2 (balanced): MI = 0
+    val ind = Seq(("x", "u"), ("x", "w"), ("y", "u"), ("y", "w")).toDF("a", "b")
+    val r0 = Sketches.mutualInfo(ind, "a", "b")
+      .as[(Long, Long, Double, Option[Double])].head()
+    assert(r0 == ((4L, 4L, 0.0, Some(0.0))))
+    // y = f(x): MI = H(X) = ln 2 for a balanced binary x, normalized = 1
+    val dep = Seq(("x", "u"), ("x", "u"), ("y", "w"), ("y", "w")).toDF("a", "b")
+    val r1 = Sketches.mutualInfo(dep, "a", "b")
+      .as[(Long, Long, Double, Option[Double])].head()
+    assert(math.abs(r1._3 - math.log(2.0)) < 1e-9)
+    assert(math.abs(r1._4.get - 1.0) < 1e-9)
+    // hand-computed skewed 2×2: counts (x,u)=2 (x,w)=1 (y,u)=1
+    val skew = Seq(("x", "u"), ("x", "u"), ("x", "w"), ("y", "u")).toDF("a", "b")
+    val r2 = Sketches.mutualInfo(skew, "a", "b")
+      .as[(Long, Long, Double, Option[Double])].head()
+    def t(p: Double, px: Double, py: Double) =
+      math.floor(p * math.log(p / (px * py)) * 1e12 + 0.5) / 1e12
+    val want = t(0.5, 0.75, 0.75) + t(0.25, 0.75, 0.25) + t(0.25, 0.25, 0.75)
+    assert(math.abs(r2._3 - math.floor(want * 1e9 + 0.5) / 1e9) < 1e-12)
+  }
+
+  test("mutualInfo: single-level column → zero entropy → null normalized") {
+    import spark.implicits._
+    val df = Seq(("x", "u"), ("x", "w")).toDF("a", "b")
+    val r = Sketches.mutualInfo(df, "a", "b")
+      .as[(Long, Long, Double, Option[Double])].head()
+    assert(r._3 == 0.0 && r._4.isEmpty) // H(a) = 0 → normalizer undefined
+  }
 }

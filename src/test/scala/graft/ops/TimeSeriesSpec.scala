@@ -138,4 +138,73 @@ class TimeSeriesSpec extends SparkSuite {
     assert(plan.split("Exchange hashpartitioning").length - 1 <= 2,
       s"expected the key exchange to be reused:\n$plan")
   }
+
+  test("cusum: prefix-min closed form equals the max(0, S+d) recurrence") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val series = for (k <- Seq("a", "b"); t <- 1 to 60)
+      yield (k, t, rnd.nextInt(20).toDouble)
+    val targets = Seq(("a", 8.0), ("b", 11.0)).toDF("k", "target")
+    val got = TimeSeries.cusum(series.toDF("k", "t", "x"), "k", "t", "x",
+        targets, "target", slack = 0.5, threshold = 30.0)
+      .select("k", "t", "s_pos", "alarm")
+      .as[(String, Int, Double, Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    for (k <- Seq("a", "b")) {
+      val tgt = if (k == "a") 8.0 else 11.0
+      var s = 0.0
+      for ((_, t, x) <- series.filter(_._1 == k).sortBy(_._2)) {
+        s = math.max(0.0, s + (x - tgt - 0.5))
+        val (sGot, aGot) = got((k, t))
+        assert(math.abs(sGot - s) < 1e-6, s"($k,$t): got $sGot want $s")
+        assert(aGot == (sGot > 30.0))
+      }
+    }
+  }
+
+  test("cusum: a level shift alarms after the shift, not before") {
+    import spark.implicits._
+    val series = ((1 to 20).map(t => ("m", t, 10.0)) ++
+      (21 to 30).map(t => ("m", t, 16.0))).toDF("k", "t", "x")
+    val targets = Seq(("m", 10.0)).toDF("k", "target")
+    val out = TimeSeries.cusum(series, "k", "t", "x", targets, "target",
+        slack = 1.0, threshold = 20.0)
+      .filter(col("alarm")).select("t").as[Int].collect().sorted.toSeq
+    // d = +5 per post-shift row: S crosses 20 on the 5th shifted row (t=25)
+    assert(out == (25 to 30).toSeq)
+  }
+
+  test("autocorrelation: alternating series → acf(1) ≈ −1, acf(2) ≈ +1") {
+    import spark.implicits._
+    val series = (1 to 40).map(t => ("s", t, if (t % 2 == 0) 5.0 else 1.0))
+    val out = TimeSeries.autocorrelation(series.toDF("k", "t", "x"), "k", "t", "x", maxLag = 2)
+      .as[(String, Int, Long, Option[Double])].collect()
+      .map(r => r._2 -> r._4.get).toMap
+    assert(math.abs(out(1) - (-1.0)) < 1e-6)
+    assert(math.abs(out(2) - 1.0) < 1e-6)
+  }
+
+  test("autocorrelation matches a local Pearson reference per key and lag") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val series = for (k <- Seq("a", "b"); t <- 1 to 50)
+      yield (k, t, rnd.nextInt(100).toDouble)
+    val got = TimeSeries.autocorrelation(series.toDF("k", "t", "x"), "k", "t", "x", maxLag = 3)
+      .as[(String, Int, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    for (k <- Seq("a", "b"); l <- 1 to 3) {
+      val xs = series.filter(_._1 == k).sortBy(_._2).map(_._3)
+      val pairs = xs.drop(l).zip(xs.dropRight(l)) // (x_t, x_{t-l})
+      val n = pairs.size.toDouble
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val want = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      val (nGot, aGot) = got((k, l))
+      assert(nGot == pairs.size)
+      assert(math.abs(aGot.get - want) < 1e-8, s"($k,$l): got $aGot want $want")
+    }
+  }
 }
