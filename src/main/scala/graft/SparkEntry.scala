@@ -2618,6 +2618,103 @@ object SparkEntry {
       Similarity.ivfTopK(assigned, emb.filter(col("vec_id") < 5), cents,
         "vec_id", "embedding", k = 3, nprobe = 4)
         .orderBy("q_id", "rk")
+    }),
+    // ---- r13: graph structure, hybrid retrieval, drift stats ----------
+    "q_triangles" -> ((s, dir) => {
+      // per-node triangle counts over the synthesized link graph —
+      // degree-ordered wedge enumeration in the engine, id-ordered in the
+      // oracle (both enumerate the identical undirected triangle set)
+      val edges = Html.extractLinks(T(s, dir, "documents")
+          .withColumn("html", linkFixtureHtml), "doc_id", "html")
+        .select(col("doc_id").as("src"),
+          regexp_extract(col("href"), "([0-9]+)$", 1).cast("long").as("dst"))
+      graft.ops.Graphs.triangles(edges, "src", "dst").orderBy("node")
+    }),
+    "q_hits" -> ((s, dir) => {
+      // 3 L1-normalized grid-quantized HITS iterations over the same
+      // closed-form edge list as q_pagerank; the oracle unrolls them
+      val edges = Html.extractLinks(T(s, dir, "documents")
+          .withColumn("html", linkFixtureHtml), "doc_id", "html")
+        .select(col("doc_id").as("src"),
+          regexp_extract(col("href"), "([0-9]+)$", 1).cast("long").as("dst"))
+      graft.ops.Graphs.hits(edges, "src", "dst", iterations = 3)
+        .select(col("node"), round(col("auth"), 8).as("auth"),
+          round(col("hub"), 8).as("hub"))
+        .orderBy("node")
+    }),
+    "q_rrf_fusion" -> ((s, dir) => {
+      // hybrid retrieval: BM25 (precision) fused with coordination-level
+      // term overlap (recall) by reciprocal-rank fusion over the same 5
+      // literal queries as q_bm25_topk; both input rankings and the fused
+      // scores are fully SQL-mirrorable
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val qs = Seq((1L, "fast hash join"), (2L, "window group query"),
+        (3L, "slow table scan"), (4L, "customer order line part"),
+        (5L, "stream batch data")).toDF("qid", "qtext")
+      val bm = Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 10)
+      val co = Retrieval.coordinationTopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 10)
+      Retrieval.rrfFusion(Seq(bm, co), "qid", "doc_id", kRrf = 60, topN = 10)
+        .orderBy("qid", "rk")
+    }),
+    "q_ks_test" -> ((s, dir) => {
+      // two-sample KS drift test: order totals of finished vs open orders,
+      // snapped to the $100 grid (the bounded-cell contract) — one row
+      Sketches.ksStatistic(T(s, dir, "orders"), "o_totalprice",
+        col("o_orderstatus") === "F", col("o_orderstatus") === "O", grid = 100.0)
+    }),
+    "q_mutual_info" -> ((s, dir) => {
+      // dependence audit: how much do return flag and line status share —
+      // the how-many-nats complement to q_chi_square's is-it-dependent
+      Sketches.mutualInfo(T(s, dir, "lineitem"), "l_returnflag", "l_linestatus")
+    }),
+    "q_cusum" -> ((s, dir) => {
+      // CUSUM changepoint over per-type daily event counts with the
+      // first-10-days mean as in-control target (snapped to 1e-6 so the
+      // double→DECIMAL handoff is rounding-rule-proof on both engines)
+      val daily = T(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val targets = daily.filter(col("day") < lit("2024-01-11").cast("date"))
+        .groupBy(col("event_type"))
+        .agg((floor(avg(col("n")) * 1e6 + lit(0.5)) / 1e6).as("target"))
+      graft.ops.TimeSeries.cusum(daily, "event_type", "day", "n",
+          targets, "target", slack = 1.0, threshold = 15.0)
+        .select(col("event_type"), col("day"), col("n"), col("s_pos"), col("alarm"))
+        .orderBy("event_type", "day")
+    }),
+    "q_autocorr" -> ((s, dir) => {
+      // ACF at lags 1..3 of the same per-type daily count series — the
+      // weekly-rhythm / persistence audit
+      val daily = T(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.TimeSeries.autocorrelation(daily, "event_type", "day", "n", maxLag = 3)
+        .orderBy("event_type", "lag")
+    }),
+    "q_embed_cov" -> ((s, dir) => {
+      // covariance matrix of the first 8 embedding coordinates — the
+      // PCA-whitening statistics pass; pcaComponents/pcaProject consume
+      // this (PcaSpec), the matrix itself is the oracled stage
+      Similarity.embeddingCovariance(T(s, dir, "embeddings"), "embedding", dims = 8)
+        .orderBy("i", "j")
+    }),
+    "q_interval_join" -> ((s, dir) => {
+      // interval×interval overlap join: 7-day order windows (keys %97)
+      // against 3-day windows (keys %89≡3) from the same calendar —
+      // bin-blocked with canonical-bin dedup, mirrored as a plain
+      // non-equi join at oracle scale
+      val o = T(s, dir, "orders")
+      val left = o.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("a_key"),
+          unix_date(to_date(col("o_orderdate"))).cast("double").as("a_lo"))
+        .withColumn("a_hi", col("a_lo") + 7.0)
+      val right = o.filter(col("o_orderkey") % 89 === 3)
+        .select(col("o_orderkey").as("b_key"),
+          unix_date(to_date(col("o_orderdate"))).cast("double").as("b_lo"))
+        .withColumn("b_hi", col("b_lo") + 3.0)
+      Joins.intervalJoin(left, right, "a_lo", "a_hi", "b_lo", "b_hi", binWidth = 7.0)
+        .select("a_key", "b_key").orderBy("a_key", "b_key")
     })
   )
 
@@ -2654,6 +2751,65 @@ object SparkEntry {
       "SELECT qid, doc_id, floor(raw * 1000000.0 + 0.5) / 1000000.0 AS score, " +
       "CAST(row_number() OVER (PARTITION BY qid ORDER BY floor(raw * 1000000.0 + 0.5) / 1000000.0 DESC, doc_id) AS INTEGER) AS rk " +
       "FROM sc QUALIFY rk <= 10 ORDER BY qid, rk"
+
+  /** Closed-form link-graph edge list shared by the q_pagerank /
+    * q_degrees / q_triangles / q_hits oracles (the SQL restatement of
+    * [[linkFixtureHtml]]'s links). */
+  private val linkEdgesSql: String =
+    "SELECT doc_id AS src, (doc_id*31+7)%500 AS dst FROM documents " +
+      "UNION ALL SELECT doc_id, (doc_id*31+13)%500 FROM documents " +
+      "UNION ALL SELECT doc_id, (doc_id*31+29)%500 FROM documents WHERE doc_id%3 = 0"
+
+  /** q_hits oracle: three unrolled L1-normalized grid-quantized HITS
+    * iterations — the exact [[graft.ops.Graphs.hits]] recurrence (raw
+    * sums over the snapped previous vector, one normalizing total, snap
+    * at 1e-12), generated per iteration so the two engines cannot drift
+    * in structure. */
+  private val hitsOracleSql: String = {
+    def snap(x: String) = s"floor(($x)/1e-12 + 0.5)*1e-12"
+    val iters = (1 to 3).map { i =>
+      val (hPrev, a, h) = (if (i == 1) "h0" else s"h${i - 1}", s"a$i", s"h$i")
+      s"${a}raw AS (SELECT v.node, coalesce(c.s, 0) AS raw FROM nodes v LEFT JOIN " +
+        s"(SELECT e.dst AS node, sum(p.v) AS s FROM e JOIN $hPrev p ON e.src = p.node GROUP BY 1) c ON v.node = c.node), " +
+        s"${a}t AS (SELECT sum(raw) AS t FROM ${a}raw), " +
+        s"$a AS (SELECT node, CASE WHEN t > 0 THEN ${snap("raw/t")} ELSE 0 END AS v FROM ${a}raw, ${a}t), " +
+        s"${h}raw AS (SELECT v.node, coalesce(c.s, 0) AS raw FROM nodes v LEFT JOIN " +
+        s"(SELECT e.src AS node, sum(p.v) AS s FROM e JOIN $a p ON e.dst = p.node GROUP BY 1) c ON v.node = c.node), " +
+        s"${h}t AS (SELECT sum(raw) AS t FROM ${h}raw), " +
+        s"$h AS (SELECT node, CASE WHEN t > 0 THEN ${snap("raw/t")} ELSE 0 END AS v FROM ${h}raw, ${h}t)"
+    }.mkString(", ")
+    s"WITH e AS ($linkEdgesSql), " +
+      "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), " +
+      "nn AS (SELECT count(*) AS n FROM nodes), " +
+      s"h0 AS (SELECT node, ${snap("1.0/nn.n")} AS v FROM nodes CROSS JOIN nn), " +
+      iters +
+      " SELECT a3.node, round(a3.v, 8) AS auth, round(h3.v, 8) AS hub " +
+      "FROM a3 JOIN h3 ON a3.node = h3.node ORDER BY a3.node"
+  }
+
+  /** q_embed_cov oracle: the [[Similarity.embeddingCovariance]] mirror
+    * over the first 8 coordinates, generated pair-by-pair — identical
+    * 1e-6 coordinate snap, DECIMAL(18,6) moment sums, closed-form double
+    * covariance floor-rounded at 1e-9. */
+  private val embedCovOracleSql: String = {
+    val dims = 8
+    val coords = (0 until dims).map(i =>
+      s"CAST(floor(CAST(embedding[${i + 1}] AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS DECIMAL(18,6)) AS c_$i")
+    val pairs = for { i <- 0 until dims; j <- i until dims } yield (i, j)
+    val sums = (0 until dims).map(i => s"sum(c_$i) AS s_$i") ++
+      pairs.map { case (i, j) => s"sum(c_$i*c_$j) AS sp_${i}_$j" }
+    val arms = pairs.map { case (i, j) =>
+      s"SELECT $i AS i, $j AS j, n, s_$i AS si, s_$j AS sj, sp_${i}_$j AS sp FROM m"
+    }
+    s"WITH ok AS (SELECT embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) >= $dims), " +
+      s"c AS (SELECT ${coords.mkString(", ")} FROM ok), " +
+      s"m AS (SELECT count(*) AS n, ${sums.mkString(", ")} FROM c), " +
+      s"u AS (${arms.mkString(" UNION ALL ")}) " +
+      "SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j, n, " +
+      "CASE WHEN n >= 1 AND si IS NOT NULL AND sj IS NOT NULL AND sp IS NOT NULL THEN " +
+      "floor((CAST(sp AS DOUBLE)/CAST(n AS DOUBLE) - (CAST(si AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(sj AS DOUBLE)/CAST(n AS DOUBLE)))*1e9 + 0.5)/1e9 " +
+      "END AS cov FROM u ORDER BY i, j"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_required" ->
@@ -4749,7 +4905,108 @@ object SparkEntry {
         "q AS (SELECT vec_id AS q_id, v AS qv FROM iv WHERE vec_id < 10), " +
         "pairs AS (SELECT q.q_id, iv.vec_id AS cand_id, CAST(list_dot_product(q.qv, iv.v) AS BIGINT) AS dot FROM iv, q WHERE iv.vec_id <> q.q_id) " +
         "SELECT q_id, cand_id, dot, CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, cand_id) AS INTEGER) AS rk " +
-        "FROM pairs QUALIFY rk <= 5 ORDER BY q_id, rk")
+        "FROM pairs QUALIFY rk <= 5 ORDER BY q_id, rk"),
+    // ---- r13: graph structure, hybrid retrieval, drift stats ----------
+    "q_triangles" ->
+      // id-ordered triangle enumeration over the canonical undirected
+      // simple graph — the same triangle set the engine's degree-ordered
+      // orientation enumerates (ordering only changes the JOIN SHAPE)
+      (s"WITH e AS ($linkEdgesSql), " +
+        "u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e WHERE src <> dst), " +
+        "t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM u e1 JOIN u e2 ON e1.b = e2.a " +
+        "JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b) " +
+        "SELECT node, count(*) AS n_triangles FROM " +
+        "(SELECT x AS node FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t) " +
+        "GROUP BY 1 ORDER BY node"),
+    "q_hits" -> hitsOracleSql,
+    "q_rrf_fusion" ->
+      // both input rankings restated in full (BM25 = the green
+      // q_bm25_topk mirror as a nested subquery; coordination = distinct
+      // term-overlap counts), fused with the same snapped 1/(60+rk) sum
+      ("WITH bm AS (SELECT qid, doc_id, rk FROM (" + bm25OracleSql + ")), " +
+        "dt AS (SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS term " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "q(qid, qtext) AS (VALUES (1, 'fast hash join'), (2, 'window group query'), " +
+        "(3, 'slow table scan'), (4, 'customer order line part'), (5, 'stream batch data')), " +
+        "qt AS (SELECT CAST(qid AS BIGINT) AS qid, unnest(list_distinct(regexp_extract_all(lower(qtext), '[a-z0-9]+'))) AS term FROM q), " +
+        "ov AS (SELECT qt.qid, dt.doc_id, count(*) AS n_overlap FROM dt JOIN qt USING (term) GROUP BY 1, 2), " +
+        "co AS (SELECT qid, doc_id, CAST(row_number() OVER (PARTITION BY qid ORDER BY n_overlap DESC, doc_id) AS INTEGER) AS rk " +
+        "FROM ov QUALIFY rk <= 10), " +
+        "u AS (SELECT qid, doc_id, rk FROM bm UNION ALL SELECT qid, doc_id, rk FROM co), " +
+        "f AS (SELECT qid, doc_id, floor(sum(1.0/(60.0 + rk))/1e-12 + 0.5)*1e-12 AS rrf_score FROM u GROUP BY 1, 2) " +
+        "SELECT qid, doc_id, rrf_score, " +
+        "CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rk " +
+        "FROM f QUALIFY rk <= 10 ORDER BY qid, rk"),
+    "q_ks_test" ->
+      // same $100 value grid, BIGINT per-cell counts, double ECDF gap
+      // floor-rounded at 1e-9, max picked by (gap DESC, v ASC) LIMIT 1
+      ("WITH c AS (SELECT floor(o_totalprice/100.0 + 0.5)*100.0 AS v, " +
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS a, " +
+        "CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS b " +
+        "FROM orders WHERE o_totalprice IS NOT NULL AND o_orderstatus IN ('F', 'O')), " +
+        "g AS (SELECT v, CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb FROM c GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb FROM g), " +
+        "d AS (SELECT v, floor(abs(CAST(sum(na) OVER w AS DOUBLE)/CAST(ta AS DOUBLE) - " +
+        "CAST(sum(nb) OVER w AS DOUBLE)/CAST(tb AS DOUBLE))*1e9 + 0.5)/1e9 AS gap " +
+        "FROM g, t WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)) " +
+        "SELECT ta AS n_a, tb AS n_b, gap AS d_stat, v AS at_value FROM d, t " +
+        "ORDER BY gap DESC, v LIMIT 1"),
+    "q_mutual_info" ->
+      // identical per-cell 1e-12 floor-rounded terms summed as DECIMAL;
+      // marginal entropies via the same Σ_y p(x,y) = p(x) identity
+      ("WITH j AS (SELECT l_returnflag AS x, l_linestatus AS y, count(*) AS nxy FROM lineitem GROUP BY 1, 2), " +
+        "c AS (SELECT nxy, sum(nxy) OVER (PARTITION BY x) AS nx, " +
+        "sum(nxy) OVER (PARTITION BY y) AS ny, sum(nxy) OVER () AS n FROM j), " +
+        "tm AS (SELECT CAST(max(n) AS BIGINT) AS n, count(*) AS n_cells, " +
+        "sum(CAST(floor((CAST(nxy AS DOUBLE)/CAST(n AS DOUBLE)) * ln((CAST(nxy AS DOUBLE)/CAST(n AS DOUBLE)) / ((CAST(nx AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(ny AS DOUBLE)/CAST(n AS DOUBLE)))) * 1e12 + 0.5)/1e12 AS DECIMAL(28,12))) AS mi, " +
+        "sum(CAST(floor(-1.0 * (CAST(nxy AS DOUBLE)/CAST(n AS DOUBLE)) * ln(CAST(nx AS DOUBLE)/CAST(n AS DOUBLE)) * 1e12 + 0.5)/1e12 AS DECIMAL(28,12))) AS hx, " +
+        "sum(CAST(floor(-1.0 * (CAST(nxy AS DOUBLE)/CAST(n AS DOUBLE)) * ln(CAST(ny AS DOUBLE)/CAST(n AS DOUBLE)) * 1e12 + 0.5)/1e12 AS DECIMAL(28,12))) AS hy FROM c) " +
+        "SELECT n, n_cells, floor(CAST(mi AS DOUBLE)*1e9 + 0.5)/1e9 AS mi_nats, " +
+        "CASE WHEN least(hx, hy) > 0 THEN floor(CAST(mi AS DOUBLE)/CAST(least(hx, hy) AS DOUBLE)*1e9 + 0.5)/1e9 END AS mi_normalized " +
+        "FROM tm"),
+    "q_cusum" ->
+      // prefix-sum-minus-prefix-min closed form of max(0, S+d) in the
+      // same DECIMAL(18,6) lane; target snapped at 1e-6 BEFORE the
+      // decimal cast so no engine's double→decimal rounding rule fires
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1, 2), " +
+        "tg AS (SELECT event_type, floor(avg(n)*1e6 + 0.5)/1e6 AS target FROM daily WHERE day < DATE '2024-01-11' GROUP BY 1), " +
+        "d AS (SELECT daily.event_type, day, n, CAST(n AS DECIMAL(18,6)) - CAST(target AS DECIMAL(18,6)) - CAST(1.0 AS DECIMAL(18,6)) AS dev " +
+        "FROM daily JOIN tg USING (event_type)), " +
+        "cc AS (SELECT event_type, day, n, sum(dev) OVER (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum FROM d), " +
+        "m AS (SELECT event_type, day, n, cum, least(min(cum) OVER (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING), CAST(0 AS DECIMAL(18,6))) AS mn FROM cc) " +
+        "SELECT event_type, day, n, floor(CAST(cum - mn AS DOUBLE)*1e6 + 0.5)/1e6 AS s_pos, " +
+        "(floor(CAST(cum - mn AS DOUBLE)*1e6 + 0.5)/1e6) > 15.0 AS alarm FROM m ORDER BY event_type, day"),
+    "q_autocorr" ->
+      // identical lag pairing (rows with no partner drop) and the
+      // correlationMatrix decimal-moment closed form per (key, lag)
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1, 2), " +
+        "l AS (SELECT event_type, n, lag(n, 1) OVER w AS y1, lag(n, 2) OVER w AS y2, lag(n, 3) OVER w AS y3 " +
+        "FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)), " +
+        "p AS (SELECT event_type, 1 AS lg, n AS x, y1 AS y FROM l WHERE y1 IS NOT NULL " +
+        "UNION ALL SELECT event_type, 2, n, y2 FROM l WHERE y2 IS NOT NULL " +
+        "UNION ALL SELECT event_type, 3, n, y3 FROM l WHERE y3 IS NOT NULL), " +
+        "m AS (SELECT event_type, lg, count(*) AS n, " +
+        "sum(CAST(x AS DECIMAL(18,6))) AS sx, sum(CAST(y AS DECIMAL(18,6))) AS sy, " +
+        "sum(CAST(x AS DECIMAL(18,6))*CAST(y AS DECIMAL(18,6))) AS sxy, " +
+        "sum(CAST(x AS DECIMAL(18,6))*CAST(x AS DECIMAL(18,6))) AS sxx, " +
+        "sum(CAST(y AS DECIMAL(18,6))*CAST(y AS DECIMAL(18,6))) AS syy FROM p GROUP BY 1, 2) " +
+        "SELECT event_type, CAST(lg AS INTEGER) AS lag, n, " +
+        "CASE WHEN n >= 2 AND (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) > 0 " +
+        "AND (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) > 0 THEN " +
+        "floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / " +
+        "sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * " +
+        "(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) * 1e9 + 0.5)/1e9 " +
+        "END AS acf FROM m ORDER BY event_type, lag"),
+    "q_embed_cov" -> embedCovOracleSql,
+    "q_interval_join" ->
+      // plain non-equi overlap join at oracle scale — the bin blocking +
+      // canonical-bin dedup must be invisible in the pair set
+      ("WITH l AS (SELECT o_orderkey AS a_key, CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE) AS lo " +
+        "FROM orders WHERE o_orderkey % 97 = 0), " +
+        "r AS (SELECT o_orderkey AS b_key, CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE) AS lo " +
+        "FROM orders WHERE o_orderkey % 89 = 3) " +
+        "SELECT a_key, b_key FROM l JOIN r ON l.lo < r.lo + 3.0 AND r.lo < l.lo + 7.0 " +
+        "ORDER BY a_key, b_key")
   )
 
   /** Timed-ONLY bench entries (r10 verdict ask #5): surfaces with no
