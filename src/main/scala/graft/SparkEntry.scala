@@ -2715,6 +2715,39 @@ object SparkEntry {
         .withColumn("b_hi", col("b_lo") + 3.0)
       Joins.intervalJoin(left, right, "a_lo", "a_hi", "b_lo", "b_hi", binWidth = 7.0)
         .select("a_key", "b_key").orderBy("a_key", "b_key")
+    }),
+    "q_ppr" -> ((s, dir) => {
+      // personalized PageRank from the doc_id%7 seed slice over the same
+      // closed-form link graph — TrustRank-style seed proximity
+      val docs = T(s, dir, "documents")
+      val edges = Html.extractLinks(docs.withColumn("html", linkFixtureHtml),
+          "doc_id", "html")
+        .select(col("doc_id").as("src"),
+          regexp_extract(col("href"), "([0-9]+)$", 1).cast("long").as("dst"))
+      val seeds = docs.select(col("doc_id").as("node")).filter(col("node") % 7 === 0)
+      graft.ops.Graphs.pageRankPersonalized(edges, "src", "dst", seeds, "node",
+          iterations = 3)
+        .select(col("node"), round(col("rank"), 8).as("rank"))
+        .orderBy("node")
+    }),
+    "q_frequent_pairs" -> ((s, dir) => {
+      // basket co-occurrence over order line parts: pairs in ≥ 2 orders
+      // with support counts and independence lift
+      graft.ops.Baskets.frequentPairs(T(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2)
+        .orderBy("item_a", "item_b")
+    }),
+    "q_skyline" -> ((s, dir) => {
+      // Pareto frontier of (maximize total price, minimize order date):
+      // the engine runs the bucketed suffix-max decomposition; the oracle
+      // states the quadratic dominance SPEC — result sets must agree
+      val o = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+          (lit(0L) - unix_micros(col("o_orderdate").cast("timestamp")))
+            .cast("double").as("__neg_t"))
+      Sketches.skyline2D(o, "o_totalprice", "__neg_t")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderkey")
     })
   )
 
@@ -2785,6 +2818,32 @@ object SparkEntry {
       iters +
       " SELECT a3.node, round(a3.v, 8) AS auth, round(h3.v, 8) AS hub " +
       "FROM a3 JOIN h3 ON a3.node = h3.node ORDER BY a3.node"
+  }
+
+  /** q_ppr oracle: three unrolled personalized-PageRank iterations — the
+    * exact [[graft.ops.Graphs.pageRankPersonalized]] recurrence (teleport
+    * mass only on the doc_id%7 seed slice, 1e-12 snap per iteration),
+    * generated per iteration. `(1.0-0.85)` is written as the SUBTRACTION
+    * so both engines fold the identical double, not a 0.15 literal. */
+  private val pprOracleSql: String = {
+    def snap(x: String) = s"floor(($x)/1e-12 + 0.5)*1e-12"
+    val iters = (1 to 3).map { i =>
+      val prev = s"r${i - 1}"
+      s"r$i AS (SELECT f.node, f.seed, " +
+        snap(s"(1.0-0.85)*(CASE WHEN f.seed THEN 1.0/ns.k ELSE 0 END) + 0.85*coalesce(c.s, 0)") +
+        s" AS rank FROM f CROSS JOIN ns LEFT JOIN " +
+        s"(SELECT e.dst AS node, sum(r.rank/deg.d) AS s FROM e JOIN $prev r ON e.src = r.node " +
+        s"JOIN deg ON e.src = deg.src GROUP BY 1) c ON f.node = c.node)"
+    }.mkString(", ")
+    s"WITH e AS ($linkEdgesSql), " +
+      "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), " +
+      "sd AS (SELECT DISTINCT doc_id AS node FROM documents WHERE doc_id % 7 = 0), " +
+      "f AS (SELECT n.node, (s.node IS NOT NULL) AS seed FROM nodes n LEFT JOIN sd s ON n.node = s.node), " +
+      "ns AS (SELECT count(*) AS k FROM f WHERE seed), " +
+      "deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1), " +
+      s"r0 AS (SELECT node, seed, CASE WHEN seed THEN ${snap("1.0/ns.k")} ELSE 0 END AS rank FROM f CROSS JOIN ns), " +
+      iters +
+      " SELECT node, round(rank, 8) AS rank FROM r3 ORDER BY node"
   }
 
   /** q_embed_cov oracle: the [[Similarity.embeddingCovariance]] mirror
@@ -5006,7 +5065,31 @@ object SparkEntry {
         "r AS (SELECT o_orderkey AS b_key, CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE) AS lo " +
         "FROM orders WHERE o_orderkey % 89 = 3) " +
         "SELECT a_key, b_key FROM l JOIN r ON l.lo < r.lo + 3.0 AND r.lo < l.lo + 7.0 " +
-        "ORDER BY a_key, b_key")
+        "ORDER BY a_key, b_key"),
+    "q_ppr" -> pprOracleSql,
+    "q_frequent_pairs" ->
+      // presence semantics (DISTINCT first), canonical a < b pairs,
+      // HAVING the same support gate, lift in double floor-rounded 1e-9
+      ("WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem " +
+        "WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL), " +
+        "nb AS (SELECT count(DISTINCT b) AS n FROM it), " +
+        "ic AS (SELECT i, count(*) AS c FROM it GROUP BY 1), " +
+        "p AS (SELECT a.i AS ia, b.i AS ib, count(*) AS np FROM it a JOIN it b " +
+        "ON a.b = b.b AND a.i < b.i GROUP BY 1, 2 HAVING count(*) >= 2) " +
+        "SELECT ia AS item_a, ib AS item_b, np AS n_pair, ca.c AS n_a, cb.c AS n_b, " +
+        "floor(CAST(np AS DOUBLE)*CAST(nb.n AS DOUBLE)/(CAST(ca.c AS DOUBLE)*CAST(cb.c AS DOUBLE))*1e9 + 0.5)/1e9 AS lift " +
+        "FROM p JOIN ic ca ON ia = ca.i JOIN ic cb ON ib = cb.i CROSS JOIN nb " +
+        "ORDER BY item_a, item_b"),
+    "q_skyline" ->
+      // the SPEC form: quadratic NOT-EXISTS dominance (maximize price,
+      // minimize date, one strict) — deliberately NOT the engine's
+      // decomposition, so the oracle checks semantics, not structure
+      ("SELECT o_orderkey, o_orderdate, o_totalprice FROM orders a " +
+        "WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL AND NOT EXISTS (" +
+        "SELECT 1 FROM orders b WHERE b.o_totalprice >= a.o_totalprice " +
+        "AND b.o_orderdate <= a.o_orderdate " +
+        "AND (b.o_totalprice > a.o_totalprice OR b.o_orderdate < a.o_orderdate)) " +
+        "ORDER BY o_orderkey")
   )
 
   /** Timed-ONLY bench entries (r10 verdict ask #5): surfaces with no

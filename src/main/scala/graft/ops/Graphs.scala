@@ -80,6 +80,57 @@ object Graphs {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
 
+  /** Personalized PageRank: the [[pageRank]] iteration with teleport mass
+    * restricted to a SEED set — the "how close is every page to these
+    * trusted/topical seeds" prior (TrustRank-style spam demotion, topical
+    * crawl steering, seed-expansion sampling). `r_0 = s`; `r_{i+1}(v) =
+    * (1−d)·s(v) + d·Σ_{u→v} r_i(u)/outdeg(u)` where `s(v) = 1/|S|` on
+    * seeds and 0 elsewhere. Dangling nodes absorb mass (same documented
+    * variant as [[pageRank]]); seeds outside the node universe are
+    * ignored; `quantum` snaps every iteration (same determinism
+    * rationale). Seeds are a node-ID frame — model-sized relative to the
+    * edge list, joined (not broadcast-forced: a seed set CAN be a large
+    * slice, AQE decides).
+    *
+    * Execution shape per iteration = [[pageRank]]: one edge⋈rank hash
+    * join + one partial-aggregable sum; the only extra state is the
+    * 0/1 seed flag riding the node vector. */
+  def pageRankPersonalized(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           iterations: Int = 3, damping: Double = 0.85,
+                           quantum: Double = 1e-12): DataFrame = {
+    require(iterations >= 1, s"iterations must be ≥ 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .filter(col("__src").isNotNull && col("__dst").isNotNull)
+    val nodes = e.select(col("__src").as("node"))
+      .unionByName(e.select(col("__dst").as("node"))).distinct()
+    val seedSet = seeds.select(col(seedCol).as("node"))
+      .filter(col("node").isNotNull).distinct()
+    val flagged = nodes.join(seedSet.withColumn("__isSeed", lit(true)),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("__isSeed"), lit(false)).as("__isSeed"))
+    val nSeeds = flagged.filter(col("__isSeed")).count() // one scalar
+    require(nSeeds > 0, "no seed is present in the node universe")
+    def snap(c: org.apache.spark.sql.Column) =
+      if (quantum > 0) floor(c / quantum + 0.5) * quantum else c
+    val teleport = when(col("__isSeed"), snap(lit(1.0 / nSeeds))).otherwise(0.0)
+    val outdeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+    val weighted = e.join(outdeg, "__src")
+    var ranks = flagged.withColumn("rank", teleport)
+    for (_ <- 1 to iterations) {
+      val contribs = weighted
+        .join(ranks.select(col("node").as("__src"), col("rank")), "__src")
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(col("rank") / col("__deg")).as("__in"))
+      ranks = flagged.join(contribs, Seq("node"), "left")
+        .select(col("node"), col("__isSeed"),
+          snap(lit(1.0 - damping) * when(col("__isSeed"), lit(1.0 / nSeeds)).otherwise(0.0) +
+            lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
   /** Per-node triangle counts over the UNDIRECTED simple graph induced by
     * the edge list (direction dropped, self-loops and parallel edges
     * collapsed). Returns `(node, n_triangles)` for nodes in ≥ 1 triangle —

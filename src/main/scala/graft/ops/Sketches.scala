@@ -853,6 +853,54 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** 2-D skyline (Pareto frontier): the rows NOT dominated in the
+    * maximize-both sense — row r is dominated iff some row has `x ≥ r.x ∧
+    * y ≥ r.y` with at least one strict. The classic best-tradeoff query
+    * ("highest quality score at every recency level"); minimize a
+    * dimension by negating it first. ALL rows carrying a frontier point
+    * survive (exact duplicates dominate nothing). Null x/y rows drop.
+    *
+    * Execution shape — the suffix-max decomposition, never a quadratic
+    * dominance join: a survivor is exactly a row whose y equals its
+    * x-group max AND strictly exceeds every y at greater x. The
+    * strictly-greater-x maximum is computed like [[globalRank]]'s
+    * offsets: [[quantileBuckets]] on x (equal x always co-buckets —
+    * value-based boundaries), per-(bucket, x) max y in one
+    * partial-aggregable pass, an in-bucket suffix max over DISTINCT-x
+    * rows (tie-safe rows frame), and an nBuckets-row carry table for the
+    * cross-bucket maximum (bounded — the one single-partition window).
+    * Total: one corpus exchange on x-bucket + model-sized state; a
+    * billion rows skyline in two scans. */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String,
+                nBuckets: Int = 64): DataFrame = {
+    val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val bucketed = Checkpoints.pinned(
+      quantileBuckets(rows, xCol, nBuckets, "__b", exact = true))
+    val gx = bucketed.groupBy(col("__b"), col(xCol))
+      .agg(max(col(yCol)).as("__ymax"))
+    // carry(b) = max y over all HIGHER buckets (their x are all ≥ this
+    // bucket's, and strictly greater whenever buckets differ — boundary
+    // ties co-bucket, so cross-bucket means strictly-greater x)
+    val bmax = gx.groupBy(col("__b")).agg(max(col("__ymax")).as("__bm"))
+    val carry = bmax.withColumn("__carry",
+        max(col("__bm")).over(Window.orderBy(col("__b").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__b"), col("__carry"))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col(xCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = gx
+      .withColumn("__mloc", max(col("__ymax")).over(wIn))
+      .join(broadcast(carry), Seq("__b"))
+      .withColumn("__m", greatest(
+        coalesce(col("__mloc"), col("__carry")),
+        coalesce(col("__carry"), col("__mloc"))))
+      .filter(col("__m").isNull || col("__ymax") > col("__m"))
+      .select(col("__b"), col(xCol), col("__ymax"))
+    bucketed.join(frontier.withColumnRenamed("__ymax", "__sy"), Seq("__b", xCol))
+      .filter(col(yCol) === col("__sy"))
+      .drop("__b", "__sy")
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic between the `valueCol`
     * distributions of two slices — the nonparametric drift test that
     * complements [[correlationMatrix]]/PSI: `D = max_x |F₁(x) − F₂(x)|`

@@ -120,6 +120,41 @@ class GraphsSpec extends SparkSuite {
     assert(math.abs(r.values.map(_._2).sum - 1.0) < 1e-9)
   }
 
+  test("personalized pagerank: teleport lands only on seeds") {
+    // chain 1→2→3 with seed {1}: rank concentrates near the seed side
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val r = Graphs.pageRankPersonalized(e, "src", "dst", seeds, "node", iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(r(1L) - 0.15) < 1e-9) // (1−d)·1/|S| every iteration
+    assert(r(2L) > r(3L) && r(3L) > 0)    // mass decays along the chain
+  }
+
+  test("personalized pagerank matches a local reference; empty seed set rejected") {
+    val rnd = new scala.util.Random(59)
+    val edges = (0 until 300).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    val seedIds = Seq(3L, 7L, 11L)
+    val got = Graphs.pageRankPersonalized(edges.toDF("src", "dst"), "src", "dst",
+        seedIds.map(Tuple1(_)).toDF("node"), "node", iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    def s(v: Long) = if (seedIds.contains(v)) 1.0 / seedIds.size else 0.0
+    var r = nodes.map(v => v -> s(v)).toMap
+    for (_ <- 1 to 3) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map(e => r(e._1) / outdeg(e._1)).sum).toMap
+      r = nodes.map(v => v -> (0.15 * s(v) + 0.85 * in.getOrElse(v, 0.0))).toMap
+    }
+    assert(got.keySet == r.keySet)
+    got.foreach { case (v, x) =>
+      assert(math.abs(x - r(v)) < 1e-9, s"node=$v got=$x want=${r(v)}") }
+    intercept[IllegalArgumentException] {
+      Graphs.pageRankPersonalized(edges.toDF("src", "dst"), "src", "dst",
+        Seq(Tuple1(999L)).toDF("node"), "node").collect()
+    }
+  }
+
   test("hits matches a local iterative reference on random graphs") {
     val rnd = new scala.util.Random(47)
     val edges = (0 until 250).map(_ => (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))

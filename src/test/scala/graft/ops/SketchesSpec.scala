@@ -523,6 +523,38 @@ class SketchesSpec extends SparkSuite {
     }
   }
 
+  test("skyline2D: dominance with ties and duplicated frontier points") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, 1.0, 9.0),  // frontier (max y at min x, nothing right is ≥ 9)
+      (2L, 1.0, 5.0),  // dominated by id 1 (same x, higher y)
+      (3L, 5.0, 7.0),  // dominated by id 5 (greater x, equal y)
+      (4L, 5.0, 7.0),  // duplicate of 3 — dominated with it
+      (5L, 7.0, 7.0),  // frontier (nothing is ≥ in both dims with one strict)
+      (6L, 9.0, 3.0),  // frontier (max x)
+      (7L, 8.0, 2.0))  // dominated by 6
+      .toDF("id", "x", "y")
+    val got = Sketches.skyline2D(pts, "x", "y").select("id").as[Long]
+      .collect().toSet
+    assert(got == Set(1L, 5L, 6L))
+  }
+
+  test("skyline2D matches the quadratic dominance reference on random points") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val pts = (0 until 400).map(i =>
+      (i.toLong, rnd.nextInt(50).toDouble, rnd.nextInt(50).toDouble))
+    for (buckets <- Seq(2, 64)) { // tiny bucket count forces the carry path
+      val got = Sketches.skyline2D(pts.toDF("id", "x", "y"), "x", "y", buckets)
+        .select("id").as[Long].collect().toSet
+      val want = pts.filter { case (_, x, y) =>
+        !pts.exists { case (_, x2, y2) =>
+          x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+      }.map(_._1).toSet
+      assert(got == want, s"nBuckets=$buckets")
+    }
+  }
+
   test("ksStatistic: hand-computed D, identical slices → 0, grid snapping") {
     import spark.implicits._
     // A = {1,2,3,4}, B = {3,4,5,6}: CDFs diverge most at v=2 (1/2 vs 0)
