@@ -35,10 +35,13 @@ object Baskets {
                     minSupport: Long = 2, maxBasketSize: Int = 1000): DataFrame = {
     require(minSupport >= 1, s"minSupport must be ≥ 1, got $minSupport")
     require(maxBasketSize >= 2, s"maxBasketSize must be ≥ 2, got $maxBasketSize")
-    val presence = df
+    // pinned: the presence table feeds FOUR consumers (sizes, both
+    // self-join sides, item counts, basket-count scalar) — without the
+    // pin each rebuilds the scan+distinct from scratch (plan-audited)
+    val presence = Checkpoints.pinned(df
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-      .distinct()
+      .distinct())
     val sizes = presence.groupBy(col("__b")).agg(count(lit(1)).as("__sz"))
     val capMsg = concat(
       lit(s"frequentPairs: a basket exceeds maxBasketSize=$maxBasketSize items (basket="),

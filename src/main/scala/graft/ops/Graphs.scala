@@ -162,11 +162,14 @@ object Graphs {
     val withDeg = und
       .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
       .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
-    val oriented = withDeg.select(
+    // pinned: the oriented edge list feeds THREE join sides (wedge left,
+    // wedge right, closing edge) — one materialization instead of three
+    // rebuilds of the distinct + double degree join
+    val oriented = Checkpoints.pinned(withDeg.select(
       when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
         struct(col("u").as("lo"), col("v").as("hi")))
         .otherwise(struct(col("v").as("lo"), col("u").as("hi"))).as("e"))
-      .select(col("e.lo").as("a"), col("e.hi").as("b"))
+      .select(col("e.lo").as("a"), col("e.hi").as("b")))
     // wedges a→b, b→c (a ≠ c by the strict total order) closed by a→c
     val bc = oriented.select(col("a").as("b2"), col("b").as("c"))
     val wedges = oriented.join(bc, col("b") === col("b2")).drop("b2")

@@ -51,7 +51,10 @@ for (name <- Seq("flagship_valid_split", "q_required", "q_min", "q_topk_similar"
     "q_kn_bigram", "q_stream_keystats",
     "q_auc", "q_auc_by_lang", "q_calibration", "q_cms_freq", "q_psi",
     "q_log_odds", "q_chi_square", "q_pct_norm", "q_cluster_labels",
-    "q_url_templates", "q_null_patterns", "q_fd_violations", "q_lexical")) {
+    "q_url_templates", "q_null_patterns", "q_fd_violations", "q_lexical",
+    "q_triangles", "q_hits", "q_rrf_fusion", "q_ks_test", "q_mutual_info",
+    "q_cusum", "q_autocorr", "q_embed_cov", "q_interval_join",
+    "q_ppr", "q_frequent_pairs", "q_skyline")) {
   val df = if (name == "flagship_valid_split") flagship
            else graft.SparkEntry.queries(name)(spark, dir)
   out.println()
