@@ -2737,6 +2737,22 @@ object SparkEntry {
           "l_orderkey", "l_partkey", minSupport = 2)
         .orderBy("item_a", "item_b")
     }),
+    "q_mmr_rerank" -> ((s, dir) => {
+      // MMR diversified rerank of the BM25 top-10 (k=5, λ=0.7) with
+      // cosine redundancy over the embeddings table — the RAG
+      // context-packing step; greedy selection is k unrolled projections
+      // of higher-order array expressions, mirrored step-by-step in SQL
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val qs = Seq((1L, "fast hash join"), (2L, "window group query"),
+        (3L, "slow table scan"), (4L, "customer order line part"),
+        (5L, "stream batch data")).toDF("qid", "qtext")
+      val bm = Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 10)
+      Similarity.mmrRerank(bm.select("qid", "doc_id", "score"),
+          "qid", "doc_id", "score", T(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 5, lambda = 0.7)
+        .orderBy("qid", "rk")
+    }),
     "q_skyline" -> ((s, dir) => {
       // Pareto frontier of (maximize total price, minimize order date):
       // the engine runs the bucketed suffix-max decomposition; the oracle
@@ -2844,6 +2860,35 @@ object SparkEntry {
       s"r0 AS (SELECT node, seed, CASE WHEN seed THEN ${snap("1.0/ns.k")} ELSE 0 END AS rank FROM f CROSS JOIN ns), " +
       iters +
       " SELECT node, round(rank, 8) AS rank FROM r3 ORDER BY node"
+  }
+
+  /** q_mmr_rerank oracle: the BM25 mirror feeds five unrolled greedy MMR
+    * selections — step i anti-joins the already-picked set, scores
+    * `rel·0.7 − (1.0−0.7)·greatest(−1, max cos)` with the same 1e-9
+    * floor-round, and picks per-query row_number 1 by (mmr DESC, id).
+    * Cosines run over unit vectors via `list_dot_product` — the same
+    * left-to-right double accumulation as the engine's zip_with fold
+    * (the q_ann_cosine discipline), so scores match bitwise. */
+  private val mmrOracleSql: String = {
+    val steps = (2 to 5).map { i =>
+      s"s$i AS (SELECT c.qid, c.id, c.rel, c.uv, " +
+        "floor((c.rel*0.7 - (1.0-0.7)*greatest(-1.0, max(list_dot_product(c.uv, s.uv))))*1e9 + 0.5)/1e9 AS mmr, " +
+        "max(CASE WHEN c.id = s.id THEN 1 ELSE 0 END) AS taken " +
+        s"FROM cand c JOIN sel${i - 1} s ON c.qid = s.qid GROUP BY 1, 2, 3, 4), " +
+        s"p$i AS (SELECT qid, id, mmr, uv, $i AS rk FROM s$i WHERE taken = 0 " +
+        "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, id) = 1), " +
+        s"sel$i AS (SELECT qid, id, uv FROM sel${i - 1} UNION ALL SELECT qid, id, uv FROM p$i)"
+    }.mkString(", ")
+    val unionAll = (1 to 5).map(i => s"SELECT qid, id, mmr, rk FROM p$i")
+      .mkString(" UNION ALL ")
+    "WITH bm AS (SELECT qid, doc_id, score FROM (" + bm25OracleSql + ")), " +
+      "uv AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), " +
+      "x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS u FROM embeddings), " +
+      "cand AS (SELECT bm.qid, bm.doc_id AS id, bm.score AS rel, uv.u AS uv FROM bm JOIN uv ON bm.doc_id = uv.vec_id), " +
+      "p1 AS (SELECT qid, id, floor((rel*0.7)*1e9 + 0.5)/1e9 AS mmr, uv, 1 AS rk FROM cand " +
+      "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY floor((rel*0.7)*1e9 + 0.5)/1e9 DESC, id) = 1), " +
+      "sel1 AS (SELECT qid, id, uv FROM p1), " + steps +
+      s" SELECT qid, id AS doc_id, mmr AS mmr_score, CAST(rk AS INTEGER) AS rk FROM ($unionAll) ORDER BY qid, rk"
   }
 
   /** q_embed_cov oracle: the [[Similarity.embeddingCovariance]] mirror
@@ -5067,6 +5112,7 @@ object SparkEntry {
         "SELECT a_key, b_key FROM l JOIN r ON l.lo < r.lo + 3.0 AND r.lo < l.lo + 7.0 " +
         "ORDER BY a_key, b_key"),
     "q_ppr" -> pprOracleSql,
+    "q_mmr_rerank" -> mmrOracleSql,
     "q_frequent_pairs" ->
       // presence semantics (DISTINCT first), canonical a < b pairs,
       // HAVING the same support gate, lift in double floor-rounded 1e-9

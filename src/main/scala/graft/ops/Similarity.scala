@@ -487,6 +487,89 @@ object Similarity {
       coalesce(col("__as.n"), lit(0L)).as(nCol)): _*)
   }
 
+  /** Maximal-Marginal-Relevance rerank: greedily diversify a per-query
+    * candidate list so the top-k is relevant AND non-redundant — the
+    * standard post-retrieval step before stuffing a RAG context window
+    * (five near-identical passages waste four slots). Selection i
+    * maximizes `λ·rel(c) − (1−λ)·max_{s∈selected} cos(c, s)` (ties by
+    * doc id asc); selection 1 is pure relevance.
+    *
+    * `candidates` carries `(qidCol, docCol, relCol)` — the output of a
+    * prior retrieval stage, BOUNDED per query (top-N, N ≲ 100s); vectors
+    * come from an equi-join against `embeddings` (candidates without a
+    * vector drop). MMR scores are floor-rounded at 1e-9 before each
+    * argmax; cosines run over UNIT-normalized vectors in strict
+    * array-order double accumulation, so a second engine summing the
+    * same 64 products left-to-right lands on the identical bits (the
+    * `q_ann_cosine` mirror discipline).
+    *
+    * Execution shape: one equi-join, then ONE `groupBy(qid)` collecting
+    * the ≤N candidate structs, then the k greedy steps UNROLLED as pure
+    * Column expressions (higher-order `filter`/`transform`/`aggregate`
+    * over the in-row array — no UDF, no driver loop, no per-step
+    * shuffle). Per-query state is N structs × dim doubles; a million
+    * queries parallelize freely; k and N are the only cost knobs.
+    *
+    * Output: `(qidCol, docCol, mmr_score, rk)` — `rk` 1-based, ≤ k. */
+  def mmrRerank(candidates: DataFrame, qidCol: String, docCol: String,
+                relCol: String, embeddings: DataFrame, vecIdCol: String,
+                vecCol: String, k: Int = 5, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, s"k must be ≥ 1, got $k")
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
+    val unit = embeddings.select(col(vecIdCol).as(docCol), {
+      val v = col(vecCol).cast("array<double>")
+      val norm = sqrt(aggregate(zip_with(v, v, (x, y) => x * y), lit(0.0), _ + _))
+      transform(v, x => x / norm).as("__uv")
+    })
+    val pool = candidates
+      .select(col(qidCol), col(docCol), col(relCol).cast("double").as("__rel"))
+      .join(unit, Seq(docCol))
+      .groupBy(col(qidCol))
+      .agg(sort_array(collect_list(
+        struct(col(docCol).as("id"), col("__rel").as("rel"), col("__uv").as("uv"))))
+        .as("__cands"))
+    def r9(c: Column): Column = floor(c * 1e9 + lit(0.5)) / 1e9
+    def cos(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+    // the k greedy steps run at RUNTIME as one `aggregate` over
+    // sequence(1, k) whose accumulator is the selection state — writing
+    // them as k chained Columns (or k projections, which CollapseProject
+    // merges right back) re-inlines step i−1's whole tree at every step-i
+    // use site: the plan grows exponentially in k and a 5-step rerank
+    // already OOMed on its own 32 MB task binary. Here the step body
+    // appears ONCE in the plan regardless of k.
+    val init = struct(
+      array().cast("array<bigint>").as("ids"),
+      array().cast("array<array<double>>").as("vecs"),
+      array().cast("array<struct<id:bigint,mmr:double>>").as("picks"))
+    def stepFn(st: Column): Column = {
+      val remaining = filter(col("__cands"), c =>
+        not(array_contains(st.getField("ids"), c.getField("id"))))
+      val scored = transform(remaining, c => struct(
+        r9(when(size(st.getField("vecs")) === 0, c.getField("rel") * lambda)
+          .otherwise(c.getField("rel") * lambda - lit(1.0 - lambda) *
+            aggregate(st.getField("vecs"), lit(-1.0), (m, s) =>
+              greatest(m, cos(c.getField("uv"), s))))).as("mmr"),
+        (lit(0L) - c.getField("id")).as("negid"),
+        c.getField("id").as("id"),
+        c.getField("uv").as("uv")))
+      // null best ⇒ pool exhausted (pool smaller than k) ⇒ keep state
+      val best = array_max(scored)
+      when(best.isNull, st).otherwise(struct(
+        concat(st.getField("ids"), array(best.getField("id"))).as("ids"),
+        concat(st.getField("vecs"), array(best.getField("uv"))).as("vecs"),
+        concat(st.getField("picks"), array(struct(
+          best.getField("id").as("id"),
+          best.getField("mmr").as("mmr")))).as("picks")))
+    }
+    val picks = aggregate(sequence(lit(1), lit(k)), init, (st, _) => stepFn(st))
+      .getField("picks")
+    pool.select(col(qidCol), posexplode(picks).as(Seq("__p", "__pick")))
+      .select(col(qidCol), col("__pick.id").as(docCol),
+        col("__pick.mmr").as("mmr_score"),
+        (col("__p") + 1).cast("integer").as("rk"))
+  }
+
   /** Covariance matrix of the first `dims` embedding coordinates — the
     * statistics pass behind PCA whitening, anisotropy diagnosis ("is the
     * embedding space collapsing"), and [[pcaComponents]]. Emits one row
