@@ -2737,6 +2737,29 @@ object SparkEntry {
           "l_orderkey", "l_partkey", minSupport = 2)
         .orderBy("item_a", "item_b")
     }),
+    "q_cidr_lookup" -> ((s, dir) => {
+      // longest-prefix-match network enrichment: deterministic dotted
+      // quads from event keys (a 10/8 corp slice, a 172.16/12 guest
+      // slice, an unparsable %11 slice) against a 4-row CIDR dim —
+      // /24 beats /16 beats /8; one dim entry carries host bits to
+      // exercise canonicalization; misses and bad addresses stay null
+      import s.implicits._
+      val ips = T(s, dir, "events").select(col("event_id"),
+        when(col("event_id") % 11 === 0, lit("999.1.2.3"))
+          .when(col("event_id") % 5 === 0, concat(lit("172.16."),
+            (col("user_id") % 16).cast("string"), lit("."),
+            (col("event_id") % 256).cast("string")))
+          .otherwise(concat(lit("10."),
+            (col("user_id") % 256).cast("string"), lit("."),
+            ((col("user_id") * 7) % 256).cast("string"), lit("."),
+            (col("event_id") % 256).cast("string"))).as("ip"))
+      val dim = Seq(("10.0.0.0/8", "corp"), ("10.3.21.0/24", "rack3"),
+        ("10.77.5.9/16", "dc77"), ("172.16.0.0/12", "guest"))
+        .toDF("cidr", "zone")
+      graft.ops.Networks.cidrLookup(ips, "ip", dim, "cidr")
+        .select("event_id", "ip", "cidr", "zone")
+        .orderBy("event_id")
+    }),
     "q_mmr_rerank" -> ((s, dir) => {
       // MMR diversified rerank of the BM25 top-10 (k=5, λ=0.7) with
       // cosine redundancy over the embeddings table — the RAG
@@ -5113,6 +5136,31 @@ object SparkEntry {
         "ORDER BY a_key, b_key"),
     "q_ppr" -> pprOracleSql,
     "q_mmr_rerank" -> mmrOracleSql,
+    "q_cidr_lookup" -> {
+      // identical strict-octet regex + base-256 fold on both sides; LPM
+      // stated as the masked-equality join with max-len QUALIFY — the
+      // prefix-expansion blocking must be invisible in the result
+      val oct = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[0-9][0-9]?)"
+      val full = s"^$oct\\.$oct\\.$oct\\.$oct$$"
+      def ipLong(e: String): String =
+        s"CASE WHEN regexp_matches($e, '$full') THEN " +
+          s"CAST(string_split($e, '.')[1] AS BIGINT)*16777216 + " +
+          s"CAST(string_split($e, '.')[2] AS BIGINT)*65536 + " +
+          s"CAST(string_split($e, '.')[3] AS BIGINT)*256 + " +
+          s"CAST(string_split($e, '.')[4] AS BIGINT) END"
+      "WITH ev AS (SELECT event_id, CASE WHEN event_id % 11 = 0 THEN '999.1.2.3' " +
+        "WHEN event_id % 5 = 0 THEN '172.16.' || CAST(user_id % 16 AS VARCHAR) || '.' || CAST(event_id % 256 AS VARCHAR) " +
+        "ELSE '10.' || CAST(user_id % 256 AS VARCHAR) || '.' || CAST((user_id * 7) % 256 AS VARCHAR) || '.' || CAST(event_id % 256 AS VARCHAR) END AS ip FROM events), " +
+        "dim(cidr, zone) AS (VALUES ('10.0.0.0/8', 'corp'), ('10.3.21.0/24', 'rack3'), ('10.77.5.9/16', 'dc77'), ('172.16.0.0/12', 'guest')), " +
+        "d AS (SELECT cidr, zone, CAST(regexp_extract(cidr, '/([0-9]{1,2})$', 1) AS INT) AS len, " +
+        ipLong("regexp_extract(cidr, '^(.*)/[0-9]{1,2}$', 1)") + " AS net0 FROM dim), " +
+        "dc AS (SELECT cidr, zone, len, net0 - (net0 % CAST(power(2, 32 - len) AS BIGINT)) AS net FROM d WHERE len BETWEEN 0 AND 32 AND net0 IS NOT NULL), " +
+        "ipl AS (SELECT event_id, ip, " + ipLong("ip") + " AS v FROM ev), " +
+        "m AS (SELECT i.event_id, dc.cidr, dc.zone, dc.len FROM ipl i JOIN dc " +
+        "ON i.v IS NOT NULL AND i.v - (i.v % CAST(power(2, 32 - dc.len) AS BIGINT)) = dc.net), " +
+        "b AS (SELECT event_id, cidr, zone FROM m QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY len DESC) = 1) " +
+        "SELECT e.event_id, e.ip, b.cidr, b.zone FROM ev e LEFT JOIN b USING (event_id) ORDER BY e.event_id"
+    },
     "q_frequent_pairs" ->
       // presence semantics (DISTINCT first), canonical a < b pairs,
       // HAVING the same support gate, lift in double floor-rounded 1e-9
