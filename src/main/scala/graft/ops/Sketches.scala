@@ -90,11 +90,16 @@ object Sketches {
                       exact: Boolean = true): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
     val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
-    def pct(p: Double): Column =
-      if (exact) percentile(col(valueCol), lit(p))
-      else percentile_approx(col(valueCol), lit(p), lit(10000))
-    val bounds = df.agg(array(ps.map(p =>
-      floor(pct(p) * 1e6 + 0.5) / 1e6): _*).as("__bs"))
+    // ONE percentile aggregate over the ARRAY of percentages — nBuckets−1
+    // scalar aggregates each rebuild the same full-column buffer (exact)
+    // or the same quantile sketch (approx); the array form pays for it
+    // once and returns identical boundary values
+    val pArr = array(ps.map(lit): _*)
+    val pct: Column =
+      if (exact) percentile(col(valueCol), pArr)
+      else percentile_approx(col(valueCol), pArr, lit(10000))
+    val bounds = df.agg(pct.as("__raw"))
+      .select(transform(col("__raw"), b => floor(b * 1e6 + 0.5) / 1e6).as("__bs"))
     df.crossJoin(broadcast(bounds))
       .withColumn(bucketCol,
         when(col(valueCol).isNotNull, aggregate(col("__bs"), lit(0),
@@ -874,8 +879,13 @@ object Sketches {
   def skyline2D(df: DataFrame, xCol: String, yCol: String,
                 nBuckets: Int = 64): DataFrame = {
     val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    // approx boundaries: skyline correctness needs only "equal x always
+    // co-buckets", which ANY value-based boundary set preserves — exact
+    // percentiles would buffer the whole column per aggregate for
+    // nothing but bucket balance (the globalRank exact-rank rationale
+    // does NOT apply here)
     val bucketed = Checkpoints.pinned(
-      quantileBuckets(rows, xCol, nBuckets, "__b", exact = true))
+      quantileBuckets(rows, xCol, nBuckets, "__b", exact = false))
     val gx = bucketed.groupBy(col("__b"), col(xCol))
       .agg(max(col(yCol)).as("__ymax"))
     // carry(b) = max y over all HIGHER buckets (their x are all ≥ this
