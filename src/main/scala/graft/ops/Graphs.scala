@@ -101,15 +101,18 @@ object Graphs {
                            quantum: Double = 1e-12): DataFrame = {
     require(iterations >= 1, s"iterations must be ≥ 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
-    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .filter(col("__src").isNotNull && col("__dst").isNotNull)
+    // same pin rationale as [[hits]]: iterations × joins over one
+    // materialization instead of re-derived edge/node lineage
+    val e = Checkpoints.pinned(
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+        .filter(col("__src").isNotNull && col("__dst").isNotNull))
     val nodes = e.select(col("__src").as("node"))
       .unionByName(e.select(col("__dst").as("node"))).distinct()
     val seedSet = seeds.select(col(seedCol).as("node"))
       .filter(col("node").isNotNull).distinct()
-    val flagged = nodes.join(seedSet.withColumn("__isSeed", lit(true)),
-        Seq("node"), "left")
-      .select(col("node"), coalesce(col("__isSeed"), lit(false)).as("__isSeed"))
+    val flagged = Checkpoints.pinned(
+      nodes.join(seedSet.withColumn("__isSeed", lit(true)), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__isSeed"), lit(false)).as("__isSeed")))
     val nSeeds = flagged.filter(col("__isSeed")).count() // one scalar
     require(nSeeds > 0, "no seed is present in the node universe")
     def snap(c: org.apache.spark.sql.Column) =
@@ -201,10 +204,14 @@ object Graphs {
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iterations: Int = 3, quantum: Double = 1e-12): DataFrame = {
     require(iterations >= 1, s"iterations must be ≥ 1, got $iterations")
-    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .filter(col("__src").isNotNull && col("__dst").isNotNull)
-    val nodes = e.select(col("__src").as("node"))
-      .unionByName(e.select(col("__dst").as("node"))).distinct()
+    // pinned: the edge list feeds 2×iterations joins and the node vector
+    // 2×iterations+1 consumers — without the pins every iteration's plan
+    // re-derives both from the raw input (extraction regexes included)
+    val e = Checkpoints.pinned(
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+        .filter(col("__src").isNotNull && col("__dst").isNotNull))
+    val nodes = Checkpoints.pinned(e.select(col("__src").as("node"))
+      .unionByName(e.select(col("__dst").as("node"))).distinct())
     val n = nodes.count() // one scalar, model-state class
     def snap(c: org.apache.spark.sql.Column) =
       if (quantum > 0) floor(c / quantum + 0.5) * quantum else c
