@@ -2737,6 +2737,23 @@ object SparkEntry {
           "l_orderkey", "l_partkey", minSupport = 2)
         .orderBy("item_a", "item_b")
     }),
+    "q_geo_join" -> ((s, dir) => {
+      // grid-blocked geo radius join: customers × suppliers at
+      // synthesized coordinates in a 25°×20° band, pairs within 100 km.
+      // The oracle is the plain cross-join SPEC with the haversine
+      // written in the same operation order (radians as x/180*π — the
+      // JDK toRadians order) so distances match on the 1e-6 grid.
+      val cust = T(s, dir, "customer").select(col("c_custkey"),
+        (lit(30.0) + (col("c_custkey") * 37 % 2500).cast("double") / 100.0).as("c_lat"),
+        (lit(-10.0) + (col("c_custkey") * 73 % 2000).cast("double") / 100.0).as("c_lon"))
+      val supp = T(s, dir, "supplier").select(col("s_suppkey"),
+        (lit(30.0) + (col("s_suppkey") * 41 % 2500).cast("double") / 100.0).as("s_lat"),
+        (lit(-10.0) + (col("s_suppkey") * 79 % 2000).cast("double") / 100.0).as("s_lon"))
+      graft.ops.Geo.radiusJoin(cust, "c_lat", "c_lon",
+          supp, "s_lat", "s_lon", radiusKm = 100.0)
+        .select("c_custkey", "s_suppkey", "distance_km")
+        .orderBy("c_custkey", "s_suppkey")
+    }),
     "q_cidr_lookup" -> ((s, dir) => {
       // longest-prefix-match network enrichment: deterministic dotted
       // quads from event keys (a 10/8 corp slice, a 172.16/12 guest
@@ -5136,6 +5153,25 @@ object SparkEntry {
         "ORDER BY a_key, b_key"),
     "q_ppr" -> pprOracleSql,
     "q_mmr_rerank" -> mmrOracleSql,
+    "q_geo_join" -> {
+      // haversine restated with radians as x/180*pi() — the exact JDK
+      // Math.toRadians operand order Spark's radians() compiles to —
+      // and the same sin/cos/asin/sqrt structure; 1e-6 floor-round
+      // absorbs sub-ulp libm drift; blocking must be invisible
+      def rad(x: String) = s"(($x)/180*pi())"
+      val d =
+        s"(2*CAST(6371.0088 AS DOUBLE))*asin(sqrt(" +
+          s"sin(${rad("lat2 - lat")}/2)*sin(${rad("lat2 - lat")}/2) + " +
+          s"cos(${rad("lat")})*cos(${rad("lat2")})*" +
+          s"sin(${rad("lon2 - lon")}/2)*sin(${rad("lon2 - lon")}/2)))"
+      "WITH c AS (SELECT c_custkey, CAST(30.0 AS DOUBLE) + CAST((c_custkey*37) % 2500 AS DOUBLE)/100.0 AS lat, " +
+        "CAST(-10.0 AS DOUBLE) + CAST((c_custkey*73) % 2000 AS DOUBLE)/100.0 AS lon FROM customer), " +
+        "s AS (SELECT s_suppkey, CAST(30.0 AS DOUBLE) + CAST((s_suppkey*41) % 2500 AS DOUBLE)/100.0 AS lat2, " +
+        "CAST(-10.0 AS DOUBLE) + CAST((s_suppkey*79) % 2000 AS DOUBLE)/100.0 AS lon2 FROM supplier), " +
+        s"p AS (SELECT c_custkey, s_suppkey, floor(($d)*1e6 + 0.5)/1e6 AS distance_km FROM c, s) " +
+        "SELECT c_custkey, s_suppkey, distance_km FROM p WHERE distance_km <= 100.0 " +
+        "ORDER BY c_custkey, s_suppkey"
+    },
     "q_cidr_lookup" -> {
       // identical strict-octet regex + base-256 fold on both sides; LPM
       // stated as the masked-equality join with max-len QUALIFY — the
