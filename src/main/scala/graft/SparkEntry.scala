@@ -2663,6 +2663,14 @@ object SparkEntry {
       Sketches.ksStatistic(T(s, dir, "orders"), "o_totalprice",
         col("o_orderstatus") === "F", col("o_orderstatus") === "O", grid = 100.0)
     }),
+    "q_ks_by_group" -> ((s, dir) => {
+      // the per-stratum form of q_ks_test: which order priority actually
+      // drifted between finished and open orders
+      Sketches.ksStatisticBy(T(s, dir, "orders"), "o_orderpriority",
+          "o_totalprice", col("o_orderstatus") === "F",
+          col("o_orderstatus") === "O", grid = 100.0)
+        .orderBy("o_orderpriority")
+    }),
     "q_mutual_info" -> ((s, dir) => {
       // dependence audit: how much do return flag and line status share —
       // the how-many-nats complement to q_chi_square's is-it-dependent
@@ -5095,6 +5103,24 @@ object SparkEntry {
         "FROM g, t WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)) " +
         "SELECT ta AS n_a, tb AS n_b, gap AS d_stat, v AS at_value FROM d, t " +
         "ORDER BY gap DESC, v LIMIT 1"),
+    "q_ks_by_group" ->
+      // q_ks_test's mirror with every window partitioned by the stratum;
+      // empty-side strata emit null D (none exist in this data, but the
+      // guard is mirrored for shape fidelity)
+      ("WITH c AS (SELECT o_orderpriority AS g, floor(o_totalprice/100.0 + 0.5)*100.0 AS v, " +
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS a, " +
+        "CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS b " +
+        "FROM orders WHERE o_totalprice IS NOT NULL AND o_orderstatus IN ('F', 'O')), " +
+        "gc AS (SELECT g, v, CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb FROM c GROUP BY 1, 2), " +
+        "d AS (SELECT g, v, CAST(sum(na) OVER wa AS BIGINT) AS ta, CAST(sum(nb) OVER wa AS BIGINT) AS tb, " +
+        "sum(na) OVER wc AS ca, sum(nb) OVER wc AS cb FROM gc " +
+        "WINDOW wa AS (PARTITION BY g), wc AS (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING)), " +
+        "e AS (SELECT g, v, ta, tb, CASE WHEN ta > 0 AND tb > 0 THEN " +
+        "floor(abs(CAST(ca AS DOUBLE)/CAST(ta AS DOUBLE) - CAST(cb AS DOUBLE)/CAST(tb AS DOUBLE))*1e9 + 0.5)/1e9 END AS gap FROM d) " +
+        "SELECT g AS o_orderpriority, ta AS n_a, tb AS n_b, gap AS d_stat, " +
+        "CASE WHEN gap IS NOT NULL THEN v END AS at_value FROM e " +
+        "QUALIFY row_number() OVER (PARTITION BY g ORDER BY gap DESC NULLS LAST, v) = 1 " +
+        "ORDER BY o_orderpriority"),
     "q_mutual_info" ->
       // identical per-cell 1e-12 floor-rounded terms summed as DECIMAL;
       // marginal entropies via the same Σ_y p(x,y) = p(x) identity

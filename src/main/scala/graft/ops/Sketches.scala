@@ -953,6 +953,43 @@ object Sketches {
         col("gap").as("d_stat"), col("v").as("at_value"))
   }
 
+  /** Per-stratum [[ksStatistic]]: one KS row per value of `byCol` —
+    * "which language/source actually drifted" after the corpus-level
+    * test fires. Same gridding contract and rounding; groups where
+    * either slice is empty emit a null `d_stat` (no distribution to
+    * compare) rather than vanishing.
+    *
+    * Scale: identical to [[ksStatistic]] except every window partitions
+    * BY THE STRATUM — the cumulative pass parallelizes across groups and
+    * each group's cell table is grid-bounded; no single-partition stage
+    * remains at any group count. */
+  def ksStatisticBy(df: DataFrame, byCol: String, valueCol: String,
+                    inA: Column, inB: Column, grid: Double): DataFrame = {
+    require(grid > 0, s"grid must be positive, got $grid")
+    val v = floor(col(valueCol) / grid + lit(0.5)) * grid
+    val cells = df.filter(col(valueCol).isNotNull && (inA || inB))
+      .select(col(byCol), v.as("v"), when(inA, 1L).otherwise(0L).as("a"),
+        when(inB, 1L).otherwise(0L).as("b"))
+      .groupBy(col(byCol), col("v"))
+      .agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    val wCum = Window.partitionBy(col(byCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col(byCol))
+    val diffs = cells
+      .withColumn("ta", sum(col("na")).over(wAll))
+      .withColumn("tb", sum(col("nb")).over(wAll))
+      .withColumn("gap", when(col("ta") > 0 && col("tb") > 0,
+        floor(abs(sum(col("na")).over(wCum).cast("double") / col("ta") -
+          sum(col("nb")).over(wCum).cast("double") / col("tb")) * 1e9
+          + lit(0.5)) / 1e9))
+    val wBest = Window.partitionBy(col(byCol))
+      .orderBy(col("gap").desc_nulls_last, col("v").asc)
+    diffs.withColumn("__rk", row_number().over(wBest))
+      .filter(col("__rk") === 1)
+      .select(col(byCol), col("ta").as("n_a"), col("tb").as("n_b"),
+        col("gap").as("d_stat"), when(col("gap").isNotNull, col("v")).as("at_value"))
+  }
+
   /** Mutual information (nats) between two categorical columns — the
     * dependence audit that pairs with the chi-square test: χ² answers
     * "is there dependence", MI answers "how many bits of one does the

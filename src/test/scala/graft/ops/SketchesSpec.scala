@@ -588,6 +588,28 @@ class SketchesSpec extends SparkSuite {
     assert(math.abs(got._3 - dRef) < 1e-8, s"got ${got._3}, want $dRef")
   }
 
+  test("ksStatisticBy: per-stratum D equals per-slice ksStatistic; empty side → null") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val rows = (for (g <- Seq("x", "y"); _ <- 1 to 200) yield
+      (g, if (rnd.nextBoolean()) "a" else "b",
+        (rnd.nextInt(30) + (if (g == "y") rnd.nextInt(10) else 0)).toDouble)) ++
+      Seq(("z", "a", 5.0), ("z", "a", 7.0)) // no b rows in stratum z
+    val df = rows.toDF("g", "side", "v")
+    val by = Sketches.ksStatisticBy(df, "g", "v", col("side") === "a",
+        col("side") === "b", 1.0)
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    for (g <- Seq("x", "y")) {
+      val single = Sketches.ksStatistic(df.filter(col("g") === g), "v",
+        col("side") === "a", col("side") === "b", 1.0)
+        .as[(Long, Long, Double, Double)].head()
+      assert((by(g)._2, by(g)._3, by(g)._4.get, by(g)._5.get) ==
+        ((single._1, single._2, single._3, single._4)), s"stratum $g")
+    }
+    assert(by("z")._4.isEmpty && by("z")._5.isEmpty) // empty b slice → null D
+  }
+
   test("mutualInfo: independence → 0, determinism → H(X), hand 2×2") {
     import spark.implicits._
     // perfectly independent 2×2 (balanced): MI = 0
