@@ -2745,6 +2745,32 @@ object SparkEntry {
           "l_orderkey", "l_partkey", minSupport = 2)
         .orderBy("item_a", "item_b")
     }),
+    "q_ols" -> ((s, dir) => {
+      // in-plan two-feature OLS: extended price regressed on quantity and
+      // discount — coefficients via Cramer over exact decimal moments;
+      // inputs pre-snapped to 1e-6 in DOUBLE so no engine's
+      // double→decimal rounding rule decides a moment
+      def snap6(c: Column) = floor(c * 1e6 + lit(0.5)) / 1e6
+      val li = T(s, dir, "lineitem")
+        .filter(col("l_extendedprice").isNotNull &&
+          col("l_quantity").isNotNull && col("l_discount").isNotNull)
+        .select(snap6(col("l_extendedprice")).as("y"),
+          snap6(col("l_quantity")).as("x1"),
+          snap6(col("l_discount")).as("x2"))
+      graft.ops.Classifier.fitOLS2(li, "y", "x1", "x2")
+    }),
+    "q_kaplan_meier" -> ((s, dir) => {
+      // survival curve over per-user event-log lifetimes: duration =
+      // first→last event in days, censored when the user was still
+      // active on 2024-01-25 — the churn curve with censoring done right
+      val subj = T(s, dir, "events").groupBy(col("user_id"))
+        .agg(min(col("ts")).as("f"), max(col("ts")).as("l"))
+        .select(datediff(to_date(col("l")), to_date(col("f")))
+            .cast("double").as("dur"),
+          when(col("l") < lit("2024-01-25").cast("timestamp_ntz"), 1)
+            .otherwise(0).as("ev"))
+      graft.ops.TimeSeries.kaplanMeier(subj, "dur", "ev").orderBy("t")
+    }),
     "q_geo_join" -> ((s, dir) => {
       // grid-blocked geo radius join: customers × suppliers at
       // synthesized coordinates in a 25°×20° band, pairs within 100 km.
@@ -5179,6 +5205,68 @@ object SparkEntry {
         "ORDER BY a_key, b_key"),
     "q_ppr" -> pprOracleSql,
     "q_mmr_rerank" -> mmrOracleSql,
+    "q_ols" -> {
+      // mirror of the SHIFTED-data Cramer solve: snapped decimal-sum
+      // means, near-centered moments (no catastrophic determinant
+      // cancellation — the construct that made raw-moment coefficients
+      // flip in the 9th decimal across engines), identical operand order,
+      // outputs on the 1e-6 grid. Products go through DECIMAL(19,6) —
+      // width > 18 forces DuckDB's int128 lane (int64 products overflow).
+      def D(c: String) = s"CAST($c AS DOUBLE)"
+      def det3(a: String, b: String, c: String, p: String, q: String,
+               r: String, u: String, v: String, w: String) =
+        s"($a*($q*$w - $r*$v) - $b*($p*$w - $r*$u) + $c*($p*$v - $q*$u))"
+      val (n, s1, s2, sy) = (D("n"), D("s1"), D("s2"), D("sy"))
+      val (s11, s12, s22) = (D("s11"), D("s12"), D("s22"))
+      val (s1y, s2y, syy) = (D("s1y"), D("s2y"), D("syy"))
+      val dA = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+      val d0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+      val d1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+      val d2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+      val b0 = s"($d0/$dA + my - $d1/$dA*m1 - $d2/$dA*m2)"
+      val sse = s"($syy - $d0/$dA*$sy - $d1/$dA*$s1y - $d2/$dA*$s2y)"
+      val sst = s"($syy - $sy*$sy/$n)"
+      val ok = "n >= 3 AND s1 IS NOT NULL AND s2 IS NOT NULL AND sy IS NOT NULL " +
+        "AND s11 IS NOT NULL AND s12 IS NOT NULL AND s22 IS NOT NULL " +
+        "AND s1y IS NOT NULL AND s2y IS NOT NULL AND syy IS NOT NULL " +
+        s"AND abs($dA) > 1e-9"
+      def r6(e: String) = s"floor(($e)*1e6 + 0.5)/1e6"
+      def snap6(e: String) = s"floor(($e)*1e6 + 0.5)/1e6"
+      def meanOf(e: String) =
+        snap6(s"CAST(sum(CAST(${snap6(e)} AS DECIMAL(18,6))) AS DOUBLE)/count(*)")
+      "WITH li AS (SELECT " + snap6("l_extendedprice") + " AS y, " +
+        snap6("l_quantity") + " AS x1, " + snap6("l_discount") + " AS x2 " +
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL AND l_discount IS NOT NULL), " +
+        "mn AS (SELECT " + meanOf("x1") + " AS m1, " + meanOf("x2") + " AS m2, " +
+        meanOf("y") + " AS my FROM li), " +
+        "sh AS (SELECT " +
+        s"CAST(${snap6("x1 - m1")} AS DECIMAL(19,6)) AS c1, " +
+        s"CAST(${snap6("x2 - m2")} AS DECIMAL(19,6)) AS c2, " +
+        s"CAST(${snap6("y - my")} AS DECIMAL(19,6)) AS cy, m1, m2, my FROM li, mn), " +
+        "m AS (SELECT m1, m2, my, count(*) AS n, " +
+        "sum(c1) AS s1, sum(c2) AS s2, sum(cy) AS sy, " +
+        "sum(c1*c1) AS s11, sum(c1*c2) AS s12, sum(c2*c2) AS s22, " +
+        "sum(c1*cy) AS s1y, sum(c2*cy) AS s2y, sum(cy*cy) AS syy " +
+        "FROM sh GROUP BY 1, 2, 3) " +
+        s"SELECT n, CASE WHEN $ok THEN ${r6(b0)} END AS b0, " +
+        s"CASE WHEN $ok THEN ${r6(s"$d1/$dA")} END AS b1, " +
+        s"CASE WHEN $ok THEN ${r6(s"$d2/$dA")} END AS b2, " +
+        s"CASE WHEN ($ok) AND $sst > 0 THEN ${r6(s"1.0 - $sse/$sst")} END AS r2 FROM m"
+    },
+    "q_kaplan_meier" ->
+      // identical at-risk arithmetic over the unfiltered cumulative,
+      // identical 1e-12-floored ln terms decimal-summed, survival on the
+      // 1e-9 grid; the exhausted-risk flag mirrors the exact-zero pin
+      ("WITH s AS (SELECT user_id, min(ts) AS f, max(ts) AS l FROM events GROUP BY 1), " +
+        "subj AS (SELECT CAST(date_diff('day', CAST(f AS DATE), CAST(l AS DATE)) AS DOUBLE) AS dur, " +
+        "CASE WHEN l < TIMESTAMP '2024-01-25' THEN 1 ELSE 0 END AS ev FROM s), " +
+        "perT AS (SELECT dur AS t, CAST(sum(CASE WHEN ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_events, count(*) AS n_total FROM subj GROUP BY 1), " +
+        "ar AS (SELECT t, n_events, CAST((SELECT sum(n_total) FROM perT) - coalesce(sum(n_total) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk FROM perT), " +
+        "e AS (SELECT t, n_risk, n_events, " +
+        "max(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END) OVER w AS dead, " +
+        "sum(CASE WHEN n_events < n_risk THEN CAST(floor(ln(1.0 - CAST(n_events AS DOUBLE)/CAST(n_risk AS DOUBLE))*1e12 + 0.5)/1e12 AS DECIMAL(28,12)) ELSE CAST(0 AS DECIMAL(28,12)) END) OVER w AS lnsum " +
+        "FROM ar WHERE n_events > 0 WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)) " +
+        "SELECT t, n_risk, n_events, CASE WHEN dead = 1 THEN 0.0 ELSE floor(exp(CAST(lnsum AS DOUBLE))*1e9 + 0.5)/1e9 END AS survival FROM e ORDER BY t"),
     "q_geo_join" -> {
       // haversine restated with radians as x/180*pi() — the exact JDK
       // Math.toRadians operand order Spark's radians() compiles to —

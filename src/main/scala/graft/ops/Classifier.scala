@@ -225,4 +225,88 @@ object Classifier {
         (floor(col("__ssum").cast("double") / col("n") / 1048576.0 * 1e6) / 1e6)
           .as("mean_score"))
   }
+
+  /** Two-feature ordinary-least-squares fit, ENTIRELY in-plan: the
+    * baseline every learned quality scorer is judged against ("does a
+    * linear model on two cheap features already explain it"), and the
+    * effect-size readout χ²/MI can't give. Returns ONE row
+    * `(n, b0, b1, b2, r2)` for `y = b0 + b1·x1 + b2·x2`.
+    *
+    * The normal equations of a 3-parameter model are a 3×3 symmetric
+    * system whose entries are plain moment sums — so the solve is
+    * CRAMER'S RULE as fixed double arithmetic over exact DECIMAL
+    * moments (the [[Sketches.correlationMatrix]] discipline: inputs
+    * snapped to 1e-6, sums order-free, closed form floor-rounded at
+    * 1e-9). No driver collect, no iteration, ONE partial-aggregable
+    * exchange carrying a single row; exactly SQL-mirrorable. Singular
+    * (collinear) designs emit null coefficients; R² is null when
+    * SST = 0. Rows with a null y/x drop (listwise). For p > 2 features
+    * use [[fitLogistic]]-style iteration or solve the collected moment
+    * matrix — Cramer past 4×4 loses both stability and readability. */
+  def fitOLS2(df: DataFrame, yCol: String, x1Col: String,
+              x2Col: String): DataFrame = {
+    val ok = df.filter(col(yCol).isNotNull && col(x1Col).isNotNull &&
+      col(x2Col).isNotNull)
+    // pass 1: 1e-6-snapped means. Shifting by ANY constants leaves the
+    // slopes of an intercept-bearing fit invariant, and NEAR-centered
+    // data is what makes the Cramer solve numerically reproducible: on
+    // raw moments the determinant cancels catastrophically (≈1000×
+    // amplification of the decimal→double cast's last-ulp drift — a
+    // measured cross-engine 9th-decimal flip); on shifted moments the
+    // first-order sums are ~0 and det(A) ≈ n·(S11·S22 − S12²) with no
+    // cancellation, so both engines land on the same 1e-6-grid outputs.
+    def snap6(c: Column) = floor(c * 1e6 + lit(0.5)) / 1e6
+    def dec(c: Column) = snap6(c).cast("decimal(18,6)")
+    // means from EXACT decimal sums (a plain double avg is
+    // addition-order-dependent), snapped to the 1e-6 grid
+    def mean(c: String) =
+      snap6(sum(dec(col(c))).cast("double") / count(lit(1)))
+    val means = ok.agg(mean(x1Col).as("m1"), mean(x2Col).as("m2"),
+      mean(yCol).as("my"))
+    val shifted = ok.crossJoin(broadcast(means))
+      .select((col(x1Col) - col("m1")).as("c1"),
+        (col(x2Col) - col("m2")).as("c2"),
+        (col(yCol) - col("my")).as("cy"),
+        col("m1"), col("m2"), col("my"))
+    val m = shifted.groupBy(col("m1"), col("m2"), col("my")).agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("c1"))).as("s1"), sum(dec(col("c2"))).as("s2"),
+      sum(dec(col("cy"))).as("sy"),
+      sum(dec(col("c1")) * dec(col("c1"))).as("s11"),
+      sum(dec(col("c1")) * dec(col("c2"))).as("s12"),
+      sum(dec(col("c2")) * dec(col("c2"))).as("s22"),
+      sum(dec(col("c1")) * dec(col("cy"))).as("s1y"),
+      sum(dec(col("c2")) * dec(col("cy"))).as("s2y"),
+      sum(dec(col("cy")) * dec(col("cy"))).as("syy"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    // det of [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]] and the three
+    // right-hand-side substitutions — all 2-level minors, fixed order
+    def det3(a: Column, b: Column, c: Column, p: Column, q: Column, r: Column,
+             u: Column, v: Column, w: Column): Column =
+      a * (q * w - r * v) - b * (p * w - r * u) + c * (p * v - q * u)
+    val dA = det3(n, d("s1"), d("s2"), d("s1"), d("s11"), d("s12"),
+      d("s2"), d("s12"), d("s22"))
+    val d0 = det3(d("sy"), d("s1"), d("s2"), d("s1y"), d("s11"), d("s12"),
+      d("s2y"), d("s12"), d("s22"))
+    val d1 = det3(n, d("sy"), d("s2"), d("s1"), d("s1y"), d("s12"),
+      d("s2"), d("s2y"), d("s22"))
+    val d2 = det3(n, d("s1"), d("sy"), d("s1"), d("s11"), d("s1y"),
+      d("s2"), d("s12"), d("s2y"))
+    val b1 = d1 / dA; val b2 = d2 / dA
+    // back-transform the intercept to original coordinates
+    val b0 = d0 / dA + col("my") - b1 * col("m1") - b2 * col("m2")
+    // normal-equation identity on the shifted frame
+    val sse = d("syy") - (d0 / dA) * d("sy") - b1 * d("s1y") - b2 * d("s2y")
+    val sst = d("syy") - d("sy") * d("sy") / n
+    def r6(c: Column) = floor(c * 1e6 + lit(0.5)) / 1e6
+    val allPresent = Seq("s1", "s2", "sy", "s11", "s12", "s22", "s1y",
+      "s2y", "syy").map(col(_).isNotNull).reduce(_ && _)
+    val solvable = col("n") >= 3 && allPresent && abs(dA) > lit(1e-9)
+    m.select(col("n"),
+      when(solvable, r6(b0)).as("b0"),
+      when(solvable, r6(b1)).as("b1"),
+      when(solvable, r6(b2)).as("b2"),
+      when(solvable && sst > 0, r6(lit(1.0) - sse / sst)).as("r2"))
+  }
 }

@@ -224,6 +224,60 @@ object TimeSeries {
       .drop("__c", "__m", targetCol)
   }
 
+  /** Kaplan–Meier survival estimator over right-censored durations — the
+    * churn/retention curve done correctly: users still active at the
+    * observation cutoff are CENSORED (they inform the at-risk set for as
+    * long as observed, but are not deaths), which naive retention
+    * cohorting silently miscounts. `df` carries one row per subject:
+    * `durationCol` (numeric time-to-event-or-censoring) and `eventCol`
+    * (1 = event observed, 0 = censored). Returns one row per distinct
+    * OBSERVED-event time `t`, ascending: `(t, n_risk, n_events,
+    * survival)` with `S(t) = Π_{t_i ≤ t} (1 − d_i/n_i)`.
+    *
+    * Numeric discipline: the product runs as `exp(Σ ln(1 − d/n))` with
+    * each ln-term floor-rounded at 1e-12 and summed as DECIMAL — the
+    * [[graft.ops.LmScore]] KL discipline — so the curve is
+    * addition-order-free and exactly SQL-mirrorable; `survival` rounds
+    * at 1e-9. When the at-risk set is exhausted at an event time
+    * (`d = n`) the curve is EXACTLY 0 from that point on (the ln(0)
+    * case, handled as a flag, never a −Inf in the plan).
+    *
+    * Scale: one partial-aggregable groupBy(duration), then cumulative
+    * windows over the DISTINCT-DURATION table (bounded by the time
+    * resolution — days/weeks in practice, the q_histogram class; grid
+    * durations upstream if sub-second). Null duration/event rows drop. */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+                  eventCol: String): DataFrame = {
+    val perT = df.filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
+      .groupBy(col(durationCol).as("t"))
+      .agg(sum(when(col(eventCol) === 1, 1L).otherwise(0L)).as("n_events"),
+        count(lit(1)).as("n_total"))
+    val wAll = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = perT.agg(sum(col("n_total")).as("__N"))
+    val atRisk = perT.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("__N") - coalesce(sum(col("n_total")).over(wAll), lit(0L)))
+      .filter(col("n_events") > 0)
+    // events at times BETWEEN rows of this filtered table still reduce
+    // n_risk correctly: n_risk came from the UNFILTERED cumulative
+    val term = (floor(
+      log(lit(1.0) - col("n_events").cast("double") / col("n_risk").cast("double"))
+        * 1e12 + lit(0.5)) / 1e12).cast("decimal(28,12)")
+    atRisk
+      .withColumn("__dead", max(when(col("n_events") === col("n_risk"), 1L)
+        .otherwise(0L)).over(wCum))
+      .withColumn("__lnsum",
+        sum(when(col("n_events") < col("n_risk"), term)
+          .otherwise(lit(0).cast("decimal(28,12)"))).over(wCum))
+      .select(col("t"), col("n_risk"), col("n_events"),
+        when(col("__dead") === 1, 0.0)
+          .otherwise(floor(exp(col("__lnsum").cast("double")) * 1e9 + lit(0.5)) / 1e9)
+          .as("survival"))
+  }
+
   /** Autocorrelation function per key: Pearson correlation of the series
     * with itself at lags `1..maxLag` — the seasonality/persistence audit
     * for event-volume and score series (a strong lag-7 on daily counts is

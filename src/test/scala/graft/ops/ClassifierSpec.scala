@@ -190,4 +190,64 @@ class ClassifierSpec extends SparkSuite {
         .findFirstIn(plan.toLowerCase).isDefined,
       s"expected the per-bucket running-count window:\n$plan")
   }
+
+  test("fitOLS2: recovers exact coefficients of a planted linear relation") {
+    import spark.implicits._
+    // y = 3 + 2·x1 − 0.5·x2 exactly → R² = 1, coefficients exact
+    val rows = for (i <- 1 to 100; j <- 1 to 3) yield {
+      val (x1, x2) = (i.toDouble, (i * 7 % 13 + j).toDouble)
+      (3.0 + 2.0 * x1 - 0.5 * x2, x1, x2)
+    }
+    val out = Classifier.fitOLS2(rows.toDF("y", "x1", "x2"), "y", "x1", "x2")
+      .as[(Long, Option[Double], Option[Double], Option[Double], Option[Double])].head()
+    assert(out._1 == 300L)
+    assert(math.abs(out._2.get - 3.0) < 1e-6)
+    assert(math.abs(out._3.get - 2.0) < 1e-6)
+    assert(math.abs(out._4.get + 0.5) < 1e-6)
+    assert(math.abs(out._5.get - 1.0) < 1e-9)
+  }
+
+  test("fitOLS2 matches a local normal-equations reference on noisy data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(73)
+    def snap6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val rows = (0 until 500).map { _ =>
+      val x1 = snap6(rnd.nextDouble() * 10); val x2 = snap6(rnd.nextDouble() * 5)
+      (snap6(1.0 + 0.8 * x1 + 1.5 * x2 + rnd.nextGaussian()), x1, x2)
+    }
+    val got = Classifier.fitOLS2(rows.toDF("y", "x1", "x2"), "y", "x1", "x2")
+      .as[(Long, Option[Double], Option[Double], Option[Double], Option[Double])].head()
+    // local reference: same moments (exact on the 1e-6-snapped inputs),
+    // same Cramer arithmetic
+    val n = rows.size.toDouble
+    val (s1, s2, sy) = (rows.map(_._2).sum, rows.map(_._3).sum, rows.map(_._1).sum)
+    val s11 = rows.map(r => r._2 * r._2).sum; val s12 = rows.map(r => r._2 * r._3).sum
+    val s22 = rows.map(r => r._3 * r._3).sum; val s1y = rows.map(r => r._2 * r._1).sum
+    val s2y = rows.map(r => r._3 * r._1).sum; val syy = rows.map(r => r._1 * r._1).sum
+    def det3(a: Double, b: Double, c: Double, p: Double, q: Double, r: Double,
+             u: Double, v: Double, w: Double) =
+      a * (q * w - r * v) - b * (p * w - r * u) + c * (p * v - q * u)
+    val dA = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    val b0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22) / dA
+    val b1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22) / dA
+    val b2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y) / dA
+    assert(math.abs(got._2.get - b0) < 1e-6)
+    assert(math.abs(got._3.get - b1) < 1e-6)
+    assert(math.abs(got._4.get - b2) < 1e-6)
+    val sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    val sst = syy - sy * sy / n
+    assert(math.abs(got._5.get - (1.0 - sse / sst)) < 1e-6)
+  }
+
+  test("fitOLS2: collinear design and constant y degrade to nulls, not garbage") {
+    import spark.implicits._
+    val collinear = (1 to 50).map(i => (i.toDouble, i.toDouble, 2.0 * i))
+    val c = Classifier.fitOLS2(collinear.toDF("y", "x1", "x2"), "y", "x1", "x2")
+      .as[(Long, Option[Double], Option[Double], Option[Double], Option[Double])].head()
+    assert(c._2.isEmpty && c._3.isEmpty && c._4.isEmpty && c._5.isEmpty)
+    val consty = (1 to 50).map(i => (7.0, i.toDouble, (i * 3 % 11).toDouble))
+    val k = Classifier.fitOLS2(consty.toDF("y", "x1", "x2"), "y", "x1", "x2")
+      .as[(Long, Option[Double], Option[Double], Option[Double], Option[Double])].head()
+    assert(k._5.isEmpty) // SST = 0 → R² undefined
+  }
 }

@@ -139,6 +139,46 @@ class TimeSeriesSpec extends SparkSuite {
       s"expected the key exchange to be reused:\n$plan")
   }
 
+  test("kaplanMeier: textbook worked example with censoring") {
+    import spark.implicits._
+    // classic toy: events at t=1 (1 of 5), t=3 (1 of 3); censored at 2, 4, 5
+    val df = Seq((1.0, 1), (2.0, 0), (3.0, 1), (4.0, 0), (5.0, 0))
+      .toDF("dur", "ev")
+    val out = TimeSeries.kaplanMeier(df, "dur", "ev")
+      .orderBy("t").as[(Double, Long, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) == Seq((1.0, 5L, 1L), (3.0, 3L, 1L)))
+    assert(math.abs(out(0)._4 - 0.8) < 1e-9)            // 4/5
+    assert(math.abs(out(1)._4 - 0.8 * (2.0 / 3)) < 1e-9) // 4/5 · 2/3
+  }
+
+  test("kaplanMeier: exhausted risk set pins the curve to exactly 0") {
+    import spark.implicits._
+    val df = Seq((1.0, 1), (1.0, 0), (2.0, 1), (2.0, 1)).toDF("dur", "ev")
+    val out = TimeSeries.kaplanMeier(df, "dur", "ev")
+      .orderBy("t").as[(Double, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1.0, 4L, 1L, 0.75), (2.0, 2L, 2L, 0.0)))
+  }
+
+  test("kaplanMeier matches a local reference on random censored data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    val subjects = (0 until 300).map(_ =>
+      ((rnd.nextInt(20) + 1).toDouble, if (rnd.nextBoolean()) 1 else 0))
+    val got = TimeSeries.kaplanMeier(subjects.toDF("dur", "ev"), "dur", "ev")
+      .orderBy("t").as[(Double, Long, Long, Double)].collect().toSeq
+    val times = subjects.filter(_._2 == 1).map(_._1).distinct.sorted
+    var s = 1.0
+    val want = times.map { t =>
+      val nRisk = subjects.count(_._1 >= t).toLong
+      val d = subjects.count(x => x._1 == t && x._2 == 1).toLong
+      s *= (1.0 - d.toDouble / nRisk)
+      (t, nRisk, d, s)
+    }
+    assert(got.map(r => (r._1, r._2, r._3)) == want.map(r => (r._1, r._2, r._3)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._4 - w._4) < 1e-7, s"t=${g._1}") }
+  }
+
   test("cusum: prefix-min closed form equals the max(0, S+d) recurrence") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
