@@ -2745,6 +2745,13 @@ object SparkEntry {
           "l_orderkey", "l_partkey", minSupport = 2)
         .orderBy("item_a", "item_b")
     }),
+    "q_attribution" -> ((s, dir) => {
+      // last-touch attribution: every purchase credited to the user's
+      // most recent prior non-purchase event — one window, no join
+      graft.ops.Sequences.lastTouchAttribution(T(s, dir, "events"),
+          "user_id", "ts", "event_id", "event_type", "purchase")
+        .orderBy("user_id", "ts")
+    }),
     "q_ols" -> ((s, dir) => {
       // in-plan two-feature OLS: extended price regressed on quantity and
       // discount — coefficients via Cramer over exact decimal moments;
@@ -5205,6 +5212,19 @@ object SparkEntry {
         "ORDER BY a_key, b_key"),
     "q_ppr" -> pprOracleSql,
     "q_mmr_rerank" -> mmrOracleSql,
+    "q_attribution" ->
+      // identical IGNORE NULLS last-value window up to the previous row;
+      // gap via second-boundary diff ≡ floor(unix) − floor(unix)
+      ("WITH e AS (SELECT user_id, ts, event_id, event_type FROM events " +
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+        "a AS (SELECT user_id, ts, event_type, " +
+        "last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS) OVER w AS attributed_type, " +
+        "last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS) OVER w AS attributed_ts " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) " +
+        "SELECT user_id, ts, attributed_type, attributed_ts, " +
+        "CAST(date_diff('second', attributed_ts, ts) AS BIGINT) AS gap_seconds " +
+        "FROM a WHERE event_type = 'purchase' ORDER BY user_id, ts"),
     "q_ols" -> {
       // mirror of the SHIFTED-data Cramer solve: snapped decimal-sum
       // means, near-centered moments (no catastrophic determinant

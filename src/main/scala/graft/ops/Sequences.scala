@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered event-sequence (funnel) matching (SURVEY.md §2.6 extension):
@@ -125,5 +126,41 @@ object Sequences {
       .filter(col("__prev").isNotNull)
       .groupBy(col("__prev").as("from_event"), col(eventCol).as("to_event"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** Last-touch attribution: for every CONVERSION event (`typeCol ==
+    * convType`), the most recent PRIOR non-conversion event of the same
+    * key — "which channel gets credit for this purchase", the simplest
+    * of the standard attribution models (first-touch is the same window
+    * with `first(...)`; position-based models compose from both). Output:
+    * one row per conversion — key, conversion time, `attributed_type` /
+    * `attributed_ts` (null when nothing precedes it — organic), and
+    * `gap_seconds`.
+    *
+    * Execution shape: ONE window over the key exchange (ordered by time
+    * with `tieCol` for a deterministic recurrence) carrying two
+    * `last(_, ignoreNulls)` frames up to the previous row — O(1) state,
+    * no join, no per-conversion scan-back; mirrors as SQL
+    * `last_value ... IGNORE NULLS`. Conversions count as touches for
+    * LATER conversions only if `convTouches` (repeat-purchase credit vs
+    * channel-only attribution — both conventions exist; default false). */
+  def lastTouchAttribution(events: DataFrame, keyCol: String, timeCol: String,
+                           tieCol: String, typeCol: String, convType: String,
+                           convTouches: Boolean = false): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = if (convTouches) col(typeCol)
+      else when(col(typeCol) =!= convType, col(typeCol))
+    val touchTs = if (convTouches) col(timeCol)
+      else when(col(typeCol) =!= convType, col(timeCol))
+    events.filter(col(keyCol).isNotNull && col(timeCol).isNotNull)
+      .withColumn("attributed_type", last(touch, ignoreNulls = true).over(w))
+      .withColumn("attributed_ts", last(touchTs, ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType)
+      .select(col(keyCol), col(timeCol), col("attributed_type"),
+        col("attributed_ts"),
+        (unix_timestamp(col(timeCol)) - unix_timestamp(col("attributed_ts")))
+          .as("gap_seconds"))
   }
 }

@@ -115,4 +115,26 @@ class SequencesSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got == Map(("a", "b") -> 1L, ("b", "a") -> 1L, ("a", "c") -> 1L))
   }
+
+  test("lastTouchAttribution: credit, organic conversions, convTouches toggle") {
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val ev = Seq(
+      (1L, ts(10), 1L, "ad"), (1L, ts(20), 2L, "email"), (1L, ts(30), 3L, "buy"),
+      (1L, ts(40), 4L, "buy"),            // second buy: credit depends on toggle
+      (2L, ts(5), 5L, "buy"),             // organic — nothing precedes
+      (3L, ts(1), 6L, "ad"), (3L, ts(2), 7L, "ad")) // no conversion → no row
+      .toDF("u", "t", "eid", "typ")
+    val base = Sequences.lastTouchAttribution(ev, "u", "t", "eid", "typ", "buy")
+      .as[(Long, Timestamp, Option[String], Option[Timestamp], Option[Long])]
+      .collect().map(r => (r._1, r._2.getTime / 1000) -> ((r._3, r._5))).toMap
+    assert(base((1L, 30L)) == ((Some("email"), Some(10L)))) // 30 − 20
+    assert(base((1L, 40L)) == ((Some("email"), Some(20L)))) // buy@30 is NOT a touch
+    assert(base((2L, 5L)) == ((None, None)))                // organic
+    assert(base.size == 3)
+    val rep = Sequences.lastTouchAttribution(ev, "u", "t", "eid", "typ", "buy",
+        convTouches = true)
+      .as[(Long, Timestamp, Option[String], Option[Timestamp], Option[Long])]
+      .collect().map(r => (r._1, r._2.getTime / 1000) -> r._3).toMap
+    assert(rep((1L, 40L)).contains("buy")) // repeat purchase credits the prior buy
+  }
 }
