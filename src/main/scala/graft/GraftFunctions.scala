@@ -44,7 +44,8 @@ object GraftFunctions {
     ("robots_match", BooleanType, "robotsMatch", Seq(StringType, StringType)),
     ("latin1_misdecode", StringType, "latin1Misdecode", Seq(StringType)),
     ("fix_mojibake", StringType, "fixMojibake", Seq(StringType, IntegerType)),
-    ("deflate_ratio", DoubleType, "deflateRatio", Seq(StringType, IntegerType)))
+    ("deflate_ratio", DoubleType, "deflateRatio", Seq(StringType, IntegerType)),
+    ("jaro_winkler", DoubleType, "jaroWinkler", Seq(StringType, StringType)))
 
   def builder(dt: DataType, kernel: String,
               paramTypes: Seq[DataType]): Seq[Expression] => Expression =

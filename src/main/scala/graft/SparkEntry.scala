@@ -2745,6 +2745,25 @@ object SparkEntry {
           "l_orderkey", "l_partkey", minSupport = 2)
         .orderBy("item_a", "item_b")
     }),
+    "q_jaro" -> ((s, dir) => {
+      // Jaro–Winkler via the native kernel over deterministic typo pairs
+      // (swap / deletion / identity by key class) — ASCII-only so the
+      // kernel's char semantics equal DuckDB's byte semantics; 1e-9
+      // floor-round absorbs ratio-arithmetic ulp
+      val c = T(s, dir, "customer").select(col("c_custkey"),
+        concat(lit("customer_"), col("c_custkey").cast("string")).as("s1"))
+      c.withColumn("s2",
+          when(col("c_custkey") % 3 === 0,
+            concat(substring(col("s1"), 1, 1), substring(col("s1"), 3, 1),
+              substring(col("s1"), 2, 1), substring(col("s1"), 4, 9999)))
+          .when(col("c_custkey") % 3 === 1,
+            concat(substring(col("s1"), 1, 3), substring(col("s1"), 5, 9999)))
+          .otherwise(col("s1")))
+        .select(col("c_custkey"), col("s1"), col("s2"),
+          (floor(graft.expressions.native.jaroWinkler(col("s1"), col("s2"))
+            * 1e9 + lit(0.5)) / 1e9).as("jw"))
+        .orderBy("c_custkey")
+    }),
     "q_attribution" -> ((s, dir) => {
       // last-touch attribution: every purchase credited to the user's
       // most recent prior non-purchase event — one window, no join
@@ -5212,6 +5231,17 @@ object SparkEntry {
         "ORDER BY a_key, b_key"),
     "q_ppr" -> pprOracleSql,
     "q_mmr_rerank" -> mmrOracleSql,
+    "q_jaro" ->
+      // DuckDB's own jaro_winkler_similarity IS the oracle — the kernel
+      // pins its exact conventions (boost > 0.7, prefix ≤ 4, empty → 0,
+      // floor-halved transpositions) in KernelPropsSpec
+      ("WITH c AS (SELECT c_custkey, 'customer_' || CAST(c_custkey AS VARCHAR) AS s1 FROM customer), " +
+        "m AS (SELECT c_custkey, s1, CASE " +
+        "WHEN c_custkey % 3 = 0 THEN substr(s1,1,1) || substr(s1,3,1) || substr(s1,2,1) || substr(s1,4,9999) " +
+        "WHEN c_custkey % 3 = 1 THEN substr(s1,1,3) || substr(s1,5,9999) " +
+        "ELSE s1 END AS s2 FROM c) " +
+        "SELECT c_custkey, s1, s2, floor(jaro_winkler_similarity(s1, s2)*1e9 + 0.5)/1e9 AS jw " +
+        "FROM m ORDER BY c_custkey"),
     "q_attribution" ->
       // identical IGNORE NULLS last-value window up to the previous row;
       // gap via second-boundary diff ≡ floor(unix) − floor(unix)

@@ -832,4 +832,56 @@ object Kernels {
     case 'œ' => 0x9C; case 'ž' => 0x9E; case 'Ÿ' => 0x9F
     case _ => -1
   }
+
+  /** Jaro–Winkler similarity — the record-linkage string metric that
+    * rewards shared prefixes (names, identifiers) where edit distance
+    * treats every position alike. Standard parameters: matching window
+    * `max(|s|,|t|)/2 − 1`, half-counted transpositions, Winkler boost
+    * `jw = j + ℓ·0.1·(1−j)` applied only when `j > 0.7` with prefix
+    * ℓ ≤ 4; both-empty and no-match pairs score 0 (the DuckDB
+    * `jaro_winkler_similarity` conventions, probed and pinned in
+    * `KernelPropsSpec` — which is what makes `q_jaro` oracle-able).
+    * Operates on Java chars: identical to byte semantics on ASCII, the
+    * fixture contract; O(|s|·window) time, two small boolean scratch
+    * arrays, codegen-resident StaticInvoke — map-only at any scale. */
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val s = a.toString; val t = b.toString
+    val n = s.length; val m = t.length
+    if (n == 0 || m == 0) return 0.0
+    val window = math.max(math.max(n, m) / 2 - 1, 0)
+    val sMatch = new Array[Boolean](n)
+    val tMatch = new Array[Boolean](m)
+    var matches = 0
+    var i = 0
+    while (i < n) {
+      val hi = math.min(m - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!tMatch(j) && s.charAt(i) == t.charAt(j)) {
+          sMatch(i) = true; tMatch(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var k = 0; var halfTrans = 0
+    i = 0
+    while (i < n) {
+      if (sMatch(i)) {
+        while (!tMatch(k)) k += 1
+        if (s.charAt(i) != t.charAt(k)) halfTrans += 1
+        k += 1
+      }
+      i += 1
+    }
+    val md = matches.toDouble
+    val jaro = (md / n + md / m + (md - halfTrans / 2) / md) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val maxL = math.min(4, math.min(n, m))
+    while (l < maxL && s.charAt(l) == t.charAt(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
 }

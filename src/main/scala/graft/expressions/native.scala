@@ -78,6 +78,10 @@ object native {
     invoke(DoubleType, "deflateRatio", Seq(e(c), Literal(level)),
       Seq(StringType, IntegerType))
 
+  def jaroWinkler(a: Column, b: Column): Column =
+    invoke(DoubleType, "jaroWinkler", Seq(e(a), e(b)),
+      Seq(StringType, StringType))
+
   def robotsMatch(path: Column, pattern: Column): Column =
     invoke(BooleanType, "robotsMatch", Seq(e(path), e(pattern)),
       Seq(StringType, StringType))

@@ -205,4 +205,36 @@ class KernelPropsSpec extends AnyFunSuite {
     // higher level never compresses worse on the repetitive input
     assert(Kernels.deflateRatio(u(boiler), 9) <= Kernels.deflateRatio(u(boiler), 1))
   }
+
+  test("jaroWinkler: pinned against probed DuckDB jaro_winkler_similarity values") {
+    def jw(a: String, b: String) = Kernels.jaroWinkler(u(a), u(b))
+    // every expected value below is the literal output of DuckDB's
+    // jaro_winkler_similarity on the same pair (probed 2026-08-15) —
+    // the contract that makes q_jaro oracle-able
+    val pins = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962962962964),
+      ("CRATE", "TRACE", 0.7333333333333334),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("arnab", "aranb", 0.9466666666666665),
+      ("prefix_common_long", "prefix_common_lxng", 0.9777777777777777),
+      ("abcdxxxxxx", "abcdyyyyyy", 0.6),          // prefix 4 but jaro ≤ 0.7 → NO boost
+      ("abcdefgh", "abcdwxyz", 0.6666666666666666),
+      ("abcde", "abcde_xxxxxxxx", 0.8714285714285714), // prefix capped at 4
+      ("aRnab", "arnab", 0.88),                    // case-sensitive
+      ("hello", "hello", 1.0), ("A", "A", 1.0),
+      ("AB", "BA", 0.0),                           // window 0 → no matches
+      ("abc", "xyz", 0.0), ("", "ABC", 0.0), ("", "", 0.0))
+    pins.foreach { case (a, b, want) =>
+      assert(math.abs(jw(a, b) - want) < 1e-12, s"jw($a, $b)") }
+    // symmetry on arbitrary pairs
+    val rnd = new scala.util.Random(79)
+    (0 until 200).foreach { _ =>
+      val a = rnd.alphanumeric.take(rnd.nextInt(12)).mkString
+      val b = rnd.alphanumeric.take(rnd.nextInt(12)).mkString
+      assert(jw(a, b) == jw(b, a), s"symmetry($a, $b)")
+      assert(jw(a, b) >= 0.0 && jw(a, b) <= 1.0)
+    }
+  }
 }

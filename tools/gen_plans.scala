@@ -54,7 +54,7 @@ for (name <- Seq("flagship_valid_split", "q_required", "q_min", "q_topk_similar"
     "q_url_templates", "q_null_patterns", "q_fd_violations", "q_lexical",
     "q_triangles", "q_hits", "q_rrf_fusion", "q_ks_test", "q_mutual_info",
     "q_cusum", "q_autocorr", "q_embed_cov", "q_interval_join",
-    "q_ppr", "q_frequent_pairs", "q_skyline", "q_mmr_rerank", "q_cidr_lookup", "q_geo_join", "q_ks_by_group", "q_ols", "q_kaplan_meier", "q_attribution")) {
+    "q_ppr", "q_frequent_pairs", "q_skyline", "q_mmr_rerank", "q_cidr_lookup", "q_geo_join", "q_ks_by_group", "q_ols", "q_kaplan_meier", "q_attribution", "q_jaro")) {
   val df = if (name == "flagship_valid_split") flagship
            else graft.SparkEntry.queries(name)(spark, dir)
   out.println()
