@@ -21,9 +21,25 @@ object Verify {
     // in round 9 a thrown query was simply absent from the correctness
     // report and nothing downstream noticed until the judge diffed counts
     val failed = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    // Non-empty-result invariant (r13 verdict): a query whose result is
+    // EMPTY at the verify scale makes its oracle compare vacuous — two
+    // empty sets hash-match even when the operator is broken (q_triangles
+    // and q_kaplan_meier shipped exactly that in r13). Every query must
+    // return rows at sf0.01 unless explicitly whitelisted as
+    // empty-by-design; violations land in the failure manifest.
+    val emptyByDesign = Set.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // metadata-only count of the just-written footers — cheap, and it
+        // checks what the DRIVER will read, not a recomputation
+        if (!emptyByDesign(name) &&
+            spark.read.parquet(s"$outDir/$name").count() == 0L) {
+          System.err.println(s"[verify] $name returned 0 rows (vacuous oracle compare)")
+          failed += name -> "empty result at verify scale (vacuous oracle compare)"
+        }
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failed += name -> String.valueOf(e.getMessage)

@@ -841,11 +841,16 @@ object Kernels {
     * ℓ ≤ 4; both-empty and no-match pairs score 0 (the DuckDB
     * `jaro_winkler_similarity` conventions, probed and pinned in
     * `KernelPropsSpec` — which is what makes `q_jaro` oracle-able).
-    * Operates on Java chars: identical to byte semantics on ASCII, the
-    * fixture contract; O(|s|·window) time, two small boolean scratch
-    * arrays, codegen-resident StaticInvoke — map-only at any scale. */
+    * Operates on UTF-8 BYTES, not Java chars (r13 advice): DuckDB's
+    * string-similarity functions are byte-oriented, so a char-level
+    * kernel silently diverges from the pinned oracle convention on any
+    * non-ASCII input (on ASCII the two are identical). Byte semantics
+    * means a multi-byte code point counts as several positions — the
+    * cross-engine-stable convention this SQL surface promises.
+    * O(|s|·window) time, two small boolean scratch arrays,
+    * codegen-resident StaticInvoke — map-only at any scale. */
   def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
-    val s = a.toString; val t = b.toString
+    val s = a.getBytes; val t = b.getBytes
     val n = s.length; val m = t.length
     if (n == 0 || m == 0) return 0.0
     val window = math.max(math.max(n, m) / 2 - 1, 0)
@@ -858,7 +863,7 @@ object Kernels {
       var j = math.max(0, i - window)
       var found = false
       while (j <= hi && !found) {
-        if (!tMatch(j) && s.charAt(i) == t.charAt(j)) {
+        if (!tMatch(j) && s(i) == t(j)) {
           sMatch(i) = true; tMatch(j) = true; matches += 1; found = true
         }
         j += 1
@@ -871,7 +876,7 @@ object Kernels {
     while (i < n) {
       if (sMatch(i)) {
         while (!tMatch(k)) k += 1
-        if (s.charAt(i) != t.charAt(k)) halfTrans += 1
+        if (s(i) != t(k)) halfTrans += 1
         k += 1
       }
       i += 1
@@ -881,7 +886,7 @@ object Kernels {
     if (jaro <= 0.7) return jaro
     var l = 0
     val maxL = math.min(4, math.min(n, m))
-    while (l < maxL && s.charAt(l) == t.charAt(l)) l += 1
+    while (l < maxL && s(l) == t(l)) l += 1
     jaro + l * 0.1 * (1.0 - jaro)
   }
 }

@@ -68,4 +68,39 @@ object Baskets {
           (col("n_a").cast("double") * col("n_b").cast("double")) * 1e9 + lit(0.5)) / 1e9)
           .as("lift"))
   }
+
+  /** Directional association rules from the frequent-pair table: each
+    * surviving pair emits BOTH rules `a ⇒ b` and `b ⇒ a` with
+    * `confidence = P(consequent | antecedent) = n_pair / n_antecedent`
+    * (floor-rounded at 1e-9), filtered at `minConfidence`. Confidence is
+    * what [[frequentPairs]]' symmetric lift cannot say: "90% of baskets
+    * with a also hold b" and its (usually different) converse — the
+    * actionable direction for recommendations and "source X implies
+    * source Y" crawl audits. Support and lift ride along unchanged.
+    *
+    * Output: `(antecedent, consequent, n_pair, n_ante, confidence,
+    * lift)`. The pair table is pinned once and read by both rule
+    * directions — everything here is pair-table-sized, orders of
+    * magnitude below the basket scan. */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+                       minSupport: Long = 2, minConfidence: Double = 0.0,
+                       maxBasketSize: Int = 1000): DataFrame = {
+    require(minConfidence >= 0 && minConfidence <= 1,
+      s"minConfidence must be in [0,1], got $minConfidence")
+    val fp = Checkpoints.pinned(
+      frequentPairs(df, basketCol, itemCol, minSupport, maxBasketSize))
+    val fwd = fp.select(col("item_a").as("antecedent"),
+      col("item_b").as("consequent"), col("n_pair"),
+      col("n_a").as("n_ante"), col("lift"))
+    val rev = fp.select(col("item_b").as("antecedent"),
+      col("item_a").as("consequent"), col("n_pair"),
+      col("n_b").as("n_ante"), col("lift"))
+    fwd.unionByName(rev)
+      .withColumn("confidence",
+        floor(col("n_pair").cast("double") / col("n_ante").cast("double")
+          * 1e9 + lit(0.5)) / 1e9)
+      .filter(col("confidence") >= minConfidence)
+      .select(col("antecedent"), col("consequent"), col("n_pair"),
+        col("n_ante"), col("confidence"), col("lift"))
+  }
 }

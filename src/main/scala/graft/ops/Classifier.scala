@@ -309,4 +309,49 @@ object Classifier {
       when(solvable, r6(b2)).as("b2"),
       when(solvable && sst > 0, r6(lit(1.0) - sse / sst)).as("r2"))
   }
+
+  /** Cohen's kappa between two categorical label columns — the
+    * chance-corrected agreement score behind every labeling-pipeline
+    * audit: "do the two annotators (or the model and the human rater, or
+    * yesterday's classifier and today's) actually agree beyond what
+    * label-frequency luck predicts". Raw accuracy rewards agreeing on the
+    * majority class; κ = (p_o − p_e)/(1 − p_e) discounts it, where p_o is
+    * observed agreement and p_e = Σ_c p₁(c)·p₂(c) the chance agreement of
+    * the two marginal distributions.
+    *
+    * Rows where either label is null drop (no rating to compare). The
+    * computation is three partial-aggregable passes (the two marginal
+    * count tables plus the observed-agreement scalar), every intermediate
+    * bounded by the label VOCABULARY (model-sized, the chi-square class);
+    * p_o/p_e/κ run in double over exact integer counts with identical
+    * operation order on any engine, floor-rounded at 1e-9. κ is null when
+    * p_e = 1 (both raters constant — agreement is undefined, not
+    * perfect).
+    *
+    * Returns ONE row: `(n, p_o, p_e, kappa)`. */
+  def cohensKappa(df: DataFrame, label1Col: String,
+                  label2Col: String): DataFrame = {
+    val rated = df
+      .filter(col(label1Col).isNotNull && col(label2Col).isNotNull)
+    // p_e needs BOTH marginals joined on the label — summing n₁·n₂ over
+    // diagonal CELLS would miss a label both raters use but never agree
+    // on (cell (c,c) absent while n₁(c)·n₂(c) > 0)
+    val m1 = rated.groupBy(col(label1Col).as("c")).agg(count(lit(1)).as("n1"))
+    val m2 = rated.groupBy(col(label2Col).as("c")).agg(count(lit(1)).as("n2"))
+    val peNum = m1.join(m2, Seq("c"))
+      .agg(coalesce(sum((col("n1") * col("n2")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("pe_num"))
+    val obs = rated.agg(count(lit(1)).as("n"),
+      coalesce(sum(when(col(label1Col) === col(label2Col), 1L).otherwise(0L)),
+        lit(0L)).as("agree"))
+    def r9(c: Column) = floor(c * 1e9 + lit(0.5)) / 1e9
+    val nD = col("n").cast("double")
+    val po = col("agree").cast("double") / nD
+    val pe = col("pe_num").cast("double") / (nD * nD)
+    // one-row × one-row broadcast cross join (the established pattern)
+    obs.crossJoin(broadcast(peNum))
+      .select(col("n"), r9(po).as("p_o"), r9(pe).as("p_e"),
+        when(col("n") > 0 && r9(pe) < 1.0,
+          r9((r9(po) - r9(pe)) / (lit(1.0) - r9(pe)))).as("kappa"))
+  }
 }

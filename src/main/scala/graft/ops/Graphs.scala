@@ -184,6 +184,49 @@ object Graphs {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Synchronized min-label propagation over the undirected simple graph —
+    * `iterations` rounds of `l(v) ← min(l(v), min_{u∼v} l(u))` from
+    * `l₀(v) = v`. After round i every node holds the smallest node id
+    * within graph distance i: a fixed-budget COMMUNITY/COMPONENT
+    * approximation for corpus-scale link graphs where running connected
+    * components to convergence ([[graft.ops.Clusters]] — built for
+    * pair-list-sized near-dup graphs, with driver-gated local solve) is
+    * not affordable. Deterministic by construction (min is order-free);
+    * labels converge monotonically to the true component min-id as
+    * iterations grow.
+    *
+    * Execution shape: per round, ONE equi-join of the symmetric adjacency
+    * list with the #nodes-row label vector and a partial-aggregable
+    * `min` — a 10⁸-degree hub combines map-side, never a hot reducer; the
+    * adjacency list is pinned once and label vectors stay #nodes-sized.
+    * Output: `(node, label)`. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be ≥ 1, got $iterations")
+    val und = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+    val adj = Checkpoints.pinned(
+      und.select(col("u").as("node"), col("v").as("nbr"))
+        .unionByName(und.select(col("v").as("node"), col("u").as("nbr"))))
+    val nodes = adj.select(col("node")).distinct()
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to iterations) {
+      val nbrMin = adj
+        .join(labels.select(col("node").as("nbr"), col("label").as("__nl")),
+          Seq("nbr"))
+        .groupBy(col("node")).agg(min(col("__nl")).as("__nmin"))
+      labels = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("__nmin"), col("label")))
+            .as("label"))
+    }
+    labels
+  }
+
   /** Fixed-iteration HITS (hubs & authorities) over a directed edge list —
     * the complementary crawl prior to [[pageRank]]: a page can be a weak
     * authority but a strong hub (directory/index pages), and

@@ -103,4 +103,45 @@ object Rollups {
         (col("__m") - col("__cm")).as("offset_m"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** RFM segmentation — the classic customer/entity triage: per key,
+    * Recency (days since last activity, against the corpus's own max
+    * date as the anchor so the result is data-determined, not
+    * wall-clock-dependent), Frequency (activity count), Monetary (value
+    * sum), each scored 1–5 by `ntile(5)` so segment sizes are equal by
+    * construction. Higher score = better: MORE recent, MORE frequent,
+    * MORE value — so recency ntiles over days-since DESCENDING. Every
+    * ntile orders with the key as the final tiebreak — a TOTAL order,
+    * which is what makes ntile deterministic and cross-engine-mirrorable
+    * (ntile on a partial order is plan-dependent).
+    *
+    * Execution shape: one partial-aggregable groupBy(key) builds the
+    * per-key triple; the three ntiles are single-partition windows over
+    * the #keys-row aggregate — the documented bounded-state class when
+    * keys are customer-scale; for billion-key universes swap ntile for
+    * [[graft.ops.Sketches.quantileBuckets]] (approximate, fully
+    * distributed) — same contract, sketch-grade boundaries.
+    *
+    * Output: `(keyCol, recency_days, frequency, monetary, r, f, m)`. */
+  def rfmSegments(df: DataFrame, keyCol: String, timeCol: String,
+                  valueCol: String): DataFrame = {
+    val base = df.filter(col(keyCol).isNotNull && col(timeCol).isNotNull)
+    val anchor = base.agg(to_date(max(col(timeCol))).as("__anchor"))
+    val perKey = base.groupBy(col(keyCol))
+      .agg(to_date(max(col(timeCol))).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(col(valueCol)).as("monetary"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        datediff(col("__anchor"), col("__last")).cast("long"))
+      .drop("__anchor", "__last")
+    import org.apache.spark.sql.expressions.Window
+    val wR = Window.orderBy(col("recency_days").desc, col(keyCol))
+    val wF = Window.orderBy(col("frequency").asc, col(keyCol))
+    val wM = Window.orderBy(col("monetary").asc_nulls_first, col(keyCol))
+    perKey.select(col(keyCol), col("recency_days"), col("frequency"),
+      col("monetary"),
+      ntile(5).over(wR).as("r"), ntile(5).over(wF).as("f"),
+      ntile(5).over(wM).as("m"))
+  }
 }

@@ -147,6 +147,14 @@ object Sequences {
   def lastTouchAttribution(events: DataFrame, keyCol: String, timeCol: String,
                            tieCol: String, typeCol: String, convType: String,
                            convTouches: Boolean = false): DataFrame = {
+    // `timeCol` must be a real timestamp: anything else (string, date)
+    // would silently misparse — or mis-scale — inside the gap arithmetic
+    require({
+        import org.apache.spark.sql.types._
+        Seq(TimestampType, TimestampNTZType).contains(events.schema(timeCol).dataType)
+      },
+      s"lastTouchAttribution needs a timestamp timeCol, got " +
+        s"${events.schema(timeCol).dataType.simpleString} for '$timeCol'")
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(timeCol), col(tieCol))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -154,13 +162,106 @@ object Sequences {
       else when(col(typeCol) =!= convType, col(typeCol))
     val touchTs = if (convTouches) col(timeCol)
       else when(col(typeCol) =!= convType, col(timeCol))
+    // gap = second-boundary diff computed TIMEZONE-FREE: truncate both
+    // ends to the second and subtract as an interval. unix_timestamp()
+    // would route TIMESTAMP_NTZ through the session time zone — across a
+    // DST transition the gap would diverge from the wall-clock difference
+    // a second engine computes (r13 advice); interval arithmetic on NTZ
+    // is pure wall-clock, and on instant timestamps it is the instant
+    // diff — correct in both cases.
+    def secFloor(c: Column) = date_trunc("second", c)
     events.filter(col(keyCol).isNotNull && col(timeCol).isNotNull)
       .withColumn("attributed_type", last(touch, ignoreNulls = true).over(w))
       .withColumn("attributed_ts", last(touchTs, ignoreNulls = true).over(w))
       .filter(col(typeCol) === convType)
       .select(col(keyCol), col(timeCol), col("attributed_type"),
         col("attributed_ts"),
-        (unix_timestamp(col(timeCol)) - unix_timestamp(col("attributed_ts")))
-          .as("gap_seconds"))
+        (secFloor(col(timeCol)) - secFloor(col("attributed_ts")))
+          .cast("long").as("gap_seconds"))
+  }
+
+  /** First-touch attribution — [[lastTouchAttribution]]'s mirror image:
+    * for every conversion, the EARLIEST prior non-conversion event of the
+    * same key ("which channel first brought this user in"). Same window
+    * exchange, same output shape, `first(_, ignoreNulls)` instead of
+    * `last`; same timestamp contract and TZ-free gap. */
+  def firstTouchAttribution(events: DataFrame, keyCol: String, timeCol: String,
+                            tieCol: String, typeCol: String, convType: String,
+                            convTouches: Boolean = false): DataFrame = {
+    require({
+        import org.apache.spark.sql.types._
+        Seq(TimestampType, TimestampNTZType).contains(events.schema(timeCol).dataType)
+      },
+      s"firstTouchAttribution needs a timestamp timeCol, got " +
+        s"${events.schema(timeCol).dataType.simpleString} for '$timeCol'")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = if (convTouches) col(typeCol)
+      else when(col(typeCol) =!= convType, col(typeCol))
+    val touchTs = if (convTouches) col(timeCol)
+      else when(col(typeCol) =!= convType, col(timeCol))
+    def secFloor(c: Column) = date_trunc("second", c)
+    events.filter(col(keyCol).isNotNull && col(timeCol).isNotNull)
+      .withColumn("attributed_type", first(touch, ignoreNulls = true).over(w))
+      .withColumn("attributed_ts", first(touchTs, ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType)
+      .select(col(keyCol), col(timeCol), col("attributed_type"),
+        col("attributed_ts"),
+        (secFloor(col(timeCol)) - secFloor(col("attributed_ts")))
+          .cast("long").as("gap_seconds"))
+  }
+
+  /** Position-based (U-shaped) multi-touch attribution: every conversion
+    * splits its credit across the touches of its own JOURNEY — the
+    * non-conversion events between the key's previous conversion and this
+    * one (the repeat-purchase journey-reset convention). Weights are the
+    * standard 40/20/40: a single touch takes 1.0, two touches take 0.5
+    * each, three or more give 0.4 to the first, 0.4 to the last, and the
+    * middles split the remaining 0.2 evenly. Conversions with no prior
+    * touch in their journey emit nothing (organic — [[lastTouchAttribution]]
+    * reports them with null attribution); touches after the key's final
+    * conversion earn no credit.
+    *
+    * Output: one row per (conversion, credited touch) —
+    * `(keyCol, conv_ts, touch_ts, touch_type, weight)`.
+    *
+    * Execution shape: ONE ordered window over the key exchange assigns
+    * every event its journey index (running count of PRIOR conversions),
+    * then per-(key, journey) windows rank the touches — all bounded by a
+    * key's own event history (the [[funnel]] hot-key caveat applies), and
+    * the conversion join is an equi-join on (key, journey) frames of
+    * #conversions rows. Credit math is exact double division — no
+    * accumulation, safe to hash-compare across engines. */
+  def positionAttribution(events: DataFrame, keyCol: String, timeCol: String,
+                          tieCol: String, typeCol: String,
+                          convType: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = events
+      .filter(col(keyCol).isNotNull && col(timeCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .withColumn("__journey",
+        coalesce(sum(when(col(typeCol) === convType, 1L).otherwise(0L)).over(w),
+          lit(0L)) + 1L)
+    val wj = Window.partitionBy(col(keyCol), col("__journey"))
+      .orderBy(col(timeCol), col(tieCol))
+    val touches = base.filter(col(typeCol) =!= convType)
+      .withColumn("__rn", row_number().over(wj))
+      .withColumn("__cnt", count(lit(1)).over(
+        Window.partitionBy(col(keyCol), col("__journey"))))
+      .select(col(keyCol), col("__journey"),
+        col(timeCol).as("touch_ts"), col(typeCol).as("touch_type"),
+        col("__rn"), col("__cnt"))
+    val convs = base.filter(col(typeCol) === convType)
+      .select(col(keyCol), col("__journey"), col(timeCol).as("conv_ts"))
+    val weight = when(col("__cnt") === 1, lit(1.0))
+      .when(col("__cnt") === 2, lit(0.5))
+      .when(col("__rn") === 1 || col("__rn") === col("__cnt"), lit(0.4))
+      .otherwise(lit(0.2) / (col("__cnt") - 2).cast("double"))
+    convs.join(touches, Seq(keyCol, "__journey"))
+      .select(col(keyCol), col("conv_ts"), col("touch_ts"),
+        col("touch_type"), weight.as("weight"))
   }
 }

@@ -516,6 +516,18 @@ object Similarity {
                 vecCol: String, k: Int = 5, lambda: Double = 0.7): DataFrame = {
     require(k >= 1, s"k must be ≥ 1, got $k")
     require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
+    // the greedy-selection state carries doc ids through array<bigint>
+    // accumulators and breaks score ties by LOWEST id via 0−id — both
+    // require an integral id; a string/UUID id would fail deep inside the
+    // aggregate with an opaque AnalysisException (r13 advice), so fail
+    // fast here instead (hash or zipWithIndex non-numeric ids first)
+    require({
+        import org.apache.spark.sql.types._
+        Seq(ByteType, ShortType, IntegerType, LongType)
+          .contains(candidates.schema(docCol).dataType)
+      },
+      s"mmrRerank needs an integral doc id column, got " +
+        s"${candidates.schema(docCol).dataType.simpleString} for '$docCol'")
     val unit = embeddings.select(col(vecIdCol).as(docCol), {
       val v = col(vecCol).cast("array<double>")
       val norm = sqrt(aggregate(zip_with(v, v, (x, y) => x * y), lit(0.0), _ + _))
@@ -627,8 +639,23 @@ object Similarity {
     * entry positive) so results are reproducible run to run. */
   def pcaComponents(cov: DataFrame, k: Int): Seq[(Double, Array[Double])] = {
     val cells = cov.select(col("i"), col("j"), col("cov")).collect()
+    // degenerate-input guards (r13 advice): an empty covariance frame
+    // would throw an opaque `.max on empty` UnsupportedOperationException,
+    // and a partial frame (filtered cells) would silently zero-fill the
+    // missing covariances — require the complete upper triangle
+    // embeddingCovariance emits
+    require(cells.nonEmpty,
+      "pcaComponents needs a non-empty covariance frame (did the input " +
+        "have fewer rows than `dims`, or was the frame filtered to empty?)")
     val d = cells.map(_.getInt(0)).max + 1
     require(k >= 1 && k <= d, s"k must be in [1, $d], got $k")
+    val seen = cells.map(r => (r.getInt(0), r.getInt(1))).toSet
+    val missing = for { i <- 0 until d; j <- i until d
+                        if !seen((i, j)) } yield (i, j)
+    require(missing.isEmpty,
+      s"pcaComponents needs the complete upper triangle for dims=$d; " +
+        s"missing cells: ${missing.take(8).mkString(", ")}" +
+        (if (missing.size > 8) s" (+${missing.size - 8} more)" else ""))
     val a = Array.ofDim[Double](d, d)
     cells.foreach { r =>
       val (i, j, c) = (r.getInt(0), r.getInt(1), if (r.isNullAt(2)) 0.0 else r.getDouble(2))

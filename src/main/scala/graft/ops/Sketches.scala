@@ -990,6 +990,106 @@ object Sketches {
         col("gap").as("d_stat"), when(col("gap").isNotNull, col("v")).as("at_value"))
   }
 
+  /** Two-sample Mann–Whitney U (Wilcoxon rank-sum) test between the
+    * `valueCol` distributions of two slices — the LOCATION-shift drift
+    * test that complements [[ksStatistic]]: KS fires on any CDF gap, U
+    * asks specifically "does one slice stochastically dominate the
+    * other", which is the question behind "did quality scores move up or
+    * down after the pipeline change".
+    *
+    * Same gridding contract as KS: values snap to `grid` first, so the
+    * ranking pass runs over the bounded GRID-CELL table (per-cell counts
+    * are partial-aggregable; the cumulative window is single-partition
+    * over model-sized state, the `q_histogram` class). Tied values take
+    * the average rank; rank sums are computed in EXACT integer arithmetic
+    * (2×rank stays integral) summed as DECIMAL(38,0) so no engine's
+    * double-accumulation order matters, and only the final z-score runs
+    * in double (floor-rounded at 1e-9). The z normal approximation
+    * carries the standard tie correction
+    * `σ² = nAnB/12 · ((N+1) − Σ(t³−t)/(N(N−1)))`.
+    *
+    * Returns ONE row: `(n_a, n_b, u_stat, z)` — `u_stat` is U for slice
+    * A; `z` is null when either slice is empty or all values are tied
+    * (σ = 0). */
+  def mannWhitney(df: DataFrame, valueCol: String,
+                  inA: Column, inB: Column, grid: Double): DataFrame = {
+    require(grid > 0, s"grid must be positive, got $grid")
+    val v = floor(col(valueCol) / grid + lit(0.5)) * grid
+    val cells = df.filter(col(valueCol).isNotNull && (inA || inB))
+      .select(v.as("v"), when(inA, 1L).otherwise(0L).as("a"),
+        when(inB, 1L).otherwise(0L).as("b"))
+      .groupBy(col("v"))
+      .agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+      .withColumn("t", col("na") + col("nb"))
+    // cumulative count of strictly-smaller values over the bounded cell
+    // table; 2×(average rank of a tie group) = 2·cumBefore + t + 1 stays
+    // INTEGRAL — the whole rank sum is exact integer arithmetic
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells
+      .withColumn("cb", coalesce(sum(col("t")).over(w), lit(0L)))
+      .withColumn("r2", lit(2L) * col("cb") + col("t") + lit(1L))
+    val agg = ranked.agg(
+      sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+      sum((col("na") * col("r2")).cast("decimal(38,0)")).as("ra2"),
+      sum((col("t") * col("t") * col("t") - col("t")).cast("decimal(38,0)"))
+        .as("ties"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val nD = (col("n_a") + col("n_b")).cast("double")
+    val u = (col("ra2") - (col("n_a").cast("decimal(38,0)") *
+      (col("n_a") + 1L).cast("decimal(38,0)"))).cast("double") / 2.0
+    val mu = naD * nbD / 2.0
+    val varU = naD * nbD / 12.0 *
+      ((nD + 1.0) - col("ties").cast("double") / (nD * (nD - 1.0)))
+    agg.select(col("n_a"), col("n_b"), u.as("u_stat"),
+      when(col("n_a") > 0 && col("n_b") > 0 && varU > 0,
+        floor((u - mu) / sqrt(varU) * 1e9 + lit(0.5)) / 1e9).as("z"))
+  }
+
+  /** Benjamini–Hochberg step-up FDR control over a (hypothesis, p-value)
+    * table — the multiple-testing gate that belongs after any per-stratum
+    * test battery ([[ksStatisticBy]], per-language drift, per-source
+    * Benford): testing 500 strata at α = 0.05 expects 25 false alarms;
+    * BH bounds the FALSE-DISCOVERY RATE at α instead. Rejects the
+    * hypotheses ranked 1..k* where k* is the largest k with
+    * `p(k) ≤ k/m · α` (ascending p, deterministic id tiebreak — ties in p
+    * are resolved by the id so both engines rank identically).
+    *
+    * Output: one row per input hypothesis —
+    * `(idCol, pCol, rank, threshold, rejected)` with `threshold =
+    * rank/m·α` floor-rounded at 1e-12 before the comparison (identical
+    * fold on any engine). Null p-values drop (nothing to test).
+    *
+    * Scale note: m is the number of HYPOTHESES (strata/tests), not rows —
+    * model-sized by construction. The rank and the step-up suffix-max run
+    * as single-partition windows over those m rows, the same documented
+    * bounded-state shape as [[ksStatistic]]'s cell table. */
+  def bhFdr(pvals: DataFrame, idCol: String, pCol: String,
+            alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val base = pvals.filter(col(pCol).isNotNull)
+      .select(col(idCol), col(pCol).cast("double").as("__p"))
+    val wRank = Window.orderBy(col("__p"), col(idCol))
+    val m = Window.partitionBy()
+    val ranked = base
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("__m", count(lit(1)).over(m))
+      .withColumn("threshold",
+        floor(col("rank").cast("double") / col("__m").cast("double") * alpha
+          * 1e12 + lit(0.5)) / 1e12)
+    // step-up: reject ranks 1..k* where k* = max rank with p ≤ threshold —
+    // i.e. a row is rejected iff ANY row at or after it passes (suffix max)
+    val wSuffix = Window.orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranked
+      .withColumn("rejected",
+        max(when(col("__p") <= col("threshold"), 1).otherwise(0))
+          .over(wSuffix) === 1)
+      .select(col(idCol), col("__p").as(pCol), col("rank"),
+        col("threshold"), col("rejected"))
+  }
+
   /** Mutual information (nats) between two categorical columns — the
     * dependence audit that pairs with the chi-square test: χ² answers
     * "is there dependence", MI answers "how many bits of one does the

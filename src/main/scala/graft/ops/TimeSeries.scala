@@ -325,4 +325,81 @@ object TimeSeries {
       when(col("n") >= 2 && denx > 0 && deny > 0,
         floor(num / sqrt(denx * deny) * 1e9 + lit(0.5)) / 1e9).as("acf"))
   }
+
+  /** Last-observation-carried-forward (LOCF) gap fill: per key, ordered
+    * by `(timeCol, tieCol)`, replace a null `valueCol` with the most
+    * recent non-null observation — THE imputation rule for sensor/metric
+    * feeds where a missing reading means "unchanged", and the batch twin
+    * of what a streaming state store does with stale keys. Leading nulls
+    * (no prior observation) stay null; [[imputeMedian]]-style global
+    * fills are a different policy, not a default here.
+    *
+    * ONE window over the key exchange with an O(1) `last(_, ignoreNulls)`
+    * frame — no join, no per-gap scan-back; mirrors as SQL
+    * `last_value ... IGNORE NULLS`. Output: the input columns with
+    * `valueCol` filled and `was_filled` marking imputed rows. */
+  def locfFill(df: DataFrame, keyCol: String, timeCol: String,
+               tieCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("__filled", last(col(valueCol), ignoreNulls = true).over(w))
+      .withColumn("was_filled",
+        col(valueCol).isNull && col("__filled").isNotNull)
+      .withColumn(valueCol, col("__filled"))
+      .drop("__filled")
+  }
+
+  /** Resample an irregular per-key series onto the DAILY grid with
+    * as-of (LOCF) fill: for every key, one row per calendar day from its
+    * first to its last observation, carrying the latest observed value at
+    * or before that day's end — the "align sensor feeds / fill trading
+    * holidays" primitive that turns event logs into fixed-step series for
+    * [[autocorrelation]]/[[cusum]]. Day d carries the last value with
+    * `date(timeCol) ≤ d` (ties within a day resolve by `(timeCol,
+    * tieCol)` — the day's FINAL observation wins, the standard
+    * daily-close convention).
+    *
+    * Execution shape: the per-(key, day) close is ONE window over the key
+    * exchange (`row_number` desc, `WindowGroupLimit`-prunable); the grid
+    * is a `sequence(first_day, last_day)` explode — per-key output is
+    * span-bounded and the fill is the SAME gaps-and-islands LOCF window
+    * as [[locfFill]] over the union of grid and close rows, so nothing
+    * joins corpus × grid. A key whose span is pathological (one key
+    * covering decades at second resolution) bounds at span-days rows —
+    * the hot-key story is the funnel/rolling one.
+    *
+    * Output: `(keyCol, day, valueCol)` — one row per key per day in its
+    * own observed span. */
+  def resampleDaily(df: DataFrame, keyCol: String, timeCol: String,
+                    tieCol: String, valueCol: String): DataFrame = {
+    val obs = df.filter(col(keyCol).isNotNull && col(timeCol).isNotNull &&
+      col(valueCol).isNotNull)
+    // per-(key, day) close: last observation of the day
+    val wDay = Window.partitionBy(col(keyCol), to_date(col(timeCol)))
+      .orderBy(col(timeCol).desc, col(tieCol).desc)
+    val closes = obs
+      .withColumn("__rn", row_number().over(wDay))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), to_date(col(timeCol)).as("day"),
+        col(valueCol).as("__v"))
+    // per-key daily grid across the observed span
+    val grid = obs.groupBy(col(keyCol))
+      .agg(to_date(min(col(timeCol))).as("__d0"),
+        to_date(max(col(timeCol))).as("__d1"))
+      .select(col(keyCol),
+        explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    // LOCF over the union: close rows carry values, grid rows inherit
+    // the latest close at or before their day (close sorts first on ties
+    // via the marker so the same-day close wins)
+    val wFill = Window.partitionBy(col(keyCol))
+      .orderBy(col("day"), col("__isGrid"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.withColumn("__isGrid", lit(1))
+      .withColumn("__v", lit(null).cast(obs.schema(valueCol).dataType))
+      .unionByName(closes.withColumn("__isGrid", lit(0)))
+      .withColumn("__f", last(col("__v"), ignoreNulls = true).over(wFill))
+      .filter(col("__isGrid") === 1)
+      .select(col(keyCol), col("day"), col("__f").as(valueCol))
+  }
 }

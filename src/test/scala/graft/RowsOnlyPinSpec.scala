@@ -25,10 +25,10 @@ class RowsOnlyPinSpec extends SparkSuite {
   /** Expected md5 of each rows-only query's canonical sorted rendering. */
   private val pinned: Map[String, String] = Map(
     // q_dedup_embedding graduated to a full DuckDB oracle in r12 (the
-    // ±1 splitmix64 hyperplanes regenerate as SQL literals)
-    "q_dedup_incremental" -> "d279f7572e2e4fa890976aedab7e4e4d",
+    // ±1 splitmix64 hyperplanes regenerate as SQL literals); r14 graduated
+    // q_ivf_topk (seedCentroids picks committed as oracle literals) and
+    // q_dedup_incremental (word-token minhash mirrored in HUGEINT)
     "q_dedup_minhash" -> "ed543d124949ebe2ce229b43bcd07ec3",
-    "q_ivf_topk" -> "3f0dc86b8f92694fa48a56a774838d83",
     "q_pipeline_e2e" -> "bbc1d1cba93be09a16c0ff961a4aa0c1",
     "q_twopass" -> "aab7fbfd4bc64c07d7eac08d2a018b1c")
 
