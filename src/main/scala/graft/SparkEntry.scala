@@ -2791,6 +2791,98 @@ object SparkEntry {
           "user_id", "ts", "event_id", "event_type", "purchase")
         .orderBy("user_id", "ts")
     }),
+    // ---- r14: attribution variants, rank tests, agreement, resampling --
+    "q_attribution_first" -> ((s, dir) => {
+      // first-touch: the same window exchange, earliest prior touch —
+      // "which channel first brought this user in"
+      graft.ops.Sequences.firstTouchAttribution(T(s, dir, "events"),
+          "user_id", "ts", "event_id", "event_type", "purchase")
+        .orderBy("user_id", "ts")
+    }),
+    "q_attribution_position" -> ((s, dir) => {
+      // U-shaped 40/20/40 multi-touch credit within each purchase journey
+      graft.ops.Sequences.positionAttribution(T(s, dir, "events"),
+          "user_id", "ts", "event_id", "event_type", "purchase")
+        .orderBy("user_id", "conv_ts", "touch_ts")
+    }),
+    "q_mannwhitney" -> ((s, dir) => {
+      // rank-sum location test on the same F-vs-O / $100-grid fixture as
+      // q_ks_test: KS says IF the distributions differ, U says which way
+      Sketches.mannWhitney(T(s, dir, "orders"), "o_totalprice",
+        col("o_orderstatus") === "F", col("o_orderstatus") === "O",
+        grid = 100.0)
+    }),
+    "q_bh_fdr" -> ((s, dir) => {
+      // Benjamini-Hochberg over 60 deterministic synthetic p-values
+      // ((doc_id*37)%97/97 — spans [0,1) with p=0 at doc_id 0, so both
+      // the reject and accept branches are exercised at every SF)
+      val hyp = T(s, dir, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id").as("hyp_id"),
+          ((col("doc_id") * 37 % 97).cast("double") / 97.0).as("p"))
+      Sketches.bhFdr(hyp, "hyp_id", "p", alpha = 0.2).orderBy("rank")
+    }),
+    "q_kappa" -> ((s, dir) => {
+      // chance-corrected agreement between two synthesized raters: rater 2
+      // disagrees with rater 1 (lang) exactly on the doc_id%7 slice, where
+      // it answers `source` instead — a deterministic confusion pattern
+      val rated = T(s, dir, "documents").select(
+        col("lang").as("r1"),
+        when(col("doc_id") % 7 === 0, col("source"))
+          .otherwise(col("lang")).as("r2"))
+      graft.ops.Classifier.cohensKappa(rated, "r1", "r2")
+    }),
+    "q_locf" -> ((s, dir) => {
+      // forward-fill per user over a deterministic missingness pattern
+      // (every event_id%3==0 reading dropped)
+      val ev = T(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("ts"),
+        when(col("event_id") % 3 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("value"))
+      graft.ops.TimeSeries.locfFill(ev, "user_id", "ts", "event_id", "value")
+        .orderBy("event_id")
+    }),
+    "q_resample_daily" -> ((s, dir) => {
+      // irregular event values onto each user's own daily grid with
+      // as-of fill — the daily-close convention
+      graft.ops.TimeSeries.resampleDaily(T(s, dir, "events"),
+          "user_id", "ts", "event_id", "value")
+        .orderBy("user_id", "day")
+    }),
+    "q_label_prop" -> ((s, dir) => {
+      // 3 synchronized min-label rounds over the same closed link graph
+      // as q_triangles; the oracle unrolls the rounds
+      val base = Html.extractLinks(T(s, dir, "documents")
+          .withColumn("html", linkFixtureHtml), "doc_id", "html")
+        .select(col("doc_id").as("src"),
+          regexp_extract(col("href"), "([0-9]+)$", 1).cast("long").as("dst"))
+      val closing = T(s, dir, "documents").filter(col("doc_id") % 4 === 0)
+        .select(((col("doc_id") * 31 + 7) % 500).as("src"),
+          ((col("doc_id") * 31 + 13) % 500).as("dst"))
+      graft.ops.Graphs.labelPropagation(base.unionByName(closing),
+          "src", "dst", iterations = 3)
+        .orderBy("node")
+    }),
+    "q_assoc_rules" -> ((s, dir) => {
+      // directional confidence over the q_frequent_pairs table — both
+      // rule orientations, confidence-gated
+      graft.ops.Baskets.associationRules(T(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2, minConfidence = 0.05)
+        .orderBy("antecedent", "consequent")
+    }),
+    "q_rfm" -> ((s, dir) => {
+      // RFM quintiles over orders; monetary pre-snapped to cents and
+      // summed as DECIMAL (exact, order-free), output cast to double so
+      // both engines' sum dtypes align
+      val o = T(s, dir, "orders").select(col("o_custkey"),
+        col("o_orderdate"),
+        (floor(col("o_totalprice") * 100 + lit(0.5)) / 100)
+          .cast("decimal(18,2)").as("spend"))
+      graft.ops.Rollups.rfmSegments(o, "o_custkey", "o_orderdate", "spend")
+        .select(col("o_custkey"), col("recency_days"), col("frequency"),
+          col("monetary").cast("double").as("monetary"),
+          col("r"), col("f"), col("m"))
+        .orderBy("o_custkey")
+    }),
     "q_ols" -> ((s, dir) => {
       // in-plan two-feature OLS: extended price regressed on quantity and
       // discount — coefficients via Cramer over exact decimal moments;
@@ -2998,6 +3090,27 @@ object SparkEntry {
       iters +
       " SELECT a3.node, round(a3.v, 8) AS auth, round(h3.v, 8) AS hub " +
       "FROM a3 JOIN h3 ON a3.node = h3.node ORDER BY a3.node"
+  }
+
+  /** q_label_prop oracle: three unrolled synchronized min-label rounds
+    * over the canonical undirected simple graph (the q_triangles edge set
+    * including its %4 closing edges) — the exact
+    * [[graft.ops.Graphs.labelPropagation]] recurrence
+    * `l(v) ← least(l(v), min_{u∼v} l(u))`, generated per round. */
+  private val labelPropOracleSql: String = {
+    val rounds = (1 to 3).map { i =>
+      val prev = s"l${i - 1}"
+      s"l$i AS (SELECT l.node, least(l.label, coalesce(m.mn, l.label)) AS label " +
+        s"FROM $prev l LEFT JOIN (SELECT a.node, min(p.label) AS mn FROM adj a " +
+        s"JOIN $prev p ON a.nbr = p.node GROUP BY 1) m ON l.node = m.node)"
+    }.mkString(", ")
+    s"WITH e AS ($linkEdgesSql " +
+      "UNION ALL SELECT (doc_id*31+7)%500, (doc_id*31+13)%500 FROM documents WHERE doc_id%4 = 0), " +
+      "und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e WHERE src <> dst), " +
+      "adj AS (SELECT u AS node, v AS nbr FROM und UNION ALL SELECT v, u FROM und), " +
+      "l0 AS (SELECT DISTINCT node, node AS label FROM adj), " +
+      rounds +
+      " SELECT node, label FROM l3 ORDER BY node"
   }
 
   /** q_ppr oracle: three unrolled personalized-PageRank iterations — the
@@ -5352,6 +5465,142 @@ object SparkEntry {
         "SELECT user_id, ts, attributed_type, attributed_ts, " +
         "CAST(date_diff('second', attributed_ts, ts) AS BIGINT) AS gap_seconds " +
         "FROM a WHERE event_type = 'purchase' ORDER BY user_id, ts"),
+    // ---- r14: attribution variants, rank tests, agreement, resampling --
+    "q_attribution_first" ->
+      // the q_attribution window with first_value — the gap is the same
+      // second-boundary diff (== the engine's date_trunc interval diff)
+      ("WITH e AS (SELECT user_id, ts, event_id, event_type FROM events " +
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+        "a AS (SELECT user_id, ts, event_type, " +
+        "first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS) OVER w AS attributed_type, " +
+        "first_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS) OVER w AS attributed_ts " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) " +
+        "SELECT user_id, ts, attributed_type, attributed_ts, " +
+        "CAST(date_diff('second', attributed_ts, ts) AS BIGINT) AS gap_seconds " +
+        "FROM a WHERE event_type = 'purchase' ORDER BY user_id, ts"),
+    "q_attribution_position" ->
+      // journey index = running count of PRIOR conversions; per-journey
+      // touch rank/count windows; exact-double 40/20/40 weight arithmetic
+      ("WITH e AS (SELECT user_id, ts, event_id, event_type FROM events " +
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL), " +
+        "j AS (SELECT *, coalesce(CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) + 1 AS journey FROM e), " +
+        "t AS (SELECT user_id, journey, ts AS touch_ts, event_type AS touch_type, " +
+        "row_number() OVER (PARTITION BY user_id, journey ORDER BY ts, event_id) AS rn, " +
+        "count(*) OVER (PARTITION BY user_id, journey) AS cnt " +
+        "FROM j WHERE event_type <> 'purchase'), " +
+        "c AS (SELECT user_id, journey, ts AS conv_ts FROM j WHERE event_type = 'purchase') " +
+        "SELECT c.user_id, c.conv_ts, t.touch_ts, t.touch_type, " +
+        "CASE WHEN t.cnt = 1 THEN CAST(1.0 AS DOUBLE) WHEN t.cnt = 2 THEN CAST(0.5 AS DOUBLE) " +
+        "WHEN t.rn = 1 OR t.rn = t.cnt THEN CAST(0.4 AS DOUBLE) " +
+        "ELSE 0.2 / CAST(t.cnt - 2 AS DOUBLE) END AS weight " +
+        "FROM c JOIN t ON c.user_id = t.user_id AND c.journey = t.journey " +
+        "ORDER BY c.user_id, conv_ts, touch_ts"),
+    "q_mannwhitney" ->
+      // exact-integer rank sums on the $100 grid (2×avg-rank stays
+      // integral, summed as DECIMAL(38,0)); z in double with the standard
+      // tie-corrected variance, identical operation order, 1e-9 floor
+      ("WITH c AS (SELECT floor(o_totalprice/100.0 + 0.5)*100.0 AS v, " +
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS a, " +
+        "CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS b " +
+        "FROM orders WHERE o_totalprice IS NOT NULL AND o_orderstatus IN ('F', 'O')), " +
+        "g AS (SELECT v, CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb, " +
+        "CAST(sum(a) + sum(b) AS BIGINT) AS t FROM c GROUP BY 1), " +
+        "r AS (SELECT *, coalesce(CAST(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb FROM g), " +
+        "s AS (SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b, " +
+        "CAST(sum(CAST(na AS DECIMAL(38,0)) * CAST(2*cb + t + 1 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ra2, " +
+        "CAST(sum(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ties FROM r) " +
+        "SELECT n_a, n_b, " +
+        "CAST(ra2 - CAST(n_a AS DECIMAL(38,0)) * CAST(n_a + 1 AS DECIMAL(38,0)) AS DOUBLE)/2.0 AS u_stat, " +
+        "CASE WHEN n_a > 0 AND n_b > 0 AND " +
+        "CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)/12.0 * ((CAST(n_a + n_b AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE)/(CAST(n_a + n_b AS DOUBLE)*(CAST(n_a + n_b AS DOUBLE) - 1.0))) > 0 THEN " +
+        "floor((CAST(ra2 - CAST(n_a AS DECIMAL(38,0)) * CAST(n_a + 1 AS DECIMAL(38,0)) AS DOUBLE)/2.0 - CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)/2.0) / " +
+        "sqrt(CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)/12.0 * ((CAST(n_a + n_b AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE)/(CAST(n_a + n_b AS DOUBLE)*(CAST(n_a + n_b AS DOUBLE) - 1.0)))) * 1e9 + 0.5)/1e9 END AS z " +
+        "FROM s"),
+    "q_bh_fdr" ->
+      // identical p synthesis, total-order rank, 1e-12-floored step
+      // thresholds, suffix-max step-up
+      ("WITH h AS (SELECT doc_id AS hyp_id, CAST((doc_id*37)%97 AS DOUBLE)/97.0 AS p " +
+        "FROM documents WHERE doc_id < 60), " +
+        "r AS (SELECT hyp_id, p, CAST(row_number() OVER (ORDER BY p, hyp_id) AS INTEGER) AS rank, " +
+        "count(*) OVER () AS m FROM h), " +
+        "t AS (SELECT hyp_id, p, rank, floor(CAST(rank AS DOUBLE)/CAST(m AS DOUBLE)*0.2*1e12 + 0.5)/1e12 AS threshold FROM r) " +
+        "SELECT hyp_id, p, rank, threshold, " +
+        "max(CASE WHEN p <= threshold THEN 1 ELSE 0 END) OVER (ORDER BY rank DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS rejected " +
+        "FROM t ORDER BY rank"),
+    "q_kappa" ->
+      // marginals joined on the label (NOT diagonal cells — a label both
+      // raters use but never agree on still feeds p_e); double math over
+      // exact counts, 1e-9 floors at each published quantity
+      ("WITH rt AS (SELECT lang AS r1, CASE WHEN doc_id % 7 = 0 THEN source ELSE lang END AS r2 FROM documents), " +
+        "rr AS (SELECT r1, r2 FROM rt WHERE r1 IS NOT NULL AND r2 IS NOT NULL), " +
+        "m1 AS (SELECT r1 AS c, count(*) AS n1 FROM rr GROUP BY 1), " +
+        "m2 AS (SELECT r2 AS c, count(*) AS n2 FROM rr GROUP BY 1), " +
+        "pe AS (SELECT coalesce(CAST(sum(CAST(n1 AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0))) AS DECIMAL(38,0)), CAST(0 AS DECIMAL(38,0))) AS pe_num FROM m1 JOIN m2 USING (c)), " +
+        "ob AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(coalesce(sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS agree FROM rr) " +
+        "SELECT n, floor(CAST(agree AS DOUBLE)/CAST(n AS DOUBLE)*1e9 + 0.5)/1e9 AS p_o, " +
+        "floor(CAST(pe_num AS DOUBLE)/(CAST(n AS DOUBLE)*CAST(n AS DOUBLE))*1e9 + 0.5)/1e9 AS p_e, " +
+        "CASE WHEN n > 0 AND floor(CAST(pe_num AS DOUBLE)/(CAST(n AS DOUBLE)*CAST(n AS DOUBLE))*1e9 + 0.5)/1e9 < 1.0 THEN " +
+        "floor((floor(CAST(agree AS DOUBLE)/CAST(n AS DOUBLE)*1e9 + 0.5)/1e9 - floor(CAST(pe_num AS DOUBLE)/(CAST(n AS DOUBLE)*CAST(n AS DOUBLE))*1e9 + 0.5)/1e9) / " +
+        "(1.0 - floor(CAST(pe_num AS DOUBLE)/(CAST(n AS DOUBLE)*CAST(n AS DOUBLE))*1e9 + 0.5)/1e9) * 1e9 + 0.5)/1e9 END AS kappa " +
+        "FROM ob CROSS JOIN pe"),
+    "q_locf" ->
+      // the IGNORE NULLS running last-value window, identical ordering
+      ("WITH e AS (SELECT event_id, user_id, ts, " +
+        "CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS value FROM events) " +
+        "SELECT event_id, user_id, ts, " +
+        "last_value(value IGNORE NULLS) OVER w AS value, " +
+        "(value IS NULL AND last_value(value IGNORE NULLS) OVER w IS NOT NULL) AS was_filled " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_id"),
+    "q_resample_daily" ->
+      // per-(user, day) close by the day's final (ts, event_id), per-user
+      // daily span grid, ASOF fill — DuckDB's native ASOF JOIN is the
+      // reference semantics for the union-window LOCF encoding
+      ("WITH o AS (SELECT user_id, ts, event_id, value FROM events " +
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL), " +
+        "cl AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts DESC, event_id DESC) AS rn FROM o) WHERE rn = 1), " +
+        "sp AS (SELECT user_id, CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM o GROUP BY 1), " +
+        "g AS (SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM sp) " +
+        "SELECT g.user_id, g.day, cl.value FROM g ASOF JOIN cl " +
+        "ON g.user_id = cl.user_id AND g.day >= cl.day ORDER BY g.user_id, g.day"),
+    "q_label_prop" -> labelPropOracleSql,
+    "q_assoc_rules" ->
+      // the q_frequent_pairs mirror emitting BOTH rule directions with
+      // confidence = n_pair/n_ante at the same 1e-9 floor
+      ("WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem " +
+        "WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL), " +
+        "nb AS (SELECT count(DISTINCT b) AS n FROM it), " +
+        "ic AS (SELECT i, count(*) AS c FROM it GROUP BY 1), " +
+        "p AS (SELECT a.i AS ia, b.i AS ib, count(*) AS np FROM it a JOIN it b " +
+        "ON a.b = b.b AND a.i < b.i GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "fp AS (SELECT ia, ib, np, ca.c AS na, cb.c AS nbc, " +
+        "floor(CAST(np AS DOUBLE)*CAST(nb.n AS DOUBLE)/(CAST(ca.c AS DOUBLE)*CAST(cb.c AS DOUBLE))*1e9 + 0.5)/1e9 AS lift " +
+        "FROM p JOIN ic ca ON ia = ca.i JOIN ic cb ON ib = cb.i CROSS JOIN nb), " +
+        "ru AS (SELECT ia AS antecedent, ib AS consequent, np AS n_pair, na AS n_ante, lift FROM fp " +
+        "UNION ALL SELECT ib, ia, np, nbc, lift FROM fp) " +
+        "SELECT antecedent, consequent, n_pair, n_ante, " +
+        "floor(CAST(n_pair AS DOUBLE)/CAST(n_ante AS DOUBLE)*1e9 + 0.5)/1e9 AS confidence, lift " +
+        "FROM ru WHERE floor(CAST(n_pair AS DOUBLE)/CAST(n_ante AS DOUBLE)*1e9 + 0.5)/1e9 >= 0.05 " +
+        "ORDER BY antecedent, consequent"),
+    "q_rfm" ->
+      // cents-snapped DECIMAL spend, data-anchored recency, three ntile(5)
+      // windows each on a TOTAL order (key tiebreak)
+      ("WITH o AS (SELECT o_custkey, o_orderdate, " +
+        "CAST(floor(o_totalprice*100 + 0.5)/100 AS DECIMAL(18,2)) AS spend " +
+        "FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL), " +
+        "an AS (SELECT CAST(max(o_orderdate) AS DATE) AS anchor FROM o), " +
+        "k AS (SELECT o_custkey, CAST(date_diff('day', CAST(max(o_orderdate) AS DATE), an.anchor) AS BIGINT) AS recency_days, " +
+        "count(*) AS frequency, sum(spend) AS monetary FROM o CROSS JOIN an GROUP BY 1, an.anchor) " +
+        "SELECT o_custkey, recency_days, frequency, CAST(monetary AS DOUBLE) AS monetary, " +
+        "CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS INTEGER) AS r, " +
+        "CAST(ntile(5) OVER (ORDER BY frequency ASC, o_custkey) AS INTEGER) AS f, " +
+        "CAST(ntile(5) OVER (ORDER BY monetary ASC NULLS FIRST, o_custkey) AS INTEGER) AS m " +
+        "FROM k ORDER BY o_custkey"),
     "q_ols" -> {
       // mirror of the SHIFTED-data Cramer solve: snapped decimal-sum
       // means, near-centered moments (no catastrophic determinant

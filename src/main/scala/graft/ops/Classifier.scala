@@ -339,7 +339,8 @@ object Classifier {
     val m1 = rated.groupBy(col(label1Col).as("c")).agg(count(lit(1)).as("n1"))
     val m2 = rated.groupBy(col(label2Col).as("c")).agg(count(lit(1)).as("n2"))
     val peNum = m1.join(m2, Seq("c"))
-      .agg(coalesce(sum((col("n1") * col("n2")).cast("decimal(38,0)")),
+      .agg(coalesce(sum(col("n1").cast("decimal(38,0)") *
+          col("n2").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)")).as("pe_num"))
     val obs = rated.agg(count(lit(1)).as("n"),
       coalesce(sum(when(col(label1Col) === col(label2Col), 1L).otherwise(0L)),
@@ -350,7 +351,9 @@ object Classifier {
     val pe = col("pe_num").cast("double") / (nD * nD)
     // one-row × one-row broadcast cross join (the established pattern)
     obs.crossJoin(broadcast(peNum))
-      .select(col("n"), r9(po).as("p_o"), r9(pe).as("p_e"),
+      .select(col("n"),
+        when(col("n") > 0, r9(po)).as("p_o"),
+        when(col("n") > 0, r9(pe)).as("p_e"),
         when(col("n") > 0 && r9(pe) < 1.0,
           r9((r9(po) - r9(pe)) / (lit(1.0) - r9(pe)))).as("kappa"))
   }

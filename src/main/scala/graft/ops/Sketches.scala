@@ -1029,11 +1029,14 @@ object Sketches {
     val ranked = cells
       .withColumn("cb", coalesce(sum(col("t")).over(w), lit(0L)))
       .withColumn("r2", lit(2L) * col("cb") + col("t") + lit(1L))
+    // cast operands to DECIMAL(38,0) BEFORE multiplying: na·r2 ~ N² and
+    // t³ overflow int64 well inside the design scale
+    val tD = col("t").cast("decimal(38,0)")
     val agg = ranked.agg(
       sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
-      sum((col("na") * col("r2")).cast("decimal(38,0)")).as("ra2"),
-      sum((col("t") * col("t") * col("t") - col("t")).cast("decimal(38,0)"))
-        .as("ties"))
+      sum(col("na").cast("decimal(38,0)") * col("r2").cast("decimal(38,0)"))
+        .as("ra2"),
+      sum(tD * tD * tD - tD).as("ties"))
     val naD = col("n_a").cast("double")
     val nbD = col("n_b").cast("double")
     val nD = (col("n_a") + col("n_b")).cast("double")

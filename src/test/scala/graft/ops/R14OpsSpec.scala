@@ -1,0 +1,252 @@
+package graft.ops
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Round-14 operators: attribution variants (first-touch, U-shaped
+  * position), Mann–Whitney U, Benjamini–Hochberg FDR, Cohen's kappa,
+  * LOCF fill + daily resample, min-label propagation, association rules,
+  * RFM segmentation. Every test is a hand-computed (or brute-force)
+  * reference, including the degenerate inputs. */
+class R14OpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(m: Long) = new Timestamp(m * 60000L)
+
+  // ---- attribution variants ------------------------------------------
+
+  test("firstTouchAttribution: earliest prior touch, organic nulls") {
+    val ev = Seq(
+      (1L, ts(10), 1L, "ad"), (1L, ts(20), 2L, "email"),
+      (1L, ts(30), 3L, "purchase"), (1L, ts(40), 4L, "purchase"),
+      (2L, ts(5), 5L, "purchase") // organic: nothing precedes it
+    ).toDF("user_id", "t", "eid", "et")
+    val out = Sequences.firstTouchAttribution(ev, "user_id", "t", "eid",
+        "et", "purchase")
+      .orderBy("user_id", "t")
+      .select("user_id", "attributed_type", "gap_seconds")
+      .as[(Long, Option[String], Option[Long])].collect().toSeq
+    // both purchases of user 1 credit the FIRST touch (ad@10)
+    assert(out == Seq(
+      (1L, Some("ad"), Some(20L * 60)),
+      (1L, Some("ad"), Some(30L * 60)),
+      (2L, None, None)))
+  }
+
+  test("positionAttribution: 40/20/40 weights, journey reset, no organic rows") {
+    val ev = Seq(
+      // journey 1 of user 1: four touches -> 0.4, 0.1, 0.1, 0.4
+      (1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "b"),
+      (1L, ts(3), 3L, "c"), (1L, ts(4), 4L, "d"),
+      (1L, ts(5), 5L, "purchase"),
+      // journey 2 of user 1: two touches -> 0.5, 0.5
+      (1L, ts(6), 6L, "e"), (1L, ts(7), 7L, "f"),
+      (1L, ts(8), 8L, "purchase"),
+      // trailing touch after the final conversion: no credit
+      (1L, ts(9), 9L, "g"),
+      // user 2: single touch -> 1.0
+      (2L, ts(1), 10L, "h"), (2L, ts(2), 11L, "purchase"),
+      // user 3: organic conversion -> no rows at all
+      (3L, ts(1), 12L, "purchase")
+    ).toDF("user_id", "t", "eid", "et")
+    val out = Sequences.positionAttribution(ev, "user_id", "t", "eid",
+        "et", "purchase")
+      .orderBy("user_id", "conv_ts", "touch_ts")
+      .select("user_id", "touch_type", "weight")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a", 0.4), (1L, "b", 0.2 / 2), (1L, "c", 0.2 / 2), (1L, "d", 0.4),
+      (1L, "e", 0.5), (1L, "f", 0.5),
+      (2L, "h", 1.0)))
+    // credit conservation: each credited journey's weights sum to 1
+    val sums = Sequences.positionAttribution(ev, "user_id", "t", "eid",
+        "et", "purchase")
+      .groupBy("user_id", "conv_ts").agg(sum("weight").as("s"))
+      .select("s").as[Double].collect()
+    assert(sums.forall(s => math.abs(s - 1.0) < 1e-12))
+  }
+
+  // ---- rank tests ----------------------------------------------------
+
+  test("mannWhitney: textbook no-tie and tied cases") {
+    // A = {1,2}, B = {3,4}: Ra = 1+2 = 3, U = 3 - 3 = 0, mu = 2,
+    // var = 4*5/12, z = -2/sqrt(5/3)
+    val df1 = Seq((1.0, "A"), (2.0, "A"), (3.0, "B"), (4.0, "B"))
+      .toDF("v", "g")
+    val r1 = Sketches.mannWhitney(df1, "v", col("g") === "A",
+        col("g") === "B", grid = 0.5)
+      .as[(Long, Long, Double, Option[Double])].collect().head
+    val zExp1 = math.floor(-2.0 / math.sqrt(4.0 / 12.0 * 5.0) * 1e9 + 0.5) / 1e9
+    assert(r1 == ((2L, 2L, 0.0, Some(zExp1))))
+    // A = {1,1}, B = {1,2}: tie group t=3 at v=1 -> avg rank 2, Ra = 4,
+    // U = 1, ties = 24, var = 4/12*(5 - 24/12) = 1, z = -1
+    val df2 = Seq((1.0, "A"), (1.0, "A"), (1.0, "B"), (2.0, "B"))
+      .toDF("v", "g")
+    val r2 = Sketches.mannWhitney(df2, "v", col("g") === "A",
+        col("g") === "B", grid = 0.5)
+      .as[(Long, Long, Double, Option[Double])].collect().head
+    assert(r2 == ((2L, 2L, 1.0, Some(-1.0))))
+  }
+
+  test("mannWhitney: empty slice and all-tied input give null z") {
+    val allA = Seq((1.0, "A"), (2.0, "A")).toDF("v", "g")
+    val r = Sketches.mannWhitney(allA, "v", col("g") === "A",
+        col("g") === "B", grid = 1.0)
+      .select("z").as[Option[Double]].collect().head
+    assert(r.isEmpty)
+    val tied = Seq((1.0, "A"), (1.0, "B")).toDF("v", "g")
+    val r2 = Sketches.mannWhitney(tied, "v", col("g") === "A",
+        col("g") === "B", grid = 1.0)
+      .select("z").as[Option[Double]].collect().head
+    assert(r2.isEmpty) // sigma = 0 when every value is one tie group
+  }
+
+  test("bhFdr: textbook rejection set and the step-up rescue") {
+    val ps = Seq((1L, 0.01), (2L, 0.02), (3L, 0.03), (4L, 0.2), (5L, 0.5))
+      .toDF("id", "p")
+    val out = Sketches.bhFdr(ps, "id", "p", alpha = 0.1)
+      .orderBy("rank").select("id", "rejected")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, true), (2L, true), (3L, true),
+      (4L, false), (5L, false)))
+    // step-up: rank 1 fails its own threshold but rank 2 passes ->
+    // BOTH reject (the defining BH behavior a naive per-row gate misses)
+    val ps2 = Seq((1L, 0.026), (2L, 0.04)).toDF("id", "p")
+    val out2 = Sketches.bhFdr(ps2, "id", "p", alpha = 0.05)
+      .orderBy("rank").select("rejected").as[Boolean].collect().toSeq
+    assert(out2 == Seq(true, true))
+    // null p-values drop; empty input -> empty output
+    assert(Sketches.bhFdr(Seq((1L, Option.empty[Double])).toDF("id", "p"),
+      "id", "p").count() == 0)
+  }
+
+  // ---- agreement -----------------------------------------------------
+
+  test("cohensKappa: textbook 2x2, never-agree marginals, constant raters") {
+    def rows(n: Int, a: String, b: String) = Seq.fill(n)((a, b))
+    val df = (rows(20, "a", "a") ++ rows(15, "b", "b") ++
+      rows(5, "a", "b") ++ rows(10, "b", "a")).toDF("r1", "r2")
+    val r = Classifier.cohensKappa(df, "r1", "r2")
+      .as[(Long, Double, Double, Option[Double])].collect().head
+    assert(r == ((50L, 0.7, 0.5, Some(0.4))))
+    // labels used by both raters but never together still feed p_e
+    // (the diagonal-cell trap): po = 0, pe = 0.5, kappa = -1
+    val never = Seq(("a", "b"), ("b", "a")).toDF("r1", "r2")
+    val r2 = Classifier.cohensKappa(never, "r1", "r2")
+      .as[(Long, Double, Double, Option[Double])].collect().head
+    assert(r2 == ((2L, 0.0, 0.5, Some(-1.0))))
+    // both raters constant: pe = 1 -> kappa undefined (null), not 1
+    val const = Seq(("a", "a"), ("a", "a")).toDF("r1", "r2")
+    val r3 = Classifier.cohensKappa(const, "r1", "r2")
+      .select("kappa").as[Option[Double]].collect().head
+    assert(r3.isEmpty)
+  }
+
+  // ---- gap fill / resample -------------------------------------------
+
+  test("locfFill: carries last observation, leading nulls stay, keys isolate") {
+    val df = Seq(
+      (1L, ts(1), 1L, Option.empty[Double]), // leading null: stays null
+      (1L, ts(2), 2L, Some(10.0)),
+      (1L, ts(3), 3L, Option.empty[Double]), // fills 10.0
+      (1L, ts(4), 4L, Some(20.0)),
+      (1L, ts(5), 5L, Option.empty[Double]), // fills 20.0
+      (2L, ts(1), 6L, Option.empty[Double])  // other key: no bleed
+    ).toDF("k", "t", "eid", "v")
+    val out = TimeSeries.locfFill(df, "k", "t", "eid", "v")
+      .orderBy("k", "t").select("v", "was_filled")
+      .as[(Option[Double], Boolean)].collect().toSeq
+    assert(out == Seq((None, false), (Some(10.0), false), (Some(10.0), true),
+      (Some(20.0), false), (Some(20.0), true), (None, false)))
+  }
+
+  test("resampleDaily: span grid, daily close wins, gaps inherit") {
+    def dts(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val df = Seq(
+      (1L, dts(1, 9), 1L, 1.0), (1L, dts(1, 17), 2L, 2.0), // close of d1 = 2.0
+      (1L, dts(3, 12), 3L, 3.0),                           // d2 missing
+      (2L, dts(5, 1), 4L, 9.0)
+    ).toDF("k", "t", "eid", "v")
+    val out = TimeSeries.resampleDaily(df, "k", "t", "eid", "v")
+      .orderBy("k", "day")
+      .select(col("k"), col("day").cast("string"), col("v"))
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, "2024-01-01", 2.0), (1L, "2024-01-02", 2.0),
+      (1L, "2024-01-03", 3.0), (2L, "2024-01-05", 9.0)))
+  }
+
+  // ---- label propagation ---------------------------------------------
+
+  test("labelPropagation: path graph spreads min label one hop per round") {
+    val path = (1L to 6L).sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("s", "d")
+    val l3 = Graphs.labelPropagation(path, "s", "d", iterations = 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    // after 3 rounds node v holds min id within distance 3: max(1, v-3)
+    assert(l3 == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 3L))
+    // components stay separate; direction/self-loops/duplicates ignored
+    val multi = Seq((2L, 1L), (1L, 2L), (3L, 3L), (9L, 8L)).toDF("s", "d")
+    val out = Graphs.labelPropagation(multi, "s", "d", iterations = 2)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    // node 3 only has a self-loop -> not in the edge universe
+    assert(out == Seq(1L -> 1L, 2L -> 1L, 8L -> 8L, 9L -> 8L))
+  }
+
+  // ---- association rules ---------------------------------------------
+
+  test("associationRules: both directions, confidence gate, lift carries") {
+    val baskets = Seq(
+      (1L, "x"), (1L, "y"),
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"),
+      (4L, "y")
+    ).toDF("b", "i")
+    val out = Baskets.associationRules(baskets, "b", "i",
+        minSupport = 2, minConfidence = 0.5)
+      .orderBy("antecedent")
+      .select("antecedent", "consequent", "n_pair", "n_ante", "confidence", "lift")
+      .as[(String, String, Long, Long, Double, Double)].collect().toSeq
+    // only (x,y) survives support; conf = 2/3 both ways; lift = 2*4/(3*3)
+    val lift = math.floor(2.0 * 4.0 / 9.0 * 1e9 + 0.5) / 1e9
+    val conf = math.floor(2.0 / 3.0 * 1e9 + 0.5) / 1e9
+    assert(out == Seq(("x", "y", 2L, 3L, conf, lift),
+      ("y", "x", 2L, 3L, conf, lift)))
+    // a tighter gate drops both directions
+    assert(Baskets.associationRules(baskets, "b", "i",
+      minSupport = 2, minConfidence = 0.7).count() == 0)
+  }
+
+  // ---- RFM -----------------------------------------------------------
+
+  test("rfmSegments: data-anchored recency, exact sums, total-order ntiles") {
+    def d(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    val orders = Seq(
+      (1L, d(1), BigDecimal("10.00")), (1L, d(10), BigDecimal("5.00")),
+      (2L, d(2), BigDecimal("100.00")),
+      (3L, d(5), BigDecimal("1.00")), (3L, d(6), BigDecimal("1.00")),
+      (3L, d(7), BigDecimal("1.00")),
+      (4L, d(15), BigDecimal("50.00")),
+      (5L, d(3), BigDecimal("20.00"))
+    ).toDF("k", "t", "v")
+    val out = Rollups.rfmSegments(orders, "k", "t", "v")
+      .orderBy("k")
+      .select(col("k"), col("recency_days"), col("frequency"),
+        col("monetary").cast("double"), col("r"), col("f"), col("m"))
+      .as[(Long, Long, Long, Double, Int, Int, Int)].collect().toSeq
+    // anchor = 2024-01-15 (the data's own max date)
+    // recency: k1=5, k2=13, k3=8, k4=0, k5=12
+    // r ntile over recency DESC (worst first): 13,12,8,5,0 -> k2=1,k5=2,k3=3,k1=4,k4=5
+    // f over frequency ASC: k2=1(f1),k4=2(f1),k5=3(f1),k1=4(f2),k3=5(f3)
+    //   (ties by key: 1-cnt keys are k2,k4,k5 in key order)
+    // m over monetary ASC: 3.0(k3)=1, 15.0(k1)=2, 20.0(k5)=3, 50.0(k4)=4, 100.0(k2)=5
+    assert(out == Seq(
+      (1L, 5L, 2L, 15.0, 4, 4, 2),
+      (2L, 13L, 1L, 100.0, 1, 1, 5),
+      (3L, 8L, 3L, 3.0, 3, 5, 1),
+      (4L, 0L, 1L, 50.0, 5, 2, 4),
+      (5L, 12L, 1L, 20.0, 2, 3, 3)))
+  }
+}
