@@ -2767,9 +2767,10 @@ object SparkEntry {
     }),
     "q_jaro" -> ((s, dir) => {
       // Jaro–Winkler via the native kernel over deterministic typo pairs
-      // (swap / deletion / identity by key class) — ASCII-only so the
-      // kernel's char semantics equal DuckDB's byte semantics; 1e-9
-      // floor-round absorbs ratio-arithmetic ulp
+      // (swap / deletion / identity by key class). The kernel is
+      // byte-oriented (UTF-8) since r14, matching DuckDB on ALL inputs —
+      // the ASCII fixture remains for readability; 1e-9 floor-round
+      // absorbs ratio-arithmetic ulp
       val c = T(s, dir, "customer").select(col("c_custkey"),
         concat(lit("customer_"), col("c_custkey").cast("string")).as("s1"))
       c.withColumn("s2",

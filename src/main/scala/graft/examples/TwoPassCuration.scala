@@ -44,12 +44,24 @@ object TwoPassCuration {
              nearDupThreshold: Double = 0.9,
              materializeIntermediate: Boolean = true,
              spanK: Int = 0): DataFrame = {
-    val first = WebCrawlCuration.curate(crawl, blockedDomains,
+    val first0 = WebCrawlCuration.curate(crawl, blockedDomains,
       idCol = "doc_id", urlCol = urlCol, textCol = textCol,
       boilerplateMinDocs = boilerplateMinDocs,
       delim = delim, joinSep = joinSep,
       materializeIntermediate = materializeIntermediate,
       htmlInput = htmlInput, spanK = spanK)
+    // pinned HANDOFF at the seam (r13 verdict): without it the second
+    // pass's plan embeds the ENTIRE first-pass tree (boilerplate
+    // reassembly, PSL url expressions, both windows) below its own
+    // stages — one mega-plan whose analysis + codegen dominate the cold
+    // run (measured ~2× cold-run cost at sf0.1) and whose lineage a
+    // cluster run would re-derive on executor loss. The pin materializes
+    // the curated-survivor seam (output-sized, the cheapest point in the
+    // whole pipeline) and truncates lineage — in production this is
+    // where the first pass lands in storage anyway.
+    val first =
+      if (materializeIntermediate) graft.ops.Checkpoints.pin(first0).df
+      else first0
     // the seam: first-pass cleaned text becomes the second pass's input
     // text; lang is absent in a raw crawl — Optional("und") fills it
     val docs = first
