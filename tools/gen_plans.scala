@@ -54,7 +54,10 @@ for (name <- Seq("flagship_valid_split", "q_required", "q_min", "q_topk_similar"
     "q_url_templates", "q_null_patterns", "q_fd_violations", "q_lexical",
     "q_triangles", "q_hits", "q_rrf_fusion", "q_ks_test", "q_mutual_info",
     "q_cusum", "q_autocorr", "q_embed_cov", "q_interval_join",
-    "q_ppr", "q_frequent_pairs", "q_skyline", "q_mmr_rerank", "q_cidr_lookup", "q_geo_join", "q_ks_by_group", "q_ols", "q_kaplan_meier", "q_attribution", "q_jaro")) {
+    "q_ppr", "q_frequent_pairs", "q_skyline", "q_mmr_rerank", "q_cidr_lookup", "q_geo_join", "q_ks_by_group", "q_ols", "q_kaplan_meier", "q_attribution", "q_jaro",
+    "q_attribution_first", "q_attribution_position", "q_mannwhitney",
+    "q_bh_fdr", "q_kappa", "q_locf", "q_resample_daily", "q_label_prop",
+    "q_assoc_rules", "q_rfm")) {
   val df = if (name == "flagship_valid_split") flagship
            else graft.SparkEntry.queries(name)(spark, dir)
   out.println()
