@@ -2870,6 +2870,51 @@ object SparkEntry {
           "l_orderkey", "l_partkey", minSupport = 2, minConfidence = 0.05)
         .orderBy("antecedent", "consequent")
     }),
+    "q_isotonic" -> ((s, dir) => {
+      // isotonic calibration over a deterministic synthetic scorer:
+      // score s = (13·id%100)/100, label = 1 iff (7·id%100) < (13·id%100)
+      // — P(label|s) increases in s, so the PAV actually pools something
+      val d = T(s, dir, "documents").select(
+        ((col("doc_id") * 13 % 100).cast("double") / 100.0).as("s"),
+        when(col("doc_id") * 7 % 100 < col("doc_id") * 13 % 100, 1.0)
+          .otherwise(0.0).as("y"))
+      graft.ops.Classifier.isotonicCalibration(d, "s", "y", bins = 10)
+        .orderBy("bin")
+    }),
+    "q_holt" -> ((s, dir) => {
+      // Holt level+trend over the 5 per-type daily count series (the
+      // CUSUM fixture); the oracle replays the fold via list_reduce
+      val daily = T(s, dir, "events")
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.TimeSeries.holtSmooth(daily, "event_type", "day", "n",
+          alpha = 0.5, beta = 0.3, horizon = 7)
+        .orderBy("event_type")
+    }),
+    "q_seasonal" -> ((s, dir) => {
+      // weekly additive decomposition of the same daily series
+      val daily = T(s, dir, "events")
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.TimeSeries.seasonalDecompose(daily, "event_type", "day",
+          "n", period = 7)
+        .orderBy("event_type", "day")
+    }),
+    "q_wilson" -> ((s, dir) => {
+      // finished-rate per order priority with Wilson 95% bounds
+      graft.ops.Classifier.wilsonInterval(T(s, dir, "orders"),
+          Seq("o_orderpriority"), col("o_orderstatus") === "F", z = 1.96)
+        .orderBy("o_orderpriority")
+    }),
+    "q_prop_ztest" -> ((s, dir) => {
+      // A/B: do click events carry high values (≥ 50) at a different
+      // rate than view events
+      Sketches.proportionZTest(T(s, dir, "events"),
+        col("event_type") === "click", col("event_type") === "view",
+        col("value") >= 50)
+    }),
     "q_rfm" -> ((s, dir) => {
       // RFM quintiles over orders; monetary pre-snapped to cents and
       // summed as DECIMAL (exact, order-free), output cast to double so
@@ -5588,6 +5633,91 @@ object SparkEntry {
         "floor(CAST(n_pair AS DOUBLE)/CAST(n_ante AS DOUBLE)*1e9 + 0.5)/1e9 AS confidence, lift " +
         "FROM ru WHERE floor(CAST(n_pair AS DOUBLE)/CAST(n_ante AS DOUBLE)*1e9 + 0.5)/1e9 >= 0.05 " +
         "ORDER BY antecedent, consequent"),
+    "q_isotonic" ->
+      // the minimax identity iso(i) = max_{j≤i} min_{k≥i} mean(j..k)
+      // over prefix sums — bins² grid, suffix-min + group-max windows;
+      // every mean is an exact-count division (0/1 labels sum exactly)
+      ("WITH d AS (SELECT CAST((doc_id*13)%100 AS DOUBLE)/100.0 AS s, " +
+        "CASE WHEN (doc_id*7)%100 < (doc_id*13)%100 THEN 1.0 ELSE 0.0 END AS y FROM documents), " +
+        "b AS (SELECT CAST(least(floor(s*10), 9) AS INTEGER) AS bin, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(y) AS DOUBLE) AS sy FROM d WHERE s IS NOT NULL AND y IS NOT NULL AND s >= 0 AND s <= 1 GROUP BY 1), " +
+        "p AS (SELECT bin, n, sy, CAST(sum(n) OVER wo AS BIGINT) AS cn, CAST(sum(sy) OVER wo AS DOUBLE) AS cy FROM b " +
+        "WINDOW wo AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)), " +
+        "g AS (SELECT j.bin AS j, k.bin AS k, " +
+        "(k.cy - (j.cy - j.sy)) / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS a " +
+        "FROM p j JOIN p k ON j.bin <= k.bin), " +
+        "m AS (SELECT j, k AS i, min(a) OVER (PARTITION BY j ORDER BY k DESC ROWS UNBOUNDED PRECEDING) AS mji FROM g), " +
+        "iso AS (SELECT i, max(mji) AS iso_raw FROM m GROUP BY 1) " +
+        "SELECT b.bin, b.n, b.sy / CAST(b.n AS DOUBLE) AS rate, " +
+        "floor(iso.iso_raw*1e9 + 0.5)/1e9 AS iso_rate " +
+        "FROM b JOIN iso ON b.bin = iso.i ORDER BY bin"),
+    "q_holt" ->
+      // the exact snapped fold replayed via list_reduce with a [l,b]
+      // list accumulator; (1.0 - 0.5)/(1.0 - 0.3) written as runtime
+      // subtractions so both engines fold the identical double
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS v " +
+        "FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2), " +
+        "s AS (SELECT event_type, list(v ORDER BY day) AS ys FROM daily GROUP BY 1 HAVING count(*) >= 2), " +
+        "f AS (SELECT event_type, CAST(len(ys) AS BIGINT) AS n, " +
+        "list_reduce(list_prepend([floor(ys[1]/1e-12 + 0.5)*1e-12, floor((ys[2]-ys[1])/1e-12 + 0.5)*1e-12]::DOUBLE[], " +
+        "list_transform(ys[2:], y -> [y, 0.0]::DOUBLE[])), " +
+        "(acc, y) -> [floor((0.5*y[1] + (1.0 - 0.5)*(acc[1] + acc[2]))/1e-12 + 0.5)*1e-12, " +
+        "floor((0.3*(floor((0.5*y[1] + (1.0 - 0.5)*(acc[1] + acc[2]))/1e-12 + 0.5)*1e-12 - acc[1]) + (1.0 - 0.3)*acc[2])/1e-12 + 0.5)*1e-12]::DOUBLE[]) AS st " +
+        "FROM s) " +
+        "SELECT event_type, n, st[1] AS level, st[2] AS trend, " +
+        "floor((st[1] + 7.0*st[2])/1e-12 + 0.5)*1e-12 AS forecast " +
+        "FROM f ORDER BY event_type"),
+    "q_seasonal" ->
+      // 1e-6-snapped DECIMAL window sums (window summation ORDER is
+      // engine-internal — exact decimal sums are the only stable form),
+      // phase means re-centered by the key mean, 1e-9 floors
+      ("WITH daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n " +
+        "FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2), " +
+        "b AS (SELECT k, day, n, CAST(floor(CAST(n AS DOUBLE)*1e6 + 0.5)/1e6 AS DECIMAL(28,6)) AS v6, " +
+        "row_number() OVER (PARTITION BY k ORDER BY day) AS idx FROM daily), " +
+        "t AS (SELECT *, CASE WHEN count(v6) OVER w = 7 THEN " +
+        "floor((CAST(sum(v6) OVER w AS DOUBLE)/7.0)*1e9 + 0.5)/1e9 END AS trend, " +
+        "(idx - 1) % 7 AS phase FROM b " +
+        "WINDOW w AS (PARTITION BY k ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), " +
+        "dd AS (SELECT *, CAST(floor((CAST(v6 AS DOUBLE) - trend)*1e9 + 0.5)/1e9 AS DECIMAL(28,9)) AS d FROM t), " +
+        "mm AS (SELECT *, CAST(sum(d) OVER (PARTITION BY k, phase) AS DOUBLE)/CAST(count(d) OVER (PARTITION BY k, phase) AS DOUBLE) AS pm, " +
+        "CAST(sum(d) OVER (PARTITION BY k) AS DOUBLE)/CAST(count(d) OVER (PARTITION BY k) AS DOUBLE) AS gm FROM dd) " +
+        "SELECT k AS event_type, day, n, trend, " +
+        "CASE WHEN pm IS NOT NULL AND gm IS NOT NULL THEN floor((pm - gm)*1e9 + 0.5)/1e9 END AS seasonal, " +
+        "CASE WHEN trend IS NOT NULL AND pm IS NOT NULL AND gm IS NOT NULL THEN " +
+        "floor((CAST(v6 AS DOUBLE) - trend - floor((pm - gm)*1e9 + 0.5)/1e9)*1e9 + 0.5)/1e9 END AS resid " +
+        "FROM mm ORDER BY event_type, day"),
+    "q_wilson" ->
+      // (1.96*1.96) as a runtime product on both sides; identical
+      // center/half operation order, 1e-9 floors on the three outputs
+      ("WITH g AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS k " +
+        "FROM orders GROUP BY 1), " +
+        "e AS (SELECT o_orderpriority, n, k, CAST(k AS DOUBLE)/CAST(n AS DOUBLE) AS p, " +
+        "1.0 + (1.96*1.96)/CAST(n AS DOUBLE) AS denom, " +
+        "(CAST(k AS DOUBLE)/CAST(n AS DOUBLE) + (1.96*1.96)/(2.0*CAST(n AS DOUBLE))) / (1.0 + (1.96*1.96)/CAST(n AS DOUBLE)) AS center, " +
+        "1.96 * sqrt(CAST(k AS DOUBLE)/CAST(n AS DOUBLE)*(1.0 - CAST(k AS DOUBLE)/CAST(n AS DOUBLE))/CAST(n AS DOUBLE) + " +
+        "(1.96*1.96)/(4.0*CAST(n AS DOUBLE)*CAST(n AS DOUBLE))) / (1.0 + (1.96*1.96)/CAST(n AS DOUBLE)) AS half FROM g) " +
+        "SELECT o_orderpriority, n, k, floor(p*1e9 + 0.5)/1e9 AS rate, " +
+        "floor((center - half)*1e9 + 0.5)/1e9 AS lo, " +
+        "floor((center + half)*1e9 + 0.5)/1e9 AS hi " +
+        "FROM e ORDER BY o_orderpriority"),
+    "q_prop_ztest" ->
+      // pooled-variance two-proportion z; null-safe success predicate
+      ("WITH c AS (SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a, " +
+        "CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b, " +
+        "CASE WHEN value >= 50 THEN 1 ELSE 0 END AS s " +
+        "FROM events WHERE event_type IN ('click', 'view')), " +
+        "g AS (SELECT CAST(coalesce(sum(a), 0) AS BIGINT) AS n_a, CAST(coalesce(sum(a*s), 0) AS BIGINT) AS k_a, " +
+        "CAST(coalesce(sum(b), 0) AS BIGINT) AS n_b, CAST(coalesce(sum(b*s), 0) AS BIGINT) AS k_b FROM c), " +
+        "e AS (SELECT *, CAST(k_a AS DOUBLE)/CAST(n_a AS DOUBLE) AS pa, CAST(k_b AS DOUBLE)/CAST(n_b AS DOUBLE) AS pb, " +
+        "CAST(k_a + k_b AS DOUBLE)/CAST(n_a + n_b AS DOUBLE) AS pool FROM g) " +
+        "SELECT n_a, k_a, n_b, k_b, " +
+        "CASE WHEN n_a > 0 THEN floor(pa*1e9 + 0.5)/1e9 END AS rate_a, " +
+        "CASE WHEN n_b > 0 THEN floor(pb*1e9 + 0.5)/1e9 END AS rate_b, " +
+        "CASE WHEN n_a > 0 AND n_b > 0 AND pool > 0 AND pool < 1 THEN " +
+        "floor((pa - pb)/sqrt(pool*(1.0 - pool)*(1.0/CAST(n_a AS DOUBLE) + 1.0/CAST(n_b AS DOUBLE)))*1e9 + 0.5)/1e9 END AS z " +
+        "FROM e"),
     "q_rfm" ->
       // cents-snapped DECIMAL spend, data-anchored recency, three ntile(5)
       // windows each on a TOTAL order (key tiebreak)

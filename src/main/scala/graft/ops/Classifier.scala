@@ -310,6 +310,99 @@ object Classifier {
       when(solvable && sst > 0, r6(lit(1.0) - sse / sst)).as("r2"))
   }
 
+  /** Isotonic calibration of a [0,1] score against a binary label via
+    * pool-adjacent-violators, BINNED: the monotone-nondecreasing step
+    * function closest (weighted least squares) to the per-bin observed
+    * rates — the standard post-hoc calibrator for quality/relevance
+    * classifiers when Platt's sigmoid shape is wrong. Scores bin into
+    * `bins` equal-width buckets first, so the fit is over MODEL-SIZED
+    * state (≤ bins rows) no matter the corpus.
+    *
+    * PAV is solved IN-PLAN via the minimax closed form
+    * `iso(i) = max_{j≤i} min_{k≥i} mean(y over bins j..k)` — the
+    * textbook identity for weighted isotonic regression. Pooled means
+    * come from prefix sums over the bin table; the j×k grid is a
+    * bins²-row self-join (≤ 1024 rows at the default 32-cap) with two
+    * bounded windows (suffix min over k, prefix max over j) — every
+    * stage after the one corpus aggregation is model-sized, nothing
+    * collects to the driver, and the whole computation mirrors in SQL
+    * with identical windows. Rates are exact-count divisions (identical
+    * doubles on any engine); `iso_rate` is floor-rounded at 1e-9.
+    *
+    * Output: one row per NON-EMPTY bin —
+    * `(bin, n, rate, iso_rate)`, `bin` 0-based, rates in [0,1];
+    * `iso_rate` is nondecreasing in `bin` by construction. Rows with a
+    * null score/label, or a score outside [0,1], drop (scores are
+    * probabilities — out-of-range input is a caller bug surfaced by the
+    * count, not silently clamped). */
+  def isotonicCalibration(df: DataFrame, scoreCol: String, labelCol: String,
+                          bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 32, s"bins must be in [2, 32], got $bins")
+    val s = col(scoreCol).cast("double")
+    val binned = df
+      .filter(s.isNotNull && col(labelCol).isNotNull && s >= 0 && s <= 1)
+      .select(least(floor(s * bins), lit(bins - 1)).cast("int").as("bin"),
+        col(labelCol).cast("double").as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("double").as("sy"))
+    // prefix sums over the ≤bins-row table (single-partition window over
+    // model-sized state — the ksStatistic cell-table class)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val pref = binned
+      .withColumn("cn", sum(col("n")).over(w))
+      .withColumn("cy", sum(col("sy")).over(w))
+    val j = pref.select(col("bin").as("j"), (col("cn") - col("n")).as("cnj"),
+      (col("cy") - col("sy")).as("cyj"))
+    val k = pref.select(col("bin").as("k"), col("cn").as("cnk"),
+      col("cy").as("cyk"))
+    // pooled mean A(j,k) over bins j..k for every j ≤ k (bins² rows)
+    val grid = j.join(k, col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("cyk") - col("cyj")) / (col("cnk") - col("cnj")).cast("double"))
+          .as("a"))
+    // M(j,i) = min_{k≥i} A(j,k): suffix min per j; evaluated at i = k
+    val wSuf = org.apache.spark.sql.expressions.Window.partitionBy(col("j"))
+      .orderBy(col("k").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val m = grid.withColumn("mji", min(col("a")).over(wSuf))
+      .select(col("j"), col("k").as("i"), col("mji"))
+    // iso(i) = max_{j≤i} M(j,i): prefix max per i (j ≤ i holds by grid)
+    val iso = m.groupBy(col("i")).agg(max(col("mji")).as("iso_raw"))
+    binned.join(iso, binned("bin") === iso("i"))
+      .select(col("bin"), col("n"),
+        (col("sy") / col("n").cast("double")).as("rate"),
+        (floor(col("iso_raw") * 1e9 + lit(0.5)) / 1e9).as("iso_rate"))
+  }
+
+  /** Wilson score interval for per-group binomial rates — the
+    * small-sample-honest confidence interval ("is this source's 92%
+    * keep-rate on 13 documents actually better than that one's 85% on
+    * 40,000"): unlike the normal (Wald) interval it never exits [0,1]
+    * and stays calibrated at small n. One partial-aggregable pass;
+    * interval arithmetic in double over exact counts with a pinned
+    * operation order, floor-rounded at 1e-9.
+    *
+    * Output: one row per group — `(groupCols…, n, k, rate, lo, hi)`. */
+  def wilsonInterval(df: DataFrame, groupCols: Seq[String], successCol: Column,
+                     z: Double = 1.96): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val agg = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(successCol, 1L).otherwise(0L)), lit(0L)).as("k"))
+    val nD = col("n").cast("double")
+    val p = col("k").cast("double") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nD
+    val center = (p + z2 / (lit(2.0) * nD)) / denom
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD)) / denom
+    def r9(c: Column) = floor(c * 1e9 + lit(0.5)) / 1e9
+    agg.select(groupCols.map(col) ++ Seq(col("n"), col("k"),
+      r9(p).as("rate"), r9(center - half).as("lo"),
+      r9(center + half).as("hi")): _*)
+  }
+
   /** Cohen's kappa between two categorical label columns — the
     * chance-corrected agreement score behind every labeling-pipeline
     * audit: "do the two annotators (or the model and the human rater, or

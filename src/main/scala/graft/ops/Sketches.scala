@@ -1050,6 +1050,38 @@ object Sketches {
         floor((u - mu) / sqrt(varU) * 1e9 + lit(0.5)) / 1e9).as("z"))
   }
 
+  /** Two-proportion z-test between two slices' success rates — the A/B
+    * primitive ("did the new extraction rule change the keep-rate"):
+    * pooled-variance normal approximation
+    * `z = (p₁ − p₂) / √(p̄(1−p̄)(1/n₁ + 1/n₂))`. One partial-aggregable
+    * pass; exact counts, double math in pinned operation order, z
+    * floor-rounded at 1e-9 and null when either slice is empty or the
+    * pooled rate is degenerate (0 or 1 — no variance to test against).
+    *
+    * Returns ONE row:
+    * `(n_a, k_a, n_b, k_b, rate_a, rate_b, z)`. */
+  def proportionZTest(df: DataFrame, inA: Column, inB: Column,
+                      success: Column): DataFrame = {
+    val agg = df.filter(inA || inB).agg(
+      coalesce(sum(when(inA, 1L).otherwise(0L)), lit(0L)).as("n_a"),
+      coalesce(sum(when(inA && success, 1L).otherwise(0L)), lit(0L)).as("k_a"),
+      coalesce(sum(when(inB, 1L).otherwise(0L)), lit(0L)).as("n_b"),
+      coalesce(sum(when(inB && success, 1L).otherwise(0L)), lit(0L)).as("k_b"))
+    def r9(c: Column) = floor(c * 1e9 + lit(0.5)) / 1e9
+    val naD = col("n_a").cast("double"); val nbD = col("n_b").cast("double")
+    val pa = col("k_a").cast("double") / naD
+    val pb = col("k_b").cast("double") / nbD
+    val pool = (col("k_a") + col("k_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val z = (pa - pb) / sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / naD + lit(1.0) / nbD))
+    agg.select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+      when(col("n_a") > 0, r9(pa)).as("rate_a"),
+      when(col("n_b") > 0, r9(pb)).as("rate_b"),
+      when(col("n_a") > 0 && col("n_b") > 0 && pool > 0 && pool < 1,
+        r9(z)).as("z"))
+  }
+
   /** Benjamini–Hochberg step-up FDR control over a (hypothesis, p-value)
     * table — the multiple-testing gate that belongs after any per-stratum
     * test battery ([[ksStatisticBy]], per-language drift, per-source

@@ -326,6 +326,135 @@ object TimeSeries {
         floor(num / sqrt(denx * deny) * 1e9 + lit(0.5)) / 1e9).as("acf"))
   }
 
+  /** Holt double-exponential (level + trend) smoothing per key, to the
+    * final state and an h-step forecast — "is this source's volume
+    * trending up, and where does it land next week": the trend-aware
+    * upgrade of [[ewma]] for capacity and drift monitoring. Standard
+    * recurrence from `l₁ = y₁, b₁ = y₂ − y₁`:
+    * `l_t = α·y_t + (1−α)(l+b)`, `b_t = β(l_t − l_prev) + (1−β)b`,
+    * forecast `l_n + h·b_n`. Each step's level/trend snap to the 1e-12
+    * grid (the pageRank quantum discipline) so the fold is bitwise
+    * cross-engine-stable; α/β are used as literals on both sides, never
+    * derived by runtime subtraction.
+    *
+    * Execution shape: the recurrence is inherently sequential, so it
+    * runs as ONE in-row `aggregate` fold over each key's ORDERED series
+    * — per-key cost and state are bounded by that key's own series
+    * length, which this op CONTRACTS to be bounded (feed it
+    * [[resampleDaily]]-shaped fixed-step series: length ≤ span days; an
+    * unbounded-history key is the documented funnel-class hot-key). Keys
+    * with fewer than 2 observations drop (no trend exists).
+    *
+    * Output: one row per key —
+    * `(keyCol, n, level, trend, forecast)`. */
+  def holtSmooth(df: DataFrame, keyCol: String, timeCol: String,
+                 valueCol: String, alpha: Double = 0.5, beta: Double = 0.3,
+                 horizon: Int = 7): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(beta > 0 && beta < 1, s"beta must be in (0,1), got $beta")
+    require(horizon >= 0, s"horizon must be ≥ 0, got $horizon")
+    def snap(c: Column) = floor(c / 1e-12 + lit(0.5)) * 1e-12
+    val series = df
+      .filter(col(keyCol).isNotNull && col(timeCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col(timeCol).as("t"),
+          col(valueCol).cast("double").as("v")))),
+        s => s.getField("v")).as("ys"))
+      .filter(size(col("ys")) >= 2)
+    val y1 = element_at(col("ys"), 1)
+    val y2 = element_at(col("ys"), 2)
+    val init = struct(snap(y1).as("l"), snap(y2 - y1).as("b"))
+    val fin = aggregate(slice(col("ys"), lit(2), greatest(size(col("ys")) - 1, lit(0))),
+      init, (st, y) => {
+        val lNew = snap(lit(alpha) * y +
+          lit(1.0 - alpha) * (st.getField("l") + st.getField("b")))
+        val bNew = snap(lit(beta) * (lNew - st.getField("l")) +
+          lit(1.0 - beta) * st.getField("b"))
+        struct(lNew.as("l"), bNew.as("b"))
+      })
+    series.select(col(keyCol), size(col("ys")).cast("long").as("n"),
+        fin.getField("l").as("level"), fin.getField("b").as("trend"))
+      .withColumn("forecast",
+        snap(col("level") + lit(horizon.toDouble) * col("trend")))
+  }
+
+  /** Additive seasonal decomposition of per-key FIXED-STEP series
+    * (classic decomposition, STL's simple ancestor): `trend` = centered
+    * moving average over one period, `seasonal` = each phase's mean
+    * detrended value (re-centered to sum ≈ 0), `resid` = the rest — the
+    * "is Sunday always low, or did something break on this Sunday"
+    * separation behind seasonality-aware drift alerts. Feed it
+    * [[resampleDaily]]-shaped complete grids; gaps bias the phase means
+    * exactly as in the textbook method.
+    *
+    * Odd `period` uses the symmetric (period−1)/2-radius window; even
+    * `period` uses the standard 2×MA (half-weight endpoints). Trend (and
+    * therefore seasonal/resid) is null within the first/last half-window
+    * of each key — the honest edge, not an extrapolation.
+    *
+    * Numeric discipline: values snap to the 1e-6 grid and every window
+    * mean runs as a DECIMAL sum divided in double — window-aggregate
+    * summation ORDER is engine-internal (segment trees vs sliding
+    * accumulators), so float window sums are not cross-engine-stable but
+    * exact decimal sums are (the corpusDivergence rule applied to
+    * windows). Published quantities floor-round at 1e-9.
+    *
+    * Output: input keys × steps —
+    * `(keyCol, timeCol, valueCol, trend, seasonal, resid)`. */
+  def seasonalDecompose(df: DataFrame, keyCol: String, timeCol: String,
+                        valueCol: String, period: Int = 7): DataFrame = {
+    require(period >= 2, s"period must be ≥ 2, got $period")
+    def r9(c: Column) = floor(c * 1e9 + lit(0.5)) / 1e9
+    val v6 = (floor(col(valueCol).cast("double") * 1e6 + lit(0.5)) / 1e6)
+      .cast("decimal(28,6)")
+    val base = df.filter(col(keyCol).isNotNull && col(timeCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .withColumn("__v", v6)
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(timeCol))
+    val half = period / 2
+    val trend =
+      if (period % 2 == 1) {
+        val w = wOrd.rowsBetween(-half, half)
+        when(count(col("__v")).over(w) === period,
+          r9(sum(col("__v")).over(w).cast("double") / period.toDouble))
+      } else {
+        // 2×MA: mean of the two period-wide windows offset by one step —
+        // equivalently half-weight endpoints over 2·half+1 rows
+        val wA = wOrd.rowsBetween(-half, half - 1)
+        val wB = wOrd.rowsBetween(-half + 1, half)
+        when(count(col("__v")).over(wA) === period &&
+            count(col("__v")).over(wB) === period,
+          r9((sum(col("__v")).over(wA).cast("double") / period.toDouble +
+            sum(col("__v")).over(wB).cast("double") / period.toDouble) / 2.0))
+      }
+    val wKey = Window.partitionBy(col(keyCol))
+    val wPhase = Window.partitionBy(col(keyCol), col("__phase"))
+    val detr = base
+      .withColumn("__idx", row_number().over(wOrd))
+      .withColumn("__phase", (col("__idx") - 1) % period)
+      .withColumn("trend", trend)
+      // detrended values re-snapped to a grid and summed as DECIMAL so
+      // the unordered phase/key partition sums are addition-order-free
+      .withColumn("__d",
+        (floor((col("__v").cast("double") - col("trend")) * 1e9 + lit(0.5)) / 1e9)
+          .cast("decimal(28,9)"))
+    val out = detr
+      .withColumn("__pm", sum(col("__d")).over(wPhase).cast("double") /
+        count(col("__d")).over(wPhase).cast("double"))
+      .withColumn("__gm", sum(col("__d")).over(wKey).cast("double") /
+        count(col("__d")).over(wKey).cast("double"))
+      .withColumn("seasonal",
+        when(col("__pm").isNotNull && col("__gm").isNotNull,
+          r9(col("__pm") - col("__gm"))))
+      .withColumn("resid",
+        when(col("trend").isNotNull && col("seasonal").isNotNull,
+          r9(col("__v").cast("double") - col("trend") - col("seasonal"))))
+    out.select(col(keyCol), col(timeCol), col(valueCol),
+      col("trend"), col("seasonal"), col("resid"))
+  }
+
   /** Last-observation-carried-forward (LOCF) gap fill: per key, ordered
     * by `(timeCol, tieCol)`, replace a null `valueCol` with the most
     * recent non-null observation — THE imputation rule for sensor/metric

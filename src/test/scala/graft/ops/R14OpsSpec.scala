@@ -219,6 +219,133 @@ class R14OpsSpec extends SparkSuite {
       minSupport = 2, minConfidence = 0.7).count() == 0)
   }
 
+  // ---- calibration / smoothing / intervals ----------------------------
+
+  test("isotonicCalibration: PAV pools violators (minimax hand case)") {
+    // bin rates [1.0, 0.0, 0.5] with equal weights pool to 0.5 everywhere
+    val d = Seq(
+      (0.05, 1.0), (0.06, 1.0),
+      (0.15, 0.0), (0.16, 0.0),
+      (0.25, 1.0), (0.26, 0.0)
+    ).toDF("s", "y")
+    val out = Classifier.isotonicCalibration(d, "s", "y", bins = 10)
+      .orderBy("bin").select("bin", "n", "rate", "iso_rate")
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(out == Seq((0, 2L, 1.0, 0.5), (1, 2L, 0.0, 0.5), (2, 2L, 0.5, 0.5)))
+    // already-monotone rates are the identity fit
+    val mono = Seq((0.05, 0.0), (0.15, 0.0), (0.15, 1.0), (0.25, 1.0))
+      .toDF("s", "y")
+    val out2 = Classifier.isotonicCalibration(mono, "s", "y", bins = 10)
+      .orderBy("bin").select("rate", "iso_rate")
+      .as[(Double, Double)].collect().toSeq
+    assert(out2 == Seq((0.0, 0.0), (0.5, 0.5), (1.0, 1.0)))
+  }
+
+  test("isotonicCalibration equals a brute-force PAV reference on random data") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(400)((rnd.nextDouble(),
+      if (rnd.nextDouble() < 0.5) 1.0 else 0.0))
+    val out = Classifier.isotonicCalibration(rows.toDF("s", "y"), "s", "y", 8)
+      .orderBy("bin")
+      .select("bin", "n", "iso_rate").as[(Int, Long, Double)].collect().toSeq
+    // reference: classic stack-based weighted PAV over the same bins
+    val bins = rows.filter { case (s, _) => s >= 0 && s <= 1 }
+      .groupBy { case (s, _) => math.min(math.floor(s * 8).toInt, 7) }
+      .toSeq.sortBy(_._1)
+      .map { case (b, vs) => (b, vs.size.toLong, vs.map(_._2).sum) }
+    val stack = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    for ((_, n, sy) <- bins) {
+      stack += ((n, sy))
+      while (stack.size >= 2 && {
+        val (n2, s2) = stack(stack.size - 1); val (n1, s1) = stack(stack.size - 2)
+        s1 / n1 >= s2 / n2
+      }) {
+        val (n2, s2) = stack.remove(stack.size - 1)
+        val (n1, s1) = stack.remove(stack.size - 1)
+        stack += ((n1 + n2, s1 + s2))
+      }
+    }
+    val ref = scala.collection.mutable.ArrayBuffer[Double]()
+    for ((n, sy) <- stack; _ <- 1L to n) ref += sy / n
+    // ref is per-ROW; map back to per-bin (each bin's rows share a value)
+    val refPerBin = bins.map(_._2).scanLeft(0L)(_ + _).zip(bins)
+      .map { case (off, (b, _, _)) => (b, ref(off.toInt)) }
+    val got = out.map { case (b, _, iso) => (b, iso) }
+    val want = refPerBin.map { case (b, v) =>
+      (b, math.floor(v * 1e9 + 0.5) / 1e9) }
+    assert(got == want)
+    // monotone by construction
+    assert(out.map(_._3).sliding(2).forall(p => p.head <= p.last))
+  }
+
+  test("holtSmooth: matches the snapped sequential reference; <2 points drop") {
+    def snap(x: Double) = math.floor(x / 1e-12 + 0.5) * 1e-12
+    val ys = Seq(1.0, 3.0, 2.0, 5.0, 4.0)
+    var l = snap(ys(0)); var b = snap(ys(1) - ys(0))
+    for (y <- ys.drop(1)) {
+      val lNew = snap(0.5 * y + (1.0 - 0.5) * (l + b))
+      val bNew = snap(0.3 * (lNew - l) + (1.0 - 0.3) * b)
+      l = lNew; b = bNew
+    }
+    val df = ys.zipWithIndex.map { case (v, i) => (1L, ts(i), v) }
+      .toDF("k", "t", "v")
+      .unionByName(Seq((2L, ts(0), 9.0)).toDF("k", "t", "v")) // 1 point: drops
+    val out = TimeSeries.holtSmooth(df, "k", "t", "v", 0.5, 0.3, 7)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq((1L, 5L, l, b, snap(l + 7.0 * b))))
+  }
+
+  test("seasonalDecompose: pure periodic signal separates exactly") {
+    // period 3, constant pattern [10, 20, 30] over 9 steps: interior
+    // trend = 20, seasonal = {-10, 0, +10}, resid = 0
+    val vals = (0 until 9).map(i => (1L, ts(i), Seq(10.0, 20.0, 30.0)(i % 3)))
+    val out = TimeSeries.seasonalDecompose(vals.toDF("k", "t", "v"),
+        "k", "t", "v", period = 3)
+      .orderBy("t")
+      .select("trend", "seasonal", "resid")
+      .as[(Option[Double], Option[Double], Option[Double])].collect().toSeq
+    assert(out.head == ((None, Some(-10.0), None)))       // edge: no trend
+    assert(out.last == ((None, Some(10.0), None)))
+    assert(out.slice(1, 8).zipWithIndex.forall { case ((t, s, r), i) =>
+      t == Some(20.0) && r == Some(0.0) &&
+        s == Some(Seq(0.0, 10.0, -10.0)(i % 3)) })
+  }
+
+  test("wilsonInterval: textbook 50/100 bounds; zero-successes stays in [0,1]") {
+    val df = (Seq.fill(50)(("g", true)) ++ Seq.fill(50)(("g", false)) ++
+      Seq.fill(10)(("h", false))).toDF("g", "ok")
+    val out = Classifier.wilsonInterval(df, Seq("g"), col("ok"), z = 1.96)
+      .orderBy("g").select("g", "n", "k", "rate", "lo", "hi")
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    def r9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    val (nD, p, z2) = (100.0, 0.5, 1.96 * 1.96)
+    val denom = 1.0 + z2 / nD
+    val center = (p + z2 / (2.0 * nD)) / denom
+    val half = 1.96 * math.sqrt(p * (1.0 - p) / nD + z2 / (4.0 * nD * nD)) / denom
+    assert(out.head == (("g", 100L, 50L, 0.5, r9(center - half), r9(center + half))))
+    val (_, _, _, _, lo, hi) = out(1)
+    assert(lo >= 0.0 && hi > 0.0 && hi < 1.0) // Wald would give lo < 0
+  }
+
+  test("proportionZTest: pooled z hand case; degenerate pool gives null z") {
+    val df = (Seq.fill(60)(("a", true)) ++ Seq.fill(40)(("a", false)) ++
+      Seq.fill(50)(("b", true)) ++ Seq.fill(50)(("b", false)))
+      .toDF("g", "ok")
+    val r = Sketches.proportionZTest(df, col("g") === "a", col("g") === "b",
+        col("ok"))
+      .as[(Long, Long, Long, Long, Double, Double, Option[Double])]
+      .collect().head
+    val pool = 110.0 / 200.0
+    val zExp = (0.6 - 0.5) / math.sqrt(pool * (1.0 - pool) * (1.0 / 100.0 + 1.0 / 100.0))
+    assert(r == ((100L, 60L, 100L, 50L, 0.6, 0.5,
+      Some(math.floor(zExp * 1e9 + 0.5) / 1e9))))
+    val allTrue = Seq(("a", true), ("b", true)).toDF("g", "ok")
+    val r2 = Sketches.proportionZTest(allTrue, col("g") === "a",
+        col("g") === "b", col("ok"))
+      .select("z").as[Option[Double]].collect().head
+    assert(r2.isEmpty) // pool = 1: no variance to test against
+  }
+
   // ---- RFM -----------------------------------------------------------
 
   test("rfmSegments: data-anchored recency, exact sums, total-order ntiles") {
