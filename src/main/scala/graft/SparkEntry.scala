@@ -2870,6 +2870,31 @@ object SparkEntry {
           "l_orderkey", "l_partkey", minSupport = 2, minConfidence = 0.05)
         .orderBy("antecedent", "consequent")
     }),
+    "q_ann_recall" -> ((s, dir) => {
+      // the ANN quality gate measured in-engine: IVF at nprobe=2 (so
+      // recall is honestly < 1 somewhere) against brute-force truth
+      val emb = T(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("long").as("centroid_id"),
+          col("embedding").cast("array<double>").as("centroid_vec"))
+      val assigned = Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
+      val approx = Similarity.ivfTopK(assigned, emb.filter(col("vec_id") < 5),
+        cents, "vec_id", "embedding", k = 3, nprobe = 2)
+      val exact = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3)
+      Similarity.recallAtK(approx.select(col("q_id"), col("cand_id")),
+          exact.select(col("q_id"), col("cand_id")), "q_id", "cand_id")
+        .orderBy("q_id")
+    }),
+    "q_theil_sen" -> ((s, dir) => {
+      // robust per-type daily trend — the outlier-proof OLS complement
+      val daily = T(s, dir, "events")
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.TimeSeries.theilSen(daily, "event_type", "day", "n")
+        .orderBy("event_type")
+    }),
     "q_isotonic" -> ((s, dir) => {
       // isotonic calibration over a deterministic synthetic scorer:
       // score s = (13·id%100)/100, label = 1 iff (7·id%100) < (13·id%100)
@@ -3077,10 +3102,11 @@ object SparkEntry {
     * cosine over the centroid set (tiebreak: lowest centroid_id — mirrors
     * ivfAssign's max_by(sim, -id)); probe = top-4 centroids per query;
     * rank candidates in probed cells only. Cosine fragment is IDENTICAL
-    * to q_ann_cosine's (bitwise parity). The two queries differ ONLY in
+    * to q_ann_cosine's (bitwise parity). The queries differ ONLY in
     * `centroidPred` — the DuckDB-expressible `vec_id < 16` rule vs the
-    * committed seedCentroids literals. */
-  private def ivfMirrorSql(centroidPred: String): String =
+    * committed seedCentroids literals — and in `nprobe`
+    * (q_ann_recall probes 2 cells so its recall is honestly < 1). */
+  private def ivfMirrorSql(centroidPred: String, nprobe: Int = 4): String =
     "WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings), " +
       s"c AS (SELECT vec_id AS centroid_id, vec AS cvec FROM v WHERE $centroidPred), " +
       "sc AS (SELECT v.vec_id, v.vec, c.centroid_id, " +
@@ -3095,13 +3121,26 @@ object SparkEntry {
       "ELSE list_dot_product(q.q_vec, c.cvec) / (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(c.cvec, c.cvec))) END AS psim " +
       "FROM q, c), " +
       "pr AS (SELECT q_id, q_vec, centroid_id FROM " +
-      "(SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY psim DESC, centroid_id) AS c_rk FROM qc) WHERE c_rk <= 4), " +
+      s"(SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY psim DESC, centroid_id) AS c_rk FROM qc) WHERE c_rk <= $nprobe), " +
       "scored AS (SELECT pr.q_id, a.vec_id AS cand_id, " +
       "CASE WHEN sqrt(list_dot_product(pr.q_vec, pr.q_vec)) * sqrt(list_dot_product(a.vec, a.vec)) = 0 THEN 0.0 " +
       "ELSE list_dot_product(pr.q_vec, a.vec) / (sqrt(list_dot_product(pr.q_vec, pr.q_vec)) * sqrt(list_dot_product(a.vec, a.vec))) END AS sim " +
       "FROM asn a JOIN pr ON a.centroid_id = pr.centroid_id WHERE a.vec_id <> pr.q_id) " +
       "SELECT q_id, cand_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS INTEGER) AS rk " +
       "FROM scored QUALIFY rk <= 3 ORDER BY q_id, rk"
+
+  /** q_ann_cosine mirror (also the exact side of q_ann_recall):
+    * bitwise-comparable — both engines run the same sequential
+    * double-accumulation dot product over float-widened vectors. */
+  private val annCosineOracleSql: String =
+    "WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings), " +
+      "q AS (SELECT vec_id AS q_id, vec AS q_vec FROM v WHERE vec_id < 5), " +
+      "pairs AS (SELECT q.q_id, v.vec_id AS cand_id, " +
+      "CASE WHEN sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(v.vec, v.vec)) = 0 THEN 0.0 " +
+      "ELSE list_dot_product(q.q_vec, v.vec) / (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(v.vec, v.vec))) END AS sim " +
+      "FROM v, q WHERE v.vec_id <> q.q_id) " +
+      "SELECT q_id, cand_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS INTEGER) AS rk " +
+      "FROM pairs QUALIFY rk <= 3 ORDER BY q_id, rk"
 
   /** Closed-form link-graph edge list shared by the q_pagerank /
     * q_degrees / q_triangles / q_hits oracles (the SQL restatement of
@@ -4324,17 +4363,7 @@ object SparkEntry {
         "ELSE list_sort([{'h': h_de, 'l': 'de'}, {'h': h_en, 'l': 'en'}, {'h': h_es, 'l': 'es'}, " +
         "{'h': h_fr, 'l': 'fr'}, {'h': h_zh, 'l': 'zh'}])[-1].l END AS guess " +
         "FROM h ORDER BY doc_id"),
-    "q_ann_cosine" ->
-      // bitwise-comparable: both engines run the same sequential
-      // double-accumulation dot product over float-widened vectors
-      ("WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings), " +
-        "q AS (SELECT vec_id AS q_id, vec AS q_vec FROM v WHERE vec_id < 5), " +
-        "pairs AS (SELECT q.q_id, v.vec_id AS cand_id, " +
-        "CASE WHEN sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(v.vec, v.vec)) = 0 THEN 0.0 " +
-        "ELSE list_dot_product(q.q_vec, v.vec) / (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(v.vec, v.vec))) END AS sim " +
-        "FROM v, q WHERE v.vec_id <> q.q_id) " +
-        "SELECT q_id, cand_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS INTEGER) AS rk " +
-        "FROM pairs QUALIFY rk <= 3 ORDER BY q_id, rk"),
+    "q_ann_cosine" -> annCosineOracleSql,
     "q_simhash" -> {
       // Exact integer mirror of the simhash + rolling-hash kernels
       // (Kernels.simHash / Kernels.rollingHash): DuckDB HUGEINT carries
@@ -5633,6 +5662,31 @@ object SparkEntry {
         "floor(CAST(n_pair AS DOUBLE)/CAST(n_ante AS DOUBLE)*1e9 + 0.5)/1e9 AS confidence, lift " +
         "FROM ru WHERE floor(CAST(n_pair AS DOUBLE)/CAST(n_ante AS DOUBLE)*1e9 + 0.5)/1e9 >= 0.05 " +
         "ORDER BY antecedent, consequent"),
+    "q_ann_recall" ->
+      // both sides are existing proven mirrors (IVF at nprobe=2, the
+      // q_ann_cosine brute force); recall = exact-count division
+      (s"WITH ap AS (SELECT q_id, cand_id FROM (${ivfMirrorSql("vec_id < 16", nprobe = 2)})), " +
+        s"ex AS (SELECT q_id, cand_id FROM ($annCosineOracleSql)) " +
+        "SELECT ex.q_id, CAST(count(*) AS BIGINT) AS n_exact, " +
+        "CAST(coalesce(sum(CASE WHEN ap.cand_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit, " +
+        "CAST(coalesce(sum(CASE WHEN ap.cand_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall " +
+        "FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.cand_id = ap.cand_id " +
+        "GROUP BY 1 ORDER BY ex.q_id"),
+    "q_theil_sen" ->
+      // median-of-pairwise-slopes with 1e-9 pre-snap; quantile_cont ≡
+      // Spark percentile (the established interpolation parity)
+      ("WITH daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS v " +
+        "FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2), " +
+        "p AS (SELECT a.k, floor((b.v - a.v)/CAST(date_diff('day', a.day, b.day) AS DOUBLE)*1e9 + 0.5)/1e9 AS s " +
+        "FROM daily a JOIN daily b ON a.k = b.k AND a.day < b.day), " +
+        "f AS (SELECT k, CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "floor(quantile_cont(s, 0.5)*1e9 + 0.5)/1e9 AS slope FROM p GROUP BY 1), " +
+        "r AS (SELECT d.k, f.n_pairs, f.slope, " +
+        "floor((d.v - f.slope*CAST(date_diff('day', DATE '1970-01-01', d.day) AS DOUBLE))*1e9 + 0.5)/1e9 AS res " +
+        "FROM daily d JOIN f ON d.k = f.k) " +
+        "SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n_points, n_pairs, slope, " +
+        "floor(quantile_cont(res, 0.5)*1e9 + 0.5)/1e9 AS intercept " +
+        "FROM r GROUP BY 1, n_pairs, slope ORDER BY event_type"),
     "q_isotonic" ->
       // the minimax identity iso(i) = max_{j≤i} min_{k≥i} mean(j..k)
       // over prefix sums — bins² grid, suffix-min + group-max windows;

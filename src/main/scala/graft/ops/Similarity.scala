@@ -582,6 +582,34 @@ object Similarity {
         (col("__p") + 1).cast("integer").as("rk"))
   }
 
+  /** Recall@k of an approximate retrieval result against the exact one —
+    * the ANN QUALITY GATE: IVF/PQ/LSH answers are useless at unknown
+    * recall, and a 100 TB deployment tunes nprobe/bits against exactly
+    * this curve (measured on a query sample; the exact side is the
+    * expensive brute-force pass you run once per tuning sweep, not per
+    * query). Both inputs are per-query top-k tables sharing `(qidCol,
+    * docCol)`. Per query: `n_exact`, `n_hit = |approx ∩ exact|`, and
+    * `recall = n_hit / n_exact` (exact divisions — safe to hash).
+    * Queries present in `exact` but absent from `approx` score 0 (the
+    * honest miss); queries only in `approx` are dropped (nothing to
+    * measure against).
+    *
+    * Execution shape: one equi-join on (qid, doc) between two
+    * (queries×k)-sized frames + a partial-aggregable count — everything
+    * is result-sized, the corpus never appears. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, qidCol: String,
+                docCol: String): DataFrame = {
+    val ap = approx.select(col(qidCol), col(docCol)).distinct()
+      .withColumn("__hit", lit(1L))
+    exact.select(col(qidCol), col(docCol))
+      .join(ap, Seq(qidCol, docCol), "left")
+      .groupBy(col(qidCol))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact").cast("double"))
+  }
+
   /** Covariance matrix of the first `dims` embedding coordinates — the
     * statistics pass behind PCA whitening, anisotropy diagnosis ("is the
     * embedding space collapsing"), and [[pcaComponents]]. Emits one row

@@ -326,6 +326,62 @@ object TimeSeries {
         floor(num / sqrt(denx * deny) * 1e9 + lit(0.5)) / 1e9).as("acf"))
   }
 
+  /** Theil–Sen robust trend per key: slope = MEDIAN of all pairwise
+    * slopes `(v_k − v_j)/(days between)`, intercept = median of
+    * `v − slope·days-since-epoch` — the outlier-proof regression line
+    * (breakdown point ~29%) for "is this source actually growing" on
+    * series where one spiky day wrecks OLS. Time is compared at DAY
+    * resolution (feed [[resampleDaily]]-shaped series); same-day pairs
+    * contribute no slope.
+    *
+    * Pair generation is a per-key self-join — C(n,2) rows per key — so
+    * `maxPoints` HARD-FAILS (plan-side raise_error, the
+    * [[graft.ops.Baskets.frequentPairs]] cap idiom) instead of silently
+    * exploding on an unbounded-history key; at the 1000 default a key
+    * caps at ~500k pair rows. Slopes/residuals snap to 1e-9 BEFORE the
+    * exact interpolated median (`percentile` ≡ DuckDB `quantile_cont`),
+    * so interpolation ulp cannot flip a result.
+    *
+    * Output: one row per key with ≥ 2 distinct days —
+    * `(keyCol, n_points, n_pairs, slope, intercept)`. */
+  def theilSen(df: DataFrame, keyCol: String, timeCol: String,
+               valueCol: String, maxPoints: Int = 1000): DataFrame = {
+    require(maxPoints >= 2, s"maxPoints must be ≥ 2, got $maxPoints")
+    def r9(c: Column) = floor(c * 1e9 + lit(0.5)) / 1e9
+    val pts = df.filter(col(keyCol).isNotNull && col(timeCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), to_date(col(timeCol)).as("__d"),
+        col(valueCol).cast("double").as("__v"))
+    val sizes = pts.groupBy(col("__k")).agg(count(lit(1)).as("__n"))
+    val capMsg = concat(
+      lit(s"theilSen: a key exceeds maxPoints=$maxPoints observations (key="),
+      col("__k").cast("string"), lit(", n="), col("__n").cast("string"),
+      lit(") — resample the series down or raise maxPoints"))
+    val checked = pts.join(sizes, "__k")
+      .withColumn("__k", when(col("__n") <= maxPoints, col("__k"))
+        .otherwise(raise_error(capMsg).cast(pts.schema("__k").dataType)))
+      .drop("__n")
+    val a = checked.select(col("__k"), col("__d").as("d1"), col("__v").as("v1"))
+    val b = checked.select(col("__k"), col("__d").as("d2"), col("__v").as("v2"))
+    val slopes = a.join(b, Seq("__k")).filter(col("d1") < col("d2"))
+      .select(col("__k"),
+        r9((col("v2") - col("v1")) /
+          datediff(col("d2"), col("d1")).cast("double")).as("__s"))
+    val fit = slopes.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        r9(percentile(col("__s"), lit(0.5))).as("slope"))
+    val resid = checked.join(fit, Seq("__k"))
+      .select(col("__k"), col("n_pairs"), col("slope"),
+        r9(col("__v") - col("slope") *
+          datediff(col("__d"), lit("1970-01-01").cast("date")).cast("double"))
+          .as("__r"))
+    resid.groupBy(col("__k"), col("n_pairs"), col("slope"))
+      .agg(count(lit(1)).as("n_points"),
+        r9(percentile(col("__r"), lit(0.5))).as("intercept"))
+      .select(col("__k").as(keyCol), col("n_points"), col("n_pairs"),
+        col("slope"), col("intercept"))
+  }
+
   /** Holt double-exponential (level + trend) smoothing per key, to the
     * final state and an h-step forecast — "is this source's volume
     * trending up, and where does it land next week": the trend-aware

@@ -346,6 +346,35 @@ class R14OpsSpec extends SparkSuite {
     assert(r2.isEmpty) // pool = 1: no variance to test against
   }
 
+  test("recallAtK: hit counting, zero-recall misses, approx-only queries drop") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L))
+      .toDF("qid", "doc")
+    val approx = Seq((1L, 10L), (1L, 99L), (1L, 12L), (3L, 30L))
+      .toDF("qid", "doc")
+    val out = Similarity.recallAtK(approx, exact, "qid", "doc")
+      .orderBy("qid").select("qid", "n_exact", "n_hit", "recall")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 3L, 2L, 2.0 / 3.0), (2L, 1L, 0L, 0.0)))
+  }
+
+  test("theilSen: one outlier cannot move the median slope; cap raises") {
+    def d(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    // y = 2x for 6 points + one wild outlier: 15 of 21 pairwise slopes
+    // are exactly 2, so the median is 2 (OLS would report ~7)
+    val epoch0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay
+    val pts = (0 until 6).map(j => (1L, d(j + 1), 2.0 * (epoch0 + j))) :+
+      ((1L, d(7), 2.0 * (epoch0 + 6) + 9000.0))
+    val out = TimeSeries.theilSen(pts.toDF("k", "t", "v"), "k", "t", "v")
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    // residuals: six exact 0.0, one +9000 -> median intercept 0.0
+    assert(out == ((1L, 7L, 21L, 2.0, 0.0)))
+    val ex = intercept[Exception] {
+      TimeSeries.theilSen(pts.toDF("k", "t", "v"), "k", "t", "v",
+        maxPoints = 3).collect()
+    }
+    assert(ex.getMessage.contains("theilSen: a key exceeds"))
+  }
+
   // ---- RFM -----------------------------------------------------------
 
   test("rfmSegments: data-anchored recency, exact sums, total-order ntiles") {
