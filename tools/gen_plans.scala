@@ -57,7 +57,9 @@ for (name <- Seq("flagship_valid_split", "q_required", "q_min", "q_topk_similar"
     "q_ppr", "q_frequent_pairs", "q_skyline", "q_mmr_rerank", "q_cidr_lookup", "q_geo_join", "q_ks_by_group", "q_ols", "q_kaplan_meier", "q_attribution", "q_jaro",
     "q_attribution_first", "q_attribution_position", "q_mannwhitney",
     "q_bh_fdr", "q_kappa", "q_locf", "q_resample_daily", "q_label_prop",
-    "q_assoc_rules", "q_rfm")) {
+    "q_assoc_rules", "q_rfm",
+    "q_isotonic", "q_holt", "q_seasonal", "q_wilson", "q_prop_ztest",
+    "q_ann_recall", "q_theil_sen")) {
   val df = if (name == "flagship_valid_split") flagship
            else graft.SparkEntry.queries(name)(spark, dir)
   out.println()
