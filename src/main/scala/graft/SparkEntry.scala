@@ -2864,11 +2864,35 @@ object SparkEntry {
         .orderBy("node")
     }),
     "q_assoc_rules" -> ((s, dir) => {
-      // directional confidence over the q_frequent_pairs table — both
-      // rule orientations, confidence-gated
-      graft.ops.Baskets.associationRules(T(s, dir, "lineitem"),
+      // directional confidence over the frequent-pair table — both rule
+      // orientations, confidence-gated. The even-orderkey clamp keeps
+      // this entry from re-paying q_frequent_pairs' full pair build in
+      // every bench pass (the rule layer itself is pair-table-sized)
+      graft.ops.Baskets.associationRules(
+          T(s, dir, "lineitem").filter(col("l_orderkey") % 2 === 0),
           "l_orderkey", "l_partkey", minSupport = 2, minConfidence = 0.05)
         .orderBy("antecedent", "consequent")
+    }),
+    "q_cube" -> ((s, dir) => {
+      // every subtotal combination in one pass, grouping_id-labeled —
+      // the CUBE complement of q_rollup's hierarchy
+      graft.ops.Rollups.cubeCounts(T(s, dir, "orders"),
+          "o_orderpriority", "o_orderstatus", "o_totalprice")
+        .orderBy(col("grouping_id"), col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)
+    }),
+    "q_pop" -> ((s, dir) => {
+      // month-over-month order mass with deltas and percent change
+      graft.ops.Rollups.periodOverPeriod(T(s, dir, "orders"),
+          "o_orderdate", "o_totalprice")
+        .orderBy("month")
+    }),
+    "q_sla" -> ((s, dir) => {
+      // the SLA table: per-type value percentiles as ONE
+      // percentile-over-array aggregate per group
+      graft.ops.Rollups.groupPercentiles(T(s, dir, "events"),
+          Seq("event_type"), "value", Seq(0.5, 0.9, 0.99))
+        .orderBy("event_type")
     }),
     "q_ann_recall" -> ((s, dir) => {
       // the ANN quality gate measured in-engine: IVF at nprobe=2 (so
@@ -5648,7 +5672,7 @@ object SparkEntry {
       // the q_frequent_pairs mirror emitting BOTH rule directions with
       // confidence = n_pair/n_ante at the same 1e-9 floor
       ("WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem " +
-        "WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL), " +
+        "WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL AND l_orderkey % 2 = 0), " +
         "nb AS (SELECT count(DISTINCT b) AS n FROM it), " +
         "ic AS (SELECT i, count(*) AS c FROM it GROUP BY 1), " +
         "p AS (SELECT a.i AS ia, b.i AS ib, count(*) AS np FROM it a JOIN it b " +
@@ -5662,6 +5686,35 @@ object SparkEntry {
         "floor(CAST(n_pair AS DOUBLE)/CAST(n_ante AS DOUBLE)*1e9 + 0.5)/1e9 AS confidence, lift " +
         "FROM ru WHERE floor(CAST(n_pair AS DOUBLE)/CAST(n_ante AS DOUBLE)*1e9 + 0.5)/1e9 >= 0.05 " +
         "ORDER BY antecedent, consequent"),
+    "q_cube" ->
+      // standard-SQL GROUPING bitmask disambiguates real-null dims from
+      // subtotal rows; cents-snapped DECIMAL mass cast at the boundary
+      ("SELECT o_orderpriority, o_orderstatus, " +
+        "CAST(GROUPING(o_orderpriority, o_orderstatus) AS INTEGER) AS grouping_id, " +
+        "count(*) AS n, " +
+        "CAST(sum(CAST(floor(o_totalprice*1e6 + 0.5)/1e6 AS DECIMAL(28,6))) AS DOUBLE) AS total " +
+        "FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus) " +
+        "ORDER BY grouping_id, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"),
+    "q_pop" ->
+      // months-since-epoch integer bucketing (the retention convention),
+      // exact DECIMAL totals, delta in decimal cast once, 1e-9 pct floor
+      ("WITH m AS (SELECT (year(o_orderdate)*12 + month(o_orderdate) - 1 - 12*1970) AS mi, " +
+        "count(*) AS n, sum(CAST(floor(o_totalprice*1e6 + 0.5)/1e6 AS DECIMAL(28,6))) AS t " +
+        "FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1), " +
+        "l AS (SELECT *, lag(t) OVER (ORDER BY mi) AS p FROM m) " +
+        "SELECT CAST(DATE '1970-01-01' + to_months(CAST(mi AS INTEGER)) AS DATE) AS month, " +
+        "n, CAST(t AS DOUBLE) AS total, CAST(p AS DOUBLE) AS prev_total, " +
+        "CAST(t - p AS DOUBLE) AS delta, " +
+        "CASE WHEN p IS NOT NULL AND p <> 0 THEN floor((CAST(t - p AS DOUBLE)/CAST(p AS DOUBLE))*1e9 + 0.5)/1e9 END AS pct_change " +
+        "FROM l ORDER BY month"),
+    "q_sla" ->
+      // quantile_cont ≡ the engine's percentile-over-array (one buffer,
+      // same interpolation); 1e-9 floors
+      ("SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "floor(quantile_cont(value, 0.5)*1e9 + 0.5)/1e9 AS p50, " +
+        "floor(quantile_cont(value, 0.9)*1e9 + 0.5)/1e9 AS p90, " +
+        "floor(quantile_cont(value, 0.99)*1e9 + 0.5)/1e9 AS p99 " +
+        "FROM events WHERE value IS NOT NULL GROUP BY 1 ORDER BY event_type"),
     "q_ann_recall" ->
       // both sides are existing proven mirrors (IVF at nprobe=2, the
       // q_ann_cosine brute force); recall = exact-count division

@@ -104,6 +104,77 @@ object Rollups {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** CUBE counts over two dimensions — every subtotal combination
+    * (a,b)/(a)/(b)/() in ONE pass with `grouping_id` disambiguating the
+    * levels (the [[topKPerGroup]]-adjacent reporting shape; `rollup`'s
+    * hierarchical cousin is exercised as `q_rollup`). Value mass rides
+    * along as an exact DECIMAL sum cast to double at the boundary.
+    * Output: `(dim1, dim2, grouping_id, n, total)`. */
+  def cubeCounts(df: DataFrame, dim1: String, dim2: String,
+                 valueCol: String): DataFrame =
+    df.cube(col(dim1), col(dim2))
+      .agg(grouping_id().cast("integer").as("grouping_id"),
+        count(lit(1)).as("n"),
+        sum((floor(col(valueCol).cast("double") * 1e6 + lit(0.5)) / 1e6)
+          .cast("decimal(28,6)")).cast("double").as("total"))
+      .select(col(dim1), col(dim2), col("grouping_id"), col("n"), col("total"))
+
+  /** Period-over-period report: per calendar month, the exact DECIMAL
+    * value total, the previous month's total, the delta, and the percent
+    * change — the WoW/MoM dashboard primitive. `pct_change` is null for
+    * the first month and when the previous total is 0 (no base to
+    * compare against). Months index as integer months-since-epoch (the
+    * [[retentionCohorts]] convention) so both engines bucket
+    * identically; output carries the month's first day as a date.
+    *
+    * One partial-aggregable month pass; the lag window runs over the
+    * #months-row table (bounded state). */
+  def periodOverPeriod(df: DataFrame, timeCol: String,
+                       valueCol: String): DataFrame = {
+    val m = (year(col(timeCol)) * 12 + month(col(timeCol)) - 1 - lit(12 * 1970))
+      .as("__m")
+    val byMonth = df.filter(col(timeCol).isNotNull)
+      .groupBy(m)
+      .agg(count(lit(1)).as("n"),
+        sum((floor(col(valueCol).cast("double") * 1e6 + lit(0.5)) / 1e6)
+          .cast("decimal(28,6)")).as("__t"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__m"))
+    def r9(c: Column) = floor(c * 1e9 + lit(0.5)) / 1e9
+    byMonth
+      .withColumn("__p", lag(col("__t"), 1).over(w))
+      .select(
+        add_months(lit("1970-01-01").cast("date"), col("__m")).as("month"),
+        col("n"), col("__t").cast("double").as("total"),
+        col("__p").cast("double").as("prev_total"),
+        (col("__t") - col("__p")).cast("double").as("delta"),
+        when(col("__p").isNotNull && col("__p") =!= 0,
+          r9((col("__t") - col("__p")).cast("double") /
+            col("__p").cast("double"))).as("pct_change"))
+  }
+
+  /** Per-group percentile report (the SLA table): p50/p90/p99-style
+    * exact interpolated percentiles of `valueCol` per group, computed as
+    * ONE percentile-over-array aggregate per group (one sort buffer, not
+    * one per requested percentile — the q_quantile_buckets lesson) and
+    * exploded to columns. Results floor-round at 1e-9
+    * (`percentile` ≡ DuckDB `quantile_cont`). For corpus-scale groups
+    * swap in `percentile_approx` upstream; this is the exact form. */
+  def groupPercentiles(df: DataFrame, groupCols: Seq[String],
+                       valueCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      s"percentiles must be in [0,1], got $ps")
+    def r9(c: Column) = floor(c * 1e9 + lit(0.5)) / 1e9
+    val agg = df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        percentile(col(valueCol), array(ps.map(lit): _*)).as("__ps"))
+    agg.select(groupCols.map(col) ++ Seq(col("n")) ++
+      ps.zipWithIndex.map { case (p, i) =>
+        r9(element_at(col("__ps"), i + 1))
+          .as("p" + math.round(p * 100).toInt)
+      }: _*)
+  }
+
   /** RFM segmentation — the classic customer/entity triage: per key,
     * Recency (days since last activity, against the corpus's own max
     * date as the anchor so the result is data-determined, not

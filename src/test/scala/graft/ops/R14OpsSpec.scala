@@ -375,6 +375,56 @@ class R14OpsSpec extends SparkSuite {
     assert(ex.getMessage.contains("theilSen: a key exceeds"))
   }
 
+  // ---- reporting: cube / period-over-period / SLA percentiles ---------
+
+  test("cubeCounts: all subtotal combinations, grouping_id disambiguates real nulls") {
+    val df = Seq(
+      (Some("a"), "x", 1.0), (Some("a"), "y", 2.0),
+      (Some("b"), "x", 3.0), (None, "x", 4.0)
+    ).toDF("d1", "d2", "v")
+    val out = Rollups.cubeCounts(df, "d1", "d2", "v")
+      .orderBy(col("grouping_id"), col("d1").asc_nulls_first,
+        col("d2").asc_nulls_first)
+      .select("d1", "d2", "grouping_id", "n", "total")
+      .as[(Option[String], Option[String], Int, Long, Double)].collect().toSeq
+    // gid 0: the four real cells (incl. the REAL-null d1 cell);
+    // gid 1: d2 aggregated away; gid 2: d1 away; gid 3: grand total
+    assert(out == Seq(
+      (None, Some("x"), 0, 1L, 4.0),
+      (Some("a"), Some("x"), 0, 1L, 1.0), (Some("a"), Some("y"), 0, 1L, 2.0),
+      (Some("b"), Some("x"), 0, 1L, 3.0),
+      (None, None, 1, 1L, 4.0),
+      (Some("a"), None, 1, 2L, 3.0), (Some("b"), None, 1, 1L, 3.0),
+      (None, Some("x"), 2, 3L, 8.0), (None, Some("y"), 2, 1L, 2.0),
+      (None, None, 3, 4L, 10.0)))
+  }
+
+  test("periodOverPeriod: monthly totals, deltas, percent change") {
+    def d(m: Int, day: Int) = Timestamp.valueOf(f"2024-$m%02d-$day%02d 00:00:00")
+    val df = Seq((d(1, 5), 4.0), (d(1, 20), 6.0), (d(2, 1), 20.0),
+      (d(3, 9), 15.0)).toDF("t", "v")
+    val out = Rollups.periodOverPeriod(df, "t", "v")
+      .orderBy("month")
+      .select(col("month").cast("string"), col("n"), col("total"),
+        col("prev_total"), col("delta"), col("pct_change"))
+      .as[(String, Long, Double, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(out == Seq(
+      ("2024-01-01", 2L, 10.0, None, None, None),
+      ("2024-02-01", 1L, 20.0, Some(10.0), Some(10.0), Some(1.0)),
+      ("2024-03-01", 1L, 15.0, Some(20.0), Some(-5.0), Some(-0.25))))
+  }
+
+  test("groupPercentiles: exact interpolation per group") {
+    val df = ((1 to 5).map(i => ("g", i.toDouble)) :+ (("h", 7.0)))
+      .toDF("g", "v")
+    val out = Rollups.groupPercentiles(df, Seq("g"), "v", Seq(0.5, 0.9, 0.99))
+      .orderBy("g").select("g", "n", "p50", "p90", "p99")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    // n=5 sorted 1..5: pos = p(n-1): p90 -> 4.6, p99 -> 4.96
+    assert(out == Seq(("g", 5L, 3.0, 4.6, 4.96), ("h", 1L, 7.0, 7.0, 7.0)))
+  }
+
   // ---- RFM -----------------------------------------------------------
 
   test("rfmSegments: data-anchored recency, exact sums, total-order ntiles") {
