@@ -48,7 +48,8 @@ object R14Smoke {
       (0 until 10).map(i => df.withColumn(idKey, col(idKey) + lit(i * 100000000L)))
         .reduce(_ unionByName _)
 
-    var inv = Map.empty[String, (Long, Long, Long, Long)]
+    var inv = Map.empty[String,
+      (Long, Long, Long, Long, Long, Long, Long, Long, Long)]
     for ((label, o, ev, li) <- Seq(
         ("1x", orders, events, lineitem),
         ("10x", rep10(orders, "o_orderkey"), rep10(events, "event_id"),
@@ -94,9 +95,31 @@ object R14Smoke {
         graft.ops.Classifier.cohensKappa(docs.select(col("lang").as("r1"),
           when(col("doc_id") % 7 === 0, col("source")).otherwise(col("lang"))
             .as("r2")), "r1", "r2").count() }
+      // second batch: the bin/series/month tables must stay model-sized
+      val isoB = time(s"isotonic $label") {
+        graft.ops.Classifier.isotonicCalibration(o.select(
+          ((col("o_orderkey") * 13 % 100).cast("double") / 100.0).as("s"),
+          when(col("o_orderkey") * 7 % 100 < col("o_orderkey") * 13 % 100, 1.0)
+            .otherwise(0.0).as("y")), "s", "y", 10).count() }
+      val daily = ev.filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("nv"))
+      val ho = time(s"holt $label") {
+        graft.ops.TimeSeries.holtSmooth(daily, "event_type", "day", "nv")
+          .count() }
+      val se = time(s"seasonal $label") {
+        graft.ops.TimeSeries.seasonalDecompose(daily, "event_type", "day",
+          "nv").count() }
+      val tsn = time(s"theil_sen $label") {
+        graft.ops.TimeSeries.theilSen(daily, "event_type", "day", "nv")
+          .count() }
+      val pop = time(s"pop $label") {
+        graft.ops.Rollups.periodOverPeriod(o, "o_orderdate", "o_totalprice")
+          .count() }
       println(s"[smoke] $label bounded-state: mw_rows=$mw mw_grid_cells=$mwCells " +
-        s"resample_rows=$rs labelprop_nodes=$lp rules=$ar rfm_rows=$rfm kappa_rows=$kp")
-      inv += label -> ((mwCells, rs, lp, rfm))
+        s"resample_rows=$rs labelprop_nodes=$lp rules=$ar rfm_rows=$rfm kappa_rows=$kp " +
+        s"iso_bins=$isoB holt_keys=$ho seasonal_rows=$se theil_keys=$tsn pop_months=$pop")
+      inv += label -> ((mwCells, rs, lp, rfm, isoB, ho, se, tsn, pop))
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
