@@ -2873,6 +2873,11 @@ object SparkEntry {
           "l_orderkey", "l_partkey", minSupport = 2, minConfidence = 0.05)
         .orderBy("antecedent", "consequent")
     }),
+    "q_zipf" -> ((s, dir) => {
+      // one-number corpus-health audit: OLS slope of ln(freq) on
+      // ln(rank) over the top-100 tokens (natural text ≈ −1)
+      graft.ops.LmScore.zipfFit(T(s, dir, "documents"), "text", topK = 100)
+    }),
     "q_cube" -> ((s, dir) => {
       // every subtotal combination in one pass, grouping_id-labeled —
       // the CUBE complement of q_rollup's hierarchy
@@ -5686,6 +5691,31 @@ object SparkEntry {
         "floor(CAST(n_pair AS DOUBLE)/CAST(n_ante AS DOUBLE)*1e9 + 0.5)/1e9 AS confidence, lift " +
         "FROM ru WHERE floor(CAST(n_pair AS DOUBLE)/CAST(n_ante AS DOUBLE)*1e9 + 0.5)/1e9 >= 0.05 " +
         "ORDER BY antecedent, consequent"),
+    "q_zipf" ->
+      // the q_unigram_ll tokenization mirror feeding the fitOLS2-style
+      // centered decimal-moment regression (1e-6 snapped ln values,
+      // snapped decimal-sum means, DECIMAL(19,6) centered moments —
+      // the int128 lane)
+      ("WITH toks AS (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "t2 AS (SELECT token FROM toks WHERE len(token) > 0), " +
+        "cnt AS (SELECT token, COUNT(*) AS n FROM t2 GROUP BY token), " +
+        "rk AS (SELECT floor(ln(CAST(row_number() OVER (ORDER BY n DESC, token) AS DOUBLE))*1e6 + 0.5)/1e6 AS x, " +
+        "floor(ln(CAST(n AS DOUBLE))*1e6 + 0.5)/1e6 AS y " +
+        "FROM cnt ORDER BY n DESC, token LIMIT 100), " +
+        "mn AS (SELECT floor(CAST(sum(CAST(x AS DECIMAL(19,6))) AS DOUBLE)/CAST(count(*) AS DOUBLE)*1e6 + 0.5)/1e6 AS mx, " +
+        "floor(CAST(sum(CAST(y AS DECIMAL(19,6))) AS DOUBLE)/CAST(count(*) AS DOUBLE)*1e6 + 0.5)/1e6 AS my, " +
+        "CAST(count(*) AS BIGINT) AS k FROM rk), " +
+        "sh AS (SELECT k, mx, my, CAST(floor((x - mx)*1e6 + 0.5)/1e6 AS DECIMAL(19,6)) AS cx, " +
+        "CAST(floor((y - my)*1e6 + 0.5)/1e6 AS DECIMAL(19,6)) AS cy FROM rk, mn), " +
+        "m AS (SELECT k, mx, my, CAST(sum(cx*cx) AS DOUBLE) AS sxx, " +
+        "CAST(sum(cx*cy) AS DOUBLE) AS sxy, CAST(sum(cy*cy) AS DOUBLE) AS syy " +
+        "FROM sh GROUP BY 1, 2, 3) " +
+        "SELECT k AS n_tokens_ranked, " +
+        "CASE WHEN k >= 3 AND sxx > 0 THEN floor((sxy/sxx)*1e6 + 0.5)/1e6 END AS slope, " +
+        "CASE WHEN k >= 3 AND sxx > 0 THEN floor((my - (sxy/sxx)*mx)*1e6 + 0.5)/1e6 END AS intercept, " +
+        "CASE WHEN k >= 3 AND sxx > 0 AND syy > 0 THEN floor((1.0 - (syy - (sxy/sxx)*sxy)/syy)*1e6 + 0.5)/1e6 END AS r2 " +
+        "FROM m"),
     "q_cube" ->
       // standard-SQL GROUPING bitmask disambiguates real-null dims from
       // subtotal rows; cents-snapped DECIMAL mass cast at the boundary

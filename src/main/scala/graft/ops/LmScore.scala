@@ -428,4 +428,60 @@ object LmScore {
       .withColumn("side", lit("b"))
     topA.unionByName(topB)
   }
+
+  /** Zipf's-law fit over the top-`topK` token frequencies: the OLS slope
+    * of `ln(freq)` on `ln(rank)` — natural language sits near −1, so the
+    * slope is a one-number corpus-health audit (templated/duplicated
+    * corpora flatten toward 0 because the head repeats; OCR noise and
+    * mojibake fatten the tail and steepen it). Complements
+    * [[corpusDivergence]]: KL needs a reference corpus, the Zipf slope
+    * needs none.
+    *
+    * Execution shape: one token-count pass (partial-aggregable), a
+    * TakeOrderedAndProject top-k, then the regression over k ≤ 1000 rows
+    * — the model-state class. Numeric discipline = [[Classifier.fitOLS2]]:
+    * ln values snap to 1e-6 in double, means come from exact DECIMAL
+    * sums re-snapped to the same grid, moments accumulate as DECIMAL
+    * over the CENTERED values (no catastrophic determinant
+    * cancellation), and the closed form runs in double, 1e-6-floored.
+    *
+    * Returns ONE row: `(n_tokens_ranked, slope, intercept, r2)` —
+    * `slope` null when fewer than 3 distinct ranked tokens exist. */
+  def zipfFit(df: DataFrame, textCol: String, topK: Int = 100): DataFrame = {
+    require(topK >= 3, s"topK must be ≥ 3, got $topK")
+    def snap6(c: Column) = floor(c * 1e6 + lit(0.5)) / 1e6
+    val counts = df.filter(col(textCol).isNotNull)
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val ranked = counts.orderBy(col("n").desc, col("token")).limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("token"))))
+      .select(snap6(log(col("rank").cast("double"))).as("x"),
+        snap6(log(col("n").cast("double"))).as("y"))
+    def meanOf(c: String) = snap6(
+      sum(col(c).cast("decimal(19,6)")).cast("double") /
+        count(lit(1)).cast("double"))
+    val means = ranked.agg(meanOf("x").as("mx"), meanOf("y").as("my"),
+      count(lit(1)).as("k"))
+    val shifted = ranked.crossJoin(broadcast(means))
+      .select(col("k"), col("mx"), col("my"),
+        snap6(col("x") - col("mx")).cast("decimal(19,6)").as("cx"),
+        snap6(col("y") - col("my")).cast("decimal(19,6)").as("cy"))
+    val m = shifted.groupBy(col("k"), col("mx"), col("my"))
+      .agg(sum(col("cx") * col("cx")).as("sxx"),
+        sum(col("cx") * col("cy")).as("sxy"),
+        sum(col("cy") * col("cy")).as("syy"))
+    def r6(c: Column) = floor(c * 1e6 + lit(0.5)) / 1e6
+    val sxx = col("sxx").cast("double")
+    val sxy = col("sxy").cast("double")
+    val syy = col("syy").cast("double")
+    val slope = sxy / sxx
+    val ok = col("k") >= 3 && sxx > 0
+    m.select(col("k").as("n_tokens_ranked"),
+      when(ok, r6(slope)).as("slope"),
+      when(ok, r6(col("my") - slope * col("mx"))).as("intercept"),
+      when(ok && syy > 0, r6(lit(1.0) - (syy - slope * sxy) / syy)).as("r2"))
+  }
 }

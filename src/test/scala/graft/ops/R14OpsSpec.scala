@@ -425,6 +425,22 @@ class R14OpsSpec extends SparkSuite {
     assert(out == Seq(("g", 5L, 3.0, 4.6, 4.96), ("h", 1L, 7.0, 7.0, 7.0)))
   }
 
+  test("zipfFit: synthetic 1/rank corpus fits slope ≈ −1; tiny vocab nulls") {
+    // token_i appears round(3000/i) times for i in 1..40 — exact Zipf
+    val text = (1 to 40).flatMap(i =>
+      Seq.fill(math.round(3000.0 / i).toInt)(s"tok$i")).mkString(" ")
+    val out = LmScore.zipfFit(Seq(text).toDF("text"), "text", topK = 40)
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(out._1 == 40L)
+    assert(out._2.exists(s => s > -1.01 && s < -0.99), s"slope=${out._2}")
+    assert(out._4.exists(_ > 0.999), s"r2=${out._4}")
+    // two distinct tokens: no line to fit
+    val tiny = LmScore.zipfFit(Seq("a a b").toDF("text"), "text", topK = 10)
+      .select("slope").as[Option[Double]].collect().head
+    assert(tiny.isEmpty)
+  }
+
   // ---- RFM -----------------------------------------------------------
 
   test("rfmSegments: data-anchored recency, exact sums, total-order ntiles") {
