@@ -439,7 +439,9 @@ object Classifier {
       coalesce(sum(when(col(label1Col) === col(label2Col), 1L).otherwise(0L)),
         lit(0L)).as("agree"))
     def r9(c: Column) = floor(c * 1e9 + lit(0.5)) / 1e9
-    val nD = col("n").cast("double")
+    // null-guarded divisor: n = 0 would ANSI-throw on the CSE-hoisted
+    // division even though every published column is n > 0-guarded
+    val nD = when(col("n") > 0, col("n").cast("double"))
     val po = col("agree").cast("double") / nD
     val pe = col("pe_num").cast("double") / (nD * nD)
     // one-row × one-row broadcast cross join (the established pattern)

@@ -474,11 +474,14 @@ object LmScore {
         sum(col("cx") * col("cy")).as("sxy"),
         sum(col("cy") * col("cy")).as("syy"))
     def r6(c: Column) = floor(c * 1e6 + lit(0.5)) / 1e6
-    val sxx = col("sxx").cast("double")
+    val sxxRaw = col("sxx").cast("double")
+    // null-guarded divisors (ANSI + CSE hoisting — see proportionZTest)
+    val sxx = when(sxxRaw > 0, sxxRaw)
     val sxy = col("sxy").cast("double")
-    val syy = col("syy").cast("double")
+    val syyRaw = col("syy").cast("double")
+    val syy = when(syyRaw > 0, syyRaw)
     val slope = sxy / sxx
-    val ok = col("k") >= 3 && sxx > 0
+    val ok = col("k") >= 3 && sxxRaw > 0
     m.select(col("k").as("n_tokens_ranked"),
       when(ok, r6(slope)).as("slope"),
       when(ok, r6(col("my") - slope * col("mx"))).as("intercept"),

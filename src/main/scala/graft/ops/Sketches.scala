@@ -1043,8 +1043,11 @@ object Sketches {
     val u = (col("ra2") - (col("n_a").cast("decimal(38,0)") *
       (col("n_a") + 1L).cast("decimal(38,0)"))).cast("double") / 2.0
     val mu = naD * nbD / 2.0
+    // null-guarded tie divisor: a single-row total makes N(N−1) = 0 and
+    // ANSI would throw on the hoisted division (see proportionZTest)
     val varU = naD * nbD / 12.0 *
-      ((nD + 1.0) - col("ties").cast("double") / (nD * (nD - 1.0)))
+      ((nD + 1.0) - col("ties").cast("double") /
+        when(nD > 1.0, nD * (nD - 1.0)))
     agg.select(col("n_a"), col("n_b"), u.as("u_stat"),
       when(col("n_a") > 0 && col("n_b") > 0 && varU > 0,
         floor((u - mu) / sqrt(varU) * 1e9 + lit(0.5)) / 1e9).as("z"))
@@ -1068,11 +1071,17 @@ object Sketches {
       coalesce(sum(when(inB, 1L).otherwise(0L)), lit(0L)).as("n_b"),
       coalesce(sum(when(inB && success, 1L).otherwise(0L)), lit(0L)).as("k_b"))
     def r9(c: Column) = floor(c * 1e9 + lit(0.5)) / 1e9
-    val naD = col("n_a").cast("double"); val nbD = col("n_b").cast("double")
+    // NULL-guarded divisors, not CASE-guarded divisions: subexpression
+    // elimination hoists a division shared across output branches OUT of
+    // its CASE, so under ANSI an empty slice would throw DIVIDE_BY_ZERO
+    // even though every published column is guarded — a null divisor
+    // degrades to null in any evaluation order
+    val naD = when(col("n_a") > 0, col("n_a").cast("double"))
+    val nbD = when(col("n_b") > 0, col("n_b").cast("double"))
     val pa = col("k_a").cast("double") / naD
     val pb = col("k_b").cast("double") / nbD
     val pool = (col("k_a") + col("k_b")).cast("double") /
-      (col("n_a") + col("n_b")).cast("double")
+      when(col("n_a") + col("n_b") > 0, (col("n_a") + col("n_b")).cast("double"))
     val z = (pa - pb) / sqrt(pool * (lit(1.0) - pool) *
       (lit(1.0) / naD + lit(1.0) / nbD))
     agg.select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),

@@ -441,6 +441,49 @@ class R14OpsSpec extends SparkSuite {
     assert(tiny.isEmpty)
   }
 
+  test("r14 ops survive empty input (the pcaComponents advice class)") {
+    val noEvents = Seq.empty[(Long, Timestamp, Long, String)]
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val noVals = Seq.empty[(Long, Timestamp, Long, Double)]
+      .toDF("k", "t", "eid", "v")
+    val noPairs = Seq.empty[(Long, String)].toDF("b", "i")
+    val noLabels = Seq.empty[(String, String)].toDF("r1", "r2")
+    val noEdges = Seq.empty[(Long, Long)].toDF("s", "d")
+    assert(Sequences.firstTouchAttribution(noEvents, "user_id", "ts",
+      "event_id", "event_type", "purchase").count() == 0)
+    assert(Sequences.positionAttribution(noEvents, "user_id", "ts",
+      "event_id", "event_type", "purchase").count() == 0)
+    assert(TimeSeries.locfFill(noVals, "k", "t", "eid", "v").count() == 0)
+    assert(TimeSeries.resampleDaily(noVals, "k", "t", "eid", "v").count() == 0)
+    assert(TimeSeries.holtSmooth(noVals, "k", "t", "v").count() == 0)
+    assert(TimeSeries.seasonalDecompose(noVals, "k", "t", "v").count() == 0)
+    assert(TimeSeries.theilSen(noVals, "k", "t", "v").count() == 0)
+    assert(Graphs.labelPropagation(noEdges, "s", "d").count() == 0)
+    assert(Baskets.associationRules(noPairs, "b", "i").count() == 0)
+    assert(Rollups.rfmSegments(noVals, "k", "t", "v").count() == 0)
+    assert(Rollups.periodOverPeriod(noVals, "t", "v").count() == 0)
+    assert(Rollups.groupPercentiles(noVals, Seq("k"), "v", Seq(0.5)).count() == 0)
+    assert(Classifier.isotonicCalibration(
+      Seq.empty[(Double, Double)].toDF("s", "y"), "s", "y").count() == 0)
+    assert(Similarity.recallAtK(noPairs.toDF("qid", "doc"),
+      noPairs.toDF("qid", "doc"), "qid", "doc").count() == 0)
+    assert(LmScore.zipfFit(Seq.empty[String].toDF("text"), "text")
+      .select("slope").as[Option[Double]].collect().forall(_.isEmpty))
+    // one-row aggregates return their single (null-guarded) row
+    assert(Sketches.mannWhitney(noVals, "v", col("k") === 1, col("k") === 2,
+      1.0).count() == 1)
+    assert(Sketches.proportionZTest(noVals, col("k") === 1, col("k") === 2,
+      col("v") > 0).select("z").as[Option[Double]].collect().head.isEmpty)
+    assert(Classifier.cohensKappa(noLabels, "r1", "r2")
+      .select("kappa").as[Option[Double]].collect().head.isEmpty)
+    assert(Sketches.bhFdr(Seq.empty[(Long, Double)].toDF("id", "p"),
+      "id", "p").count() == 0)
+    // Spark's cube over EMPTY input emits no rows at all (not even the
+    // () grand total some engines produce) — pin that behavior
+    assert(Rollups.cubeCounts(Seq.empty[(String, String, Double)]
+      .toDF("d1", "d2", "v"), "d1", "d2", "v").count() == 0)
+  }
+
   // ---- RFM -----------------------------------------------------------
 
   test("rfmSegments: data-anchored recency, exact sums, total-order ntiles") {
