@@ -59,7 +59,8 @@ for (name <- Seq("flagship_valid_split", "q_required", "q_min", "q_topk_similar"
     "q_bh_fdr", "q_kappa", "q_locf", "q_resample_daily", "q_label_prop",
     "q_assoc_rules", "q_rfm",
     "q_isotonic", "q_holt", "q_seasonal", "q_wilson", "q_prop_ztest",
-    "q_ann_recall", "q_theil_sen")) {
+    "q_ann_recall", "q_theil_sen",
+    "q_cube", "q_pop", "q_sla", "q_zipf")) {
   val df = if (name == "flagship_valid_split") flagship
            else graft.SparkEntry.queries(name)(spark, dir)
   out.println()
