@@ -2873,6 +2873,22 @@ object SparkEntry {
           "l_orderkey", "l_partkey", minSupport = 2, minConfidence = 0.05)
         .orderBy("antecedent", "consequent")
     }),
+    "q_kcore" -> ((s, dir) => {
+      // fixed-round 5-core peeling over the closed link graph — the
+      // dense-cluster (link-farm) complement of q_triangles; k=5 peels
+      // 500 nodes down to a 37-node core at the verify scale (k=4 would
+      // keep everything, k=6 empties — both vacuous)
+      val base = Html.extractLinks(T(s, dir, "documents")
+          .withColumn("html", linkFixtureHtml), "doc_id", "html")
+        .select(col("doc_id").as("src"),
+          regexp_extract(col("href"), "([0-9]+)$", 1).cast("long").as("dst"))
+      val closing = T(s, dir, "documents").filter(col("doc_id") % 4 === 0)
+        .select(((col("doc_id") * 31 + 7) % 500).as("src"),
+          ((col("doc_id") * 31 + 13) % 500).as("dst"))
+      graft.ops.Graphs.kCore(base.unionByName(closing), "src", "dst",
+          k = 5, rounds = 3)
+        .orderBy("node")
+    }),
     "q_zipf" -> ((s, dir) => {
       // one-number corpus-health audit: OLS slope of ln(freq) on
       // ln(rank) over the top-100 tokens (natural text ≈ −1)
@@ -3225,6 +3241,27 @@ object SparkEntry {
       "l0 AS (SELECT DISTINCT node, node AS label FROM adj), " +
       rounds +
       " SELECT node, label FROM l3 ORDER BY node"
+  }
+
+  /** q_kcore oracle: unrolled fixed-round 5-core peeling — round r keeps
+    * nodes whose degree within round r−1's surviving subgraph is ≥ 5,
+    * exactly [[graft.ops.Graphs.kCore]]'s recurrence; the output is the
+    * degree table of the final surviving subgraph. */
+  private val kCoreOracleSql: String = {
+    def degOver(e: String, d: String) =
+      s"$d AS (SELECT node, count(*) AS d FROM (SELECT u AS node FROM $e UNION ALL SELECT v FROM $e) GROUP BY 1)"
+    val rounds = (1 to 3).map { r =>
+      val (ePrev, d, a) = (if (r == 1) "und" else s"e${r - 1}", s"d$r", s"a$r")
+      s"${degOver(ePrev, d)}, " +
+        s"$a AS (SELECT node FROM $d WHERE d >= 5), " +
+        s"e$r AS (SELECT p.u, p.v FROM $ePrev p JOIN $a x ON p.u = x.node JOIN $a y ON p.v = y.node)"
+    }.mkString(", ")
+    s"WITH e AS ($linkEdgesSql " +
+      "UNION ALL SELECT (doc_id*31+7)%500, (doc_id*31+13)%500 FROM documents WHERE doc_id%4 = 0), " +
+      "und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e WHERE src <> dst), " +
+      rounds +
+      " SELECT node, count(*) AS degree FROM (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3) " +
+      "GROUP BY 1 ORDER BY node"
   }
 
   /** q_ppr oracle: three unrolled personalized-PageRank iterations — the
@@ -5691,6 +5728,7 @@ object SparkEntry {
         "floor(CAST(n_pair AS DOUBLE)/CAST(n_ante AS DOUBLE)*1e9 + 0.5)/1e9 AS confidence, lift " +
         "FROM ru WHERE floor(CAST(n_pair AS DOUBLE)/CAST(n_ante AS DOUBLE)*1e9 + 0.5)/1e9 >= 0.05 " +
         "ORDER BY antecedent, consequent"),
+    "q_kcore" -> kCoreOracleSql,
     "q_zipf" ->
       // the q_unigram_ll tokenization mirror feeding the fitOLS2-style
       // centered decimal-moment regression (1e-6 snapped ln values,

@@ -184,6 +184,52 @@ object Graphs {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Fixed-round k-core peeling over the undirected simple graph:
+    * each round removes every node whose CURRENT degree is below `k`
+    * (degrees recompute against survivors only). The surviving set
+    * shrinks monotonically toward the true k-core from above and EQUALS
+    * it once a round removes nothing — `rounds` bounds the work the way
+    * [[labelPropagation]]'s iteration budget does, which is what makes
+    * the op affordable on a corpus-scale link graph. Dense cores
+    * (mirror rings, link farms, PBN clusters) survive; the long tail of
+    * low-degree pages peels off in the first rounds — the density
+    * complement of [[triangles]]' local-clustering signal.
+    *
+    * Execution shape: per round, TWO semi-joins of the (pinned) edge
+    * list against the #survivors-row alive set plus one
+    * partial-aggregable degree count — hubs combine map-side; nothing
+    * driver-sized. Output: `(node, degree)` for survivors that retain
+    * at least one surviving edge, with the degree WITHIN the surviving
+    * subgraph (a survivor whose last neighbors all peeled this round
+    * drops — it would peel next round anyway). */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, rounds: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be ≥ 1, got $k")
+    require(rounds >= 1, s"rounds must be ≥ 1, got $rounds")
+    val und = Checkpoints.pinned(edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct())
+    def degrees(e: DataFrame): DataFrame = e
+      .select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    var alive = degrees(und).filter(col("degree") >= k)
+      .select(col("node"))
+    for (_ <- 2 to rounds) {
+      val live = und
+        .join(alive.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(alive.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+      alive = degrees(live).filter(col("degree") >= k).select(col("node"))
+    }
+    val fin = und
+      .join(alive.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+      .join(alive.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+    degrees(fin)
+      .join(alive, Seq("node"), "left_semi")
+  }
+
   /** Synchronized min-label propagation over the undirected simple graph —
     * `iterations` rounds of `l(v) ← min(l(v), min_{u∼v} l(u))` from
     * `l₀(v) = v`. After round i every node holds the smallest node id

@@ -181,4 +181,32 @@ class GraphsSpec extends SparkSuite {
       assert(math.abs(got(v)._2 - hub(v)) < 1e-9, s"hub($v)")
     }
   }
+
+  test("kCore: dense core survives, pendant chain cascades off") {
+    import spark.implicits._
+    // K4 (every node degree 3) with a pendant path 4-5-6 hanging off it
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("s", "d")
+    val core = Graphs.kCore(edges, "s", "d", k = 3, rounds = 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    // chain peels (deg 1-2); K4 keeps internal degree 3 — node 4 drops
+    // its pendant edge from the count
+    assert(core == Seq(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // cascade: a 5-path at k=2 fully peels within 3 rounds (endpoints
+    // first, then the newly-exposed endpoints, then the isolated middle)
+    val path = (1L to 5L).sliding(2).map(p => (p(0), p(1))).toSeq.toDF("s", "d")
+    assert(Graphs.kCore(path, "s", "d", k = 2, rounds = 3).count() == 0)
+    // a cycle is its own 2-core: nothing peels, degrees stay 2
+    val cycle = ((1L to 5L).sliding(2).map(p => (p(0), p(1))).toSeq :+
+      ((5L, 1L))).toDF("s", "d")
+    val c2 = Graphs.kCore(cycle, "s", "d", k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(c2 == (1L to 5L).map(_ -> 2L).toMap)
+    // direction / duplicates / self-loops collapse before peeling
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L))
+      .toDF("s", "d")
+    val m2 = Graphs.kCore(messy, "s", "d", k = 2, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(m2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
 }
