@@ -20,7 +20,8 @@ import graft.SparkEntry
   */
 object SfScalingBench {
   private val probes = Seq("q_url_dedup", "q_boilerplate_domain",
-    "q_dedup_minhash", "q_pipeline_e2e", "q_curation_e2e", "q_dedup_spans")
+    "q_dedup_minhash", "q_pipeline_e2e", "q_curation_e2e", "q_dedup_spans",
+    "q_twopass")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
