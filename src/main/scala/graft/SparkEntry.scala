@@ -2873,6 +2873,22 @@ object SparkEntry {
           "l_orderkey", "l_partkey", minSupport = 2, minConfidence = 0.05)
         .orderBy("antecedent", "consequent")
     }),
+    "q_wilcoxon" -> ((s, dir) => {
+      // paired signed-rank: did each user's activity shift between the
+      // two halves of the month (integer paired counts, grid 1)
+      val paired = T(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(when(dayofmonth(col("ts")) <= 15, 1L).otherwise(0L)).as("h1"),
+          sum(when(dayofmonth(col("ts")) > 15, 1L).otherwise(0L)).as("h2"))
+      Sketches.wilcoxonSignedRank(paired, "h1", "h2", grid = 1.0)
+    }),
+    "q_cohens_d" -> ((s, dir) => {
+      // effect size for the q_prop_ztest fixture: how far apart are
+      // click vs view value distributions in pooled-sd units
+      Sketches.cohensD(T(s, dir, "events"), "value",
+        col("event_type") === "click", col("event_type") === "view")
+    }),
     "q_kcore" -> ((s, dir) => {
       // fixed-round 5-core peeling over the closed link graph — the
       // dense-cluster (link-farm) complement of q_triangles; k=5 peels
@@ -5728,6 +5744,49 @@ object SparkEntry {
         "floor(CAST(n_pair AS DOUBLE)/CAST(n_ante AS DOUBLE)*1e9 + 0.5)/1e9 AS confidence, lift " +
         "FROM ru WHERE floor(CAST(n_pair AS DOUBLE)/CAST(n_ante AS DOUBLE)*1e9 + 0.5)/1e9 >= 0.05 " +
         "ORDER BY antecedent, consequent"),
+    "q_wilcoxon" ->
+      // the MW exact-integer rank machinery over |d| cells of paired
+      // integer half-month counts; W+ = exact-half double, z 1e-9
+      ("WITH p AS (SELECT user_id, CAST(sum(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS h1, " +
+        "CAST(sum(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END) AS BIGINT) AS h2 " +
+        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1), " +
+        "dd AS (SELECT floor((CAST(h2 AS DOUBLE) - CAST(h1 AS DOUBLE))/1.0 + 0.5)*1.0 AS d FROM p " +
+        "WHERE h1 IS NOT NULL AND h2 IS NOT NULL), " +
+        "c AS (SELECT abs(d) AS ad, CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS np, " +
+        "CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nn, " +
+        "CAST(count(*) AS BIGINT) AS t FROM dd WHERE d <> 0 GROUP BY 1), " +
+        "r AS (SELECT *, coalesce(CAST(sum(t) OVER (ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb FROM c), " +
+        "s AS (SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(np AS DECIMAL(38,0)) * CAST(2*cb + t + 1 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS w2, " +
+        "CAST(sum(CAST(t AS DECIMAL(38,0))*CAST(t AS DECIMAL(38,0))*CAST(t AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ties FROM r) " +
+        "SELECT n, CASE WHEN n > 0 THEN CAST(w2 AS DOUBLE)/2.0 END AS w_plus, " +
+        "CASE WHEN n > 0 AND CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)+1.0)*(2.0*CAST(n AS DOUBLE)+1.0)/24.0 - CAST(ties AS DOUBLE)/48.0 > 0 THEN " +
+        "floor((CAST(w2 AS DOUBLE)/2.0 - CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)+1.0)/4.0) / " +
+        "sqrt(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)+1.0)*(2.0*CAST(n AS DOUBLE)+1.0)/24.0 - CAST(ties AS DOUBLE)/48.0)*1e9 + 0.5)/1e9 END AS z " +
+        "FROM s"),
+    "q_cohens_d" ->
+      // two-pass mean-shifted decimal moments (the fitOLS2 discipline):
+      // snapped decimal-sum means, centered DECIMAL(19,6) squares (the
+      // int128 lane), pooled sd in double, 1e-6 floors
+      ("WITH base AS (SELECT floor(value*1e6 + 0.5)/1e6 AS v, " +
+        "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a, " +
+        "CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b " +
+        "FROM events WHERE value IS NOT NULL AND event_type IN ('click', 'view')), " +
+        "mn AS (SELECT CAST(coalesce(sum(a), 0) AS BIGINT) AS n_a, CAST(coalesce(sum(b), 0) AS BIGINT) AS n_b, " +
+        "floor(CAST(sum(CASE WHEN a = 1 THEN CAST(v AS DECIMAL(19,6)) END) AS DOUBLE) / " +
+        "CAST(CASE WHEN coalesce(sum(a), 0) > 0 THEN coalesce(sum(a), 0) END AS DOUBLE)*1e6 + 0.5)/1e6 AS ma, " +
+        "floor(CAST(sum(CASE WHEN b = 1 THEN CAST(v AS DECIMAL(19,6)) END) AS DOUBLE) / " +
+        "CAST(CASE WHEN coalesce(sum(b), 0) > 0 THEN coalesce(sum(b), 0) END AS DOUBLE)*1e6 + 0.5)/1e6 AS mb FROM base), " +
+        "ct AS (SELECT n_a, n_b, ma, mb, " +
+        "CASE WHEN a = 1 THEN CAST(floor((v - ma)*1e6 + 0.5)/1e6 AS DECIMAL(19,6)) END AS ca, " +
+        "CASE WHEN b = 1 THEN CAST(floor((v - mb)*1e6 + 0.5)/1e6 AS DECIMAL(19,6)) END AS cb " +
+        "FROM base, mn), " +
+        "m AS (SELECT n_a, n_b, ma, mb, sum(ca*ca) AS saa, sum(cb*cb) AS sbb FROM ct GROUP BY 1, 2, 3, 4) " +
+        "SELECT n_a, n_b, ma AS mean_a, mb AS mean_b, " +
+        "CASE WHEN n_a >= 2 AND n_b >= 2 AND " +
+        "(CAST(saa AS DOUBLE) + CAST(sbb AS DOUBLE))/CAST(CASE WHEN n_a + n_b > 2 THEN n_a + n_b - 2 END AS DOUBLE) > 0 THEN " +
+        "floor((ma - mb)/sqrt((CAST(saa AS DOUBLE) + CAST(sbb AS DOUBLE))/CAST(CASE WHEN n_a + n_b > 2 THEN n_a + n_b - 2 END AS DOUBLE))*1e6 + 0.5)/1e6 END AS d " +
+        "FROM m"),
     "q_kcore" -> kCoreOracleSql,
     "q_zipf" ->
       // the q_unigram_ll tokenization mirror feeding the fitOLS2-style

@@ -1053,6 +1053,106 @@ object Sketches {
         floor((u - mu) / sqrt(varU) * 1e9 + lit(0.5)) / 1e9).as("z"))
   }
 
+  /** Wilcoxon signed-rank test over PAIRED observations — the paired
+    * counterpart of [[mannWhitney]] ("did each user's activity shift
+    * between the two halves of the window", before/after per key, not
+    * two independent slices). Differences snap to `grid`, zeros drop
+    * (standard practice), |d| ranks average over ties, and
+    * `W⁺ = Σ ranks of positive differences` feeds the tie-corrected
+    * normal approximation
+    * `σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48`.
+    *
+    * Same exact-arithmetic contract as MW: the gridded |d| cell table
+    * bounds all post-exchange state, 2×avg-rank stays integral and
+    * accumulates as DECIMAL(38,0), only the final z runs in double
+    * (1e-9 floor; null when no nonzero pairs or σ = 0).
+    *
+    * Returns ONE row: `(n, w_plus, z)`. */
+  def wilcoxonSignedRank(df: DataFrame, beforeCol: String, afterCol: String,
+                         grid: Double): DataFrame = {
+    require(grid > 0, s"grid must be positive, got $grid")
+    val dv = floor((col(afterCol).cast("double") - col(beforeCol).cast("double"))
+      / grid + lit(0.5)) * grid
+    val cells = df
+      .filter(col(beforeCol).isNotNull && col(afterCol).isNotNull)
+      .select(dv.as("d"))
+      .filter(col("d") =!= 0.0)
+      .groupBy(abs(col("d")).as("ad"))
+      .agg(sum(when(col("d") > 0, 1L).otherwise(0L)).as("np"),
+        sum(when(col("d") < 0, 1L).otherwise(0L)).as("nn"))
+      .withColumn("t", col("np") + col("nn"))
+    val w = Window.orderBy(col("ad"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells
+      .withColumn("cb", coalesce(sum(col("t")).over(w), lit(0L)))
+      .withColumn("r2", lit(2L) * col("cb") + col("t") + lit(1L))
+    val tD = col("t").cast("decimal(38,0)")
+    val agg = ranked.agg(
+      coalesce(sum(col("t")), lit(0L)).as("n"),
+      sum(col("np").cast("decimal(38,0)") * col("r2").cast("decimal(38,0)"))
+        .as("w2"),
+      sum(tD * tD * tD - tD).as("ties"))
+    def r9(c: Column) = floor(c * 1e9 + lit(0.5)) / 1e9
+    val nD = col("n").cast("double")
+    val wPlus = col("w2").cast("double") / 2.0
+    val mu = nD * (nD + 1.0) / 4.0
+    val varW = nD * (nD + 1.0) * (lit(2.0) * nD + 1.0) / 24.0 -
+      col("ties").cast("double") / 48.0
+    agg.select(col("n"), when(col("n") > 0, wPlus).as("w_plus"),
+      when(col("n") > 0 && varW > 0,
+        r9((wPlus - mu) / sqrt(varW))).as("z"))
+  }
+
+  /** Cohen's d — the EFFECT SIZE companion to the significance tests
+    * ([[proportionZTest]]/[[mannWhitney]] say "is the shift real",
+    * d says "is it big enough to matter"): standardized mean difference
+    * `(mean_a − mean_b) / pooled_sd` between two slices.
+    *
+    * Numeric discipline = [[graft.ops.Classifier.fitOLS2]]: values snap
+    * to 1e-6, per-slice means come from exact DECIMAL sums re-snapped to
+    * the grid, and the variances accumulate over MEAN-CENTERED values
+    * (raw moments cancel catastrophically — the r13 OLS lesson), so the
+    * result is partitioning-proof and SQL-mirrorable. Two
+    * partial-aggregable passes; everything after is one row.
+    *
+    * Returns ONE row: `(n_a, n_b, mean_a, mean_b, d)` — `d` null when
+    * either slice has < 2 rows or the pooled variance is 0. */
+  def cohensD(df: DataFrame, valueCol: String,
+              inA: Column, inB: Column): DataFrame = {
+    def snap6(c: Column) = floor(c * 1e6 + lit(0.5)) / 1e6
+    val base = df.filter(col(valueCol).isNotNull && (inA || inB))
+      .select(snap6(col(valueCol).cast("double")).as("v"),
+        when(inA, 1L).otherwise(0L).as("a"),
+        when(inB, 1L).otherwise(0L).as("b"))
+    val means = base.agg(
+      coalesce(sum(col("a")), lit(0L)).as("n_a"),
+      coalesce(sum(col("b")), lit(0L)).as("n_b"),
+      sum(when(col("a") === 1, col("v").cast("decimal(19,6)"))).as("sa"),
+      sum(when(col("b") === 1, col("v").cast("decimal(19,6)"))).as("sb"))
+      .select(col("n_a"), col("n_b"),
+        snap6(col("sa").cast("double") /
+          when(col("n_a") > 0, col("n_a").cast("double"))).as("ma"),
+        snap6(col("sb").cast("double") /
+          when(col("n_b") > 0, col("n_b").cast("double"))).as("mb"))
+    val cent = base.crossJoin(broadcast(means))
+      .select(col("n_a"), col("n_b"), col("ma"), col("mb"),
+        when(col("a") === 1, snap6(col("v") - col("ma")).cast("decimal(19,6)"))
+          .as("ca"),
+        when(col("b") === 1, snap6(col("v") - col("mb")).cast("decimal(19,6)"))
+          .as("cb"))
+    val m = cent.groupBy(col("n_a"), col("n_b"), col("ma"), col("mb"))
+      .agg(sum(col("ca") * col("ca")).as("saa"),
+        sum(col("cb") * col("cb")).as("sbb"))
+    def r6(c: Column) = floor(c * 1e6 + lit(0.5)) / 1e6
+    val pooledVar = (col("saa").cast("double") + col("sbb").cast("double")) /
+      when(col("n_a") + col("n_b") > 2,
+        (col("n_a") + col("n_b") - 2).cast("double"))
+    val ok = col("n_a") >= 2 && col("n_b") >= 2 && pooledVar > 0
+    m.select(col("n_a"), col("n_b"), col("ma").as("mean_a"),
+      col("mb").as("mean_b"),
+      when(ok, r6((col("ma") - col("mb")) / sqrt(pooledVar))).as("d"))
+  }
+
   /** Two-proportion z-test between two slices' success rates — the A/B
     * primitive ("did the new extraction rule change the keep-rate"):
     * pooled-variance normal approximation

@@ -484,6 +484,41 @@ class R14OpsSpec extends SparkSuite {
       .toDF("d1", "d2", "v"), "d1", "d2", "v").count() == 0)
   }
 
+  test("wilcoxonSignedRank: textbook ranks, tie correction, zero-diff drop") {
+    // diffs {+1, -2, +3, +4}: W+ = 1 + 3 + 4 = 8, mu = 5, var = 7.5
+    val a = Seq((0.0, 1.0), (0.0, -2.0), (0.0, 3.0), (0.0, 4.0), (5.0, 5.0))
+      .toDF("before", "after")
+    val r = Sketches.wilcoxonSignedRank(a, "before", "after", grid = 1.0)
+      .as[(Long, Option[Double], Option[Double])].collect().head
+    val z1 = math.floor(3.0 / math.sqrt(7.5) * 1e9 + 0.5) / 1e9
+    assert(r == ((4L, Some(8.0), Some(z1))))
+    // ties: diffs {+1, -1, +2} -> |1| avg rank 1.5, W+ = 4.5,
+    // var = 3*4*7/24 - (2^3-2)/48 = 3.375
+    val b = Seq((0.0, 1.0), (0.0, -1.0), (0.0, 2.0)).toDF("before", "after")
+    val r2 = Sketches.wilcoxonSignedRank(b, "before", "after", grid = 1.0)
+      .as[(Long, Option[Double], Option[Double])].collect().head
+    val z2 = math.floor((4.5 - 3.0) / math.sqrt(3.375) * 1e9 + 0.5) / 1e9
+    assert(r2 == ((3L, Some(4.5), Some(z2))))
+    // all-zero diffs: nothing to rank
+    val c = Seq((1.0, 1.0), (2.0, 2.0)).toDF("before", "after")
+    assert(Sketches.wilcoxonSignedRank(c, "before", "after", 1.0)
+      .as[(Long, Option[Double], Option[Double])].collect().head ==
+      ((0L, None, None)))
+  }
+
+  test("cohensD: hand case and degenerate slices") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 5.0), ("b", 6.0), ("b", 7.0)).toDF("g", "v")
+    val r = Sketches.cohensD(df, "v", col("g") === "a", col("g") === "b")
+      .as[(Long, Long, Double, Double, Option[Double])].collect().head
+    // means 2 and 6, pooled var = (2+2)/4 = 1 -> d = -4
+    assert(r == ((3L, 3L, 2.0, 6.0, Some(-4.0))))
+    val tiny = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("g", "v")
+    val r2 = Sketches.cohensD(tiny, "v", col("g") === "a", col("g") === "b")
+      .select("d").as[Option[Double]].collect().head
+    assert(r2.isEmpty) // n_b < 2: no pooled variance
+  }
+
   // ---- RFM -----------------------------------------------------------
 
   test("rfmSegments: data-anchored recency, exact sums, total-order ntiles") {
