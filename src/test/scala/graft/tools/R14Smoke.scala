@@ -116,6 +116,15 @@ object R14Smoke {
       val pop = time(s"pop $label") {
         graft.ops.Rollups.periodOverPeriod(o, "o_orderdate", "o_totalprice")
           .count() }
+      time(s"wilcoxon $label") {
+        val paired = ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(sum(when(dayofmonth(col("ts")) <= 15, 1L).otherwise(0L)).as("h1"),
+            sum(when(dayofmonth(col("ts")) > 15, 1L).otherwise(0L)).as("h2"))
+        graft.ops.Sketches.wilcoxonSignedRank(paired, "h1", "h2", 1.0).count() }
+      time(s"cohens_d $label") {
+        graft.ops.Sketches.cohensD(ev, "value",
+          col("event_type") === "click", col("event_type") === "view").count() }
       println(s"[smoke] $label bounded-state: mw_rows=$mw mw_grid_cells=$mwCells " +
         s"resample_rows=$rs labelprop_nodes=$lp rules=$ar rfm_rows=$rfm kappa_rows=$kp " +
         s"iso_bins=$isoB holt_keys=$ho seasonal_rows=$se theil_keys=$tsn pop_months=$pop")
