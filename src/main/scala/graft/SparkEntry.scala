@@ -118,6 +118,11 @@ object SparkEntry {
   private val HashSplitCums: Seq[Double] =
     HashSplits.map(_._2).scanLeft(0.0)(_ + _).tail
 
+  /** q_kfold's cumulative fold boundaries — the identical scan
+    * `Sampling.kFoldAssign(k = 5)` runs internally. */
+  private val KFoldCums: Seq[Double] =
+    (0 until 5).map(_ => 1.0 / 5).scanLeft(0.0)(_ + _).tail
+
   /** DuckDB mirror of [[structuredDoc]], shared by the Gopher/C4 oracles. */
   private val StructuredDocSql: String =
     "concat(substr(text,1,60), '.', chr(10), '- bullet ', substr(text,61,40), chr(10), " +
@@ -2872,6 +2877,11 @@ object SparkEntry {
           T(s, dir, "lineitem").filter(col("l_orderkey") % 2 === 0),
           "l_orderkey", "l_partkey", minSupport = 2, minConfidence = 0.05)
         .orderBy("antecedent", "consequent")
+    }),
+    "q_kfold" -> ((s, dir) => {
+      // deterministic 5-fold CV assignment — id-stable under growth
+      graft.ops.Sampling.kFoldAssign(T(s, dir, "documents"), "doc_id", k = 5)
+        .select("doc_id", "fold").orderBy("doc_id")
     }),
     "q_wilcoxon" -> ((s, dir) => {
       // paired signed-rank: did each user's activity shift between the
@@ -5744,6 +5754,14 @@ object SparkEntry {
         "floor(CAST(n_pair AS DOUBLE)/CAST(n_ante AS DOUBLE)*1e9 + 0.5)/1e9 AS confidence, lift " +
         "FROM ru WHERE floor(CAST(n_pair AS DOUBLE)/CAST(n_ante AS DOUBLE)*1e9 + 0.5)/1e9 >= 0.05 " +
         "ORDER BY antecedent, consequent"),
+    "q_kfold" ->
+      // the q_hash_split pattern with 4 generated thresholds from the
+      // identical cumulative scan (fold:salt, string-hex compare)
+      (s"SELECT doc_id, CASE " +
+        (0 until 4).map(i =>
+          s"WHEN substr(md5('fold:' || doc_id), 1, 8) < " +
+            s"'${Sampling.fractionThreshold(KFoldCums(i))}' THEN '$i' ").mkString +
+        "ELSE '4' END AS fold FROM documents ORDER BY doc_id"),
     "q_wilcoxon" ->
       // the MW exact-integer rank machinery over |d| cells of paired
       // integer half-month counts; W+ = exact-half double, z 1e-9

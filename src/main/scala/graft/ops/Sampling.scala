@@ -62,6 +62,22 @@ object Sampling {
     df.withColumn(splitCol, expr)
   }
 
+  /** Deterministic k-fold assignment — the cross-validation counterpart
+    * of [[hashSplit]]: every id lands in exactly one of `k` equal-mass
+    * folds, stable under corpus growth (an old id never changes folds
+    * when new data arrives — md5-thresholded, never `rand()`), and a new
+    * `salt` draws an independent fold structure. Exactly [[hashSplit]]
+    * with k equal fractions, so the same cumulative-threshold machinery
+    * (and the same oracle discipline) applies; fold labels are
+    * `"0".."k−1"` strings for direct anti-join ergonomics
+    * (`fold =!= lit("3")` = train, `=== ` = eval). Map-only. */
+  def kFoldAssign(df: DataFrame, idCol: String, k: Int,
+                  salt: String = "fold", foldCol: String = "fold"): DataFrame = {
+    require(k >= 2 && k <= 1000, s"k must be in [2, 1000], got $k")
+    hashSplit(df, idCol, (0 until k).map(i => (i.toString, 1.0 / k)),
+      salt = salt, splitCol = foldCol)
+  }
+
   /** Temporal train/test split with an EMBARGO gap — the leakage guard
     * for time-dependent data (forecasting features, event models,
     * anything autocorrelated): `train` strictly before `cutoff`, `test`

@@ -482,4 +482,23 @@ class SamplingSpec extends SparkSuite {
     val out = Sampling.temporalSplit(df, "ts", "2024-01-20 00:00:00").collect()
     assert(out(0).getString(3) == "test")
   }
+
+  test("kFoldAssign: exactly one fold per id, growth-stable, roughly balanced") {
+    import spark.implicits._
+    val ids = (1L to 2000L).toDF("id")
+    val folds = Sampling.kFoldAssign(ids, "id", k = 5)
+      .as[(Long, String)].collect().toMap
+    assert(folds.size == 2000 && folds.values.toSet == (0 until 5).map(_.toString).toSet)
+    // balance: each fold within ±20% of 400 (md5 uniformity at n=2000)
+    val sizes = folds.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.values.forall(n => n > 320 && n < 480), sizes.toMap.toString)
+    // growth stability: adding ids never relabels an existing one
+    val grown = Sampling.kFoldAssign((1L to 4000L).toDF("id"), "id", 5)
+      .as[(Long, String)].collect().toMap
+    assert(folds.forall { case (id, f) => grown(id) == f })
+    // a different salt draws an independent structure
+    val other = Sampling.kFoldAssign(ids, "id", 5, salt = "fold2")
+      .as[(Long, String)].collect().toMap
+    assert(folds.exists { case (id, f) => other(id) != f })
+  }
 }
