@@ -60,7 +60,7 @@ for (name <- Seq("flagship_valid_split", "q_required", "q_min", "q_topk_similar"
     "q_assoc_rules", "q_rfm",
     "q_isotonic", "q_holt", "q_seasonal", "q_wilson", "q_prop_ztest",
     "q_ann_recall", "q_theil_sen",
-    "q_cube", "q_pop", "q_sla", "q_zipf", "q_kcore", "q_wilcoxon", "q_cohens_d")) {
+    "q_cube", "q_pop", "q_sla", "q_zipf", "q_kcore", "q_wilcoxon", "q_cohens_d", "q_kfold")) {
   val df = if (name == "flagship_valid_split") flagship
            else graft.SparkEntry.queries(name)(spark, dir)
   out.println()
