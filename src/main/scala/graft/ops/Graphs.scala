@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** Rounds of exponential-plan iteration ([[kCore]]/[[labelPropagation]]
+    * reference their evolving frame twice per round) tolerated before the
+    * loop pins every round: 2^3 = 8 plan copies is cheap to analyze, and
+    * at the 3–5 round budgets these ops default to, never pinning at all
+    * is the faster plan (the pageRank header rationale). */
+  private val PlanPinAfter = 3
+
   /** Fixed-iteration PageRank. `edges` holds `(srcCol, dstCol)` rows
     * (parallel edges count double — pre-`distinct` if you want simple
     * edges; self-loops count like any edge). Returns `(node, rank)` over
@@ -198,7 +205,14 @@ object Graphs {
     * Execution shape: per round, TWO semi-joins of the (pinned) edge
     * list against the #survivors-row alive set plus one
     * partial-aggregable degree count — hubs combine map-side; nothing
-    * driver-sized. Output: `(node, degree)` for survivors that retain
+    * driver-sized. Because each round references the PREVIOUS alive set
+    * twice, the logical plan would DOUBLE per round (2^rounds — the
+    * exponential class, worse than pageRank's linear growth); past
+    * [[PlanPinAfter]] rounds the alive frame therefore pins every round
+    * ([[Checkpoints]], superseded rounds' files reclaimed immediately —
+    * the [[Clusters]] discipline), so deep budgets pay one node-set-sized
+    * materialization per round instead of an exponentially-growing
+    * analysis. Output: `(node, degree)` for survivors that retain
     * at least one surviving edge, with the degree WITHIN the surviving
     * subgraph (a survivor whose last neighbors all peeled this round
     * drops — it would peel next round anyway). */
@@ -217,11 +231,18 @@ object Graphs {
       .groupBy("node").agg(count(lit(1)).as("degree"))
     var alive = degrees(und).filter(col("degree") >= k)
       .select(col("node"))
-    for (_ <- 2 to rounds) {
+    var prevPin: Option[Checkpoints.Pinned] = None
+    for (r <- 2 to rounds) {
       val live = und
         .join(alive.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .join(alive.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
       alive = degrees(live).filter(col("degree") >= k).select(col("node"))
+      if (r > PlanPinAfter) {
+        val next = Checkpoints.pin(alive)
+        prevPin.foreach(_.delete()) // superseded: next is materialized
+        prevPin = Some(next)
+        alive = next.df
+      }
     }
     val fin = und
       .join(alive.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
@@ -245,6 +266,12 @@ object Graphs {
     * list with the #nodes-row label vector and a partial-aggregable
     * `min` — a 10⁸-degree hub combines map-side, never a hot reducer; the
     * adjacency list is pinned once and label vectors stay #nodes-sized.
+    * Each round reads the previous label vector TWICE (the nbr-min join
+    * and the `least` merge), so the logical plan would double per round;
+    * past [[PlanPinAfter]] rounds the vector pins every round (superseded
+    * pins reclaimed immediately — the [[Clusters]] discipline), keeping
+    * deep iteration budgets at one #nodes-row materialization per round
+    * instead of a 2^rounds analysis blow-up.
     * Output: `(node, label)`. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        iterations: Int = 3): DataFrame = {
@@ -260,7 +287,8 @@ object Graphs {
         .unionByName(und.select(col("v").as("node"), col("u").as("nbr"))))
     val nodes = adj.select(col("node")).distinct()
     var labels = nodes.withColumn("label", col("node"))
-    for (_ <- 1 to iterations) {
+    var prevPin: Option[Checkpoints.Pinned] = None
+    for (i <- 1 to iterations) {
       val nbrMin = adj
         .join(labels.select(col("node").as("nbr"), col("label").as("__nl")),
           Seq("nbr"))
@@ -269,6 +297,12 @@ object Graphs {
         .select(col("node"),
           least(col("label"), coalesce(col("__nmin"), col("label")))
             .as("label"))
+      if (i > PlanPinAfter) {
+        val next = Checkpoints.pin(labels)
+        prevPin.foreach(_.delete()) // superseded: next is materialized
+        prevPin = Some(next)
+        labels = next.df
+      }
     }
     labels
   }

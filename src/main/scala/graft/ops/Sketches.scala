@@ -1010,7 +1010,13 @@ object Sketches {
     *
     * Returns ONE row: `(n_a, n_b, u_stat, z)` — `u_stat` is U for slice
     * A; `z` is null when either slice is empty or all values are tied
-    * (σ = 0). */
+    * (σ = 0).
+    *
+    * `inA`/`inB` must be DISJOINT predicates: a row satisfying both is
+    * counted in BOTH slices, and the z normal approximation assumes the
+    * samples are independent — with overlapping predicates the statistic
+    * is silently invalid. Exclude the intersection (`inA && !inB`) when
+    * the caller's Columns can overlap. */
   def mannWhitney(df: DataFrame, valueCol: String,
                   inA: Column, inB: Column, grid: Double): DataFrame = {
     require(grid > 0, s"grid must be positive, got $grid")
@@ -1115,8 +1121,15 @@ object Sketches {
     * result is partitioning-proof and SQL-mirrorable. Two
     * partial-aggregable passes; everything after is one row.
     *
-    * Returns ONE row: `(n_a, n_b, mean_a, mean_b, d)` — `d` null when
-    * either slice has < 2 rows or the pooled variance is 0. */
+    * Returns ONE row always (fully-empty input yields `(0, 0, null,
+    * null, null)`): `(n_a, n_b, mean_a, mean_b, d)` — `d` null when
+    * either slice has < 2 rows or the pooled variance is 0.
+    *
+    * `inA`/`inB` must be DISJOINT predicates: a row satisfying both is
+    * counted in BOTH slices (same contract as [[mannWhitney]]/
+    * [[proportionZTest]]), which invalidates the independence assumption
+    * behind d — exclude the overlap (`inA && !inB`) if your predicates
+    * can intersect. */
   def cohensD(df: DataFrame, valueCol: String,
               inA: Column, inB: Column): DataFrame = {
     def snap6(c: Column) = floor(c * 1e6 + lit(0.5)) / 1e6
@@ -1140,9 +1153,16 @@ object Sketches {
           .as("ca"),
         when(col("b") === 1, snap6(col("v") - col("mb")).cast("decimal(19,6)"))
           .as("cb"))
-    val m = cent.groupBy(col("n_a"), col("n_b"), col("ma"), col("mb"))
-      .agg(sum(col("ca") * col("ca")).as("saa"),
-        sum(col("cb") * col("cb")).as("sbb"))
+    // aggregate WITHOUT groupBy so fully-empty input still yields the
+    // contractual one row (a groupBy over the empty centered frame
+    // collapses to zero rows — r14 advice); the scalar columns are
+    // constant across cent (one-row broadcast), so max() carries them
+    val m = cent.agg(
+      coalesce(max(col("n_a")), lit(0L)).as("n_a"),
+      coalesce(max(col("n_b")), lit(0L)).as("n_b"),
+      max(col("ma")).as("ma"), max(col("mb")).as("mb"),
+      sum(col("ca") * col("ca")).as("saa"),
+      sum(col("cb") * col("cb")).as("sbb"))
     def r6(c: Column) = floor(c * 1e6 + lit(0.5)) / 1e6
     val pooledVar = (col("saa").cast("double") + col("sbb").cast("double")) /
       when(col("n_a") + col("n_b") > 2,
@@ -1162,7 +1182,12 @@ object Sketches {
     * pooled rate is degenerate (0 or 1 — no variance to test against).
     *
     * Returns ONE row:
-    * `(n_a, k_a, n_b, k_b, rate_a, rate_b, z)`. */
+    * `(n_a, k_a, n_b, k_b, rate_a, rate_b, z)`.
+    *
+    * `inA`/`inB` must be DISJOINT predicates: a row satisfying both is
+    * counted in BOTH slices, which the pooled-variance independence
+    * assumption does not survive — exclude the overlap (`inA && !inB`)
+    * if the caller's Columns can intersect. */
   def proportionZTest(df: DataFrame, inA: Column, inB: Column,
                       success: Column): DataFrame = {
     val agg = df.filter(inA || inB).agg(

@@ -225,7 +225,20 @@ class KernelPropsSpec extends AnyFunSuite {
       ("aRnab", "arnab", 0.88),                    // case-sensitive
       ("hello", "hello", 1.0), ("A", "A", 1.0),
       ("AB", "BA", 0.0),                           // window 0 → no matches
-      ("abc", "xyz", 0.0), ("", "ABC", 0.0), ("", "", 0.0))
+      ("abc", "xyz", 0.0), ("", "ABC", 0.0), ("", "", 0.0),
+      // non-ASCII pins (probed 2026-08-15): the BYTE-oriented semantics
+      // the r14 kernel switch claims — multi-byte code points count as
+      // several positions on BOTH engines (2-byte Latin accents, 3-byte
+      // CJK, a katakana midword substitution, and a case-folded Greek
+      // initial where the two 2-byte forms share their FIRST byte, so
+      // the byte prefix is 1 while the char prefix would be 0)
+      ("café", "cafe", 0.8483333333333334),
+      ("über", "uber", 0.7833333333333333),
+      ("señor", "senor", 0.8577777777777779),
+      ("東京都", "東京", 0.9333333333333333),
+      ("データベース", "データペース", 0.9777777777777777),
+      ("crème brûlée", "creme brulee", 0.7970370370370371),
+      ("Ωμέγα", "ωμέγα", 0.7416666666666667))
     pins.foreach { case (a, b, want) =>
       assert(math.abs(jw(a, b) - want) < 1e-12, s"jw($a, $b)") }
     // symmetry on arbitrary pairs

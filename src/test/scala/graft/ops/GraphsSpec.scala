@@ -209,4 +209,29 @@ class GraphsSpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(m2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
+
+  test("kCore/labelPropagation: deep round budgets complete (per-round pin)") {
+    import spark.implicits._
+    // r14 verdict: both ops reference their evolving frame TWICE per
+    // round, so without the per-round pin past PlanPinAfter the plan
+    // doubles per round (2^10 = 1024 copies at rounds = 10 — analysis
+    // blow-up territory). These runs must both COMPLETE promptly and
+    // return the same fixpoint the shallow budgets find.
+    // 12-path at k=2: peels two ends per round, empty after 6 rounds —
+    // a 10-round budget exercises 7 pinned rounds including no-op ones
+    val path12 = (1L to 12L).sliding(2).map(p => (p(0), p(1))).toSeq.toDF("s", "d")
+    assert(Graphs.kCore(path12, "s", "d", k = 2, rounds = 10).count() == 0)
+    // K4 + pendant at rounds = 10: identical core to the rounds = 3 run
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("s", "d")
+    val deep = Graphs.kCore(edges, "s", "d", k = 3, rounds = 10)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(deep == Seq(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // 12-path label propagation at 10 rounds: after i rounds each node
+    // holds the min id within distance i. Nodes 2..11 are within 10 hops
+    // of node 1; node 12 is 11 hops away, so its 10-hop min is node 2.
+    val labs = Graphs.labelPropagation(path12, "s", "d", iterations = 10)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 11L).forall(labs(_) == 1L) && labs(12L) == 2L)
+  }
 }

@@ -311,6 +311,32 @@ class R14OpsSpec extends SparkSuite {
         s == Some(Seq(0.0, 10.0, -10.0)(i % 3)) })
   }
 
+  test("seasonalDecompose: even period exercises the 2xMA branch exactly") {
+    // period 4 (r14 advice: the even branch — dual offset windows,
+    // half-weight endpoints — was never exercised): constant pattern
+    // [10, 20, 30, 40] over 12 steps. ANY 4 consecutive values mean to
+    // 25, so both offset windows agree and the 2xMA trend is exactly 25
+    // wherever both are full (rows 2..9); seasonal = {-15, -5, +5, +15}
+    // everywhere (every phase has interior members), resid = 0 interior.
+    val pat = Seq(10.0, 20.0, 30.0, 40.0)
+    val vals = (0 until 12).map(i => (1L, ts(i), pat(i % 4)))
+    val out = TimeSeries.seasonalDecompose(vals.toDF("k", "t", "v"),
+        "k", "t", "v", period = 4)
+      .orderBy("t")
+      .select("trend", "seasonal", "resid")
+      .as[(Option[Double], Option[Double], Option[Double])].collect().toSeq
+    val season = Seq(-15.0, -5.0, 5.0, 15.0)
+    out.zipWithIndex.foreach { case ((t, s, r), i) =>
+      assert(s == Some(season(i % 4)), s"seasonal @$i")
+      if (i >= 2 && i <= 9) {
+        assert(t == Some(25.0), s"trend @$i")
+        assert(r == Some(0.0), s"resid @$i")
+      } else {
+        assert(t.isEmpty && r.isEmpty, s"edge @$i") // honest half-window edge
+      }
+    }
+  }
+
   test("wilsonInterval: textbook 50/100 bounds; zero-successes stays in [0,1]") {
     val df = (Seq.fill(50)(("g", true)) ++ Seq.fill(50)(("g", false)) ++
       Seq.fill(10)(("h", false))).toDF("g", "ok")
@@ -474,6 +500,11 @@ class R14OpsSpec extends SparkSuite {
       1.0).count() == 1)
     assert(Sketches.proportionZTest(noVals, col("k") === 1, col("k") === 2,
       col("v") > 0).select("z").as[Option[Double]].collect().head.isEmpty)
+    // cohensD honors the same one-row contract on fully-empty input
+    // (r14 advice: the groupBy form collapsed to zero rows)
+    assert(Sketches.cohensD(noVals, "v", col("k") === 1, col("k") === 2)
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head == ((0L, 0L, None, None, None)))
     assert(Classifier.cohensKappa(noLabels, "r1", "r2")
       .select("kappa").as[Option[Double]].collect().head.isEmpty)
     assert(Sketches.bhFdr(Seq.empty[(Long, Double)].toDF("id", "p"),
