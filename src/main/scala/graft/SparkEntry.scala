@@ -58,6 +58,15 @@ object SparkEntry {
       "meadow full of gentians and the ruins of a shepherd hut whose " +
       "timbers weathered silver over eighty winters of wind and ice"
 
+  /** q_minhash_oracle's per-sect word blocks — 12 sect-unique tokens, so
+    * cross-sect WORD-set Jaccard lands well below the 0.9 threshold (the
+    * reject regime) while same-sect representative pairs differ only in
+    * their tag token (the accept regime) and same-tag docs are identical
+    * (the star regime). Shared VERBATIM with the DuckDB oracle literals
+    * (the NgramBase discipline: pure lowercase ASCII, no quoting). */
+  private val MinhashSectBlocks: Seq[String] =
+    (0 until 5).map(y => (0 until 12).map(i => s"w${i}s$y").mkString(" "))
+
   /** Deterministic structured-text synthesis for the Gopher/C4 rule queries
     * (documents.parquet text has no lines or punctuation of its own): four
     * lines with terminal punctuation, a bullet line, a doc_id%3 ellipsis
@@ -2481,19 +2490,31 @@ object SparkEntry {
     }),
     // ---- kernel-dependent ops (rows-only driver check; ScalaTest covers;
     // q_ann_cosine and q_lang_id above DO have oracle twins) -------------
-    "q_dedup_minhash" -> ((s, dir) => {
-      // recall target: pairs at Jaccard 0.9 must collide with ≥ 1-1/e
-      // probability — bandsForThreshold(64, 0.9) = 8 bands (8 rows/band,
-      // S-curve threshold (1/8)^(1/8) ≈ 0.77 ≤ 0.9). This synthetic corpus
-      // (31-word vocabulary, avg pairwise Jaccard 0.65) is pathologically
-      // self-similar: the exhaustive join (maxBucket=Int.MaxValue) yields
-      // ~987k pairs at sf0.1; the default path collapses identical-sig
-      // groups to min-id STARS (certain pairs, never shed) and sub-splits
-      // the remaining over-cap buckets by a content hash, yielding ~25k
-      // pairs that keep every clique CONNECTED for cluster-level dedup
-      // (see Dedup.nearDupsBySignature). On a distinct-sig corpus with no
-      // over-cap bucket the output is bit-identical to exhaustive.
-      Dedup.minhashNearDups(T(s, dir, "documents"), "doc_id", "text",
+    "q_minhash_oracle" -> ((s, dir) => {
+      // ORACLE-CHECKED word-token LSH (r15 — the q_ngram_jaccard pattern
+      // applied to the WORD-shingle minhash path, closing the r14 ask):
+      // on this crafted doc_id<40 clamp the ENTIRE guarded
+      // nearDupsBySignature path mirrors in DuckDB HUGEINT — the
+      // whitespace-token minhash kernel (the q_dedup_incremental
+      // machinery), the identical-signature star collapse (same doc_id%10
+      // ⇒ identical text ⇒ (min-id rep, member) stars at est 1.0), and
+      // the band join among representatives (band membership ≡ equality
+      // of an 8-wide signature slice; agreement/64 ≥ 0.9). Crafted texts
+      // = the shared ASCII base + a tag token (doc_id%10) + 12
+      // sect-unique tokens (doc_id%5): all three regimes appear —
+      // identical (stars), same-sect pairs differing in ONE token
+      // (word Jaccard ≈ 0.99, accept), cross-sect pairs separated by 26
+      // tokens (word Jaccard ≈ 0.78 — band flukes surface them, the
+      // estimate rejects them; the mirror reproduces both outcomes).
+      // bandsForThreshold(64, 0.9) = 8 bands × 8 rows/band; 10 reps keep
+      // every band bucket far under maxBucket, so subs ≡ 0.
+      val sect = element_at(array(MinhashSectBlocks.map(lit): _*),
+        (col("doc_id") % 5 + 1).cast("int"))
+      val tagged = concat(lit(NgramBase), lit(" tag"),
+        (col("doc_id") % 10).cast("string"), lit(" "), sect, lit(" end"))
+      val crafted = T(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"), tagged.as("text"))
+      Dedup.minhashNearDups(crafted, "doc_id", "text",
         numHashes = 64, threshold = 0.9)
         .orderBy("id_a", "id_b")
     }),
@@ -4567,6 +4588,56 @@ object SparkEntry {
         "UNION ALL SELECT id_a, id_b, jaccard_est FROM scored WHERE anyband = 1 AND jaccard_est >= 0.95) " +
         "ORDER BY id_a, id_b"
     },
+    "q_minhash_oracle" -> {
+      // Exact integer mirror of the full guarded WORD-token LSH path
+      // (Kernels.minhashSig + Dedup.nearDupsBySignature) on the crafted
+      // doc_id<40 clamp: FNV-1a per whitespace token in HUGEINT mod 2^64
+      // (the q_dedup_incremental machinery), signed MIN over tokens of
+      // (A_k*h + B_k) mod 2^64 per hash slot (32/32-split product),
+      // identical-signature groups emit (min-id rep, member) stars at
+      // est 1.0, and representatives pair up when ANY of the eight
+      // 8-wide signature slices is equal (band membership == slice
+      // equality — the engine's xxhash64 band keys are injective on this
+      // clamp; no band bucket reaches maxBucket, so sub-splits are all 0)
+      // with position-agreement >= 0.9.
+      val two64 = BigInt(1) << 64
+      val two63 = BigInt(1) << 63
+      val fnvSeed = BigInt("cbf29ce484222325", 16)
+      def u(l: Long) = java.lang.Long.toUnsignedString(l)
+      val aList = (0 until 64).map(k => s"CAST('${u(splitmix64(2L * k + 1) | 1L)}' AS HUGEINT)")
+        .mkString("[", ", ", "]")
+      val bList = (0 until 64).map(k => s"CAST('${u(splitmix64(2L * k + 2))}' AS HUGEINT)")
+        .mkString("[", ", ", "]")
+      val blocks = MinhashSectBlocks.map(b => s"'$b'").mkString("[", ", ", "]")
+      val T64 = s"CAST('$two64' AS HUGEINT)"
+      val T63 = s"CAST('$two63' AS HUGEINT)"
+      s"WITH d AS (SELECT doc_id, '$NgramBase' || ' tag' || CAST(doc_id % 10 AS VARCHAR) || " +
+        s"' ' || ($blocks)[CAST(doc_id % 5 AS INT) + 1] || ' end' AS lt FROM documents WHERE doc_id < 40), " +
+        "th AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lt, '\\s+'), x -> length(x) > 0)) AS tok FROM d), " +
+        s"hh AS (SELECT doc_id, list_reduce(list_prepend(CAST('$fnvSeed' AS HUGEINT), " +
+        "list_transform(range(1, length(tok)+1), j -> CAST(unicode(substr(tok, j, 1)) AS HUGEINT))), " +
+        "(h, c) -> ((xor(CAST(h % 65536 AS BIGINT), CAST(c AS BIGINT)) + (h - h % 65536)) * 1099511628211) " +
+        s"% $T64) AS h FROM th), " +
+        s"ab AS (SELECT k, la[k + 1] AS a, lb[k + 1] AS b FROM (SELECT $aList AS la, $bList AS lb), " +
+        "unnest(range(0, 64)) AS t(k)), " +
+        s"sv AS (SELECT doc_id, k, MIN(CAST(CASE WHEN v >= $T63 THEN v - $T64 ELSE v END AS BIGINT)) AS sv FROM " +
+        "(SELECT hh.doc_id, ab.k, ((ab.a * (hh.h % 4294967296) + " +
+        s"((ab.a * (hh.h // 4294967296)) % 4294967296) * 4294967296) % $T64 + ab.b) % $T64 AS v " +
+        "FROM hh CROSS JOIN ab) GROUP BY doc_id, k), " +
+        "sg AS (SELECT doc_id, list(sv ORDER BY k) AS sig FROM sv GROUP BY doc_id), " +
+        "reps AS (SELECT sig, MIN(doc_id) AS rep FROM sg GROUP BY sig), " +
+        "stars AS (SELECT r.rep AS id_a, s.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard_est " +
+        "FROM sg s JOIN reps r ON s.sig = r.sig WHERE s.doc_id <> r.rep), " +
+        "pairs AS (SELECT a.rep AS id_a, b.rep AS id_b, a.sig AS sa, b.sig AS sb " +
+        "FROM reps a JOIN reps b ON a.rep < b.rep), " +
+        "scored AS (SELECT id_a, id_b, " +
+        "CAST(list_sum(list_transform(range(0, 64), i -> CASE WHEN sa[i + 1] = sb[i + 1] THEN 1 ELSE 0 END)) AS DOUBLE) / 64.0 AS jaccard_est, " +
+        "list_max(list_transform(range(0, 8), bb -> list_min(list_transform(range(0, 8), " +
+        "r -> CASE WHEN sa[bb * 8 + r + 1] = sb[bb * 8 + r + 1] THEN 1 ELSE 0 END)))) AS anyband FROM pairs) " +
+        "SELECT id_a, id_b, jaccard_est FROM (SELECT id_a, id_b, jaccard_est FROM stars " +
+        "UNION ALL SELECT id_a, id_b, jaccard_est FROM scored WHERE anyband = 1 AND jaccard_est >= 0.9) " +
+        "ORDER BY id_a, id_b"
+    },
     "q_dedup_incremental" -> {
       // Exact integer mirror of the incremental index path
       // (Kernels.minhashSig over WORD tokens + Dedup.buildSignatureIndex +
@@ -6121,6 +6192,21 @@ object SparkEntry {
     * `queries` alone — these rows are covered by ScalaTest instead
     * (MultimodalSpec, LayoutSpec, OpsSpec). */
   def benchExtra: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_minhash" -> ((s, dir) => {
+      // corpus-scale word-token LSH timing series (rows-only until r15,
+      // now a bench-only entry — the path's correctness home is the
+      // oracle-checked q_minhash_oracle clamp, plus the sf0.01 content
+      // pin in RowsOnlyPinSpec that keeps the HOT-BUCKET GUARD honest:
+      // this 31-word-vocabulary corpus is pathologically self-similar,
+      // so the guard actually fires here, which no bounded clamp can
+      // mirror in SQL). Recall target: bandsForThreshold(64, 0.9) = 8
+      // bands (S-curve (1/8)^(1/8) ≈ 0.77 ≤ 0.9); the exhaustive join
+      // would yield ~987k pairs at sf0.1, the guarded path ~25k that
+      // keep every clique CONNECTED for cluster-level dedup.
+      Dedup.minhashNearDups(T(s, dir, "documents"), "doc_id", "text",
+        numHashes = 64, threshold = 0.9)
+        .orderBy("id_a", "id_b")
+    }),
     "b_deflate_ratio" -> ((s, dir) => {
       // compression-ratio quality gate under timing: whole-corpus deflate
       // (level 6) + the standard keep-band filter. No SQL engine can

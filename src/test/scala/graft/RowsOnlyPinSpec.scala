@@ -27,8 +27,10 @@ class RowsOnlyPinSpec extends SparkSuite {
     // q_dedup_embedding graduated to a full DuckDB oracle in r12 (the
     // ±1 splitmix64 hyperplanes regenerate as SQL literals); r14 graduated
     // q_ivf_topk (seedCentroids picks committed as oracle literals) and
-    // q_dedup_incremental (word-token minhash mirrored in HUGEINT)
-    "q_dedup_minhash" -> "ed543d124949ebe2ce229b43bcd07ec3",
+    // q_dedup_incremental (word-token minhash mirrored in HUGEINT); r15
+    // moved q_dedup_minhash to benchExtra — its full-path correctness
+    // home is now the oracle-checked q_minhash_oracle clamp, and its
+    // corpus-scale content pin lives in the dedicated test below
     "q_pipeline_e2e" -> "bbc1d1cba93be09a16c0ff961a4aa0c1",
     "q_twopass" -> "aab7fbfd4bc64c07d7eac08d2a018b1c")
 
@@ -68,5 +70,20 @@ class RowsOnlyPinSpec extends SparkSuite {
           "behavior change is intended, update the pin in an explicit " +
           "fixture-update commit")
     }
+  }
+
+  test("q_dedup_minhash (benchExtra) sf0.01 content hash is pinned") {
+    // bench-only since r15, but the content pin STAYS: this self-similar
+    // corpus is the one input where the hot-bucket guard actually fires,
+    // which no SQL-mirrorable clamp can cover — the hash is the guard's
+    // regression tripwire (same render/hash as the rows-only pins; the
+    // pinned value is unchanged from the query's rows-only era)
+    val df = SparkEntry.benchExtra("q_dedup_minhash")(spark, sfDir)
+    val lines = df.collect().map(render).sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(lines.mkString("\n").getBytes("UTF-8"))
+    val actual = md.digest().map("%02x".format(_)).mkString
+    assert(actual == "ed543d124949ebe2ce229b43bcd07ec3",
+      s"q_dedup_minhash content drifted: computed $actual")
   }
 }
