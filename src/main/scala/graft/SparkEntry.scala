@@ -150,6 +150,54 @@ object SparkEntry {
     z ^ (z >>> 31)
   }
 
+  /** Exact integer mirror of the incremental index path
+    * (Kernels.minhashSig over WORD tokens + Dedup.buildSignatureIndex +
+    * Dedup.nearDupsAgainstIndex) on the real ASCII corpus: FNV-1a per
+    * whitespace token in HUGEINT mod 2^64 (the q_simhash machinery),
+    * signed MIN over tokens of (A_k*h + B_k) mod 2^64 per hash slot
+    * (the q_ngram_jaccard machinery, 32/32-split product), index =
+    * GROUP BY signature / min(doc_id) over doc_id >= 50, batch =
+    * doc_id < 50, candidates when ANY of the eight 8-wide signature
+    * slices is equal (band membership == slice equality — the engine's
+    * xxhash64 band keys are injective here), agreement >= 0.9. Shared by
+    * `q_dedup_incremental` (batch) and `q_stream_neardup` (the streaming
+    * form, whose bounded single-batch run is the batch twin exactly). */
+  private lazy val DedupIncrementalMirrorSql: String = {
+    val two64 = BigInt(1) << 64
+    val two63 = BigInt(1) << 63
+    val fnvSeed = BigInt("cbf29ce484222325", 16)
+    def u(l: Long) = java.lang.Long.toUnsignedString(l)
+    val aList = (0 until 64).map(k => s"CAST('${u(splitmix64(2L * k + 1) | 1L)}' AS HUGEINT)")
+      .mkString("[", ", ", "]")
+    val bList = (0 until 64).map(k => s"CAST('${u(splitmix64(2L * k + 2))}' AS HUGEINT)")
+      .mkString("[", ", ", "]")
+    val T64 = s"CAST('$two64' AS HUGEINT)"
+    val T63 = s"CAST('$two63' AS HUGEINT)"
+    "WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL " +
+      "AND octet_length(encode(text)) = length(text) AND length(trim(text)) > 0), " +
+      s"th AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0)) AS tok FROM d), " +
+      s"hh AS (SELECT doc_id, list_reduce(list_prepend(CAST('$fnvSeed' AS HUGEINT), " +
+      "list_transform(range(1, length(tok)+1), j -> CAST(unicode(substr(tok, j, 1)) AS HUGEINT))), " +
+      "(h, c) -> ((xor(CAST(h % 65536 AS BIGINT), CAST(c AS BIGINT)) + (h - h % 65536)) * 1099511628211) " +
+      s"% $T64) AS h FROM th), " +
+      s"ab AS (SELECT k, la[k + 1] AS a, lb[k + 1] AS b FROM (SELECT $aList AS la, $bList AS lb), " +
+      "unnest(range(0, 64)) AS t(k)), " +
+      s"sv AS (SELECT doc_id, k, MIN(CAST(CASE WHEN v >= $T63 THEN v - $T64 ELSE v END AS BIGINT)) AS sv FROM " +
+      "(SELECT hh.doc_id, ab.k, ((ab.a * (hh.h % 4294967296) + " +
+      s"((ab.a * (hh.h // 4294967296)) % 4294967296) * 4294967296) % $T64 + ab.b) % $T64 AS v " +
+      "FROM hh CROSS JOIN ab) GROUP BY doc_id, k), " +
+      "sg AS (SELECT doc_id, list(sv ORDER BY k) AS sig FROM sv GROUP BY doc_id), " +
+      "idx AS (SELECT sig, MIN(doc_id) AS id_index FROM sg WHERE doc_id >= 50 GROUP BY sig), " +
+      "bt AS (SELECT doc_id AS id_new, sig AS sgn FROM sg WHERE doc_id < 50), " +
+      "scored AS (SELECT bt.id_new, idx.id_index, " +
+      "CAST(list_sum(list_transform(range(0, 64), i -> CASE WHEN bt.sgn[i + 1] = idx.sig[i + 1] THEN 1 ELSE 0 END)) AS DOUBLE) / 64.0 AS jaccard_est, " +
+      "list_max(list_transform(range(0, 8), bb -> list_min(list_transform(range(0, 8), " +
+      "r -> CASE WHEN bt.sgn[bb * 8 + r + 1] = idx.sig[bb * 8 + r + 1] THEN 1 ELSE 0 END)))) AS anyband " +
+      "FROM bt CROSS JOIN idx) " +
+      "SELECT id_new, id_index, jaccard_est FROM scored WHERE anyband = 1 AND jaccard_est >= 0.9 " +
+      "ORDER BY id_new, id_index"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- simple filters -------------------------------------------------
     "q_required" -> ((s, dir) => {
@@ -2574,6 +2622,35 @@ object SparkEntry {
         "doc_id", "sig", numHashes = 64, threshold = 0.9)
         .orderBy("id_new", "id_index")
     }),
+    "q_stream_neardup" -> ((s, dir) => {
+      // TRUE streaming incremental near-dup (the r14 "dedup the crawl as
+      // it lands" ask): the documents file STREAMS through foreachBatch,
+      // each micro-batch probing the persisted signature index built from
+      // the established corpus (doc_id >= 50) via nearDupsAgainstIndex,
+      // the index folding forward per batch (streamNearDups). A bounded
+      // AvailableNow run over ONE file is ONE micro-batch, so by the
+      // sequential-replay contract the result is EXACTLY the batch twin
+      // q_dedup_incremental — whose HUGEINT mirror is the shared oracle.
+      // The multi-batch replay equivalence and the one-pin-generation
+      // state discipline are pinned in StreamingNearDupSpec; the state
+      // soak lives in SCALE.md.
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      def clamp(d: DataFrame): DataFrame = d.filter(col("text").isNotNull &&
+        octet_length(col("text")) === length(col("text")) &&
+        length(trim(col("text"))) > 0)
+      val batchSigs = clamp(raw).filter(col("doc_id") < 50)
+        .select(col("doc_id"), Dedup.minhashSignature(col("text"), 64).as("sig"))
+      val idx = Dedup.buildSignatureIndex(
+        clamp(T(s, dir, "documents")).filter(col("doc_id") >= 50)
+          .select(col("doc_id"),
+            Dedup.minhashSignature(col("text"), 64).as("sig")),
+        "doc_id", "sig")
+      graft.streaming.StreamingValidate.streamNearDups(batchSigs, idx,
+        "doc_id", "sig", numHashes = 64, threshold = 0.9)
+        .orderBy("id_new", "id_index")
+    }),
     "q_simhash" -> ((s, dir) => {
       // ORACLE-CHECKED (r5): DuckDB reproduces both kernels exactly with
       // HUGEINT mod-2^64 arithmetic — FNV-1a-per-token bit votes for
@@ -4638,51 +4715,13 @@ object SparkEntry {
         "UNION ALL SELECT id_a, id_b, jaccard_est FROM scored WHERE anyband = 1 AND jaccard_est >= 0.9) " +
         "ORDER BY id_a, id_b"
     },
-    "q_dedup_incremental" -> {
-      // Exact integer mirror of the incremental index path
-      // (Kernels.minhashSig over WORD tokens + Dedup.buildSignatureIndex +
-      // Dedup.nearDupsAgainstIndex) on the real ASCII corpus: FNV-1a per
-      // whitespace token in HUGEINT mod 2^64 (the q_simhash machinery),
-      // signed MIN over tokens of (A_k*h + B_k) mod 2^64 per hash slot
-      // (the q_ngram_jaccard machinery, 32/32-split product), index =
-      // GROUP BY signature / min(doc_id) over doc_id >= 50, batch =
-      // doc_id < 50, candidates when ANY of the eight 8-wide signature
-      // slices is equal (band membership == slice equality — the engine's
-      // xxhash64 band keys are injective here), agreement >= 0.9.
-      val two64 = BigInt(1) << 64
-      val two63 = BigInt(1) << 63
-      val fnvSeed = BigInt("cbf29ce484222325", 16)
-      def u(l: Long) = java.lang.Long.toUnsignedString(l)
-      val aList = (0 until 64).map(k => s"CAST('${u(splitmix64(2L * k + 1) | 1L)}' AS HUGEINT)")
-        .mkString("[", ", ", "]")
-      val bList = (0 until 64).map(k => s"CAST('${u(splitmix64(2L * k + 2))}' AS HUGEINT)")
-        .mkString("[", ", ", "]")
-      val T64 = s"CAST('$two64' AS HUGEINT)"
-      val T63 = s"CAST('$two63' AS HUGEINT)"
-      "WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL " +
-        "AND octet_length(encode(text)) = length(text) AND length(trim(text)) > 0), " +
-        s"th AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0)) AS tok FROM d), " +
-        s"hh AS (SELECT doc_id, list_reduce(list_prepend(CAST('$fnvSeed' AS HUGEINT), " +
-        "list_transform(range(1, length(tok)+1), j -> CAST(unicode(substr(tok, j, 1)) AS HUGEINT))), " +
-        "(h, c) -> ((xor(CAST(h % 65536 AS BIGINT), CAST(c AS BIGINT)) + (h - h % 65536)) * 1099511628211) " +
-        s"% $T64) AS h FROM th), " +
-        s"ab AS (SELECT k, la[k + 1] AS a, lb[k + 1] AS b FROM (SELECT $aList AS la, $bList AS lb), " +
-        "unnest(range(0, 64)) AS t(k)), " +
-        s"sv AS (SELECT doc_id, k, MIN(CAST(CASE WHEN v >= $T63 THEN v - $T64 ELSE v END AS BIGINT)) AS sv FROM " +
-        "(SELECT hh.doc_id, ab.k, ((ab.a * (hh.h % 4294967296) + " +
-        s"((ab.a * (hh.h // 4294967296)) % 4294967296) * 4294967296) % $T64 + ab.b) % $T64 AS v " +
-        "FROM hh CROSS JOIN ab) GROUP BY doc_id, k), " +
-        "sg AS (SELECT doc_id, list(sv ORDER BY k) AS sig FROM sv GROUP BY doc_id), " +
-        "idx AS (SELECT sig, MIN(doc_id) AS id_index FROM sg WHERE doc_id >= 50 GROUP BY sig), " +
-        "bt AS (SELECT doc_id AS id_new, sig AS sgn FROM sg WHERE doc_id < 50), " +
-        "scored AS (SELECT bt.id_new, idx.id_index, " +
-        "CAST(list_sum(list_transform(range(0, 64), i -> CASE WHEN bt.sgn[i + 1] = idx.sig[i + 1] THEN 1 ELSE 0 END)) AS DOUBLE) / 64.0 AS jaccard_est, " +
-        "list_max(list_transform(range(0, 8), bb -> list_min(list_transform(range(0, 8), " +
-        "r -> CASE WHEN bt.sgn[bb * 8 + r + 1] = idx.sig[bb * 8 + r + 1] THEN 1 ELSE 0 END)))) AS anyband " +
-        "FROM bt CROSS JOIN idx) " +
-        "SELECT id_new, id_index, jaccard_est FROM scored WHERE anyband = 1 AND jaccard_est >= 0.9 " +
-        "ORDER BY id_new, id_index"
-    },
+    "q_dedup_incremental" -> DedupIncrementalMirrorSql,
+    // the streaming form drains the SAME 50-doc batch through ONE
+    // AvailableNow micro-batch against the SAME index — by the
+    // sequential-replay contract its result is the batch twin's, so the
+    // mirror is shared verbatim (StreamingNearDupSpec pins the
+    // multi-batch replay equivalence the single-batch oracle can't see)
+    "q_stream_neardup" -> DedupIncrementalMirrorSql,
     "q_asof" ->
       // DuckDB's native ASOF LEFT JOIN is the reference semantics the
       // union-window encoding must reproduce

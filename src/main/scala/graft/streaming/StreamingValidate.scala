@@ -204,6 +204,75 @@ object StreamingValidate {
     rollup
   }
 
+  /** Streaming incremental near-dup — [[graft.ops.Dedup.nearDupsAgainstIndex]]
+    * per micro-batch against a maintained signature index: the production
+    * shape of "dedup the crawl as it lands". Each micro-batch of
+    * `(idCol, sigCol)` rows (signatures computed upstream in the stream
+    * select, e.g. [[graft.ops.Dedup.minhashSignature]] — map-only, no
+    * stream state) probes the index of everything ingested BEFORE it;
+    * afterwards (when `growIndex`) the batch's signatures fold into the
+    * index with [[graft.ops.Dedup.buildSignatureIndex]] semantics
+    * (GROUP BY signature, min-id representative — deterministic, not
+    * arrival-order). Matches accumulate and return once the bounded
+    * stream drains: `(id_new, id_index, jaccard_est)`.
+    *
+    * Semantics contract: within-batch pairs are NOT emitted (the
+    * batch×index shape); across batches the result is EXACTLY the
+    * sequential batch replay `m_i = nearDupsAgainstIndex(index_{i-1},
+    * batch_i)` with `index_i = buildSignatureIndex(index_{i-1} ∪
+    * batch_i)` — which is what `StreamingNearDupSpec` pins against a
+    * batch replay and the single-batch `q_stream_neardup` oracles (≡ its
+    * batch twin `q_dedup_incremental`).
+    *
+    * Scale honesty (the [[maintainRollup]] discipline): the streaming
+    * query itself is STATELESS — no watermark state stores; ALL state is
+    * the explicit index + match accumulator, held as ONE local-checkpoint
+    * pin generation each with superseded generations released per batch.
+    * State is therefore index-sized (distinct signatures ingested), never
+    * stream-history-sized, and restart recovery is "re-read the index
+    * table": a production deployment externalizes index and matches as
+    * storage tables and the foreachBatch body MERGEs the same two
+    * delta-sized computations. The band join inside each batch stays the
+    * no-shuffle shape nearDupsAgainstIndex documents — the small batch
+    * broadcasts, the index streams by. */
+  def streamNearDups(stream: DataFrame, index0: DataFrame,
+      idCol: String, sigCol: String, numHashes: Int,
+      threshold: Double = 0.7, bands: Int = 0,
+      growIndex: Boolean = true): DataFrame = {
+    require(stream.isStreaming, "streamNearDups needs a streaming frame")
+    import graft.ops.{Checkpoints, Dedup}
+    var index = index0.select(col(idCol), col(sigCol)).localCheckpoint()
+    // empty accumulator with the output schema (no scan: both sides empty)
+    var acc = Dedup.nearDupsAgainstIndex(index.limit(0), index.limit(0),
+      idCol, sigCol, numHashes, bands, threshold).localCheckpoint()
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // the batch frame is only valid inside this call — pin it so the
+        // match and the index fold read one materialization
+        val b = batch.localCheckpoint()
+        val nextAcc = acc.unionByName(
+          Dedup.nearDupsAgainstIndex(index, b, idCol, sigCol,
+            numHashes, bands, threshold)).localCheckpoint()
+        val nextIndex =
+          if (growIndex)
+            Dedup.buildSignatureIndex(
+              index.unionByName(b.select(col(idCol), col(sigCol))),
+              idCol, sigCol).localCheckpoint()
+          else index
+        // superseded generations: both successors are materialized
+        Seq(acc, b).foreach(Checkpoints.release)
+        if (growIndex) Checkpoints.release(index)
+        acc = nextAcc
+        index = nextIndex
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Checkpoints.release(index) // the acc pin lives with the returned frame
+    acc
+  }
+
   /** Streaming drift monitor — maintain the AFTER side of a PSI check
     * from a STREAMING metric column, against a static baseline snapshot
     * ("alert when production scores drift from the training

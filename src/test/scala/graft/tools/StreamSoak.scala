@@ -121,6 +121,70 @@ object StreamSoak {
       s"verdict=${if (maxPins <= 6 && lastBytes <= firstBytes * 2) "PLATEAU" else "GROWS"}")
     require(maxPins <= 6 && lastBytes <= math.max(firstBytes, 1L) * 2,
       s"rollup pins grow: maxPins=$maxPins early=$firstBytes late=$lastBytes")
+
+    // ---- soak 3: streaming near-dup index maintenance (q_stream_neardup) ----
+    // streamNearDups holds index + match accumulator as ONE pin
+    // generation each, released per batch: pinned-RDD count must hold
+    // near-constant over many batches while the INDEX grows only with
+    // distinct signatures ingested (here: each batch re-sends half its
+    // docs as exact dups, so the index grows by half a batch per batch —
+    // linear in novelty, NOT in stream history, and matches accumulate).
+    val ndDir = java.nio.file.Files.createTempDirectory("soak_neardup").toString
+    val ndBatches = 20
+    val docsPer = 50
+    val vocab = Seq("river", "stone", "market", "signal", "harbor", "lantern",
+      "meadow", "cipher", "timber", "anchor")
+    def text(seed: Long): String =
+      (0 until 30).map(j => vocab(((seed * 31 + j * 7) % 10).toInt)).mkString(" ") +
+        s" marker$seed"
+    (0 until ndBatches).foreach { b =>
+      val rows = (0 until docsPer).map { i =>
+        // half novel content, half exact dup of an earlier batch's doc
+        val seed = if (i % 2 == 0) (b * docsPer + i).toLong
+                   else (math.max(b - 1, 0) * docsPer + i).toLong
+        ((b * docsPer + i).toLong, text(seed))
+      }
+      val f = new java.io.File(s"$ndDir/b$b")
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(f.toString)
+      f.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(1700000000000L + b * 60000L))
+    }
+    val ndPinLog = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Int)]()
+    val ndListener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val infos = spark.sparkContext.getRDDStorageInfo
+        ndPinLog.add((e.progress.batchId,
+          infos.map(i => i.memSize + i.diskSize).sum, infos.length))
+      }
+    }
+    spark.streams.addListener(ndListener)
+    val ndStream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(ndDir)
+    val ndSigs = ndStream.select(col("doc_id"),
+      graft.ops.Dedup.minhashSignature(col("text"), 64).as("sig"))
+    val emptyIdx = graft.ops.Dedup.buildSignatureIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")
+        .select(col("doc_id"),
+          graft.ops.Dedup.minhashSignature(col("text"), 64).as("sig")),
+      "doc_id", "sig")
+    val matches = graft.streaming.StreamingValidate.streamNearDups(
+      ndSigs, emptyIdx, "doc_id", "sig", numHashes = 64, threshold = 0.9)
+    val nMatches = matches.count()
+    spark.streams.removeListener(ndListener)
+    println("neardup_soak: batch,pinnedBytes,pinnedRdds")
+    val ndLog = ndPinLog.asScala.toSeq.sortBy(_._1)
+    ndLog.foreach { case (b, bytes, n) => println(s"neardup_soak: $b,$bytes,$n") }
+    val ndMaxPins = ndLog.map(_._3).max
+    println(s"neardup_soak: batches=${ndLog.size} matches=$nMatches " +
+      s"ingested=${ndBatches * docsPer} maxPinnedRdds=$ndMaxPins " +
+      s"verdict=${if (ndMaxPins <= 8) "PLATEAU" else "GROWS"}")
+    require(ndMaxPins <= 8,
+      s"near-dup pins grow with batch count: maxPinnedRdds=$ndMaxPins")
+    require(nMatches > 0, "soak corpus must produce cross-batch matches")
     spark.stop()
   }
 }
