@@ -74,7 +74,8 @@ object ScaleCompare {
     }
 
     // ---- nine bounded-state invariants, natural-growth form ------------
-    for ((label, dir) <- Seq("g0.1" -> small, "g1" -> big)) {
+    for ((label, dir) <- Seq(small, big).map(d =>
+        d.split('/').last -> d)) {
       def T(n: String) = spark.read.parquet(s"$dir/$n.parquet")
       val o = T("orders"); val ev = T("events")
 
