@@ -147,6 +147,32 @@ object ScaleCompare {
         s"rfm=$rfm (=customers $custs) iso_bins=$iso holt_keys=$ho " +
         s"seasonal=$se (=5×$days) theil_keys=$tsn pop_months=$pop (=$months)")
       clear()
+
+      // ---- sketch/ANN family (the dedup-side state the replication
+      // smokes also froze): CMS cell table bounded by depth×width, IVF
+      // cell count bounded by the centroid budget, both independent of
+      // corpus size — asserted at a genuinely grown key/vector universe
+      val docs = T("documents"); val emb = T("embeddings")
+      // integral keys only (the documented cmsBuild contract): the
+      // growing USER universe is exactly the adversary — 10× more
+      // distinct keys, same ≤ depth×width cell table
+      val cms = graft.ops.Sketches.cmsBuild(ev, "user_id",
+        depth = 4, width = 64).count()
+      assert(cms <= 4 * 64, s"CMS cells $cms > depth×width 256")
+      val cents = graft.ops.Similarity.seedCentroids(emb, "vec_id",
+        "embedding", 16)
+      val ivfCells = graft.ops.Similarity.ivfAssign(emb, cents, "vec_id",
+          "embedding")
+        .select(col("centroid_id")).distinct().count()
+      assert(ivfCells <= 16, s"IVF cells $ivfCells > centroid budget 16")
+      // KS shares MW's snapped-grid machinery (invariant 1); the document
+      // VOCABULARY is the state that SHOULD grow — report it so the table
+      // shows a genuinely growing universe next to the bounded cells
+      val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+        .distinct().count()
+      println(s"[inv] $label sketch/ANN: cms_cells=$cms (≤256) " +
+        s"ivf_cells=$ivfCells (≤16 centroids) vocab_types=$vocab (grows)")
+      clear()
     }
     println("[cmp] done")
     spark.stop()
