@@ -272,6 +272,31 @@ object SparkEntry {
       Validate(ev, "ts" -> F.Date()).valid
         .groupBy(col("ts").as("day")).agg(count(lit(1)).as("n")).orderBy("day")
     }),
+    "q_date_dayfirst" -> ((s, dir) => {
+      // dateutil's two-tier ambiguous-slash-date rule under BOTH dayFirst
+      // settings (r15 — the documented Datetime divergence narrowed to
+      // locale autodetection + freeform fuzz; the field-order knob itself
+      // is oracled here). Crafted "a/b/2024" with a in 1..31, b in 1..12,
+      // b never exceeding any month's day budget (≤ 12 ≤ 28): dayFirst
+      // = true always reads d/M (date(2024, b, a)); the default reads M/d
+      // when a ≤ 12 (date(2024, a, b)) and swaps ONLY when the preferred
+      // read is invalid (a > 12 ⇒ date(2024, b, a)) — both closed-form in
+      // SQL, no strptime cascade needed.
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 200)
+        .withColumn("a", (col("doc_id") % 31 + 1).cast("int"))
+        .withColumn("b", (col("doc_id") % 12 + 1).cast("int"))
+        .withColumn("slashed", concat(col("a"), lit("/"), col("b"), lit("/2024")))
+      val us = Validate.columns(docs, "slashed" ->
+        F.Date(lenient = true)).valid
+        .select(col("doc_id"), col("slashed").as("us_read"))
+      val eu = Validate.columns(docs, "slashed" ->
+        F.Date(lenient = true, dayFirst = true)).valid
+        .select(col("doc_id"), col("slashed").as("eu_read"))
+      us.join(eu, "doc_id")
+        .select(col("doc_id"), col("us_read").cast("date"),
+          col("eu_read").cast("date"))
+        .orderBy("doc_id")
+    }),
     // ---- string filters -------------------------------------------------
     "q_strip" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
@@ -3495,6 +3520,22 @@ object SparkEntry {
       "SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS bucket, COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY bucket",
     "q_date" ->
       "SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY day",
+    "q_date_dayfirst" ->
+      // dateutil's swap-on-invalid rule in closed form. bud = 2024's
+      // month-day budgets: the d/M read is valid iff a <= bud[b] (Feb 31
+      // etc. fail), the M/d read iff a <= 12 (b never exceeds 12 ≤ any
+      // budget). Rows where BOTH reads fail drop from .valid on the
+      // Spark side — the WHERE mirrors that; CASE branches are ordered
+      // so make_date (which THROWS on out-of-range, unlike Spark's
+      // try-cascade) only evaluates constructible dates.
+      ("WITH d AS (SELECT doc_id, CAST(doc_id % 31 + 1 AS INT) AS a, " +
+        "CAST(doc_id % 12 + 1 AS INT) AS b, " +
+        "([31,29,31,30,31,30,31,31,30,31,30,31])[CAST(doc_id % 12 + 1 AS INT)] AS bud " +
+        "FROM documents WHERE doc_id < 200) " +
+        "SELECT doc_id, " +
+        "CASE WHEN a <= 12 THEN make_date(2024, a, b) ELSE make_date(2024, b, a) END AS us_read, " +
+        "CASE WHEN a <= bud THEN make_date(2024, b, a) ELSE make_date(2024, a, b) END AS eu_read " +
+        "FROM d WHERE a <= 12 OR a <= bud ORDER BY doc_id"),
     "q_strip" ->
       "SELECT doc_id, regexp_replace(regexp_replace('  ' || text || ' \t', '^[\\p{C}\\s]+', ''), '[\\p{C}\\s]+$', '') AS stripped FROM documents ORDER BY doc_id",
     "q_casefold" ->
