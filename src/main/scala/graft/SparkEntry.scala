@@ -2647,6 +2647,21 @@ object SparkEntry {
         "doc_id", "sig", numHashes = 64, threshold = 0.9)
         .orderBy("id_new", "id_index")
     }),
+    "q_lsh_recall" -> ((s, dir) => {
+      // the dedup audit a 100 TB run performs on a SAMPLE before
+      // trusting the banded path (r15): exact word-Jaccard ground truth
+      // (lossless prefix-filtered join) vs the guarded LSH candidate
+      // set, one report row with recall/precision. doc_id < 120 with
+      // the ASCII clamp is SF-stable and small enough for the oracle's
+      // all-pairs exact mirror; the LSH side reuses the q_minhash_oracle
+      // HUGEINT machinery over the REAL corpus text.
+      val docs = T(s, dir, "documents")
+        .filter(col("doc_id") < 120 && col("text").isNotNull &&
+          octet_length(col("text")) === length(col("text")) &&
+          length(trim(col("text"))) > 0)
+      Dedup.lshRecallAudit(docs, "doc_id", "text",
+        numHashes = 64, threshold = 0.9)
+    }),
     "q_stream_neardup" -> ((s, dir) => {
       // TRUE streaming incremental near-dup (the r14 "dedup the crawl as
       // it lands" ask): the documents file STREAMS through foreachBatch,
@@ -4755,6 +4770,59 @@ object SparkEntry {
         "SELECT id_a, id_b, jaccard_est FROM (SELECT id_a, id_b, jaccard_est FROM stars " +
         "UNION ALL SELECT id_a, id_b, jaccard_est FROM scored WHERE anyband = 1 AND jaccard_est >= 0.9) " +
         "ORDER BY id_a, id_b"
+    },
+    "q_lsh_recall" -> {
+      // truth = all-pairs exact word-set Jaccard ≥ 0.9 on the clamp
+      // (LOWERCASED tokens — the jaccardJoin convention; the prefix
+      // filter is lossless so all-pairs IS its output); cand = the full
+      // guarded LSH path in HUGEINT (RAW tokens — the minhashSig
+      // convention; the corpus is lowercase ASCII so the two token
+      // universes coincide here): stars + 8-wide slice-equality band
+      // pairs at estimate ≥ 0.9. One row of counts + floor-rounded
+      // ratios, null on zero denominators.
+      val two64 = BigInt(1) << 64
+      val two63 = BigInt(1) << 63
+      val fnvSeed = BigInt("cbf29ce484222325", 16)
+      def u(l: Long) = java.lang.Long.toUnsignedString(l)
+      val aList = (0 until 64).map(k => s"CAST('${u(splitmix64(2L * k + 1) | 1L)}' AS HUGEINT)")
+        .mkString("[", ", ", "]")
+      val bList = (0 until 64).map(k => s"CAST('${u(splitmix64(2L * k + 2))}' AS HUGEINT)")
+        .mkString("[", ", ", "]")
+      val T64 = s"CAST('$two64' AS HUGEINT)"
+      val T63 = s"CAST('$two63' AS HUGEINT)"
+      "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 120 AND text IS NOT NULL " +
+        "AND octet_length(encode(text)) = length(text) AND length(trim(text)) > 0), " +
+        "sx AS (SELECT doc_id, list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> length(t) > 0)) AS tok " +
+        "FROM d), sxn AS (SELECT * FROM sx WHERE len(tok) > 0), " +
+        "truth AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2 FROM sxn a, sxn b WHERE a.doc_id < b.doc_id AND " +
+        "CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) / len(list_distinct(list_concat(a.tok, b.tok))) >= 0.9), " +
+        s"th AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0)) AS tk FROM d), " +
+        s"hh AS (SELECT doc_id, list_reduce(list_prepend(CAST('$fnvSeed' AS HUGEINT), " +
+        "list_transform(range(1, length(tk)+1), j -> CAST(unicode(substr(tk, j, 1)) AS HUGEINT))), " +
+        "(h, c) -> ((xor(CAST(h % 65536 AS BIGINT), CAST(c AS BIGINT)) + (h - h % 65536)) * 1099511628211) " +
+        s"% $T64) AS h FROM th), " +
+        s"ab AS (SELECT k, la[k + 1] AS a, lb[k + 1] AS b FROM (SELECT $aList AS la, $bList AS lb), " +
+        "unnest(range(0, 64)) AS t(k)), " +
+        s"sv AS (SELECT doc_id, k, MIN(CAST(CASE WHEN v >= $T63 THEN v - $T64 ELSE v END AS BIGINT)) AS sv FROM " +
+        "(SELECT hh.doc_id, ab.k, ((ab.a * (hh.h % 4294967296) + " +
+        s"((ab.a * (hh.h // 4294967296)) % 4294967296) * 4294967296) % $T64 + ab.b) % $T64 AS v " +
+        "FROM hh CROSS JOIN ab) GROUP BY doc_id, k), " +
+        "sg AS (SELECT doc_id, list(sv ORDER BY k) AS sig FROM sv GROUP BY doc_id), " +
+        "reps AS (SELECT sig, MIN(doc_id) AS rep FROM sg GROUP BY sig), " +
+        "stars AS (SELECT r.rep AS id_a, s.doc_id AS id_b FROM sg s JOIN reps r ON s.sig = r.sig WHERE s.doc_id <> r.rep), " +
+        "pairs AS (SELECT a.rep AS id_a, b.rep AS id_b, a.sig AS sa, b.sig AS sb FROM reps a JOIN reps b ON a.rep < b.rep), " +
+        "scored AS (SELECT id_a, id_b, " +
+        "CAST(list_sum(list_transform(range(0, 64), i -> CASE WHEN sa[i + 1] = sb[i + 1] THEN 1 ELSE 0 END)) AS DOUBLE) / 64.0 AS je, " +
+        "list_max(list_transform(range(0, 8), bb -> list_min(list_transform(range(0, 8), " +
+        "r -> CASE WHEN sa[bb * 8 + r + 1] = sb[bb * 8 + r + 1] THEN 1 ELSE 0 END)))) AS anyband FROM pairs), " +
+        "cand AS (SELECT id_a, id_b FROM stars UNION ALL SELECT id_a, id_b FROM scored WHERE anyband = 1 AND je >= 0.9), " +
+        "hits AS (SELECT c.id_a, c.id_b FROM cand c JOIN truth t ON c.id_a = t.id_1 AND c.id_b = t.id_2), " +
+        "n AS (SELECT (SELECT COUNT(*) FROM d) AS n_docs, (SELECT COUNT(*) FROM truth) AS n_true, " +
+        "(SELECT COUNT(*) FROM cand) AS n_cand, (SELECT COUNT(*) FROM hits) AS n_hits) " +
+        "SELECT n_docs, n_true, n_cand, n_hits, " +
+        "CASE WHEN n_true > 0 THEN floor(CAST(n_hits AS DOUBLE) / n_true * 1e9 + 0.5) / 1e9 END AS recall, " +
+        "CASE WHEN n_cand > 0 THEN floor(CAST(n_hits AS DOUBLE) / n_cand * 1e9 + 0.5) / 1e9 END AS \"precision\" " +
+        "FROM n"
     },
     "q_dedup_incremental" -> DedupIncrementalMirrorSql,
     // the streaming form drains the SAME 50-doc batch through ONE

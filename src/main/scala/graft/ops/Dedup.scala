@@ -548,6 +548,69 @@ object Dedup {
     when(union === 0, 1.0).otherwise(inter / union)
   }
 
+  /** LSH recall/precision audit over a BOUNDED sample — the "measure
+    * before trusting" gate for a corpus-scale dedup run. Banding recall
+    * is an S-curve PROMISE (a pair AT `threshold` collides in ≥ 1 band
+    * with probability ≥ 1−1/e), the minhash estimate is noisy
+    * (±~1/√numHashes around true Jaccard), and the hot-bucket guard
+    * deliberately sheds distinct-sig pair recall inside over-cap
+    * buckets — this op MEASURES the combined effect against exact ground
+    * truth on a sample small enough to afford it.
+    *
+    * Ground truth: exact word-token Jaccard ≥ `threshold` via the
+    * lossless prefix-filtered set-similarity join
+    * ([[FuzzyJoin.jaccardJoin]] — never all-pairs even on the sample).
+    * Candidates: the full guarded LSH path ([[minhashNearDups]] at the
+    * same banding/guard parameters the production run uses), thresholded
+    * on the ESTIMATE. Returns ONE row `(n_docs, n_true, n_cand, n_hits,
+    * recall, precision)` — recall = hits/true (the number to watch: the
+    * S-curve floor AT the threshold is ≈ 0.63, but pairs comfortably
+    * above it should push the measured figure toward 1.0), precision =
+    * hits/cand; both 1e-9 floor-rounded, null on a zero denominator.
+    *
+    * `maxDocs` HARD-FAILS (plan-side raise_error, the frequentPairs cap
+    * idiom) on a sample bigger than the quadratic-intent ground truth
+    * can honestly afford — sample the corpus FIRST
+    * ([[graft.ops.Sampling]].deterministicSample) and audit the sample;
+    * never point this at the corpus itself. Scale shape: the audit is
+    * the bounded side-car of the real run — every frame is sample-sized;
+    * truth and candidates pin once each (both feed their count and the
+    * hit join), and the four one-row aggregates meet through the
+    * established scalar crossJoin. */
+  def lshRecallAudit(df: DataFrame, idCol: String, textCol: String,
+                     numHashes: Int = 64, threshold: Double = 0.9,
+                     bands: Int = 0, maxBucket: Int = 64,
+                     maxDocs: Int = 10000): DataFrame = {
+    require(maxDocs >= 2, s"maxDocs must be ≥ 2, got $maxDocs")
+    val base = df.filter(col(textCol).isNotNull)
+    val truth = Checkpoints.pinned(
+      FuzzyJoin.jaccardJoin(base, idCol, textCol, threshold))
+    val cand = Checkpoints.pinned(
+      minhashNearDups(base, idCol, textCol, numHashes, bands, threshold,
+        maxBucket))
+    val hits = cand.join(truth,
+      cand("id_a") === truth("id_1") && cand("id_b") === truth("id_2"),
+      "left_semi")
+    def one(dfx: DataFrame, name: String) = dfx.agg(count(lit(1)).as(name))
+    def r9(c: Column) = floor(c * 1e9 + lit(0.5)) / 1e9
+    val capMsg = concat(lit("lshRecallAudit: sample has "),
+      col("n_docs").cast("string"),
+      lit(s" docs > maxDocs=$maxDocs — exact ground truth is quadratic " +
+        "in intent; sample the corpus first"))
+    one(base, "n_docs")
+      .crossJoin(one(truth, "n_true"))
+      .crossJoin(one(cand, "n_cand"))
+      .crossJoin(one(hits, "n_hits"))
+      .select(
+        when(col("n_docs") <= maxDocs, col("n_docs"))
+          .otherwise(raise_error(capMsg).cast("long")).as("n_docs"),
+        col("n_true"), col("n_cand"), col("n_hits"),
+        when(col("n_true") > 0,
+          r9(col("n_hits").cast("double") / col("n_true"))).as("recall"),
+        when(col("n_cand") > 0,
+          r9(col("n_hits").cast("double") / col("n_cand"))).as("precision"))
+  }
+
   /** Exact containment `|a ∩ b| / |a|` — the ASYMMETRIC near-dup signal
     * Jaccard misses: a short document quoted wholesale inside a long one
     * has containment ≈ 1 but Jaccard ≈ |a|/|b| (arbitrarily small), so a

@@ -604,6 +604,35 @@ class OpsSpec extends SparkSuite {
       .collect()
     assert(out.length == 1 && out(0).getLong(2) == 1L)
   }
+  test("lshRecallAudit: perfect on a separated corpus; exact dups always recalled; cap raises") {
+    import spark.implicits._
+    // 5 identical pairs far above threshold + 10 pairwise-distinct docs:
+    // truth = the 5 identical pairs (J = 1.0), LSH recovers each as a
+    // star (exact dups ALWAYS collide), and nothing else approaches 0.9
+    // -> recall = precision = 1.0
+    val fam = (0 until 5).flatMap { g =>
+      val txt = s"group$g " + (0 until 30).map(i => s"tok${g}_$i").mkString(" ")
+      Seq((g * 2L, txt), (g * 2L + 1, txt))
+    }
+    val filler = (0 until 10).map(i =>
+      (100L + i, (0 until 25).map(j => s"only${i}_$j").mkString(" ")))
+    val docs = (fam ++ filler).toDF("doc_id", "text")
+    val out = Dedup.lshRecallAudit(docs, "doc_id", "text",
+        numHashes = 64, threshold = 0.9)
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])].head()
+    assert(out == ((20L, 5L, 5L, 5L, Some(1.0), Some(1.0))))
+    // empty truth and candidate sets: ratios null, not divide-by-zero
+    val none = Dedup.lshRecallAudit(filler.toDF("doc_id", "text"),
+        "doc_id", "text", numHashes = 64, threshold = 0.9)
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])].head()
+    assert(none == ((10L, 0L, 0L, 0L, None, None)))
+    // the quadratic-intent cap hard-fails instead of silently auditing
+    val err = intercept[Exception] {
+      Dedup.lshRecallAudit(docs, "doc_id", "text", maxDocs = 5).collect()
+    }
+    assert(err.getMessage.contains("maxDocs"))
+  }
+
 test("lexicalDiversity: hand-computed tokens/types/hapax") {
     import spark.implicits._
     // tokens: the(3) cat(2) sat(1) mat(1) -> 7 tokens, 4 types, 2 hapax
