@@ -61,7 +61,7 @@ for (name <- Seq("flagship_valid_split", "q_required", "q_min", "q_topk_similar"
     "q_isotonic", "q_holt", "q_seasonal", "q_wilson", "q_prop_ztest",
     "q_ann_recall", "q_theil_sen",
     "q_cube", "q_pop", "q_sla", "q_zipf", "q_kcore", "q_wilcoxon", "q_cohens_d", "q_kfold",
-    "q_minhash_oracle", "q_stream_neardup")) {
+    "q_minhash_oracle", "q_stream_neardup", "q_date_dayfirst", "q_lsh_recall")) {
   val df = if (name == "flagship_valid_split") flagship
            else graft.SparkEntry.queries.getOrElse(name, graft.SparkEntry.benchExtra(name))(spark, dir)
   out.println()
