@@ -4773,12 +4773,13 @@ object SparkEntry {
     },
     "q_lsh_recall" -> {
       // truth = all-pairs exact word-set Jaccard ≥ 0.9 on the clamp
-      // (LOWERCASED tokens — the jaccardJoin convention; the prefix
-      // filter is lossless so all-pairs IS its output); cand = the full
-      // guarded LSH path in HUGEINT (RAW tokens — the minhashSig
-      // convention; the corpus is lowercase ASCII so the two token
-      // universes coincide here): stars + 8-wide slice-equality band
-      // pairs at estimate ≥ 0.9. One row of counts + floor-rounded
+      // (RAW case-sensitive tokens — since r16 the audit passes
+      // foldCase=false so truth measures the SAME similarity minhashSig
+      // hashes; the prefix filter is lossless so all-pairs IS its
+      // output); cand = the full guarded LSH path in HUGEINT:
+      // identical-sig groups expanded to FULL CLIQUES (the r16
+      // star-collapse recall fix) + 8-wide slice-equality band pairs at
+      // estimate ≥ 0.9, DISTINCT. One row of counts + floor-rounded
       // ratios, null on zero denominators.
       val two64 = BigInt(1) << 64
       val two63 = BigInt(1) << 63
@@ -4792,7 +4793,7 @@ object SparkEntry {
       val T63 = s"CAST('$two63' AS HUGEINT)"
       "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 120 AND text IS NOT NULL " +
         "AND octet_length(encode(text)) = length(text) AND length(trim(text)) > 0), " +
-        "sx AS (SELECT doc_id, list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> length(t) > 0)) AS tok " +
+        "sx AS (SELECT doc_id, list_distinct(list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0)) AS tok " +
         "FROM d), sxn AS (SELECT * FROM sx WHERE len(tok) > 0), " +
         "truth AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2 FROM sxn a, sxn b WHERE a.doc_id < b.doc_id AND " +
         "CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) / len(list_distinct(list_concat(a.tok, b.tok))) >= 0.9), " +
@@ -4809,13 +4810,13 @@ object SparkEntry {
         "FROM hh CROSS JOIN ab) GROUP BY doc_id, k), " +
         "sg AS (SELECT doc_id, list(sv ORDER BY k) AS sig FROM sv GROUP BY doc_id), " +
         "reps AS (SELECT sig, MIN(doc_id) AS rep FROM sg GROUP BY sig), " +
-        "stars AS (SELECT r.rep AS id_a, s.doc_id AS id_b FROM sg s JOIN reps r ON s.sig = r.sig WHERE s.doc_id <> r.rep), " +
+        "cliq AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sg a JOIN sg b ON a.sig = b.sig AND a.doc_id < b.doc_id), " +
         "pairs AS (SELECT a.rep AS id_a, b.rep AS id_b, a.sig AS sa, b.sig AS sb FROM reps a JOIN reps b ON a.rep < b.rep), " +
         "scored AS (SELECT id_a, id_b, " +
         "CAST(list_sum(list_transform(range(0, 64), i -> CASE WHEN sa[i + 1] = sb[i + 1] THEN 1 ELSE 0 END)) AS DOUBLE) / 64.0 AS je, " +
         "list_max(list_transform(range(0, 8), bb -> list_min(list_transform(range(0, 8), " +
         "r -> CASE WHEN sa[bb * 8 + r + 1] = sb[bb * 8 + r + 1] THEN 1 ELSE 0 END)))) AS anyband FROM pairs), " +
-        "cand AS (SELECT id_a, id_b FROM stars UNION ALL SELECT id_a, id_b FROM scored WHERE anyband = 1 AND je >= 0.9), " +
+        "cand AS (SELECT DISTINCT id_a, id_b FROM (SELECT id_a, id_b FROM cliq UNION ALL SELECT id_a, id_b FROM scored WHERE anyband = 1 AND je >= 0.9)), " +
         "hits AS (SELECT c.id_a, c.id_b FROM cand c JOIN truth t ON c.id_a = t.id_1 AND c.id_b = t.id_2), " +
         "n AS (SELECT (SELECT COUNT(*) FROM d) AS n_docs, (SELECT COUNT(*) FROM truth) AS n_true, " +
         "(SELECT COUNT(*) FROM cand) AS n_cand, (SELECT COUNT(*) FROM hits) AS n_hits) " +

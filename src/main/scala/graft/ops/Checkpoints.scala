@@ -37,11 +37,18 @@ private[graft] object Checkpoints {
   /** A pinned (materialized, lineage-truncated) frame plus the reliable
     * checkpoint location backing it, when one exists. */
   final case class Pinned(df: DataFrame, path: Option[Path]) {
-    /** Delete the backing checkpoint files. Call ONLY once every reader of
-      * `df` has been superseded — the frame is unreadable afterwards. */
-    def delete(): Unit = path.foreach { p =>
-      val conf = df.sparkSession.sparkContext.hadoopConfiguration
-      p.getFileSystem(conf).delete(p, true)
+    /** Delete the backing storage. Call ONLY once every reader of `df`
+      * has been superseded — the frame is unreadable afterwards.
+      * Reliable-checkpoint pins delete their files; LOCAL-checkpoint pins
+      * (no checkpoint dir set) unpersist the backing RDD via [[release]]
+      * instead, so an iterative caller reclaims superseded rounds
+      * immediately in BOTH deployments rather than accumulating cached
+      * RDD generations for the life of the no-checkpoint-dir run. */
+    def delete(): Unit = path match {
+      case Some(p) =>
+        val conf = df.sparkSession.sparkContext.hadoopConfiguration
+        p.getFileSystem(conf).delete(p, true)
+      case None => release(df)
     }
   }
 

@@ -559,18 +559,31 @@ object Dedup {
     *
     * Ground truth: exact word-token Jaccard ≥ `threshold` via the
     * lossless prefix-filtered set-similarity join
-    * ([[FuzzyJoin.jaccardJoin]] — never all-pairs even on the sample).
-    * Candidates: the full guarded LSH path ([[minhashNearDups]] at the
-    * same banding/guard parameters the production run uses), thresholded
-    * on the ESTIMATE. Returns ONE row `(n_docs, n_true, n_cand, n_hits,
-    * recall, precision)` — recall = hits/true (the number to watch: the
-    * S-curve floor AT the threshold is ≈ 0.63, but pairs comfortably
-    * above it should push the measured figure toward 1.0), precision =
-    * hits/cand; both 1e-9 floor-rounded, null on a zero denominator.
+    * ([[FuzzyJoin.jaccardJoin]] with `foldCase = false` — RAW
+    * case-sensitive tokens, the SAME token convention
+    * [[graft.expressions.Kernels.minhashSig]] hashes, so truth and
+    * candidates measure one similarity; never all-pairs even on the
+    * sample). Candidates: the full guarded LSH path ([[minhashNearDups]]
+    * at the same banding/guard parameters the production run uses),
+    * thresholded on the ESTIMATE, with identical-signature STARS expanded
+    * back to full cliques before counting — the star collapse is a
+    * lossless cluster-level encoding (sig-identity is transitive), so the
+    * audit scores the C(w,2) pairs it certifies, not the w−1 edges it
+    * stores; without this a 3-clique of exact dups would cap measured
+    * recall at 2/3 with zero actual cluster-level loss. Expansion is
+    * quadratic per clique but the audit is sample-capped. Returns ONE
+    * row `(n_docs, n_true, n_cand, n_hits, recall, precision)` — recall
+    * = hits/true (the number to watch: the S-curve floor AT the
+    * threshold is ≈ 0.63, but pairs comfortably above it should push the
+    * measured figure toward 1.0), precision = hits/cand; both 1e-9
+    * floor-rounded, null on a zero denominator.
     *
-    * `maxDocs` HARD-FAILS (plan-side raise_error, the frequentPairs cap
-    * idiom) on a sample bigger than the quadratic-intent ground truth
-    * can honestly afford — sample the corpus FIRST
+    * `maxDocs` HARD-FAILS — from the DRIVER, before any quadratic-intent
+    * work runs or pins — on a sample bigger than the exact ground truth
+    * can honestly afford: the gate is one cheap count of the input, paid
+    * up front (this op is eager anyway — truth and candidates pin at
+    * construction). A plan-side raise_error stays on the output row as
+    * belt-and-suspenders. Sample the corpus FIRST
     * ([[graft.ops.Sampling]].deterministicSample) and audit the sample;
     * never point this at the corpus itself. Scale shape: the audit is
     * the bounded side-car of the real run — every frame is sample-sized;
@@ -583,11 +596,30 @@ object Dedup {
                      maxDocs: Int = 10000): DataFrame = {
     require(maxDocs >= 2, s"maxDocs must be ≥ 2, got $maxDocs")
     val base = df.filter(col(textCol).isNotNull)
+    val nDocs = base.count()
+    if (nDocs > maxDocs) throw new IllegalArgumentException(
+      s"lshRecallAudit: sample has $nDocs docs > maxDocs=$maxDocs — exact " +
+        "ground truth is quadratic in intent; sample the corpus first")
     val truth = Checkpoints.pinned(
-      FuzzyJoin.jaccardJoin(base, idCol, textCol, threshold))
-    val cand = Checkpoints.pinned(
+      FuzzyJoin.jaccardJoin(base, idCol, textCol, threshold,
+        foldCase = false))
+    val raw = Checkpoints.pinned(
       minhashNearDups(base, idCol, textCol, numHashes, bands, threshold,
         maxBucket))
+    // star → clique: estimate 1.0 ⟺ identical signatures (sigAgreement
+    // hits 1.0 only when every position matches), so grouping star edges
+    // by representative and pairing members (rep included) reconstructs
+    // exactly the pairs the collapse certified
+    val starE = raw.filter(col("jaccard_est") === 1.0)
+      .select(col("id_a").as("__r"), col("id_b").as("__m"))
+    val members = starE.unionByName(
+      starE.select(col("__r"), col("__r").as("__m")).distinct())
+    val cliques = members.toDF("__r", "__a")
+      .join(members.toDF("__r2", "__b"),
+        col("__r") === col("__r2") && col("__a") < col("__b"))
+      .select(col("__a").as("id_a"), col("__b").as("id_b"))
+    val cand = Checkpoints.pinned(raw.select(col("id_a"), col("id_b"))
+      .unionByName(cliques).distinct())
     val hits = cand.join(truth,
       cand("id_a") === truth("id_1") && cand("id_b") === truth("id_2"),
       "left_semi")

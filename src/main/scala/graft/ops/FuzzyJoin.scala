@@ -125,22 +125,27 @@ object FuzzyJoin {
     * `array_intersect` verification INLINE in the join stage — raw
     * candidates never cross an exchange (the editDistanceJoin argument).
     *
-    * Tokens are lowercased whitespace words, set semantics. Docs with
-    * zero tokens drop (Jaccard over an empty set is undefined here —
-    * run [[graft.ops.Dedup.distinctKeys]]-style exact dedup for those).
+    * Tokens are lowercased whitespace words, set semantics
+    * (`foldCase = false` keeps raw case-sensitive tokens — the
+    * [[graft.expressions.Kernels.minhashSig]] convention, used by
+    * [[graft.ops.Dedup.lshRecallAudit]] so ground truth and the audited
+    * LSH path measure the SAME similarity). Docs with zero tokens drop
+    * (Jaccard over an empty set is undefined here — run
+    * [[graft.ops.Dedup.distinctKeys]]-style exact dedup for those).
     *
     * Scale: DF counts are partial-aggregable and AQE-joined (web vocab
     * is corpus-sized — no driver collect); the per-doc rank window is
     * bounded by the doc's own token count; verification is per-pair
     * intersection on two already-present arrays. */
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
-                  threshold: Double): DataFrame = {
+                  threshold: Double, foldCase: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    val src = if (foldCase) lower(col(textCol)) else col(textCol)
     // id keeps its input type (only < / = / join-key use): a long cast
     // would null non-numeric ids and silently drop their rows
     val sets = df.select(col(idCol).as("__id"),
-        filter(array_distinct(split(lower(col(textCol)), "\\s+")),
+        filter(array_distinct(split(src, "\\s+")),
           t => length(t) > 0).as("__tok"))
       .filter(col("__id").isNotNull && size(col("__tok")) > 0)
       .withColumn("__sz", size(col("__tok")))

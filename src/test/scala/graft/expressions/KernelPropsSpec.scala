@@ -229,16 +229,21 @@ class KernelPropsSpec extends AnyFunSuite {
       // non-ASCII pins (probed 2026-08-15): the BYTE-oriented semantics
       // the r14 kernel switch claims — multi-byte code points count as
       // several positions on BOTH engines (2-byte Latin accents, 3-byte
-      // CJK, a katakana midword substitution, and a case-folded Greek
-      // initial where the two 2-byte forms share their FIRST byte, so
-      // the byte prefix is 1 while the char prefix would be 0)
+      // CJK, a katakana midword substitution). The case-folded Greek
+      // initial Ω/ω encodes 0xCE 0xA9 vs 0xCF 0x89 — FIRST bytes differ
+      // (despite visual similarity), so the pin is the plain Jaro score
+      // with NO Winkler boost (prefix 0). The Ω/Α pair is the genuine
+      // byte-prefix > char-prefix case: 0xCE 0xA9 vs 0xCE 0x91 share
+      // their first byte, so the byte prefix is 1 while the char prefix
+      // would be 0 — jaro 14/15 boosted to 0.94 (r15 advice fix)
       ("café", "cafe", 0.8483333333333334),
       ("über", "uber", 0.7833333333333333),
       ("señor", "senor", 0.8577777777777779),
       ("東京都", "東京", 0.9333333333333333),
       ("データベース", "データペース", 0.9777777777777777),
       ("crème brûlée", "creme brulee", 0.7970370370370371),
-      ("Ωμέγα", "ωμέγα", 0.7416666666666667))
+      ("Ωμέγα", "ωμέγα", 0.7416666666666667),
+      ("Ωμέγα", "Αμέγα", 0.94))
     pins.foreach { case (a, b, want) =>
       assert(math.abs(jw(a, b) - want) < 1e-12, s"jw($a, $b)") }
     // symmetry on arbitrary pairs

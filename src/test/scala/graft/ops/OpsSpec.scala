@@ -626,11 +626,32 @@ class OpsSpec extends SparkSuite {
         "doc_id", "text", numHashes = 64, threshold = 0.9)
       .as[(Long, Long, Long, Long, Option[Double], Option[Double])].head()
     assert(none == ((10L, 0L, 0L, 0L, None, None)))
-    // the quadratic-intent cap hard-fails instead of silently auditing
-    val err = intercept[Exception] {
-      Dedup.lshRecallAudit(docs, "doc_id", "text", maxDocs = 5).collect()
+    // the quadratic-intent cap hard-fails FROM THE DRIVER, before the
+    // quadratic-intent ground truth runs or pins (r15 advice fix)
+    val err = intercept[IllegalArgumentException] {
+      Dedup.lshRecallAudit(docs, "doc_id", "text", maxDocs = 5)
     }
     assert(err.getMessage.contains("maxDocs"))
+  }
+
+  test("lshRecallAudit: 3-clique scores full C(3,2) recall; truth is case-sensitive like the audited path") {
+    import spark.implicits._
+    // a 3-clique of IDENTICAL docs: truth = all 3 pairs; the star
+    // collapse stores only 2 edges, but the audit expands the clique, so
+    // measured recall is 1.0, not the 2/3 star artifact (r15 advice fix)
+    val txt = "alpha beta " + (0 until 30).map(i => s"tok$i").mkString(" ")
+    val trio = Seq((1L, txt), (2L, txt), (3L, txt))
+    // two docs identical UP TO CASE: raw-token Jaccard 0 (every token
+    // differs), so with the case-sensitive truth convention they are
+    // neither truth nor candidates — under the old lowercased truth they
+    // were a J=1.0 truth pair the raw-token LSH could never recall
+    val caseVar = Seq(
+      (50L, (0 until 25).map(i => s"Word$i").mkString(" ")),
+      (51L, (0 until 25).map(i => s"word$i").mkString(" ")))
+    val out = Dedup.lshRecallAudit((trio ++ caseVar).toDF("doc_id", "text"),
+        "doc_id", "text", numHashes = 64, threshold = 0.9)
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])].head()
+    assert(out == ((5L, 3L, 3L, 3L, Some(1.0), Some(1.0))))
   }
 
 test("lexicalDiversity: hand-computed tokens/types/hapax") {
