@@ -286,15 +286,28 @@ object SparkEntry {
         .withColumn("a", (col("doc_id") % 31 + 1).cast("int"))
         .withColumn("b", (col("doc_id") % 12 + 1).cast("int"))
         .withColumn("slashed", concat(col("a"), lit("/"), col("b"), lit("/2024")))
-      val us = Validate.columns(docs, "slashed" ->
-        F.Date(lenient = true)).valid
-        .select(col("doc_id"), col("slashed").as("us_read"))
-      val eu = Validate.columns(docs, "slashed" ->
-        F.Date(lenient = true, dayFirst = true)).valid
-        .select(col("doc_id"), col("slashed").as("eu_read"))
-      us.join(eu, "doc_id")
-        .select(col("doc_id"), col("us_read").cast("date"),
-          col("eu_read").cast("date"))
+      // ONE cascade, both readings (r16 — the r15 version ran two
+      // independent Validate passes, building and ANALYZING the big
+      // lenient CASE cascade twice for a 200-row fixture): parsedTiers
+      // exposes the cascade's order-independent tiers, the tiny tier
+      // frame pins (localCheckpoint — CollapseProject would otherwise
+      // re-inline the cascade into both output expressions), and each
+      // reading is a leaf-column coalesce in the documented dateutil
+      // preference order. StringsSpec pins tier-coalesce ≡ the dayFirst
+      // filters' parse, so the knob's semantics stay oracled.
+      val (h, m, d, t) = F.Date(lenient = true).parsedTiers(col("slashed"))
+      docs.select(col("doc_id"), h.as("h"), m.as("m"), d.as("d"), t.as("t"))
+        .localCheckpoint()
+        .select(col("doc_id"),
+          coalesce(col("h"), col("m"), col("d"), col("t"))
+            .cast("date").as("us_read"),
+          coalesce(col("h"), col("d"), col("m"), col("t"))
+            .cast("date").as("eu_read"))
+        // the .valid drop of the two-pass version: a row invalid under
+        // one order is invalid under both (same formats, different
+        // order), so one null check reproduces the join of valid sets
+        // (e.g. 30/2/2024 — no February 30th either way round)
+        .filter(col("us_read").isNotNull)
         .orderBy("doc_id")
     }),
     // ---- string filters -------------------------------------------------

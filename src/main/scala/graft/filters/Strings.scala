@@ -246,29 +246,43 @@ class Datetime(val timezone: String = "UTC", val formats: Seq[String] = Nil,
     * instead of matched. Ordered most-specific first; day-less shapes
     * (month-year, bare year) resolve to the period's first instant,
     * matching the reference parser's fill-in-missing-fields default. */
-  private val lenientFormats = Seq(
+  private val lenientPre = Seq(
     "MMMM d, yyyy h:mm:ss a", "MMMM d, yyyy h:mm a", "MMM d, yyyy h:mm a",
     "MMMM d, yyyy", "MMMM d yyyy", "d MMMM yyyy HH:mm", "d MMMM yyyy",
     "MMM d, yyyy", "MMM d yyyy",
     // RFC-2822 tail (weekday already stripped; GMT/UTC names normalize to
     // +0000 so one numeric-offset pattern covers both)
     "d MMM yyyy HH:mm:ss Z",
-    "d MMM yyyy HH:mm:ss", "d MMM yyyy") ++
-    // dateutil's two-tier ambiguous-date rule: the dayFirst-preferred
-    // order is tried first; the swapped order runs only when the preferred
-    // read is invalid (try_to_timestamp → null), so "25/12/2024" parses
-    // under either setting while "10/09/2024" follows the preference.
-    (if (dayFirst)
-       Seq("d/M/yyyy h:mm a", "d/M/yyyy H:mm", "d/M/yyyy", "d.M.yyyy",
-           "M/d/yyyy h:mm a", "M/d/yyyy H:mm", "M/d/yyyy", "M.d.yyyy")
-     else
-       Seq("M/d/yyyy h:mm a", "M/d/yyyy H:mm", "M/d/yyyy", "M.d.yyyy",
-           "d/M/yyyy h:mm a", "d/M/yyyy H:mm", "d/M/yyyy", "d.M.yyyy")) ++
-    Seq("yyyy/M/d", "yyyy.M.d", "MMMM yyyy", "MMM yyyy")
+    "d MMM yyyy HH:mm:ss", "d MMM yyyy")
+  // dateutil's two-tier ambiguous-date rule: the dayFirst-preferred
+  // order is tried first; the swapped order runs only when the preferred
+  // read is invalid (try_to_timestamp → null), so "25/12/2024" parses
+  // under either setting while "10/09/2024" follows the preference.
+  private val slashMdy =
+    Seq("M/d/yyyy h:mm a", "M/d/yyyy H:mm", "M/d/yyyy", "M.d.yyyy")
+  private val slashDmy =
+    Seq("d/M/yyyy h:mm a", "d/M/yyyy H:mm", "d/M/yyyy", "d.M.yyyy")
+  private val lenientPost = Seq("yyyy/M/d", "yyyy.M.d", "MMMM yyyy", "MMM yyyy")
 
-  protected def parsed(v: Column): Column = {
+  /** The cascade as four order-independent TIERS — `parsed` is exactly
+    * `coalesce(head, preferred-slash-order, swapped-slash-order, tail)`
+    * with the slash order picked by `dayFirst`, so a dual-locale reader
+    * can compute the tiers ONCE (and materialize them — e.g.
+    * `localCheckpoint` a small frame) and then coalesce BOTH field-order
+    * readings from leaf columns: the big lenient cascade is built and
+    * analyzed a single time instead of once per reading. Returns
+    * `(head, monthFirst, dayFirst, tail)`: head = strict ISO + caller
+    * formats + the month-name/RFC-2822 lenient shapes, monthFirst /
+    * dayFirst = the two ambiguous slash/dot groups, tail = year-first and
+    * month-year shapes, compact digits, and epoch-digit instants. In
+    * non-lenient mode the three lenient tiers are null literals. Every
+    * tier carries the naive-input timezone correction (the correction is
+    * elementwise, so it distributes over the coalesce). */
+  def parsedTiers(v: Column): (Column, Column, Column, Column) = {
     val attempts = try_to_timestamp(v) +: formats.map(f => try_to_timestamp(v, lit(f)))
-    val lenientAttempts = if (!lenient) Nil else {
+    val (preAttempts, mdyAttempts, dmyAttempts, postAttempts) = if (!lenient)
+      (Nil, Nil, Nil, Nil)
+    else {
       // "MON, 5th sept. 2024 3pm" → "5 Sep 2024 3 PM": initcap first
       // (Java's month-name parse is case-sensitive, the reference parser
       // is not — initcap canonicalizes January/jan/JAN alike), then drop
@@ -289,7 +303,8 @@ class Datetime(val timezone: String = "UTC", val formats: Seq[String] = Nil,
         // trailing GMT/UTC zone name → numeric offset (after whitespace
         // collapse so the lookbehind shapes are stable)
       val norm2 = regexp_replace(norm, "(?i)\\s(gmt|utc|ut)$", " +0000")
-      lenientFormats.map(f => try_to_timestamp(norm2, lit(f)))
+      def tier(fs: Seq[String]) = fs.map(f => try_to_timestamp(norm2, lit(f)))
+      (tier(lenientPre), tier(slashMdy), tier(slashDmy), tier(lenientPost))
     }
     val epochAttempt = if (!lenient) Nil else {
       val s = trim(v.cast(StringType))
@@ -305,13 +320,14 @@ class Datetime(val timezone: String = "UTC", val formats: Seq[String] = Nil,
       Seq(when(s.rlike("^\\d{8}$"), try_to_timestamp(s, lit("yyyyMMdd")))
         .when(s.rlike("^\\d{4}$"), try_to_timestamp(s, lit("yyyy"))))
     }
-    val base = coalesce(attempts ++ lenientAttempts ++ compactAttempts: _*)
     // Inputs carrying an explicit offset are already absolute; naive inputs
     // are interpreted in `timezone` then normalized to UTC. With an assumed
     // zone of UTC both paths are identity — skip the per-row offset regex.
-    val corrected =
-      if (timezone == "UTC") base
-      else {
+    // The correction is elementwise and null-preserving, so wrapping each
+    // TIER is identical to wrapping the whole coalesce (the r15 shape).
+    val corrected: Column => Column =
+      if (timezone == "UTC") identity
+      else base => {
         // offset forms: Z, +HH, +HHMM, +HH:MM, +H:MM — but only AFTER a
         // time-of-day (colon form with 1- or 2-digit hour, or compact
         // 6-digit HHmmss from basic-ISO custom formats), else the day of a
@@ -326,7 +342,19 @@ class Datetime(val timezone: String = "UTC", val formats: Seq[String] = Nil,
             "([Zz]|[+-]([0-9]{2}(:?[0-9]{2})?|[0-9](:[0-9]{2})?)|(?i:GMT|UTC|UT))\\s*$")
         when(hasOffset, base).otherwise(to_utc_timestamp(base, timezone))
       }
-    coalesce(corrected +: epochAttempt: _*)
+    val nullTs = lit(null).cast("timestamp")
+    def tierCol(cs: Seq[Column]) =
+      if (cs.isEmpty) nullTs else corrected(coalesce(cs: _*))
+    (tierCol(attempts ++ preAttempts),
+      tierCol(mdyAttempts),
+      tierCol(dmyAttempts),
+      coalesce(tierCol(postAttempts ++ compactAttempts) +: epochAttempt: _*))
+  }
+
+  protected def parsed(v: Column): Column = {
+    val (head, mdy, dmy, tail) = parsedTiers(v)
+    if (dayFirst) coalesce(head, dmy, mdy, tail)
+    else coalesce(head, mdy, dmy, tail)
   }
   override protected def invalid(v: Column) = parsed(v).isNull
   override protected def clean(v: Column) = parsed(v)

@@ -212,6 +212,59 @@ object Dedup {
     if (ok.nonEmpty) ok.min else numHashes
   }
 
+  /** Probability that a pair with TRUE Jaccard `s` collides in ≥ 1 LSH
+    * band under `(bands, numHashes/bands)` banding — the S-curve
+    * `1 − (1 − s^r)^b`. Closed-form, shared by [[bandsForRecall]] and
+    * callers sizing a run; BAND recall only — the estimate-threshold
+    * filter sheds additionally near the threshold (see
+    * [[lshRecallAudit]], which measures the combined effect). */
+  def bandCollisionProb(numHashes: Int, bands: Int, s: Double): Double = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val r = numHashes / bands
+    1.0 - math.pow(1.0 - math.pow(s, r), bands)
+  }
+
+  /** Inverse S-curve banding: the CHEAPEST band count (fewest bands =
+    * fewest candidate pairs = cheapest join) whose band-collision
+    * probability AT `threshold` reaches `targetRecall` — the knob
+    * [[bandsForThreshold]] doesn't give you: that helper guarantees only
+    * the 1−1/e ≈ 0.63 floor at the threshold, which [[lshRecallAudit]]
+    * honestly measures; when the audit says the floor is not enough,
+    * re-band with this and re-audit. Recall at fixed `numHashes` rises
+    * monotonically with bands (shorter bands collide more), so the first
+    * divisor that clears the target is optimal.
+    *
+    * Throws — with the smallest sufficient `numHashes` in the message —
+    * when no divisor reaches the target: more bands of length 1 are the
+    * ceiling `1−(1−s)^n`, and past it only more hashes help. NOTE the
+    * returned banding raises BAND recall only; pairs whose ESTIMATE
+    * falls below `threshold` are still filtered after the band join
+    * (±1/√numHashes noise — at-threshold pairs pass ~50%), so a target
+    * recall for pairs AT the threshold also needs more hashes, not just
+    * more bands. Audit the result: the knob and the measurement
+    * ([[lshRecallAudit]]) are two halves of one loop. */
+  def bandsForRecall(numHashes: Int, threshold: Double,
+                     targetRecall: Double): Int = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0, 1), got $targetRecall")
+    val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+    divisors.find(b =>
+      bandCollisionProb(numHashes, b, threshold) >= targetRecall)
+      .getOrElse {
+        val enough = Iterator.iterate(numHashes * 2)(_ * 2)
+          .take(16)
+          .find(n => 1.0 - math.pow(1.0 - threshold, n) >= targetRecall)
+        throw new IllegalArgumentException(
+          s"bandsForRecall: targetRecall=$targetRecall at threshold=" +
+            s"$threshold is unreachable with numHashes=$numHashes " +
+            s"(ceiling ${1.0 - math.pow(1.0 - threshold, numHashes)})" +
+            enough.map(n => s" — raise numHashes to ≥ $n").getOrElse(""))
+      }
+  }
+
   /** LSH band hashes for a MinHash signature: split the signature into
     * bands and hash each (element i = hash of band i). Documents sharing
     * any band hash are candidates; join on (band_idx, band_hash) — an

@@ -634,6 +634,45 @@ class OpsSpec extends SparkSuite {
     assert(err.getMessage.contains("maxDocs"))
   }
 
+  test("bandsForRecall: inverse S-curve picks the cheapest banding that clears the target; audit confirms") {
+    import spark.implicits._
+    // closed form: at threshold 0.55 the default bandsForThreshold(64)
+    // banding (16 bands of 4) only promises the 1-1/e floor — its band
+    // collision at the threshold is ~0.78 — while a 0.99 target needs 32
+    // bands of 2; the helper returns exactly that, and it is a divisor
+    val b0 = Dedup.bandsForThreshold(64, 0.55)
+    assert(b0 == 16 && Dedup.bandCollisionProb(64, b0, 0.55) < 0.99)
+    val b1 = Dedup.bandsForRecall(64, 0.55, 0.99)
+    assert(b1 == 32 && 64 % b1 == 0 &&
+      Dedup.bandCollisionProb(64, b1, 0.55) >= 0.99)
+    // recall is monotone in bands, so the found banding is the cheapest
+    assert((1 until b1).filter(64 % _ == 0).forall(b =>
+      Dedup.bandCollisionProb(64, b, 0.55) < 0.99))
+    // unreachable target names the fix: more hashes
+    val err = intercept[IllegalArgumentException] {
+      Dedup.bandsForRecall(4, 0.1, 0.9)
+    }
+    assert(err.getMessage.contains("raise numHashes"))
+    // end-to-end: 12 pairs COMFORTABLY above threshold (30 shared of 35
+    // distinct tokens each side -> J = 30/40 = 0.75 vs threshold 0.55)
+    // on a separated corpus; with the recall-targeted banding the audit
+    // measures >= 0.9 recall at perfect precision, while the at-threshold
+    // floor stays what lshRecallAudit documents
+    val fam = (0 until 12).flatMap { g =>
+      val shared = (0 until 30).map(i => s"s${g}_$i")
+      Seq((g * 2L, (shared ++ (0 until 5).map(i => s"a${g}_$i")).mkString(" ")),
+          (g * 2L + 1, (shared ++ (0 until 5).map(i => s"b${g}_$i")).mkString(" ")))
+    }
+    val filler = (0 until 8).map(i =>
+      (200L + i, (0 until 25).map(j => s"only${i}_$j").mkString(" ")))
+    val out = Dedup.lshRecallAudit((fam ++ filler).toDF("doc_id", "text"),
+        "doc_id", "text", numHashes = 64, threshold = 0.55,
+        bands = Dedup.bandsForRecall(64, 0.55, 0.99))
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])].head()
+    assert(out._2 == 12L && out._5.exists(_ >= 0.9),
+      s"expected >= 0.9 recall on above-threshold pairs, got $out")
+  }
+
   test("lshRecallAudit: 3-clique scores full C(3,2) recall; truth is case-sensitive like the audited path") {
     import spark.implicits._
     // a 3-clique of IDENTICAL docs: truth = all 3 pairs; the star
