@@ -921,6 +921,61 @@ object SparkEntry {
         boilerplateMinDocs = 10L, delim = " ", joinSep = " ")
         .orderBy("doc_id")
     }),
+    "q_mixture_e2e" -> ((s, dir) => {
+      // the FULL mixture-assembly composition ORACLE-checked stage by
+      // stage (r16 — graduates COVERAGE row 63 from tests-only, the
+      // q_curation_e2e pattern): perplexity band → 64/8 chunking →
+      // temperature weights → stratified sample → WFQ interleave → pack.
+      // Every stage has its own green mirror (q_unigram_ll, q_chunk,
+      // q_temperature_weights, q_sample_stratified, q_interleave,
+      // q_pack_sequences); the composition restates them as CTEs. The ll
+      // band (-3.41, -1.0) sits inside the corpus's observed ll
+      // distribution at every SF so the filter stage drops a real tail.
+      // packSequences breaks vft ties by a row hash no SQL can mirror —
+      // vft is UNIQUE here at every SF (verified 0.001/0.01/0.1; weights
+      // are per-lang distinct so no two strata share a vft series), and
+      // the window guard below turns any future tie into a LOUD
+      // raise_error instead of a silent hash flap.
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val out = graft.examples.MixturePipeline.assemble(docs,
+        stratumCol = "lang", chunkTokens = 64, overlap = 8,
+        llBand = (-3.41, -1.0), temperature = 0.7, seqBudget = 256L)
+      val wv = Window.partitionBy(col("vft"))
+      out.withColumn("__c", count(lit(1)).over(wv))
+        .select(col("chunk_id"), col("doc_id"), col("chunk_idx"),
+          col("lang"), col("n_tok"), col("vft"),
+          when(col("__c") === 1, col("seq_id"))
+            .otherwise(raise_error(lit("q_mixture_e2e: vft tie — pack " +
+              "order not SQL-mirrorable on this corpus")).cast("long"))
+            .as("seq_id"))
+        .orderBy("chunk_id")
+    }),
+    "q_clusters_merge" -> ((s, dir) => {
+      // incremental cluster maintenance ORACLE-checked on a crafted
+      // stored+fresh fixture with a CLOSED-FORM merged assignment (r16 —
+      // graduates COVERAGE row 66 from tests-only, the
+      // q_dedup_incremental pattern): the stored assignment is 4-blocks
+      // (rep = id − id%4) over doc_id < 200; fresh pairs bridge the two
+      // 4-blocks of every EVEN 8-block (doc_id%16 == 0 → (id, id+4)), so
+      // merged rep = id − id%8 on even 8-blocks and the stored rep
+      // elsewhere; a batch-vs-batch chain creates new cluster 200..205
+      // (rep 200) and a batch-vs-index pair attaches 210 to node 3's
+      // cluster (rep 0). Exercises rep stability, cross-cluster merge,
+      // and both new-pair classes of the daily-ingest contract.
+      val ids = T(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"))
+      val assignment = ids.select(col("doc_id").as("id"),
+        (col("doc_id") - col("doc_id") % 4).as("rep"))
+      val bridges = ids.filter(col("doc_id") % 16 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 4).as("id_b"))
+      val chain = ids.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 200).as("id_a"), (col("doc_id") + 201).as("id_b"))
+      val attach = ids.filter(col("doc_id") === 0)
+        .select(lit(210L).as("id_a"), lit(3L).as("id_b"))
+      graft.ops.Clusters.mergeIncremental(assignment,
+        bridges.unionByName(chain).unionByName(attach))
+        .orderBy("id")
+    }),
     "q_twopass" -> ((s, dir) => {
       // the COMPOSED two-pass pipeline (WebCrawlCuration → seam →
       // TrainingDataPipeline) over the real documents table with a
@@ -4039,6 +4094,53 @@ object SparkEntry {
       ("WITH t AS (SELECT doc_id, 'https://example.com/item/' || CAST(doc_id % 37 AS VARCHAR) AS c FROM documents), " +
         "r AS (SELECT doc_id, c, row_number() OVER (PARTITION BY c ORDER BY doc_id) AS rk FROM t) " +
         "SELECT doc_id, c AS url_canonical FROM r WHERE rk = 1 ORDER BY doc_id"),
+    "q_mixture_e2e" ->
+      // stage-by-stage mirror of MixturePipeline.assemble, each CTE the
+      // corresponding standalone oracle re-stated: vocab/ll =
+      // q_unigram_ll (k=10000), chunking = q_chunk at 64/8 (stride 56),
+      // weights = q_temperature_weights over CHUNK strata, stratified
+      // keep = q_sample_stratified with the hex threshold COMPUTED from
+      // the weight (lower(lpad(to_hex(...))) = Spark's %08x), interleave
+      // = q_interleave with per-chunk md5 draws, pack = q_pack_sequences
+      // cumsum over the vft order (UNIQUE at every SF — the Spark side
+      // raise_errors on a tie)
+      ("WITH d AS (SELECT * FROM documents WHERE text IS NOT NULL), " +
+        "toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token FROM d), " +
+        "t2 AS (SELECT doc_id, token FROM toks WHERE len(token) > 0), " +
+        "cnt AS (SELECT token, COUNT(*) AS n FROM t2 GROUP BY token), " +
+        "tot AS (SELECT SUM(n) AS total FROM cnt), " +
+        "vocab AS (SELECT token, ln(CAST(n AS DOUBLE) / (SELECT CAST(total AS DOUBLE) FROM tot)) AS logp " +
+        "FROM cnt ORDER BY n DESC, token LIMIT 10000), " +
+        "scored AS (SELECT doc_id, floor(avg(coalesce(v.logp, -20.0)) * 1e6 + 0.5) / 1e6 AS ll " +
+        "FROM t2 LEFT JOIN vocab v USING (token) GROUP BY doc_id), " +
+        "kept AS (SELECT d.* FROM d JOIN scored USING (doc_id) WHERE ll >= -3.41 AND ll <= -1.0), " +
+        "ck AS (SELECT doc_id, lang, CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n FROM kept), " +
+        "g AS (SELECT doc_id, lang, n, unnest(generate_series(CAST(0 AS BIGINT), (greatest(n - 64, 0) + 55) // 56)) AS chunk_idx FROM ck), " +
+        "chunks AS (SELECT doc_id, lang, chunk_idx, least(64, n - chunk_idx * 56) AS n_tok, " +
+        "doc_id * 1048576 + chunk_idx AS chunk_id FROM g), " +
+        "w AS (SELECT lang, COUNT(*) AS cn FROM chunks GROUP BY lang), " +
+        "wt AS (SELECT lang, floor(pow(CAST(cn AS DOUBLE), 0.7) / SUM(pow(CAST(cn AS DOUBLE), 0.7)) OVER () * 1000000.0 + 0.5) / 1000000.0 AS weight FROM w), " +
+        "sampled AS (SELECT c.*, wt.weight FROM chunks c JOIN wt USING (lang) " +
+        "WHERE substr(md5('graft:' || chunk_id), 1, 8) < " +
+        "lower(lpad(to_hex(CAST(least(floor(least(1.0, 2.0*weight)*4294967296.0+0.5), 4294967295.0) AS UBIGINT)), 8, '0'))), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY substr(md5('graft:' || chunk_id), 1, 8), chunk_id) AS rk " +
+        "FROM sampled WHERE weight > 0), " +
+        "v AS (SELECT chunk_id, doc_id, chunk_idx, lang, n_tok, " +
+        "(CAST(rk AS DOUBLE) * 2.0 - 1.0) / (weight * 2.0) AS vft FROM r) " +
+        "SELECT chunk_id, doc_id, chunk_idx, lang, n_tok, vft, " +
+        "CAST((SUM(n_tok) OVER (ORDER BY vft ROWS UNBOUNDED PRECEDING) - n_tok) // 256 AS BIGINT) AS seq_id " +
+        "FROM v ORDER BY chunk_id"),
+    "q_clusters_merge" ->
+      // the crafted fixture's merged assignment in closed form: even
+      // 8-blocks (doc_id%16 < 8) were bridged -> rep = id - id%8; odd
+      // 8-blocks keep the stored 4-block rep; chain nodes 200..205 take
+      // rep 200; node 210 attaches to node 3's (bridged, rep 0) cluster
+      ("SELECT id, rep FROM (" +
+        "SELECT doc_id AS id, CASE WHEN doc_id % 16 < 8 THEN doc_id - doc_id % 8 " +
+        "ELSE doc_id - doc_id % 4 END AS rep FROM documents WHERE doc_id < 200 " +
+        "UNION ALL SELECT doc_id + 200, CAST(200 AS BIGINT) FROM documents WHERE doc_id < 6 " +
+        "UNION ALL SELECT CAST(210 AS BIGINT), CAST(0 AS BIGINT) FROM documents WHERE doc_id = 0" +
+        ") ORDER BY id"),
     "q_repetition" ->
       ("WITH t AS (SELECT doc_id, text, concat_ws(chr(10), text, text, 'tail') AS rep FROM documents), " +
         "l AS (SELECT doc_id, list_filter(string_split(rep, chr(10)), x -> length(x) > 0) AS lines, " +
