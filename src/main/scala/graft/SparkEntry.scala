@@ -162,7 +162,12 @@ object SparkEntry {
     * xxhash64 band keys are injective here), agreement >= 0.9. Shared by
     * `q_dedup_incremental` (batch) and `q_stream_neardup` (the streaming
     * form, whose bounded single-batch run is the batch twin exactly). */
-  private lazy val DedupIncrementalMirrorSql: String = {
+  /** The shared WITH-prefix of the incremental-dedup mirrors: signatures
+    * `sg(doc_id, sig)` of every clamped document via the HUGEINT minhash
+    * machinery (FNV-1a per whitespace token mod 2^64, signed MIN of the
+    * affine family per slot). Both the batch/single-stream mirror and the
+    * multi-batch mirror append their own tails. */
+  private lazy val MinhashSigCtePrefix: String = {
     val two64 = BigInt(1) << 64
     val two63 = BigInt(1) << 63
     val fnvSeed = BigInt("cbf29ce484222325", 16)
@@ -186,7 +191,11 @@ object SparkEntry {
       "(SELECT hh.doc_id, ab.k, ((ab.a * (hh.h % 4294967296) + " +
       s"((ab.a * (hh.h // 4294967296)) % 4294967296) * 4294967296) % $T64 + ab.b) % $T64 AS v " +
       "FROM hh CROSS JOIN ab) GROUP BY doc_id, k), " +
-      "sg AS (SELECT doc_id, list(sv ORDER BY k) AS sig FROM sv GROUP BY doc_id), " +
+      "sg AS (SELECT doc_id, list(sv ORDER BY k) AS sig FROM sv GROUP BY doc_id)"
+  }
+
+  private lazy val DedupIncrementalMirrorSql: String =
+    MinhashSigCtePrefix + ", " +
       "idx AS (SELECT sig, MIN(doc_id) AS id_index FROM sg WHERE doc_id >= 50 GROUP BY sig), " +
       "bt AS (SELECT doc_id AS id_new, sig AS sgn FROM sg WHERE doc_id < 50), " +
       "scored AS (SELECT bt.id_new, idx.id_index, " +
@@ -196,7 +205,28 @@ object SparkEntry {
       "FROM bt CROSS JOIN idx) " +
       "SELECT id_new, id_index, jaccard_est FROM scored WHERE anyband = 1 AND jaccard_est >= 0.9 " +
       "ORDER BY id_new, id_index"
-  }
+
+  /** Mirror of the MULTI-batch streaming near-dup run (r16): batch k of
+    * the stream (doc_id ranges [0,17)/[17,34)/[34,50)) probes the index
+    * of everything ingested BEFORE it — the static corpus (doc_id ≥ 50)
+    * plus earlier stream batches — and each sig's representative is the
+    * MIN id among its visible members (buildSignatureIndex semantics:
+    * reps migrate to smaller batch ids as the index folds forward). */
+  private lazy val StreamNearDupMultiMirrorSql: String =
+    MinhashSigCtePrefix + ", " +
+      "bt AS (SELECT doc_id AS id_new, sig AS sgn, " +
+      "CASE WHEN doc_id < 17 THEN 1 WHEN doc_id < 34 THEN 2 ELSE 3 END AS bj FROM sg WHERE doc_id < 50), " +
+      "mem AS (SELECT doc_id, sig, CASE WHEN doc_id >= 50 THEN 0 WHEN doc_id < 17 THEN 1 " +
+      "WHEN doc_id < 34 THEN 2 ELSE 3 END AS vis FROM sg), " +
+      "pr AS (SELECT bt.id_new, m.sig, MIN(m.doc_id) AS id_index " +
+      "FROM bt JOIN mem m ON m.vis < bt.bj GROUP BY 1, 2), " +
+      "scored AS (SELECT pr.id_new, pr.id_index, " +
+      "CAST(list_sum(list_transform(range(0, 64), i -> CASE WHEN bt.sgn[i + 1] = pr.sig[i + 1] THEN 1 ELSE 0 END)) AS DOUBLE) / 64.0 AS jaccard_est, " +
+      "list_max(list_transform(range(0, 8), bb -> list_min(list_transform(range(0, 8), " +
+      "r -> CASE WHEN bt.sgn[bb * 8 + r + 1] = pr.sig[bb * 8 + r + 1] THEN 1 ELSE 0 END)))) AS anyband " +
+      "FROM pr JOIN bt USING (id_new)) " +
+      "SELECT id_new, id_index, jaccard_est FROM scored WHERE anyband = 1 AND jaccard_est >= 0.9 " +
+      "ORDER BY id_new, id_index"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- simple filters -------------------------------------------------
@@ -2759,6 +2789,46 @@ object SparkEntry {
         "doc_id", "sig", numHashes = 64, threshold = 0.9)
         .orderBy("id_new", "id_index")
     }),
+    "q_stream_neardup_multi" -> ((s, dir) => {
+      // MULTI-batch streaming near-dup under the driver's hash check
+      // (r16 — q_stream_neardup's single AvailableNow batch oracles only
+      // the batch twin; here the SAME 50 docs stream as THREE
+      // mtime-ordered files at maxFilesPerTrigger=1, so the index-FOLDING
+      // path itself is oracled: batch k probes static ∪ batches < k, and
+      // a sig's representative migrates to the smallest visible id, the
+      // buildSignatureIndex semantics StreamingNearDupSpec pins). The
+      // mirror adds a visible-from-batch membership table to the shared
+      // HUGEINT machinery.
+      def clamp(d: DataFrame): DataFrame = d.filter(col("text").isNotNull &&
+        octet_length(col("text")) === length(col("text")) &&
+        length(trim(col("text"))) > 0)
+      val docs = T(s, dir, "documents")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_stream_multi").toString
+      Seq((0, 17), (17, 34), (34, 50)).zipWithIndex.foreach {
+        case ((lo, hi), i) =>
+          val f = new java.io.File(s"$tmp/b$i")
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+            .select(col("doc_id"), col("text"))
+            .coalesce(1).write.parquet(f.toString)
+          // file-source ordering is by modification time — pin it
+          f.listFiles().filter(_.getName.endsWith(".parquet"))
+            .foreach(_.setLastModified(1700000000000L + i * 60000L))
+      }
+      val stream = s.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true").parquet(tmp)
+      val batchSigs = clamp(stream)
+        .select(col("doc_id"), Dedup.minhashSignature(col("text"), 64).as("sig"))
+      val idx = Dedup.buildSignatureIndex(
+        clamp(docs).filter(col("doc_id") >= 50)
+          .select(col("doc_id"),
+            Dedup.minhashSignature(col("text"), 64).as("sig")),
+        "doc_id", "sig")
+      graft.streaming.StreamingValidate.streamNearDups(batchSigs, idx,
+        "doc_id", "sig", numHashes = 64, threshold = 0.9)
+        .orderBy("id_new", "id_index")
+    }),
     "q_simhash" -> ((s, dir) => {
       // ORACLE-CHECKED (r5): DuckDB reproduces both kernels exactly with
       // HUGEINT mod-2^64 arithmetic — FNV-1a-per-token bit votes for
@@ -4947,6 +5017,7 @@ object SparkEntry {
     // mirror is shared verbatim (StreamingNearDupSpec pins the
     // multi-batch replay equivalence the single-batch oracle can't see)
     "q_stream_neardup" -> DedupIncrementalMirrorSql,
+    "q_stream_neardup_multi" -> StreamNearDupMultiMirrorSql,
     "q_asof" ->
       // DuckDB's native ASOF LEFT JOIN is the reference semantics the
       // union-window encoding must reproduce
