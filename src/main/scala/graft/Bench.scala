@@ -8,6 +8,18 @@ object Bench {
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // r16 (guide §2.2/§2.5): AQE's coalescer floors partitions at
+      // minPartitionSize (default 1m) — with parallelismFirst=true that
+      // floor is the ONLY thing deciding post-shuffle parallelism, and
+      // every sub-MB shuffle collapses to one partition. This suite's
+      // shuffles are byte-small but CPU-dense (regex scoring, levenshtein
+      // verification, array kernels), so the coalesced single task
+      // serializes the heaviest stage of exactly the most expensive
+      // queries (measured: q_fuzzy_join 3.9→1.1 s, q_entity_resolution
+      // 3.1→1.7 s, q_twopass 11→9 s). 64k keeps small-data parallelism;
+      // at production scale partitions are 100s of MB and a 64k-vs-1m
+      // floor is indistinguishable — nothing here encodes the core count.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

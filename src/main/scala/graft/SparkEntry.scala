@@ -25,9 +25,51 @@ object SparkEntry {
     * additionally normalize NTZ→TIMESTAMP, which `withWatermark` requires
     * (`StreamingValidate.ensureEventTime`). */
   private def T(s: SparkSession, dir: String, n: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/$n.parquet")
-    if (n == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df0 = s.read.parquet(s"$dir/$n.parquet")
+    val df =
+      if (n == "events" && df0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df0
+    if (s.conf.get("spark.graft.scan.rebalance", "false").toBoolean)
+      rebalanceScan(s, df, s"$dir/$n.parquet")
+    else df
+  }
+
+  /** [[T]] + [[rebalanceScan]]: the opt-in loader for queries whose
+    * pre-exchange map work is heavy enough that splitting the
+    * single-row-group bench scan wins (measured per query, r16). */
+  private def TR(s: SparkSession, dir: String, n: String): DataFrame =
+    rebalanceScan(s, T(s, dir, n), s"$dir/$n.parquet")
+
+  /** r16 (guide §2.5 "input skew: one huge unsplittable file"): the
+    * testdata tables are SINGLE-row-group parquet files, so every scan is
+    * one task and all pre-exchange map work (regex scoring, tokenization,
+    * hashing, URL parsing) serializes on one core regardless of
+    * `local[N]`. Repartition right after the read when — and only when —
+    * the scan is underparallelized: the target is derived from input SIZE
+    * (≥ `spark.graft.scan.minTaskBytes`, default 8 KB of parquet per
+    * task, so dimension tables don't fan out into empty tasks) and capped
+    * at the session's default parallelism. At production scale a table
+    * arrives as many files / row groups ≥ cores, `parts ≥ target`, and
+    * this is a no-op — nothing here is tuned to the local core count.
+    *
+    * Measured A/B over the whole suite (OPTIMIZATION_r16.md): the extra
+    * round-robin exchange pays off only where the per-row map work is
+    * heavy (regex scoring, covariance, rerank kernels) and LOSES ~0.1–0.3 s
+    * per query everywhere else — so it is opt-in per query ([[TR]]),
+    * not the [[T]] default. `spark.graft.scan.rebalance=true` forces it
+    * globally for experiments. */
+  private def rebalanceScan(s: SparkSession, df: DataFrame, path: String): DataFrame = {
+    val minTaskBytes = s.conf.get("spark.graft.scan.minTaskBytes", "8192").toLong
+    val bytes =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      } catch { case _: Throwable => 0L }
+    val target = math.min(s.sparkContext.defaultParallelism.toLong,
+      math.max(1L, bytes / minTaskBytes)).toInt
+    if (target > 1 && df.rdd.getNumPartitions < target) df.repartition(target)
     else df
   }
 
@@ -637,7 +679,7 @@ object SparkEntry {
       // exactly that span (plus whatever real-text windows the corpus
       // happens to repeat — the oracle mirrors the algorithm, so
       // incidental repetition verifies rather than breaks)
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val docs = TR(s, dir, "documents").filter(col("text").isNotNull)
       val g = (col("doc_id") % 10).cast("string")
       val tail = concat_ws(" ", Seq("a", "b", "c", "d", "e", "f", "g", "h")
         .map(x => concat(lit("sp"), g, lit(x))): _*)
@@ -1015,7 +1057,7 @@ object SparkEntry {
       // is not SQL-mirrorable) — content-pinned in RowsOnlyPinSpec; the
       // per-stage semantics are each oracle-checked by q_curation_e2e /
       // q_pipeline_e2e, and invariance is smoked in tools/TwoPassSmoke.
-      val docs = T(s, dir, "documents")
+      val docs = TR(s, dir, "documents")
       val crawl = docs.select(col("doc_id"),
         concat(lit("https://www.crawl"), pmod(col("doc_id"), lit(50)).cast("string"),
           lit(".co.uk/d/"), col("doc_id").cast("string")).as("url"),
@@ -1058,7 +1100,7 @@ object SparkEntry {
       // to connected components with min-id representatives; DuckDB
       // mirrors the closure with a recursive CTE. The LSH-pair variant
       // runs inside q_pipeline_e2e.
-      val docs = T(s, dir, "documents")
+      val docs = TR(s, dir, "documents")
         .filter(col("doc_id") < 200 && col("text").isNotNull)
       val tokSet = array_distinct(filter(
         split(lower(col("text")), "\\s+"), t => length(t) > 0))
@@ -1461,7 +1503,7 @@ object SparkEntry {
       // identical output to q_bm25_topk (and the identical oracle), with
       // the df roll-up exchange-free on the bucketed read
       import s.implicits._
-      val docs = T(s, dir, "documents")
+      val docs = TR(s, dir, "documents")
       Retrieval.writeIndex(docs, "doc_id", "text", "graft_bm25_idx",
         buckets = 8)
       val qs = Seq((1L, "fast hash join"), (2L, "window group query"),
@@ -1994,7 +2036,7 @@ object SparkEntry {
       // partitioning-proof, closed-form mirrorable, and per-column moments
       // shared across pairs (15 un-branched aggregates, not 60 guarded
       // ones; listwise ≡ pairwise on this null-free fixture)
-      Sketches.correlationMatrixComplete(T(s, dir, "lineitem"),
+      Sketches.correlationMatrixComplete(TR(s, dir, "lineitem"),
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_x", "col_y")
     }),
@@ -2860,7 +2902,7 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q_pipeline_e2e" -> ((s, dir) => {
-      graft.examples.TrainingDataPipeline.curate(T(s, dir, "documents"))
+      graft.examples.TrainingDataPipeline.curate(TR(s, dir, "documents"))
         .select(col("doc_id"), col("lang_guess"), col("quality"), col("n_tokens"))
         .orderBy("doc_id")
     }),
@@ -3376,7 +3418,7 @@ object SparkEntry {
       // context-packing step; greedy selection is k unrolled projections
       // of higher-order array expressions, mirrored step-by-step in SQL
       import s.implicits._
-      val docs = T(s, dir, "documents")
+      val docs = TR(s, dir, "documents")
       val qs = Seq((1L, "fast hash join"), (2L, "window group query"),
         (3L, "slow table scan"), (4L, "customer order line part"),
         (5L, "stream batch data")).toDF("qid", "qtext")

@@ -11,6 +11,10 @@ object Verify {
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // keep the verify session's planner aligned with Bench (r16):
+      // same AQE partition-size floor, so the hash-checked plans are the
+      // ones the bench actually times
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
