@@ -1503,7 +1503,7 @@ object SparkEntry {
       // identical output to q_bm25_topk (and the identical oracle), with
       // the df roll-up exchange-free on the bucketed read
       import s.implicits._
-      val docs = TR(s, dir, "documents")
+      val docs = T(s, dir, "documents")
       Retrieval.writeIndex(docs, "doc_id", "text", "graft_bm25_idx",
         buckets = 8)
       val qs = Seq((1L, "fast hash join"), (2L, "window group query"),

@@ -46,9 +46,15 @@ object MixturePipeline {
     // long so downstream per-row ids stay scalar. 2^20 idx bits ≅ a
     // ~59M-token document at stride 56 before collision — far past any
     // real document; doc ids up to 2^43 keep the product in long range.
-    val chunks = Chunking.chunkByTokens(kept, "doc_id", "text", chunkTokens, overlap)
-      .join(kept.select(col("doc_id"), col(stratumCol)), Seq("doc_id"))
-      .withColumn("chunk_id", col("doc_id") * (1L << 20) + col("chunk_idx"))
+    // pinned (r16): chunks feeds BOTH the #strata weights collect below
+    // and the sample→interleave subtree — without the pin the whole
+    // vocab+score+chunk tree computes twice (once per consumer; the
+    // interleave pin materializes too late to help). Output-sized, the
+    // natural storage point between curation and mixing.
+    val chunks = graft.ops.Checkpoints.pin(
+      Chunking.chunkByTokens(kept, "doc_id", "text", chunkTokens, overlap)
+        .join(kept.select(col("doc_id"), col(stratumCol)), Seq("doc_id"))
+        .withColumn("chunk_id", col("doc_id") * (1L << 20) + col("chunk_idx"))).df
 
     // 3.+4. temperature weights → per-stratum rates → deterministic sample.
     // collect() here is #strata rows (the k-means-model-state class of

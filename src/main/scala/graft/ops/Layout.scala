@@ -38,7 +38,16 @@ object Layout {
       name.toLowerCase(java.util.Locale.ROOT))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    val w = df.write.mode("overwrite").format("parquet")
+    // r16 (guide §6 small files): an unaligned input writes one file per
+    // (task, bucket) pair — numPartitions × buckets tiny files (256 for
+    // the bm25 index at bench scale), slow to commit and slow to read
+    // back. Repartitioning on the bucket keys first colocates each bucket
+    // in exactly one task (bucketBy's pmod(murmur3) IS HashPartitioning),
+    // so the table lands as `buckets` well-sized files. Write parallelism
+    // is then `buckets` — at 100 TB size `buckets` for the data (or skip
+    // the repartition) rather than shrinking files.
+    val aligned = df.repartition(buckets, keys.map(col): _*)
+    val w = aligned.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
