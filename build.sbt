@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify stdout must be machine-parseable (r16 verdict: the driver's
+// bench parse failed 3 rounds running because every program line arrived
+// wrapped as "[info] ..." and the last stdout line was sbt's "[success]
+// Total time", not the bench JSON). StdoutOutput passes the forked
+// process's output through raw; showSuccess drops the trailing banner —
+// so the final JSON line Bench prints IS the final stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

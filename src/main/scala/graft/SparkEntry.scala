@@ -37,9 +37,15 @@ object SparkEntry {
 
   /** [[T]] + [[rebalanceScan]]: the opt-in loader for queries whose
     * pre-exchange map work is heavy enough that splitting the
-    * single-row-group bench scan wins (measured per query, r16). */
-  private def TR(s: SparkSession, dir: String, n: String): DataFrame =
-    rebalanceScan(s, T(s, dir, n), s"$dir/$n.parquet")
+    * single-row-group bench scan wins (measured per query, r16). When the
+    * global `spark.graft.scan.rebalance` experiment flag is on, [[T]]
+    * already applied the rebalance — don't stack a second pass (r16
+    * ADVICE). */
+  private def TR(s: SparkSession, dir: String, n: String): DataFrame = {
+    val df = T(s, dir, n)
+    if (s.conf.get("spark.graft.scan.rebalance", "false").toBoolean) df
+    else rebalanceScan(s, df, s"$dir/$n.parquet")
+  }
 
   /** r16 (guide §2.5 "input skew: one huge unsplittable file"): the
     * testdata tables are SINGLE-row-group parquet files, so every scan is
@@ -60,17 +66,41 @@ object SparkEntry {
     * not the [[T]] default. `spark.graft.scan.rebalance=true` forces it
     * globally for experiments. */
   private def rebalanceScan(s: SparkSession, df: DataFrame, path: String): DataFrame = {
+    import scala.util.control.NonFatal
     val minTaskBytes = s.conf.get("spark.graft.scan.minTaskBytes", "8192").toLong
-    val bytes =
-      try {
-        val p = new org.apache.hadoop.fs.Path(path)
-        p.getFileSystem(s.sparkContext.hadoopConfiguration)
-          .getContentSummary(p).getLength
-      } catch { case _: Throwable => 0L }
-    val target = math.min(s.sparkContext.defaultParallelism.toLong,
-      math.max(1L, bytes / minTaskBytes)).toInt
-    if (target > 1 && df.rdd.getNumPartitions < target) df.repartition(target)
-    else df
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = p.getFileSystem(conf)
+      val files = {
+        val st = fs.getFileStatus(p)
+        if (st.isFile) Array(st)
+        else fs.listStatus(p).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      }
+      val bytes = files.map(_.getLen).sum
+      val target = math.min(s.sparkContext.defaultParallelism.toLong,
+        math.max(1L, bytes / minTaskBytes)).toInt
+      if (target <= 1 || files.length >= target) return df
+      // Achievable scan parallelism WITHOUT a shuffle is the row-group
+      // count, not `df.rdd.getNumPartitions` (r16 verdict + ADVICE):
+      // byte-range splits of a single-row-group file yield ONE non-empty
+      // partition — exactly the skew this helper targets — and forcing the
+      // plan→RDD conversion just to count splits pays a throwaway physical
+      // planning per table load. Footer reads happen only on the
+      // few-files-than-cores branch above, so a production table (many
+      // files ≥ cores) never pays them.
+      val rowGroups = files.map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        try r.getRowGroups.size finally r.close()
+      }.sum
+      if (rowGroups >= target) df else df.repartition(target)
+    } catch { case NonFatal(e) =>
+      // sizing failure degrades to "no rebalance", loudly (the old silent
+      // `case _: Throwable => 0L` also swallowed fatal errors — r16 ADVICE)
+      System.err.println(s"[graft] rebalanceScan: could not size $path ($e); skipping")
+      df
+    }
   }
 
   /** Flagship (SURVEY.md §7 step 3): validate lineitem with the canonical

@@ -21,7 +21,8 @@ object Layout {
     * tables bucketed on the same keys with the same bucket count equi-join
     * WITHOUT any shuffle — the scale path for repeated fact↔fact joins. */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
-                    keys: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+                    keys: Seq[String], sortCols: Seq[String] = Nil,
+                    align: Option[Boolean] = None): Unit = {
     val spark = df.sparkSession
     // A managed table's LOCATION can outlive its catalog entry (previous
     // process exited; in-memory catalog reset) — saveAsTable(Overwrite) on
@@ -43,10 +44,20 @@ object Layout {
     // the bm25 index at bench scale), slow to commit and slow to read
     // back. Repartitioning on the bucket keys first colocates each bucket
     // in exactly one task (bucketBy's pmod(murmur3) IS HashPartitioning),
-    // so the table lands as `buckets` well-sized files. Write parallelism
-    // is then `buckets` — at 100 TB size `buckets` for the data (or skip
-    // the repartition) rather than shrinking files.
-    val aligned = df.repartition(buckets, keys.map(col): _*)
+    // so the table lands as `buckets` well-sized files — but it also CAPS
+    // write parallelism at `buckets`, which at 100 TB with a modest bucket
+    // count funnels the table through few huge tasks (guide §5 spill
+    // risk). GUARD (r16 verdict): align only when the optimizer's size
+    // estimate says each bucket stays under
+    // `spark.graft.layout.alignMaxBucketBytes` (default 512 MB — the
+    // guide-§6 output-file sweet spot); unknown/huge estimates land on the
+    // keep-parallelism side. `align` overrides the estimate either way.
+    val doAlign = align.getOrElse {
+      val maxBucketBytes = BigInt(spark.conf
+        .get("spark.graft.layout.alignMaxBucketBytes", (512L << 20).toString).toLong)
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBucketBytes * buckets
+    }
+    val aligned = if (doAlign) df.repartition(buckets, keys.map(col): _*) else df
     val w = aligned.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
